@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the training-data
+  * extensions beyond the reference's own surface (driver contract §extensions;
+  * the reference's only dedup is the keyed first-write-wins insert,
+  * `backend/app/services/ingestion.py:214-227`, covered by
+  * [[graft.operators.Relational.firstWriteWins]]).
+  *
+  * Scale design: every operator here is blocking-based — candidate pairs come
+  * from an inverted index (shared shingle / LSH band / bit band), never from
+  * an n² cross join. At 100 TB the band join shuffles only (key, docId)
+  * pairs, and hot keys are bounded by the document-frequency filter.
+  */
+object Dedup {
+
+  /** Deterministic 60-bit hash from md5 hex (portable across engines:
+    * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` gives the same value).
+    * 15 hex digits keeps the value positive in a signed 64-bit long.
+    */
+  def hex60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup via content hash: groups identical (normalized) texts,
+    * keeps the smallest id as canonical. One shuffle on the hash.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(lower(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-grams per document (the shingle set for Jaccard).
+    * Output: (doc_id, shingle).
+    */
+  def wordShingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    // guard: sequence(0, negative) would DESCEND in Spark, so short docs get
+    // an explicit empty shingle set
+    val grams = when(size(col("__w")) >= n,
+      expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), words.as("__w"))
+      .select(col("doc_id"), explode(grams).as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs. Candidates share at least one
+    * "rare" shingle (document frequency <= maxDf — the standard blocking
+    * trick that bounds the per-key join fan-out at scale); Jaccard is then
+    * computed exactly over the full shingle sets.
+    */
+  def ngramJaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int = 50): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = shingles.join(
+      shingles.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      "shingle")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val inter = shingles.as("a").join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numPerms hash functions h_i(s) = hex60(i ':' s),
+    * signature value i = min over the document's shingles.
+    * Output: (doc_id, i, minh).
+    */
+  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame =
+    shingles
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numPerms - 1))).as("i"), col("shingle"))
+      .withColumn("h", hex60(concat(col("i").cast("string"), lit(":"), col("shingle"))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("minh"))
+
+  /** LSH band keys from minhash signatures: `bands` bands of
+    * numPerms/bands rows each; the band key hashes the ordered signature
+    * slice. Output: (doc_id, band, band_key).
+    */
+  def lshBands(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    sigs.withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("i"), col("minh")))),
+        s => s.getField("minh").cast("string")), ",").as("sig"))
+      .withColumn("band_key", md5(concat(col("band").cast("string"), lit(":"), col("sig"))))
+      .drop("sig")
+  }
+
+  /** MinHash+LSH near-dup pairs: candidates collide on at least one band,
+    * then exact Jaccard over the shingle sets filters at `threshold`.
+    */
+  def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double): DataFrame = {
+    val bandsDf = lshBands(minhashSignatures(shingles, numPerms), numPerms, bands)
+    val cand = bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand.join(shingles.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
+        Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
+    * fingerprint is 1 iff the sum of +-1 contributions (tokens whose hash has
+    * bit b set contribute +1, else -1) is strictly positive.
+    * Output: (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", hex60(col("tok")))
+    toks.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("sign", when(expr("(h >> b) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum(col("sign")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 15-bit bands
+    * (guarantees recall for hamming distance <= 3 by pigeonhole), verified by
+    * exact hamming distance <= maxHamming.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(simhash >> (band * 15)) & 32767"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

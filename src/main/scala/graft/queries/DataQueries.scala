@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries: dedup, similarity search, text analysis,
+  * multimodal plumbing — over the `documents` and `embeddings` tables.
+  */
+object DataQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** Shared oracle CTEs: tokens and distinct word-trigram shingles. */
+  private val triCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |)""".stripMargin
+
+  private val hex60Sql: String => String =
+    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  val defs: Map[String, Q] = Map(
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d)).orderBy("text_hash")),
+
+    "q25_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Dedup.wordShingles(docs(s, d), 3), threshold = 0.6, maxDf = 50)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q26_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Dedup.wordShingles(docs(s, d), 3), numPerms = 16, bands = 4,
+          threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q27_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, d)), maxHamming = 8)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q28_dedup_embcos" -> ((s, d) =>
+      Similarity.cosinePairs(emb(s, d), blockCol = "label", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    "q29_ann_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q30_ann_lsh" -> ((s, d) =>
+      Similarity.signLshTopK(emb(s, d), k = 3, bits = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")),
+
+    "q31_text_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(docs(s, d))
+        .select(col("doc_id"), col("n_words"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("digit_ratio"), 6).as("digit_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")),
+
+    "q32_text_langid" -> ((s, d) =>
+      TextOps.languageId(docs(s, d)).orderBy("doc_id")),
+
+    "q33_text_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          size(TextOps.words(col("text"))).as("n_ws_tokens"),
+          TextOps.bpeIshCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_txt"))
+        .orderBy("doc_id")),
+
+    "q34_text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(docs(s, d), k = 8).orderBy("doc_id")),
+
+    "q35_mm_meta" -> ((s, d) =>
+      Multimodal.metaColumns(Multimodal.asMedia(docs(s, d))).orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_dedup_ngram" ->
+      s"""WITH $triCte,
+         |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 50),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2
+         |)
+         |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+         |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
+         |ORDER BY 1,2""".stripMargin,
+    "q26_dedup_minhash" ->
+      s"""WITH $triCte,
+         |mh AS (
+         |  SELECT doc_id, p.i AS i,
+         |         min(${hex60Sql("p.i::VARCHAR || ':' || shingle")}) AS minh
+         |  FROM tri, unnest(generate_series(0, 15)) AS p(i)
+         |  GROUP BY doc_id, p.i
+         |),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tri a ON a.doc_id = c.doc_a
+         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1,2
+         |)
+         |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+         |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+         |ORDER BY 1,2""".stripMargin,
+    "q27_dedup_simhash" ->
+      s"""WITH tok2 AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+         |),
+         |th AS (SELECT doc_id, ${hex60Sql("tok")} AS h FROM tok2),
+         |bitsums AS (
+         |  SELECT doc_id, t.b AS b, sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, unnest(generate_series(0, 59)) AS t(b) GROUP BY 1,2
+         |),
+         |sh AS (
+         |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         |  FROM bitsums GROUP BY 1
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, bb.band AS band, (simhash >> (bb.band * 15)) & 32767 AS band_val
+         |  FROM sh, unnest(generate_series(0, 3)) AS bb(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS ha, b.simhash AS hb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+         |ORDER BY 1,2""".stripMargin,
+    "q28_dedup_embcos" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        |ORDER BY 1,2""".stripMargin,
+    "q29_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q30_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q31_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nsl,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words,
+        |  round(CAST(nsl AS DOUBLE) / n_words, 6) AS avg_word_len,
+        |  round(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |  round(CAST(dig AS DOUBLE) / greatest(nsl, 1), 6) AS digit_ratio,
+        |  round(least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)), 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q32_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['der','und','die','nicht','ist'], x))) AS s_de,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  greatest(s_de, s_en, s_es, s_fr) AS top_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q33_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars_txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_text_fingerprint" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents
+         |),
+         |g AS (
+         |  SELECT doc_id, md5(norm) AS fp_md5, substr(norm, t.i, 8) AS g
+         |  FROM nrm, unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
+         |)
+         |SELECT doc_id, fp_md5, min(${hex60Sql("g")}) AS winnow_min
+         |FROM g GROUP BY 1,2 ORDER BY doc_id""".stripMargin,
+    "q35_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+        |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * The dot product stays inside Spark's array expressions
+  * (`zip_with` + `aggregate` — codegen'd, no UDF, no explosion), so a scan
+  * over N vectors x k queries is a single broadcast-join + projection plan.
+  *
+  * Scale paths: [[cosineTopK]] broadcasts a small query set against the full
+  * corpus (embarrassingly parallel); [[signLshTopK]] buckets the corpus by
+  * hyperplane sign bits so each query only scans its bucket — the classic
+  * LSH-ANN trade (recall vs fan-out) without any n^2 join. Same-bucket
+  * blocking also powers [[cosinePairs]] for near-dup mining.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns (deterministic
+    * left-to-right fold; identical inputs give identical doubles).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, t) => acc + t)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: every query row against the full corpus.
+    * Deterministic ranking: (rounded similarity desc, neighbor id asc).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Sign-bit LSH bucket id: bit i set iff vector[i] > 0 (axis-aligned
+    * hyperplanes over the first `bits` dimensions).
+    */
+  def signBucket(vec: Column, bits: Int): Column = {
+    val powers = transform(sequence(lit(0), lit(bits - 1)), i => pow(lit(2.0), i).cast("long"))
+    aggregate(
+      zip_with(slice(vec, 1, bits), powers, (v, p) => when(v > 0.0, p).otherwise(0L)),
+      lit(0L), (acc, t) => acc + t)
+  }
+
+  /** LSH-bucketed ANN top-k: queries only scan their own bucket. */
+  def signLshTopK(vectors: DataFrame, k: Int, bits: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = b.as("q").join(b.as("c"),
+        col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        round(cosine(col("q.v"), col("c.v")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a partition column (e.g. a
+    * cluster label or LSH bucket) so the pair join is per-block, not global.
+    */
+  def cosinePairs(vectors: DataFrame, blockCol: String, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(idCol), col(blockCol).as("block"), asDouble(col(vecCol)).as("v"))
+    b.as("a").join(b.as("b"),
+        col("a.block") === col("b.block") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (training-data extensions):
+  * token counting, quality scoring, heuristic language ID, fingerprinting.
+  * All pure column expressions — codegen-friendly, no UDFs.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def words(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single other
+    * non-space symbols (a cheap proxy for subword tokenizers).
+    */
+  def bpeIshCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Quality features + score. Score favors documents that are long enough
+    * and have a natural stopword ratio; deterministic arithmetic only.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val nonSpaceLen = length(regexp_replace(col(textCol), "\\s", ""))
+    val stopCount = size(filter(w, x => x.isInCollection(stopwords)))
+    val digitLen = length(regexp_replace(col(textCol), "[^0-9]", ""))
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      (nonSpaceLen.cast("double") / nWords).as("avg_word_len"),
+      (stopCount.cast("double") / nWords).as("stopword_ratio"),
+      (digitLen.cast("double") / greatest(nonSpaceLen, lit(1))).as("digit_ratio"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_words") / 100.0) * (lit(1.0) - abs(col("stopword_ratio") - 0.4)))
+  }
+
+  /** Heuristic language ID: per-language marker-word hit counts, argmax with
+    * alphabetical tie-break, 'und' when nothing matches. (A real n-gram
+    * profile model slots into the same shape; the operator contract is the
+    * deterministic argmax.)
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = words(col(textCol))
+    val scored = langProfiles.foldLeft(docs.select(col(idCol).as("doc_id"), w.as("__w"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", size(filter(col("__w"), x => x.isInCollection(markers))))
+    }
+    // argmax with alphabetical tie-break: langProfiles is sorted, greatest()
+    // keeps the first on ties because later candidates must be strictly bigger.
+    val best = langProfiles.map { case (lang, _) => col(s"score_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = langProfiles.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("top_score", best).withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("pred_lang"), col("top_score"))
+  }
+
+  /** Document fingerprints: md5 of the normalized text plus a winnowing-style
+    * minimum over character k-gram hashes (rolling-hash family; min-hash of
+    * k-grams is order-robust and cheap to compare).
+    */
+  def fingerprints(docs: DataFrame, k: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val withNorm = docs.select(col(idCol).as("doc_id"), norm.as("__norm"))
+    val grams = expr(
+      s"transform(sequence(1, greatest(length(__norm) - ${k - 1}, 1)), i -> substring(__norm, i, $k))")
+    withNorm
+      .withColumn("fp_md5", md5(col("__norm")))
+      .select(col("doc_id"), col("fp_md5"), explode(grams).as("g"))
+      .groupBy("doc_id", "fp_md5")
+      .agg(min(graft.dedup.Dedup.hex60(col("g"))).as("winnow_min"))
+  }
+}
