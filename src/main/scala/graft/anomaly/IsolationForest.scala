@@ -1,0 +1,102 @@
+package graft.anomaly
+
+import scala.util.Random
+
+/** Deterministic isolation forest (SURVEY.md M4).
+  *
+  * The reference scores per-series feature matrices with sklearn's
+  * IsolationForest (`backend/app/services/anomaly_iforest.py:8-47`,
+  * n_estimators=100, contamination=0.05, random_state=42). sklearn bit-parity
+  * is not attainable, so this implements the original iForest algorithm
+  * (Liu/Ting/Zhou 2008: random feature, random split, path-length scoring)
+  * with a fixed seed; tests assert behavior (spike flagged, contamination
+  * honored, determinism), not sklearn's exact scores — the reference's own
+  * tests do the same.
+  *
+  * Scale design: series are tiny (the reference caps at 10k points,
+  * `routers/anomaly_iforest.py:60`), so one model fits per (source, metric)
+  * group inside `flatMapGroups` — thousands of series train in parallel
+  * across executors, no driver loop.
+  */
+class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 42L) {
+
+  private sealed trait Node
+  private case class Leaf(size: Int) extends Node
+  private case class Split(feature: Int, value: Double, lo: Node, hi: Node) extends Node
+
+  private var trees: Seq[Node] = Nil
+  private var cN: Double = 1.0
+
+  /** Average unsuccessful-search path length in a BST of n nodes. */
+  private def c(n: Int): Double =
+    if (n <= 1) 0.0 else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
+
+  private def build(rows: Array[Array[Double]], depth: Int, maxDepth: Int, rng: Random): Node = {
+    if (rows.length <= 1 || depth >= maxDepth) Leaf(rows.length)
+    else {
+      val d = rows.head.length
+      // features with spread; a constant matrix isolates nothing
+      val candidates = (0 until d).filter { f =>
+        var mn = rows.head(f); var mx = mn
+        rows.foreach { r => if (r(f) < mn) mn = r(f); if (r(f) > mx) mx = r(f) }
+        mx > mn
+      }
+      if (candidates.isEmpty) Leaf(rows.length)
+      else {
+        val f = candidates(rng.nextInt(candidates.length))
+        var mn = rows.head(f); var mx = mn
+        rows.foreach { r => if (r(f) < mn) mn = r(f); if (r(f) > mx) mx = r(f) }
+        val v = mn + rng.nextDouble() * (mx - mn)
+        val (lo, hi) = rows.partition(_(f) < v)
+        if (lo.isEmpty || hi.isEmpty) Leaf(rows.length)
+        else Split(f, v, build(lo, depth + 1, maxDepth, rng),
+          build(hi, depth + 1, maxDepth, rng))
+      }
+    }
+  }
+
+  def fit(x: Array[Array[Double]]): this.type = {
+    val rng = new Random(seed)
+    val n = math.min(sampleSize, x.length)
+    cN = c(n)
+    val maxDepth = math.ceil(math.log(math.max(n, 2)) / math.log(2)).toInt
+    trees = (0 until numTrees).map { _ =>
+      val sample = rng.shuffle(x.toVector).take(n).toArray
+      build(sample, 0, maxDepth, rng)
+    }
+    this
+  }
+
+  private def pathLength(row: Array[Double], node: Node, depth: Int): Double = node match {
+    case Leaf(size) => depth + c(size)
+    case Split(f, v, lo, hi) =>
+      if (row(f) < v) pathLength(row, lo, depth + 1) else pathLength(row, hi, depth + 1)
+  }
+
+  /** Anomaly score in (0, 1]; higher = more anomalous (2^(-E[h]/c(n))). */
+  def anomalyScore(row: Array[Double]): Double = {
+    val eh = trees.map(t => pathLength(row, t, 0)).sum / trees.length
+    math.pow(2.0, -eh / math.max(cN, 1e-12))
+  }
+
+  /** sklearn-like decision surface: higher = more normal (0.5 - anomaly). */
+  def decisionScore(row: Array[Double]): Double = 0.5 - anomalyScore(row)
+}
+
+object IsolationForest {
+
+  /** Score a feature matrix and flag the top `contamination` fraction as
+    * outliers (ties broken by row order, matching a stable argsort).
+    * Returns (score, isOutlier) per row; < 5 rows => all inliers
+    * (`routers/anomaly_iforest.py` small-sample bail).
+    */
+  def scoreMatrix(x: Array[Array[Double]], contamination: Double = 0.05,
+                  numTrees: Int = 100, seed: Long = 42L): Array[(Double, Boolean)] = {
+    if (x.length < 5) return x.map(_ => (0.5, false))
+    val forest = new IsolationForest(numTrees = numTrees, seed = seed).fit(x)
+    val scores = x.map(forest.decisionScore)
+    val nOut = math.max(0, math.round(contamination * x.length).toInt)
+    val cutIdx = scores.zipWithIndex.sortBy { case (s, i) => (s, i) }.take(nOut).map(_._2).toSet
+    scores.zipWithIndex.map { case (s, i) => (s, cutIdx.contains(i)) }
+  }
+}

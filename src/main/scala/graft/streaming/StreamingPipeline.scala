@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.operators.DailyKpi
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming equivalents of the reference's "upload immediately
+  * refreshes KPIs" behavior (SURVEY.md §2.6): the reference re-aggregates
+  * affected series on every ingest (`routers/ingest.py:183-189`); here a file
+  * stream + `foreachBatch` {clean -> dedup -> re-aggregate} reproduces that
+  * continuously, and a watermarked windowed aggregation gives the
+  * true-streaming variant the reference lacks.
+  *
+  * Scale notes: the windowed agg is keyed by (window, source_id, metric) —
+  * state is bounded by the watermark horizon x key cardinality, and Spark's
+  * state store partitions it across executors. The foreachBatch path reuses
+  * the exact batch operators, so batch/streaming parity is by construction.
+  */
+object StreamingPipeline {
+
+  /** File-source stream of clean events (schema of
+    * `Tables.cleanEvents`): source_id, ts, metric, value.
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("source_id BIGINT, ts TIMESTAMP, metric STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "16")
+      .parquet(path)
+
+  /** Watermarked tumbling-window KPI aggregation: the streaming twin of
+    * [[DailyKpi.aggregate]] at hourly granularity; late data beyond the
+    * watermark is dropped deterministically.
+    */
+  def windowedKpi(events: DataFrame, window: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("source_id"), col("metric"))
+      .agg(
+        sum(col("value")).as("value_sum"),
+        avg(col("value")).as("value_avg"),
+        count(lit(1)).as("value_count"))
+      .select(col("window.start").as("window_start"), col("source_id"), col("metric"),
+        col("value_sum"), col("value_avg"), col("value_count"))
+
+  /** Micro-batch ingest loop: every batch is cleaned, deduped first-write-
+    * wins, appended to the clean store, and the affected daily aggregates
+    * are recomputed — the reference's eager-KPI-on-upload semantics.
+    */
+  def ingestAndRefresh(events: DataFrame, cleanStorePath: String, kpiStorePath: String,
+                       checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val deduped = graft.ingest.Ingest.dedupInsert(
+          batch, existingClean(spark, cleanStorePath), Seq("source_id", "ts", "metric"), "ts")
+        deduped.write.mode("append").parquet(cleanStorePath)
+        val touched = deduped.select(to_date(col("ts")).as("metric_date")).distinct()
+        val refreshed = graft.ingest.Ingest.recomputeOverwrite(
+          spark.read.parquet(cleanStorePath), touched)
+        refreshed.write.mode("overwrite").parquet(kpiStorePath)
+        ()
+      }
+
+  private def existingClean(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(path)
+      if (df.isEmpty) None else Some(df)
+    } catch { case _: Throwable => None }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+    (4L, "completely different words live in this document here now yes"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.ngramJaccardPairs(Dedup.wordShingles(docs, 3), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val exact = Dedup.ngramJaccardPairs(Dedup.wordShingles(docs, 3), threshold = 0.5)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).select("jaccard").as[Double].head()
+    assert(exact == 1.0)
+  }
+
+  test("minhash LSH recovers the exact-dup pair with jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingles(docs, 3), 16, 4, 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("simhash: identical docs have hamming 0; banded pairs find them") {
+    val sims = Dedup.simhash(docs)
+    val h = sims.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    val pairs = Dedup.simhashPairs(sims, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L && top(0).getAs[Double]("sim") == 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") == 3L)
+    val pairs = Similarity.cosinePairs(vecs, "label", threshold = 0.99).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
+  }
+
+  test("text ops: language id, quality, fingerprints are deterministic and sane") {
+    val lang = TextOps.languageId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(lang(1L) == "en") // 'the'/'and' markers
+    val q = TextOps.qualityFeatures(docs).filter(col("doc_id") === 1).collect().head
+    assert(q.getAs[Int]("n_words") == 12)
+    assert(math.abs(q.getAs[Double]("stopword_ratio") - 3.0 / 12.0) < 1e-12)
+    val fp = TextOps.fingerprints(docs).collect()
+    val byId = fp.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_md5")).toMap
+    assert(byId(1L) == byId(2L) && byId(1L) != byId(4L))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.multimodal.Multimodal
+import graft.operators.DailyKpi
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tolerant CSV read drops fully-blank rows, resolves fuzzy columns") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "Timestamp,Amount,Name\n2025-07-13,100,events_total\n,,\n2025-07-14,101,events_total\n")
+    val df = Ingest.readCsvTolerant(spark, f.getAbsolutePath)
+    assert(df.count() == 2)
+    val resolved = Ingest.resolveColumns(df)
+    assert(resolved("ts").contains("Timestamp"))
+    assert(resolved("value").contains("Amount"))
+    assert(resolved("metric").contains("Name"))
+  }
+
+  test("NDJSON read surfaces bad lines as corrupt records") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "in.ndjson")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"timestamp":"2025-09-20T00:00:00Z","value":5}""" + "\n" +
+        "this is not json\n" +
+        """{"timestamp":"2025-09-21T00:00:00Z","value":7}""" + "\n")
+    // Spark disallows querying only the corrupt-record column — materialize
+    // full rows first (the real pipeline caches the parsed batch anyway).
+    val rows = Ingest.readJsonTolerant(spark, f.getAbsolutePath).collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) == 1)
+  }
+
+  test("cleanRows: coercion failures produce warnings, metric defaults") {
+    val raw = Seq(
+      ("2025-07-13 00:00:00", "4", null.asInstanceOf[String]),
+      ("not-a-date", "5", "m"),
+      ("2025-07-14 00:00:00", "junk", "m"))
+      .toDF("ts_raw", "value_raw", "metric_raw")
+    val out = Ingest.cleanRows(raw).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("warn")) && out(0).getAs[String]("metric") == "events_total")
+    assert(out(1).getAs[String]("warn") == "invalid_timestamp")
+    assert(out(2).getAs[String]("warn") == "invalid_value")
+  }
+
+  test("dedupInsert: first write wins within batch and against store") {
+    val t0 = java.sql.Timestamp.valueOf("2025-07-13 00:00:00")
+    val batch = Seq((1L, t0, "m", 10.0, 1L), (1L, t0, "m", 99.0, 2L))
+      .toDF("source_id", "ts", "metric", "value", "arrival")
+    val store = Seq((2L, t0, "m", 5.0, 0L))
+      .toDF("source_id", "ts", "metric", "value", "arrival")
+    val out = Ingest.dedupInsert(batch, Some(store), Seq("source_id", "ts", "metric"), "arrival")
+    assert(out.count() == 1 && out.select("value").as[Double].head() == 10.0)
+    val out2 = Ingest.dedupInsert(
+      batch.unionByName(store), Some(store), Seq("source_id", "ts", "metric"), "arrival")
+    assert(out2.count() == 1) // store row excluded by anti-join
+  }
+
+  test("streaming ingestAndRefresh reproduces batch KPI aggregation") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/in"; val cleanStore = s"$base/clean"; val kpi = s"$base/kpi"
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "events_total", 4.0),
+      (1L, java.sql.Timestamp.valueOf("2025-09-20 02:00:00"), "events_total", 5.0),
+      (1L, java.sql.Timestamp.valueOf("2025-09-21 01:00:00"), "events_total", 7.0),
+      (1L, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "events_total", 4.0)) // dup key
+      .toDF("source_id", "ts", "metric", "value")
+    events.write.mode("overwrite").parquet(in)
+    val q = StreamingPipeline.ingestAndRefresh(
+      StreamingPipeline.readEventStream(spark, in), cleanStore, kpi, s"$base/ckpt").start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(kpi).orderBy("metric_date").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("value_sum") == 9.0 && got(0).getAs[Long]("value_count") == 2L)
+    assert(got(1).getAs[Double]("value_sum") == 7.0)
+  }
+
+  test("multimodal decode plumbing: typed Dataset path matches column path") {
+    val docs = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs)
+    import Multimodal._
+    val ds = media.as[MediaRecord]
+    val decoded = Multimodal.decodeMeta(ds).collect().sortBy(_.doc_id)
+    val viaCols = Multimodal.metaColumns(media).orderBy("doc_id").collect()
+    decoded.zip(viaCols).foreach { case (d, c) =>
+      assert(d.byte_len == c.getAs[Long]("byte_len"))
+      assert(d.sha256 == c.getAs[String]("sha256"))
+      assert(d.width == c.getAs[Int]("width") && d.n_frames == c.getAs[Int]("n_frames"))
+    }
+  }
+
+  test("recomputeOverwrite only rebuilds touched dates") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "m", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2025-09-21 01:00:00"), "m", 2.0))
+      .toDF("source_id", "ts", "metric", "value")
+    val touched = Seq(java.sql.Date.valueOf("2025-09-20")).toDF("metric_date")
+    val out = Ingest.recomputeOverwrite(ev, touched).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value_sum") == 1.0)
+  }
+}
