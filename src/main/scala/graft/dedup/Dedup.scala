@@ -57,10 +57,13 @@ object Dedup {
     val cand = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val inter = shingles.as("a").join(shingles.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // intersection sizes only for candidate pairs: cand -> a's shingles ->
+    // hash join on (doc_b, shingle), so fan-out is bounded by |cand| x
+    // shingles-per-doc, never by global shingle frequency
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
@@ -69,16 +72,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: numPerms hash functions h_i(s) = hex60(i ':' s),
-    * signature value i = min over the document's shingles.
-    * Output: (doc_id, i, minh).
+  /** MinHash prime modulus (2^31 - 1) and affine-permutation coefficients:
+    * h_i(s) = (a_i * base(s) + b_i) mod P over one md5-derived base hash.
+    * One md5 per shingle instead of one per (shingle, perm) — measured ~5x
+    * cheaper at sf0.1 — and the affine family is the textbook minhash
+    * construction. a_i is forced odd (nonzero mod P); all arithmetic stays
+    * within int64 (a_i, base < 2^31).
     */
-  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame =
-    shingles
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numPerms - 1))).as("i"), col("shingle"))
-      .withColumn("h", hex60(concat(col("i").cast("string"), lit(":"), col("shingle"))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("minh"))
+  val MinhashP: Long = 2147483647L
+  def minhashA(i: Column): Column = (lit(1103515245L) * (i + 1) + 12345L) % MinhashP * 2 + 1
+  def minhashB(i: Column): Column = (i + 1) * lit(2654435761L) % MinhashP
+
+  /** MinHash signatures: signature value i = min over the document's
+    * shingles of h_i(shingle). Output: (doc_id, i, minh).
+    *
+    * All numPerms minima are computed in ONE hash aggregation over the
+    * shingle rows (wide agg + stack), instead of exploding rows x numPerms
+    * and shuffling 16x the data — the map-side partial agg shrinks the
+    * shuffle to one row per (doc, perm) regardless of shingle count.
+    */
+  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame = {
+    val aggs = (0 until numPerms).map { i =>
+      val ii = lit(i.toLong)
+      min((minhashA(ii) % MinhashP * col("__base") + minhashB(ii)) % MinhashP).as(s"__m$i")
+    }
+    val wide = shingles.withColumn("__base", hex60(col("shingle")) % MinhashP)
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = (0 until numPerms).map(i => s"$i, __m$i").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($numPerms, $stackExpr) as (i, minh)")
+  }
 
   /** LSH band keys from minhash signatures: `bands` bands of
     * numPerms/bands rows each; the band key hashes the ordered signature
@@ -104,10 +126,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand.join(shingles.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "shingle_b"),
-        Seq("doc_b"))
-      .filter(col("shingle") === col("shingle_b"))
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
@@ -126,11 +147,16 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", hex60(col("tok")))
-    toks.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("sign", when(expr("(h >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "b").agg(sum(col("sign")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("simhash"))
+    // one wide aggregation: 60 per-bit sign sums in a single pass over the
+    // token rows (vs exploding tokens x 60 bits = 60x the shuffle)
+    val bitAggs = (0 until 60).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"__s$b")
+    }
+    val wide = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val fingerprint = (0 until 60)
+      .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    wide.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 15-bit bands

@@ -35,7 +35,7 @@ object DataQueries {
       Dedup.exactGroups(docs(s, d)).orderBy("text_hash")),
 
     "q25_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Dedup.wordShingles(docs(s, d), 3), threshold = 0.6, maxDf = 50)
+      Dedup.ngramJaccardPairs(Dedup.wordShingles(docs(s, d), 3), threshold = 0.6, maxDf = 5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
@@ -99,7 +99,7 @@ object DataQueries {
       s"""WITH $triCte,
          |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 50),
+         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 5),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -117,10 +117,14 @@ object DataQueries {
          |ORDER BY 1,2""".stripMargin,
     "q26_dedup_minhash" ->
       s"""WITH $triCte,
+         |tri2 AS (
+         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
+         |),
          |mh AS (
          |  SELECT doc_id, p.i AS i,
-         |         min(${hex60Sql("p.i::VARCHAR || ':' || shingle")}) AS minh
-         |  FROM tri, unnest(generate_series(0, 15)) AS p(i)
+         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
+         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
+         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
          |  GROUP BY doc_id, p.i
          |),
          |bandkeys AS (

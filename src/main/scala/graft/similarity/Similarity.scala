@@ -21,11 +21,11 @@ object Similarity {
   /** Cosine similarity between two array<double> columns (deterministic
     * left-to-right fold; identical inputs give identical doubles).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, t) => acc + t)
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, t) => acc + t)
+
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -34,10 +34,14 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are precomputed per vector, not per pair — same doubles, 3x
+    // fewer dot products
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -58,11 +62,12 @@ object Similarity {
   def signLshTopK(vectors: DataFrame, k: Int, bits: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val scored = b.as("q").join(b.as("c"),
         col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        round(cosine(col("q.v"), col("c.v")), 6).as("sim"))
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -74,9 +79,10 @@ object Similarity {
   def cosinePairs(vectors: DataFrame, blockCol: String, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = vectors.select(col(idCol), col(blockCol).as("block"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
     b.as("a").join(b.as("b"),
         col("a.block") === col("b.block") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("sim", round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
       .filter(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("sim"))
   }
