@@ -1,0 +1,108 @@
+package graft.api
+
+import graft.forecast.Forecast
+import graft.operators.{DailyKpi, Relational, Windows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin Scala façade mirroring the reference's endpoint surface
+  * (SURVEY.md §2.8; `backend/openapi.json` paths) — each method is a pure
+  * function from DataFrames to a DataFrame, so any transport (HTTP shim,
+  * notebook, job) can wrap it. Auth/observability middleware is transport
+  * concern and intentionally out of scope (SURVEY.md §7.5).
+  *
+  * @param sources   dimension (id, name) — always broadcast in joins
+  * @param metricDaily the daily aggregate store
+  */
+final class GraftApi(sources: DataFrame, metricDaily: DataFrame) {
+
+  private def resolveSource(sourceName: String): DataFrame =
+    sources.filter(col("name") === sourceName).select(col("id").as("source_id"))
+
+  private def filtered(sourceName: String, metric: String,
+                       startDate: Option[String], endDate: Option[String]): DataFrame = {
+    var df = metricDaily.join(broadcast(resolveSource(sourceName)), "source_id")
+      .filter(col("metric") === metric)
+    startDate.foreach(s => df = df.filter(col("metric_date") >= lit(s)))
+    endDate.foreach(e => df = df.filter(col("metric_date") <= lit(e)))
+    df
+  }
+
+  /** GET /api/metrics/daily (`routers/metrics.py:60-119`). */
+  def metricsDaily(sourceName: String, metric: String,
+                   startDate: Option[String] = None, endDate: Option[String] = None,
+                   agg: String = "sum", descending: Boolean = false,
+                   limit: Option[Int] = None): DataFrame = {
+    val base = filtered(sourceName, metric, startDate, endDate)
+      .withColumn("value_avg", DailyKpi.safeAvg(col("value_sum"), col("value_count")))
+    val unified = DailyKpi.withUnifiedValue(base, agg)
+      .orderBy(if (descending) col("metric_date").desc else col("metric_date").asc)
+    limit.map(unified.limit).getOrElse(unified)
+  }
+
+  /** GET /api/metrics/names (`services/metrics_fetch.py:118-141`). */
+  def metricNames(sourceName: Option[String] = None): DataFrame = {
+    val scoped = sourceName.map(n =>
+      metricDaily.join(broadcast(resolveSource(n)), "source_id")).getOrElse(metricDaily)
+    Relational.distinctSorted(scoped, "metric")
+  }
+
+  /** GET /api/sources (`routers/sources.py:12`). */
+  def listSources(): DataFrame = sources.orderBy("name")
+
+  /** GET /api/metrics/anomaly/rolling (`routers/metrics.py:158-261`). */
+  def anomalyRolling(sourceName: String, metric: String,
+                     startDate: Option[String] = None, endDate: Option[String] = None,
+                     window: Int = 7, zThresh: Double = 3.0,
+                     valueField: String = "value_sum"): DataFrame = {
+    require(window >= 2 && window <= 365, "window in [2,365]")
+    require(zThresh > 0, "z_thresh > 0")
+    val series = filtered(sourceName, metric, startDate, endDate)
+      .withColumn("value", col(valueField))
+    Windows.zScorePartial(series, window, zThresh, Seq("source_id"))
+      .select(col("metric_date"), col("value"), col("z"), col("is_outlier"))
+      .orderBy("metric_date")
+  }
+
+  /** GET /api/forecast/daily (`routers/forecast.py:160-231`): generate via
+    * the deterministic chain, strictly-future filter, normalize to the
+    * 7-row contract.
+    */
+  def forecastDaily(sourceName: String, metric: String, horizon: Int = 7): DataFrame = {
+    val md = filtered(sourceName, metric, None, None)
+    val fc = Forecast.holdLastForecast(Forecast.fetchSeries(md), math.max(horizon, 7))
+    Forecast.normalizeContract(Forecast.strictlyFuture(fc, md))
+      .orderBy("metric_date")
+  }
+
+  /** POST /api/forecast/backtest (`routers/forecast.py` + M6). */
+  def backtest(sourceName: String, metric: String, folds: Int = 5, horizon: Int = 7,
+               windowN: Int = 90): DataFrame =
+    Forecast.backtest(filtered(sourceName, metric, None, None), folds, horizon, windowN)
+
+  /** GET /api/forecast/reliability (M7). */
+  def reliability(sourceName: String, metric: String, days: Int = 90, folds: Int = 5,
+                  horizon: Int = 7): DataFrame =
+    Forecast.reliability(filtered(sourceName, metric, None, None), days, folds, horizon)
+
+  /** GET /api/forecast/health (W5 persistence MAPE, forecast.py:258-270). */
+  def forecastHealth(sourceName: String, metric: String, windowN: Int = 90): DataFrame = {
+    val series = Forecast.fetchSeries(filtered(sourceName, metric, None, None))
+    val lagged = Windows.lagPersistence(series, Seq("source_id", "metric"))
+      .filter(col("pred").isNotNull)
+    lagged.agg(Forecast.mape(col("value"), col("pred")).as("mape"))
+      .withColumn("window_n", lit(windowN))
+  }
+
+  /** GET /api/metrics/export/csv (S8, `services/metrics_calc.py:61-85`):
+    * fixed column order; write with `.option("header", true).csv(path)` or
+    * serialize driver-side for API parity.
+    */
+  def exportCsv(sourceName: String, metric: String,
+                startDate: Option[String] = None, endDate: Option[String] = None): DataFrame =
+    filtered(sourceName, metric, startDate, endDate)
+      .withColumn("value_avg", DailyKpi.safeAvg(col("value_sum"), col("value_count")))
+      .withColumn("value", col("value_sum"))
+      .select("metric_date", "source_id", "metric", "value", "value_count", "value_sum", "value_avg")
+      .orderBy("metric_date")
+}

@@ -56,6 +56,46 @@ object Forecast {
       lit(modelVersion).as("model_version")): _*)
   }
 
+  /** M3 — moving-average fallback forecaster with residual-sd bands
+    * (the unmounted seasonal router, `backend/app/schemas/forecast.py:122-143`):
+    * window = min(14, n); yhat = mean of the last window values; CI = z * sd
+    * of residuals vs the MA (sample variance, floor 1e-12), z from the fixed
+    * table; series with n < 7 flatline at the last value
+    * (`schemas/forecast.py:81-97`, method "naive_hold_last").
+    */
+  val zTable: Map[Int, Double] = Map(50 -> 0.0, 68 -> 1.0, 80 -> 1.282, 85 -> 1.440,
+    90 -> 1.645, 95 -> 1.960, 97 -> 2.170, 98 -> 2.326, 99 -> 2.576)
+
+  def maForecast(series: DataFrame, horizon: Int, ci: Int = 90,
+                 keys: Seq[String] = Seq("source_id", "metric")): DataFrame = {
+    val z = zTable.getOrElse(ci, 1.645)
+    val k = keys.map(col)
+    val wDesc = Window.partitionBy(k: _*).orderBy(col("metric_date").desc)
+    val tail14 = series.withColumn("__rd", row_number().over(wDesc)).filter(col("__rd") <= 14)
+    val stats = tail14.groupBy(k: _*).agg(
+      count(lit(1)).as("w"),
+      avg(col("value")).as("ma"),
+      max(col("metric_date")).as("last_date"),
+      max_by(col("value"), col("metric_date")).as("last_val"))
+    val resid = tail14.join(stats, keys)
+      .groupBy(k: _*).agg(
+        (sum(pow(col("value") - col("ma"), 2)) /
+          greatest(first(col("w")) - 1, lit(1L))).as("var"),
+        first(col("w")).as("w2"))
+      .withColumn("sd", when(col("w2") > 1, sqrt(greatest(col("var"), lit(1e-12)))).otherwise(0.0))
+      .select((k :+ col("sd")): _*)
+    val nAll = series.groupBy(k: _*).agg(count(lit(1)).as("n"))
+    val per = stats.join(resid, keys).join(nAll, keys)
+    per.select(k ++ Seq(col("n"), col("ma"), col("sd"), col("last_date"), col("last_val"),
+        explode(sequence(lit(1), lit(horizon))).as("step")): _*)
+      .select(k ++ Seq(
+        date_add(col("last_date"), col("step")).as("target_date"),
+        when(col("n") < 7, col("last_val")).otherwise(col("ma")).as("yhat"),
+        when(col("n") < 7, col("last_val")).otherwise(col("ma") - lit(z) * col("sd")).as("yhat_lower"),
+        when(col("n") < 7, col("last_val")).otherwise(col("ma") + lit(z) * col("sd")).as("yhat_upper"),
+        when(col("n") < 7, lit("naive_hold_last")).otherwise(lit("moving_average")).as("method")): _*)
+  }
+
   // ---- M5: error metrics (forecast.py:134-156) as aggregate columns over
   //      (actual, pred) pairs. Two epsilon conventions exist in the
   //      reference; both are kept (see reliabilityFolds for the 1e-9 one).

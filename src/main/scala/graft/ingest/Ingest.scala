@@ -103,6 +103,21 @@ object Ingest {
     }
   }
 
+  /** S3 — strict multipart gate (`routers/ingest.py:80-86,161-168`): ANY
+    * invalid row rejects the whole file. Returns the count of invalid rows;
+    * callers commit only when it is zero. One aggregation, no collect.
+    */
+  def strictGateViolations(cleaned: DataFrame): Long =
+    cleaned.filter(col("warn").isNotNull).count()
+
+  /** Header preflight for strict CSV (`routers/ingest.py:55-77`): must
+    * resolve both a timestamp and a value column.
+    */
+  def strictHeaderOk(df: DataFrame): Boolean = {
+    val r = resolveColumns(df)
+    r("ts").isDefined && r("value").isDefined
+  }
+
   /** S6 — metric_daily upsert as recompute-and-overwrite: aggregation is a
     * pure function of clean_events, so overwriting the affected partitions
     * with a fresh aggregate reproduces `ON CONFLICT DO UPDATE` exactly

@@ -79,6 +79,18 @@ object ForecastQueries {
           round(col("score"), 6).as("score"))
         .orderBy("source_id", "metric")
     }),
+    // M3: moving-average fallback with residual-sd bands (ci=90, z=1.645).
+    "q41_ma_forecast" -> ((s, d) => {
+      val series = md(s, d).select(col("source_id"), col("metric"), col("metric_date"),
+        col("value_sum").as("value"))
+      Forecast.maForecast(series, horizon = 5, ci = 90)
+        .select(col("source_id"), col("metric"), col("target_date"),
+          round(col("yhat"), 6).as("yhat"),
+          round(col("yhat_lower"), 6).as("yhat_lower"),
+          round(col("yhat_upper"), 6).as("yhat_upper"),
+          col("method"))
+        .orderBy("source_id", "metric", "target_date")
+    }),
     // M8+M9: contract normalizer — horizon-5 forecast padded to exactly 7
     // rows, UTC-midnight Z strings, bounds ordered and widened.
     "q23_forecast_contract" -> ((s, d) => {
@@ -213,6 +225,43 @@ object ForecastQueries {
          |  round(avg(smape), 6) AS avg_smape,
          |  round(greatest(0.0, least(100.0, 100.0 - (${OracleCte.stableAvgSql("mape")} + avg(smape)) / 2.0)), 6) AS score
          |FROM fold_stats GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q41_ma_forecast" ->
+      s"""WITH ${OracleCte.md},
+         |srt AS (
+         |  SELECT source_id, metric, metric_date, value_sum AS value,
+         |    row_number() OVER (PARTITION BY source_id, metric ORDER BY metric_date DESC) AS rd
+         |  FROM md QUALIFY rd <= 14
+         |),
+         |stats AS (
+         |  SELECT source_id, metric, count(*) AS w, avg(value) AS ma,
+         |    max(metric_date) AS last_date, arg_max(value, metric_date) AS last_val
+         |  FROM srt GROUP BY 1,2
+         |),
+         |resid AS (
+         |  SELECT t.source_id, t.metric,
+         |    CASE WHEN first(st.w) > 1
+         |         THEN sqrt(greatest(sum((t.value - st.ma)*(t.value - st.ma)) / greatest(first(st.w) - 1, 1), 1e-12))
+         |         ELSE 0.0 END AS sd
+         |  FROM srt t JOIN stats st ON st.source_id = t.source_id AND st.metric = t.metric
+         |  GROUP BY 1,2
+         |),
+         |nall AS (SELECT source_id, metric, count(*) AS n FROM md GROUP BY 1,2),
+         |fc AS (
+         |  SELECT s.source_id, s.metric,
+         |    CAST(s.last_date + i.i * INTERVAL 1 DAY AS DATE) AS target_date,
+         |    CASE WHEN na.n < 7 THEN s.last_val ELSE s.ma END AS yhat,
+         |    CASE WHEN na.n < 7 THEN s.last_val ELSE s.ma - 1.645 * r.sd END AS yhat_lower,
+         |    CASE WHEN na.n < 7 THEN s.last_val ELSE s.ma + 1.645 * r.sd END AS yhat_upper,
+         |    CASE WHEN na.n < 7 THEN 'naive_hold_last' ELSE 'moving_average' END AS method
+         |  FROM stats s
+         |  JOIN resid r ON r.source_id = s.source_id AND r.metric = s.metric
+         |  JOIN nall na ON na.source_id = s.source_id AND na.metric = s.metric
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) AS i
+         |)
+         |SELECT source_id, metric, target_date,
+         |  round(yhat, 6) AS yhat, round(yhat_lower, 6) AS yhat_lower,
+         |  round(yhat_upper, 6) AS yhat_upper, method
+         |FROM fc ORDER BY 1,2,3""".stripMargin,
     "q23_forecast_contract" ->
       s"""WITH ${OracleCte.series},
          |${holdLastSql(5)},

@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.GraftApi
+import graft.forecast.Forecast
+import graft.ingest.Ingest
+import org.apache.spark.sql.functions._
+
+/** API façade + remaining operator coverage (S3 strict gate, S8 export, M3). */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sources = Seq((1, "demo"), (2, "other")).toDF("id", "name")
+  private lazy val md = (0 until 20).map { i =>
+    (1L, "events_total", java.sql.Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)),
+      100.0 + i, 50.0 + i, 2L)
+  }.toDF("source_id", "metric", "metric_date", "value_sum", "value_avg", "value_count")
+  private lazy val api = new GraftApi(sources, md)
+
+  test("metricsDaily: agg selector + ordering + limit") {
+    val rows = api.metricsDaily("demo", "events_total", agg = "avg", descending = true,
+      limit = Some(3)).collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[java.sql.Date]("metric_date").toString == "2025-06-20")
+    assert(rows.head.getAs[Double]("value") == 119.0 / 2) // safeAvg recompute
+  }
+
+  test("metricNames + sources + unknown source behaves") {
+    assert(api.metricNames().as[String].collect().toSeq == Seq("events_total"))
+    assert(api.listSources().count() == 2)
+    assert(api.metricsDaily("nope", "events_total").count() == 0)
+  }
+
+  test("forecastDaily returns the exactly-7-row contract, strictly future") {
+    val out = api.forecastDaily("demo", "events_total").collect()
+    assert(out.length == 7)
+    assert(out.head.getAs[String]("metric_date") == "2025-06-21T00:00:00Z")
+  }
+
+  test("reliability + backtest + health run end-to-end through the facade") {
+    // n=20, h=7: only folds with train_end >= 1 survive => 2 valid folds
+    val rel = api.reliability("demo", "events_total").collect().head
+    assert(rel.getAs[Long]("folds") == 2L)
+    assert(rel.getAs[Int]("score") >= 0 && rel.getAs[Int]("score") <= 100)
+    val bt = api.backtest("demo", "events_total", folds = 2, horizon = 3).collect().head
+    assert(bt.getAs[Long]("folds") == 2L)
+    val h = api.forecastHealth("demo", "events_total").collect().head
+    assert(h.getAs[Double]("mape") >= 0.0)
+  }
+
+  test("exportCsv has the fixed reference header order") {
+    val cols = api.exportCsv("demo", "events_total").columns.toSeq
+    assert(cols == Seq("metric_date", "source_id", "metric", "value", "value_count", "value_sum", "value_avg"))
+  }
+
+  test("S3 strict gate counts violations; header preflight checks synonyms") {
+    val raw = Seq(("2025-07-13 00:00:00", "4", "m"), ("bad", "5", "m"))
+      .toDF("ts_raw", "value_raw", "metric_raw")
+    assert(Ingest.strictGateViolations(Ingest.cleanRows(raw)) == 1L)
+    assert(Ingest.strictHeaderOk(Seq(("a", "b")).toDF("Timestamp", "Qty")))
+    assert(!Ingest.strictHeaderOk(Seq(("a", "b")).toDF("Timestamp", "notvalue")))
+  }
+
+  test("M3 moving-average forecast: window 14 mean with z*sd bands") {
+    val series = (0 until 20).map(i =>
+        (1L, "m", java.sql.Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)), 10.0))
+      .toDF("source_id", "metric", "metric_date", "value")
+    val fc = Forecast.maForecast(series, horizon = 3, ci = 95).collect()
+    assert(fc.length == 3)
+    assert(fc.forall(_.getAs[Double]("yhat") == 10.0))
+    assert(fc.forall(r => math.abs(r.getAs[Double]("yhat_upper") - (10.0 + 1.960 * 1e-6)) < 1e-9))
+    val short = Forecast.maForecast(series.limit(3), horizon = 2).collect()
+    assert(short.forall(_.getAs[String]("method") == "naive_hold_last"))
+  }
+}
