@@ -107,6 +107,13 @@ object Forecast {
   private[graft] def stableAvg(term: Column): Column =
     sum(floor(term * 1e8).cast("decimal(38,0)")).cast("double") / 1e8 / count(term)
 
+  /** Coarser 1e-6 variant for the reliability path, whose eps=1e-9
+    * denominators produce terms up to ~5e12 — 1e8 scaling would overflow the
+    * per-term int64 floor there.
+    */
+  private[graft] def stableAvg6(term: Column): Column =
+    sum(floor(term * 1e6).cast("decimal(38,0)")).cast("double") / 1e6 / count(term)
+
   def mae(a: Column, p: Column): Column = avg(abs(a - p))
   def rmse(a: Column, p: Column): Column = sqrt(avg(pow(a - p, 2)))
   /** MAPE with denom = max(|actual|, eps) (forecast.py:134-139). */
@@ -196,12 +203,12 @@ object Forecast {
     val foldStats = testRows.groupBy(k :+ col("kf"): _*).agg(
       avg(abs(col("a") - col("yhat"))).as("mae"),
       sqrt(avg(pow(col("a") - col("yhat"), 2))).as("rmse"),
-      (avg(abs(col("a") - col("yhat")) / (abs(col("a")) + 1e-9)) * 100.0).as("mape"),
+      (stableAvg6(abs(col("a") - col("yhat")) / (abs(col("a")) + 1e-9)) * 100.0).as("mape"),
       (avg(lit(2.0) * abs(col("a") - col("yhat")) / (abs(col("a")) + abs(col("yhat")) + 1e-9)) * 100.0).as("smape"),
       avg(col("yhat") - col("a")).as("bias"))
     foldStats.groupBy(k: _*).agg(
       count(lit(1)).as("folds"),
-      avg(col("mape")).as("mape_agg"),
+      stableAvg6(col("mape")).as("mape_agg"),
       avg(col("rmse")).as("rmse_agg"),
       avg(col("smape")).as("smape_agg"),
       max(col("mape")).as("max_mape"),

@@ -59,12 +59,12 @@ object ForecastQueries {
     }),
     // M7: persisted reliability scorer with instability penalty.
     "q21_reliability" -> ((s, d) => {
-      Forecast.reliability(md(s, d), days = 90, folds = 5, horizon = 7)
+      Forecast.reliability(OracleCte.roundMd(md(s, d)), days = 90, folds = 5, horizon = 7)
         .select(col("source_id"), col("metric"), col("folds"),
-          round(col("mape_agg"), 6).as("mape_agg"),
+          OracleCte.qround6(col("mape_agg")).as("mape_agg"),
           round(col("rmse_agg"), 6).as("rmse_agg"),
           round(col("smape_agg"), 6).as("smape_agg"),
-          round(col("instability"), 6).as("instability"),
+          OracleCte.qround6(col("instability")).as("instability"),
           col("score"))
         .orderBy("source_id", "metric")
     }),
@@ -130,7 +130,7 @@ object ForecastQueries {
     "q21_reliability" ->
       s"""WITH ${OracleCte.md},
          |srt AS (
-         |  SELECT source_id, metric, metric_date, CAST(value_sum AS DOUBLE) AS y,
+         |  SELECT source_id, metric, metric_date, floor(value_sum*100.0 + 0.5)/100.0 AS y,
          |    row_number() OVER (PARTITION BY source_id, metric ORDER BY metric_date DESC) AS rd
          |  FROM md QUALIFY rd <= 90
          |),
@@ -164,17 +164,17 @@ object ForecastQueries {
          |fold_stats AS (
          |  SELECT source_id, metric, kf,
          |    sqrt(avg((a - yhat)*(a - yhat))) AS rmse,
-         |    avg(abs(a - yhat) / (abs(a) + 1e-9)) * 100.0 AS mape,
+         |    CAST(sum(CAST(floor(abs(a - yhat) / (abs(a) + 1e-9) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) * 100.0 AS mape,
          |    avg(2.0 * abs(a - yhat) / (abs(a) + abs(yhat) + 1e-9)) * 100.0 AS smape
          |  FROM test GROUP BY 1,2,3
          |)
          |SELECT source_id, metric, count(*) AS folds,
-         |  round(avg(mape), 6) AS mape_agg,
+         |  floor((CAST(sum(CAST(floor(mape * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*))*1e6 + 0.5)/1e6 AS mape_agg,
          |  round(avg(rmse), 6) AS rmse_agg,
          |  round(avg(smape), 6) AS smape_agg,
-         |  round(CASE WHEN count(*) >= 2 THEN (max(mape) - min(mape)) / 10.0 ELSE 0.0 END, 6) AS instability,
+         |  floor((CASE WHEN count(*) >= 2 THEN (max(mape) - min(mape)) / 10.0 ELSE 0.0 END)*1e6 + 0.5)/1e6 AS instability,
          |  CAST(floor(greatest(0.0, least(100.0,
-         |    100.0 - avg(mape)/2.0
+         |    100.0 - (CAST(sum(CAST(floor(mape * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*))/2.0
          |      - CASE WHEN count(*) >= 2 THEN (max(mape) - min(mape)) / 10.0 ELSE 0.0 END))) AS INT) AS score
          |FROM fold_stats GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q22_backtest_score" ->
