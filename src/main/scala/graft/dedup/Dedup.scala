@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Deterministic 60-bit hash from md5 hex (portable across engines:
-    * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` gives the same value).
-    * 15 hex digits keeps the value positive in a signed 64-bit long.
+  /** Deterministic 60-bit hash from md5 (portable across engines: DuckDB
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` gives the same value).
+    * Evaluated by the native codegen'd [[graft.expressions.Hex60]] — one
+    * digest call, no hex-string round trip.
     */
-  def hex60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hex60(c: Column): Column = graft.expressions.Hex60(c)
 
   /** Exact dedup via content hash: groups identical (normalized) texts,
     * keeps the smallest id as canonical. One shuffle on the hash.

@@ -88,7 +88,12 @@ object DataQueries {
       TextOps.fingerprints(docs(s, d), k = 8).orderBy("doc_id")),
 
     "q35_mm_meta" -> ((s, d) =>
-      Multimodal.metaColumns(Multimodal.asMedia(docs(s, d))).orderBy("doc_id"))
+      Multimodal.metaColumns(Multimodal.asMedia(docs(s, d))).orderBy("doc_id")),
+
+    "q42_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), numCentroids = 8, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,13 +279,11 @@ object DataQueries {
     "q34_text_fingerprint" ->
       s"""WITH nrm AS (
          |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents
-         |),
-         |g AS (
-         |  SELECT doc_id, md5(norm) AS fp_md5, substr(norm, t.i, 8) AS g
-         |  FROM nrm, unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
          |)
-         |SELECT doc_id, fp_md5, min(${hex60Sql("g")}) AS winnow_min
-         |FROM g GROUP BY 1,2 ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, md5(norm) AS fp_md5,
+         |  list_min([${hex60Sql("substr(norm, i, 8)")}
+         |            FOR i IN generate_series(1, greatest(length(norm) - 7, 1))]) AS winnow_min
+         |FROM nrm ORDER BY doc_id""".stripMargin,
     "q35_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -288,6 +291,34 @@ object DataQueries {
         |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < 8),
+        |assign0 AS (
+        |  SELECT b.vec_id, b.v, b.n, c.cid,
+        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+        |  FROM b CROSS JOIN cent c
+        |),
+        |assigned AS (
+        |  SELECT vec_id, v, n, cid AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+        |        FROM assign0)
+        |  WHERE crn = 1
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+        |  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

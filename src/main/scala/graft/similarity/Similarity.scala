@@ -73,6 +73,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-flat ANN (nprobe=1): the corpus is partitioned into cells by
+    * nearest centroid (centroids = the first `numCentroids` vectors — a
+    * deterministic seed choice; k-means iterations would slot in here), and
+    * every vector searches only its own cell. The cell assignment is a
+    * broadcast join against the tiny centroid set; the search join is
+    * cell-local — at 100 TB this is the difference between an n^2 shuffle
+    * and per-cell work proportional to n^2/numCells.
+    */
+  def ivfTopK(vectors: DataFrame, numCentroids: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val cent = b.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
+    val assigned = b.join(broadcast(cent))
+      .withColumn("csim", round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col("v"), col("n"), col("cid").as("cell"))
+    val scored = assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("q.cell").as("cell"),
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a partition column (e.g. a
     * cluster label or LSH bucket) so the pair join is per-block, not global.
     */

@@ -71,14 +71,15 @@ object TextOps {
     * k-grams is order-robust and cheap to compare).
     */
   def fingerprints(docs: DataFrame, k: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the min over k-gram hashes is computed inside one array expression —
+    // map-only, no explode and no shuffle (the grouped-explode version
+    // shuffled one row per character of the corpus)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.Hex60.ensureRegistered)
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    val withNorm = docs.select(col(idCol).as("doc_id"), norm.as("__norm"))
-    val grams = expr(
-      s"transform(sequence(1, greatest(length(__norm) - ${k - 1}, 1)), i -> substring(__norm, i, $k))")
-    withNorm
-      .withColumn("fp_md5", md5(col("__norm")))
-      .select(col("doc_id"), col("fp_md5"), explode(grams).as("g"))
-      .groupBy("doc_id", "fp_md5")
-      .agg(min(graft.dedup.Dedup.hex60(col("g"))).as("winnow_min"))
+    docs.select(col(idCol).as("doc_id"), norm.as("__norm"))
+      .select(col("doc_id"), md5(col("__norm")).as("fp_md5"),
+        expr(s"array_min(transform(sequence(1, greatest(length(__norm) - ${k - 1}, 1)), " +
+          s"i -> hex60(substring(__norm, i, $k))))").as("winnow_min"))
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.forecast.Forecast
+import graft.ingest.Ingest
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven invariants (SURVEY.md §5 test plan:
+  * "properties for coercion/normalizer invariants"). Plain scalacheck Gen
+  * with fixed seeds (the scalatest bridge artifact is not available in the
+  * offline cache), so every run checks the same deterministic sample set.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draws[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val finiteD = Gen.chooseNum(-1e6, 1e6)
+
+  test("normalizer invariant: any bounds => exactly 7 rows, lower<=yhat<=upper, ascending Z dates") {
+    for (vals <- draws(Gen.chooseNum(1, 9).flatMap(n => Gen.listOfN(n, Gen.zip(finiteD, finiteD, finiteD))), 8)) {
+      val rows = vals.zipWithIndex.map { case ((y, lo, hi), i) =>
+        (1L, "m", java.sql.Date.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i)), y, lo, hi, "v")
+      }
+      val df = rows.toDF("source_id", "metric", "target_date", "yhat", "yhat_lower", "yhat_upper", "model_version")
+      val out = Forecast.normalizeContract(df).orderBy("metric_date").collect()
+      assert(out.length == 7)
+      out.foreach { r =>
+        val y = r.getAs[Double]("yhat")
+        assert(r.getAs[Double]("yhat_lower") <= y && y <= r.getAs[Double]("yhat_upper"))
+        assert(r.getAs[String]("metric_date").endsWith("T00:00:00Z"))
+      }
+      val dates = out.map(_.getAs[String]("metric_date")).toSeq
+      assert(dates == dates.sorted)
+    }
+  }
+
+  test("coercion never throws: arbitrary strings -> value or null+warning") {
+    for (raws <- draws(Gen.listOfN(20, Gen.zip(Gen.alphaNumStr, Gen.oneOf(Gen.alphaNumStr, Gen.numStr))), 8)) {
+      val df = raws.map { case (t, v) => (t, v, null.asInstanceOf[String]) }
+        .toDF("ts_raw", "value_raw", "metric_raw")
+      val out = Ingest.cleanRows(df).collect()
+      assert(out.length == raws.length)
+      out.foreach { r =>
+        val warned = !r.isNullAt(r.fieldIndex("warn"))
+        val parsedOk = !r.isNullAt(r.fieldIndex("ts")) && !r.isNullAt(r.fieldIndex("value"))
+        assert(warned || parsedOk) // every row is either clean or flagged
+        assert(r.getAs[String]("metric") == "events_total")
+      }
+    }
+  }
+
+  test("gap-fill invariant: output spans every day of [min,max] exactly once per series") {
+    for (dayOffsets <- draws(Gen.nonEmptyListOf(Gen.chooseNum(0, 40)), 8)) {
+      val distinctDays = dayOffsets.distinct
+      val rows = distinctDays.map(i =>
+        (1L, "m", java.sql.Date.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i)), 7.5))
+      val out = graft.operators.Windows.gapFillDaily(
+        rows.toDF("source_id", "metric", "metric_date", "value"), Seq("source_id", "metric"))
+        .collect()
+      val span = distinctDays.max - distinctDays.min + 1
+      assert(out.length == span)
+      assert(out.map(_.getAs[java.sql.Date]("metric_date").toString).distinct.length == span)
+      assert(out.count(_.getAs[Double]("value") == 0.0) == span - distinctDays.length)
+    }
+  }
+
+  test("hex60 expression == composed md5 column chain for arbitrary strings") {
+    val strs = draws(Gen.nonEmptyListOf(Gen.alphaNumStr), 4).flatten.distinct
+    val df = strs.toDF("s")
+    val both = df.select(
+      graft.expressions.Hex60(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("composed")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("first-write-wins is idempotent and key-unique") {
+    for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
+      val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("key", "value", "arrival")
+      val once = graft.operators.Relational.firstWriteWins(df, Seq("key"), "arrival")
+      val twice = graft.operators.Relational.firstWriteWins(once, Seq("key"), "arrival")
+      assert(once.count() == df.select("key").distinct().count())
+      assert(once.collect().toSet == twice.collect().toSet)
+      once.collect().foreach { r =>
+        val k = r.getAs[Int]("key")
+        val minArrival = pairs.zipWithIndex.filter(_._1._1 == k).map(_._2).min
+        assert(r.getAs[Long]("arrival") == minArrival.toLong)
+      }
+    }
+  }
+}
