@@ -60,11 +60,15 @@ object StreamingPipeline {
         val spark = batch.sparkSession
         val deduped = graft.ingest.Ingest.dedupInsert(
           batch, existingClean(spark, cleanStorePath), Seq("source_id", "ts", "metric"), "ts")
-        deduped.write.mode("append").parquet(cleanStorePath)
+        graft.store.Store.writeCleanEvents(deduped, cleanStorePath)
         val touched = deduped.select(to_date(col("ts")).as("metric_date")).distinct()
         val refreshed = graft.ingest.Ingest.recomputeOverwrite(
-          spark.read.parquet(cleanStorePath), touched)
-        refreshed.write.mode("overwrite").parquet(kpiStorePath)
+          graft.store.Store.readCleanEvents(spark, cleanStorePath)
+            .select("source_id", "ts", "metric", "value"),
+          touched)
+        // dynamic partition overwrite: ONLY the touched dates are replaced —
+        // a full-mode overwrite here would drop every untouched date's rows
+        graft.store.Store.overwriteMetricDaily(refreshed, kpiStorePath)
         ()
       }
 

@@ -79,6 +79,18 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(0).getAs[Double]("value_sum") == 9.0 && got(0).getAs[Long]("value_count") == 2L)
     assert(got(1).getAs[Double]("value_sum") == 7.0)
+
+    // incremental batch: only 09-21 is touched; 09-20 aggregates must survive
+    Seq((1L, java.sql.Timestamp.valueOf("2025-09-21 05:00:00"), "events_total", 3.0))
+      .toDF("source_id", "ts", "metric", "value")
+      .write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.ingestAndRefresh(
+      StreamingPipeline.readEventStream(spark, in), cleanStore, kpi, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val got2 = spark.read.parquet(kpi).orderBy("metric_date").collect()
+    assert(got2.length == 2)
+    assert(got2(0).getAs[Double]("value_sum") == 9.0, "untouched date must survive the refresh")
+    assert(got2(1).getAs[Double]("value_sum") == 10.0, "touched date recomputed with the new event")
   }
 
   test("multimodal decode plumbing: typed Dataset path matches column path") {
