@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hex60"),
       new ExpressionInfo("graft.expressions.Hex60", "hex60"),
       (children: Seq[Expression]) => Hex60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo("graft.expressions.DotProduct", "dot_product"),
+      (children: Seq[Expression]) => graft.expressions.DotProduct(children(0), children(1))))
   }
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * The dot product stays inside Spark's array expressions
-  * (`zip_with` + `aggregate` — codegen'd, no UDF, no explosion), so a scan
-  * over N vectors x k queries is a single broadcast-join + projection plan.
+  * Dot products run through the native codegen'd
+  * [[graft.expressions.DotProduct]] (primitive loop, consumes float arrays
+  * directly), so a scan over N vectors x k queries is a single
+  * broadcast-join + projection plan with no per-element closures.
   *
   * Scale paths: [[cosineTopK]] broadcasts a small query set against the full
   * corpus (embarrassingly parallel); [[signLshTopK]] buckets the corpus by
@@ -18,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns (deterministic
-    * left-to-right fold; identical inputs give identical doubles).
+  /** Strict left-to-right fold; kept as the generic array-math API. The hot
+    * paths below use the codegen'd [[graft.expressions.DotProduct]], which
+    * produces bit-identical results (same accumulation order).
     */
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, t) => acc + t)
+
+  private def ndot(x: Column, y: Column): Column = graft.expressions.DotProduct(x, y)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -36,12 +40,12 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms are precomputed per vector, not per pair — same doubles, 3x
     // fewer dot products
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(ndot(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -61,13 +65,13 @@ object Similarity {
   /** LSH-bucketed ANN top-k: queries only scan their own bucket. */
   def signLshTopK(vectors: DataFrame, k: Int, bits: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"),
+    val b = vectors.select(col(idCol), col(vecCol).as("v"),
         signBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     val scored = b.as("q").join(b.as("c"),
         col("q.bucket") === col("c.bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
-        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+        round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -83,12 +87,12 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, numCentroids: Int, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val b = vectors.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     val cent = b.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
     val assigned = b.join(broadcast(cent))
-      .withColumn("csim", round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("crn") === 1)
@@ -97,7 +101,7 @@ object Similarity {
         col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
         col("q.cell").as("cell"),
-        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+        round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
@@ -108,11 +112,11 @@ object Similarity {
     */
   def cosinePairs(vectors: DataFrame, blockCol: String, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = vectors.select(col(idCol), col(blockCol).as("block"), asDouble(col(vecCol)).as("v"))
-      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val b = vectors.select(col(idCol), col(blockCol).as("block"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     b.as("a").join(b.as("b"),
         col("a.block") === col("b.block") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("sim", round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
+      .withColumn("sim", round(ndot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6))
       .filter(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("sim"))
   }
