@@ -103,6 +103,14 @@ object Ingest {
     }
   }
 
+  /** C4 detail — warning summary capped at `cap` distinct reasons
+    * (`ingestion.py:243-247` caps the warning list at 50).
+    */
+  def warningsSummary(cleaned: DataFrame, cap: Int = 50): DataFrame =
+    cleaned.filter(col("warn").isNotNull)
+      .groupBy(col("warn")).agg(count(lit(1)).as("n"))
+      .orderBy(col("warn")).limit(cap)
+
   /** S3 — strict multipart gate (`routers/ingest.py:80-86,161-168`): ANY
     * invalid row rejects the whole file. Returns the count of invalid rows;
     * callers commit only when it is zero. One aggregation, no collect.

@@ -49,6 +49,17 @@ class IngestStreamingSpec extends SparkSpec {
     assert(out(2).getAs[String]("warn") == "invalid_value")
   }
 
+  test("warningsSummary caps distinct reasons and counts per reason") {
+    val raw = Seq(
+      ("bad", "1", "m"), ("bad2", "2", "m"), ("2025-07-13 00:00:00", "junk", "m"),
+      ("2025-07-13 00:00:00", "4", "m"))
+      .toDF("ts_raw", "value_raw", "metric_raw")
+    val w = Ingest.warningsSummary(Ingest.cleanRows(raw)).collect()
+    assert(w.map(r => r.getAs[String]("warn") -> r.getAs[Long]("n")).toMap ==
+      Map("invalid_timestamp" -> 2L, "invalid_value" -> 1L))
+    assert(Ingest.warningsSummary(Ingest.cleanRows(raw), cap = 1).count() == 1)
+  }
+
   test("dedupInsert: first write wins within batch and against store") {
     val t0 = java.sql.Timestamp.valueOf("2025-07-13 00:00:00")
     val batch = Seq((1L, t0, "m", 10.0, 1L), (1L, t0, "m", 99.0, 2L))
