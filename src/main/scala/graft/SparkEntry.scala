@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ ForecastQueries.defs ++ DataQueries.defs ++ IngestQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ ForecastQueries.defs ++ DataQueries.defs ++ IngestQueries.defs ++ ModelQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
