@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-analytics queries: embedding centroids, near-dup clustering
+  * (connected components), exact percentiles, histograms.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Min-label propagation (Pregel-lite connected components) over an
+    * undirected edge list: every node starts as its own label; each round
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(diameter) rounds. Driver loop with early exit — near-dup clusters
+    * have tiny diameters, and each round is one shuffle on the node id.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      val changed = updated.as("u").join(labels.as("l"), "doc_id")
+        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Per-cluster embedding centroids (elementwise mean) + member count.
+    "q45_label_centroids" -> ((s, d) => {
+      Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim")
+    }),
+
+    // Near-dup clusters: connected components over the n-gram Jaccard pairs.
+    "q46_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Dedup.wordShingles(Tables(s, d, "documents"), 3),
+        threshold = 0.6, maxDf = 5)
+      connectedComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Exact interpolated percentiles per metric (Spark percentile ==
+    // DuckDB quantile_cont: both linear interpolation over sorted values).
+    "q47_value_percentiles" -> ((s, d) => {
+      Tables.cleanEvents(s, d)
+        .groupBy(col("metric"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("metric")
+    }),
+
+    // Fixed-width value histogram per metric (20 buckets of width 50).
+    "q48_value_histogram" -> ((s, d) => {
+      Tables.cleanEvents(s, d)
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 50.0), lit(0.0)), lit(19.0)).cast("int"))
+        .groupBy(col("metric"), col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("metric", "bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_label_centroids" ->
+      """SELECT label, t.i AS dim,
+        | round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid,
+        | count(*) AS n_vecs
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q46_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+         |),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |),
+         |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 5),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2
+         |),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q47_value_percentiles" ->
+      """SELECT event_type AS metric,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_value_histogram" ->
+      """SELECT event_type AS metric,
+        | CAST(least(greatest(floor(value / 50.0), 0.0), 19.0) AS INT) AS bucket,
+        | count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}
