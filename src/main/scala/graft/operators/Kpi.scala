@@ -34,6 +34,22 @@ object DailyKpi {
     base.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** 100 TB variant of [[aggregate]]: exact distinct counting shuffles every
+    * distinct (key, value) pair; at extreme cardinalities swap in HLL-based
+    * `approx_count_distinct` (rsd-tunable) — the aggregation stays one
+    * partial+final pass with fixed-size sketches instead.
+    */
+  def aggregateApprox(events: DataFrame, distinctCol: String, rsd: Double = 0.05): DataFrame =
+    events.groupBy(
+        to_date(col("ts")).as("metric_date"),
+        col("source_id"),
+        col("metric"))
+      .agg(
+        sum(col("value")).as("value_sum"),
+        avg(col("value")).as("value_avg"),
+        count(lit(1)).as("value_count"),
+        approx_count_distinct(col(distinctCol), rsd).as("value_distinct"))
+
   /** R6: avg derivation with zero-guard (`backend/app/routers/kpi.py:132,139`,
     * `safe_divide` at `backend/app/utils/numeric.py:33-47`).
     */
