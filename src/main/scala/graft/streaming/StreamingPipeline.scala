@@ -72,6 +72,68 @@ object StreamingPipeline {
         ()
       }
 
+  // ---- stateful sessionization (custom state via flatMapGroupsWithState) --
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+                        n_events: Long, value_sum: Double)
+
+  /** True-streaming sessionization: per-user state holds the open session;
+    * a gap larger than `gapMinutes` (or an event-time timeout once the
+    * watermark passes the gap) closes it and emits one row. State size is
+    * one record per ACTIVE user — bounded by the watermark horizon, not by
+    * history — and the state store partitions by user across executors.
+    * The batch twin (identical session boundaries) is query q39.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    // the watermarked timestamp column must flow UNTOUCHED into the stateful
+    // operator (any projection or typed map that rebuilds it drops the
+    // event-time watermark tag); micros are derived inside the function
+    val typed = events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("source_id").cast("long").as("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    def close(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, s.startUs, s.lastUs, s.n, s.sum)
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionState]) => {
+        if (rows.isEmpty && state.hasTimedOut) {
+          val out = state.getOption.map(close(user, _)).iterator
+          state.remove()
+          out
+        } else {
+          val sorted = rows.map { case (u, t, v) => (u, us(t), v) }.toArray.sortBy(_._2)
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { case (_, ts, v) =>
+            cur match {
+              case Some(s) if ts - s.lastUs <= gapUs =>
+                cur = Some(SessionState(s.startUs, math.max(s.lastUs, ts), s.n + 1, s.sum + v))
+              case Some(s) =>
+                closed ::= close(user, s)
+                cur = Some(SessionState(ts, ts, 1, v))
+              case None =>
+                cur = Some(SessionState(ts, ts, 1, v))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+          }
+          closed.reverseIterator
+        }
+      })
+  }
+
   private def existingClean(spark: SparkSession, path: String): Option[DataFrame] =
     try {
       val df = spark.read.parquet(path)

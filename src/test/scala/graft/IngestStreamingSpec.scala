@@ -104,6 +104,36 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got2(1).getAs[Double]("value_sum") == 10.0, "touched date recomputed with the new event")
   }
 
+  test("stateful streaming sessionization closes sessions on gaps and timeouts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (user, ts_us, value)
+    val events = input.toDF()
+      .select(col("_1").as("source_id"), timestamp_micros(col("_2")).as("ts"), col("_3").as("value"))
+    val sessions = StreamingPipeline.sessionizeStream(events, gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      // user 1: two events 10 min apart (one session), then a 2h gap => new session
+      input.addData((1L, h, 10.0), (1L, h + 600L * 1000000, 5.0), (1L, h * 3, 7.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessions_out").collect()
+      assert(afterBatch1.length == 1, "intra-batch gap closes the first session")
+      assert(afterBatch1.head.getAs[Long]("n_events") == 2 &&
+        afterBatch1.head.getAs[Double]("value_sum") == 15.0)
+      // advancing the watermark far beyond the open session times it out
+      input.addData((2L, h * 10, 1.0))
+      q.processAllAvailable()
+      input.addData((2L, h * 10 + 1, 1.0)) // extra trigger so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("sessions_out").collect()
+      assert(all.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("session_start_us") == h * 3), "timed-out session emitted")
+    } finally q.stop()
+  }
+
   test("multimodal decode plumbing: typed Dataset path matches column path") {
     val docs = Seq((1L, "hello world"), (2L, "another doc")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(docs)
