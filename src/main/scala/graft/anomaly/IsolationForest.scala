@@ -35,21 +35,31 @@ class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 4
     if (rows.length <= 1 || depth >= maxDepth) Leaf(rows.length)
     else {
       val d = rows.head.length
-      // features with spread; a constant matrix isolates nothing
-      val candidates = (0 until d).filter { f =>
-        var mn = rows.head(f); var mx = mn
-        rows.foreach { r => if (r(f) < mn) mn = r(f); if (r(f) > mx) mx = r(f) }
-        mx > mn
+      // one min/max pass over all features; features with spread only —
+      // a constant matrix isolates nothing
+      val mins = new Array[Double](d)
+      val maxs = new Array[Double](d)
+      var f = 0
+      while (f < d) { mins(f) = rows(0)(f); maxs(f) = rows(0)(f); f += 1 }
+      var i = 1
+      while (i < rows.length) {
+        val r = rows(i)
+        f = 0
+        while (f < d) {
+          if (r(f) < mins(f)) mins(f) = r(f)
+          if (r(f) > maxs(f)) maxs(f) = r(f)
+          f += 1
+        }
+        i += 1
       }
+      val candidates = (0 until d).filter(f => maxs(f) > mins(f))
       if (candidates.isEmpty) Leaf(rows.length)
       else {
-        val f = candidates(rng.nextInt(candidates.length))
-        var mn = rows.head(f); var mx = mn
-        rows.foreach { r => if (r(f) < mn) mn = r(f); if (r(f) > mx) mx = r(f) }
-        val v = mn + rng.nextDouble() * (mx - mn)
-        val (lo, hi) = rows.partition(_(f) < v)
+        val feat = candidates(rng.nextInt(candidates.length))
+        val v = mins(feat) + rng.nextDouble() * (maxs(feat) - mins(feat))
+        val (lo, hi) = rows.partition(_(feat) < v)
         if (lo.isEmpty || hi.isEmpty) Leaf(rows.length)
-        else Split(f, v, build(lo, depth + 1, maxDepth, rng),
+        else Split(feat, v, build(lo, depth + 1, maxDepth, rng),
           build(hi, depth + 1, maxDepth, rng))
       }
     }
@@ -61,8 +71,15 @@ class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 4
     cN = c(n)
     val maxDepth = math.ceil(math.log(math.max(n, 2)) / math.log(2)).toInt
     trees = (0 until numTrees).map { _ =>
-      val sample = rng.shuffle(x.toVector).take(n).toArray
-      build(sample, 0, maxDepth, rng)
+      // seeded Fisher-Yates over an index array (no boxed Vector shuffle)
+      val idx = Array.tabulate(x.length)(identity)
+      var j = x.length - 1
+      while (j > 0) {
+        val k = rng.nextInt(j + 1)
+        val t = idx(j); idx(j) = idx(k); idx(k) = t
+        j -= 1
+      }
+      build(idx.take(n).map(x), 0, maxDepth, rng)
     }
     this
   }
