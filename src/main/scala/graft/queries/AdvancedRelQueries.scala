@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced relational shapes beyond the reference's surface (SURVEY.md §2.3
+  * R12 notes the reference has none of these — they come free with Catalyst
+  * and round out the "complete engine" story): group-having fact
+  * aggregation feeding a join (TPC-H Q18 shape), a correlated scalar
+  * subquery that Catalyst decorrelates into an aggregate+join (Q2 shape),
+  * and CUBE grouping sets.
+  */
+object AdvancedRelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Q18 shape: large-quantity orders — HAVING on the fact aggregation,
+    // then joins back to orders and customer (broadcast dim).
+    "q49_big_orders" -> ((s, d) => {
+      val l = Tables(s, d, "lineitem")
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // Q2 shape: per-nation best supplier via a correlated scalar subquery —
+    // expressed in SQL so Catalyst's decorrelation rewrites it into an
+    // aggregate + join (verified: no per-row subquery execution in the plan).
+    "q50_best_supplier" -> ((s, d) => {
+      Tables(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      Tables(s, d, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+          |FROM supplier_v s JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+          |WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier_v s2
+          |                     WHERE s2.s_nationkey = s.s_nationkey)
+          |ORDER BY n.n_name, s.s_name""".stripMargin)
+    }),
+
+    // CUBE over (metric, source bucket): all grouping-set combinations with
+    // a grouping id, in one pass.
+    "q51_metric_cube" -> ((s, d) => {
+      Tables.cleanEvents(s, d)
+        .withColumn("source_bucket", (col("source_id") % 4).cast("int"))
+        .cube(col("metric"), col("source_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"),
+          grouping_id().cast("int").as("gid")) // must live inside the agg
+        .orderBy(col("gid"), col("metric"), col("source_bucket"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q49_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150.0
+        |)
+        |SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY b.total_qty DESC, o.o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "q50_best_supplier" ->
+      """SELECT n.n_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+        |                     WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY n.n_name, s.s_name""".stripMargin,
+    "q51_metric_cube" ->
+      """SELECT event_type AS metric, CAST(user_id % 4 AS INT) AS source_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS value_sum,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS INT) AS gid
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 4)
+        |ORDER BY gid, metric, source_bucket""".stripMargin
+  )
+}
