@@ -20,10 +20,14 @@ case class Hex60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "hex60"
 
   protected override def nullSafeEval(input: Any): Any =
-    Hex60.eval(input.asInstanceOf[UTF8String])
+    Hex60.hash60(input.asInstanceOf[UTF8String])
 
+  // The static helper must NOT be named `eval`: a companion-object method whose
+  // name collides with an inherited member gets no static forwarder, so the
+  // generated Java would resolve to Expression.eval(InternalRow) and fail to
+  // compile — silently dropping the whole stage to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Hex60.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Hex60.hash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Hex60 = copy(child = newChild)
 }
@@ -35,7 +39,7 @@ object Hex60 {
   }
 
   /** First 15 hex digits (60 bits) of md5(bytes) as a non-negative long. */
-  def eval(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes)
