@@ -45,33 +45,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs that co-occur under a blocking key with bounded
+    * frequency: one aggregation builds the per-key doc list (so the
+    * document-frequency filter is just a size check on the list), and the
+    * a<b pairs explode from the sorted list — no self-join, no df-join.
+    * Per-key fan-out is capped at C(maxDf, 2) pairs, so hot keys can never
+    * blow up the shuffle at scale. Output: distinct (doc_a, doc_b).
+    */
+  private def blockedPairs(keyed: DataFrame, keyCol: String, maxDf: Int): DataFrame =
+    keyed.groupBy(col(keyCol))
+      .agg(array_sort(collect_set(col("doc_id"))).as("__ds"))
+      .filter(size(col("__ds")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(__ds) - 2), i ->
+          |  transform(sequence(i + 1, size(__ds) - 1), j ->
+          |    struct(__ds[i] AS doc_a, __ds[j] AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+
+  /** Jaccard over full shingle sets for an already-mined candidate pair
+    * list: each doc's distinct shingles are collected once into an array,
+    * and the intersection is a codegen'd `array_intersect` per pair — no
+    * (pair x shingle) row explosion, no extra shuffle for the counts.
+    */
+  private def jaccardForPairs(cand: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingles.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** N-gram Jaccard near-dup pairs. Candidates share at least one
     * "rare" shingle (document frequency <= maxDf — the standard blocking
     * trick that bounds the per-key join fan-out at scale); Jaccard is then
     * computed exactly over the full shingle sets.
     */
-  def ngramJaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int = 50): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val rare = shingles.join(
-      shingles.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-      "shingle")
-    val cand = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    // intersection sizes only for candidate pairs: cand -> a's shingles ->
-    // hash join on (doc_b, shingle), so fan-out is bounded by |cand| x
-    // shingles-per-doc, never by global shingle frequency
-    val inter = cand
-      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+  def ngramJaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int = 50): DataFrame =
+    jaccardForPairs(blockedPairs(shingles, "shingle", maxDf), shingles, threshold)
 
   /** MinHash prime modulus (2^31 - 1) and affine-permutation coefficients:
     * h_i(s) = (a_i * base(s) + b_i) mod P over one md5-derived base hash.
@@ -119,24 +133,14 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: candidates collide on at least one band,
     * then exact Jaccard over the shingle sets filters at `threshold`.
+    * The band id is baked into `band_key` (it prefixes the hashed string),
+    * so one bucket-list aggregation on band_key replaces the band self-join;
+    * no frequency cap here — an LSH bucket of n true duplicates must yield
+    * all C(n,2) pairs.
     */
   def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double): DataFrame = {
     val bandsDf = lshBands(minhashSignatures(shingles, numPerms), numPerms, bands)
-    val cand = bandsDf.as("a").join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardForPairs(blockedPairs(bandsDf, "band_key", Int.MaxValue), shingles, threshold)
   }
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
@@ -165,16 +169,17 @@ object Dedup {
     * exact hamming distance <= maxHamming.
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val", expr("(simhash >> (band * 15)) & 32767"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    // single composite bucket key (band baked into the high bits) so the
+    // candidate mining is one bucket-list aggregation, not a self-join;
+    // fingerprints re-attach via two narrow joins on doc_id
+    val banded = sims.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("band"), col("simhash"))
+      .withColumn("bkey", expr("((simhash >> (band * 15)) & 32767) + band * 32768"))
+    val cand = blockedPairs(banded, "bkey", Int.MaxValue)
+    cand
+      .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -34,13 +34,14 @@ object AnalyticsQueries {
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      // carry the previous label through the update so convergence is a
+      // filter on the checkpointed result, not another join of label sets
       val updated = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("__prev"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("l"), "doc_id")
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("cluster_id") =!= col("__prev")).limit(1).count()
+      labels = updated.drop("__prev")
       converged = changed == 0
       iter += 1
     }
