@@ -30,8 +30,11 @@ object Dedup {
     docs.groupBy(md5(lower(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word n-grams per document (the shingle set for Jaccard).
-    * Output: (doc_id, shingle).
+  /** Word n-grams per document (the shingle multiset for Jaccard). Rows may
+    * repeat — every consumer is set-semantics-safe (`collect_set` in the
+    * pair miners, duplicate-insensitive `min` in minhash), so the engine
+    * skips the explicit distinct's extra shuffle; partial `collect_set`
+    * aggregation dedups map-side anyway. Output: (doc_id, shingle).
     */
   def wordShingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
@@ -42,7 +45,6 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("doc_id"), words.as("__w"))
       .select(col("doc_id"), explode(grams).as("shingle"))
-      .distinct()
   }
 
   /** Candidate pairs that co-occur under a blocking key with bounded
@@ -69,7 +71,8 @@ object Dedup {
     */
   private def jaccardForPairs(cand: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
     val sets = shingles.groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n_sh"))
+      .agg(collect_set(col("shingle")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), "doc_b")
@@ -169,18 +172,24 @@ object Dedup {
     * exact hamming distance <= maxHamming.
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
-    // single composite bucket key (band baked into the high bits) so the
-    // candidate mining is one bucket-list aggregation, not a self-join;
-    // fingerprints re-attach via two narrow joins on doc_id
+    // single composite bucket key (band baked into the high bits), with the
+    // fingerprint carried through the bucket aggregation — the whole pair
+    // mine is one groupBy + pair explode, no self-join and no re-join of
+    // the (expensive, 60-wide-agg) simhash input
     val banded = sims.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("band"), col("simhash"))
       .withColumn("bkey", expr("((simhash >> (band * 15)) & 32767) + band * 32768"))
-    val cand = blockedPairs(banded, "bkey", Int.MaxValue)
-    cand
-      .join(sims.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-      .join(sims.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    banded.groupBy(col("bkey"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("__ds"))
+      .filter(size(col("__ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(__ds) - 2), i ->
+          |  transform(sequence(i + 1, size(__ds) - 1), j ->
+          |    struct(__ds[i].doc_id AS doc_a, __ds[j].doc_id AS doc_b,
+          |           __ds[i].simhash AS ha, __ds[j].simhash AS hb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

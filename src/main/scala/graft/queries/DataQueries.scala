@@ -93,6 +93,11 @@ object DataQueries {
     "q42_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), numCentroids = 8, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")),
+
+    "q52_ann_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfKmeansTopK(emb(s, d), numCentroids = 8, iters = 1, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank"))
   )
 
@@ -292,6 +297,56 @@ object DataQueries {
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_ann_ivf_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+        |cent0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < 8),
+        |a0 AS (
+        |  SELECT b.vec_id, b.v, b.n, c.cid,
+        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+        |  FROM b CROSS JOIN cent0 c
+        |),
+        |asg1 AS (
+        |  SELECT vec_id, v, n, cid AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+        |        FROM a0)
+        |  WHERE crn = 1
+        |),
+        |upd AS (
+        |  SELECT cell AS cid, t.i AS dim,
+        |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |           / count(*) / 100000000.0 AS m
+        |  FROM asg1, unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY 1, 2
+        |),
+        |c1 AS (
+        |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+        |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd GROUP BY cid)
+        |),
+        |a1 AS (
+        |  SELECT b.vec_id, b.v, b.n, c.cid,
+        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+        |  FROM b CROSS JOIN c1 c
+        |),
+        |asg2 AS (
+        |  SELECT vec_id, v, n, cid AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+        |        FROM a1)
+        |  WHERE crn = 1
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+        |  FROM asg2 q JOIN asg2 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q42_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings

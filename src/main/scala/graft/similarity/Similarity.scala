@@ -107,6 +107,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF with k-means-refined centroids: seed = first `numCentroids`
+    * vectors, then `iters` Lloyd iterations (assign to nearest centroid,
+    * recompute centroids as the element-wise mean of their cells), then the
+    * same cell-local search as [[ivfTopK]]. Refinement balances the cells,
+    * which is what bounds per-cell fan-out at scale — a seed centroid that
+    * captures half the corpus makes that cell's search quadratic again.
+    *
+    * Each iteration is two shuffles (assignment keeps only (id, cell);
+    * the mean is one groupBy over exploded dimensions) and the centroid set
+    * stays broadcast-sized throughout. Centroid means quantize each term to
+    * 1e-8 and sum as integers so the result is identical regardless of
+    * partial-aggregation order (and matches any engine computing the same
+    * quantized mean — floating sums are order-sensitive, integer sums are
+    * not). Inputs are widened to `array<double>` once upfront so refined
+    * (double) centroids and corpus vectors share one dot-product kernel.
+    */
+  def ivfKmeansTopK(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
+    var cent = b.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
+    def assign(centroids: DataFrame): DataFrame =
+      b.join(broadcast(centroids))
+        .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("crn") === 1)
+        .select(col(idCol), col("v"), col("n"), col("cid").as("cell"))
+    for (_ <- 0 until iters) {
+      val means = assign(cent)
+        .select(col("cell").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(floor(col("x") * 1e8)).cast("double") / count(lit(1)) / 1e8).as("m"))
+      cent = means.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
+    }
+    val assigned = assign(cent)
+    val scored = assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("q.cell").as("cell"),
+        round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a partition column (e.g. a
     * cluster label or LSH bucket) so the pair join is per-block, not global.
     */

@@ -61,6 +61,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L))
   }
 
+  test("ivf with k-means refinement keeps near-identical vectors in one cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)), (3L, Array(0.01f, 0.99f, 0.0f)),
+      (4L, Array(0.98f, 0.02f, 0.0f)), (5L, Array(0.02f, 0.98f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfKmeansTopK(vecs, numCentroids = 2, iters = 2, k = 2).collect()
+    // each vector's nearest true neighbor shares its cell, so it appears at rank 1
+    val rank1 = r.filter(_.getAs[Int]("rank") == 1)
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("neighbor_id")).toMap
+    assert(rank1(0L) == 2L) // x-axis cluster stays together
+    assert(rank1(1L) == 3L) // y-axis cluster stays together
+    // determinism: a second run yields the identical result set
+    val r2 = Similarity.ivfKmeansTopK(vecs, numCentroids = 2, iters = 2, k = 2).collect()
+    assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+  }
+
   test("text ops: language id, quality, fingerprints are deterministic and sane") {
     val lang = TextOps.languageId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
