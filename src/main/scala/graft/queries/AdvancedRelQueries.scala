@@ -55,6 +55,25 @@ object AdvancedRelQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"),
           grouping_id().cast("int").as("gid")) // must live inside the agg
         .orderBy(col("gid"), col("metric"), col("source_bucket"))
+    }),
+
+    // Backward as-of join (merge shape, one shuffle): each click event
+    // picks up the latest error event at-or-before it for the same user;
+    // oracle-checked against DuckDB's native ASOF JOIN.
+    "q53_asof_lasterr" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val errors0 = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      val errW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_us")).orderBy(col("err_event_id").desc)
+      val errors = errors0.withColumn("__rn", row_number().over(errW))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.backward(clicks, errors, Seq("user_id"), "ts_us", "ts_us")
+        .orderBy("event_id")
     })
   )
 
@@ -83,6 +102,21 @@ object AdvancedRelQueries {
         |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS INT) AS gid
         |FROM events
         |GROUP BY CUBE (event_type, user_id % 4)
-        |ORDER BY gid, metric, source_bucket""".stripMargin
+        |ORDER BY gid, metric, source_bucket""".stripMargin,
+    "q53_asof_lasterr" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type, value FROM events
+        |),
+        |clicks AS (SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'click'),
+        |errors0 AS (SELECT user_id, ts_us, event_id AS err_event_id, value AS err_value
+        |            FROM ev WHERE event_type = 'error'),
+        |errors AS (
+        |  SELECT user_id, ts_us, err_event_id, err_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY err_event_id DESC) AS rn
+        |    FROM errors0) WHERE rn = 1
+        |)
+        |SELECT c.event_id, c.user_id, c.ts_us, c.value, e.err_event_id, e.err_value
+        |FROM clicks c ASOF JOIN errors e ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+        |ORDER BY c.event_id""".stripMargin
   )
 }

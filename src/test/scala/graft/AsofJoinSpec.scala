@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (id, key, ts); right: (key, ts, payload)
+  private val left = Seq(
+    (1L, "a", 10L), // after right@5 -> p5
+    (2L, "a", 5L),  // equal ts -> inclusive match p5
+    (3L, "a", 4L),  // before any right -> no match
+    (4L, "b", 99L), // key with no right rows -> no match
+    (5L, "a", 20L)  // after right@15 -> p15
+  ).toDF("id", "key", "ts")
+
+  private val right = Seq(
+    ("a", 5L, "p5"),
+    ("a", 15L, "p15")
+  ).toDF("key", "ts", "payload")
+
+  test("backward as-of join picks latest right at-or-before, inner drops unmatched") {
+    val out = AsofJoin.backward(left, right, Seq("key"), "ts", "ts")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(out == Map(1L -> "p5", 2L -> "p5", 5L -> "p15"))
+  }
+
+  test("backward as-of left join keeps unmatched rows with null payload") {
+    val out = AsofJoin.backward(left, right, Seq("key"), "ts", "ts", joinType = "left")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("payload"))).toMap
+    assert(out(3L).isEmpty && out(4L).isEmpty && out(1L).contains("p5"))
+    assert(out.size == 5)
+  }
+
+  test("duplicate right (key, ts) rows resolve to the greatest payload struct") {
+    val dupRight = Seq(("a", 5L, "p5x"), ("a", 5L, "p5y")).toDF("key", "ts", "payload")
+    val out = AsofJoin.backward(left.filter($"id" === 1L), dupRight, Seq("key"), "ts", "ts")
+      .collect().map(_.getAs[String]("payload"))
+    assert(out.sameElements(Array("p5y")))
+  }
+}
