@@ -74,6 +74,19 @@ object AdvancedRelQueries {
         .filter(col("__rn") === 1).drop("__rn")
       graft.operators.AsofJoin.backward(clicks, errors, Seq("user_id"), "ts_us", "ts_us")
         .orderBy("event_id")
+    }),
+
+    // Banded range join: orders matched to exponential price bands with no
+    // equi-key — bucket explosion turns the nested-loop into a hash join.
+    "q54_range_price_bands" -> ((s, d) => {
+      val bands = s.range(0, 12).select(col("id").as("band_id"),
+        (pow(lit(2.0), col("id")) * 500.0).as("lo"),
+        (pow(lit(2.0), col("id") + 1) * 500.0).as("hi"))
+      graft.operators.RangeJoin.pointInRange(
+          Tables(s, d, "orders"), bands, "o_totalprice", "lo", "hi", bandWidth = 50000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("band_id")
     })
   )
 
@@ -117,6 +130,14 @@ object AdvancedRelQueries {
         |)
         |SELECT c.event_id, c.user_id, c.ts_us, c.value, e.err_event_id, e.err_value
         |FROM clicks c ASOF JOIN errors e ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+    "q54_range_price_bands" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, 500.0 * power(2, i) AS lo, 500.0 * power(2, i + 1) AS hi
+        |  FROM unnest(generate_series(0, 11)) AS t(i)
+        |)
+        |SELECT b.band_id, count(*) AS n, round(sum(o.o_totalprice), 2) AS price_sum
+        |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

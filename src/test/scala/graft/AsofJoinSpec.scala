@@ -38,4 +38,14 @@ class AsofJoinSpec extends SparkSpec {
       .collect().map(_.getAs[String]("payload"))
     assert(out.sameElements(Array("p5y")))
   }
+
+  test("banded range join matches overlapping intervals exactly, hi-exclusive") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 99.0)).toDF("pid", "v")
+    val ranges = Seq(("r1", 0.0, 10.0), ("r2", 5.0, 20.0), ("r3", 100.0, 200.0))
+      .toDF("rid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInRange(points, ranges, "v", "lo", "hi", 3.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 5.0 in r1 and r2; 10.0 only r2 (hi-exclusive of r1); 99.0 in none
+    assert(out == Set((1L, "r1"), (1L, "r2"), (2L, "r2")))
+  }
 }
