@@ -77,6 +77,44 @@ class PropertySpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("as-of join matches a brute-force per-row reference on random data") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
+    for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
+      val left = ls.zipWithIndex.map { case ((kk, t), i) => (i.toLong, s"k$kk", t) }
+        .toDF("id", "key", "ts")
+      // payload encodes (key, ts, uniq) so the expected pick is computable
+      val right = rs.zipWithIndex.map { case ((kk, t), i) => (s"k$kk", t, f"p$t%03d_$i%02d") }
+        .toDF("key", "ts", "payload")
+      val got = graft.operators.AsofJoin.backward(left, right, Seq("key"), "ts", "ts", "left")
+        .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("payload"))).toMap
+      ls.zipWithIndex.foreach { case ((kk, t), i) =>
+        val eligible = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == kk && rt <= t }
+        // operator picks greatest ts, ties by greatest payload struct (here:
+        // payload string encodes ts then uniq, so max string == max struct)
+        val expected = eligible.map { case ((_, rt), j) => f"p$rt%03d_$j%02d" }.sorted.lastOption
+        assert(got(i.toLong) == expected, s"row $i key=k$kk ts=$t")
+      }
+    }
+  }
+
+  test("banded range join matches a brute-force filter for any band width") {
+    val ptGen = Gen.listOfN(20, Gen.chooseNum(-50.0, 50.0))
+    val rgGen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 30.0)))
+    for (((ps, rg), bw) <- draws(Gen.zip(Gen.zip(ptGen, rgGen), Gen.oneOf(0.5, 3.0, 100.0)), 8)) {
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val ranges = rg.zipWithIndex.map { case ((lo, w), j) => (j.toLong, lo, lo + w) }
+        .toDF("rid", "lo", "hi")
+      val got = graft.operators.RangeJoin.pointInRange(points, ranges, "v", "lo", "hi", bw)
+        .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (v, i) <- ps.zipWithIndex
+        ((lo, w), j) <- rg.zipWithIndex
+        if v >= lo && v < lo + w
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("first-write-wins is idempotent and key-unique") {
     for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
       val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
