@@ -31,19 +31,27 @@ class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 4
   private def c(n: Int): Double =
     if (n <= 1) 0.0 else 2.0 * (math.log(n - 1.0) + 0.5772156649) - 2.0 * (n - 1.0) / n
 
-  private def build(rows: Array[Array[Double]], depth: Int, maxDepth: Int, rng: Random): Node = {
-    if (rows.length <= 1 || depth >= maxDepth) Leaf(rows.length)
+  /** Builds over idx[from, until) with in-place two-pointer partitioning —
+    * zero allocation per node (the old per-node `rows.partition` dominated
+    * fit time across 100 trees x thousands of series). Partitioning draws no
+    * randomness and splits depend only on value SETS, so trees (and scores)
+    * are bit-identical to the allocating version.
+    */
+  private def build(x: Array[Array[Double]], idx: Array[Int], from: Int, until: Int,
+                    depth: Int, maxDepth: Int, rng: Random): Node = {
+    val len = until - from
+    if (len <= 1 || depth >= maxDepth) Leaf(len)
     else {
-      val d = rows.head.length
+      val d = x(idx(from)).length
       // one min/max pass over all features; features with spread only —
       // a constant matrix isolates nothing
       val mins = new Array[Double](d)
       val maxs = new Array[Double](d)
       var f = 0
-      while (f < d) { mins(f) = rows(0)(f); maxs(f) = rows(0)(f); f += 1 }
-      var i = 1
-      while (i < rows.length) {
-        val r = rows(i)
+      while (f < d) { mins(f) = x(idx(from))(f); maxs(f) = mins(f); f += 1 }
+      var i = from + 1
+      while (i < until) {
+        val r = x(idx(i))
         f = 0
         while (f < d) {
           if (r(f) < mins(f)) mins(f) = r(f)
@@ -53,14 +61,19 @@ class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 4
         i += 1
       }
       val candidates = (0 until d).filter(f => maxs(f) > mins(f))
-      if (candidates.isEmpty) Leaf(rows.length)
+      if (candidates.isEmpty) Leaf(len)
       else {
         val feat = candidates(rng.nextInt(candidates.length))
         val v = mins(feat) + rng.nextDouble() * (maxs(feat) - mins(feat))
-        val (lo, hi) = rows.partition(_(feat) < v)
-        if (lo.isEmpty || hi.isEmpty) Leaf(rows.length)
-        else Split(feat, v, build(lo, depth + 1, maxDepth, rng),
-          build(hi, depth + 1, maxDepth, rng))
+        var lo = from
+        var hi = until - 1
+        while (lo <= hi) {
+          if (x(idx(lo))(feat) < v) lo += 1
+          else { val t = idx(lo); idx(lo) = idx(hi); idx(hi) = t; hi -= 1 }
+        }
+        if (lo == from || lo == until) Leaf(len)
+        else Split(feat, v, build(x, idx, from, lo, depth + 1, maxDepth, rng),
+          build(x, idx, lo, until, depth + 1, maxDepth, rng))
       }
     }
   }
@@ -79,7 +92,7 @@ class IsolationForest(numTrees: Int = 100, sampleSize: Int = 256, seed: Long = 4
         val t = idx(j); idx(j) = idx(k); idx(k) = t
         j -= 1
       }
-      build(idx.take(n).map(x), 0, maxDepth, rng)
+      build(x, idx, 0, n, 0, maxDepth, rng)
     }
     this
   }
