@@ -72,6 +72,21 @@ object StreamingPipeline {
         ()
       }
 
+  /** Streaming first-write-wins dedup on the clean-event key: duplicates
+    * arriving within the watermark horizon are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark` evicts key state once the watermark
+    * passes it — plain `dropDuplicates` on a stream would grow state
+    * forever). This is the streaming twin of the batch
+    * `Ingest.dedupInsert` / the reference's ON CONFLICT DO NOTHING insert
+    * (`backend/app/services/ingestion.py:221-226`); re-deliveries older
+    * than the horizon are handled by the idempotent store append, not by
+    * state.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("source_id", "ts", "metric")
+
   // ---- stateful sessionization (custom state via flatMapGroupsWithState) --
 
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)

@@ -104,6 +104,30 @@ class IngestStreamingSpec extends SparkSpec {
     assert(got2(1).getAs[Double]("value_sum") == 10.0, "touched date recomputed with the new event")
   }
 
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)] // (source, ts_us, metric, value)
+    val events = input.toDF()
+      .select(col("_1").as("source_id"), timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("metric"), col("_4").as("value"))
+    val q = StreamingPipeline.dedupStream(events).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      input.addData((1L, h, "m", 1.0), (1L, h, "m", 2.0), (2L, h, "m", 3.0))
+      q.processAllAvailable()
+      // same-batch duplicate key dropped, first occurrence kept
+      assert(spark.table("dedup_out").count() == 2)
+      input.addData((1L, h, "m", 4.0), (1L, h + 1, "m", 5.0)) // cross-batch dup + new key
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("source_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 1.0), (2L, 3.0), (1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gaps and timeouts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros

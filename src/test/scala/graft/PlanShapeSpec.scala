@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the scale story, locked in CI. These
+  * catch regressions that correctness gates can't: a range join silently
+  * degrading to a nested loop, a dimension join losing its broadcast, or a
+  * filter no longer reaching the parquet scan all still return the right
+  * rows — just 100x slower at real scale.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("banded range join plans as a hash join, not a nested loop") {
+    val p = planOf("q54_range_price_bands")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested-loop/cartesian plan")
+  }
+
+  test("as-of join costs exactly one exchange (merge-join shape)") {
+    val l = Seq((1L, "a", 10L)).toDF("id", "key", "ts")
+    val r = Seq(("a", 5L, "p")).toDF("key", "ts", "payload")
+    val p = graft.operators.AsofJoin.backward(l, r, Seq("key"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan has $exchanges:\n$p")
+    assert(!p.contains("Join"), "as-of must not plan a join operator at all")
+  }
+
+  test("fact-to-dimension joins broadcast the dimension") {
+    val p = planOf("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "dim join lost its broadcast")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no filters pushed to scan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_comment") && read.contains("l_quantity"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("daily KPI aggregation is a two-phase hash aggregate with one shuffle") {
+    val p = planOf("q02_kpi_daily")
+    assert(p.contains("HashAggregate"), "KPI agg not hash-based")
+    // partial + final pairs around a single exchange for the main groupBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "KPI agg shuffles more than expected")
+  }
+}
