@@ -87,6 +87,21 @@ object AdvancedRelQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("price_sum"))
         .orderBy("band_id")
+    }),
+
+    // Ranking window functions over per-metric daily totals; the ORDER BY
+    // includes the date so ntile's row order (and thus every rank) is total.
+    "q55_metric_ranks" -> ((s, d) => {
+      val md = Tables.cleanEvents(s, d)
+        .groupBy(col("metric"), to_date(col("ts")).as("metric_date"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("metric")).orderBy(col("v").asc, col("metric_date").asc)
+      md.select(col("metric"), col("metric_date"), col("v"),
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("metric", "metric_date")
     })
   )
 
@@ -138,6 +153,18 @@ object AdvancedRelQueries {
         |)
         |SELECT b.band_id, count(*) AS n, round(sum(o.o_totalprice), 2) AS price_sum
         |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_metric_ranks" ->
+      """WITH md AS (
+        |  SELECT event_type AS metric, CAST(ts AS DATE) AS metric_date,
+        |         round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT metric, metric_date, v,
+        |  CAST(dense_rank() OVER w AS INT) AS dr,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM md WINDOW w AS (PARTITION BY metric ORDER BY v ASC, metric_date ASC)
+        |ORDER BY metric, metric_date""".stripMargin
   )
 }
