@@ -102,6 +102,34 @@ object AdvancedRelQueries {
           round(percent_rank().over(w), 6).as("pr"),
           ntile(4).over(w).as("quartile"))
         .orderBy("metric", "metric_date")
+    }),
+
+    // Two-phase salted aggregation under the oracle gate: algebraic
+    // aggregates recombine exactly, so the salted result must equal the
+    // plain GROUP BY — which is precisely what the oracle SQL computes.
+    "q56_salted_kpi" -> ((s, d) => {
+      val ev = Tables.cleanEvents(s, d).withColumn("metric_date", to_date(col("ts")))
+      graft.operators.Skew.saltedDailyAgg(ev, Seq("metric", "metric_date"), "value")
+        .select(col("metric"), col("metric_date"),
+          round(col("value_sum"), 2).as("value_sum"), col("value_count"),
+          col("value_min"), col("value_max"), round(col("value_avg"), 6).as("value_avg"))
+        .orderBy("metric", "metric_date")
+    }),
+
+    // Set operations (absent from the reference, SURVEY §2.3 R12):
+    // (user, day) pairs with clicks but no errors / with both.
+    "q57_set_except" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      ev.filter(col("event_type") === "click").select(col("user_id"), col("day"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("day")))
+        .orderBy("user_id", "day")
+    }),
+
+    "q58_set_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy("user_id")
     })
   )
 
@@ -165,6 +193,22 @@ object AdvancedRelQueries {
         |  round(percent_rank() OVER w, 6) AS pr,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM md WINDOW w AS (PARTITION BY metric ORDER BY v ASC, metric_date ASC)
-        |ORDER BY metric, metric_date""".stripMargin
+        |ORDER BY metric, metric_date""".stripMargin,
+    "q56_salted_kpi" ->
+      """SELECT event_type AS metric, CAST(ts AS DATE) AS metric_date,
+        |  round(sum(value), 2) AS value_sum, count(*) AS value_count,
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  round(sum(value) / count(*), 6) AS value_avg
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q57_set_except" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin,
+    "q58_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin
   )
 }
