@@ -98,7 +98,25 @@ object DataQueries {
     "q52_ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfKmeansTopK(emb(s, d), numCentroids = 8, iters = 1, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // Deterministic hash-based train/val/test assignment (80/10/10): the
+    // reproducible split every training pipeline needs — membership is a
+    // pure function of the row key, so it survives reshuffles, reruns, and
+    // incremental appends (no RNG, no sampleBy).
+    "q59_hash_split" -> ((s, d) => {
+      val bucket = Dedup.hex60(concat_ws(":", col("event_id"), col("user_id"))) % 100
+      Tables.events(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("event_type"), col("split"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy("event_type", "split")
+    }),
+
+    // Symmetric int8 embedding quantization (the ANN compression path).
+    "q60_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d)).orderBy("vec_id", "dim"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +315,26 @@ object DataQueries {
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT event_type, value,
+         |         ${hex60Sql("event_id || ':' || user_id")} % 100 AS bucket
+         |  FROM events
+         |)
+         |SELECT event_type,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n, round(sum(value), 2) AS value_sum
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q60_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |m AS (
+        |  SELECT vec_id, v, greatest(list_max([abs(x) FOR x IN v]), 1e-12) AS m FROM e
+        |)
+        |SELECT vec_id, t.i AS dim, CAST(floor(v[t.i] * 127.0 / m + 0.5) AS INT) AS q8
+        |FROM m, unnest(generate_series(1, len(v))) AS t(i)
+        |ORDER BY vec_id, dim""".stripMargin,
     "q52_ann_ivf_kmeans" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
