@@ -116,7 +116,19 @@ object DataQueries {
 
     // Symmetric int8 embedding quantization (the ANN compression path).
     "q60_quantize_int8" -> ((s, d) =>
-      Similarity.quantizeInt8(emb(s, d)).orderBy("vec_id", "dim"))
+      Similarity.quantizeInt8(emb(s, d)).orderBy("vec_id", "dim")),
+
+    // Top-3 TF-IDF terms per document, ranked on the quantized score with a
+    // term tie-break so ordering is total and cross-engine.
+    "q61_tfidf_top_terms" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      TextOps.tfidf(docs(s, d))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,6 +327,25 @@ object DataQueries {
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN nd
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q59_hash_split" ->
       s"""WITH b AS (
          |  SELECT event_type, value,

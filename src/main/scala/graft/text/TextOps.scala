@@ -18,6 +18,29 @@ object TextOps {
   def bpeIshCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** TF-IDF term scoring: tf = raw term count per (doc, term) over
+    * lowercased whitespace tokens, idf = ln(n_docs / df). The corpus size
+    * arrives via a broadcast 1-row aggregate (no driver-side count, the
+    * operator stays lazy), and the whole computation is two hash
+    * aggregations + one broadcast-join — shuffle-proportional to the
+    * distinct (doc, term) pairs, never to raw token count, because tf
+    * partials combine map-side. The score is quantized with the stable
+    * `floor(x*1e6+0.5)/1e6` so downstream ranking can't be flipped by
+    * last-ulp differences in `ln` across engines/libm builds.
+    * Output: (doc_id, term, tf, tfidf).
+    */
+  def tfidf(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfx, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Quality features + score. Score favors documents that are long enough
     * and have a natural stopword ratio; deterministic arithmetic only.
     */
