@@ -78,6 +78,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("int8 quantization: max maps to ±127, zero vectors stay zero") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs).orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("q8")))
+    assert(q.filter(_._1 == 0L).map(_._2).toSeq == Seq(64, -127, 32))
+    assert(q.filter(_._1 == 1L).forall(_._2 == 0))
+  }
+
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val d2 = Seq(
+      (1L, "shared rare1 shared"),
+      (2L, "shared rare2"),
+      (3L, "shared other")).toDF("doc_id", "text")
+    val t = TextOps.tfidf(d2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(t((1L, "shared")) == 0.0) // df == n_docs => idf 0
+    assert(t((1L, "rare1")) > 0.0 && t((2L, "rare2")) > 0.0)
+    assert(math.abs(t((1L, "rare1")) - math.floor(math.log(3.0) * 1e6 + 0.5) / 1e6) < 1e-12)
+  }
+
   test("text ops: language id, quality, fingerprints are deterministic and sane") {
     val lang = TextOps.languageId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
