@@ -149,6 +149,58 @@ object StreamingPipeline {
       })
   }
 
+  // ---- streaming rolling-z anomaly detection (W2 semantics, bounded state) --
+
+  case class ZBuf(vals: Seq[Double])
+  case class ZPoint(source_id: Long, metric: String, ts_us: Long, value: Double,
+                    z: Option[Double], is_outlier: Boolean)
+
+  /** The reference's live anomaly endpoint (W2: trailing window, partial
+    * windows >= 2 priors, sample stddev, flat-window sentinel z = 1e9 —
+    * `backend/app/routers/metrics.py:158-261`) as a true stream: per-series
+    * state is a ring buffer of the last `window` values, so state size is
+    * window x active-series regardless of history. Events are processed in
+    * event-time order within each micro-batch (cross-batch stragglers score
+    * against the buffer as-arrived; the watermark bounds how late they can
+    * be).
+    */
+  def anomalyStream(events: DataFrame, window: Int = 7, zThresh: Double = 3.0,
+                    watermark: String = "2 hours"): org.apache.spark.sql.Dataset[ZPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("source_id").cast("long"), col("metric"), col("ts"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Double)]
+    typed.groupByKey(r => (r._1, r._2)).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (key: (Long, String), rows: Iterator[(Long, String, java.sql.Timestamp, Double)],
+       state: GroupState[ZBuf]) => {
+        val sorted = rows.toArray.sortBy(r => us(r._3))
+        var buf = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty[Double])
+        val out = sorted.map { case (sid, m, t, v) =>
+          val priors = buf.takeRight(window)
+          val point = if (priors.size >= 2) {
+            val mu = priors.sum / priors.size
+            val sd = math.sqrt(priors.map(x => (x - mu) * (x - mu)).sum / (priors.size - 1))
+            if (sd == 0.0) ZPoint(sid, m, us(t), v, Some(if (v != mu) 1e9 else 0.0), v != mu)
+            else {
+              val z = (v - mu) / sd
+              ZPoint(sid, m, us(t), v, Some(math.max(-1e9, math.min(1e9, z))),
+                math.abs(z) >= zThresh)
+            }
+          } else ZPoint(sid, m, us(t), v, None, is_outlier = false)
+          buf = (buf :+ v).takeRight(window)
+          point
+        }
+        state.update(ZBuf(buf))
+        out.iterator
+      })
+  }
+
   private def existingClean(spark: SparkSession, path: String): Option[DataFrame] =
     try {
       val df = spark.read.parquet(path)

@@ -128,6 +128,36 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling-z flags the reference spike golden across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val events = input.toDF()
+      .select(col("_1").as("source_id"), timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("metric"), col("_4").as("value"))
+    val q = StreamingPipeline.anomalyStream(events, window = 3, zThresh = 3.0)
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      // the reference's behavioral golden {10,11,9,10,10,100,10}
+      // (backend/tests/test_anomaly_api.py:47-100), split mid-series so the
+      // ring buffer must carry across micro-batches
+      val day = 86400L * 1000000
+      val series = Seq(10.0, 11.0, 9.0, 10.0, 10.0, 100.0, 10.0)
+      val (b1, b2) = series.zipWithIndex.splitAt(4)
+      input.addData(b1.map { case (v, i) => (1L, (i + 1) * day, "m", v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (v, i) => (1L, (i + 1) * day, "m", v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("anom_out").orderBy("ts_us").collect()
+      assert(rows.length == 7)
+      val outliers = rows.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Double]("value"))
+      assert(outliers.toSeq == Seq(100.0), s"only the spike flags: ${outliers.toSeq}")
+      // first two points have <2 priors => no z at all
+      assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("z"))))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gaps and timeouts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
