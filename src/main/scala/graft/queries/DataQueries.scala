@@ -118,6 +118,18 @@ object DataQueries {
     "q60_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d)).orderBy("vec_id", "dim")),
 
+    // Top-3 BM25 terms per document (Okapi k1=1.2, b=0.75), ranked on the
+    // quantized score with a term tie-break.
+    "q62_bm25_top_terms" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term").asc)
+      TextOps.bm25(docs(s, d))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("doc_len"), col("bm25"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Top-3 TF-IDF terms per document, ranked on the quantized score with a
     // term tie-break so ordering is total and cross-engine.
     "q61_tfidf_top_terms" -> ((s, d) => {
@@ -327,6 +339,30 @@ object DataQueries {
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q62_bm25_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_len
+        |           FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, lens.doc_len,
+        |    floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avg_len)))
+        |      * 1e6 + 0.5) / 1e6 AS bm25
+        |  FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN corpus
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, doc_len, bm25, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q61_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

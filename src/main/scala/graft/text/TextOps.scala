@@ -41,6 +41,30 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** BM25 (Okapi) term scoring: idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (the non-negative variant), tf component saturates at k1 and is
+    * normalized by relative document length with slope b. Same plan shape
+    * as [[tfidf]] — two hash aggregations plus one broadcast of the 1-row
+    * (n_docs, avg_len) aggregate — and the same stable quantization before
+    * any downstream ranking. Output: (doc_id, term, tf, doc_len, bm25).
+    */
+  def bm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("doc_len")).cast("double") / count(lit(1))).as("avg_len"))
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / col("avg_len")))
+    tf.join(dfx, "term").join(lens, "doc_id").crossJoin(broadcast(corpus))
+      .withColumn("bm25", floor(idf * tfNorm * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_len"), col("bm25"))
+  }
+
   /** Quality features + score. Score favors documents that are long enough
     * and have a natural stopword ratio; deterministic arithmetic only.
     */
