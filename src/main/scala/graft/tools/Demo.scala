@@ -50,6 +50,25 @@ object Demo {
     graft.similarity.Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
       .show(9, false)
 
+    // 5. event enrichment + curation extras
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"), col("value").as("last_err_value"))
+    val enriched = graft.operators.AsofJoin.backward(
+      clicks, errors, Seq("user_id"), "ts_us", "ts_us")
+    println(s"[demo] clicks enriched with latest preceding error: ${enriched.count()}")
+    println("[demo] top TF-IDF terms of doc 0:")
+    graft.text.TextOps.tfidf(docs).filter(col("doc_id") === 0)
+      .orderBy(col("tfidf").desc, col("term")).show(3, false)
+    val bucket = graft.dedup.Dedup.hex60(concat_ws(":", col("event_id"), col("user_id"))) % 100
+    ev.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split").count().orderBy("split").show(false)
+
     println("[demo] done")
     spark.stop()
   }
