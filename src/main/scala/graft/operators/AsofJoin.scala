@@ -52,4 +52,37 @@ object AsofJoin {
     matched.select(
       left.columns.toSeq.map(col) ++ rightVals.map(v => col("__m").getField(v).as(v)): _*)
   }
+
+  /** Forward as-of join: each left row picks up the payload of the right row
+    * with the SMALLEST timestamp >= the left row's timestamp, per join key —
+    * the "next scheduled event / next state change" lookup. Same merge shape
+    * and cost as [[backward]] (one shuffle on the key + one sort), with the
+    * window flipped to look forward.
+    *
+    * Semantics notes:
+    *  - ties are inclusive (`left.ts <= right.ts`): right rows sort AFTER
+    *    left rows at equal timestamps so the forward-looking frame sees them.
+    *  - duplicate right rows on (key, ts) resolve deterministically to the
+    *    LEAST payload struct (first in the frame); pre-dedup the right side
+    *    if a different pick is wanted.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
+    val rightVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    require(rightVals.nonEmpty, "right side carries no payload columns")
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), struct(rightVals.map(col): _*).as("__rv")): _*)
+      .withColumn("__side", lit(1))
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val matched = if (joinType == "inner") joined.filter(col("__m").isNotNull) else joined
+    matched.select(
+      left.columns.toSeq.map(col) ++ rightVals.map(v => col("__m").getField(v).as(v)): _*)
+  }
 }

@@ -130,6 +130,59 @@ object AdvancedRelQueries {
       ev.filter(col("event_type") === "click").select(col("user_id"))
         .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
         .orderBy("user_id")
+    }),
+
+    // Forward as-of join (same merge shape as q53, window flipped): each
+    // error event picks up the NEXT click at-or-after it for the same user —
+    // the "time-to-next-action" lookup; oracle-checked against DuckDB's
+    // native ASOF JOIN with a <= inequality.
+    "q63_asof_nextclick" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val clicks0 = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_event_id"), col("value").as("click_value"))
+      val clkW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_us")).orderBy(col("click_event_id").desc)
+      val clicks = clicks0.withColumn("__rn", row_number().over(clkW))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.forward(errors, clicks, Seq("user_id"), "ts_us", "ts_us")
+        .orderBy("event_id")
+    }),
+
+    // Semi/anti joins (the EXISTS / NOT EXISTS shapes): per nation, how many
+    // customers have at least one order vs none. Both probe sides build ONE
+    // hash table on the distinct custkeys — no payload duplication, no
+    // row-multiplying join — and the nation dim is broadcast.
+    "q64_semi_anti" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").select(col("o_custkey"))
+      val n = Tables(s, d, "nation")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_orders"))
+      broadcast(n.select(col("n_nationkey"), col("n_name")))
+        .join(withO, col("n_nationkey") === withO("c_nationkey"), "left").drop("c_nationkey")
+        .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left").drop("c_nationkey")
+        .select(col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Pivot: daily event values spread into one column per event type. The
+    // value list is explicit, so the plan is a single pass (no extra
+    // values-discovery job) — the form that survives at scale.
+    "q65_metric_pivot" -> ((s, d) => {
+      Tables.cleanEvents(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .pivot(col("metric"), Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy("day")
     })
   )
 
@@ -209,6 +262,38 @@ object AdvancedRelQueries {
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'error'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q63_asof_nextclick" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type, value FROM events
+        |),
+        |errors AS (SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'error'),
+        |clicks0 AS (SELECT user_id, ts_us, event_id AS click_event_id, value AS click_value
+        |            FROM ev WHERE event_type = 'click'),
+        |clicks AS (
+        |  SELECT user_id, ts_us, click_event_id, click_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY click_event_id DESC) AS rn
+        |    FROM clicks0) WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.value, c.click_event_id, c.click_value
+        |FROM errors e ASOF JOIN clicks c ON e.user_id = c.user_id AND e.ts_us <= c.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    "q64_semi_anti" ->
+      """WITH oc AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT n.n_name,
+        |  count(*) FILTER (WHERE oc.o_custkey IS NOT NULL) AS with_orders,
+        |  count(*) FILTER (WHERE c.c_custkey IS NOT NULL AND oc.o_custkey IS NULL) AS without_orders
+        |FROM nation n
+        |LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q65_metric_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -130,6 +130,26 @@ object DataQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Gopher/C4-style repetition quality rule: documents dominated by a few
+    // repeated words are low-quality training data. One token aggregation
+    // feeds both the top-word share and the duplicate-word share; the keep
+    // flag applies the thresholds. All work is two partial-agg shuffles on
+    // (doc_id, word) then (doc_id) — no windows, no joins.
+    "q66_text_repetition" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(col("top_cnt") / col("n_words"), 6).as("top_word_frac"),
+          round(lit(1.0) - col("n_distinct") / col("n_words"), 6).as("dup_word_frac"),
+          (col("top_cnt") / col("n_words") <= 0.2 &&
+            (lit(1.0) - col("n_distinct") / col("n_words")) <= 0.7).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Top-3 TF-IDF terms per document, ranked on the quantized score with a
     // term tie-break so ordering is total and cross-engine.
     "q61_tfidf_top_terms" -> ((s, d) => {
@@ -147,6 +167,20 @@ object DataQueries {
     "q24_dedup_exact" ->
       """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q66_text_repetition" ->
+      """WITH counts AS (
+        |  SELECT doc_id, w AS word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct,
+        |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_word_frac,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_word_frac,
+        |  (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.2
+        |    AND 1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.7) AS keep
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q25_dedup_ngram" ->
       s"""WITH $triCte,
          |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),

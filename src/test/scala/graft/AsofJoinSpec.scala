@@ -39,6 +39,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.sameElements(Array("p5y")))
   }
 
+  test("forward as-of join picks earliest right at-or-after, ties inclusive") {
+    val out = AsofJoin.forward(left, right, Seq("key"), "ts", "ts")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    // id=1 ts=10 -> p15; id=2 ts=5 -> inclusive p5; id=3 ts=4 -> p5;
+    // id=4 key b -> dropped; id=5 ts=20 -> no right after -> dropped
+    assert(out == Map(1L -> "p15", 2L -> "p5", 3L -> "p5"))
+  }
+
+  test("forward as-of left join keeps unmatched rows with null payload") {
+    val out = AsofJoin.forward(left, right, Seq("key"), "ts", "ts", joinType = "left")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("payload"))).toMap
+    assert(out(4L).isEmpty && out(5L).isEmpty && out(3L).contains("p5"))
+    assert(out.size == 5)
+  }
+
   test("banded range join matches overlapping intervals exactly, hi-exclusive") {
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 99.0)).toDF("pid", "v")
     val ranges = Seq(("r1", 0.0, 10.0), ("r2", 5.0, 20.0), ("r3", 100.0, 200.0))

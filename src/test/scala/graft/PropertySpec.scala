@@ -97,6 +97,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("forward as-of join matches a brute-force per-row reference on random data") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
+    for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
+      val left = ls.zipWithIndex.map { case ((kk, t), i) => (i.toLong, s"k$kk", t) }
+        .toDF("id", "key", "ts")
+      val right = rs.zipWithIndex.map { case ((kk, t), i) => (s"k$kk", t, f"p$t%03d_$i%02d") }
+        .toDF("key", "ts", "payload")
+      val got = graft.operators.AsofJoin.forward(left, right, Seq("key"), "ts", "ts", "left")
+        .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("payload"))).toMap
+      ls.zipWithIndex.foreach { case ((kk, t), i) =>
+        val eligible = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == kk && rt >= t }
+        // operator picks smallest ts, ties by LEAST payload struct (payload
+        // string encodes ts then uniq, so min string == min struct)
+        val expected = eligible.map { case ((_, rt), j) => f"p$rt%03d_$j%02d" }.sorted.headOption
+        assert(got(i.toLong) == expected, s"row $i key=k$kk ts=$t")
+      }
+    }
+  }
+
   test("banded range join matches a brute-force filter for any band width") {
     val ptGen = Gen.listOfN(20, Gen.chooseNum(-50.0, 50.0))
     val rgGen = Gen.listOfN(10, Gen.zip(Gen.chooseNum(-50.0, 50.0), Gen.chooseNum(0.0, 30.0)))
