@@ -48,6 +48,53 @@ object AnalyticsQueries {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14 — public
+    * algorithm): converges in O(log n) rounds regardless of graph DIAMETER,
+    * vs O(diameter) for [[connectedComponents]]' label propagation. Near-dup
+    * clusters have tiny diameters, so label propagation wins at bench scale;
+    * at 100 TB a single chain-shaped component (pathological but real in
+    * crawl dedup: A~B~C~... overlapping shingles) makes diameter — and thus
+    * label-prop round count — unbounded, while alternating stars stay
+    * logarithmic. Each round is two groupBy-explode passes over the edge
+    * list (no joins at all); edges stay oriented big-id -> small-id, so the
+    * grouped neighbor lists shrink monotonically toward the final stars.
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"), least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star: every node links its strictly-larger neighbors to the
+      // minimum of its closed neighborhood
+      val nbrs = edges.union(edges.select(col("v"), col("u")))
+      val ls = nbrs.groupBy(col("u")).agg(collect_set(col("v")).as("ns"))
+        .withColumn("m", array_min(array_union(col("ns"), array(col("u")))))
+        .select(explode(expr("filter(ns, x -> x > u)")).as("n"), col("m"))
+        .select(col("n").as("u"), col("m").as("v")).distinct()
+      // small-star: every node links its smaller neighbors (and itself) to
+      // the minimum among them; ls edges are already big -> small oriented
+      val ss = ls.groupBy(col("u")).agg(collect_set(col("v")).as("ns"))
+        .withColumn("m", array_min(col("ns")))
+        .select(explode(array_union(array(col("u")), col("ns"))).as("n"), col("m"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v")).distinct()
+        .localCheckpoint(true)
+      converged = ss.except(edges).limit(1).count() == 0 &&
+        edges.except(ss).limit(1).count() == 0
+      edges = ss
+      iter += 1
+    }
+    // at convergence every edge is (node, componentMin); minima label themselves
+    val mins = edges.select(col("v")).distinct()
+      .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v").as("doc_id"), col("v").as("cluster_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id")).union(mins)
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-cluster embedding centroids (elementwise mean) + member count.
     "q45_label_centroids" -> ((s, d) => {

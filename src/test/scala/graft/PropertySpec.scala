@@ -97,6 +97,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("alternating-star CC == label-propagation CC on random graphs") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L)))
+    for (es <- draws(edgeGen, 6)) {
+      val pairs = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("doc_a", "doc_b")
+        val lp = graft.queries.AnalyticsQueries.connectedComponents(df, maxIter = 30)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val alt = graft.queries.AnalyticsQueries.connectedComponentsAlternating(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(alt == lp, s"edges=$pairs")
+      }
+    }
+  }
+
   test("forward as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
