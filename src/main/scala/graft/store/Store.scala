@@ -39,4 +39,60 @@ object Store {
   def prunesPartitions(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.linesIterator
       .exists(l => l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+
+  /** Per-date-partition parquet file stats: (event_date, n_files, bytes).
+    * Drives [[compactCleanEvents]]' partition selection.
+    */
+  def partitionFileStats(spark: SparkSession, path: String): Seq[(String, Int, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (dir.getPath.getName.stripPrefix("event_date="), files.length, files.map(_.getLen).sum)
+      }
+  }
+
+  /** Compact the small-file debris a micro-batch append sink accumulates
+    * (one file per trigger per date): rewrite every date partition whose
+    * file count exceeds what its byte size justifies at `targetBytes` per
+    * file, using ONE job with a shuffle keyed on the partition column (each
+    * date lands in one task => one output file; oversized dates split via
+    * `spark.sql.files.maxRecordsPerFile` if set). Dynamic partition overwrite
+    * replaces only the compacted dates; untouched dates keep their files.
+    * The rewrite materializes (local checkpoint) before overwriting because
+    * Spark refuses to overwrite a path it is concurrently reading — on a
+    * real cluster swap this for a temp-dir write + atomic rename.
+    * Returns the compacted date strings.
+    */
+  def compactCleanEvents(spark: SparkSession, path: String,
+                         targetBytes: Long = 128L << 20): Seq[String] = {
+    val todo = partitionFileStats(spark, path).collect {
+      case (date, nFiles, bytes)
+        if nFiles > math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt) => date
+    }
+    if (todo.nonEmpty) {
+      val compacted = readCleanEvents(spark, path)
+        .filter(col("event_date").cast("string").isin(todo: _*))
+        .repartition(todo.length, col("event_date"))
+        .localCheckpoint(true)
+      overwriteByDate(compacted, path, "event_date")
+    }
+    todo
+  }
+
+  private def overwriteByDate(df: DataFrame, path: String, dateCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

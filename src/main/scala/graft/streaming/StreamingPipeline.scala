@@ -149,6 +149,56 @@ object StreamingPipeline {
       })
   }
 
+  // ---- streaming backward as-of enrichment (q53's join as a live stream) --
+
+  case class LastRight(tsUs: Long, eventId: Long, value: Double)
+  case class Enriched(user_id: Long, event_id: Long, ts_us: Long, value: Double,
+                      err_event_id: Option[Long], err_value: Option[Double])
+
+  /** Streaming twin of [[graft.operators.AsofJoin.backward]] (the q53
+    * shape): every `leftType` event is enriched with the most recent
+    * `rightType` event seen for the same user. State per key is ONE record —
+    * the latest right payload — so state size is bounded by ACTIVE key
+    * cardinality, never by history; no watermark-dependent eviction needed.
+    *
+    * Within a micro-batch, rows process in event-time order with right rows
+    * before left rows at equal timestamps (inclusive ties, same as the batch
+    * operator); duplicate right rows on (key, ts) resolve to the greatest
+    * event id, matching q53's pre-dedup. Cross-batch stragglers enrich
+    * against state as-arrived — the same caveat as [[anomalyStream]].
+    */
+  def asofEnrichStream(events: DataFrame, leftType: String = "click",
+                       rightType: String = "error"): org.apache.spark.sql.Dataset[Enriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val typed = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+    typed.groupByKey(_._2).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String, Double)],
+       state: GroupState[LastRight]) => {
+        // right rows sort before left at equal ts (side 0 < 1); among equal
+        // (ts, side), ascending event id so the last right UPDATE wins
+        val sorted = rows.toArray.sortBy { case (eid, _, t, typ, _) =>
+          (us(t), if (typ == rightType) 0 else 1, eid)
+        }
+        var last = state.getOption
+        val out = Vector.newBuilder[Enriched]
+        sorted.foreach { case (eid, _, t, typ, v) =>
+          if (typ == rightType) last = Some(LastRight(us(t), eid, v))
+          else out += Enriched(user, eid, us(t), v, last.map(_.eventId), last.map(_.value))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+      })
+  }
+
   // ---- streaming rolling-z anomaly detection (W2 semantics, bounded state) --
 
   case class ZBuf(vals: Seq[Double])

@@ -128,6 +128,36 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment carries latest error across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, ts_us, event_type, value)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = input.toDF()
+      .select(col("_1").as("event_id"), col("_2").as("user_id"),
+        timestamp_micros(col("_3")).as("ts"), col("_4").as("event_type"), col("_5").as("value"))
+    val q = StreamingPipeline.asofEnrichStream(events)
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      // batch 1: error then clicks (one at the SAME ts as the error => inclusive)
+      input.addData((1L, 1L, h, "error", 0.5), (2L, 1L, h, "click", 1.0),
+        (3L, 1L, 2 * h, "click", 2.0), (4L, 2L, h, "click", 3.0))
+      q.processAllAvailable()
+      // batch 2: click before any new error (uses carried state), then a new
+      // error and a click after it
+      input.addData((5L, 1L, 3 * h, "click", 4.0),
+        (6L, 1L, 4 * h, "error", 9.5), (7L, 1L, 5 * h, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out").orderBy("event_id").collect()
+        .map(r => (r.getLong(1), Option(r.getAs[java.lang.Long]("err_event_id")).map(_.toLong)))
+      // clicks: 2 (ts tie => err 1), 3 (err 1), 4 (user 2, none), 5 (carried
+      // err 1), 7 (new err 6)
+      assert(rows.map(_._2).toSeq == Seq(Some(1L), Some(1L), None, Some(1L), Some(6L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming rolling-z flags the reference spike golden across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros

@@ -21,6 +21,25 @@ class StoreSpec extends SparkSpec {
     assert(filtered.count() == 3)
   }
 
+  test("compaction merges small-file partitions, preserves data, skips healthy ones") {
+    val path = Files.createTempDirectory("graft_store3").toString + "/clean"
+    // 4 appends => 4+ files per date partition (micro-batch debris)
+    (0 until 4).foreach(_ => Store.writeCleanEvents(events(2), path))
+    val statsBefore = Store.partitionFileStats(spark, path)
+    assert(statsBefore.forall(_._2 >= 4), s"expected small-file debris: $statsBefore")
+    val beforeRows = Store.readCleanEvents(spark, path)
+      .select("source_id", "ts", "metric", "value").collect().map(_.toString).sorted
+    val compacted = Store.compactCleanEvents(spark, path)
+    assert(compacted.toSet == Set("2025-09-01", "2025-09-02"))
+    val statsAfter = Store.partitionFileStats(spark, path)
+    assert(statsAfter.forall(_._2 == 1), s"one file per date after compaction: $statsAfter")
+    val afterRows = Store.readCleanEvents(spark, path)
+      .select("source_id", "ts", "metric", "value").collect().map(_.toString).sorted
+    assert(afterRows.sameElements(beforeRows), "compaction must not change the data")
+    // second pass: nothing left to compact
+    assert(Store.compactCleanEvents(spark, path).isEmpty)
+  }
+
   test("dynamic partition overwrite touches only recomputed dates") {
     val base = Files.createTempDirectory("graft_store2").toString + "/md"
     val v1 = Seq(
