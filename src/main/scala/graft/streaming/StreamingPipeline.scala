@@ -199,6 +199,71 @@ object StreamingPipeline {
       })
   }
 
+  /** The same enrichment on Spark 4's `transformWithState` API (the
+    * successor to flatMapGroupsWithState): typed `ValueState` with an
+    * optional processing-time TTL, so a key whose right-side payload goes
+    * stale for longer than `ttl` is evicted by the state store itself — at
+    * 100 TB of keys that TTL is the difference between state bounded by
+    * ACTIVE keys and state bounded by ALL keys ever seen. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def asofEnrichStreamTws(events: DataFrame, leftType: String = "click",
+                          rightType: String = "error",
+                          ttl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[Enriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val typed = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+    // ProcessingTime mode ONLY when a TTL needs it: in that mode the engine
+    // keeps scheduling state-cleanup micro-batches, so a TTL-less query
+    // would spin forever under processAllAvailable()
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    typed.groupByKey(_._2).transformWithState(
+      new AsofEnrichProcessor(leftType, rightType, ttl),
+      timeMode, OM.Append())
+  }
+
+  /** Stateful processor for [[asofEnrichStreamTws]]: one `ValueState` record
+    * per key holding the latest right-side payload; input-row handling is
+    * identical to the flatMapGroupsWithState twin (event-time sort, right
+    * before left on ties, last right update wins).
+    */
+  class AsofEnrichProcessor(leftType: String, rightType: String,
+                            ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, String, Double), Enriched] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var last: ValueState[LastRight] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastRight]("lastRight",
+        org.apache.spark.sql.Encoders.product[LastRight],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, String, Double)],
+        timerValues: TimerValues): Iterator[Enriched] = {
+      def us(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val sorted = rows.toArray.sortBy { case (eid, _, t, typ, _) =>
+        (us(t), if (typ == rightType) 0 else 1, eid)
+      }
+      var cur = if (last.exists()) Some(last.get()) else None
+      val out = Vector.newBuilder[Enriched]
+      sorted.foreach { case (eid, _, t, typ, v) =>
+        if (typ == rightType) cur = Some(LastRight(us(t), eid, v))
+        else out += Enriched(key, eid, us(t), v, cur.map(_.eventId), cur.map(_.value))
+      }
+      cur.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
   // ---- streaming rolling-z anomaly detection (W2 semantics, bounded state) --
 
   case class ZBuf(vals: Seq[Double])

@@ -158,6 +158,47 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState as-of enrichment matches the fMGWS twin (RocksDB state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the 4.1 checksum checkpoint manager deadlocks its await on local-FS
+    // RocksDB zip uploads; plain checkpoint files are fine for tests
+    val prevCk = spark.conf.getOption("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = input.toDF()
+      .select(col("_1").as("event_id"), col("_2").as("user_id"),
+        timestamp_micros(col("_3")).as("ts"), col("_4").as("event_type"), col("_5").as("value"))
+    val q = StreamingPipeline.asofEnrichStreamTws(events)
+      .writeStream.format("memory").queryName("asof_tws_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      input.addData((1L, 1L, h, "error", 0.5), (2L, 1L, h, "click", 1.0),
+        (3L, 1L, 2 * h, "click", 2.0), (4L, 2L, h, "click", 3.0))
+      q.processAllAvailable()
+      input.addData((5L, 1L, 3 * h, "click", 4.0),
+        (6L, 1L, 4 * h, "error", 9.5), (7L, 1L, 5 * h, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_tws_out").orderBy("event_id").collect()
+        .map(r => Option(r.getAs[java.lang.Long]("err_event_id")).map(_.toLong))
+      assert(rows.toSeq == Seq(Some(1L), Some(1L), None, Some(1L), Some(6L)), rows.mkString(","))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", v)
+        case None => spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+      }
+    }
+  }
+
   test("streaming rolling-z flags the reference spike golden across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
