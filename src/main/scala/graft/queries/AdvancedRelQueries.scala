@@ -183,6 +183,36 @@ object AdvancedRelQueries {
         .pivot(col("metric"), Seq("click", "error", "purchase", "signup", "view"))
         .agg(round(sum(col("value")), 2))
         .orderBy("day")
+    }),
+
+    // Unpivot (melt): the wide daily matrix back to long form — pivot's
+    // inverse, a pure projection + generator (no shuffle beyond the
+    // upstream aggregation). Standard unpivot semantics drop NULL cells.
+    "q67_unpivot" -> ((s, d) => {
+      val wide = Tables.cleanEvents(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .pivot(col("metric"), Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+      wide.unpivot(Array(col("day")), "metric", "value_sum")
+        .filter(col("value_sum").isNotNull)
+        .orderBy("day", "metric")
+    }),
+
+    // Range-frame rolling window: trailing-7-day sum over per-metric daily
+    // totals — a RANGE frame (value-based, gap-aware), unlike the ROWS
+    // frames elsewhere. Cents sum as integers so the frame total is
+    // order-independent and cross-engine exact.
+    "q68_rolling_7d" -> ((s, d) => {
+      val daily = Tables.cleanEvents(s, d)
+        .groupBy(col("metric"), to_date(col("ts")).as("metric_date"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("metric")).orderBy(unix_date(col("metric_date")))
+        .rangeBetween(-6, 0)
+      daily.select(col("metric"), col("metric_date"), col("v"),
+          (sum(floor(col("v") * 100 + 0.5).cast("long")).over(w) / 100.0).as("rolling_7d"))
+        .orderBy("metric", "metric_date")
     })
   )
 
@@ -294,6 +324,30 @@ object AdvancedRelQueries {
         |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
         |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
         |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS "view"
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_unpivot" ->
+      """WITH wide AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |    round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        |    round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |    round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |    round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS "view"
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, metric, value_sum
+        |FROM wide UNPIVOT (value_sum FOR metric IN (click, error, purchase, signup, "view"))
+        |ORDER BY day, metric""".stripMargin,
+    "q68_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type AS metric, CAST(ts AS DATE) AS metric_date,
+        |         round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT metric, metric_date, v,
+        |  sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY metric ORDER BY metric_date
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) / 100.0 AS rolling_7d
+        |FROM daily ORDER BY metric, metric_date""".stripMargin
   )
 }

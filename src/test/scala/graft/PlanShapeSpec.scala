@@ -32,6 +32,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of must not plan a join operator at all")
   }
 
+  test("forward as-of join also costs exactly one exchange and no join operator") {
+    val l = Seq((1L, "a", 10L)).toDF("id", "key", "ts")
+    val r = Seq(("a", 15L, "p")).toDF("key", "ts", "payload")
+    val p = graft.operators.AsofJoin.forward(l, r, Seq("key"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan has $exchanges:\n$p")
+    assert(!p.contains("Join"), "forward as-of must not plan a join operator at all")
+  }
+
+  test("semi/anti query plans semi and anti hash joins with a broadcast dim") {
+    val p = planOf("q64_semi_anti")
+    assert(p.contains("LeftSemi"), "semi join shape lost")
+    assert(p.contains("LeftAnti"), "anti join shape lost")
+    assert(p.contains("BroadcastHashJoin"), "nation dim lost its broadcast")
+  }
+
+  test("explicit-values pivot stays a hash aggregate with no values-discovery join") {
+    val p = planOf("q65_metric_pivot")
+    assert(p.contains("HashAggregate"), "pivot not hash-aggregated")
+    assert(!p.contains("Join"), "explicit-values pivot must not join")
+  }
+
   test("fact-to-dimension joins broadcast the dimension") {
     val p = planOf("q03_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), "dim join lost its broadcast")
