@@ -35,4 +35,23 @@ object Skew {
       max(col("__max")).as("value_max"))
       .withColumn("value_avg", col("value_sum") / col("value_count"))
   }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a random-ish
+    * (but deterministic — hash of the whole row) salt in [0, saltBuckets);
+    * the right side is replicated once per salt value; the join key becomes
+    * (key, salt), so a hot key's rows spread over `saltBuckets` reducers
+    * instead of piling onto one. Right-side replication costs
+    * |right| x saltBuckets rows — use for MEDIUM right sides that are too
+    * big to broadcast but far smaller than the skewed left (the classic gap
+    * AQE's skew splitting doesn't always cover, e.g. when the hot key's
+    * rows arrive pre-partitioned). Result == plain inner equi-join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -213,6 +213,22 @@ object AdvancedRelQueries {
       daily.select(col("metric"), col("metric_date"), col("v"),
           (sum(floor(col("v") * 100 + 0.5).cast("long")).over(w) / 100.0).as("rolling_7d"))
         .orderBy("metric", "metric_date")
+    }),
+
+    // Salted equi-join under the oracle gate: clicks (the "skewed" fact)
+    // joined to per-user error counts through (key, salt) — the result must
+    // equal the plain join the oracle computes.
+    "q69_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("value"))
+      val errN = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("err_n"))
+      graft.operators.Skew.saltedJoin(clicks, errN, "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("err_n")).as("err_n"),
+          round(sum(col("value")), 2).as("click_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -348,6 +364,16 @@ object AdvancedRelQueries {
         |  sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) OVER (
         |    PARTITION BY metric ORDER BY metric_date
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) / 100.0 AS rolling_7d
-        |FROM daily ORDER BY metric, metric_date""".stripMargin
+        |FROM daily ORDER BY metric, metric_date""".stripMargin,
+    "q69_salted_join" ->
+      """WITH err AS (
+        |  SELECT user_id, count(*) AS err_n FROM events
+        |  WHERE event_type = 'error' GROUP BY 1
+        |)
+        |SELECT c.user_id, count(*) AS n_clicks, min(e.err_n) AS err_n,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM events c JOIN err e ON c.user_id = e.user_id
+        |WHERE c.event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

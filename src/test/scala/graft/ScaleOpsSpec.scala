@@ -22,6 +22,18 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain inner join, including duplicate key rows") {
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "a"))
+      .toDF("k", "lv") // dup key rows AND a fully duplicate row
+    val right = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "rv")
+    val plain = left.join(right, "k")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", saltBuckets = 4)
+      .select("k", "lv", "rv") // align column order with the plain join
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
   test("approx distinct tracks exact distinct within rsd bounds") {
     val events = graft.core.Tables.cleanEvents(spark, "/root/testdata/sf0.001")
     val exact = DailyKpi.aggregate(events, Some("ts"))
