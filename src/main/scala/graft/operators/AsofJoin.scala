@@ -29,12 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param joinType "inner" (drop unmatched left rows) or "left" (keep
-    *                 them with null payload), mirroring ASOF JOIN vs
-    *                 ASOF LEFT JOIN.
+  /** @param joinType  "inner" (drop unmatched left rows) or "left" (keep
+    *                   them with null payload), mirroring ASOF JOIN vs
+    *                   ASOF LEFT JOIN.
+    * @param tolerance  max lookback in the timestamp column's own units
+    *                   (pandas `merge_asof(tolerance=...)`): a right row
+    *                   older than `left.ts - tolerance` no longer matches.
+    *                   Implemented as a post-window filter on the matched
+    *                   right timestamp — same single-exchange plan.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, joinType: String = "inner"): DataFrame = {
+               leftTs: String, rightTs: String, joinType: String = "inner",
+               tolerance: Option[Long] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
     val rightVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     require(rightVals.nonEmpty, "right side carries no payload columns")
@@ -45,9 +51,15 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.unionByName(r, allowMissingColumns = true)
+    val withMatch = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__mts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val joined = tolerance match {
+      case Some(tol) => withMatch.withColumn("__m",
+        when(col("__mts") >= col("__ts") - tol, col("__m")))
+      case None => withMatch
+    }
     val matched = if (joinType == "inner") joined.filter(col("__m").isNotNull) else joined
     matched.select(
       left.columns.toSeq.map(col) ++ rightVals.map(v => col("__m").getField(v).as(v)): _*)

@@ -113,6 +113,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join with tolerance matches a brute-force bounded-lookback reference") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
+    for (((ls, rs), tol) <- draws(
+        Gen.zip(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), Gen.oneOf(0L, 3L, 10L)), 8)) {
+      val left = ls.zipWithIndex.map { case ((kk, t), i) => (i.toLong, s"k$kk", t) }
+        .toDF("id", "key", "ts")
+      val right = rs.zipWithIndex.map { case ((kk, t), i) => (s"k$kk", t, f"p$t%03d_$i%02d") }
+        .toDF("key", "ts", "payload")
+      val got = graft.operators.AsofJoin
+        .backward(left, right, Seq("key"), "ts", "ts", "left", tolerance = Some(tol))
+        .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("payload"))).toMap
+      ls.zipWithIndex.foreach { case ((kk, t), i) =>
+        val eligible = rs.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == kk && rt <= t && t - rt <= tol }
+        val expected = eligible.map { case ((_, rt), j) => f"p$rt%03d_$j%02d" }.sorted.lastOption
+        assert(got(i.toLong) == expected, s"row $i key=k$kk ts=$t tol=$tol")
+      }
+    }
+  }
+
   test("forward as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
