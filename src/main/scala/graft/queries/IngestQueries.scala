@@ -100,6 +100,21 @@ object IngestQueries {
         .select(unix_micros(col("window.start")).as("hour_start_us"), col("metric"),
           col("n"), col("value_sum"))
         .orderBy("hour_start_us", "metric"))
+  ,
+
+    // Native session_window sessionization (vs q39's manual lag-island
+    // build): the builtin merges events whose 30-min windows overlap — a
+    // gap of EXACTLY 30 min starts a new session (q39's `>` keeps it), so
+    // the oracle uses >=. The builtin also runs unchanged under Structured
+    // Streaming, which the island construction cannot.
+    "q70_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("value_sum"))
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("value_sum"))
+        .orderBy("user_id", "start_us"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +166,24 @@ object IngestQueries {
     "q40_window_tumble" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
         |  event_type AS metric, count(*) AS n, round(sum(value), 2) AS value_sum
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q70_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value FROM events
+        |),
+        |gapped AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM gapped
+        |)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 30*60*1000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM sess GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin
   )
 }
