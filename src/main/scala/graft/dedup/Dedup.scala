@@ -81,9 +81,14 @@ object Dedup {
   // Recompute-per-branch is the fastest observed shape at bench scale; at
   // real corpus scale, materialize the sets once in the on-disk store
   // (store.Store) and share them across all dedup passes instead.
+  // Sets hold hex60 HASHES of the shingles, not the strings: the blocking
+  // groupBy keys on 8 bytes instead of ~25-byte strings, and the per-pair
+  // Jaccard intersects long arrays. hex60 is the same portable digest the
+  // oracles compute, so set sizes/intersections are identical modulo a
+  // ~2^-60 collision (which the cross-engine gate would surface).
   private def shingleSets(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh"))
+      .agg(collect_set(hex60(col("shingle"))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
   /** Jaccard over full shingle sets for an already-mined candidate pair
@@ -132,13 +137,18 @@ object Dedup {
     * and shuffling 16x the data — the map-side partial agg shrinks the
     * shuffle to one row per (doc, perm) regardless of shingle count.
     */
-  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame =
+    minhashFromBase(shingles.withColumn("__base", hex60(col("shingle")) % MinhashP), numPerms)
+
+  /** Same wide-agg minhash over rows that already carry the hex60-derived
+    * base hash (so set-reuse paths skip re-digesting the shingle string).
+    */
+  private def minhashFromBase(based: DataFrame, numPerms: Int): DataFrame = {
     val aggs = (0 until numPerms).map { i =>
       val ii = lit(i.toLong)
       min((minhashA(ii) % MinhashP * col("__base") + minhashB(ii)) % MinhashP).as(s"__m$i")
     }
-    val wide = shingles.withColumn("__base", hex60(col("shingle")) % MinhashP)
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val wide = based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val stackExpr = (0 until numPerms).map(i => s"$i, __m$i").mkString(", ")
     wide.selectExpr("doc_id", s"stack($numPerms, $stackExpr) as (i, minh)")
   }
@@ -166,8 +176,9 @@ object Dedup {
     */
   def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(shingles)
-    val distinctSh = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val bandsDf = lshBands(minhashSignatures(distinctSh, numPerms), numPerms, bands)
+    val based = sets.select(col("doc_id"), explode(col("sh")).as("__h"))
+      .withColumn("__base", col("__h") % MinhashP)
+    val bandsDf = lshBands(minhashFromBase(based, numPerms), numPerms, bands)
     jaccardForPairs(blockedPairs(bandsDf, "band_key", Int.MaxValue), sets, threshold)
   }
 
