@@ -91,12 +91,16 @@ object Similarity {
       .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     val cent = b.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
+    // argmax via max_by partial aggregation (tie -> least cid), not a sort
+    // window: the (id x centroid) rows reduce map-side to one row per id
+    // before any shuffle, where a window would shuffle-and-sort all of them
     val assigned = b.join(broadcast(cent))
       .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)))
-      .filter(col("crn") === 1)
-      .select(col(idCol), col("v"), col("n"), col("cid").as("cell"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("v"), col("n"), col("cid")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("__best"))
+      .select(col(idCol), col("__best.v").as("v"), col("__best.n").as("n"),
+        col("__best.cid").as("cell"))
     val scored = assigned.as("q").join(assigned.as("c"),
         col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
@@ -129,13 +133,15 @@ object Similarity {
       .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     var cent = b.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
+    // same max_by argmax shape as [[ivfTopK]] — map-side reduction, no sort
     def assign(centroids: DataFrame): DataFrame =
       b.join(broadcast(centroids))
         .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)))
-        .filter(col("crn") === 1)
-        .select(col(idCol), col("v"), col("n"), col("cid").as("cell"))
+        .groupBy(col(idCol))
+        .agg(max_by(struct(col("v"), col("n"), col("cid")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("__best"))
+        .select(col(idCol), col("__best.v").as("v"), col("__best.n").as("n"),
+          col("__best.cid").as("cell"))
     for (_ <- 0 until iters) {
       val means = assign(cent)
         .select(col("cell").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
