@@ -128,6 +128,36 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked windowed KPI finalizes windows once and drops late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)] // (source, ts_us, metric, value)
+    val events = input.toDF()
+      .select(col("_1").as("source_id"), timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("metric"), col("_4").as("value"))
+    val q = StreamingPipeline.windowedKpi(events).writeStream
+      .format("memory").queryName("wkpi_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      input.addData((1L, h, "m", 1.0), (1L, h + 60L * 1000000, "m", 2.0))
+      q.processAllAvailable() // watermark still before the window end: nothing emits
+      input.addData((1L, 5 * h, "m", 10.0))
+      q.processAllAvailable() // watermark -> 3h: [1h,2h) finalizes with sum 3.0
+      // a late [1h,2h) event BEHIND the watermark must be dropped, while the
+      // 8h event advances the watermark to finalize [5h,6h)
+      input.addData((1L, h + 1800L * 1000000, "m", 99.0), (1L, 8 * h, "m", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wkpi_out").collect().map { r =>
+        val startUs = r.getTimestamp(r.fieldIndex("window_start")).toInstant.toEpochMilli * 1000
+        (startUs, r.getAs[Double]("value_sum"), r.getAs[Long]("value_count"))
+      }.toSeq
+      val w1 = rows.filter(_._1 == h)
+      assert(w1 == Seq((h, 3.0, 2L)), s"late event leaked into a finalized window: $rows")
+      assert(rows.filter(_._1 == 5 * h) == Seq((5 * h, 10.0, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment carries latest error across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
