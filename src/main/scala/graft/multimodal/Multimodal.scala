@@ -56,6 +56,29 @@ object Multimodal {
       n_frames = (len % 32 + 1).toInt)
   }
 
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Frame sampling: every `everyK`-th frame of each media payload, so the
+    * fan-out per document is bounded by n_frames/everyK (the explode-shaped
+    * media op — at scale the output is rows-per-frame, never a shuffled
+    * blob). The per-frame decode is the stubbed codec slot: the fake
+    * derives a deterministic digest from (doc, frame index, payload head).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyK: Int = 4): Dataset[FrameSample] = {
+    require(everyK >= 1, "everyK must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      batch.flatMap { r =>
+        val meta = fakeDecode(r, md)
+        (0 until meta.n_frames by everyK).iterator.map { i =>
+          val d = md.digest(s"${r.doc_id}:$i:".getBytes("UTF-8") ++ r.payload.take(64))
+          FrameSample(r.doc_id, i, d.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Column-expression twin of the fake decode (used by the oracle-checked
     * query so DuckDB can mirror it; the Dataset path above is the operator).
     */

@@ -303,6 +303,23 @@ class IngestStreamingSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling emits every k-th frame with deterministic digests") {
+    val docs = Seq((1L, "hello world"), (2L, "a much longer document body here"))
+      .toDF("doc_id", "text")
+    import Multimodal._
+    val ds = Multimodal.asMedia(docs).as[MediaRecord]
+    val meta = Multimodal.decodeMeta(ds).collect().map(m => m.doc_id -> m.n_frames).toMap
+    val frames = Multimodal.sampleFrames(ds, everyK = 3).collect()
+    meta.foreach { case (id, n) =>
+      val mine = frames.filter(_.doc_id == id)
+      assert(mine.length == (n + 2) / 3, s"doc $id: ${mine.length} frames for n=$n")
+      assert(mine.map(_.frame_idx).sorted.sameElements(0 until n by 3))
+    }
+    val again = Multimodal.sampleFrames(ds, everyK = 3).collect()
+    assert(frames.map(_.frame_sha).sorted.sameElements(again.map(_.frame_sha).sorted),
+      "frame digests must be deterministic")
+  }
+
   test("recomputeOverwrite only rebuilds touched dates") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "m", 1.0),
