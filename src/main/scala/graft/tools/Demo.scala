@@ -61,6 +61,14 @@ object Demo {
     val enriched = graft.operators.AsofJoin.backward(
       clicks, errors, Seq("user_id"), "ts_us", "ts_us")
     println(s"[demo] clicks enriched with latest preceding error: ${enriched.count()}")
+    val nextClick = graft.operators.AsofJoin.forward(
+      errors.select(col("user_id"), col("ts_us"), col("last_err_value")),
+      clicks.select(col("user_id"), col("ts_us"), col("event_id").as("next_click_id")),
+      Seq("user_id"), "ts_us", "ts_us")
+    println(s"[demo] errors matched to their next click: ${nextClick.count()}")
+    val clusters = graft.queries.AnalyticsQueries.connectedComponentsAlternating(nearDups)
+    println(s"[demo] near-dup clusters (alternating-star CC): " +
+      s"${clusters.select(col("cluster_id")).distinct().count()}")
     println("[demo] top TF-IDF terms of doc 0:")
     graft.text.TextOps.tfidf(docs).filter(col("doc_id") === 0)
       .orderBy(col("tfidf").desc, col("term")).show(3, false)
