@@ -85,6 +85,18 @@ object Store {
     todo
   }
 
+  /** Write a table bucketed (and sorted) on the join key: two tables
+    * bucketed the same way join WITHOUT a shuffle — each bucket pair joins
+    * locally. At 100 TB this turns every recurring fact-fact join on the
+    * bucketing key into a scan-side merge; the one-time bucketing shuffle
+    * is paid at write time instead of on every query.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   private def overwriteByDate(df: DataFrame, path: String, dateCol: String): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

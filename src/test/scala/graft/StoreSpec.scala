@@ -40,6 +40,18 @@ class StoreSpec extends SparkSpec {
     assert(Store.compactCleanEvents(spark, path).isEmpty)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val a = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "bv")
+    Store.writeBucketed(a, "bkt_a", "k", numBuckets = 8)
+    Store.writeBucketed(b, "bkt_b", "k", numBuckets = 8)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 200)
+  }
+
   test("dynamic partition overwrite touches only recomputed dates") {
     val base = Files.createTempDirectory("graft_store2").toString + "/md"
     val v1 = Seq(
