@@ -50,6 +50,22 @@ object DailyKpi {
         count(lit(1)).as("value_count"),
         approx_count_distinct(col(distinctCol), rsd).as("value_distinct"))
 
+  /** Incremental merge of already-aggregated daily states: combine an
+    * existing metric_daily with a new batch's aggregates WITHOUT rescanning
+    * the underlying events — sum/count add, avg re-derives from the merged
+    * sum/count (algebraic state, exactly the map-side-combine identity).
+    * This is the true-incremental alternative to the reference's
+    * recompute-affected-dates upsert when the raw history is cold storage;
+    * distinct counts are NOT mergeable exactly and so are intentionally
+    * absent (merge HLL sketches via [[aggregateApprox]] at scale instead).
+    */
+  def mergeDaily(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.select("metric_date", "source_id", "metric", "value_sum", "value_count")
+      .unionByName(delta.select("metric_date", "source_id", "metric", "value_sum", "value_count"))
+      .groupBy(col("metric_date"), col("source_id"), col("metric"))
+      .agg(sum(col("value_sum")).as("value_sum"), sum(col("value_count")).as("value_count"))
+      .withColumn("value_avg", col("value_sum") / col("value_count"))
+
   /** R6: avg derivation with zero-guard (`backend/app/routers/kpi.py:132,139`,
     * `safe_divide` at `backend/app/utils/numeric.py:33-47`).
     */

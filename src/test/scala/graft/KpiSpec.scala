@@ -23,6 +23,27 @@ class KpiSpec extends SparkSpec {
     assert(r.getAs[Long]("value_count") == 2L)
   }
 
+  test("incremental merge of daily aggregates == aggregating the union of events") {
+    def ev(day: String, vals: Double*) = vals.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Timestamp.valueOf(s"$day 0$i:00:00"), "m", v)
+    }
+    val batch1 = (ev("2025-09-20", 1.0, 2.0) ++ ev("2025-09-21", 3.0))
+      .toDF("source_id", "ts", "metric", "value")
+    val batch2 = (ev("2025-09-21", 5.0) ++ ev("2025-09-22", 7.0))
+      .toDF("source_id", "ts", "metric", "value")
+    val merged = DailyKpi.mergeDaily(DailyKpi.aggregate(batch1), DailyKpi.aggregate(batch2))
+      .orderBy("metric_date").collect()
+    val direct = DailyKpi.aggregate(batch1.unionByName(batch2))
+      .orderBy("metric_date").collect()
+    assert(merged.length == direct.length)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getAs[java.sql.Date]("metric_date") == d.getAs[java.sql.Date]("metric_date"))
+      assert(m.getAs[Double]("value_sum") == d.getAs[Double]("value_sum"))
+      assert(m.getAs[Long]("value_count") == d.getAs[Long]("value_count"))
+      assert(m.getAs[Double]("value_avg") == d.getAs[Double]("value_avg"))
+    }
+  }
+
   test("per-day counts [3,2]; distinct ts == count for unique timestamps") {
     val rows = (0 until 3).map(i => (7L, java.sql.Timestamp.valueOf(s"2025-01-01 00:0$i:00"), "m", 1.0)) ++
       (0 until 2).map(i => (7L, java.sql.Timestamp.valueOf(s"2025-01-02 00:0$i:00"), "m", 1.0))
