@@ -41,6 +41,18 @@ class StoreSpec extends SparkSpec {
   }
 
   test("co-bucketed tables join without a shuffle") {
+    // saveAsTable writes under spark.sql.warehouse.dir; a fresh JVM's
+    // in-memory catalog forgets the table but the directory persists, so
+    // clear both before writing to keep the test rerunnable
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     val a = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "av")
     val b = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "bv")
     Store.writeBucketed(a, "bkt_a", "k", numBuckets = 8)
