@@ -32,7 +32,12 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd fixes the optimized plan BEFORE counting, so every output
+      // column is really computed — a plain .count() lets Catalyst prune
+      // aggregate values/projections that don't affect row counts and
+      // under-measures aggregation-heavy queries by ~2x
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal formatting keeps the whole line under ~1.8 KB so it fits

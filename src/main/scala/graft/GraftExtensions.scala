@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo("graft.expressions.DotProduct", "dot_product"),
       (children: Seq[Expression]) => graft.expressions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_min"),
+      new ExpressionInfo("graft.expressions.WinnowMin", "winnow_min"),
+      (children: Seq[Expression]) => graft.expressions.WinnowMin(children(0),
+        children(1).eval().asInstanceOf[Int])))
   }
 }

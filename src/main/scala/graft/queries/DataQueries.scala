@@ -360,11 +360,16 @@ object DataQueries {
     "q34_text_fingerprint" ->
       s"""WITH nrm AS (
          |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents
+         |),
+         |codes AS (
+         |  SELECT doc_id, norm,
+         |    list_transform(string_split(norm, ''), c -> ascii(c)) || [0,0,0,0,0,0,0,0] AS cs
+         |  FROM nrm
          |)
          |SELECT doc_id, md5(norm) AS fp_md5,
-         |  list_min([${hex60Sql("substr(norm, i, 8)")}
+         |  list_min([${TextOps.polyTerms(8, "::BIGINT")(j => s"cs[i + $j]")}
          |            FOR i IN generate_series(1, greatest(length(norm) - 7, 1))]) AS winnow_min
-         |FROM nrm ORDER BY doc_id""".stripMargin,
+         |FROM codes ORDER BY doc_id""".stripMargin,
     "q35_mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

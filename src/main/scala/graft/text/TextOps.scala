@@ -113,20 +113,32 @@ object TextOps {
       .select(col("doc_id"), col("pred_lang"), col("top_score"))
   }
 
+  /** Polynomial k-gram hash terms (base 131): char codes are < 256 and
+    * 131^7 * 255 * 8 stays far inside int64, so no modulus is needed and
+    * the arithmetic is identical on any engine. `elem(j)` renders the code
+    * of the character at offset j from the window position — an O(1)
+    * array-index into a precomputed code array, NEVER `substr(s, i, 1)`
+    * (substring-by-char-index is O(i) on UTF8 strings, which turns the
+    * whole fingerprint quadratic; measured 25s vs ~1s at sf0.1).
+    */
+  def polyTerms(k: Int, litSuffix: String)(elem: Int => String): String = {
+    val pows = Array.iterate(1L, k)(_ * 131L).reverse
+    (0 until k).map(j => s"${elem(j)} * ${pows(j)}$litSuffix").mkString(" + ")
+  }
+
   /** Document fingerprints: md5 of the normalized text plus a winnowing-style
-    * minimum over character k-gram hashes (rolling-hash family; min-hash of
-    * k-grams is order-robust and cheap to compare).
+    * minimum over polynomial character k-gram hashes (min-hash of k-grams is
+    * order-robust and cheap to compare).
     */
   def fingerprints(docs: DataFrame, k: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // the min over k-gram hashes is computed inside one array expression —
     // map-only, no explode and no shuffle (the grouped-explode version
-    // shuffled one row per character of the corpus)
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.expressions.Hex60.ensureRegistered)
+    // shuffled one row per character of the corpus); the min over k-gram
+    // hashes is one zero-allocation codegen'd call per document
+    // ([[graft.expressions.WinnowMin]] — see its scaladoc for the measured
+    // costs of the composed-expression alternatives)
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
     docs.select(col(idCol).as("doc_id"), norm.as("__norm"))
       .select(col("doc_id"), md5(col("__norm")).as("fp_md5"),
-        expr(s"array_min(transform(sequence(1, greatest(length(__norm) - ${k - 1}, 1)), " +
-          s"i -> hex60(substring(__norm, i, $k))))").as("winnow_min"))
+        graft.expressions.WinnowMin(col("__norm"), k).as("winnow_min"))
   }
 }

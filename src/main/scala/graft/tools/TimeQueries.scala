@@ -10,7 +10,12 @@ object TimeQueries {
     for (n <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
-      println(f"== $n run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      // full-materialization timing: toRdd fixes the optimized plan BEFORE
+      // the count, so no aggregate-value/projection pruning
+      graft.SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count()
+      val t2 = System.nanoTime()
+      println(f"== $n run$i count ${(t1-t0)/1e9}%.2f s, full ${(t2-t1)/1e9}%.2f s")
     }
     spark.stop()
   }

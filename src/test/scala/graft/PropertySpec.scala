@@ -113,6 +113,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_min expression == composed array expression for arbitrary strings") {
+    val strs = draws(Gen.listOf(Gen.alphaNumStr), 4).flatten.filter(_.nonEmpty).distinct
+    val terms = graft.text.TextOps.polyTerms(8, "L")(j => s"element_at(__codes, i + $j)")
+    val both = strs.toDF("s")
+      .withColumn("__codes",
+        expr("concat(transform(split(s, ''), c -> ascii(c)), array_repeat(0, 8))"))
+      .select(
+        graft.expressions.WinnowMin(col("s"), 8).as("native"),
+        expr(s"array_min(transform(sequence(1, greatest(length(s) - 7, 1)), i -> $terms))")
+          .as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("as-of join with tolerance matches a brute-force bounded-lookback reference") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for (((ls, rs), tol) <- draws(
