@@ -142,9 +142,15 @@ object Forecast {
     // tail(need) then re-rank chronologically
     val wDesc = Window.partitionBy(k: _*).orderBy(col("metric_date").desc)
     val wAsc = Window.partitionBy(k: _*).orderBy(col("metric_date").asc)
+    // the tailed series feeds THREE plan branches (fold table + two joins);
+    // without materialization each branch re-runs the whole upstream
+    // (events scan -> daily aggregation -> windows). The tail is tiny
+    // (series x <=need rows), so one eager local checkpoint beats three
+    // upstream recomputes — measured 3.0s -> ~1.6s at sf0.1.
     val tailed = full.withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= need)
       .withColumn("rn", row_number().over(wAsc))
       .withColumn("m", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .localCheckpoint(true)
     // fold table: one row per (series, t) with train_len = m - (t+1)*h
     val foldTbl = tailed.select(k :+ col("m"): _*).distinct()
       .select(k ++ Seq(col("m"), explode(sequence(lit(0), lit(folds - 1))).as("t")): _*)
@@ -185,11 +191,13 @@ object Forecast {
     val h = math.max(1, horizon)
     val wDesc = Window.partitionBy(k: _*).orderBy(col("metric_date").desc)
     val wAsc = Window.partitionBy(k: _*).orderBy(col("metric_date").asc)
+    // same multi-branch reuse as [[backtest]] — materialize the small tail
     val series = metricDaily
       .select(k ++ Seq(col("metric_date"), col("value_sum").cast("double").as("y")): _*)
       .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= days)
       .withColumn("rn", row_number().over(wAsc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .localCheckpoint(true)
     val foldTbl = series.select(k :+ col("n"): _*).distinct()
       .withColumn("eff_folds", least(lit(folds), greatest(col("n") - (h + 1), lit(0))))
       .select(k ++ Seq(col("n"), col("eff_folds"), explode(sequence(lit(0), lit(folds - 1))).as("kf")): _*)
