@@ -229,6 +229,42 @@ object AdvancedRelQueries {
         .agg(count(lit(1)).as("n_clicks"), min(col("err_n")).as("err_n"),
           round(sum(col("value")), 2).as("click_value"))
         .orderBy("user_id")
+    }),
+
+    // Value-window family (first/last/nth/lead) over per-metric daily
+    // totals: the "compare each day to the series' anchor points" shape.
+    // last_value needs the full-partition frame — the default frame stops
+    // at CURRENT ROW, which silently yields a running last.
+    "q71_window_values" -> ((s, d) => {
+      val daily = Tables.cleanEvents(s, d)
+        .groupBy(col("metric"), to_date(col("ts")).as("metric_date"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("metric")).orderBy(col("metric_date"))
+      val wFull = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      daily.select(col("metric"), col("metric_date"), col("v"),
+          first(col("v")).over(wFull).as("first_v"),
+          last(col("v")).over(wFull).as("last_v"),
+          nth_value(col("v"), 3).over(wFull).as("third_v"),
+          lead(col("v"), 1).over(wOrd).as("next_v"))
+        .orderBy("metric", "metric_date")
+    }),
+
+    // Explicit GROUPING SETS (vs q51's full CUBE): only the named
+    // combinations aggregate — per-metric, per-bucket, and grand total.
+    "q72_grouping_sets" -> ((s, d) => {
+      Tables.cleanEvents(s, d)
+        .withColumn("source_bucket", (col("source_id") % 4).cast("int"))
+        .createOrReplaceTempView("ev_gs")
+      s.sql(
+        """SELECT metric, source_bucket, count(*) AS n,
+          |  round(sum(value), 2) AS value_sum,
+          |  CAST(grouping_id() AS INT) AS gid
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((metric), (source_bucket), ())
+          |ORDER BY gid, metric, source_bucket""".stripMargin)
     })
   )
 
@@ -374,6 +410,30 @@ object AdvancedRelQueries {
         |  round(sum(c.value), 2) AS click_value
         |FROM events c JOIN err e ON c.user_id = e.user_id
         |WHERE c.event_type = 'click'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q71_window_values" ->
+      """WITH daily AS (
+        |  SELECT event_type AS metric, CAST(ts AS DATE) AS metric_date,
+        |         round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT metric, metric_date, v,
+        |  first_value(v) OVER wf AS first_v,
+        |  last_value(v) OVER wf AS last_v,
+        |  nth_value(v, 3) OVER wf AS third_v,
+        |  lead(v, 1) OVER wo AS next_v
+        |FROM daily
+        |WINDOW
+        |  wf AS (PARTITION BY metric ORDER BY metric_date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  wo AS (PARTITION BY metric ORDER BY metric_date)
+        |ORDER BY metric, metric_date""".stripMargin,
+    "q72_grouping_sets" ->
+      """SELECT event_type AS metric, CAST(user_id % 4 AS INT) AS source_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS value_sum,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS INT) AS gid
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())
+        |ORDER BY gid, metric, source_bucket""".stripMargin
   )
 }
