@@ -149,6 +149,28 @@ object StreamingPipeline {
       })
   }
 
+  // ---- stream-stream interval join (watermarked state on BOTH sides) ----
+
+  /** Stream-stream inner join: each left event matches right events for the
+    * same key within a trailing `lookbackMinutes` window. Both sides are
+    * watermarked and the join condition bounds event time in BOTH
+    * directions, so the state store can evict rows once the watermark
+    * passes the window — without the time bound a stream-stream join's
+    * state grows forever. Right columns must be pre-renamed (only the key
+    * is shared); output is append-mode.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         lookbackMinutes: Int = 60,
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l_side")
+    val r = right.withWatermark(rightTs, watermark).as("r_side")
+    l.join(r, expr(
+      s"""l_side.$key = r_side.$key AND
+         |r_side.$rightTs BETWEEN l_side.$leftTs - INTERVAL $lookbackMinutes MINUTES
+         |                    AND l_side.$leftTs""".stripMargin))
+  }
+
   // ---- streaming backward as-of enrichment (q53's join as a live stream) --
 
   case class LastRight(tsUs: Long, eventId: Long, value: Double)

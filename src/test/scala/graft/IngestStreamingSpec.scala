@@ -128,6 +128,36 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the lookback window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Long)]  // (click_id, user_id, ts_us)
+    val errorsIn = MemoryStream[(Long, Long, Long)]  // (err_id, user_id, ts_us)
+    val clicks = clicksIn.toDF().select(col("_1").as("click_id"), col("_2").as("user_id"),
+      timestamp_micros(col("_3")).as("ts"))
+    val errors = errorsIn.toDF().select(col("_1").as("err_id"), col("_2").as("user_id"),
+      timestamp_micros(col("_3")).as("err_ts"))
+    val q = StreamingPipeline
+      .intervalJoinStream(clicks, errors, "user_id", "ts", "err_ts", lookbackMinutes = 60)
+      .select(col("click_id"), col("err_id"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000000
+      // err@1h: click@1.5h is within 60 min, click@3h is not; user 2 never errors
+      errorsIn.addData((100L, 1L, h))
+      clicksIn.addData((1L, 1L, h + h / 2), (2L, 1L, 3 * h), (3L, 2L, h))
+      q.processAllAvailable()
+      // cross-batch: a later error joins an even later click in a new batch
+      errorsIn.addData((101L, 1L, 5 * h))
+      clicksIn.addData((4L, 1L, 5 * h + 60L * 1000000))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L), (4L, 101L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermarked windowed KPI finalizes windows once and drops late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
