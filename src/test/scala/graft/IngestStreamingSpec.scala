@@ -128,6 +128,36 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming query resumes exactly-once from its checkpoint after a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.timestamp_micros
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[(Long, Long, String, Double)]
+    def events = input.toDF()
+      .select(col("_1").as("source_id"), timestamp_micros(col("_2")).as("ts"),
+        col("_3").as("metric"), col("_4").as("value"))
+    def start() = events.writeStream
+      .format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    val h = 3600L * 1000000
+    val q1 = start()
+    try {
+      input.addData((1L, h, "m", 1.0), (1L, 2 * h, "m", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: committed offsets must not replay
+    val q2 = start()
+    try {
+      input.addData((1L, 3 * h, "m", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(s"$base/out").collect()
+    assert(out.length == 3, s"exactly-once resume violated: ${out.length} rows")
+    assert(out.map(_.getAs[Double]("value")).sorted.sameElements(Array(1.0, 2.0, 3.0)))
+  }
+
   test("stream-stream interval join matches within the lookback window only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
