@@ -34,6 +34,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain, s"salted=$salted plain=$plain")
   }
 
+  test("approx percentile tracks exact percentile within its accuracy bound") {
+    val events = graft.core.Tables.cleanEvents(spark, "/root/testdata/sf0.001")
+    val r = events.agg(
+      expr("percentile(value, 0.5)").as("exact"),
+      expr("approx_percentile(value, 0.5, 1000)").as("approx")).collect().head
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("approx distinct tracks exact distinct within rsd bounds") {
     val events = graft.core.Tables.cleanEvents(spark, "/root/testdata/sf0.001")
     val exact = DailyKpi.aggregate(events, Some("ts"))
