@@ -252,6 +252,27 @@ object AdvancedRelQueries {
         .orderBy("metric", "metric_date")
     }),
 
+    // Tolerance as-of join: each click picks up the latest error at most 30
+    // minutes old — merge_asof(tolerance=...) semantics. The oracle is an
+    // independent DuckDB LATERAL top-1 subquery, not a mirror of the
+    // window construction.
+    "q73_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val errors0 = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      val errW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_us")).orderBy(col("err_event_id").desc)
+      val errors = errors0.withColumn("__rn", row_number().over(errW))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsofJoin.backward(clicks, errors, Seq("user_id"), "ts_us", "ts_us",
+          joinType = "left", tolerance = Some(30L * 60 * 1000000))
+        .orderBy("event_id")
+    }),
+
     // Explicit GROUPING SETS (vs q51's full CUBE): only the named
     // combinations aggregate — per-metric, per-bucket, and grand total.
     "q72_grouping_sets" -> ((s, d) => {
@@ -428,6 +449,28 @@ object AdvancedRelQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
         |  wo AS (PARTITION BY metric ORDER BY metric_date)
         |ORDER BY metric, metric_date""".stripMargin,
+    "q73_asof_tolerance" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type, value FROM events
+        |),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |errors0 AS (SELECT user_id, ts_us, event_id AS err_event_id, value AS err_value
+        |            FROM ev WHERE event_type = 'error'),
+        |errors AS (
+        |  SELECT user_id, ts_us, err_event_id, err_value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY err_event_id DESC) AS rn
+        |    FROM errors0) WHERE rn = 1
+        |)
+        |SELECT c.event_id, c.user_id, c.ts_us, m.err_event_id, m.err_value
+        |FROM clicks c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.err_event_id, e.err_value
+        |  FROM errors e
+        |  WHERE e.user_id = c.user_id AND e.ts_us <= c.ts_us
+        |    AND e.ts_us >= c.ts_us - 30*60*1000000
+        |  ORDER BY e.ts_us DESC LIMIT 1
+        |) m ON true
+        |ORDER BY c.event_id""".stripMargin,
     "q72_grouping_sets" ->
       """SELECT event_type AS metric, CAST(user_id % 4 AS INT) AS source_bucket,
         |  count(*) AS n, round(sum(value), 2) AS value_sum,
