@@ -167,19 +167,75 @@ object Dedup {
       .drop("sig")
   }
 
+  /** Shingle sets keyed by a digest of the (sorted) set, plus the per-set
+    * canonical representative (min doc_id) — the exact-dedup collapse that
+    * guards the LSH stage against degenerate buckets. `collect_set` order is
+    * nondeterministic, so the key hashes the sorted array.
+    */
+  private def keyedSets(sets: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = sets.withColumn("__set_key",
+      md5(concat_ws(",", transform(array_sort(col("sh")), _.cast("string")))))
+    val groups = keyed.groupBy(col("__set_key")).agg(min(col("doc_id")).as("rep_id"))
+    // (rep_id, doc_id) for every member, including the rep itself
+    val members = keyed.select(col("__set_key"), col("doc_id"))
+      .join(groups, "__set_key").select(col("rep_id"), col("doc_id"))
+    (groups, members)
+  }
+
   /** MinHash+LSH near-dup pairs: candidates collide on at least one band,
     * then exact Jaccard over the shingle sets filters at `threshold`.
     * The band id is baked into `band_key` (it prefixes the hashed string),
-    * so one bucket-list aggregation on band_key replaces the band self-join;
-    * no frequency cap here — an LSH bucket of n true duplicates must yield
-    * all C(n,2) pairs.
+    * so one bucket-list aggregation on band_key replaces the band self-join.
+    *
+    * Degenerate-bucket hardening (real crawl corpora have millions of
+    * byte-identical boilerplate docs, which all land in ONE LSH bucket):
+    * identical shingle sets collapse to a canonical representative BEFORE
+    * banding, so the expensive stage — bucket collect + C(n,2) pair explode +
+    * per-pair set joins + `array_intersect` — only ever sees one doc per
+    * distinct content. All member pairs are still emitted (the n-dup-bucket
+    * contract): cross-set rep pairs fan back out to members through two thin
+    * codegen joins that carry no shingle arrays, and within-set pairs are
+    * emitted directly with their known jaccard of exactly 1.0.
+    *
+    * `maxBucket` caps post-collapse bucket size: a bucket of more than
+    * `maxBucket` DISTINCT shingle sets is dropped whole (recall contract —
+    * such buckets are band-hash pathologies, not near-dup families; use
+    * [[minhashLshOverflow]] to audit what a given cap drops).
     */
-  def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double): DataFrame = {
+  def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double,
+                      maxBucket: Int = 1000): DataFrame = {
     val sets = shingleSets(shingles)
-    val based = sets.select(col("doc_id"), explode(col("sh")).as("__h"))
+    val (groups, members) = keyedSets(sets)
+    val repSets = sets.join(groups.select(col("rep_id").as("doc_id")), "doc_id")
+    val based = repSets.select(col("doc_id"), explode(col("sh")).as("__h"))
       .withColumn("__base", col("__h") % MinhashP)
     val bandsDf = lshBands(minhashFromBase(based, numPerms), numPerms, bands)
-    jaccardForPairs(blockedPairs(bandsDf, "band_key", Int.MaxValue), sets, threshold)
+    val repPairs = jaccardForPairs(blockedPairs(bandsDf, "band_key", maxBucket), repSets, threshold)
+    val expanded = repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("__ma")), "doc_a")
+      .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("__mb")), "doc_b")
+      .select(least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"), col("jaccard"))
+    val within = members.select(col("rep_id"), col("doc_id").as("__ma"))
+      .join(members.select(col("rep_id"), col("doc_id").as("__mb")), "rep_id")
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"), lit(1.0).as("jaccard"))
+    expanded.unionByName(within)
+  }
+
+  /** Audit companion for [[minhashLshPairs]]: the post-collapse LSH buckets
+    * a given `maxBucket` cap would drop, as (band_key, bucket_size). Empty
+    * means the cap loses nothing at this corpus.
+    */
+  def minhashLshOverflow(shingles: DataFrame, numPerms: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val sets = shingleSets(shingles)
+    val (groups, _) = keyedSets(sets)
+    val repSets = sets.join(groups.select(col("rep_id").as("doc_id")), "doc_id")
+    val based = repSets.select(col("doc_id"), explode(col("sh")).as("__h"))
+      .withColumn("__base", col("__h") % MinhashP)
+    lshBands(minhashFromBase(based, numPerms), numPerms, bands)
+      .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
   }
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the

@@ -38,6 +38,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("minhash LSH survives a degenerate bucket of 10k identical docs") {
+    // Real crawl corpora put millions of byte-identical boilerplate docs in
+    // ONE LSH bucket; pre-hardening this exploded C(n,2) pairs through the
+    // per-pair shingle-set joins. The exact-collapse pre-pass must (a) finish
+    // fast, (b) still honor the all-pairs contract, (c) expand cross-set rep
+    // pairs back to every member.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val variant = "the quick brown fox jumps over the lazy dog again and often"
+    val many = (10L until 10010L).map(i => (i, base)) :+
+      (1L, variant) :+ (2L, "completely different words live in this document here now yes")
+    val bigDocs = spark.createDataFrame(many).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(Dedup.wordShingles(bigDocs, 3), 16, 4, threshold = 0.5)
+    val n = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // all C(10k,2) within-group pairs + the variant paired with every member
+    assert(n == 10000L * 9999L / 2 + 10000L)
+    assert(secs < 120.0, s"degenerate bucket took $secs s")
+    // the variant's rep pair expanded to all members, with consistent jaccard
+    val cross = pairs.filter(col("doc_a") === 1L || col("doc_b") === 1L)
+    assert(cross.count() == 10000L)
+    assert(cross.select("jaccard").distinct().count() == 1L)
+    // post-collapse buckets are tiny: even a cap of 2 drops nothing here
+    assert(Dedup.minhashLshOverflow(Dedup.wordShingles(bigDocs, 3), 16, 4, maxBucket = 2).isEmpty)
+  }
+
   test("simhash: identical docs have hamming 0; banded pairs find them") {
     val sims = Dedup.simhash(docs)
     val h = sims.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
