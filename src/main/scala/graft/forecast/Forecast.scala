@@ -96,6 +96,60 @@ object Forecast {
         when(col("n") < 7, lit("naive_hold_last")).otherwise(lit("moving_average")).as("method")): _*)
   }
 
+  /** Weekly seasonal-naive forecaster — the deterministic counterpart of the
+    * reference's unmounted seasonal router (`backend/app/schemas/forecast.py:36-60`,
+    * SARIMAX (1,1,1)(0,1,1,7)): a weekday-shaped series forecasts weekday-shaped.
+    *
+    * yhat(T + h) = value(T + h - period*ceil(h/period)) — the most recent
+    * observation with the same phase; over a gap-filled daily series this is
+    * the tail row at rd = period - (h-1) % period (rd = 1 is the last day).
+    * CI = z * sd of the one-season-lag residuals value(t) - value(t-period)
+    * (sample variance, floor 1e-12 — the [[maForecast]] convention); the
+    * residual squares are summed as decimals so shuffle order cannot perturb
+    * the band. Series with n < period flatline at the last value
+    * ("naive_hold_last", same fallback contract as [[maForecast]]).
+    *
+    * One aggregation + one window rank + two thin joins; every series is
+    * forecast in a single distributed plan, no per-series loop.
+    */
+  def seasonalNaiveForecast(series: DataFrame, horizon: Int, period: Int = 7, ci: Int = 90,
+                            keys: Seq[String] = Seq("source_id", "metric")): DataFrame = {
+    val z = zTable.getOrElse(ci, 1.645)
+    val k = keys.map(col)
+    val wDesc = Window.partitionBy(k: _*).orderBy(col("metric_date").desc)
+    val wAsc = Window.partitionBy(k: _*).orderBy(col("metric_date").asc)
+    val per = series.groupBy(k: _*).agg(
+      count(lit(1)).as("n"),
+      max(col("metric_date")).as("last_date"),
+      max_by(col("value"), col("metric_date")).as("last_val"))
+    val resid = series.withColumn("__lag", lag(col("value"), period).over(wAsc))
+      .filter(col("__lag").isNotNull)
+      .withColumn("__r", col("value") - col("__lag"))
+      .groupBy(k: _*).agg(
+        count(lit(1)).as("nr"),
+        (sum(floor(col("__r") * col("__r") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6 /
+          greatest(count(lit(1)) - 1, lit(1L))).as("__var"))
+      .withColumn("sd", when(col("nr") > 1, sqrt(greatest(col("__var"), lit(1e-12)))).otherwise(0.0))
+      .select((k :+ col("sd")): _*)
+    val tail = series.withColumn("rd_src", row_number().over(wDesc))
+      .filter(col("rd_src") <= period)
+      .select(k ++ Seq(col("rd_src"), col("value").as("season_val")): _*)
+    val stepped = per.join(resid, keys, "left")
+      .withColumn("sd", coalesce(col("sd"), lit(0.0)))
+      .select(k ++ Seq(col("n"), col("last_date"), col("last_val"), col("sd"),
+        explode(sequence(lit(1), lit(horizon))).as("step")): _*)
+      .withColumn("rd_src", lit(period) - (col("step") - 1) % period)
+    stepped.join(tail, keys :+ "rd_src", "left")
+      .select(k ++ Seq(
+        date_add(col("last_date"), col("step")).as("target_date"),
+        when(col("n") < period, col("last_val")).otherwise(col("season_val")).as("yhat"),
+        when(col("n") < period, col("last_val"))
+          .otherwise(col("season_val") - lit(z) * col("sd")).as("yhat_lower"),
+        when(col("n") < period, col("last_val"))
+          .otherwise(col("season_val") + lit(z) * col("sd")).as("yhat_upper"),
+        when(col("n") < period, lit("naive_hold_last")).otherwise(lit("seasonal_naive")).as("method")): _*)
+  }
+
   // ---- M5: error metrics (forecast.py:134-156) as aggregate columns over
   //      (actual, pred) pairs. Two epsilon conventions exist in the
   //      reference; both are kept (see reliabilityFolds for the 1e-9 one).

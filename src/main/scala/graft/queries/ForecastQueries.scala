@@ -91,6 +91,19 @@ object ForecastQueries {
           col("method"))
         .orderBy("source_id", "metric", "target_date")
     }),
+    // Seasonal-naive forecast: weekly phase repeat with lag-7 residual bands;
+    // horizon 10 crosses the season boundary so the phase wraparound is
+    // oracle-checked too.
+    "q74_seasonal_naive" -> ((s, d) => {
+      Forecast.seasonalNaiveForecast(Forecast.fetchSeries(OracleCte.roundMd(md(s, d))),
+          horizon = 10, period = 7, ci = 90)
+        .select(col("source_id"), col("metric"), col("target_date"),
+          round(col("yhat"), 6).as("yhat"),
+          round(col("yhat_lower"), 6).as("yhat_lower"),
+          round(col("yhat_upper"), 6).as("yhat_upper"),
+          col("method"))
+        .orderBy("source_id", "metric", "target_date")
+    }),
     // M8+M9: contract normalizer — horizon-5 forecast padded to exactly 7
     // rows, UTC-midnight Z strings, bounds ordered and widened.
     "q23_forecast_contract" -> ((s, d) => {
@@ -257,6 +270,54 @@ object ForecastQueries {
          |  JOIN resid r ON r.source_id = s.source_id AND r.metric = s.metric
          |  JOIN nall na ON na.source_id = s.source_id AND na.metric = s.metric
          |  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) AS i
+         |)
+         |SELECT source_id, metric, target_date,
+         |  round(yhat, 6) AS yhat, round(yhat_lower, 6) AS yhat_lower,
+         |  round(yhat_upper, 6) AS yhat_upper, method
+         |FROM fc ORDER BY 1,2,3""".stripMargin,
+    "q74_seasonal_naive" ->
+      s"""WITH ${OracleCte.series},
+         |per AS (
+         |  SELECT source_id, metric, count(*) AS n, max(metric_date) AS last_date,
+         |         arg_max(value, metric_date) AS last_val
+         |  FROM series GROUP BY 1,2
+         |),
+         |resid AS (
+         |  SELECT source_id, metric, count(*) AS nr,
+         |    CAST(sum(CAST(floor(r*r*1e6) AS BIGINT)) AS DOUBLE) / 1e6 / greatest(count(*) - 1, 1) AS var
+         |  FROM (
+         |    SELECT source_id, metric,
+         |      value - lag(value, 7) OVER (PARTITION BY source_id, metric ORDER BY metric_date ASC) AS r
+         |    FROM series
+         |  ) WHERE r IS NOT NULL GROUP BY 1,2
+         |),
+         |sdt AS (
+         |  SELECT source_id, metric,
+         |    CASE WHEN nr > 1 THEN sqrt(greatest(var, 1e-12)) ELSE 0.0 END AS sd
+         |  FROM resid
+         |),
+         |tl AS (
+         |  SELECT source_id, metric, value AS season_val,
+         |    row_number() OVER (PARTITION BY source_id, metric ORDER BY metric_date DESC) AS rd_src
+         |  FROM series QUALIFY rd_src <= 7
+         |),
+         |stepped AS (
+         |  SELECT p.source_id, p.metric, p.n, p.last_date, p.last_val,
+         |    coalesce(s.sd, 0.0) AS sd, i.i AS step, 7 - (i.i - 1) % 7 AS rd_src
+         |  FROM per p
+         |  LEFT JOIN sdt s ON s.source_id = p.source_id AND s.metric = p.metric
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS i) AS i
+         |),
+         |fc AS (
+         |  SELECT st.source_id, st.metric,
+         |    CAST(st.last_date + st.step * INTERVAL 1 DAY AS DATE) AS target_date,
+         |    CASE WHEN st.n < 7 THEN st.last_val ELSE t.season_val END AS yhat,
+         |    CASE WHEN st.n < 7 THEN st.last_val ELSE t.season_val - 1.645 * st.sd END AS yhat_lower,
+         |    CASE WHEN st.n < 7 THEN st.last_val ELSE t.season_val + 1.645 * st.sd END AS yhat_upper,
+         |    CASE WHEN st.n < 7 THEN 'naive_hold_last' ELSE 'seasonal_naive' END AS method
+         |  FROM stepped st
+         |  LEFT JOIN tl t ON t.source_id = st.source_id AND t.metric = st.metric
+         |    AND t.rd_src = st.rd_src
          |)
          |SELECT source_id, metric, target_date,
          |  round(yhat, 6) AS yhat, round(yhat_lower, 6) AS yhat_lower,

@@ -33,6 +33,38 @@ class ForecastSpec extends SparkSpec {
     assert(fc.forall(r => r.getAs[Double]("yhat") == 0.0 && r.getAs[Double]("yhat_upper") == 0.0))
   }
 
+  test("seasonal-naive: weekday-periodic series forecasts periodically") {
+    // 28 days of a pure period-7 pattern: value = 10 + (day mod 7)
+    val fc = Forecast.seasonalNaiveForecast(series(28, i => 10.0 + (i % 7)), horizon = 10)
+      .orderBy("target_date").collect()
+    assert(fc.length == 10)
+    assert(fc.forall(_.getAs[String]("method") == "seasonal_naive"))
+    // day 28 has phase 0, so yhat repeats 10,11,...,16,10,11,12 — the phase
+    // wraps at step 8 instead of flatlining at the last value
+    val expect = (28 until 38).map(i => 10.0 + (i % 7))
+    assert(fc.map(_.getAs[Double]("yhat")).toSeq == expect)
+    // a perfectly periodic series has zero lag-7 residuals => bands floor at
+    // sqrt(1e-12) width around yhat
+    fc.foreach { r =>
+      assert(math.abs(r.getAs[Double]("yhat_upper") - r.getAs[Double]("yhat")) < 1e-5)
+    }
+    assert(fc.head.getAs[java.sql.Date]("target_date").toString == "2025-01-29")
+  }
+
+  test("seasonal-naive: trending series gets nonzero bands; short series holds last") {
+    val fc = Forecast.seasonalNaiveForecast(series(28, i => i.toDouble), horizon = 7)
+      .orderBy("target_date").collect()
+    // residuals are all exactly 7 => sd ~ 0 band? no: r=7 constant, var of
+    // squares around 0 convention: sum(49)/(nr-1) > 0 => bands 1.645*sd wide
+    assert(fc.forall(r => r.getAs[Double]("yhat_upper") > r.getAs[Double]("yhat")))
+    assert(fc.map(_.getAs[Double]("yhat")).toSeq == (21 until 28).map(_.toDouble).toSeq)
+    val short = Forecast.seasonalNaiveForecast(series(4, _ + 1.0), horizon = 7)
+      .orderBy("target_date").collect()
+    assert(short.forall(_.getAs[String]("method") == "naive_hold_last"))
+    assert(short.forall(_.getAs[Double]("yhat") == 4.0))
+    assert(short.forall(r => r.getAs[Double]("yhat_lower") == 4.0 && r.getAs[Double]("yhat_upper") == 4.0))
+  }
+
   test("M8: contract normalizer emits exactly 7 ordered rows with lower<=yhat<=upper") {
     val messy = Seq(
       (1L, "m", java.sql.Date.valueOf("2025-02-01"), 5.0, 9.0, 2.0, "v"), // swapped bounds
