@@ -27,6 +27,60 @@ object DataQueries {
       |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
       |)""".stripMargin
 
+  /** Unrolled DuckDB mirror of [[Similarity.ivfKmeansTopK]] for any iteration
+    * count: c0 is the deterministic seed, each Lloyd iteration t emits
+    * assignment (a / asg), quantized-mean (upd), and rebuilt-centroid (c)
+    * CTEs, and the final assignment feeds the cell-local search. The Spark
+    * side collects centroids to the driver per iteration, but computes the
+    * exact same quantized means, so the unrolled SQL stays hash-identical.
+    */
+  private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
+    def assignCte(t: Int, centName: String): String =
+      s"""a$t AS (
+         |  SELECT b.vec_id, b.v, b.n, c.cid,
+         |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+         |  FROM b CROSS JOIN $centName c
+         |),
+         |asg$t AS (
+         |  SELECT vec_id, v, n, cid AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+         |        FROM a$t)
+         |  WHERE crn = 1
+         |)""".stripMargin
+    val loop = (0 until iters).map { t =>
+      s""",
+         |${assignCte(t, s"c$t")},
+         |upd$t AS (
+         |  SELECT cell AS cid, t.i AS dim,
+         |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |           / count(*) / 100000000.0 AS m
+         |  FROM asg$t, unnest(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |c${t + 1} AS (
+         |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+         |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd$t GROUP BY cid)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |),
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < $numCentroids)$loop,
+       |${assignCte(iters, s"c$iters")},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+       |  FROM asg$iters q JOIN asg$iters c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private val hex60Sql: String => String =
     e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
@@ -96,7 +150,7 @@ object DataQueries {
         .orderBy("query_id", "rank")),
 
     "q52_ann_ivf_kmeans" -> ((s, d) =>
-      Similarity.ivfKmeansTopK(emb(s, d), numCentroids = 8, iters = 1, k = 3)
+      Similarity.ivfKmeansTopK(emb(s, d), numCentroids = 8, iters = 3, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
 
@@ -441,56 +495,7 @@ object DataQueries {
         |SELECT vec_id, t.i AS dim, CAST(floor(v[t.i] * 127.0 / m + 0.5) AS INT) AS q8
         |FROM m, unnest(generate_series(1, len(v))) AS t(i)
         |ORDER BY vec_id, dim""".stripMargin,
-    "q52_ann_ivf_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-        |),
-        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-        |cent0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < 8),
-        |a0 AS (
-        |  SELECT b.vec_id, b.v, b.n, c.cid,
-        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-        |  FROM b CROSS JOIN cent0 c
-        |),
-        |asg1 AS (
-        |  SELECT vec_id, v, n, cid AS cell
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-        |        FROM a0)
-        |  WHERE crn = 1
-        |),
-        |upd AS (
-        |  SELECT cell AS cid, t.i AS dim,
-        |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
-        |           / count(*) / 100000000.0 AS m
-        |  FROM asg1, unnest(generate_series(1, len(v))) AS t(i)
-        |  GROUP BY 1, 2
-        |),
-        |c1 AS (
-        |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
-        |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd GROUP BY cid)
-        |),
-        |a1 AS (
-        |  SELECT b.vec_id, b.v, b.n, c.cid,
-        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-        |  FROM b CROSS JOIN c1 c
-        |),
-        |asg2 AS (
-        |  SELECT vec_id, v, n, cid AS cell
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-        |        FROM a1)
-        |  WHERE crn = 1
-        |),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-        |  FROM asg2 q JOIN asg2 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
     "q42_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings

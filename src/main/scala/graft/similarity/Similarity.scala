@@ -120,19 +120,26 @@ object Similarity {
     *
     * Each iteration is two shuffles (assignment keeps only (id, cell);
     * the mean is one groupBy over exploded dimensions) and the centroid set
-    * stays broadcast-sized throughout. Centroid means quantize each term to
-    * 1e-8 and sum as integers so the result is identical regardless of
-    * partial-aggregation order (and matches any engine computing the same
-    * quantized mean — floating sums are order-sensitive, integer sums are
-    * not). Inputs are widened to `array<double>` once upfront so refined
-    * (double) centroids and corpus vectors share one dot-product kernel.
+    * stays broadcast-sized throughout — so, per the standard MLlib k-means
+    * pattern, each iteration COLLECTS the (<= numCentroids x dim) quantized
+    * means to the driver and rebuilds the centroid set as a local relation:
+    * plan depth and lineage stay O(1) per iteration instead of compounding
+    * two shuffles each, making iters > 1 safe at scale. Centroid means
+    * quantize each term to 1e-8 and sum as integers so the collected values
+    * are identical regardless of partial-aggregation order (and match any
+    * engine computing the same quantized mean — floating sums are
+    * order-sensitive, integer sums are not). Inputs are widened to
+    * `array<double>` once upfront so refined (double) centroids and corpus
+    * vectors share one dot-product kernel.
     */
   def ivfKmeansTopK(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("n", sqrt(ndot(col("v"), col("v"))))
     var cent = b.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col("v").as("cv"), col("n").as("cn"))
+      .select(col(idCol).cast("long").as("cid"), col("v").as("cv"), col("n").as("cn"))
     // same max_by argmax shape as [[ivfTopK]] — map-side reduction, no sort
     def assign(centroids: DataFrame): DataFrame =
       b.join(broadcast(centroids))
@@ -147,9 +154,12 @@ object Similarity {
         .select(col("cell").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(floor(col("x") * 1e8)).cast("double") / count(lit(1)) / 1e8).as("m"))
-      cent = means.groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .collect()
+      val centLocal = means.groupBy(_.getAs[Long]("cid")).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq)
+        }
+      cent = centLocal.toDF("cid", "cv")
         .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
     }
     val assigned = assign(cent)

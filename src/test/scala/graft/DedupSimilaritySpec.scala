@@ -104,6 +104,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("ivf k-means: plan depth is flat in iteration count") {
+    // Lloyd iterations collect the broadcast-sized centroid set to the driver
+    // and rebuild it as a local relation, so the FINAL search plan must be
+    // structurally identical no matter how many iterations ran — the failure
+    // mode guarded against is per-iteration lineage compounding.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    def planNodes(iters: Int): Int =
+      Similarity.ivfKmeansTopK(vecs, numCentroids = 2, iters = iters, k = 2)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(3) == planNodes(1))
+  }
+
   test("int8 quantization: max maps to ±127, zero vectors stay zero") {
     val vecs = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)),
