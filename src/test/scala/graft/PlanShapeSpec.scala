@@ -16,6 +16,31 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+    * each adjudicated: the broadcast side is one row (corpus stats) or the
+    * query is brute-force all-pairs by contract. Anything NOT listed here
+    * that plans a BNLJ (or any CartesianProduct anywhere) fails the sweep,
+    * so every future query is locked to scale-safe shapes.
+    */
+  private val bnljAllowed: Set[String] = Set(
+    "q29_ann_topk",       // brute-force cosine baseline: broadcast query set x corpus by contract
+    "q42_ann_ivf",        // IVF assignment: corpus x broadcast centroid set (<= numCentroids rows)
+    "q52_ann_ivf_kmeans", // same bounded centroid-assignment broadcast
+    "q61_tfidf_top_terms", // 1-row corpus-stats broadcast (n_docs)
+    "q62_bm25_top_terms")  // 1-row corpus-stats broadcast (n_docs, avg doc len)
+
+  test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
+    val sfDir = "/root/testdata/sf0.001"
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cart = if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        Some(s"$name: BroadcastNestedLoopJoin") else None
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, s"scale-unsafe join shapes:\n${violations.mkString("\n")}")
+  }
+
   test("banded range join plans as a hash join, not a nested loop") {
     val p = planOf("q54_range_price_bands")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
