@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual codec work (image decode, audio resample, frame extraction) is
-  * STUBBED with a deterministic fake — the media libraries are not in this
-  * container — but the Spark-side shape is real: binary columns survive
-  * columnar scans, the decode runs via `mapPartitions` over a typed Dataset
-  * (one JVM call per batch, the Scala analogue of `mapInPandas` batch UDFs),
-  * and downstream operators see a typed struct schema.
+  * Image decode is REAL: [[ImageIoCodec]] parses PNG/JPEG/GIF/BMP headers
+  * with the JDK-native `javax.imageio` readers (no extra dependencies, no
+  * pixel materialization). Audio/video codec work stays STUBBED with a
+  * deterministic fake — those libraries are not in this container — behind
+  * the same [[MediaCodec]] slot. The Spark-side shape is real throughout:
+  * binary columns survive columnar scans, the decode runs via
+  * `mapPartitions` over a typed Dataset (one JVM call per batch, the Scala
+  * analogue of `mapInPandas` batch UDFs), and downstream operators see a
+  * typed struct schema.
   *
   * Scale notes: payloads are opaque blobs, so the plan never shuffles them
   * except for an explicit repartition; metadata extraction is map-only.
@@ -33,16 +36,64 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("text/fake").as("media_type"))
 
-  /** Batch "decode": per-partition iteration with a deterministic fake codec.
-    * A real implementation swaps `fakeDecode` for the codec call; everything
-    * else (typed Dataset in/out, partition batching, schema) stays.
+  /** Pluggable codec: returns (width, height, n_frames) when it can decode
+    * the payload, None to fall through to the deterministic fake (the slot
+    * for media types whose libraries are absent).
     */
-  def decodeMeta(media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte], mediaType: String): Option[(Int, Int, Int)]
+  }
+
+  /** JDK-native image codec: resolves a `javax.imageio` reader from the byte
+    * stream and reads width/height FROM THE HEADER ONLY — no pixel raster is
+    * materialized, so a scan over image blobs stays I/O-bound at scale.
+    * Frame count uses `getNumImages(allowSearch = false)`; readers that
+    * would need a full-stream search (-1) report 1 frame rather than paying
+    * a second pass over the payload. Undecodable or corrupt payloads return
+    * None and fall through to the fake, keeping the output total.
+    */
+  object ImageIoCodec extends MediaCodec {
+    def decode(payload: Array[Byte], mediaType: String): Option[(Int, Int, Int)] = {
+      if (!mediaType.startsWith("image/")) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              val frames = r.getNumImages(false)
+              Some((r.getWidth(0), r.getHeight(0), if (frames < 1) 1 else frames))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  /** Batch decode: per-partition iteration; real codecs (images via
+    * [[ImageIoCodec]]) fill width/height/n_frames from the payload, anything
+    * they decline falls back to the deterministic fake. Everything else
+    * (typed Dataset in/out, partition batching, schema) is the production
+    * shape.
+    */
+  def decodeMeta(media: Dataset[MediaRecord],
+                 codec: MediaCodec = ImageIoCodec): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // One digest instance per partition — the "expensive codec init" slot.
       val md = java.security.MessageDigest.getInstance("SHA-256")
-      batch.map { r => fakeDecode(r, md) }
+      batch.map { r =>
+        codec.decode(r.payload, r.media_type) match {
+          case Some((w, h, nf)) =>
+            DecodedMeta(r.doc_id, r.payload.length.toLong,
+              md.digest(r.payload).map("%02x".format(_)).mkString, w, h, nf)
+          case None => fakeDecode(r, md)
+        }
+      }
     }
   }
 

@@ -363,6 +363,29 @@ class IngestStreamingSpec extends SparkSpec {
     }
   }
 
+  test("real image decode: in-memory PNG and JPEG report true dimensions") {
+    import Multimodal._
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, imageBytes(23, 17, "png"), "image/png"),
+      MediaRecord(2L, imageBytes(64, 48, "jpg"), "image/jpeg"),
+      MediaRecord(3L, Array[Byte](1, 2, 3), "image/png"), // corrupt -> fake fallback
+      MediaRecord(4L, "plain text".getBytes("UTF-8"), "text/fake"))
+    val out = Multimodal.decodeMeta(spark.createDataset(recs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 23 && out(1L).height == 17 && out(1L).n_frames == 1)
+    assert(out(2L).width == 64 && out(2L).height == 48)
+    // undecodable and non-image payloads keep the deterministic fake metadata
+    assert(out(3L).width == (3 % 640 + 16) && out(4L).width == (10 % 640 + 16))
+    assert(out.size == 4, "decode must stay total")
+  }
+
   test("frame sampling emits every k-th frame with deterministic digests") {
     val docs = Seq((1L, "hello world"), (2L, "a much longer document body here"))
       .toDF("doc_id", "text")
