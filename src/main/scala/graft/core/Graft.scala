@@ -41,18 +41,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings")
 
+  // Relation cache: every spark.read.parquet call re-lists the path and
+  // re-reads footers for schema (~70 ms each), a pure fixed cost repeated
+  // ~110 times across the registry (~7 s of a bench run). DataFrames are
+  // immutable plans, so per-(session, dir, table) reuse is safe; the weak
+  // session key lets stopped sessions (test suites) collect their entries.
+  // The source dirs are immutable test fixtures — callers that need fresh
+  // file listings (e.g. Store paths) do not come through here.
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def cached(spark: SparkSession, dir: String, name: String)
+                    (load: => DataFrame): DataFrame = {
+    val m = cache.synchronized {
+      var v = cache.get(spark)
+      if (v == null) { v = scala.collection.concurrent.TrieMap.empty; cache.put(spark, v) }
+      v
+    }
+    m.getOrElseUpdate((dir, name), load)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else cached(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark 4 refuses to read natively; read nanos as LONG and truncate to
     * microseconds (matching DuckDB's `CAST(ts_ns AS TIMESTAMP)`).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** The reference's canonical fact table `clean_events(source_id, ts, metric,
     * value)` (`backend/app/models/clean_event.py:8-23`), mapped from the
