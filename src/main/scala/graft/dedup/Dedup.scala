@@ -238,6 +238,24 @@ object Dedup {
       .filter(col("bucket_size") > maxBucket)
   }
 
+  /** Benchmark-contamination audit: for each corpus document, the fraction
+    * of its distinct shingles that appear anywhere in the benchmark shingle
+    * set — the decontamination check an LLM training pipeline runs against
+    * eval suites before training. One left join on the shingle key (the
+    * benchmark side is distinct-reduced first, so hot boilerplate shingles
+    * cost one probe row each) and one per-doc aggregation; no pair mining.
+    * Output: (doc_id, n_shingles, n_overlap, overlap_frac).
+    */
+  def contamination(corpusShingles: DataFrame, benchShingles: DataFrame): DataFrame = {
+    val bench = benchShingles.select(col("shingle")).distinct().withColumn("__hit", lit(1L))
+    corpusShingles.select(col("doc_id"), col("shingle")).distinct()
+      .join(bench, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
+  }
+
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
     * fingerprint is 1 iff the sum of +-1 contributions (tokens whose hash has
     * bit b set contribute +1, else -1) is strictly positive.

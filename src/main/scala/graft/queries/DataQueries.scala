@@ -214,7 +214,29 @@ object DataQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
         .orderBy("doc_id", "rank")
-    })
+    }),
+
+    // Benchmark decontamination: every 20th doc plays the held-out eval
+    // suite; each remaining doc reports what fraction of its distinct
+    // trigram shingles leak from that set. One shingle-keyed left join +
+    // per-doc aggregation — no pair mining.
+    "q75_contamination" -> ((s, d) => {
+      val sh = Dedup.wordShingles(docs(s, d), 3)
+      Dedup.contamination(
+          sh.filter(col("doc_id") % 20 =!= 0), sh.filter(col("doc_id") % 20 === 0))
+        .withColumn("contaminated", col("n_overlap") / col("n_shingles") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Shard-local greedy sequence packing at a 512-token budget: the
+    // concatenate-and-cut binning LLM pretraining runs before batching.
+    "q76_seq_packing" -> ((s, d) =>
+      TextOps.packSequences(docs(s, d), budget = 512, shards = 32).orderBy("doc_id")),
+
+    // Deterministic vocabulary: top-200 terms by (df, cf, term) with df >= 2
+    // — the reproducible tokenizer-training prep step.
+    "q77_vocab_topk" -> ((s, d) =>
+      TextOps.vocabulary(docs(s, d), minDf = 2, topK = 200).orderBy("rank"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,6 +545,52 @@ object DataQueries {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q75_contamination" ->
+      s"""WITH $triCte,
+         |bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 20 = 0),
+         |corp AS (SELECT doc_id, shingle FROM tri WHERE doc_id % 20 <> 0),
+         |agg AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |  FROM corp c LEFT JOIN bench b ON b.shingle = c.shingle
+         |  GROUP BY 1
+         |)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |  round(n_overlap / n_shingles, 6) AS overlap_frac,
+         |  (n_overlap / n_shingles) >= 0.5 AS contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q76_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS shard
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+        |  cum_excl - (cum_excl // 512) * 512 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q77_vocab_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |stats AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(count(*) AS BIGINT) AS cf
+        |  FROM terms GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY df DESC, cf DESC, term ASC) AS rank
+        |  FROM stats
+        |)
+        |SELECT term, df, cf, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 200 ORDER BY rank""".stripMargin
   )
 }

@@ -141,4 +141,46 @@ object TextOps {
       .select(col("doc_id"), md5(col("__norm")).as("fp_md5"),
         graft.expressions.WinnowMin(col("__norm"), k).as("winnow_min"))
   }
+
+  /** Shard-local greedy sequence packing: documents stream in id order
+    * within a deterministic shard (`doc_id mod shards`) and land in the bin
+    * their exclusive prefix token count reaches — the "concatenate and cut
+    * every `budget` tokens" packing every LLM pretraining pipeline runs
+    * before batching. Per-shard windows keep it scale-safe: a global
+    * ordering would serialize 100 TB through one partition, while shards
+    * pack independently (each training shard is its own file anyway).
+    * Output: (doc_id, n_tokens, shard, bin, bin_offset).
+    */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(shards)).as("shard"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_excl div $budget"))
+      .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
+      .drop("cum_excl")
+  }
+
+  /** Deterministic vocabulary build over lowercased whitespace tokens:
+    * document frequency + collection frequency per term, `minDf` floor,
+    * top-`topK` by (df desc, cf desc, term asc) — a total order, so the
+    * vocabulary is reproducible across runs and engines. The global ranking
+    * window runs AFTER aggregation, over vocab-sized data (distinct terms),
+    * not the corpus. Output: (term, df, cf, rank).
+    */
+  def vocabulary(docs: DataFrame, minDf: Int, topK: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val stats = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .filter(col("df") >= minDf)
+    stats.withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("cf").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+  }
 }

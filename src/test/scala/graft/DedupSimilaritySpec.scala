@@ -142,6 +142,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(t((1L, "rare1")) - math.floor(math.log(3.0) * 1e6 + 0.5) / 1e6) < 1e-12)
   }
 
+  test("contamination: full shingle leak scores 1.0, disjoint scores 0.0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // same shingles as bench doc
+      (2L, "totally different words entirely here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contamination(
+        Dedup.wordShingles(corpus, 3), Dedup.wordShingles(bench, 3))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("overlap_frac")).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0)
+  }
+
+  test("sequence packing: bins cut at the exclusive-prefix token budget") {
+    // one shard (ids 0,32,64 are all ≡ 0 mod 32), token counts 3, 4, 2
+    val docs = Seq(
+      (0L, "a b c"), (32L, "d e f g"), (64L, "h i")).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, budget = 5, shards = 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
+    // prefix sums (exclusive): 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2
+    assert(out.toSeq == Seq((0L, 0L, 0L), (32L, 0L, 3L), (64L, 1L, 2L)))
+  }
+
+  test("vocabulary: minDf filters, ordering is (df, cf, term) total") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"), (3L, "banana apple")
+    ).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(docs, minDf = 2, topK = 10).orderBy("rank").collect()
+    assert(v.map(_.getAs[String]("term")).toSeq == Seq("apple", "banana"))
+    assert(v.head.getAs[Long]("df") == 3 && v.head.getAs[Long]("cf") == 4)
+    assert(!v.exists(_.getAs[String]("term") == "cherry")) // df 1 < minDf
+  }
+
   test("text ops: language id, quality, fingerprints are deterministic and sane") {
     val lang = TextOps.languageId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
