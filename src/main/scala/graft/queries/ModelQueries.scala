@@ -39,6 +39,27 @@ object ModelQueries {
         .orderBy("source_id", "metric", "target_date")
     }),
 
+    // Seasonal ARIMA-lite (1,1,1)(0,1,-,7): the reference's seasonal router
+    // intent (schemas/forecast.py:36-60), deterministic JVM fit.
+    "q78_sarima_forecast" -> ((s, d) => {
+      import s.implicits._
+      val series = md(s, d)
+        .select(col("source_id").cast("long"), col("metric"), col("metric_date"),
+          col("value_sum").cast("double"))
+        .as[(Long, String, java.sql.Date, Double)]
+      series.groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (k: (Long, String), it: Iterator[(Long, String, java.sql.Date, Double)]) =>
+          val rows = it.toArray.sortBy(_._3.getTime)
+          val fc = ArimaLite.seasonalForecast(rows.map(_._4), 7, period = 7)
+          val last = rows.last._3.toLocalDate
+          fc.iterator.zipWithIndex.map { case (p, i) =>
+            (k._1, k._2, java.sql.Date.valueOf(last.plusDays(i + 1)), p.yhat, p.lo, p.hi)
+          }
+        }
+        .toDF("source_id", "metric", "target_date", "yhat", "yhat_lower", "yhat_upper")
+        .orderBy("source_id", "metric", "target_date")
+    }),
+
     // M4: isolation-forest scoring over W3 features, per series, seeded.
     "q44_iforest_scores" -> ((s, d) => {
       val mdValue = md(s, d).select(col("source_id"), col("metric"), col("metric_date"),

@@ -65,6 +65,31 @@ class ForecastSpec extends SparkSpec {
     assert(short.forall(r => r.getAs[Double]("yhat_lower") == 4.0 && r.getAs[Double]("yhat_upper") == 4.0))
   }
 
+  test("SarimaLite: periodic history forecasts periodic, trend extrapolates") {
+    // 35 days of weekday shape: the seasonal difference zeroes out, so the
+    // forecast must repeat the period exactly with zero-width bands
+    val periodic = (0 until 35).map(i => 10.0 + (i % 7)).toArray
+    val fc = ArimaLite.seasonalForecast(periodic, 10)
+    fc.zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(p.yhat - (10.0 + ((35 + i) % 7))) < 1e-9, s"step $i: ${p.yhat}")
+    }
+    // seasonal trend: linear + weekly shape extrapolates both
+    val mixed = (0 until 35).map(i => 0.5 * i + 3.0 * (i % 7)).toArray
+    val fc2 = ArimaLite.seasonalForecast(mixed, 7)
+    fc2.zipWithIndex.foreach { case (p, i) =>
+      val expect = 0.5 * (35 + i) + 3.0 * ((35 + i) % 7)
+      assert(math.abs(p.yhat - expect) < 1e-6, s"step $i: ${p.yhat} vs $expect")
+    }
+    // bands widen with horizon (nonzero sigma on a noisy-ish series)
+    val noisy = (0 until 40).map(i => (i % 7) + (if (i % 3 == 0) 1.0 else 0.0)).toArray
+    val fc3 = ArimaLite.seasonalForecast(noisy, 7)
+    assert(fc3.last.hi - fc3.last.lo >= fc3.head.hi - fc3.head.lo)
+    // short series falls back to the non-seasonal path
+    val short = Array(1.0, 2.0, 3.0)
+    assert(ArimaLite.seasonalForecast(short, 3).map(_.yhat)
+      .sameElements(ArimaLite.forecast(short, 3).map(_.yhat)))
+  }
+
   test("M8: contract normalizer emits exactly 7 ordered rows with lower<=yhat<=upper") {
     val messy = Seq(
       (1L, "m", java.sql.Date.valueOf("2025-02-01"), 5.0, 9.0, 2.0, "v"), // swapped bounds
