@@ -236,7 +236,32 @@ object DataQueries {
     // Deterministic vocabulary: top-200 terms by (df, cf, term) with df >= 2
     // — the reproducible tokenizer-training prep step.
     "q77_vocab_topk" -> ((s, d) =>
-      TextOps.vocabulary(docs(s, d), minDf = 2, topK = 200).orderBy("rank"))
+      TextOps.vocabulary(docs(s, d), minDf = 2, topK = 200).orderBy("rank")),
+
+    // PII redaction audit: the corpus has no PII, so each doc gets a
+    // deterministic synthetic email + phone appended and the redactor must
+    // find exactly those (plus digest-match the scrubbed text cross-engine).
+    "q79_pii_redact" -> ((s, d) => {
+      val enriched = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      TextOps.redactPii(enriched).orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep rates as a pure
+    // hash function of the row key — reproducible across reruns/appends,
+    // no RNG, no sampleBy. Output: per-stratum kept counts + value mass.
+    "q80_stratified_sample" -> ((s, d) => {
+      val bucket = Dedup.hex60(concat_ws(":", col("event_id"), col("user_id"))) % 1000
+      val rate = when(col("event_type") === "view", 100)
+        .when(col("event_type") === "click", 500).otherwise(1000)
+      Tables.events(s, d)
+        .filter(bucket < rate)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), round(sum(col("value")), 2).as("value_kept"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -591,6 +616,33 @@ object DataQueries {
         |  FROM stats
         |)
         |SELECT term, df, cf, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 200 ORDER BY rank""".stripMargin
+        |FROM ranked WHERE rank <= 200 ORDER BY rank""".stripMargin,
+    "q79_pii_redact" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS n_emails,
+         |    regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS ne
+         |  FROM enriched
+         |)
+         |SELECT doc_id,
+         |  CAST(n_emails AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(ne, '${TextOps.PhoneRe}')) AS INT) AS n_phones,
+         |  md5(regexp_replace(ne, '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q80_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT event_type, value,
+         |         ${hex60Sql("event_id || ':' || user_id")} % 1000 AS bucket
+         |  FROM events
+         |)
+         |SELECT event_type, count(*) AS n_kept, round(sum(value), 2) AS value_kept
+         |FROM b
+         |WHERE bucket < CASE event_type WHEN 'view' THEN 100 WHEN 'click' THEN 500 ELSE 1000 END
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -142,6 +142,29 @@ object TextOps {
         graft.expressions.WinnowMin(col("__norm"), k).as("winnow_min"))
   }
 
+  /** PII patterns shared by the redactor and its oracle: RE2-compatible (no
+    * backrefs/lookaround), so Spark's Java regex and DuckDB's RE2 match the
+    * same spans.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction: emails then phone-shaped digit runs replaced with typed
+    * tokens — the scrub step a training corpus runs before anything else.
+    * Map-only (two regex passes per document, no shuffle); emits match
+    * counts for audit plus the digest of the redacted text (oracle-friendly
+    * without shipping the full redacted body through the gate). Phones are
+    * counted after email redaction so an address's digits can't double-count.
+    * Output: (doc_id, n_emails, n_phones, redacted_md5).
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(regexp_replace(noEmail, PhoneRe, "<PHONE>")).as("redacted_md5"))
+  }
+
   /** Shard-local greedy sequence packing: documents stream in id order
     * within a deterministic shard (`doc_id mod shards`) and land in the bin
     * their exclusive prefix token count reaches — the "concatenate and cut

@@ -164,6 +164,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, 0L), (32L, 0L, 3L), (64L, 1L, 2L)))
   }
 
+  test("pii redaction: counts emails and phones, leaves clean text alone") {
+    val docs2 = Seq(
+      (1L, "reach a@b.com or c.d+x@e-f.org today"),
+      (2L, "call +1 (555) 010-4242 or 555-010-9999 now"),
+      (3L, "no pii here just words")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"))).toMap
+    assert(out(1L) == (2, 0))
+    assert(out(2L) == (0, 2))
+    assert(out(3L) == (0, 0))
+    // digest changes iff something was redacted
+    val digests = TextOps.redactPii(docs2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted_md5")).toMap
+    val cleanMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("no pii here just words".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(digests(3L) == cleanMd5)
+  }
+
   test("vocabulary: minDf filters, ordering is (df, cf, term) total") {
     val docs = Seq(
       (1L, "apple banana apple"), (2L, "apple cherry"), (3L, "banana apple")
