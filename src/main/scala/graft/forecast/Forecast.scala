@@ -112,10 +112,15 @@ object Forecast {
     * One aggregation + one window rank + two thin joins; every series is
     * forecast in a single distributed plan, no per-series loop.
     */
-  def seasonalNaiveForecast(series: DataFrame, horizon: Int, period: Int = 7, ci: Int = 90,
+  def seasonalNaiveForecast(series0: DataFrame, horizon: Int, period: Int = 7, ci: Int = 90,
                             keys: Seq[String] = Seq("source_id", "metric")): DataFrame = {
     val z = zTable.getOrElse(ci, 1.645)
     val k = keys.map(col)
+    // the series feeds THREE branches (per-series aggregates, lag residuals,
+    // tail rows); materialize once so each branch doesn't re-run the whole
+    // upstream (events scan -> daily agg -> gap-fill) — same measured
+    // pattern as [[backtest]]/[[reliability]]
+    val series = series0.localCheckpoint(true)
     val wDesc = Window.partitionBy(k: _*).orderBy(col("metric_date").desc)
     val wAsc = Window.partitionBy(k: _*).orderBy(col("metric_date").asc)
     val per = series.groupBy(k: _*).agg(
