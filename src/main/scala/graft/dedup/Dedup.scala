@@ -204,6 +204,11 @@ object Dedup {
     */
   def minhashLshPairs(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double,
                       maxBucket: Int = 1000): DataFrame = {
+    // the set aggregation feeds FIVE branches here (set-key grouping, member
+    // join, rep filter, both sides of the pair verification) — and a
+    // localCheckpoint of it was STILL measured slower warm than five
+    // recomputes (array-heavy rows serialize expensively; see the NOTE on
+    // [[shingleSets]]), so recompute-per-branch stays
     val sets = shingleSets(shingles)
     val (groups, members) = keyedSets(sets)
     val repSets = sets.join(groups.select(col("rep_id").as("doc_id")), "doc_id")
