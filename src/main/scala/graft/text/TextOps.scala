@@ -191,9 +191,11 @@ object TextOps {
   /** Deterministic vocabulary build over lowercased whitespace tokens:
     * document frequency + collection frequency per term, `minDf` floor,
     * top-`topK` by (df desc, cf desc, term asc) — a total order, so the
-    * vocabulary is reproducible across runs and engines. The global ranking
-    * window runs AFTER aggregation, over vocab-sized data (distinct terms),
-    * not the corpus. Output: (term, df, cf, rank).
+    * vocabulary is reproducible across runs and engines. The selection is a
+    * global sort+limit (plans as TakeOrderedAndProject: per-partition
+    * top-K then a K-sized merge — a web-scale vocab never lands on one
+    * partition, which a global ranking window would force); only the <=topK
+    * survivors see the rank window. Output: (term, df, cf, rank).
     */
   def vocabulary(docs: DataFrame, minDf: Int, topK: Int,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -202,8 +204,8 @@ object TextOps {
     val stats = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
       .filter(col("df") >= minDf)
-    stats.withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+    stats.orderBy(col("df").desc, col("cf").desc, col("term").asc).limit(topK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("df").desc, col("cf").desc, col("term").asc)))
-      .filter(col("rank") <= topK)
   }
 }

@@ -41,6 +41,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(violations.isEmpty, s"scale-unsafe join shapes:\n${violations.mkString("\n")}")
   }
 
+  test("vocabulary selects top-k via sort+limit, not a global ranking window") {
+    val p = planOf("q77_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-k lost its TakeOrderedAndProject shape (global window would " +
+        "single-partition a web-scale vocabulary)")
+  }
+
   test("banded range join plans as a hash join, not a nested loop") {
     val p = planOf("q54_range_price_bands")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
