@@ -185,6 +185,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing invariants: offsets in [0, budget), bins nondecreasing, totals conserved") {
+    val genDocs = Gen.listOfN(25, Gen.chooseNum(0, 40)).map(_.zipWithIndex.map {
+      case (nw, i) => (i.toLong, List.fill(math.max(nw, 1))("w").mkString(" "))
+    })
+    for (docs <- draws(genDocs, 6)) {
+      val df = docs.toDF("doc_id", "text")
+      val budget = 17
+      val out = graft.text.TextOps.packSequences(df, budget, shards = 4)
+        .orderBy("shard", "doc_id").collect()
+      assert(out.length == docs.length)
+      out.foreach { r =>
+        val off = r.getAs[Long]("bin_offset")
+        assert(off >= 0 && off < budget, s"offset $off out of [0, $budget)")
+      }
+      // bins never decrease within a shard, and reconstruct from token sums
+      out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+        val bins = rows.map(_.getAs[Long]("bin")).toSeq
+        assert(bins == bins.sorted)
+        val toks = rows.map(_.getAs[Long]("n_tokens")).toSeq
+        val prefixes = toks.scanLeft(0L)(_ + _).init
+        assert(prefixes.map(_ / budget) == bins)
+      }
+    }
+  }
+
+  test("pii redaction is idempotent: a redacted text contains no further matches") {
+    val genText = Gen.listOfN(6, Gen.oneOf(
+      "plain words here", "x@y.io", "mail a.b@c.org now", "+1 (555) 010-1234",
+      "5550104242999", "tel 555-010-9999 end")).map(_.mkString(" "))
+    for (texts <- draws(Gen.listOfN(10, genText), 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val first = graft.text.TextOps.redactPii(df)
+      // rebuild the redacted text exactly as the operator does, then rescan
+      val redacted = df.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), graft.text.TextOps.EmailRe, "<EMAIL>"),
+          graft.text.TextOps.PhoneRe, "<PHONE>").as("text"))
+      val second = graft.text.TextOps.redactPii(redacted).collect()
+      second.foreach { r =>
+        assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_phones") == 0,
+          s"redacted text still matches: $r")
+      }
+      assert(first.count() == texts.length)
+    }
+  }
+
+  test("contamination fractions stay in [0,1]; identical doc scores 1.0") {
+    val genCorpus = Gen.listOfN(8, Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")).map(_.mkString(" ")))
+    for (texts <- draws(genCorpus, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) } :+ (100L, texts.head)
+      val df = docs.toDF("doc_id", "text")
+      val sh = graft.dedup.Dedup.wordShingles(df, 3)
+      val out = graft.dedup.Dedup.contamination(
+        sh.filter(col("doc_id") < 100), sh.filter(col("doc_id") === 100)).collect()
+      out.foreach { r =>
+        val f = r.getAs[Double]("overlap_frac")
+        assert(f >= 0.0 && f <= 1.0)
+      }
+      // doc 1 is byte-identical to the benchmark doc => full leak
+      assert(out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Double]("overlap_frac") == 1.0)
+    }
+  }
+
   test("first-write-wins is idempotent and key-unique") {
     for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
       val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
