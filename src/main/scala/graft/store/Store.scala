@@ -97,6 +97,22 @@ object Store {
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Two-level clean-events layout: date partitions (range pruning) PLUS
+    * source_id buckets inside each date (hash pruning + shuffle-free joins
+    * and aggregations on the bucket key). This is the SURVEY §4 "secondary
+    * index" at 100 TB: a per-source scan prunes to (dates x 1 bucket), and
+    * recurring source-keyed joins read co-located buckets instead of
+    * shuffling the fact table. Catalog-backed (`saveAsTable`) because bucket
+    * metadata lives in the table catalog, not the directory layout.
+    */
+  def writeCleanEventsBucketed(events: DataFrame, table: String,
+                               numBuckets: Int = 32): Unit =
+    events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .bucketBy(numBuckets, "source_id").sortBy("source_id")
+      .format("parquet").saveAsTable(table)
+
   private def overwriteByDate(df: DataFrame, path: String, dateCol: String): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -64,6 +64,34 @@ class StoreSpec extends SparkSpec {
     assert(joined.count() == 200)
   }
 
+  test("two-level layout: date partitions prune AND bucket-keyed agg avoids the shuffle") {
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS clean_bkt")
+    val dir = new java.io.File(wh, "clean_bkt")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val ev = (0 until 4).flatMap { d =>
+      (1 to 50).map(s =>
+        (s.toLong, java.sql.Timestamp.valueOf(s"2025-09-${"%02d".format(d + 1)} 01:00:00"), "m", 1.0))
+    }.toDF("source_id", "ts", "metric", "value")
+    Store.writeCleanEventsBucketed(ev, "clean_bkt", numBuckets = 8)
+    // date filter prunes partitions
+    val byDate = spark.table("clean_bkt").filter(col("event_date") === "2025-09-02")
+    assert(Store.prunesPartitions(byDate), "date filter must reach PartitionFilters")
+    assert(byDate.count() == 50)
+    // an aggregation on the bucket key needs no exchange before the agg
+    val agg = spark.table("clean_bkt").groupBy("source_id").agg(sum("value"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-keyed aggregation must not shuffle:\n$plan")
+    assert(agg.count() == 50)
+  }
+
   test("dynamic partition overwrite touches only recomputed dates") {
     val base = Files.createTempDirectory("graft_store2").toString + "/md"
     val v1 = Seq(
