@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.sketch.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch queries — deterministic HyperLogLog and count-min (see
+  * [[graft.sketch.Sketches]] for why these are exactly oracle-checkable when
+  * Spark's own approx aggregates are not). Both oracles replay the sketch
+  * bit-for-bit: the same md5-derived hex60 hash, the same integer shifts,
+  * and (for HLL) denominator terms that are exact dyadic rationals.
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val hex60Sql: String => String =
+    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  val defs: Map[String, Q] = Map(
+    // HLL (b=8, 256 registers) distinct users per event type, with the exact
+    // distinct alongside so the sketch error is visible in the output.
+    "q88_hll_distinct" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val hll = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"), b = 8)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      hll.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("nonempty"),
+          OracleCte.qround6(col("estimate")).as("estimate"), col("exact_distinct"))
+        .orderBy("event_type")
+    }),
+
+    // Count-min (3 rows × 1024 buckets) heavy-hitter tokens over the corpus,
+    // top 20 by estimate with the true count alongside.
+    "q89_cms_heavy_hitters" -> ((s, d) => {
+      val terms = Tables(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      Sketches.countMinTopK(terms, "term", d = 3, w = 1024, k = 20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q88_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type, ${hex60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, h >> 52 AS reg,
+         |    least(52 - length(bin(h & ((CAST(1 AS BIGINT) << 52) - 1))) + 1, 30) AS rank
+         |  FROM h
+         |),
+         |regs AS (SELECT event_type, reg, max(rank) AS rank FROM r GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, count(*) AS nonempty,
+         |    sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << rank AS DOUBLE)) AS sum_pow
+         |  FROM regs GROUP BY 1
+         |),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+         |SELECT a.event_type, a.nonempty,
+         |  ${OracleCte.qround6Sql(
+             "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+             " * CAST(65536 AS DOUBLE) / (CAST(256 - a.nonempty AS DOUBLE) + a.sum_pow)")} AS estimate,
+         |  ex.exact_distinct
+         |FROM agg a JOIN ex ON ex.event_type = a.event_type
+         |ORDER BY 1""".stripMargin,
+    "q89_cms_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+         |),
+         |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |seeded AS (
+         |  SELECT term, cnt, s.seed,
+         |    ${hex60Sql("s.seed || ':' || term")} % 1024 AS cell
+         |  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed) s
+         |),
+         |cells AS (
+         |  SELECT seed, cell, CAST(sum(cnt) AS BIGINT) AS cell_total
+         |  FROM seeded GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT t.term, t.cnt, min(c.cell_total) AS est
+         |  FROM seeded t JOIN cells c ON c.seed = t.seed AND c.cell = t.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.sketch
+
+import graft.dedup.Dedup.hex60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, mergeable sketches for corpus-scale statistics —
+  * approximate distinct counting (HyperLogLog) and approximate frequency /
+  * heavy hitters (count-min). Spark ships its own HLL++
+  * (`approx_count_distinct`), but its register layout and bias tables are
+  * engine-private, so its estimates can never be checked against another
+  * engine. These sketches instead fix every bit of the computation — the
+  * [[graft.expressions.Hex60]] md5-derived hash, register width, and an
+  * estimator built only from integer shifts and exact dyadic arithmetic — so
+  * DuckDB replays the identical sketch and the driver's hash-compare gate
+  * applies to an *approximate* algorithm. That reproducibility is the
+  * production property too: a 100 TB sketch computed twice (or incrementally
+  * merged) must not wobble with partition order.
+  *
+  * Scale shape: both sketches reduce to fixed-size state per group
+  * (2^b registers / d×w cells), built by map-side partial aggregation —
+  * the shuffle carries sketch cells, never raw rows.
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count estimate per key group.
+    *
+    * Register index = top `b` bits of the 60-bit hash; rank = position of the
+    * highest set bit in the remaining `60-b` bits, computed as
+    * `(60-b) - length(bin(w)) + 1` (both engines print minimal binary
+    * strings, so the string length IS the bit length — no `log2`, whose
+    * libm rounding differs across engines). Ranks are capped at `rhoCap` so
+    * every denominator term `2^-M` stays a multiple of `2^-rhoCap`: a sum of
+    * ≤ 2^b such terms then fits exactly in a double mantissa, making the
+    * estimator independent of Spark's partial-agg order. The raw HLL
+    * estimator `alpha_m * m^2 / (empty + Σ 2^-M_j)` is used without the
+    * small/large-range corrections — those need `ln`, which is libm again.
+    * Empty registers contribute `2^0 = 1` via the `(m - nonempty)` term.
+    *
+    * One aggregation keyed by (group, register): the shuffle after partial
+    * agg carries at most m rows per group regardless of input size.
+    */
+  def hllDistinct(df: DataFrame, keys: Seq[String], item: Column,
+                  b: Int = 8, rhoCap: Int = 30): DataFrame = {
+    require(b >= 4 && b <= 16, s"register-index width out of range: $b")
+    val m = 1 << b
+    val wBits = 60 - b
+    val h = hex60(item.cast("string"))
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    val rho = (lit(wBits) - length(bin(w)) + lit(1)).cast("int")
+    val k = keys.map(col)
+    val regs = df
+      .select(k ++ Seq(shiftright(h, wBits).as("reg"), least(rho, lit(rhoCap)).as("rank")): _*)
+      .groupBy(k :+ col("reg"): _*)
+      .agg(max(col("rank")).as("rank"))
+    // 2^-rank via integer shift + exact division — no pow(), no libm
+    val powNeg = lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rank)").cast("double")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(k: _*)
+      .agg(count(lit(1)).as("nonempty"), sum(powNeg).as("sum_pow"))
+      .select(k ++ Seq(
+        col("nonempty"),
+        (alpha * lit(m.toDouble * m) /
+          ((lit(m) - col("nonempty")).cast("double") + col("sum_pow"))).as("estimate")): _*)
+  }
+
+  /** Count-min frequency estimates with a top-k heavy-hitter report.
+    *
+    * `d` rows × `w` buckets; row `s` hashes a term to
+    * `hex60(s || ':' || term) mod w`. True term counts are aggregated FIRST
+    * (one shuffle on term — needed anyway to enumerate candidates), then the
+    * d×w cell totals are built from those counts (at most |vocab|×d rows in,
+    * d×w out) and joined back broadcast — so the estimate = min over rows of
+    * the term's cell totals costs one broadcast of a fixed-size sketch, not a
+    * second pass over the corpus. Reports the k largest estimates
+    * (ties broken by term) with the true count alongside, which makes the
+    * collision inflation `est − cnt` directly visible.
+    */
+  def countMinTopK(terms: DataFrame, termCol: String = "term",
+                   d: Int = 3, w: Int = 1024, k: Int = 20): DataFrame = {
+    val counts = terms.groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
+    val seeded = counts.select(col(termCol), col("cnt"),
+      explode(sequence(lit(0), lit(d - 1))).as("seed"))
+      .withColumn("cell", hex60(concat_ws(":", col("seed"), col(termCol))) % w)
+    val cells = seeded.groupBy(col("seed"), col("cell")).agg(sum(col("cnt")).as("cell_total"))
+    seeded
+      .join(broadcast(cells), Seq("seed", "cell"))
+      .groupBy(col(termCol), col("cnt"))
+      .agg(min(col("cell_total")).as("est"))
+      .orderBy(col("est").desc, col(termCol).asc)
+      .limit(k)
+      .select(col(termCol), col("est"), col("cnt"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sketch.Sketches
+import org.apache.spark.sql.functions._
+
+/** Invariants for the OLAP additions and the deterministic sketches. The
+  * load-bearing property is partition-order independence: a sketch whose
+  * estimate wobbles with shuffle order can never pass a hash-compare gate,
+  * and would be non-reproducible at cluster scale.
+  */
+class OlapSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll: estimate within 5% at 256 registers and EXACTLY partition-order independent") {
+    val df = (1 to 5000).map(i => ("g", s"user_$i")).toDF("grp", "item")
+    val est = Sketches.hllDistinct(df, Seq("grp"), col("item"))
+      .collect().head.getAs[Double]("estimate")
+    // raw HLL at m=256 has ~6.5% typical error; 5000 distinct is outside the
+    // small-range-correction zone so the raw estimator applies cleanly
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"estimate $est")
+
+    val perm = Sketches.hllDistinct(df.repartition(7, col("item")), Seq("grp"), col("item"))
+      .collect().head.getAs[Double]("estimate")
+    assert(perm == est, "estimate must be bit-identical under repartitioning")
+  }
+
+  test("hll: duplicates do not move the estimate") {
+    val once = (1 to 800).map(i => ("g", s"u$i")).toDF("grp", "item")
+    val dup = (1 to 800).flatMap(i => Seq.fill(5)(("g", s"u$i"))).toDF("grp", "item")
+    val e1 = Sketches.hllDistinct(once, Seq("grp"), col("item")).collect().head.getAs[Double]("estimate")
+    val e5 = Sketches.hllDistinct(dup, Seq("grp"), col("item")).collect().head.getAs[Double]("estimate")
+    assert(e1 == e5)
+  }
+
+  test("cms: estimates never undercount and heavy hitters surface on skew") {
+    // zipf-ish: token t1 ×1000, t2 ×500, long tail ×1
+    val terms = (Seq.fill(1000)("t1") ++ Seq.fill(500)("t2") ++
+      (1 to 2000).map(i => s"tail_$i")).toDF("term")
+    val top = Sketches.countMinTopK(terms, "term", d = 3, w = 1024, k = 5).collect()
+    assert(top.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("cnt")),
+      "count-min must overestimate, never undercount")
+    assert(top.head.getAs[String]("term") == "t1" && top(1).getAs[String]("term") == "t2")
+    assert(top.head.getAs[Long]("cnt") == 1000L && top(1).getAs[Long]("cnt") == 500L)
+  }
+
+  test("cms: estimate is exact when a term's cells are collision-free") {
+    val terms = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i")).toDF("term")
+    // 50 distinct terms in 3×1024 cells: collisions possible but each term's
+    // estimate is min over 3 rows, and est == cnt whenever any row is clean
+    val all = Sketches.countMinTopK(terms, "term", d = 3, w = 1024, k = 50).collect()
+    val exact = all.count(r => r.getAs[Long]("est") == r.getAs[Long]("cnt"))
+    assert(exact >= 45, s"only $exact of 50 small-vocab estimates exact")
+  }
+
+  test("funnel: stage counts only shrink and strict ordering is enforced") {
+    val counts = queries.OlapQueries.defs("q87_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(counts("1_view") >= counts("2_click") && counts("2_click") >= counts("3_purchase"))
+    assert(counts("1_view") > 0)
+  }
+
+  test("rollup: subtotals and grand total are consistent") {
+    val rows = queries.OlapQueries.defs("q84_rollup")(spark, "/root/testdata/sf0.001").collect()
+    val leaf = rows.filter(_.getAs[Long]("gid") == 0)
+    val flagTot = rows.filter(_.getAs[Long]("gid") == 1)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3)
+    assert(grand.length == 1)
+    assert(leaf.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    assert(flagTot.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    // decimal-summed prices roll up exactly, not just approximately
+    assert(math.abs(leaf.map(_.getAs[Double]("sum_price")).sum - grand.head.getAs[Double]("sum_price")) < 1e-4)
+  }
+}
