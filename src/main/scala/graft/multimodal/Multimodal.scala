@@ -107,6 +107,55 @@ object Multimodal {
       n_frames = (len % 32 + 1).toInt)
   }
 
+  case class AudioMeta(doc_id: Long, byte_len: Long, sha256: String,
+                       sample_rate: Int, channels: Int, n_frames: Long, duration_ms: Double)
+
+  /** JDK-native audio codec: `javax.sound.sampled.AudioSystem` parses WAV /
+    * AIFF / AU headers (no sample data is decoded — `getAudioFileFormat`
+    * reads only the container header, so scans over audio blobs stay
+    * I/O-bound like the image path). Anything it can't parse returns None
+    * and falls through to the deterministic fake, keeping decode total.
+    */
+  object WavCodec extends Serializable {
+    def decode(payload: Array[Byte], mediaType: String): Option[(Int, Int, Long)] = {
+      if (!mediaType.startsWith("audio/")) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        Some((math.round(aff.getFormat.getSampleRate),
+          aff.getFormat.getChannels, aff.getFrameLength.toLong))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  /** Batch audio-metadata decode, same shape as [[decodeMeta]]: typed
+    * Dataset in/out, per-partition batching, real codec first (WAV/AIFF/AU
+    * via [[WavCodec]]) with the deterministic fake as the fallback slot for
+    * formats whose libraries are absent (mp3/ogg/flac).
+    */
+  def decodeAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map { r =>
+        val len = r.payload.length.toLong
+        val sha = md.digest(r.payload).map("%02x".format(_)).mkString
+        WavCodec.decode(r.payload, r.media_type) match {
+          case Some((sr, ch, nf)) =>
+            AudioMeta(r.doc_id, len, sha, sr, ch, nf,
+              if (sr > 0) nf * 1000.0 / sr else 0.0)
+          case None =>
+            val sr = Seq(8000, 16000, 44100)((len % 3).toInt)
+            val nf = len * 4
+            AudioMeta(r.doc_id, len, sha, sr, (len % 2 + 1).toInt, nf, nf * 1000.0 / sr)
+        }
+      }
+    }
+  }
+
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
 
   /** Frame sampling: every `everyK`-th frame of each media payload, so the

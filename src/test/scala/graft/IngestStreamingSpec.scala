@@ -386,6 +386,34 @@ class IngestStreamingSpec extends SparkSpec {
     assert(out.size == 4, "decode must stay total")
   }
 
+  test("real audio decode: in-memory WAV reports true rate/channels/frames") {
+    import Multimodal._
+    def wavBytes(sr: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * 2 * channels)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, wavBytes(16000f, 1, 3200), "audio/wav"),
+      MediaRecord(2L, wavBytes(44100f, 2, 4410), "audio/wav"),
+      MediaRecord(3L, Array[Byte](9, 9, 9), "audio/wav"), // corrupt -> fake fallback
+      MediaRecord(4L, "not audio".getBytes("UTF-8"), "text/fake"))
+    val out = Multimodal.decodeAudioMeta(spark.createDataset(recs)).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).sample_rate == 16000 && out(1L).channels == 1 && out(1L).n_frames == 3200L)
+    assert(out(1L).duration_ms == 200.0)
+    assert(out(2L).sample_rate == 44100 && out(2L).channels == 2 && out(2L).n_frames == 4410L)
+    assert(out(2L).duration_ms == 100.0)
+    // undecodable and non-audio payloads keep the deterministic fake metadata
+    assert(out(3L).sample_rate == Seq(8000, 16000, 44100)(3 % 3) && out(3L).n_frames == 12L)
+    assert(out(4L).n_frames == 9L * 4)
+    assert(out.size == 4, "decode must stay total")
+  }
+
   test("frame sampling emits every k-th frame with deterministic digests") {
     val docs = Seq((1L, "hello world"), (2L, "a much longer document body here"))
       .toDF("doc_id", "text")
