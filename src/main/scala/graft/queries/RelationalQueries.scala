@@ -172,6 +172,20 @@ object RelationalQueries {
         .select(col("metric_date"), col("source_id"), col("metric"),
           round(col("value"), 6).as("value"))
         .orderBy("metric_date", "source_id", "metric")
+    }),
+
+    // R5/R8: the exact-distinct KPI measure on a column with true repeats
+    // (2-decimal values collide within a day, so distinct < count — q02's
+    // distinct-on-ts is degenerate: timestamps are unique per group and a
+    // bug conflating countDistinct with count would pass). Routed through
+    // the unified-value selector with agg="distinct"
+    // (kpi.py:61; tests/kpi_metrics_engine/test_kpi_variants.py:66-85).
+    "q90_value_distinct" -> ((s, d) => {
+      val md = DailyKpi.aggregate(Tables.cleanEvents(s, d), distinctCol = Some("value"))
+      DailyKpi.withUnifiedValue(md, "distinct")
+        .select(col("metric_date"), col("source_id"), col("metric"),
+          col("value_count"), col("value_distinct"), col("value"))
+        .orderBy("metric_date", "source_id", "metric")
     })
   )
 
@@ -282,6 +296,12 @@ object RelationalQueries {
         |   CASE WHEN value_avg IS NOT NULL AND value_avg <> 0.0 THEN value_avg END,
         |   CASE WHEN value_count IS NOT NULL AND value_count <> 0.0 THEN value_count END,
         |   0.0), 6) AS value
-        |FROM md ORDER BY 1,2,3""".stripMargin
+        |FROM md ORDER BY 1,2,3""".stripMargin,
+    "q90_value_distinct" ->
+      """SELECT CAST(ts AS DATE) AS metric_date, user_id AS source_id, event_type AS metric,
+        | count(*) AS value_count,
+        | count(DISTINCT value) AS value_distinct,
+        | count(DISTINCT value) AS value
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
   )
 }
