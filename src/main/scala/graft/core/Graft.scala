@@ -44,8 +44,15 @@ object Tables {
   // Relation cache: every spark.read.parquet call re-lists the path and
   // re-reads footers for schema (~70 ms each), a pure fixed cost repeated
   // ~110 times across the registry (~7 s of a bench run). DataFrames are
-  // immutable plans, so per-(session, dir, table) reuse is safe; the weak
-  // session key lets stopped sessions (test suites) collect their entries.
+  // immutable plans, so per-(session, dir, table) reuse is safe.
+  // RETENTION: although the map is a WeakHashMap on the session, entries are
+  // in practice retained for the life of the process — the cached DataFrames
+  // strongly reference their SparkSession, i.e. the value refers to the key,
+  // which the WeakHashMap javadoc warns pins the entry (it can never become
+  // weakly reachable). That is an accepted, bounded cost: an entry is ~10
+  // small logical plans, and a process creates a handful of sessions (tests,
+  // one bench/verify session). A deployment spinning up MANY short-lived
+  // sessions should evict explicitly on session stop rather than rely on GC.
   // The source dirs are immutable test fixtures — callers that need fresh
   // file listings (e.g. Store paths) do not come through here.
   private val cache = new java.util.WeakHashMap[SparkSession,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora — the training-data
@@ -226,6 +227,59 @@ object Dedup {
       .filter(col("__ma") < col("__mb"))
       .select(col("__ma").as("doc_a"), col("__mb").as("doc_b"), lit(1.0).as("jaccard"))
     expanded.unionByName(within)
+  }
+
+  /** Bounded-emission variant of [[minhashLshPairs]] — the 100 TB contract.
+    * The full variant's pair output is inherently quadratic in duplicate
+    * multiplicity (10k byte-identical docs ⇒ ~50M within-group pairs, even
+    * though the mining itself is collapsed); this variant emits a
+    * connectivity-equivalent LINEAR edge set instead:
+    *
+    *   - within each identical-content group: star edges (rep, member) for
+    *     the first `maxPairsPerGroup` members by doc_id (jaccard exactly
+    *     1.0) — union-find over the stars yields the same clusters as the
+    *     full C(n,2) emission;
+    *   - across groups: ONE (rep_a, rep_b) edge per verified near-dup rep
+    *     pair, never fanned out to members.
+    *
+    * Omitted pairs are not silently lost: [[minhashLshBoundedOmitted]]
+    * counts per group exactly what this mode left out of the full contract.
+    */
+  def minhashLshPairsBounded(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double,
+                             maxBucket: Int = 1000, maxPairsPerGroup: Int = 64): DataFrame = {
+    require(maxPairsPerGroup >= 1, "maxPairsPerGroup must be >= 1")
+    val sets = shingleSets(shingles)
+    val (groups, members) = keyedSets(sets)
+    val repSets = sets.join(groups.select(col("rep_id").as("doc_id")), "doc_id")
+    val based = repSets.select(col("doc_id"), explode(col("sh")).as("__h"))
+      .withColumn("__base", col("__h") % MinhashP)
+    val bandsDf = lshBands(minhashFromBase(based, numPerms), numPerms, bands)
+    val repPairs = jaccardForPairs(blockedPairs(bandsDf, "band_key", maxBucket), repSets, threshold)
+    val cross = repPairs.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+      greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+    // per-group window is safe at scale: partitioned by rep_id, and the rank
+    // only orders the group's own members
+    val w = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    val star = members.filter(col("doc_id") =!= col("rep_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPairsPerGroup)
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(star)
+  }
+
+  /** Remainder audit for [[minhashLshPairsBounded]]: per identical-content
+    * group, how many of the full contract's C(n,2) pairs the star emission
+    * left out at a given `maxPairsPerGroup`. Empty means the bounded mode
+    * is lossless for this corpus. Output: (rep_id, n_members, full_pairs,
+    * emitted_pairs, omitted_pairs).
+    */
+  def minhashLshBoundedOmitted(shingles: DataFrame, maxPairsPerGroup: Int): DataFrame = {
+    val (_, members) = keyedSets(shingleSets(shingles))
+    members.groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
+      .withColumn("full_pairs", (col("n_members") * (col("n_members") - 1) / 2).cast("long"))
+      .withColumn("emitted_pairs", least(col("n_members") - 1, lit(maxPairsPerGroup.toLong)))
+      .withColumn("omitted_pairs", col("full_pairs") - col("emitted_pairs"))
+      .filter(col("omitted_pairs") > 0)
   }
 
   /** Audit companion for [[minhashLshPairs]]: the post-collapse LSH buckets

@@ -50,7 +50,12 @@ object Multimodal {
     * Frame count uses `getNumImages(allowSearch = false)`; readers that
     * would need a full-stream search (-1) report 1 frame rather than paying
     * a second pass over the payload. Undecodable or corrupt payloads return
-    * None and fall through to the fake, keeping the output total.
+    * None and fall through to the fake, keeping the output total — including
+    * payloads whose magic bytes resolve a reader that then throws a
+    * RuntimeException on the truncated/garbled remainder (javax.imageio
+    * readers raise IllegalArgumentException, IndexOutOfBoundsException, even
+    * NegativeArraySizeException on malformed headers; at 100 TB one corrupt
+    * blob must not kill the task).
     */
   object ImageIoCodec extends MediaCodec {
     def decode(payload: Array[Byte], mediaType: String): Option[(Int, Int, Int)] = {
@@ -70,7 +75,7 @@ object Multimodal {
             } finally r.dispose()
           }
         } finally iis.close()
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
@@ -124,10 +129,7 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         Some((math.round(aff.getFormat.getSampleRate),
           aff.getFormat.getChannels, aff.getFrameLength.toLong))
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

@@ -47,4 +47,19 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** [[firstWriteWins]] that also reports the per-key group size (the "how
+    * many writes did this key see" audit the reference surfaces as skipped
+    * counts). Both window functions share one partitioning, so the whole
+    * thing costs a single shuffle on the keys — vs the naive
+    * dedup + groupBy-count + join-back, which pays three exchanges for the
+    * same answer.
+    */
+  def firstWriteWinsCounted(df: DataFrame, keys: Seq[String], orderCol: String,
+                            countCol: String = "n_rows"): DataFrame = {
+    val p = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__rn", row_number().over(p.orderBy(col(orderCol).asc)))
+      .withColumn(countCol, count(lit(1)).over(p))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

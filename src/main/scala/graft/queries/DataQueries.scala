@@ -93,9 +93,15 @@ object DataQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // maxBucket is explicitly UNCAPPED here: the DuckDB oracle mines every
+    // band bucket with no size cap, so a capped Spark side would silently
+    // drop pairs the oracle keeps the moment some scale factor produces a
+    // post-collapse bucket >1000 — a gate failure with nothing actually
+    // wrong. The 1000-bucket production default stays opt-in at the library
+    // call sites; correctness queries mirror their oracle exactly.
     "q26_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Dedup.wordShingles(docs(s, d), 3), numPerms = 16, bands = 4,
-          threshold = 0.8)
+          threshold = 0.8, maxBucket = Int.MaxValue)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 

@@ -61,17 +61,17 @@ object IngestQueries {
       Ingest.ingestStats(Ingest.cleanRows(rawish(s, d)))),
 
     // S5: first-write-wins dedup on a daily key (arrival order = event_id).
+    // One window pass computes both the kept row and the group size — the
+    // exact shape of the DuckDB oracle below (rn + count over the same
+    // partition) — so the plan pays ONE exchange, not the old
+    // dedup + groupBy-count + join-back trio.
     "q38_dedup_first_wins" -> ((s, d) => {
       val ev = Tables.cleanEvents(s, d)
-        .withColumn("metric_date", to_date(col("ts")))
-      val kept = Relational.firstWriteWins(
-        ev.select(col("source_id"), col("metric"), col("metric_date"),
-          unix_micros(col("ts")).as("ts_us")),
-        Seq("source_id", "metric", "metric_date"), "ts_us")
-      val counts = ev.groupBy("source_id", "metric", "metric_date")
-        .agg(count(lit(1)).as("n_rows"))
-      kept.select(col("source_id"), col("metric"), col("metric_date"), col("ts_us").as("kept_ts_us"))
-        .join(counts, Seq("source_id", "metric", "metric_date"))
+        .select(col("source_id"), col("metric"), to_date(col("ts")).as("metric_date"),
+          unix_micros(col("ts")).as("ts_us"))
+      Relational.firstWriteWinsCounted(ev, Seq("source_id", "metric", "metric_date"), "ts_us")
+        .select(col("source_id"), col("metric"), col("metric_date"),
+          col("ts_us").as("kept_ts_us"), col("n_rows"))
         .orderBy("source_id", "metric", "metric_date")
     }),
 

@@ -194,18 +194,26 @@ object TextOps {
     * vocabulary is reproducible across runs and engines. The selection is a
     * global sort+limit (plans as TakeOrderedAndProject: per-partition
     * top-K then a K-sized merge — a web-scale vocab never lands on one
-    * partition, which a global ranking window would force); only the <=topK
-    * survivors see the rank window. Output: (term, df, cf, rank).
+    * partition, which a global ranking window would force). Ranks are then
+    * zipped onto the sorted take on the DRIVER: the take is bounded at
+    * `topK` rows by construction (the MLlib bounded-collect pattern, same
+    * as the IVF centroid path), so no Window operator — and no
+    * single-partition WARN — appears anywhere in the plan.
+    * Output: (term, df, cf, rank).
     */
   def vocabulary(docs: DataFrame, minDf: Int, topK: Int,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val stats = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
       .filter(col("df") >= minDf)
-    stats.orderBy(col("df").desc, col("cf").desc, col("term").asc).limit(topK)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("df").desc, col("cf").desc, col("term").asc)))
+    val top = stats.orderBy(col("df").desc, col("cf").desc, col("term").asc).limit(topK)
+      .select(col("term"), col("df"), col("cf")).as[(String, Long, Long)].collect()
+    top.zipWithIndex.toSeq
+      .map { case ((term, df, cf), i) => (term, df, cf, i + 1) }
+      .toDF("term", "df", "cf", "rank")
   }
 }

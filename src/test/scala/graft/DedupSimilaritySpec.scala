@@ -64,6 +64,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.minhashLshOverflow(Dedup.wordShingles(bigDocs, 3), 16, 4, maxBucket = 2).isEmpty)
   }
 
+  test("maxBucket straddle: capped run drops exactly the pairs the uncapped run keeps") {
+    // Post-collapse this corpus has a band bucket holding BOTH reps (docs
+    // 1/2 collapse to rep 1; doc 3 is a near-dup of them) — bucket size 2.
+    // A cap of 1 straddles it: the uncapped run (q26's shape, mirroring the
+    // DuckDB oracle which has no bucket cap) keeps the cross-set pairs, the
+    // capped run drops them, and the overflow audit names the dropped
+    // bucket. This is the divergence the q26 call site avoids by passing
+    // maxBucket = Int.MaxValue.
+    val sh = Dedup.wordShingles(docs, 3)
+    val uncapped = Dedup.minhashLshPairs(sh, 16, 4, threshold = 0.5, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uncapped.contains((1L, 3L)) && uncapped.contains((2L, 3L)),
+      "uncapped run must keep the cross-set near-dup pairs")
+    val capped = Dedup.minhashLshPairs(sh, 16, 4, threshold = 0.5, maxBucket = 1)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)),
+      "a cap below the bucket size must drop the bucket whole")
+    assert(capped.contains((1L, 2L)), "within-set pairs don't go through buckets")
+    assert(Dedup.minhashLshOverflow(sh, 16, 4, maxBucket = 1).count() >= 1,
+      "the audit must surface what the cap dropped")
+  }
+
+  test("bounded pair mode stays linear on 10k identical docs and counts the remainder") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val variant = "the quick brown fox jumps over the lazy dog again and often"
+    val many = (10L until 10010L).map(i => (i, base)) :+ (1L, variant)
+    val bigDocs = spark.createDataFrame(many).toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(bigDocs, 3)
+    val pairs = Dedup.minhashLshPairsBounded(sh, 16, 4, threshold = 0.5,
+      maxPairsPerGroup = 100).collect()
+    // 100 star pairs inside the 10k-identical group + ONE rep-rep cross edge
+    // to the variant — vs ~50M pairs under the full contract
+    assert(pairs.length == 101, s"got ${pairs.length} pairs")
+    val star = pairs.filter(p => p.getAs[Double]("jaccard") == 1.0)
+    assert(star.length == 100 && star.forall(_.getAs[Long]("doc_a") == 10L),
+      "within-group emission must be a star on the rep (min doc_id)")
+    val cross = pairs.filter(p => p.getAs[Double]("jaccard") < 1.0)
+    assert(cross.length == 1 && cross.head.getAs[Long]("doc_a") == 1L &&
+      cross.head.getAs[Long]("doc_b") == 10L,
+      "cross-group emission must be the single rep-rep edge")
+    val omitted = Dedup.minhashLshBoundedOmitted(sh, maxPairsPerGroup = 100).collect()
+    assert(omitted.length == 1 && omitted.head.getAs[Long]("rep_id") == 10L)
+    assert(omitted.head.getAs[Long]("omitted_pairs") == 10000L * 9999L / 2 - 100L,
+      "audit must count exactly the pairs the star left out")
+  }
+
   test("simhash: identical docs have hamming 0; banded pairs find them") {
     val sims = Dedup.simhash(docs)
     val h = sims.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

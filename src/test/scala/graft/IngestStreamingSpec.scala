@@ -386,6 +386,29 @@ class IngestStreamingSpec extends SparkSpec {
     assert(out.size == 4, "decode must stay total")
   }
 
+  test("image decode survives a reader that throws RuntimeException mid-decode") {
+    import Multimodal._
+    // Valid GIF89a magic + complete logical screen descriptor but NO image
+    // descriptor: javax.imageio FINDS the GIF reader, getNumImages(false)
+    // returns -1, and getWidth(0) then throws IndexOutOfBoundsException — a
+    // RuntimeException, not an IOException. The codec must treat that as
+    // undecodable and fall through to the deterministic fake instead of
+    // letting one corrupt blob kill a 100 TB scan task.
+    val gifNoImage = Array[Byte]('G', 'I', 'F', '8', '9', 'a', 10, 0, 10, 0, 0, 0, 0, 0x3B)
+    intercept[IndexOutOfBoundsException] { // prove the payload really does provoke a RuntimeException
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gifNoImage))
+      val r = javax.imageio.ImageIO.getImageReaders(iis).next()
+      r.setInput(iis, true, true)
+      r.getWidth(0)
+    }
+    val recs = Seq(MediaRecord(7L, gifNoImage, "image/gif"))
+    val out = Multimodal.decodeMeta(spark.createDataset(recs)).collect()
+    assert(out.length == 1, "decode must stay total")
+    assert(out.head.width == (gifNoImage.length % 640 + 16).toInt,
+      "RuntimeException from a found reader must fall back to the fake")
+  }
+
   test("real audio decode: in-memory WAV reports true rate/channels/frames") {
     import Multimodal._
     def wavBytes(sr: Float, channels: Int, frames: Int): Array[Byte] = {

@@ -41,11 +41,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(violations.isEmpty, s"scale-unsafe join shapes:\n${violations.mkString("\n")}")
   }
 
-  test("vocabulary selects top-k via sort+limit, not a global ranking window") {
+  test("vocabulary plan has no window at all — ranks zip onto the bounded take") {
+    // The distributed part (sort+limit) executes as TakeOrderedAndProject
+    // inside the operator; the returned frame is the <=topK driver-ranked
+    // local relation. A Window anywhere here would mean the global ranking
+    // window — and its single-partition WARN — crept back in.
     val p = planOf("q77_vocab_topk")
-    assert(p.contains("TakeOrderedAndProject"),
-      "vocab top-k lost its TakeOrderedAndProject shape (global window would " +
-        "single-partition a web-scale vocabulary)")
+    assert(!p.contains("Window"),
+      "vocab rank must come from the driver-side zip over the bounded take, " +
+        "not a global ranking window")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      "vocab result should be the bounded driver-ranked local relation")
   }
 
   test("banded range join plans as a hash join, not a nested loop") {
