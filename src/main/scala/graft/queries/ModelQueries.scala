@@ -143,6 +143,80 @@ object ModelQueries {
         .orderBy("source_id", "metric")
     }),
 
+    // Oracle-checkable invariants of the ROUTER-variant isolation forest
+    // (routers/anomaly_iforest.py:37-167 — 1-feature X, 200 trees,
+    // contamination clamp [0.001, 0.5], NaN mean-fill, < 5-finite bail,
+    // rolling-z proxy). Per real series, each anchor re-scores a derived
+    // synthetic series through the SAME production entry point
+    // (AnomalyService.routerScoreSeries) and counts contract violations:
+    //   range/flag/null — default-run scores within [-0.5, 0.5], flagged
+    //     count = round(0.05 * n), no null scores past the bail;
+    //   clamp — contamination 0.9 and 0.0 must score bit-identically to
+    //     their clamped 0.5 / 0.001;
+    //   bail — 4 finite + 3 NaN points => every point inlier, score null;
+    //   fill — a NaN injected mid-series must score exactly as the series
+    //     with that NaN replaced by the NaN-ignoring mean;
+    //   proxy — rolling-z fallback: warm-up nulls, sd == 0 => z = 0 and
+    //     outlier iff value != mean, spike z >= 3 flags.
+    "q94_iforest_router" -> ((s, d) => {
+      import s.implicits._
+      val series = md(s, d)
+        .select(col("source_id").cast("long"), col("metric"), col("metric_date"),
+          col("value_sum").cast("double"))
+        .as[(Long, String, java.sql.Date, Double)]
+      series.groupByKey(r => (r._1, r._2))
+        .mapGroups { (k: (Long, String), it: Iterator[(Long, String, java.sql.Date, Double)]) =>
+          val vals = it.toArray.sortBy(_._3.getTime).map(_._4)
+          val n = vals.length
+          val dflt = AnomalyService.routerScoreSeries(vals)
+          val rangeViol = dflt.count(_.score.exists(sc => sc < -0.5 || sc > 0.5)).toLong
+          val expFlag = if (n >= 5) math.round(0.05 * n) else 0L
+          val flagViol = if (dflt.count(_.isOutlier).toLong == expFlag) 0L else 1L
+          val nullViol = (if (n >= 5) dflt.count(_.score.isEmpty)
+                          else dflt.count(_.score.isDefined)).toLong
+          val clampViol =
+            if (n < 5) 0L
+            else if (AnomalyService.routerScoreSeries(vals, 0.9)
+                       .sameElements(AnomalyService.routerScoreSeries(vals, 0.5)) &&
+                     AnomalyService.routerScoreSeries(vals, 0.0)
+                       .sameElements(AnomalyService.routerScoreSeries(vals, 0.001))) 0L
+            else 1L
+          val bail = AnomalyService.routerScoreSeries(
+            vals.take(4) ++ Array.fill(3)(Double.NaN))
+          val bailViol = bail.count(p => p.isOutlier || p.score.isDefined).toLong
+          // n = 5 would bail after the NaN injection (4 finite) while the
+          // filled twin scores — the anchor needs n - 1 >= 5 finite points
+          val fillViol =
+            if (n < 6) 0L
+            else {
+              val nanVals = vals.clone(); nanVals(2) = Double.NaN
+              val m = nanVals.filter(v => !v.isNaN)
+              val fill = m.sum / m.length
+              val filled = nanVals.map(v => if (v.isNaN) fill else v)
+              val a = AnomalyService.routerScoreSeries(nanVals)
+              val b = AnomalyService.routerScoreSeries(filled)
+              a.zip(b).count { case (p, q) =>
+                p.score != q.score || p.isOutlier != q.isOutlier }.toLong
+            }
+          // proxy anchors are synthetic, independent of this series' values
+          val flat = AnomalyService.routerScoreSeries(
+            Array.fill(8)(100.0) :+ 150.0, method = "rolling_z")
+          val spiky = AnomalyService.routerScoreSeries(
+            Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0), method = "rolling_z")
+          val proxyOk =
+            flat.take(7).forall(p => p.score.isEmpty && !p.isOutlier) &&
+            flat(7) == AnomalyService.RouterScore(Some(100.0), isOutlier = false, Some(0.0)) &&
+            flat(8).isOutlier && flat(8).score.contains(0.0) &&
+            spiky(7).isOutlier && spiky(7).score.exists(_ >= 3.0)
+          val proxyViol = if (proxyOk) 0L else 1L
+          (k._1, k._2, n.toLong, rangeViol, flagViol, nullViol, clampViol,
+            bailViol, fillViol, proxyViol)
+        }
+        .toDF("source_id", "metric", "n_points", "range_viol", "flag_viol", "null_viol",
+          "clamp_viol", "bail_viol", "fill_viol", "proxy_viol")
+        .orderBy("source_id", "metric")
+    }),
+
     // Oracle-checkable periodicity invariant of the q78 seasonal fit: an
     // exactly weekly-periodic history (this series' per-day-of-week mean,
     // quantized to WHOLE cents so the double seasonal difference is exactly
@@ -204,6 +278,14 @@ object ModelQueries {
       """WITH s AS (SELECT DISTINCT user_id AS source_id, event_type AS metric FROM events)
         |SELECT source_id, metric, 14 AS n_h,
         | 0 AS periodic_viol, 0 AS naive_viol, 0 AS band_viol
-        |FROM s ORDER BY source_id, metric""".stripMargin
+        |FROM s ORDER BY source_id, metric""".stripMargin,
+    "q94_iforest_router" ->
+      """WITH md AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id, event_type FROM events GROUP BY 1,2,3
+        |)
+        |SELECT user_id AS source_id, event_type AS metric, count(*) AS n_points,
+        | 0 AS range_viol, 0 AS flag_viol, 0 AS null_viol, 0 AS clamp_viol,
+        | 0 AS bail_viol, 0 AS fill_viol, 0 AS proxy_viol
+        |FROM md GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

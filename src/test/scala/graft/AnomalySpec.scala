@@ -71,4 +71,66 @@ class AnomalySpec extends SparkSpec {
     val s = IsolationForest.scoreMatrix(Array(Array(1.0), Array(2.0), Array(99.0)))
     assert(s.forall(!_._2))
   }
+
+  test("router variant: clamp, NaN mean-fill, <5-finite bail mirror the mounted API") {
+    import AnomalyService.{routerScoreSeries, RouterScore}
+    val vals = Array.tabulate(40)(i => if (i == 20) 500.0 else 10.0 + (i % 3))
+    // contamination outside the router's Query bounds behaves as the clamp
+    assert(routerScoreSeries(vals, 0.9).toSeq == routerScoreSeries(vals, 0.5).toSeq)
+    assert(routerScoreSeries(vals, 0.0).toSeq == routerScoreSeries(vals, 0.001).toSeq)
+    // default run: spike flagged with the minimal score, flag count = round(0.05 * n)
+    val dflt = routerScoreSeries(vals)
+    assert(dflt(20).isOutlier && dflt(20).score.get == dflt.flatMap(_.score).min)
+    assert(dflt.count(_.isOutlier) == math.round(0.05 * vals.length).toInt)
+    // NaN fills with the NaN-ignoring mean: scores match the explicit fill
+    val withNan = vals.clone(); withNan(5) = Double.NaN
+    val m = withNan.filter(v => !v.isNaN)
+    val filled = withNan.map(v => if (v.isNaN) m.sum / m.length else v)
+    routerScoreSeries(withNan).zip(routerScoreSeries(filled)).foreach { case (a, b) =>
+      assert(a.score == b.score && a.isOutlier == b.isOutlier)
+    }
+    assert(routerScoreSeries(withNan)(5).value.isEmpty, "missing value reported as None")
+    // < 5 finite points bails: every point inlier, score None, value kept
+    val bail = routerScoreSeries(Array(1.0, Double.NaN, 2.0, 3.0, Double.NaN, 4.0))
+    assert(bail.forall(p => !p.isOutlier && p.score.isEmpty))
+    assert(bail(0) == RouterScore(Some(1.0), isOutlier = false, None))
+  }
+
+  test("router variant rolling-z proxy: warm-up, sd=0 branch, and z-spike flags") {
+    import AnomalyService.routerScoreSeries
+    val flat = routerScoreSeries(Array.fill(8)(100.0) :+ 150.0, method = "rolling_z")
+    assert(flat.take(7).forall(p => p.score.isEmpty && !p.isOutlier), "7-point warm-up")
+    assert(!flat(7).isOutlier && flat(7).score.contains(0.0), "sd=0, v == mu => inlier z=0")
+    assert(flat(8).isOutlier && flat(8).score.contains(0.0), "sd=0, v != mu => outlier z=0")
+    val spiky = routerScoreSeries(
+      Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0), method = "rolling_z")
+    // priors 1..7: mu=4, pstdev=2 => z=(50-4)/2=23
+    assert(spiky(7).isOutlier && spiky(7).score.contains(23.0))
+    // history accumulates only non-missing values
+    val gappy = routerScoreSeries(
+      Array(1.0, 2.0, Double.NaN, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0), method = "rolling_z")
+    assert(gappy(2).value.isEmpty && gappy(2).score.isEmpty)
+    assert(gappy(8).isOutlier && gappy(8).score.contains(23.0),
+      "NaN must not enter the window history")
+  }
+
+  test("router Dataset wrapper scores per series with nullable value/score") {
+    val md = spikeSeries.select(col("source_id"), col("metric"), col("metric_date"), col("value"))
+      .union(Seq((402L, "events_total", java.sql.Date.valueOf("2025-09-01"), 1.0),
+        (402L, "events_total", java.sql.Date.valueOf("2025-09-02"), 2.0))
+        .toDF("source_id", "metric", "metric_date", "value"))
+    val out = AnomalyService.iforestRouterScores(md).collect()
+    assert(out.length == 9)
+    val s401 = out.filter(_.source_id == 401L).sortBy(_.metric_date.getTime)
+    val spike = s401.find(_.metric_date.toString == "2025-09-06").get
+    assert(spike.score.get == s401.flatMap(_.score).min, "spike least normal")
+    // n=7 at contamination 0.05 flags round(0.35) = 0 points — raising
+    // contamination flags the spike
+    val flagged = AnomalyService.iforestRouterScores(
+      spikeSeries.select(col("source_id"), col("metric"), col("metric_date"), col("value")),
+      contamination = 0.15).collect().filter(_.is_outlier)
+    assert(flagged.map(_.metric_date.toString).toSeq == Seq("2025-09-06"))
+    val s402 = out.filter(_.source_id == 402L)
+    assert(s402.forall(p => !p.is_outlier && p.score.isEmpty), "2-point series bails")
+  }
 }

@@ -60,6 +60,31 @@ class ApiSpec extends SparkSpec {
     assert(!Ingest.strictHeaderOk(Seq(("a", "b")).toDF("Timestamp", "notvalue")))
   }
 
+  test("S9 envelope: ok/fail JSON matches the reference shape and round-trips") {
+    import graft.api.Envelope
+    val df = Seq((1L, "events_total", 2.5)).toDF("source_id", "metric", "value")
+    val okJson = Envelope.ok(df, sourceName = Some("demo"), metric = Some("events_total"),
+      params = Seq("agg" -> "sum"), generatedAt = "2026-01-01T00:00:00Z")
+    // round-trip through a JSON parser: the envelope must be valid JSON with
+    // the canonical fields in the reference's shape
+    val parsed = spark.read.json(Seq(okJson).toDS).collect().head
+    assert(parsed.getAs[Boolean]("ok"))
+    assert(parsed.isNullAt(parsed.fieldIndex("error")))
+    val metaRow = parsed.getStruct(parsed.fieldIndex("meta"))
+    assert(metaRow.getAs[String]("version") == "0.7.0" &&
+      metaRow.getAs[String]("source_name") == "demo" &&
+      metaRow.getAs[String]("generated_at") == "2026-01-01T00:00:00Z")
+    val data = parsed.getSeq[org.apache.spark.sql.Row](parsed.fieldIndex("data"))
+    assert(data.length == 1 && data.head.getAs[String]("metric") == "events_total")
+    val failJson = Envelope.fail("UNKNOWN_SOURCE", "Unknown source: \"nope\"",
+      sourceName = Some("nope"), generatedAt = "2026-01-01T00:00:00Z")
+    val f = spark.read.json(Seq(failJson).toDS).collect().head
+    assert(!f.getAs[Boolean]("ok") && f.isNullAt(f.fieldIndex("data")))
+    val err = f.getStruct(f.fieldIndex("error"))
+    assert(err.getAs[String]("code") == "UNKNOWN_SOURCE" &&
+      err.getAs[String]("message").contains("\"nope\""), "quotes must escape cleanly")
+  }
+
   test("M3 moving-average forecast: window 14 mean with z*sd bands") {
     val series = (0 until 20).map(i =>
         (1L, "m", java.sql.Date.valueOf(java.time.LocalDate.of(2025, 6, 1).plusDays(i)), 10.0))
