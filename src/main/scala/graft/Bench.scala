@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 64 KB floor (not the 1 MB default): byte-based coalescing otherwise
+      // collapses the small-but-CPU-heavy per-series model-fit shuffles onto
+      // 2-3 cores (see Graft.localSession for the measurement)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,6 +91,33 @@ object AnomalyService {
     }
   }
 
+  /** [[routerScoreSeries]] at several contamination levels from ONE forest
+    * fit (iforest method only): decision scores are contamination-independent
+    * — only the flag cut moves — so each requested level goes through the
+    * same clamp + round(c*n) cut as the single-level entry point without a
+    * refit. Returns one scored array per requested contamination, in order;
+    * each is element-wise equal to `routerScoreSeries(vals, c)` (proven by
+    * AnomalySpec's equivalence case).
+    */
+  def routerScoreSeriesMulti(vals: Array[Double], contaminations: Seq[Double],
+                             numTrees: Int = 200, seed: Long = 42L)
+      : Seq[Array[RouterScore]] = {
+    def opt(v: Double): Option[Double] = if (v.isNaN) None else Some(v)
+    val finite = vals.filter(v => !v.isNaN)
+    if (finite.length < 5) {
+      val bail = vals.map(v => RouterScore(opt(v), isOutlier = false, score = None))
+      contaminations.map(_ => bail)
+    } else {
+      val fill = finite.sum / finite.length
+      val x = vals.map(v => Array(if (v.isNaN || v.isInfinite) fill else v))
+      val clamped = contaminations.map(c => math.min(0.5, math.max(0.001, c)))
+      val (scores, flagSets) = IsolationForest.scoreMatrixMulti(x, clamped, numTrees, seed)
+      flagSets.map { flags =>
+        vals.indices.toArray.map(i => RouterScore(opt(vals(i)), flags(i), Some(scores(i))))
+      }
+    }
+  }
+
   /** Dataset wrapper over [[routerScoreSeries]]: every (source, metric)
     * series scores independently inside `flatMapGroups` — same distribution
     * shape as [[iforestScores]], nullable value/score in the output.

@@ -121,12 +121,30 @@ object IsolationForest {
     * (`routers/anomaly_iforest.py` small-sample bail).
     */
   def scoreMatrix(x: Array[Array[Double]], contamination: Double = 0.05,
-                  numTrees: Int = 100, seed: Long = 42L): Array[(Double, Boolean)] = {
-    if (x.length < 5) return x.map(_ => (0.5, false))
+                  numTrees: Int = 100, seed: Long = 42L): Array[(Double, Boolean)] =
+    scoreMatrixMulti(x, Seq(contamination), numTrees, seed) match {
+      case (scores, flags) => scores.zip(flags.head)
+    }
+
+  /** One fit, many contamination cuts: scores depend only on the forest, so
+    * flagging at several contamination levels needs no refit. Returns the
+    * shared score vector plus one flag vector per requested contamination
+    * (same order). < 5 rows => the small-sample bail for every cut.
+    */
+  def scoreMatrixMulti(x: Array[Array[Double]], contaminations: Seq[Double],
+                       numTrees: Int = 100, seed: Long = 42L)
+      : (Array[Double], Seq[Array[Boolean]]) = {
+    if (x.length < 5)
+      return (x.map(_ => 0.5), contaminations.map(_ => x.map(_ => false)))
     val forest = new IsolationForest(numTrees = numTrees, seed = seed).fit(x)
     val scores = x.map(forest.decisionScore)
-    val nOut = math.max(0, math.round(contamination * x.length).toInt)
-    val cutIdx = scores.zipWithIndex.sortBy { case (s, i) => (s, i) }.take(nOut).map(_._2).toSet
-    scores.zipWithIndex.map { case (s, i) => (s, cutIdx.contains(i)) }
+    val order = scores.zipWithIndex.sortBy { case (s, i) => (s, i) }.map(_._2)
+    val flagSets = contaminations.map { c =>
+      val nOut = math.max(0, math.round(c * x.length).toInt)
+      val flags = new Array[Boolean](x.length)
+      order.take(nOut).foreach(flags(_) = true)
+      flags
+    }
+    (scores, flagSets)
   }
 }

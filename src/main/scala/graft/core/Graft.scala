@@ -25,6 +25,15 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing sizes partitions by BYTES (1 MB default floor), which
+      // collapses the tiny-but-CPU-heavy per-series model-fit shuffles
+      // (groupByKey -> flatMapGroups iforest/ARIMA stages: a few MB of rows,
+      // milliseconds of compute per row) onto 2-3 cores. A 64 KB floor keeps
+      // those stages at full parallelism — measured 3x on the iforest stage —
+      // while byte-based coalescing still applies to genuinely large scans
+      // and joins. At cluster scale the same reasoning holds: model stages
+      // are compute-bound, so the floor should track CPU budget, not bytes.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

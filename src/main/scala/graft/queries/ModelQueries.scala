@@ -106,7 +106,12 @@ object ModelQueries {
     // large spike — must flag the spike with the strictly minimal score.
     "q92_iforest_invariants" -> ((s, d) => {
       import s.implicits._
-      val perSeries = defs("q44_iforest_scores")(s, d)
+      // score directly (q44 minus its presentation sort — the groupBy here
+      // re-shuffles anyway, so q44's global orderBy would only add a
+      // range-sampling pass that re-runs every fit)
+      val mdValue = md(s, d).select(col("source_id"), col("metric"), col("metric_date"),
+        col("value_sum").as("value"))
+      val perSeries = AnomalyService.iforestScores(mdValue).toDF()
         .groupBy(col("source_id"), col("metric"))
         .agg(
           count(lit(1)).as("n_points"),
@@ -160,6 +165,19 @@ object ModelQueries {
     //     outlier iff value != mean, spike z >= 3 flags.
     "q94_iforest_router" -> ((s, d) => {
       import s.implicits._
+      // proxy anchors are synthetic and series-independent: evaluate the
+      // production rolling-z path ONCE here (driver) and carry the verdict
+      // into every row, instead of re-running it per series
+      val flat = AnomalyService.routerScoreSeries(
+        Array.fill(8)(100.0) :+ 150.0, method = "rolling_z")
+      val spiky = AnomalyService.routerScoreSeries(
+        Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0), method = "rolling_z")
+      val proxyOk =
+        flat.take(7).forall(p => p.score.isEmpty && !p.isOutlier) &&
+        flat(7) == AnomalyService.RouterScore(Some(100.0), isOutlier = false, Some(0.0)) &&
+        flat(8).isOutlier && flat(8).score.contains(0.0) &&
+        spiky(7).isOutlier && spiky(7).score.exists(_ >= 3.0)
+      val proxyViol = if (proxyOk) 0L else 1L
       val series = md(s, d)
         .select(col("source_id").cast("long"), col("metric"), col("metric_date"),
           col("value_sum").cast("double"))
@@ -168,7 +186,12 @@ object ModelQueries {
         .mapGroups { (k: (Long, String), it: Iterator[(Long, String, java.sql.Date, Double)]) =>
           val vals = it.toArray.sortBy(_._3.getTime).map(_._4)
           val n = vals.length
-          val dflt = AnomalyService.routerScoreSeries(vals)
+          // one forest fit serves the default run AND all four clamp
+          // anchors: scores are contamination-independent, each level goes
+          // through the production clamp + cut (routerScoreSeriesMulti is
+          // element-wise equal to routerScoreSeries per AnomalySpec)
+          val Seq(dflt, c09, c05, c00, c001) = AnomalyService.routerScoreSeriesMulti(
+            vals, Seq(0.05, 0.9, 0.5, 0.0, 0.001))
           val rangeViol = dflt.count(_.score.exists(sc => sc < -0.5 || sc > 0.5)).toLong
           val expFlag = if (n >= 5) math.round(0.05 * n) else 0L
           val flagViol = if (dflt.count(_.isOutlier).toLong == expFlag) 0L else 1L
@@ -176,10 +199,7 @@ object ModelQueries {
                           else dflt.count(_.score.isDefined)).toLong
           val clampViol =
             if (n < 5) 0L
-            else if (AnomalyService.routerScoreSeries(vals, 0.9)
-                       .sameElements(AnomalyService.routerScoreSeries(vals, 0.5)) &&
-                     AnomalyService.routerScoreSeries(vals, 0.0)
-                       .sameElements(AnomalyService.routerScoreSeries(vals, 0.001))) 0L
+            else if (c09.sameElements(c05) && c00.sameElements(c001)) 0L
             else 1L
           val bail = AnomalyService.routerScoreSeries(
             vals.take(4) ++ Array.fill(3)(Double.NaN))
@@ -198,17 +218,6 @@ object ModelQueries {
               a.zip(b).count { case (p, q) =>
                 p.score != q.score || p.isOutlier != q.isOutlier }.toLong
             }
-          // proxy anchors are synthetic, independent of this series' values
-          val flat = AnomalyService.routerScoreSeries(
-            Array.fill(8)(100.0) :+ 150.0, method = "rolling_z")
-          val spiky = AnomalyService.routerScoreSeries(
-            Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 50.0), method = "rolling_z")
-          val proxyOk =
-            flat.take(7).forall(p => p.score.isEmpty && !p.isOutlier) &&
-            flat(7) == AnomalyService.RouterScore(Some(100.0), isOutlier = false, Some(0.0)) &&
-            flat(8).isOutlier && flat(8).score.contains(0.0) &&
-            spiky(7).isOutlier && spiky(7).score.exists(_ >= 3.0)
-          val proxyViol = if (proxyOk) 0L else 1L
           (k._1, k._2, n.toLong, rangeViol, flagViol, nullViol, clampViol,
             bailViol, fillViol, proxyViol)
         }

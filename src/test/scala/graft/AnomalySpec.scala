@@ -133,4 +133,22 @@ class AnomalySpec extends SparkSpec {
     val s402 = out.filter(_.source_id == 402L)
     assert(s402.forall(p => !p.is_outlier && p.score.isEmpty), "2-point series bails")
   }
+
+  test("routerScoreSeriesMulti is element-wise equal to per-level routerScoreSeries") {
+    val rng = new scala.util.Random(11)
+    val vals = Array.tabulate(40)(i => if (i == 17) 900.0 else rng.nextDouble() * 10)
+    vals(5) = Double.NaN // exercise the mean-fill path too
+    val levels = Seq(0.05, 0.9, 0.5, 0.0, 0.001, 0.25)
+    val multi = AnomalyService.routerScoreSeriesMulti(vals, levels)
+    levels.zip(multi).foreach { case (c, got) =>
+      val want = AnomalyService.routerScoreSeries(vals, c)
+      assert(got.sameElements(want), s"contamination $c diverged from single-level path")
+    }
+    // bail path: multi must bail identically for every level
+    val short = Array(1.0, 2.0, 3.0, Double.NaN, Double.NaN)
+    val multiShort = AnomalyService.routerScoreSeriesMulti(short, levels)
+    levels.zip(multiShort).foreach { case (c, got) =>
+      assert(got.sameElements(AnomalyService.routerScoreSeries(short, c)))
+    }
+  }
 }
