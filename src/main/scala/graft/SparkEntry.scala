@@ -17,11 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ WindowQueries.defs ++ ForecastQueries.defs ++ DataQueries.defs ++ IngestQueries.defs ++ ModelQueries.defs ++ AnalyticsQueries.defs ++ AdvancedRelQueries.defs ++ SmoothingQueries.defs ++ OlapQueries.defs ++ SketchQueries.defs
+    RelationalQueries.defs ++ WindowQueries.defs ++ ForecastQueries.defs ++ DataQueries.defs ++ IngestQueries.defs ++ ModelQueries.defs ++ AnalyticsQueries.defs ++ AdvancedRelQueries.defs ++ SmoothingQueries.defs ++ OlapQueries.defs ++ SketchQueries.defs ++ CorpusQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ WindowQueries.oracles ++ ForecastQueries.oracles ++ DataQueries.oracles ++ IngestQueries.oracles ++ ModelQueries.oracles ++ AnalyticsQueries.oracles ++ AdvancedRelQueries.oracles ++ SmoothingQueries.oracles ++ OlapQueries.oracles ++ SketchQueries.oracles
+    RelationalQueries.oracles ++ WindowQueries.oracles ++ ForecastQueries.oracles ++ DataQueries.oracles ++ IngestQueries.oracles ++ ModelQueries.oracles ++ AnalyticsQueries.oracles ++ AdvancedRelQueries.oracles ++ SmoothingQueries.oracles ++ OlapQueries.oracles ++ SketchQueries.oracles ++ CorpusQueries.oracles
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries — the quality/balance stages of a pretraining
+  * data recipe, beyond the reference's own surface: unigram-LM scoring,
+  * corpus-wide duplicated-content measurement, domain rebalancing, and
+  * length trimming. All exactly oracle-checkable: integer-quantized
+  * log-space arithmetic, integer hash gates, and IEEE-identical rank cuts.
+  */
+object CorpusQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  private val hex60Sql: String => String =
+    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
+  val defs: Map[String, Q] = Map(
+    // Unigram-LM quality score (add-one smoothing, corpus-fit).
+    "q95_unigram_nll" -> ((s, d) =>
+      TextOps.unigramNll(docs(s, d)).orderBy("doc_id")),
+
+    // Duplicated word-trigram fraction per document (corpus-wide df).
+    "q96_dup_ngrams" -> ((s, d) =>
+      TextOps.dupNgramStats(docs(s, d), n = 3).orderBy("doc_id")),
+
+    // Uniform domain mix via deterministic hash-gated downsampling.
+    "q97_domain_rebalance" -> ((s, d) =>
+      TextOps.domainRebalance(docs(s, d), domainCol = "source").orderBy("domain")),
+
+    // Per-language 5%/95% token-length trim.
+    "q98_length_trim" -> ((s, d) =>
+      TextOps.lengthTrim(docs(s, d), groupCol = "lang").orderBy("grp")),
+
+    // SemDeDup: k-means cells (same 8-centroid/3-iter fit as q52) + within-
+    // cell cosine >= 0.4 pairwise collapse to the smallest id.
+    "q99_semantic_dedup" -> ((s, d) =>
+      graft.similarity.Similarity
+        .semanticDedup(Tables(s, d, "embeddings"), numCentroids = 8, iters = 3,
+          threshold = 0.4)
+        .orderBy("vec_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q95_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |vc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |corpus AS (SELECT CAST(sum(cf) AS BIGINT) AS n_tokens, count(*) AS v_size FROM vc),
+        |scored AS (
+        |  SELECT t.doc_id, t.tf,
+        |    CAST(floor(-ln((v.cf + 1.0) / (c.n_tokens + c.v_size)) * 1000000.0 + 0.5) AS BIGINT) AS nll6
+        |  FROM tf t JOIN vc v USING (term) CROSS JOIN corpus c
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_tokens,
+        |  round(CAST(sum(tf * nll6) AS DOUBLE) / sum(tf) / 1000000.0, 6) AS nll
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |),
+        |inst AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+        |),
+        |dfx AS (
+        |  SELECT shingle, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM inst) GROUP BY 1
+        |),
+        |per AS (
+        |  SELECT i.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN x.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM inst i JOIN dfx x USING (shingle) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_shingles, 0) AS n_shingles,
+        |  coalesce(p.n_dup, 0) AS n_dup,
+        |  coalesce(round(CAST(p.n_dup AS DOUBLE) / p.n_shingles, 6), 0.0) AS dup_frac
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q97_domain_rebalance" ->
+      s"""WITH counts AS (
+         |  SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1
+         |),
+         |rates AS (
+         |  SELECT domain, n_docs,
+         |         (SELECT min(n_docs) FROM counts) * 1000000 // n_docs AS rate_ppm
+         |  FROM counts
+         |),
+         |gated AS (
+         |  SELECT d.source AS domain, r.n_docs, r.rate_ppm,
+         |         CASE WHEN ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |              THEN 1 ELSE 0 END AS kept
+         |  FROM documents d JOIN rates r ON d.source = r.domain
+         |)
+         |SELECT domain, n_docs, rate_ppm, CAST(sum(kept) AS BIGINT) AS n_kept
+         |FROM gated GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q98_length_trim" ->
+      """WITH lens AS (
+        |  SELECT doc_id, lang AS grp,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tokens, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM lens
+        |),
+        |k AS (
+        |  SELECT *, (rk > floor(0.05 * n) AND rk <= floor(0.95 * n)) AS kept FROM ranked
+        |)
+        |SELECT grp, max(n) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN kept THEN n_tokens END) AS min_kept_tokens,
+        |  max(CASE WHEN kept THEN n_tokens END) AS max_kept_tokens,
+        |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q99_semantic_dedup" ->
+      s"""${DataQueries.kmeansAsgCtes(numCentroids = 8, iters = 3)},
+         |pairs AS (
+         |  SELECT q.vec_id, c.vec_id AS nid,
+         |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+         |  FROM asg3 q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |),
+         |dups AS (
+         |  SELECT vec_id, count(*) AS n_dups, min(nid) AS min_dup_id
+         |  FROM pairs WHERE sim >= 0.4 GROUP BY 1
+         |)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+         |  coalesce(d.min_dup_id, a.vec_id + 1) > a.vec_id AS kept
+         |FROM asg3 a LEFT JOIN dups d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin
+  )
+}

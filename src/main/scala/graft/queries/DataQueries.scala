@@ -34,19 +34,24 @@ object DataQueries {
     * side collects centroids to the driver per iteration, but computes the
     * exact same quantized means, so the unrolled SQL stays hash-identical.
     */
-  private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
-    def assignCte(t: Int, centName: String): String =
-      s"""a$t AS (
-         |  SELECT b.vec_id, b.v, b.n, c.cid,
-         |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-         |  FROM b CROSS JOIN $centName c
-         |),
-         |asg$t AS (
-         |  SELECT vec_id, v, n, cid AS cell
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-         |        FROM a$t)
-         |  WHERE crn = 1
-         |)""".stripMargin
+  private def assignCte(t: Int, centName: String): String =
+    s"""a$t AS (
+       |  SELECT b.vec_id, b.v, b.n, c.cid,
+       |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+       |  FROM b CROSS JOIN $centName c
+       |),
+       |asg$t AS (
+       |  SELECT vec_id, v, n, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+       |        FROM a$t)
+       |  WHERE crn = 1
+       |)""".stripMargin
+
+  /** WITH-prefix replaying [[Similarity.kmeansAssign]] in DuckDB: defines
+    * `asg<iters>` = (vec_id, v, n, cell) after the Lloyd loop. Shared by the
+    * q52 top-k oracle and the q99 semantic-dedup oracle.
+    */
+  private[queries] def kmeansAsgCtes(numCentroids: Int, iters: Int): String = {
     val loop = (0 until iters).map { t =>
       s""",
          |${assignCte(t, s"c$t")},
@@ -67,7 +72,11 @@ object DataQueries {
        |),
        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
        |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < $numCentroids)$loop,
-       |${assignCte(iters, s"c$iters")},
+       |${assignCte(iters, s"c$iters")}""".stripMargin
+  }
+
+  private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
+    s"""${kmeansAsgCtes(numCentroids, iters)},
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim

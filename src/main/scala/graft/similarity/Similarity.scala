@@ -132,8 +132,14 @@ object Similarity {
     * `array<double>` once upfront so refined (double) centroids and corpus
     * vectors share one dot-product kernel.
     */
-  def ivfKmeansTopK(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Lloyd assignment shared by [[ivfKmeansTopK]] and [[semanticDedup]]:
+    * seed = first `numCentroids` vectors, `iters` refinement rounds, then
+    * the final per-vector cell. Returns (idCol, v, n, cell). See
+    * [[ivfKmeansTopK]]'s scaladoc for the bounded driver-collect pattern and
+    * the integer-sum quantization that keeps the means engine-exact.
+    */
+  def kmeansAssign(vectors: DataFrame, numCentroids: Int, iters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
@@ -162,7 +168,40 @@ object Similarity {
       cent = centLocal.toDF("cid", "cv")
         .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
     }
-    val assigned = assign(cent)
+    assign(cent)
+  }
+
+  /** SemDeDup-style semantic dedup: k-means cells are the semantic blocks,
+    * and within each cell every cosine >= threshold pair collapses to its
+    * smallest id — a document is `kept` iff no near-duplicate with a
+    * smaller id shares its cell (deterministic, no transitive chase; the
+    * pairwise rule is what the SemDeDup recipe applies per cluster).
+    *
+    * Scale: the pair join is CELL-LOCAL (the whole point of clustering
+    * first), so fan-out is bounded by the largest refined cell, and Lloyd
+    * refinement is what keeps cells balanced; the dedup verdict itself is
+    * one aggregation over the surviving pairs. Output:
+    * (idCol, cell, n_dups, kept) — n_dups counts same-cell near-duplicates.
+    */
+  def semanticDedup(vectors: DataFrame, numCentroids: Int, iters: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(vectors, numCentroids, iters, idCol, vecCol)
+    val dups = assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .withColumn("sim", round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col(s"q.$idCol").as(idCol))
+      .agg(count(lit(1)).as("n_dups"), min(col(s"c.$idCol")).as("min_dup_id"))
+    assigned.select(col(idCol), col("cell"))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("min_dup_id"), col(idCol) + 1) > col(idCol)).as("kept"))
+  }
+
+  def ivfKmeansTopK(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(vectors, numCentroids, iters, idCol, vecCol)
     val scored = assigned.as("q").join(assigned.as("c"),
         col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),

@@ -188,6 +188,123 @@ object TextOps {
       .drop("cum_excl")
   }
 
+  /** Corpus unigram LM quality score: per-document mean negative
+    * log-likelihood under an add-one-smoothed unigram model fit on the whole
+    * corpus — the cheap end of the KenLM-style perplexity filters training
+    * pipelines run (a doc of globally-rare tokens scores high = suspicious).
+    *
+    * Scale: two hash aggregations (per-doc term counts, corpus term counts)
+    * plus one join on `term` and a 1-row broadcast of (n_tokens, v_size) —
+    * shuffle is proportional to distinct (doc, term) pairs, never raw token
+    * count, because count partials combine map-side. Exactness: each term's
+    * nll is quantized to an INTEGER micro-nat (floor(x*1e6+0.5) as long), so
+    * the per-doc sum is integer arithmetic — immune to FP summation order —
+    * and only the final division is floating point.
+    * Output: (doc_id, doc_tokens, nll).
+    */
+  def unigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val vc = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val corpus = vc.agg(sum(col("cf")).as("n_tokens"), count(lit(1)).as("v_size"))
+    tf.join(vc, "term").crossJoin(broadcast(corpus))
+      .withColumn("nll6",
+        floor(-log((col("cf") + 1.0) / (col("n_tokens") + col("v_size"))) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("doc_tokens"),
+        round(sum(col("tf") * col("nll6")).cast("double") / sum(col("tf")) / 1e6, 6)
+          .as("nll"))
+  }
+
+  /** Corpus-wide duplicated n-gram fraction: per document, the fraction of
+    * its word-n-gram INSTANCES whose n-gram also appears in at least one
+    * other document — the "fraction of duplicated content" signal the
+    * Gopher/RefinedWeb-style filters threshold on (boilerplate-heavy docs
+    * score near 1). Distinct from [[graft.dedup.Dedup]]'s pair miners: no
+    * pairs are emitted, so there is no fan-out to bound — just one df
+    * aggregation on the shingle and one join back to the instances.
+    *
+    * Scale: shuffle ∝ shingle instances (explode), df table ∝ distinct
+    * shingles; hot shingles skew the join key but carry only a count, and
+    * AQE skew-join splits them. Short docs (< n tokens) report 0 shingles
+    * via the left join back to the doc list. Integer counts + one rounded
+    * division — engine-exact. Output: (doc_id, n_shingles, n_dup, dup_frac).
+    */
+  def dupNgramStats(docs: DataFrame, n: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val inst = graft.dedup.Dedup.wordShingles(docs, n, textCol, idCol)
+    val dfx = inst.distinct().groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val perDoc = inst.join(dfx, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(round(col("n_dup").cast("double") / col("n_shingles"), 6), lit(0.0))
+          .as("dup_frac"))
+  }
+
+  /** Deterministic domain-mix rebalancing: downsample every domain to the
+    * size of the smallest one (uniform target mix) with a hash-gated keep
+    * decision — the domain-balancing step of a pretraining data recipe,
+    * reproducible across runs and engines because the gate is
+    * `hex60(doc_id) % 1e6 < rate_ppm` with an integer-division rate, not an
+    * RNG. Scale: one count aggregation, a broadcast of the per-domain rate
+    * table (domains are few), and a map-side gate — no extra shuffle beyond
+    * the final per-domain rollup. Output: (domain, n_docs, rate_ppm, n_kept).
+    */
+  def domainRebalance(docs: DataFrame, domainCol: String = "source",
+                      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(domainCol).as("domain")).agg(count(lit(1)).as("n_docs"))
+    val minC = counts.agg(min(col("n_docs")).as("min_docs"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .withColumn("rate_ppm", expr("min_docs * 1000000 div n_docs"))
+      .select(col("domain"), col("n_docs"), col("rate_ppm"))
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+      .join(broadcast(rates), "domain")
+      .withColumn("kept",
+        graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000 < col("rate_ppm"))
+      .groupBy(col("domain"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("rate_ppm")).as("rate_ppm"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Rank-based length trimming per group: drop each group's shortest 5%
+    * and longest 5% of documents by token count (deterministic tie-break on
+    * doc_id) — the outlier-length filter corpora run per language/domain
+    * bucket. Rank bounds are `floor(pct * n)` in IEEE double on both
+    * engines, so the cut is bit-reproducible. Scale: the ranking window is
+    * PARTITIONED by the group column — each language/domain sorts
+    * independently, nothing funnels through one partition (an approximate
+    * percentile cutoff is the fallback if a single group outgrows a
+    * partition's sort budget).
+    * Output: (grp, n_docs, n_kept, min_kept_tokens, max_kept_tokens, kept_tokens).
+    */
+  def lengthTrim(docs: DataFrame, groupCol: String = "lang",
+                 loPct: Double = 0.05, hiPct: Double = 0.95,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      size(words(col(textCol))).cast("long").as("n_tokens"))
+    val ranked = lens
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    ranked
+      .withColumn("kept",
+        col("rk") > floor(lit(loPct) * col("n")) && col("rk") <= floor(lit(hiPct) * col("n")))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("n_tokens"))).as("min_kept_tokens"),
+        max(when(col("kept"), col("n_tokens"))).as("max_kept_tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
   /** Deterministic vocabulary build over lowercased whitespace tokens:
     * document frequency + collection frequency per term, `minDf` floor,
     * top-`topK` by (df desc, cf desc, term asc) — a total order, so the

@@ -1,0 +1,85 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: unigram-LM scoring, duplicated-ngram fraction,
+  * domain rebalancing, rank-based length trim — hand-computed goldens on
+  * tiny corpora plus the determinism/totality contracts.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramNll matches the hand-computed add-one unigram model") {
+    // corpus: a:2 b:2 c:1 -> N=5, V=3
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(docs).orderBy("doc_id").collect()
+    def nll6(cf: Long): Long = math.floor(-math.log((cf + 1.0) / (5 + 3)) * 1e6 + 0.5).toLong
+    val d1 = (2 * nll6(2) + 1 * nll6(2)).toDouble / 3 / 1e6
+    val d2 = (1 * nll6(2) + 1 * nll6(1)).toDouble / 2 / 1e6
+    assert(out(0).getAs[Long]("doc_tokens") == 3L)
+    assert(out(0).getAs[Double]("nll") == BigDecimal(d1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getAs[Long]("doc_tokens") == 2L)
+    assert(out(1).getAs[Double]("nll") == BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // rare-token doc scores higher (c is rarer than a/b)
+    assert(out(1).getAs[Double]("nll") > out(0).getAs[Double]("nll"))
+  }
+
+  test("dupNgramStats counts shared trigram instances and keeps short docs total") {
+    val docs = Seq(
+      (1L, "x y z w"), // shingles: "x y z", "y z w"
+      (2L, "x y z q"), // shingles: "x y z", "y z q"
+      (3L, "a b")      // too short: zero shingles
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(docs, n = 3).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_shingles") == 2L && out(0).getAs[Long]("n_dup") == 1L)
+    assert(out(0).getAs[Double]("dup_frac") == 0.5)
+    assert(out(1).getAs[Long]("n_dup") == 1L)
+    assert(out(2).getAs[Long]("n_shingles") == 0L && out(2).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("domainRebalance keeps the smallest domain whole with exact ppm rates") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small")).toDF("doc_id", "source")
+    val out = TextOps.domainRebalance(docs).orderBy("domain").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getAs[String]("domain") == "big" && big.getAs[Long]("n_docs") == 30L)
+    assert(big.getAs[Long]("rate_ppm") == 10L * 1000000 / 30) // 333333
+    assert(small.getAs[Long]("rate_ppm") == 1000000L)
+    assert(small.getAs[Long]("n_kept") == 10L, "gate < 1e6 keeps every doc of the min domain")
+    assert(big.getAs[Long]("n_kept") <= 30L)
+    // deterministic: a second run is identical
+    val again = TextOps.domainRebalance(docs).orderBy("domain").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("semanticDedup keeps the smallest id of a same-cell near-dup pair") {
+    // two tight groups around orthogonal directions; ids 0/1 seed the cells.
+    // 7 duplicates 3 exactly (cos=1) and 9 duplicates 8 exactly.
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0.2f), 7L -> Seq(0.8f, 0.2f),
+      8L -> Seq(0.1f, 0.9f), 9L -> Seq(0.1f, 0.9f),
+      5L -> Seq(0.2f, 0.8f)
+    ).toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity
+      .semanticDedup(vecs, numCentroids = 2, iters = 1, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), r.getAs[Long]("n_dups"))).toMap
+    assert(out(3) == (true, 1L) && out(7) == (false, 1L), "min id of the dup pair survives")
+    assert(out(8) == (true, 1L) && out(9) == (false, 1L))
+    assert(out(0)._1 && out(5)._1, "singletons survive")
+    assert(out.values.count(!_._1) == 2)
+  }
+
+  test("lengthTrim drops each group's 5 percent tails by rank") {
+    val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.lengthTrim(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // n=20: keep ranks 2..19 -> lengths 2..19
+    assert(r.getAs[Long]("n_docs") == 20L && r.getAs[Long]("n_kept") == 18L)
+    assert(r.getAs[Long]("min_kept_tokens") == 2L && r.getAs[Long]("max_kept_tokens") == 19L)
+    assert(r.getAs[Long]("kept_tokens") == (2 to 19).sum.toLong)
+  }
+}

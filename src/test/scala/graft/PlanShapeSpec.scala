@@ -27,7 +27,10 @@ class PlanShapeSpec extends SparkSpec {
     "q42_ann_ivf",        // IVF assignment: corpus x broadcast centroid set (<= numCentroids rows)
     "q52_ann_ivf_kmeans", // same bounded centroid-assignment broadcast
     "q61_tfidf_top_terms", // 1-row corpus-stats broadcast (n_docs)
-    "q62_bm25_top_terms")  // 1-row corpus-stats broadcast (n_docs, avg doc len)
+    "q62_bm25_top_terms",  // 1-row corpus-stats broadcast (n_docs, avg doc len)
+    "q95_unigram_nll",     // 1-row corpus-stats broadcast (n_tokens, v_size)
+    "q97_domain_rebalance", // 1-row broadcast of min(domain count)
+    "q99_semantic_dedup")  // same bounded centroid-assignment broadcast as q42/q52
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
