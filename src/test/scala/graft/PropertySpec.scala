@@ -248,6 +248,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpus-curation invariants: nll positive/total, dup_frac in [0,1], trim counts exact") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    for (texts <- draws(Gen.listOfN(12, docGen), 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", "src", t) }
+        .toDF("doc_id", "lang", "source", "text")
+      val nll = graft.text.TextOps.unigramNll(docs).collect()
+      assert(nll.length == docs.count(), "unigramNll is total over docs")
+      nll.foreach { r =>
+        assert(r.getAs[Double]("nll") > 0.0, "smoothed nll is strictly positive")
+        val toks = texts(r.getAs[Long]("doc_id").toInt).split("\\s+").length
+        assert(r.getAs[Long]("doc_tokens") == toks.toLong)
+      }
+      val dup = graft.text.TextOps.dupNgramStats(docs, n = 3).collect()
+      assert(dup.length == texts.length, "dupNgramStats is total over docs")
+      dup.foreach { r =>
+        val f = r.getAs[Double]("dup_frac")
+        assert(f >= 0.0 && f <= 1.0)
+        assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_shingles"))
+      }
+      val trim = graft.text.TextOps.lengthTrim(docs).collect()
+      trim.foreach { r =>
+        val n = r.getAs[Long]("n_docs")
+        val expectKept = math.floor(0.95 * n).toLong - math.floor(0.05 * n).toLong
+        assert(r.getAs[Long]("n_kept") == expectKept, "rank-cut count is closed-form")
+      }
+    }
+    // identical twin docs: every shingle instance is duplicated in the twin
+    val twins = Seq((1L, "en", "s", "p q r s t"), (2L, "en", "s", "p q r s t"))
+      .toDF("doc_id", "lang", "source", "text")
+    graft.text.TextOps.dupNgramStats(twins, n = 3).collect()
+      .foreach(r => assert(r.getAs[Double]("dup_frac") == 1.0))
+  }
+
   test("first-write-wins is idempotent and key-unique") {
     for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
       val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
