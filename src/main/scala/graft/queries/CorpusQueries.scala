@@ -42,7 +42,12 @@ object CorpusQueries {
       graft.similarity.Similarity
         .semanticDedup(Tables(s, d, "embeddings"), numCentroids = 8, iters = 3,
           threshold = 0.4)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Fixed 32-token chunks with 4-token overlap (stride 28).
+    "q100_doc_chunks" -> ((s, d) =>
+      TextOps.chunkDocuments(docs(s, d), chunkSize = 32, overlap = 4)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +142,21 @@ object CorpusQueries {
          |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
          |  coalesce(d.min_dup_id, a.vec_id + 1) > a.vec_id AS kept
          |FROM asg3 a LEFT JOIN dups d USING (vec_id)
-         |ORDER BY a.vec_id""".stripMargin
+         |ORDER BY a.vec_id""".stripMargin,
+    "q100_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |),
+        |base AS (SELECT doc_id, w, len(w) AS n_tokens FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_id, i * 28 AS start_tok,
+        |         w[i*28+1 : i*28+32] AS ctoks
+        |  FROM base,
+        |       unnest(generate_series(0, (greatest(n_tokens - 4, 1) + 27) // 28 - 1)) AS t(i)
+        |)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

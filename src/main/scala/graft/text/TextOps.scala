@@ -305,6 +305,35 @@ object TextOps {
         sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
   }
 
+  /** Deterministic document chunking: fixed `chunkSize`-token windows with
+    * `overlap` tokens shared between consecutive chunks (stride = size −
+    * overlap) — the splitter in front of retrieval indexing or long-doc
+    * pretraining. Chunk count is closed-form integer arithmetic
+    * (`ceil(max(n − overlap, 1) / stride)`, all operands positive so
+    * truncating and flooring division agree across engines), every token is
+    * covered, and the final chunk may run short. Map-side only: one explode
+    * per chunk, no shuffle. The chunk body ships as an md5 digest so
+    * downstream exact-dedup of chunks composes directly.
+    * Output: (doc_id, chunk_id, start_tok, chunk_tokens, chunk_md5).
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, overlap: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__chunks",
+        expr(s"(greatest(__n - $overlap, 1L) + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("__w"),
+        explode(sequence(lit(0L), col("__chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("__ctoks",
+        slice(col("__w"), (col("start_tok") + 1).cast("int"), lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__ctoks")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("__ctoks"))).as("chunk_md5"))
+  }
+
   /** Deterministic vocabulary build over lowercased whitespace tokens:
     * document frequency + collection frequency per term, `minDf` floor,
     * top-`topK` by (df desc, cf desc, term asc) — a total order, so the

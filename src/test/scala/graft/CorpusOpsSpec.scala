@@ -71,6 +71,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.values.count(!_._1) == 2)
   }
 
+  test("chunkDocuments covers every token with overlapping fixed windows") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")                                     // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    // stride 3: starts 0,3,6 — full 4-token windows, last token covered
+    assert(d1.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 3L, 6L))
+    assert(d1.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 4L))
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("chunk_tokens") == 2L)
+    // consecutive chunks share exactly `overlap` tokens: chunk0 ends t4, chunk1 starts t4
+    val md5OfChunk0 = d1(0).getAs[String]("chunk_md5")
+    val expect0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("t1 t2 t3 t4".getBytes).map("%02x".format(_)).mkString
+    assert(md5OfChunk0 == expect0)
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
