@@ -47,7 +47,31 @@ object CorpusQueries {
     // Fixed 32-token chunks with 4-token overlap (stride 28).
     "q100_doc_chunks" -> ((s, d) =>
       TextOps.chunkDocuments(docs(s, d), chunkSize = 32, overlap = 4)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Bigram Markov LM score (add-one over the type vocabulary).
+    "q101_bigram_nll" -> ((s, d) =>
+      TextOps.bigramNll(docs(s, d)).orderBy("doc_id")),
+
+    // Quality-weighted (softmax, T=0.25) sampling: keep probability decays
+    // exponentially with the quality gap to the corpus best; the gate is
+    // the same deterministic hex60 ppm used by q80/q97 (the exp output is
+    // quantized to integer ppm, so the libm last-ulp caveat of the ln-based
+    // scores applies identically). The best document's rate is exactly 1e6
+    // — always kept.
+    "q102_quality_sample" -> ((s, d) => {
+      val q = graft.text.TextOps.qualityFeatures(docs(s, d))
+        .select(col("doc_id"), col("quality_score"))
+      val qmax = q.agg(max(col("quality_score")).as("q_max"))
+      q.crossJoin(broadcast(qmax))
+        .withColumn("rate_ppm",
+          floor(exp((col("quality_score") - col("q_max")) / 0.25) * 1e6 + 0.5).cast("long"))
+        .withColumn("kept",
+          graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000 < col("rate_ppm"))
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"),
+          col("rate_ppm"), col("kept"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +181,55 @@ object CorpusQueries {
         |SELECT doc_id, chunk_id, start_tok,
         |  CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
         |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
-        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "q101_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+        |),
+        |inst AS (
+        |  SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+        |  FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+        |),
+        |tf AS (SELECT doc_id, w1, bg, count(*) AS tf FROM inst GROUP BY 1, 2, 3),
+        |cf2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cf2 FROM tf GROUP BY 1),
+        |cf1 AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS cf1 FROM tf GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT t) AS v_size
+        |  FROM (SELECT unnest(w) AS t FROM toks)
+        |),
+        |scored AS (
+        |  SELECT t.doc_id, t.tf,
+        |    CAST(floor(-ln((c2.cf2 + 1.0) / (c1.cf1 + v.v_size)) * 1000000.0 + 0.5) AS BIGINT) AS nll6
+        |  FROM tf t JOIN cf2 c2 USING (bg) JOIN cf1 c1 USING (w1) CROSS JOIN vocab v
+        |),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    round(CAST(sum(tf * nll6) AS DOUBLE) / sum(tf) / 1000000.0, 6) AS nll
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(p.nll, 0.0) AS nll
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q102_quality_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)) AS qs
+         |  FROM f
+         |),
+         |m AS (SELECT max(qs) AS q_max FROM q)
+         |SELECT doc_id, round(qs, 6) AS quality_score,
+         |  CAST(floor(exp((qs - m.q_max) / 0.25) * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm,
+         |  ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+         |    < CAST(floor(exp((qs - m.q_max) / 0.25) * 1000000.0 + 0.5) AS BIGINT) AS kept
+         |FROM q CROSS JOIN m
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -218,6 +218,45 @@ object TextOps {
           .as("nll"))
   }
 
+  /** Corpus bigram LM quality score: per-document mean negative
+    * log-likelihood of its bigram INSTANCES under an add-one Markov model
+    * fit on the whole corpus — p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V), with V
+    * = distinct token types. The conditional complement to [[unigramNll]]:
+    * a document of common words in an uncommon ORDER scores high here while
+    * scoring low there. Same exactness discipline (per-bigram integer
+    * micro-nat quantization, integer instance sums, one final division) and
+    * the same scale shape: hash aggregations on (doc, bigram) and bigram,
+    * the context count derived from the bigram table (no second token
+    * pass), one join on bigram, and a 1-row vocabulary broadcast. Documents
+    * with < 2 tokens report 0 bigrams with nll 0.
+    * Output: (doc_id, n_bigrams, nll).
+    */
+  def bigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val grams = when(size(col("__w")) >= 2,
+      expr("transform(sequence(0, size(__w) - 2), i -> struct(__w[i] AS w1, concat(__w[i], ' ', __w[i+1]) AS bg))"))
+      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+    val inst = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+      .select(col("doc_id"), explode(grams).as("__g"))
+      .select(col("doc_id"), col("__g.w1").as("w1"), col("__g.bg").as("bg"))
+    val tf = inst.groupBy(col("doc_id"), col("w1"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cf2 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cf2"))
+    val cf1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("cf1"))
+    val vocab = docs.select(explode(w).as("t")).agg(countDistinct(col("t")).as("v_size"))
+    val scored = tf.join(cf2, "bg").join(cf1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("nll6",
+        floor(-log((col("cf2") + 1.0) / (col("cf1") + col("v_size"))) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("nll6")).cast("double") / sum(col("tf")) / 1e6, 6)
+          .as("nll"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
   /** Corpus-wide duplicated n-gram fraction: per document, the fraction of
     * its word-n-gram INSTANCES whose n-gram also appears in at least one
     * other document — the "fraction of duplicated content" signal the

@@ -25,6 +25,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("nll") > out(0).getAs[Double]("nll"))
   }
 
+  test("bigramNll matches the hand-computed add-one Markov model") {
+    // bigrams: d1 = (a b), (b a); d2 = (b a). c(a,b)=1, c(b,a)=2;
+    // contexts c(a,.)=1, c(b,.)=2; V=2 types.
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.bigramNll(docs).orderBy("doc_id").collect()
+    def nll6(num: Double, den: Double): Long =
+      math.floor(-math.log(num / den) * 1e6 + 0.5).toLong
+    val pAB = nll6(1 + 1.0, 1 + 3.0) // V=3 types: a, b, solo
+    val pBA = nll6(2 + 1.0, 2 + 3.0)
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_bigrams") == 2L)
+    assert(out(0).getAs[Double]("nll") == r6((pAB + pBA).toDouble / 2 / 1e6))
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Double]("nll") == r6(pBA.toDouble / 1e6))
+    assert(out(2).getAs[Long]("n_bigrams") == 0L && out(2).getAs[Double]("nll") == 0.0,
+      "single-token doc reports zero bigrams")
+  }
+
   test("dupNgramStats counts shared trigram instances and keeps short docs total") {
     val docs = Seq(
       (1L, "x y z w"), // shingles: "x y z", "y z w"
@@ -69,6 +87,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(8) == (true, 1L) && out(9) == (false, 1L))
     assert(out(0)._1 && out(5)._1, "singletons survive")
     assert(out.values.count(!_._1) == 2)
+  }
+
+  test("quality-sample rates decay with the quality gap and the best doc is always kept") {
+    val mk = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ") // no stopwords
+    val docs = Seq((1L, mk(10)), (2L, mk(50)), (3L, mk(100))).toDF("doc_id", "text")
+    // same plan as the q102 registry entry, applied to local data
+    val q = graft.text.TextOps.qualityFeatures(docs).select(col("doc_id"), col("quality_score"))
+    val qmax = q.agg(max(col("quality_score")).as("q_max"))
+    val rated = q.crossJoin(broadcast(qmax))
+      .withColumn("rate_ppm",
+        floor(exp((col("quality_score") - col("q_max")) / 0.25) * 1e6 + 0.5).cast("long"))
+      .withColumn("kept",
+        graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000 < col("rate_ppm"))
+      .orderBy("doc_id").collect()
+    val rates = rated.map(_.getAs[Long]("rate_ppm")).toSeq
+    assert(rates == rates.sorted, "rate is monotone in quality")
+    assert(rates.last == 1000000L, "corpus-best doc rate is exactly 1e6")
+    assert(rated.last.getAs[Boolean]("kept"), "corpus-best doc always kept")
+    assert(rates.head > 0L, "softmax rate never hits zero")
   }
 
   test("chunkDocuments covers every token with overlapping fixed windows") {

@@ -30,7 +30,9 @@ class PlanShapeSpec extends SparkSpec {
     "q62_bm25_top_terms",  // 1-row corpus-stats broadcast (n_docs, avg doc len)
     "q95_unigram_nll",     // 1-row corpus-stats broadcast (n_tokens, v_size)
     "q97_domain_rebalance", // 1-row broadcast of min(domain count)
-    "q99_semantic_dedup")  // same bounded centroid-assignment broadcast as q42/q52
+    "q99_semantic_dedup",  // same bounded centroid-assignment broadcast as q42/q52
+    "q101_bigram_nll",     // 1-row vocabulary-size broadcast
+    "q102_quality_sample") // 1-row corpus-max broadcast
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
