@@ -282,6 +282,30 @@ class PropertySpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("dup_frac") == 1.0))
   }
 
+  test("chunking covers every token exactly; consecutive chunks overlap by `overlap`") {
+    for (params <- draws(Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(2, 8), Gen.chooseNum(0, 6)), 10)) {
+      val (n, size0, ov0) = params
+      val size = math.max(size0, ov0 + 1) // enforce overlap < chunkSize
+      val docs = Seq((1L, (0 until n).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.text.TextOps.chunkDocuments(docs, size, ov0)
+        .orderBy("chunk_id").collect()
+      val stride = size - ov0
+      // starts are exact multiples of stride from zero
+      chunks.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("start_tok") == i.toLong * stride)
+      }
+      val last = chunks.last
+      val lastEnd = last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_tokens")
+      assert(lastEnd == n.toLong, s"last chunk must end at the last token (n=$n size=$size ov=$ov0)")
+      // no chunk beyond necessity: the penultimate chunk (if any) must not
+      // already cover the final token
+      if (chunks.length > 1) {
+        val pen = chunks(chunks.length - 2)
+        assert(pen.getAs[Long]("start_tok") + size < n.toLong + stride)
+      }
+    }
+  }
+
   test("first-write-wins is idempotent and key-unique") {
     for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
       val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
