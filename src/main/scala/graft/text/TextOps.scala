@@ -234,12 +234,15 @@ object TextOps {
   def bigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
     val grams = when(size(col("__w")) >= 2,
-      expr("transform(sequence(0, size(__w) - 2), i -> struct(__w[i] AS w1, concat(__w[i], ' ', __w[i+1]) AS bg))"))
-      .otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+      expr("transform(sequence(0, size(__w) - 2), i -> concat(__w[i], ' ', __w[i+1]))"))
+      .otherwise(array().cast("array<string>"))
     val inst = docs.select(col(idCol).as("doc_id"), w.as("__w"))
-      .select(col("doc_id"), explode(grams).as("__g"))
-      .select(col("doc_id"), col("__g.w1").as("w1"), col("__g.bg").as("bg"))
-    val tf = inst.groupBy(col("doc_id"), col("w1"), col("bg")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(grams).as("bg"))
+    // the context word is a function of the bigram, so it is NOT part of the
+    // aggregation key — re-deriving it post-agg keeps the shuffled key
+    // narrow (bg alone) and the hash-agg comparisons cheap
+    val tf = inst.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
     val cf2 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cf2"))
     val cf1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("cf1"))
     val vocab = docs.select(explode(w).as("t")).agg(countDistinct(col("t")).as("v_size"))
