@@ -41,18 +41,41 @@ object Sketches {
     * agg carries at most m rows per group regardless of input size.
     */
   def hllDistinct(df: DataFrame, keys: Seq[String], item: Column,
-                  b: Int = 8, rhoCap: Int = 30): DataFrame = {
+                  b: Int = 8, rhoCap: Int = 30): DataFrame =
+    hllEstimate(hllRegisters(df, keys, item, b, rhoCap), keys, b)
+
+  /** The sketch STATE: one (group, register, max-rank) row per touched
+    * register — at most 2^b rows per group regardless of input size. This is
+    * the unit of merge: registers from disjoint slices combine with a plain
+    * `max`, which is commutative, associative, and idempotent, so any merge
+    * tree (micro-batches, partial re-ingests, cross-cluster union) yields
+    * the bit-identical sketch the single-pass batch build would.
+    */
+  def hllRegisters(df: DataFrame, keys: Seq[String], item: Column,
+                   b: Int = 8, rhoCap: Int = 30): DataFrame = {
     require(b >= 4 && b <= 16, s"register-index width out of range: $b")
-    val m = 1 << b
     val wBits = 60 - b
     val h = hex60(item.cast("string"))
     val w = h.bitwiseAND(lit((1L << wBits) - 1))
     val rho = (lit(wBits) - length(bin(w)) + lit(1)).cast("int")
     val k = keys.map(col)
-    val regs = df
-      .select(k ++ Seq(shiftright(h, wBits).as("reg"), least(rho, lit(rhoCap)).as("rank")): _*)
+    df.select(k ++ Seq(shiftright(h, wBits).as("reg"), least(rho, lit(rhoCap)).as("rank")): _*)
       .groupBy(k :+ col("reg"): _*)
       .agg(max(col("rank")).as("rank"))
+  }
+
+  /** Merge two register tables (same keys/b): union + per-register max. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col) :+ col("reg"): _*)
+      .agg(max(col("rank")).as("rank"))
+
+  /** Estimator over a register table (see [[hllDistinct]]'s scaladoc for the
+    * exact-dyadic design that keeps it engine- and order-independent).
+    */
+  def hllEstimate(regs: DataFrame, keys: Seq[String], b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val k = keys.map(col)
     // 2^-rank via integer shift + exact division — no pow(), no libm
     val powNeg = lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), rank)").cast("double")
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))

@@ -343,4 +343,45 @@ object StreamingPipeline {
       val df = spark.read.parquet(path)
       if (df.isEmpty) None else Some(df)
     } catch { case _: Throwable => None }
+
+  /** Incremental HLL maintenance — the `foreachBatch` body for a streaming
+    * distinct counter. Each micro-batch's registers merge into the parquet
+    * register store with a per-register `max`; because max is commutative,
+    * associative, and idempotent, the store after ANY prefix of batches is
+    * bit-identical to the batch sketch over the same rows
+    * ([[graft.sketch.Sketches]]' mergeable-state property — this is what
+    * makes a sketch the right 100 TB distinct counter: fixed-size state,
+    * no re-scan, no wobble with arrival order). The merged store lands via
+    * a staging write + directory swap so a crash mid-write never leaves a
+    * half-merged store (the previous store survives until the rename).
+    */
+  def hllMergeBatch(storePath: String, keys: Seq[String], itemCol: String, b: Int = 8)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val regs = graft.sketch.Sketches.hllRegisters(batch, keys, col(itemCol), b)
+    val merged = existingClean(spark, storePath) match {
+      case Some(prev) => graft.sketch.Sketches.hllMergeRegisters(prev, regs, keys)
+      case None       => regs
+    }
+    val staging = s"$storePath.staging-$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging), conf)
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+
+  /** Streaming distinct-count query: file-source events -> incremental HLL
+    * register store via [[hllMergeBatch]]. Read the estimate at any time
+    * with `Sketches.hllEstimate(spark.read.parquet(storePath), keys)`.
+    */
+  def hllStream(events: DataFrame, storePath: String, checkpoint: String,
+                keys: Seq[String] = Seq("metric"), itemCol: String = "source_id",
+                b: Int = 8): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(hllMergeBatch(storePath, keys, itemCol, b) _)
 }

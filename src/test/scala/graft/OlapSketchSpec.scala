@@ -1,6 +1,7 @@
 package graft
 
 import graft.sketch.Sketches
+import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.functions._
 
 /** Invariants for the OLAP additions and the deterministic sketches. The
@@ -30,6 +31,48 @@ class OlapSketchSpec extends SparkSpec {
     val e1 = Sketches.hllDistinct(once, Seq("grp"), col("item")).collect().head.getAs[Double]("estimate")
     val e5 = Sketches.hllDistinct(dup, Seq("grp"), col("item")).collect().head.getAs[Double]("estimate")
     assert(e1 == e5)
+  }
+
+  test("hll: incremental register merges across slices equal the batch sketch bit-exactly") {
+    val all = (1 to 3000).map(i => (s"g${i % 2}", s"user_$i")).toDF("grp", "item")
+    val slices = Seq(
+      all.filter(col("item").substr(6, 10).cast("long") % 3 === 0),
+      all.filter(col("item").substr(6, 10).cast("long") % 3 === 1),
+      all.filter(col("item").substr(6, 10).cast("long") % 3 === 2))
+    // merge slice registers pairwise (a merge TREE, not the input order)
+    val merged = slices.map(s => Sketches.hllRegisters(s, Seq("grp"), col("item")))
+      .reduceRight((a, b) => Sketches.hllMergeRegisters(a, b, Seq("grp")))
+    val inc = Sketches.hllEstimate(merged, Seq("grp")).orderBy("grp").collect()
+    val batch = Sketches.hllDistinct(all, Seq("grp"), col("item")).orderBy("grp").collect()
+    assert(inc.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "merge tree must reproduce the single-pass sketch exactly")
+    // idempotence: re-merging an already-included slice changes nothing
+    val again = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(merged,
+        Sketches.hllRegisters(slices.head, Seq("grp"), col("item")), Seq("grp")),
+      Seq("grp")).orderBy("grp").collect()
+    assert(again.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
+
+  test("streaming hll store: foreachBatch merges reproduce the batch estimate") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val in = s"$base/in"; val store = s"$base/regs"
+    val mk = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "m", 1.0))
+      .toDF("source_id", "ts", "metric", "value")
+    mk(1, 400).write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.hllStream(
+      StreamingPipeline.readEventStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    // second delivery: 200 NEW sources plus 200 re-delivered ones
+    mk(201, 600).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.hllStream(
+      StreamingPipeline.readEventStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val streamed = Sketches.hllEstimate(spark.read.parquet(store), Seq("metric")).collect()
+    val batch = Sketches.hllDistinct(mk(1, 600), Seq("metric"), col("source_id")).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "incremental store after overlapping deliveries == one-shot batch sketch")
   }
 
   test("cms: estimates never undercount and heavy hitters surface on skew") {
