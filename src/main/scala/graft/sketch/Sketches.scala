@@ -87,6 +87,40 @@ object Sketches {
           ((lit(m) - col("nonempty")).cast("double") + col("sum_pow"))).as("estimate")): _*)
   }
 
+  /** Count-min sketch STATE: the d×w cell-total table for a term stream.
+    * Cells from disjoint slices merge with cell-wise SUM — commutative and
+    * associative but NOT idempotent, so an incremental maintainer must
+    * deduplicate replayed batches (see
+    * [[graft.streaming.StreamingPipeline.cmsMergeBatch]]'s batch-id ledger),
+    * where the HLL max-merge could simply re-apply them.
+    */
+  def cmsCells(terms: DataFrame, termCol: String = "term",
+               d: Int = 3, w: Int = 1024): DataFrame = {
+    val counts = terms.groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
+    counts.select(col(termCol), col("cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("seed"))
+      .withColumn("cell", hex60(concat_ws(":", col("seed"), col(termCol))) % w)
+      .groupBy(col("seed"), col("cell")).agg(sum(col("cnt")).as("cell_total"))
+  }
+
+  /** Merge two cell tables (same d/w): union + cell-wise sum. */
+  def cmsMergeCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("seed"), col("cell")).agg(sum(col("cell_total")).as("cell_total"))
+
+  /** Point-estimate term frequencies from a cell table: min over the d rows
+    * of each term's cells (never undercounts). The cell table is fixed-size,
+    * so it broadcasts.
+    */
+  def cmsEstimate(terms: DataFrame, cells: DataFrame, termCol: String = "term",
+                  d: Int = 3, w: Int = 1024): DataFrame =
+    terms.select(col(termCol)).distinct()
+      .select(col(termCol), explode(sequence(lit(0), lit(d - 1))).as("seed"))
+      .withColumn("cell", hex60(concat_ws(":", col("seed"), col(termCol))) % w)
+      .join(broadcast(cells), Seq("seed", "cell"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cell_total"), lit(0L))).as("est"))
+
   /** Count-min frequency estimates with a top-k heavy-hitter report.
     *
     * `d` rows × `w` buckets; row `s` hashes a term to

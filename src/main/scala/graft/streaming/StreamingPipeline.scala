@@ -372,6 +372,48 @@ object StreamingPipeline {
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
   }
 
+  /** Incremental count-min maintenance — the `foreachBatch` body for a
+    * streaming frequency sketch. Cell totals merge with SUM, which is not
+    * idempotent, so replayed batches (foreachBatch is at-least-once on
+    * failure recovery) MUST not double-count: a `_batches` ledger file
+    * INSIDE the store directory records every merged id, and a replayed id
+    * is a no-op — the transactional-foreachBatch pattern. The ledger lives
+    * in the staged directory and swaps atomically WITH the cells (one
+    * rename), so there is no window where the store reflects a batch the
+    * ledger doesn't: a crash before the swap leaves the previous
+    * store+ledger pair intact, and the replay merges cleanly. Parquet
+    * readers skip underscore-prefixed files, so the ledger doesn't disturb
+    * `spark.read.parquet(storePath)`.
+    */
+  def cmsMergeBatch(storePath: String, termCol: String, d: Int = 3, w: Int = 1024)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val ledger = new org.apache.hadoop.fs.Path(s"$storePath/_batches")
+    val seen: Set[Long] =
+      if (fs.exists(ledger)) {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in).getLines().map(_.trim.toLong).toSet
+        finally in.close()
+      } else Set.empty
+    if (seen.contains(batchId)) return
+    val cells = graft.sketch.Sketches.cmsCells(batch, termCol, d, w)
+    val merged = existingClean(spark, storePath) match {
+      case Some(prev) => graft.sketch.Sketches.cmsMergeCells(prev, cells)
+      case None       => cells
+    }
+    val staging = s"$storePath.staging-$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    val stagedLedger = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_batches"), true)
+    try stagedLedger.write(
+      ((seen + batchId).toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally stagedLedger.close()
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+
   /** Streaming distinct-count query: file-source events -> incremental HLL
     * register store via [[hllMergeBatch]]. Read the estimate at any time
     * with `Sketches.hllEstimate(spark.read.parquet(storePath), keys)`.

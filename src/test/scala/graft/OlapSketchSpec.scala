@@ -75,6 +75,33 @@ class OlapSketchSpec extends SparkSpec {
       "incremental store after overlapping deliveries == one-shot batch sketch")
   }
 
+  test("cms: slice-merged cells equal the batch cells; replayed batches are no-ops") {
+    val terms = (1 to 2000).map(i => Tuple1(s"t${i % 97}")).toDF("term")
+    val slices = Seq(terms.limit(700), terms.offset(700).limit(700), terms.offset(1400))
+    val mergedCells = slices.map(Sketches.cmsCells(_))
+      .reduceRight(Sketches.cmsMergeCells)
+      .orderBy("seed", "cell").collect().map(_.toString).toSeq
+    val batchCells = Sketches.cmsCells(terms)
+      .orderBy("seed", "cell").collect().map(_.toString).toSeq
+    assert(mergedCells == batchCells, "sum-merge tree must equal the one-shot cells")
+
+    // transactional maintenance: a replayed batchId must not double-count
+    val store = java.nio.file.Files.createTempDirectory("graft_cms").toString + "/cells"
+    StreamingPipeline.cmsMergeBatch(store, "term")(slices(0), 0L)
+    StreamingPipeline.cmsMergeBatch(store, "term")(slices(0), 0L) // replay
+    StreamingPipeline.cmsMergeBatch(store, "term")(slices(1), 1L)
+    StreamingPipeline.cmsMergeBatch(store, "term")(slices(2), 2L)
+    val est = Sketches.cmsEstimate(terms, spark.read.parquet(store), "term")
+    val truth = terms.groupBy("term").count()
+    val joined = est.join(truth, "term").collect()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("count"), "CMS never undercounts")
+    }
+    // d=3 rows over w=1024 cells with 97 terms: expect exact estimates
+    assert(joined.forall(r => r.getAs[Long]("est") == r.getAs[Long]("count")),
+      "no double counting after the replayed batch")
+  }
+
   test("cms: estimates never undercount and heavy hitters surface on skew") {
     // zipf-ish: token t1 ×1000, t2 ×500, long tail ×1
     val terms = (Seq.fill(1000)("t1") ++ Seq.fill(500)("t2") ++
