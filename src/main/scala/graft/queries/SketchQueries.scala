@@ -37,6 +37,25 @@ object SketchQueries {
       val terms = Tables(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       Sketches.countMinTopK(terms, "term", d = 3, w = 1024, k = 20)
+    }),
+
+    // Histogram-sketch quantiles per event type (bin width 50, 20 bins):
+    // the mergeable no-sort quantile path, with the exact quantiles
+    // alongside so the one-bin-width error is visible in the output.
+    "q103_hist_quantiles" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val sk = Sketches.histogramSketch(ev, Seq("event_type"), col("value"),
+        binWidth = 50.0, numBins = 20)
+      val approx = Sketches.histogramQuantiles(sk, Seq("event_type"), binWidth = 50.0)
+      // same cent-quantized input + qround6 output as the q86 exact path
+      val exact = ev.withColumn("__v", floor(col("value") * 100.0 + 0.5) / 100.0)
+        .groupBy(col("event_type"))
+        .agg(OracleCte.qround6(expr("percentile(__v, 0.5D)")).as("exact_p50"),
+          OracleCte.qround6(expr("percentile(__v, 0.9D)")).as("exact_p90"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"), col("p50"), col("p90"), col("p99"),
+          col("exact_p50"), col("exact_p90"))
+        .orderBy("event_type")
     })
   )
 
@@ -83,6 +102,35 @@ object SketchQueries {
          |  FROM seeded t JOIN cells c ON c.seed = t.seed AND c.cell = t.cell
          |  GROUP BY 1, 2
          |)
-         |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin
+         |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+    "q103_hist_quantiles" ->
+      s"""WITH sk AS (
+         |  SELECT event_type,
+         |    CAST(least(greatest(floor(value / 50.0), 0.0), 19.0) AS INT) AS bucket,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT event_type, bucket, n,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |    sum(n) OVER (PARTITION BY event_type) AS total
+         |  FROM sk
+         |),
+         |approx AS (
+         |  SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
+         |    (min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) + 1) * 50.0 AS p50,
+         |    (min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) + 1) * 50.0 AS p90,
+         |    (min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END) + 1) * 50.0 AS p99
+         |  FROM cum GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT event_type,
+         |    ${OracleCte.qround6Sql("quantile_cont(floor(value*100.0 + 0.5)/100.0, 0.5)")} AS exact_p50,
+         |    ${OracleCte.qround6Sql("quantile_cont(floor(value*100.0 + 0.5)/100.0, 0.9)")} AS exact_p90
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT a.event_type, a.n_rows, a.p50, a.p90, a.p99, ex.exact_p50, ex.exact_p90
+         |FROM approx a JOIN ex ON ex.event_type = a.event_type
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -121,6 +121,44 @@ object Sketches {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cell_total"), lit(0L))).as("est"))
 
+  /** Fixed-bin histogram sketch: the third mergeable-state family —
+    * (group, bucket, n) rows, at most `numBins` per group, merged by
+    * cell-wise sum (same transactional replay caveat as count-min). This is
+    * the no-sort quantile path at scale: a global exact quantile needs a
+    * sort or a rank pass over all rows, the sketch needs one hash
+    * aggregation and answers any quantile from bounded state with
+    * one-bin-width error.
+    */
+  def histogramSketch(df: DataFrame, keys: Seq[String], value: Column,
+                      binWidth: Double, numBins: Int): DataFrame =
+    df.select(keys.map(col) :+
+        least(greatest(floor(value / binWidth), lit(0.0)), lit(numBins - 1.0))
+          .cast("int").as("bucket"): _*)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from a histogram sketch: for each requested q, the
+    * UPPER edge of the first bucket whose cumulative count reaches
+    * ceil(q * total) — deterministic integer/IEEE arithmetic, exact to one
+    * bin width. One partitioned cumulative window over ≤ numBins rows per
+    * group, then a single aggregation; qs become columns `p<100q>`.
+    */
+  def histogramQuantiles(sketch: DataFrame, keys: Seq[String], binWidth: Double,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val cum = sketch
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(k: _*).orderBy(col("bucket"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(k: _*)))
+    val qCols = qs.map { q =>
+      ((min(when(col("cum") >= ceil(lit(q) * col("total")), col("bucket"))) + 1).cast("double")
+        * binWidth).as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(k: _*)
+      .agg(max(col("total")).as("n_rows"), qCols: _*)
+  }
+
   /** Count-min frequency estimates with a top-k heavy-hitter report.
     *
     * `d` rows × `w` buckets; row `s` hashes a term to

@@ -122,6 +122,28 @@ class OlapSketchSpec extends SparkSpec {
     assert(exact >= 45, s"only $exact of 50 small-vocab estimates exact")
   }
 
+  test("histogram sketch: slice merge == batch; quantiles within one bin of exact") {
+    val rng = new scala.util.Random(5)
+    val vals = (1 to 4000).map(_ => ("g", rng.nextDouble() * 900))
+    val df = vals.toDF("grp", "v")
+    val sk = Sketches.histogramSketch(df, Seq("grp"), col("v"), binWidth = 50.0, numBins = 20)
+    val merged = Seq(df.limit(1500), df.offset(1500))
+      .map(Sketches.histogramSketch(_, Seq("grp"), col("v"), 50.0, 20))
+      .reduce((a, b) => a.unionByName(b).groupBy("grp", "bucket")
+        .agg(sum("n").as("n")))
+    assert(sk.orderBy("bucket").collect().map(_.toString).toSeq ==
+      merged.orderBy("bucket").collect().map(_.toString).toSeq)
+    val q = Sketches.histogramQuantiles(sk, Seq("grp"), 50.0).collect()(0)
+    val sorted = vals.map(_._2).sorted
+    for ((p, col) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val exact = sorted(math.ceil(p * sorted.length).toInt - 1)
+      val est = q.getAs[Double](col)
+      assert(est >= exact && est - exact <= 50.0,
+        s"$col: upper-edge estimate $est must cover exact $exact within one bin")
+    }
+    assert(q.getAs[Long]("n_rows") == 4000L)
+  }
+
   test("funnel: stage counts only shrink and strict ordering is enforced") {
     val counts = queries.OlapQueries.defs("q87_funnel")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
