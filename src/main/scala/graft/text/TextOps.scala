@@ -200,6 +200,11 @@ object TextOps {
     * nll is quantized to an INTEGER micro-nat (floor(x*1e6+0.5) as long), so
     * the per-doc sum is integer arithmetic — immune to FP summation order —
     * and only the final division is floating point.
+    *
+    * Note on plan shape: the tf aggregation feeds both the corpus counts
+    * and the scoring join, and Catalyst compiles each consumer as its own
+    * subtree (no cross-consumer subplan reuse without materialization) — at
+    * production scale, land tf in the store once and score from it.
     * Output: (doc_id, doc_tokens, nll).
     */
   def unigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -228,7 +233,9 @@ object TextOps {
     * the same scale shape: hash aggregations on (doc, bigram) and bigram,
     * the context count derived from the bigram table (no second token
     * pass), one join on bigram, and a 1-row vocabulary broadcast. Documents
-    * with < 2 tokens report 0 bigrams with nll 0.
+    * with < 2 tokens report 0 bigrams with nll 0. Like [[unigramNll]], the
+    * shared tf subtree recompiles per consumer — materialize it at
+    * production scale.
     * Output: (doc_id, n_bigrams, nll).
     */
   def bigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

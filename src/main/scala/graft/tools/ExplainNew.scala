@@ -1,0 +1,20 @@
+package graft.tools
+
+/** Dev tool: exchange/scan audit for the corpus-curation + sketch queries. */
+object ExplainNew {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Graft.localSession("graft-explain", cores = 4)
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q95_unigram_nll", "q96_dup_ngrams", "q97_domain_rebalance",
+        "q98_length_trim", "q100_doc_chunks", "q101_bigram_nll", "q102_quality_sample",
+        "q103_hist_quantiles")) {
+      val p = graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(p).length
+      val nScan = "FileScan".r.findAllIn(p).length
+      val schemas = p.split("\n").filter(_.contains("ReadSchema")).map(_.trim.take(160))
+      println(s"== $q: exchanges=$nEx scans=$nScan")
+      schemas.foreach(s => println(s"   $s"))
+    }
+    spark.stop()
+  }
+}
