@@ -53,6 +53,27 @@ object CorpusQueries {
     "q101_bigram_nll" -> ((s, d) =>
       TextOps.bigramNll(docs(s, d)).orderBy("doc_id")),
 
+    // Chunk-level cross-document dedup: the span/boilerplate analogue of
+    // line-level dedup (this corpus has no newlines) — overlapping 32-token
+    // chunks that recur across documents are repeated spans. Reports each
+    // repeated chunk digest with its occurrence count, distinct-doc count,
+    // and keeper (smallest doc, then earliest offset) — the remove-list a
+    // boilerplate scrubber would apply. Exact-group shuffle on the digest;
+    // no pair mining.
+    "q104_chunk_dedup" -> ((s, d) =>
+      TextOps.chunkDocuments(docs(s, d), chunkSize = 32, overlap = 4)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          // (doc, offset) argmin as one integer composite — start_tok is
+          // bounded far below 2^20, so the packing is collision-free and
+          // orders identically to the lexicographic pair on both engines
+          min(col("doc_id") * 1048576 + col("start_tok")).as("__k"))
+        .filter(col("n_docs") >= 2)
+        .select(col("chunk_md5"), col("n_occurrences"), col("n_docs"),
+          expr("__k div 1048576").as("keep_doc"), (col("__k") % 1048576).as("keep_start"))
+        .orderBy("chunk_md5")),
+
     // Quality-weighted (softmax, T=0.25) sampling: keep probability decays
     // exponentially with the quality gap to the corpus best; the gate is
     // the same deterministic hex60 ppm used by q80/q97 (the exp output is
@@ -182,6 +203,26 @@ object CorpusQueries {
         |  CAST(len(ctoks) AS BIGINT) AS chunk_tokens,
         |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+    "q104_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |),
+        |base AS (SELECT doc_id, w, len(w) AS n_tokens FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, i * 28 AS start_tok,
+        |         md5(array_to_string(w[i*28+1 : i*28+32], ' ')) AS chunk_md5
+        |  FROM base,
+        |       unnest(generate_series(0, (greatest(n_tokens - 4, 1) + 27) // 28 - 1)) AS t(i)
+        |),
+        |g AS (
+        |  SELECT chunk_md5, count(*) AS n_occurrences,
+        |         count(DISTINCT doc_id) AS n_docs,
+        |         min(doc_id * 1048576 + start_tok) AS k
+        |  FROM chunks GROUP BY 1
+        |)
+        |SELECT chunk_md5, n_occurrences, n_docs,
+        |  k // 1048576 AS keep_doc, k % 1048576 AS keep_start
+        |FROM g WHERE n_docs >= 2 ORDER BY chunk_md5""".stripMargin,
     "q101_bigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents

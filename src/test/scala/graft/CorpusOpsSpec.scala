@@ -128,6 +128,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(md5OfChunk0 == expect0)
   }
 
+  test("chunk-level dedup flags a span shared across docs with the earliest keeper") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ") // > one 32-token chunk
+    Seq(
+      (1L, s"$shared unique tail one"),
+      (2L, s"$shared other ending here"),
+      (3L, "a completely different document body with its own words only")
+    ).toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.CorpusQueries.defs("q104_chunk_dedup")(spark, tmp).collect()
+    assert(out.nonEmpty, "the shared 32-token prefix chunk must be flagged")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("keep_doc") == 1L, "smallest doc id is the keeper")
+      assert(r.getAs[Long]("keep_start") == 0L)
+    }
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
