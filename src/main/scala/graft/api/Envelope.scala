@@ -44,12 +44,21 @@ object Envelope {
       s""""params":${objOrNull(params)},"generated_at":${esc(generatedAt)},""" +
       s""""version":${esc(Version)}}"""
 
-  /** Success envelope: `ok=true`, data = the (bounded) row array, error null. */
+  /** Success envelope: `ok=true`, data = the (bounded) row array, error null.
+    * Rows serialize with EXPLICIT nulls (`ignoreNullFields=false`): the
+    * default `Dataset.toJSON` drops null-valued fields, which would give
+    * rows inconsistent key sets and make null unrepresentable — the
+    * reference envelope (schemas/common.py) always emits the full shape.
+    */
   def ok(data: DataFrame, limit: Int = 10000,
          sourceName: Option[String] = None, metric: Option[String] = None,
          params: Seq[(String, String)] = Nil,
          generatedAt: String = java.time.Instant.now().toString): String = {
-    val rows = data.limit(limit).toJSON.collect()
+    import org.apache.spark.sql.functions.{struct, to_json, col}
+    val rows = data.limit(limit)
+      .select(to_json(struct(data.columns.map(col).toSeq: _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
+      .collect().map(_.getString(0))
     s"""{"ok":true,"data":[${rows.mkString(",")}],"error":null,""" +
       s""""meta":${meta(sourceName, metric, params, generatedAt)}}"""
   }

@@ -235,18 +235,23 @@ object Dedup {
     * though the mining itself is collapsed); this variant emits a
     * connectivity-equivalent LINEAR edge set instead:
     *
-    *   - within each identical-content group: star edges (rep, member) for
-    *     the first `maxPairsPerGroup` members by doc_id (jaccard exactly
-    *     1.0) — union-find over the stars yields the same clusters as the
-    *     full C(n,2) emission;
+    *   - within each identical-content group: the FULL star of (rep,
+    *     member) edges (jaccard exactly 1.0) — n-1 edges, so union-find
+    *     over the stars yields the same clusters as the full C(n,2)
+    *     emission at linear cost;
     *   - across groups: ONE (rep_a, rep_b) edge per verified near-dup rep
     *     pair, never fanned out to members.
     *
-    * Omitted pairs are not silently lost: [[minhashLshBoundedOmitted]]
-    * counts per group exactly what this mode left out of the full contract.
+    * `maxPairsPerGroup` (default unbounded) is an OPT-IN hard cap on star
+    * edges per group for callers that need bounded output rows; a capped
+    * run drops membership for members past the cap — they appear in no pair
+    * — so cluster-equivalence holds only for groups within the cap, and
+    * [[minhashLshBoundedOmitted]] reports per group exactly what a given
+    * cap leaves out of the full C(n,2) contract.
     */
   def minhashLshPairsBounded(shingles: DataFrame, numPerms: Int, bands: Int, threshold: Double,
-                             maxBucket: Int = 1000, maxPairsPerGroup: Int = 64): DataFrame = {
+                             maxBucket: Int = 1000,
+                             maxPairsPerGroup: Int = Int.MaxValue): DataFrame = {
     require(maxPairsPerGroup >= 1, "maxPairsPerGroup must be >= 1")
     val sets = shingleSets(shingles)
     val (groups, members) = keyedSets(sets)
@@ -257,13 +262,23 @@ object Dedup {
     val repPairs = jaccardForPairs(blockedPairs(bandsDf, "band_key", maxBucket), repSets, threshold)
     val cross = repPairs.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
       greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
-    // per-group window is safe at scale: partitioned by rep_id, and the rank
-    // only orders the group's own members
-    val w = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
-    val star = members.filter(col("doc_id") =!= col("rep_id"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxPairsPerGroup)
-      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"), lit(1.0).as("jaccard"))
+    val allStar = members.filter(col("doc_id") =!= col("rep_id"))
+    // The FULL star is n-1 edges — already linear, which is the whole win
+    // over C(n,2) — and is what keeps union-find cluster-equivalence. The
+    // explicit cap is an opt-in hard output bound that LOSES membership for
+    // members past the cap (they appear in no pair); callers that set it
+    // must consult [[minhashLshBoundedOmitted]] for what was dropped. Only
+    // the capped path pays the per-group ranking window (partitioned by
+    // rep_id; a hot group sorts in one task — another reason the cap is
+    // opt-in).
+    val star =
+      (if (maxPairsPerGroup == Int.MaxValue) allStar
+       else {
+         val w = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+         allStar.withColumn("__rn", row_number().over(w))
+           .filter(col("__rn") <= maxPairsPerGroup)
+       })
+        .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"), lit(1.0).as("jaccard"))
     cross.unionByName(star)
   }
 
@@ -276,7 +291,8 @@ object Dedup {
   def minhashLshBoundedOmitted(shingles: DataFrame, maxPairsPerGroup: Int): DataFrame = {
     val (_, members) = keyedSets(shingleSets(shingles))
     members.groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
-      .withColumn("full_pairs", (col("n_members") * (col("n_members") - 1) / 2).cast("long"))
+      // integer division: the double `/` loses exactness past 2^53 products
+      .withColumn("full_pairs", expr("n_members * (n_members - 1) div 2"))
       .withColumn("emitted_pairs", least(col("n_members") - 1, lit(maxPairsPerGroup.toLong)))
       .withColumn("omitted_pairs", col("full_pairs") - col("emitted_pairs"))
       .filter(col("omitted_pairs") > 0)

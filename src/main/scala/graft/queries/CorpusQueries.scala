@@ -16,8 +16,7 @@ object CorpusQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  private val hex60Sql: String => String =
-    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+  private val hex60Sql: String => String = OracleCte.hex60Sql
 
   val defs: Map[String, Q] = Map(
     // Unigram-LM quality score (add-one smoothing, corpus-fit).
@@ -62,12 +61,17 @@ object CorpusQueries {
     // no pair mining.
     "q104_chunk_dedup" -> ((s, d) =>
       TextOps.chunkDocuments(docs(s, d), chunkSize = 32, overlap = 4)
+        // (doc, offset) argmin as one integer composite: collision-free and
+        // lexicographic ONLY while start_tok < 2^20 (~1M tokens/doc), so the
+        // bound is ENFORCED, not assumed — a corpus with a longer document
+        // fails loudly here instead of silently corrupting the keeper
+        // (assert_true returns null when the predicate holds, so the filter
+        // keeps every valid row and the oracle needs no mirror)
+        .filter(assert_true(col("start_tok") < 1048576,
+          lit("q104 argmin packing requires start_tok < 2^20")).isNull)
         .groupBy(col("chunk_md5"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"),
-          // (doc, offset) argmin as one integer composite — start_tok is
-          // bounded far below 2^20, so the packing is collision-free and
-          // orders identically to the lexicographic pair on both engines
           min(col("doc_id") * 1048576 + col("start_tok")).as("__k"))
         .filter(col("n_docs") >= 2)
         .select(col("chunk_md5"), col("n_occurrences"), col("n_docs"),

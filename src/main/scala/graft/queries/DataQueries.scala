@@ -90,8 +90,7 @@ object DataQueries {
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  private val hex60Sql: String => String =
-    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+  private val hex60Sql: String => String = OracleCte.hex60Sql
 
   val defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) =>

@@ -14,8 +14,7 @@ import org.apache.spark.sql.functions._
 object SketchQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val hex60Sql: String => String =
-    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+  private val hex60Sql: String => String = OracleCte.hex60Sql
 
   val defs: Map[String, Q] = Map(
     // HLL (b=8, 256 registers) distinct users per event type, with the exact

@@ -43,6 +43,13 @@ object OracleCte {
 
   def qround6Sql(x: String): String = s"floor(($x)*1e6 + 0.5)/1e6"
 
+  /** DuckDB twin of [[graft.expressions.Hex60]] — the ONE definition every
+    * oracle shares (a drifted copy would silently break hash equivalence
+    * for every query using the stale text).
+    */
+  val hex60Sql: String => String =
+    e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
+
   /** Spark twin of the quantization inside the `series` oracle CTE.
     *
     * Event values are exact 2-decimal quantities, so the true per-day sums

@@ -344,6 +344,43 @@ object StreamingPipeline {
       if (df.isEmpty) None else Some(df)
     } catch { case _: Throwable => None }
 
+  /** Strict sketch-store reader: absence (no dir yet, or only the previous
+    * swap's `.prev` survivor after a crash between the two renames) maps to
+    * the recoverable state; any OTHER failure — a transient FS error, a
+    * corrupt footer — PROPAGATES so the batch retries instead of silently
+    * resetting the sketch and then destroying the intact prior store.
+    * (Contrast [[existingClean]], whose catch-all is fine for the clean
+    * store because its caller only APPENDS.)
+    */
+  private def readSketchStore(spark: SparkSession, path: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val main = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(s"$path.prev")
+    if (fs.exists(main)) Some(spark.read.parquet(path))
+    else if (fs.exists(prev)) Some(spark.read.parquet(s"$path.prev"))
+    else None
+  }
+
+  /** Lands a staged store directory: move the current store aside to
+    * `.prev`, rename staging in, drop `.prev`. There is never a moment
+    * without a readable store ([[readSketchStore]] falls back to `.prev`
+    * during the window between the two renames), and rename results are
+    * CHECKED — a false return aborts the batch rather than losing state.
+    */
+  private def swapInStore(spark: SparkSession, staging: String, storePath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    val prev = new org.apache.hadoop.fs.Path(s"$storePath.prev")
+    fs.delete(prev, true)
+    if (fs.exists(dst))
+      require(fs.rename(dst, prev), s"could not move $dst aside to $prev")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"could not land $staging at $dst")
+    fs.delete(prev, true)
+  }
+
   /** Incremental HLL maintenance — the `foreachBatch` body for a streaming
     * distinct counter. Each micro-batch's registers merge into the parquet
     * register store with a per-register `max`; because max is commutative,
@@ -352,24 +389,21 @@ object StreamingPipeline {
     * ([[graft.sketch.Sketches]]' mergeable-state property — this is what
     * makes a sketch the right 100 TB distinct counter: fixed-size state,
     * no re-scan, no wobble with arrival order). The merged store lands via
-    * a staging write + directory swap so a crash mid-write never leaves a
-    * half-merged store (the previous store survives until the rename).
+    * a staging write + [[swapInStore]], so a crash at any point leaves a
+    * readable store (the previous one until the final rename) and a replay
+    * re-merges idempotently.
     */
   def hllMergeBatch(storePath: String, keys: Seq[String], itemCol: String, b: Int = 8)
                    (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val regs = graft.sketch.Sketches.hllRegisters(batch, keys, col(itemCol), b)
-    val merged = existingClean(spark, storePath) match {
+    val merged = readSketchStore(spark, storePath) match {
       case Some(prev) => graft.sketch.Sketches.hllMergeRegisters(prev, regs, keys)
       case None       => regs
     }
     val staging = s"$storePath.staging-$batchId"
     merged.write.mode("overwrite").parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(staging), conf)
-    val dst = new org.apache.hadoop.fs.Path(storePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    swapInStore(spark, staging, storePath)
   }
 
   /** Incremental count-min maintenance — the `foreachBatch` body for a
@@ -378,28 +412,39 @@ object StreamingPipeline {
     * failure recovery) MUST not double-count: a `_batches` ledger file
     * INSIDE the store directory records every merged id, and a replayed id
     * is a no-op — the transactional-foreachBatch pattern. The ledger lives
-    * in the staged directory and swaps atomically WITH the cells (one
-    * rename), so there is no window where the store reflects a batch the
-    * ledger doesn't: a crash before the swap leaves the previous
-    * store+ledger pair intact, and the replay merges cleanly. Parquet
-    * readers skip underscore-prefixed files, so the ledger doesn't disturb
-    * `spark.read.parquet(storePath)`.
+    * INSIDE the store directory and lands in the same [[swapInStore]] as
+    * the cells, so the active store always carries the ledger that matches
+    * its contents — there is no window where the store reflects a batch the
+    * ledger doesn't, and a crash at any point leaves either the previous
+    * store+ledger pair or the new one (never a mix) for the replay to
+    * resolve. Parquet readers skip underscore-prefixed files, so the ledger
+    * doesn't disturb `spark.read.parquet(storePath)`.
     */
   def cmsMergeBatch(storePath: String, termCol: String, d: Int = 3, w: Int = 1024)
                    (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
-    val ledger = new org.apache.hadoop.fs.Path(s"$storePath/_batches")
-    val seen: Set[Long] =
-      if (fs.exists(ledger)) {
-        val in = fs.open(ledger)
-        try scala.io.Source.fromInputStream(in).getLines().map(_.trim.toLong).toSet
-        finally in.close()
-      } else Set.empty
+    // resolve the ACTIVE store dir ([[swapInStore]] semantics): main, else
+    // the .prev survivor of a crash between its two renames
+    val active: Option[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) Some(storePath)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath.prev")))
+        Some(s"$storePath.prev")
+      else None
+    val seen: Set[Long] = active match {
+      case Some(dir) =>
+        val ledger = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+        if (fs.exists(ledger)) {
+          val in = fs.open(ledger)
+          try scala.io.Source.fromInputStream(in).getLines().map(_.trim.toLong).toSet
+          finally in.close()
+        } else Set.empty
+      case None => Set.empty
+    }
     if (seen.contains(batchId)) return
     val cells = graft.sketch.Sketches.cmsCells(batch, termCol, d, w)
-    val merged = existingClean(spark, storePath) match {
+    val merged = active.map(spark.read.parquet(_)) match {
       case Some(prev) => graft.sketch.Sketches.cmsMergeCells(prev, cells)
       case None       => cells
     }
@@ -409,9 +454,7 @@ object StreamingPipeline {
     try stagedLedger.write(
       ((seen + batchId).toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally stagedLedger.close()
-    val dst = new org.apache.hadoop.fs.Path(storePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    swapInStore(spark, staging, storePath)
   }
 
   /** Streaming distinct-count query: file-source events -> incremental HLL

@@ -394,6 +394,11 @@ object TextOps {
     * `topK` rows by construction (the MLlib bounded-collect pattern, same
     * as the IVF centroid path), so no Window operator — and no
     * single-partition WARN — appears anywhere in the plan.
+    *
+    * CONTRACT NOTE: unlike every other operator here, this one executes
+    * EAGERLY at call time (the bounded collect runs two Spark jobs) and
+    * returns a frozen local relation, not a lazy plan — callers composing
+    * it into larger pipelines should invoke it once and reuse the result.
     * Output: (term, df, cf, rank).
     */
   def vocabulary(docs: DataFrame, minDf: Int, topK: Int,

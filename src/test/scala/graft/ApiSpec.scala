@@ -60,6 +60,15 @@ class ApiSpec extends SparkSpec {
     assert(!Ingest.strictHeaderOk(Seq(("a", "b")).toDF("Timestamp", "notvalue")))
   }
 
+  test("S9 envelope: null fields serialize explicitly, not dropped") {
+    import graft.api.Envelope
+    val df = Seq((1L, Some(2.5)), (2L, None: Option[Double])).toDF("id", "score")
+    val json = Envelope.ok(df, generatedAt = "2026-01-01T00:00:00Z")
+    assert(json.contains("""{"id":2,"score":null}"""),
+      "a null field must appear as an explicit null, keeping row key sets uniform")
+    assert(json.contains("""{"id":1,"score":2.5}"""))
+  }
+
   test("S9 envelope: ok/fail JSON matches the reference shape and round-trips") {
     import graft.api.Envelope
     val df = Seq((1L, "events_total", 2.5)).toDF("source_id", "metric", "value")

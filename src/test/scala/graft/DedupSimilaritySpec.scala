@@ -108,6 +108,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(omitted.length == 1 && omitted.head.getAs[Long]("rep_id") == 10L)
     assert(omitted.head.getAs[Long]("omitted_pairs") == 10000L * 9999L / 2 - 100L,
       "audit must count exactly the pairs the star left out")
+    // DEFAULT (uncapped) mode: the full star — linear n-1 edges, every
+    // member reachable from the rep, so union-find clusters are equivalent
+    // to the C(n,2) contract
+    val full = Dedup.minhashLshPairsBounded(sh, 16, 4, threshold = 0.5).collect()
+    assert(full.count(_.getAs[Double]("jaccard") == 1.0) == 9999,
+      "default star must cover every duplicate member")
   }
 
   test("simhash: identical docs have hamming 0; banded pairs find them") {
