@@ -55,8 +55,12 @@ object Envelope {
          params: Seq[(String, String)] = Nil,
          generatedAt: String = java.time.Instant.now().toString): String = {
     import org.apache.spark.sql.functions.{struct, to_json, col}
+    // Backtick-quote each name (doubling embedded backticks, the
+    // parseAttributeName escape): a bare dotted name would be parsed as a
+    // nested-field path and fail to resolve against a literal "a.b" column.
+    def quoted(n: String) = col("`" + n.replace("`", "``") + "`")
     val rows = data.limit(limit)
-      .select(to_json(struct(data.columns.map(col).toSeq: _*),
+      .select(to_json(struct(data.columns.map(quoted).toSeq: _*),
         Map("ignoreNullFields" -> "false")).as("j"))
       .collect().map(_.getString(0))
     s"""{"ok":true,"data":[${rows.mkString(",")}],"error":null,""" +

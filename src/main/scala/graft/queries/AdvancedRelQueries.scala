@@ -164,9 +164,13 @@ object AdvancedRelQueries {
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
       val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_orders"))
-      broadcast(n.select(col("n_nationkey"), col("n_name")))
-        .join(withO, col("n_nationkey") === withO("c_nationkey"), "left").drop("c_nationkey")
-        .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left").drop("c_nationkey")
+      // The aggregated sides are ≤ |nation| rows, and they are the BUILD
+      // (right) sides of the left-outer joins — Spark cannot build the left
+      // side of a left outer join, so hinting the nation dim there would be
+      // silently dropped (with a HintErrorLogger WARN per run).
+      n.select(col("n_nationkey"), col("n_name"))
+        .join(broadcast(withO), col("n_nationkey") === withO("c_nationkey"), "left").drop("c_nationkey")
+        .join(broadcast(withoutO), col("n_nationkey") === withoutO("c_nationkey"), "left").drop("c_nationkey")
         .select(col("n_name"),
           coalesce(col("with_orders"), lit(0L)).as("with_orders"),
           coalesce(col("without_orders"), lit(0L)).as("without_orders"))

@@ -62,13 +62,18 @@ object CorpusQueries {
     "q104_chunk_dedup" -> ((s, d) =>
       TextOps.chunkDocuments(docs(s, d), chunkSize = 32, overlap = 4)
         // (doc, offset) argmin as one integer composite: collision-free and
-        // lexicographic ONLY while start_tok < 2^20 (~1M tokens/doc), so the
-        // bound is ENFORCED, not assumed — a corpus with a longer document
-        // fails loudly here instead of silently corrupting the keeper
-        // (assert_true returns null when the predicate holds, so the filter
-        // keeps every valid row and the oracle needs no mirror)
-        .filter(assert_true(col("start_tok") < 1048576,
-          lit("q104 argmin packing requires start_tok < 2^20")).isNull)
+        // lexicographic ONLY while start_tok < 2^20 (~1M tokens/doc) AND
+        // 0 <= doc_id < 2^43 (a negative id breaks the ordering; a larger id
+        // wraps int64 — silently in Spark, as a BIGINT overflow error in
+        // DuckDB, an ASYMMETRIC failure the oracle could never catch). Both
+        // bounds are ENFORCED, not assumed — an out-of-range corpus fails
+        // loudly and identically on both engines instead of corrupting the
+        // keeper (assert_true returns null when the predicate holds, so the
+        // filter keeps every valid row and the oracle needs no mirror)
+        .filter(assert_true(
+          col("start_tok") < 1048576 &&
+            col("doc_id") >= 0 && col("doc_id") < 8796093022208L,
+          lit("q104 argmin packing requires start_tok < 2^20 and 0 <= doc_id < 2^43")).isNull)
         .groupBy(col("chunk_md5"))
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("doc_id")).as("n_docs"),

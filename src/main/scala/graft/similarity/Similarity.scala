@@ -111,12 +111,13 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF with k-means-refined centroids: seed = first `numCentroids`
-    * vectors, then `iters` Lloyd iterations (assign to nearest centroid,
-    * recompute centroids as the element-wise mean of their cells), then the
-    * same cell-local search as [[ivfTopK]]. Refinement balances the cells,
-    * which is what bounds per-cell fan-out at scale — a seed centroid that
-    * captures half the corpus makes that cell's search quadratic again.
+  /** Lloyd assignment shared by [[ivfKmeansTopK]] and [[semanticDedup]]:
+    * seed = first `numCentroids` vectors, then `iters` Lloyd iterations
+    * (assign to nearest centroid, recompute centroids as the element-wise
+    * mean of their cells), returning each vector's final cell as
+    * (idCol, v, n, cell). Refinement balances the cells, which is what
+    * bounds per-cell fan-out at scale — a seed centroid that captures half
+    * the corpus makes that cell's downstream search quadratic again.
     *
     * Each iteration is two shuffles (assignment keeps only (id, cell);
     * the mean is one groupBy over exploded dimensions) and the centroid set
@@ -131,12 +132,6 @@ object Similarity {
     * order-sensitive, integer sums are not). Inputs are widened to
     * `array<double>` once upfront so refined (double) centroids and corpus
     * vectors share one dot-product kernel.
-    */
-  /** Lloyd assignment shared by [[ivfKmeansTopK]] and [[semanticDedup]]:
-    * seed = first `numCentroids` vectors, `iters` refinement rounds, then
-    * the final per-vector cell. Returns (idCol, v, n, cell). See
-    * [[ivfKmeansTopK]]'s scaladoc for the bounded driver-collect pattern and
-    * the integer-sum quantization that keeps the means engine-exact.
     */
   def kmeansAssign(vectors: DataFrame, numCentroids: Int, iters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -199,6 +194,11 @@ object Similarity {
         (coalesce(col("min_dup_id"), col(idCol) + 1) > col(idCol)).as("kept"))
   }
 
+  /** IVF with k-means-refined centroids: [[kmeansAssign]] picks each
+    * vector's cell (see its scaladoc for the bounded driver-collect pattern
+    * and the integer-sum quantization that keeps the means engine-exact),
+    * then the same cell-local top-k cosine search as [[ivfTopK]].
+    */
   def ivfKmeansTopK(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = kmeansAssign(vectors, numCentroids, iters, idCol, vecCol)

@@ -128,6 +128,13 @@ object Sketches {
     * sort or a rank pass over all rows, the sketch needs one hash
     * aggregation and answers any quantile from bounded state with
     * one-bin-width error.
+    *
+    * DOMAIN: the one-bin-width error bound holds only for values in
+    * `[0, binWidth * numBins)`. Out-of-range values are CLAMPED into the
+    * edge buckets (bucket 0 / bucket numBins-1), so a quantile that lands
+    * in a clamped bucket is only bounded by the true data range, not by
+    * binWidth — size `numBins`/`binWidth` from a known domain (or a prior
+    * bounds pass) when the guarantee matters.
     */
   def histogramSketch(df: DataFrame, keys: Seq[String], value: Column,
                       binWidth: Double, numBins: Int): DataFrame =

@@ -69,6 +69,14 @@ class ApiSpec extends SparkSpec {
     assert(json.contains("""{"id":1,"score":2.5}"""))
   }
 
+  test("S9 envelope: a literal dotted column name serializes (not a nested path)") {
+    import graft.api.Envelope
+    val df = Seq((1L, 2.5)).toDF("id", "rate.ppm")
+    val json = Envelope.ok(df, generatedAt = "2026-01-01T00:00:00Z")
+    assert(json.contains(""""rate.ppm":2.5"""),
+      "a column literally named a.b must resolve as itself, not as struct a field b")
+  }
+
   test("S9 envelope: ok/fail JSON matches the reference shape and round-trips") {
     import graft.api.Envelope
     val df = Seq((1L, "events_total", 2.5)).toDF("source_id", "metric", "value")

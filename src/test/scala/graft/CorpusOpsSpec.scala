@@ -145,6 +145,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk-level dedup fails loudly on a doc_id outside the packing bound") {
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    def run(badId: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_docs_bad").toString
+      Seq((badId, s"$shared tail a"), (2L, s"$shared tail b"))
+        .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      graft.queries.CorpusQueries.defs("q104_chunk_dedup")(spark, tmp).collect()
+    }
+    // 2^43 would wrap the int64 packing; a negative id breaks the ordering —
+    // both must abort loudly instead of silently corrupting the keeper
+    for (bad <- Seq(8796093022208L, -1L)) {
+      val e = intercept[Exception](run(bad))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("doc_id")), s"expected the packing-bound assert for $bad")
+    }
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
