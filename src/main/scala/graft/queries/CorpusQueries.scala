@@ -101,10 +101,24 @@ object CorpusQueries {
         .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"),
           col("rate_ppm"), col("kept"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Subword tokenizer gate (q91-q94 pattern): WordPiece-style greedy
+    // longest-match over a corpus-learned piece vocabulary; DuckDB anchors
+    // the row shape (doc_id, whitespace word count) and asserts the
+    // round-trip / maximality / OOV / coverage counters are zero.
+    "q105_subword_invariants" -> ((s, d) =>
+      graft.text.Subword.invariantGate(docs(s, d), size = 256, maxPieceLen = 6)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_subword_invariants" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  0 AS concat_viol, 0 AS greedy_viol, 0 AS oov_viol,
+        |  0 AS bound_viol, 0 AS unk_viol
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q95_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -1,0 +1,207 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subword tokenization: a deterministic piece vocabulary learned from the
+  * corpus plus a WordPiece-style greedy longest-match apply (the public
+  * BERT-tokenizer inference algorithm — MaxMatch over a piece table).
+  *
+  * This replaces the [[TextOps.bpeIshCount]] regex proxy wherever a real
+  * subword count matters: token counts drive sequence packing (q76), length
+  * trimming (q98), and chunking (q100), so proxy error propagates —
+  * [[subwordCounts]] is the drop-in producer of per-document counts for
+  * those operators.
+  *
+  * 100 TB design: the vocabulary build shuffles ∝ DISTINCT words (words are
+  * aggregated to (word, count) first; substring fan-out runs on that
+  * bounded table, never on raw tokens), selection is a global
+  * TakeOrderedAndProject (per-partition top-K, K-sized merge — no single
+  * partition sort, no ranking window); the apply is MAP-ONLY — the piece
+  * set (`size` + alphabet entries) broadcasts, and tokenization is
+  * embarrassingly parallel with zero shuffle.
+  */
+object Subword {
+
+  /** The OOV sentinel: a word with any character outside the vocabulary's
+    * alphabet collapses to exactly this one piece (WordPiece convention).
+    * Never collides with a learned piece — pieces come from lowercased
+    * words, so none contains an uppercase letter.
+    */
+  val Unk = "[UNK]"
+
+  /** Greedy longest-match tokenization of ONE word: at each position take
+    * the longest vocabulary piece matching the remaining suffix (bounded by
+    * `maxPieceLen`), advance by its length. If no piece matches at some
+    * position the WHOLE word is out-of-vocabulary and collapses to
+    * `[[Unk]]` — with an alphabet-complete vocabulary this happens exactly
+    * when the word contains a character the corpus never produced (the
+    * single-character fallback always matches otherwise). The empty word
+    * tokenizes to zero pieces.
+    */
+  def tokenizeWord(word: String, inVocab: String => Boolean, maxPieceLen: Int): Array[String] = {
+    if (word.isEmpty) return Array.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      var l = math.min(maxPieceLen, word.length - i)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand = word.substring(i, i + l)
+        if (inVocab(cand)) hit = cand
+        l -= 1
+      }
+      if (hit == null) return Array(Unk)
+      out += hit
+      i += hit.length
+    }
+    out.toArray
+  }
+
+  /** Deterministic piece vocabulary learned from the corpus: every single
+    * character seen in a (lowercased, whitespace-split) word — the base
+    * alphabet that makes corpus words OOV-free — plus the `size` most
+    * frequent character n-grams of length 2..maxPieceLen, weighted by word
+    * occurrence with a total-order tie-break (weight desc, piece asc), so
+    * the vocabulary is bit-reproducible across runs and engines.
+    * Output: (piece, weight).
+    */
+  def pieceVocab(docs: DataFrame, size: Int, maxPieceLen: Int,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxPieceLen >= 2, "need maxPieceLen >= 2")
+    val wordCounts = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val chars = wordCounts
+      .select(col("cnt"), explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) === 1)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+    // all substrings of length 2..maxPieceLen of each DISTINCT word,
+    // weighted by the word's occurrence count; the when() guard (not a
+    // descending sequence(1, 0)) bounds each start position's lengths
+    val multi = wordCounts.filter(length(col("word")) >= 2)
+      .select(col("cnt"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))), i =>
+          transform(sequence(lit(2), lit(maxPieceLen)), l =>
+            when(i + l <= length(col("word")) + 1, col("word").substr(i, l)))))).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
+      .orderBy(col("weight").desc, col("piece").asc).limit(size)
+    chars.unionByName(multi)
+  }
+
+  /** Bounded eager collect of [[pieceVocab]]'s pieces (`size` + alphabet
+    * rows by construction — the MLlib bounded-collect pattern, same
+    * CONTRACT NOTE as [[TextOps.vocabulary]]: executes at call time;
+    * invoke once and reuse).
+    */
+  def collectPieces(docs: DataFrame, size: Int, maxPieceLen: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): Array[String] =
+    pieceVocab(docs, size, maxPieceLen, textCol, idCol)
+      .select(col("piece")).collect().map(_.getString(0))
+
+  /** Map-only subword apply: per document, whitespace-split the lowercased
+    * text and greedy-tokenize each word against the broadcast piece set.
+    * An OOV word contributes one `[[Unk]]` token. No shuffle.
+    * Output: (doc_id, n_words, subword_tokens, oov_words).
+    */
+  def subwordCounts(docs: DataFrame, pieces: Seq[String],
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = if (pieces.isEmpty) 1 else pieces.iterator.map(_.length).max
+    val bc = spark.sparkContext.broadcast(pieces.toArray)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value.toSet
+        it.map { case (id, text) =>
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          var nTok = 0L
+          var nOov = 0L
+          ws.foreach { w =>
+            val ps = tokenizeWord(w, set, maxLen)
+            nTok += ps.length
+            if (ps.length == 1 && ps(0) == Unk) nOov += 1
+          }
+          (id, ws.length.toLong, nTok, nOov)
+        }
+      }.toDF("doc_id", "n_words", "subword_tokens", "oov_words")
+  }
+
+  /** q105 invariant gate (the q91–q94 pattern: DuckDB cannot apply
+    * recursive greedy matching, but it CAN derive the per-document row
+    * shape and assert the violation counters are zero). Learns the vocab
+    * from the corpus itself, re-tokenizes every word through the
+    * production [[tokenizeWord]], and counts violations of the contracts
+    * with an INDEPENDENT checker per word:
+    *
+    *  - concat_viol — a non-OOV word whose pieces don't concatenate back
+    *    to the word (round-trip);
+    *  - greedy_viol — a piece that is not the longest vocabulary match at
+    *    its position (maximality, re-verified by scanning all longer
+    *    candidates);
+    *  - oov_viol — OOV verdict disagreeing with the alphabet test (a word
+    *    collapses to [UNK] iff it contains a character outside the learned
+    *    alphabet);
+    *  - bound_viol — fewer pieces than non-empty words (every word yields
+    *    at least one token);
+    *  - unk_viol — the synthetic OOV probe (driver, once — the q94 proxy
+    *    pattern): a word starting with a character outside the alphabet
+    *    must tokenize to exactly [UNK].
+    *
+    * Output: (doc_id, n_words, concat_viol, greedy_viol, oov_viol,
+    * bound_viol, unk_viol); n_words is the DuckDB-derivable anchor.
+    */
+  def invariantGate(docs: DataFrame, size: Int = 256, maxPieceLen: Int = 6,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = collectPieces(docs, size, maxPieceLen, textCol, idCol)
+    val maxLen = if (pieces.isEmpty) 1 else pieces.iterator.map(_.length).max
+    val alphabet = pieces.filter(_.length == 1).toSet
+    val oovChar = (33 to 0x2FFF).map(_.toChar)
+      .find(c => !alphabet.contains(c.toString)).getOrElse('\u0001')
+    val unkViol =
+      if (tokenizeWord(s"${oovChar}ab", pieces.toSet, maxLen).sameElements(Array(Unk))) 0L
+      else 1L
+    val bc = spark.sparkContext.broadcast(pieces)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value.toSet
+        val ml = bc.value.iterator.map(_.length).foldLeft(1)(math.max)
+        it.map { case (id, text) =>
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          var concatViol = 0L; var greedyViol = 0L; var oovViol = 0L
+          var nTok = 0L; var nonEmpty = 0L
+          ws.foreach { w =>
+            val toks = tokenizeWord(w, set, ml)
+            val isOov = toks.length == 1 && toks(0) == Unk
+            val hasAlienChar = w.exists(c => !set.contains(c.toString))
+            if (isOov != hasAlienChar) oovViol += 1
+            if (!isOov) {
+              if (toks.mkString != w) concatViol += 1
+              var pos = 0
+              toks.foreach { p =>
+                var l = p.length + 1
+                val lim = math.min(ml, w.length - pos)
+                var bad = false
+                while (l <= lim && !bad) {
+                  if (set.contains(w.substring(pos, pos + l))) bad = true
+                  l += 1
+                }
+                if (bad) greedyViol += 1
+                pos += p.length
+              }
+            }
+            nTok += toks.length
+            if (w.nonEmpty) nonEmpty += 1
+          }
+          val boundViol = if (nTok < nonEmpty) 1L else 0L
+          (id, ws.length.toLong, concatViol, greedyViol, oovViol, boundViol, unkViol)
+        }
+      }.toDF("doc_id", "n_words", "concat_viol", "greedy_viol", "oov_viol",
+        "bound_viol", "unk_viol")
+  }
+}

@@ -163,6 +163,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizeWord: greedy longest match against a hand-built vocab") {
+    import graft.text.Subword
+    val vocab = Set("a", "b", "c", "d", "ab", "abc", "bcd", "cd")
+    def tok(w: String) = Subword.tokenizeWord(w, vocab, 3).toSeq
+    assert(tok("abcd") == Seq("abc", "d"), "longest match at pos 0 wins, not ab+cd")
+    assert(tok("abab") == Seq("ab", "ab"))
+    assert(tok("dcba") == Seq("d", "c", "b", "a"), "falls back to single chars")
+    assert(tok("cdbcd") == Seq("cd", "bcd"))
+    assert(tok("axb") == Seq(Subword.Unk), "alien char collapses the whole word")
+    assert(tok("") == Seq.empty, "empty word yields zero pieces")
+  }
+
+  test("pieceVocab learns the alphabet plus the most frequent substrings") {
+    import graft.text.Subword
+    val docs = Seq((1L, "ab ab b"), (2L, "ab cc")).toDF("doc_id", "text")
+    val v = Subword.pieceVocab(docs, size = 2, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("a") == 3L && v("b") == 4L && v("c") == 2L, "alphabet weighted by occurrences")
+    // substrings: "ab" appears in 3 word instances, "cc" in 1 — top-2
+    assert(v("ab") == 3L && v("cc") == 1L)
+    assert(v.size == 5)
+  }
+
+  test("subwordCounts tokenizes per word with OOV fallback") {
+    import graft.text.Subword
+    val docs = Seq((1L, "abcd abab"), (2L, "axb d")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c", "d", "ab", "abc", "bcd", "cd")
+    val out = Subword.subwordCounts(docs, vocab).orderBy("doc_id").collect()
+    // doc 1: abcd -> abc+d (2), abab -> ab+ab (2)
+    assert(out(0).getAs[Long]("n_words") == 2L)
+    assert(out(0).getAs[Long]("subword_tokens") == 4L)
+    assert(out(0).getAs[Long]("oov_words") == 0L)
+    // doc 2: axb -> [UNK] (1 token, 1 oov), d -> d (1)
+    assert(out(1).getAs[Long]("subword_tokens") == 2L)
+    assert(out(1).getAs[Long]("oov_words") == 1L)
+  }
+
+  test("subword invariant gate: zero violations on a mixed corpus") {
+    import graft.text.Subword
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "THE QUICK the quick 12345 a-b-c x!y?z"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Subword.invariantGate(docs, size = 64, maxPieceLen = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      for (c <- Seq("concat_viol", "greedy_viol", "oov_viol", "bound_viol", "unk_viol"))
+        assert(r.getAs[Long](c) == 0L, s"$c nonzero for doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(out(0).getAs[Long]("n_words") == 9L)
+    assert(out(3).getAs[Long]("n_words") == 1L, "whitespace-only text splits to ['']")
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
