@@ -108,6 +108,16 @@ object Sketches {
     a.unionByName(b)
       .groupBy(col("seed"), col("cell")).agg(sum(col("cell_total")).as("cell_total"))
 
+  /** Merge two histogram sketch tables (same keys/binWidth/numBins): union +
+    * bucket-wise SUM — commutative and associative but NOT idempotent, the
+    * same replay caveat as [[cmsMergeCells]] (see the `_batches` ledger in
+    * [[graft.streaming.StreamingPipeline.histMergeBatch]]).
+    */
+  def histogramMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("n")).as("n"))
+
   /** Point-estimate term frequencies from a cell table: min over the d rows
     * of each term's cells (never undercounts). The cell table is fixed-size,
     * so it broadcasts.

@@ -406,23 +406,23 @@ object StreamingPipeline {
     swapInStore(spark, staging, storePath)
   }
 
-  /** Incremental count-min maintenance — the `foreachBatch` body for a
-    * streaming frequency sketch. Cell totals merge with SUM, which is not
-    * idempotent, so replayed batches (foreachBatch is at-least-once on
-    * failure recovery) MUST not double-count: a `_batches` ledger file
-    * INSIDE the store directory records every merged id, and a replayed id
-    * is a no-op — the transactional-foreachBatch pattern. The ledger lives
-    * INSIDE the store directory and lands in the same [[swapInStore]] as
-    * the cells, so the active store always carries the ledger that matches
-    * its contents — there is no window where the store reflects a batch the
-    * ledger doesn't, and a crash at any point leaves either the previous
+  /** Shared transactional core for SUM-merged (non-idempotent) sketch
+    * stores — count-min cells and histogram buckets. These merge with SUM,
+    * which is not idempotent, so replayed batches (foreachBatch is
+    * at-least-once on failure recovery) MUST not double-count: a `_batches`
+    * ledger file INSIDE the store directory records every merged id, and a
+    * replayed id is a no-op — the transactional-foreachBatch pattern. The
+    * ledger lands in the same [[swapInStore]] as the sketch rows, so the
+    * active store always carries the ledger that matches its contents —
+    * there is no window where the store reflects a batch the ledger
+    * doesn't, and a crash at any point leaves either the previous
     * store+ledger pair or the new one (never a mix) for the replay to
     * resolve. Parquet readers skip underscore-prefixed files, so the ledger
     * doesn't disturb `spark.read.parquet(storePath)`.
     */
-  def cmsMergeBatch(storePath: String, termCol: String, d: Int = 3, w: Int = 1024)
-                   (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  private def ledgeredSumMerge(spark: SparkSession, storePath: String, batchId: Long)
+                              (sketch: => DataFrame,
+                               merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
     // resolve the ACTIVE store dir ([[swapInStore]] semantics): main, else
@@ -443,10 +443,9 @@ object StreamingPipeline {
       case None => Set.empty
     }
     if (seen.contains(batchId)) return
-    val cells = graft.sketch.Sketches.cmsCells(batch, termCol, d, w)
     val merged = active.map(spark.read.parquet(_)) match {
-      case Some(prev) => graft.sketch.Sketches.cmsMergeCells(prev, cells)
-      case None       => cells
+      case Some(prev) => merge(prev, sketch)
+      case None       => sketch
     }
     val staging = s"$storePath.staging-$batchId"
     merged.write.mode("overwrite").parquet(staging)
@@ -456,6 +455,32 @@ object StreamingPipeline {
     finally stagedLedger.close()
     swapInStore(spark, staging, storePath)
   }
+
+  /** Incremental count-min maintenance — the `foreachBatch` body for a
+    * streaming frequency sketch ([[ledgeredSumMerge]] carries the
+    * transactional replay/crash contract).
+    */
+  def cmsMergeBatch(storePath: String, termCol: String, d: Int = 3, w: Int = 1024)
+                   (batch: DataFrame, batchId: Long): Unit =
+    ledgeredSumMerge(batch.sparkSession, storePath, batchId)(
+      graft.sketch.Sketches.cmsCells(batch, termCol, d, w),
+      graft.sketch.Sketches.cmsMergeCells)
+
+  /** Incremental histogram-sketch maintenance — the `foreachBatch` body for
+    * a streaming quantile sketch. Bucket counts merge with SUM (the same
+    * non-idempotent family as count-min), so this reuses
+    * [[ledgeredSumMerge]]'s batch-id ledger + staged swap: after ANY prefix
+    * of batches, with any crash/replay interleaving, the store is
+    * bit-identical to [[graft.sketch.Sketches.histogramSketch]] over the
+    * same rows — so [[graft.sketch.Sketches.histogramQuantiles]] answers
+    * from it with the exact batch semantics.
+    */
+  def histMergeBatch(storePath: String, keys: Seq[String], valueCol: String,
+                     binWidth: Double, numBins: Int)
+                    (batch: DataFrame, batchId: Long): Unit =
+    ledgeredSumMerge(batch.sparkSession, storePath, batchId)(
+      graft.sketch.Sketches.histogramSketch(batch, keys, col(valueCol), binWidth, numBins),
+      graft.sketch.Sketches.histogramMerge(_, _, keys))
 
   /** Streaming distinct-count query: file-source events -> incremental HLL
     * register store via [[hllMergeBatch]]. Read the estimate at any time
@@ -469,4 +494,19 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(hllMergeBatch(storePath, keys, itemCol, b) _)
+
+  /** Streaming quantile sketch: file-source events -> incremental histogram
+    * bucket store via [[histMergeBatch]]. Read quantiles at any time with
+    * `Sketches.histogramQuantiles(spark.read.parquet(storePath), keys,
+    * binWidth)` — bit-identical to the batch sketch over the rows delivered
+    * so far.
+    */
+  def histogramStream(events: DataFrame, storePath: String, checkpoint: String,
+                      keys: Seq[String] = Seq("metric"), valueCol: String = "value",
+                      binWidth: Double = 50.0, numBins: Int = 20): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(histMergeBatch(storePath, keys, valueCol, binWidth, numBins) _)
 }

@@ -144,6 +144,45 @@ class OlapSketchSpec extends SparkSpec {
     assert(q.getAs[Long]("n_rows") == 4000L)
   }
 
+  test("streaming histogram store: restart + replay reproduce the batch quantiles bit-identically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val in = s"$base/in"; val store = s"$base/buckets"
+    val mk = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf("2025-09-20 01:00:00"), "m",
+        (i % 900).toDouble))
+      .toDF("source_id", "ts", "metric", "value")
+    mk(1, 1500).write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.histogramStream(
+      StreamingPipeline.readEventStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    // restart from the same checkpoint with a second delivery
+    mk(1501, 3000).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.histogramStream(
+      StreamingPipeline.readEventStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val batchSk = Sketches.histogramSketch(mk(1, 3000), Seq("metric"), col("value"), 50.0, 20)
+    val batchRows = batchSk.orderBy("bucket").collect().map(_.toString).toSeq
+    assert(spark.read.parquet(store).orderBy("bucket").collect().map(_.toString).toSeq
+      == batchRows, "streamed bucket store == one-shot batch sketch, bit-identical")
+    assert(Sketches.histogramQuantiles(spark.read.parquet(store), Seq("metric"), 50.0)
+      .collect().map(_.toString).toSeq ==
+      Sketches.histogramQuantiles(batchSk, Seq("metric"), 50.0)
+        .collect().map(_.toString).toSeq,
+      "quantiles off the incremental store match the batch build exactly")
+
+    // crash recovery: re-delivered batch ids must be no-ops (sum-merge is
+    // not idempotent — the _batches ledger is what makes this hold)
+    val store2 = s"$base/buckets2"
+    val body = StreamingPipeline.histMergeBatch(store2, Seq("metric"), "value", 50.0, 20) _
+    body(mk(1, 1000), 0L)
+    body(mk(1, 1000), 0L) // replay
+    body(mk(1001, 2000), 1L)
+    body(mk(1001, 2000), 1L) // replay
+    body(mk(2001, 3000), 2L)
+    assert(spark.read.parquet(store2).orderBy("bucket").collect().map(_.toString).toSeq
+      == batchRows, "replayed ids are no-ops; final store == batch sketch")
+  }
+
   test("funnel: stage counts only shrink and strict ordering is enforced") {
     val counts = queries.OlapQueries.defs("q87_funnel")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
