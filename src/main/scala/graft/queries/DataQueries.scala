@@ -168,6 +168,49 @@ object DataQueries {
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
 
+    // ANN quality gate: recall@3 of the IVF-kmeans search (q52's exact
+    // configuration) against the brute-force ground truth (q29's exact
+    // scoring) on a deterministic 100-query sample — the standard
+    // ANN-benchmark protocol. The q42/q52 gates prove the IVF results are
+    // computed correctly; this one measures whether they are any GOOD:
+    // per-query hit counts, plus the corpus mean recall carried on every
+    // row (1-row broadcast, no unpartitioned window) with a floor ENFORCED
+    // via assert_true — if a refactor degrades the cell structure, the
+    // Spark side aborts loudly while the oracle still returns rows, and
+    // the gate fails. Both searches rank by (sim desc, id asc), so recall
+    // is deterministic and hash-matches. Measured mean recall@3 is
+    // 0.39 / 0.37 / 0.31 at sf0.001 / 0.01 / 0.1 — honest single-probe
+    // (nprobe=1) IVF recall with 8 cells; the 0.2 floor is the regression
+    // guard (a broken assignment or collapsed cell structure scores ~0),
+    // not a quality target.
+    "q106_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val k = 3
+      val brute = Similarity.cosineTopK(e, e.filter(col("vec_id") < 100), k)
+        .select(col("query_id"), col("neighbor_id").as("true_id"))
+      val ivf = Similarity.ivfKmeansTopK(e, numCentroids = 8, iters = 3, k = k)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(brute,
+          ivf("query_id") === brute("query_id") &&
+            ivf("neighbor_id") === brute("true_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      val per = brute.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+      // integer sums -> ONE final division: the mean can't wobble with
+      // partial-aggregation order the way an avg-of-doubles could
+      val agg = per.agg(sum(col("n_hits")).as("sum_hits"), count(lit(1)).as("n_queries"))
+      per.crossJoin(broadcast(agg))
+        .withColumn("mean_recall",
+          round(col("sum_hits") / (lit(k.toDouble) * col("n_queries")), 6))
+        .filter(assert_true(col("mean_recall") >= 0.2,
+          lit("q106: IVF-kmeans recall@3 fell below the 0.2 floor")).isNull)
+        .select(col("query_id"), col("n_hits"), col("recall"), col("mean_recall"))
+        .orderBy("query_id")
+    }),
+
     // Deterministic hash-based train/val/test assignment (80/10/10): the
     // reproducible split every training pipeline needs — membership is a
     // pure function of the row key, so it survives reshuffles, reruns, and
@@ -557,6 +600,49 @@ object DataQueries {
         |FROM m, unnest(generate_series(1, len(v))) AS t(i)
         |ORDER BY vec_id, dim""".stripMargin,
     "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
+    // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
+    // vec_id < 100 query sample; `b` (double vectors + norms) comes from
+    // kmeansAsgCtes and matches both engines' scoring exactly. No oracle
+    // mirror of the Spark side's assert_true floor: a recall drop aborts
+    // the Spark run while this SQL still returns rows — a loud gate failure.
+    "q106_ann_recall" ->
+      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+         |ivf_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+         |  FROM asg3 q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100
+         |),
+         |ivf_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM ivf_scored) WHERE rk <= 3
+         |),
+         |brute_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+         |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+         |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100
+         |),
+         |brute_topk AS (
+         |  SELECT query_id, true_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
+         |    FROM brute_scored) WHERE rk <= 3
+         |),
+         |per AS (
+         |  SELECT t.query_id,
+         |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM brute_topk t LEFT JOIN ivf_topk i
+         |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
+         |  GROUP BY 1
+         |),
+         |agg AS (
+         |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
+         |)
+         |SELECT query_id, n_hits,
+         |  round(n_hits / 3.0, 6) AS recall,
+         |  round(sum_hits / (3.0 * n_queries), 6) AS mean_recall
+         |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin,
     "q42_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings

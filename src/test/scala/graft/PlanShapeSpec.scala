@@ -32,7 +32,8 @@ class PlanShapeSpec extends SparkSpec {
     "q97_domain_rebalance", // 1-row broadcast of min(domain count)
     "q99_semantic_dedup",  // same bounded centroid-assignment broadcast as q42/q52
     "q101_bigram_nll",     // 1-row vocabulary-size broadcast
-    "q102_quality_sample") // 1-row corpus-max broadcast
+    "q102_quality_sample", // 1-row corpus-max broadcast
+    "q106_ann_recall")     // brute-force truth (q29's contract) + centroid + 1-row stats broadcasts
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
