@@ -40,6 +40,55 @@ final class GraftApi(sources: DataFrame, metricDaily: DataFrame) {
     limit.map(unified.limit).getOrElse(unified)
   }
 
+  /** GET /api/metrics/daily serialized with the FULL envelope contract,
+    * error path included: an unsupported `agg` returns the error envelope
+    * (`routers/metrics.py:90-94` raising 400 → `schemas/common.py` fail())
+    * instead of throwing, and — mirroring the reference exactly — an
+    * unknown source returns an OK envelope with EMPTY data
+    * (`routers/metrics.py:80-88`: `_fetch_metric_daily(...) or []`), not an
+    * error. A transport shim maps ok=false to its status code.
+    */
+  def metricsDailyJson(sourceName: String, metric: String,
+                       startDate: Option[String] = None, endDate: Option[String] = None,
+                       agg: String = "sum", descending: Boolean = false,
+                       limit: Option[Int] = None,
+                       generatedAt: String = java.time.Instant.now().toString): String = {
+    val aggNorm = Option(agg).getOrElse("sum").toLowerCase(java.util.Locale.ROOT)
+    if (!Set("sum", "avg", "count").contains(aggNorm))
+      Envelope.fail("UNSUPPORTED_AGG",
+        s"Unsupported agg '$agg'. Use one of: sum, avg, count",
+        sourceName = Some(sourceName), metric = Some(metric),
+        params = Seq("agg" -> agg), generatedAt = generatedAt)
+    else
+      Envelope.ok(metricsDaily(sourceName, metric, startDate, endDate, aggNorm,
+          descending, limit),
+        sourceName = Some(sourceName), metric = Some(metric),
+        params = Seq("agg" -> aggNorm) ++ limit.map(l => "limit" -> l.toString),
+        generatedAt = generatedAt)
+  }
+
+  /** GET /api/metrics/anomaly/rolling with the envelope contract: an
+    * unresolvable source returns the `UNKNOWN_SOURCE` error envelope — this
+    * endpoint family is where the reference uses the fail() path
+    * (`routers/anomaly_iforest.py:52`, 404) rather than empty-ok. The
+    * existence probe is a bounded action on the broadcast-sized sources dim
+    * (the reference runs the same lookup query per request). Parameter
+    * bounds stay `require`s: the reference validates those at the FastAPI
+    * Query layer (422), not in the envelope.
+    */
+  def anomalyRollingJson(sourceName: String, metric: String,
+                         startDate: Option[String] = None, endDate: Option[String] = None,
+                         window: Int = 7, zThresh: Double = 3.0,
+                         generatedAt: String = java.time.Instant.now().toString): String =
+    if (resolveSource(sourceName).isEmpty)
+      Envelope.fail("UNKNOWN_SOURCE", s"Unknown source: $sourceName",
+        sourceName = Some(sourceName), metric = Some(metric), generatedAt = generatedAt)
+    else
+      Envelope.ok(anomalyRolling(sourceName, metric, startDate, endDate, window, zThresh),
+        sourceName = Some(sourceName), metric = Some(metric),
+        params = Seq("window" -> window.toString, "z_thresh" -> zThresh.toString),
+        generatedAt = generatedAt)
+
   /** GET /api/metrics/names (`services/metrics_fetch.py:118-141`). */
   def metricNames(sourceName: Option[String] = None): DataFrame = {
     val scoped = sourceName.map(n =>

@@ -69,6 +69,36 @@ class ApiSpec extends SparkSpec {
     assert(json.contains("""{"id":1,"score":2.5}"""))
   }
 
+  test("S9 error path: facade returns the reference's envelope verdicts") {
+    // unsupported agg -> error envelope (metrics.py:90-94)
+    val bad = spark.read.json(Seq(
+      api.metricsDailyJson("demo", "events_total", agg = "median",
+        generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
+    assert(!bad.getAs[Boolean]("ok") && bad.isNullAt(bad.fieldIndex("data")))
+    val err = bad.getStruct(bad.fieldIndex("error"))
+    assert(err.getAs[String]("code") == "UNSUPPORTED_AGG")
+    assert(err.getAs[String]("message").contains("median"))
+    // unknown source on metrics/daily -> OK envelope with EMPTY data
+    // (metrics.py `or []`), NOT an error
+    val empty = spark.read.json(Seq(
+      api.metricsDailyJson("nope", "events_total",
+        generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
+    assert(empty.getAs[Boolean]("ok"))
+    // unknown source on anomaly/rolling -> UNKNOWN_SOURCE error envelope
+    // (anomaly_iforest.py:52)
+    val unk = spark.read.json(Seq(
+      api.anomalyRollingJson("nope", "events_total",
+        generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
+    assert(!unk.getAs[Boolean]("ok"))
+    assert(unk.getStruct(unk.fieldIndex("error")).getAs[String]("code") == "UNKNOWN_SOURCE")
+    // happy path -> ok with data and the normalized agg in meta.params
+    val good = spark.read.json(Seq(
+      api.metricsDailyJson("demo", "events_total", agg = "AVG",
+        generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
+    assert(good.getAs[Boolean]("ok"))
+    assert(good.getSeq[org.apache.spark.sql.Row](good.fieldIndex("data")).nonEmpty)
+  }
+
   test("S9 envelope: a literal dotted column name serializes (not a nested path)") {
     import graft.api.Envelope
     val df = Seq((1L, 2.5)).toDF("id", "rate.ppm")
