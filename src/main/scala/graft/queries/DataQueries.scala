@@ -92,6 +92,69 @@ object DataQueries {
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
 
+  /** Shared recall@k machinery for the q106/q108 ANN quality gates: hit
+    * counts of `ivf` (query_id, neighbor_id) against the q29 brute-force
+    * truth on the deterministic vec_id < 100 sample, plus the corpus mean
+    * recall from integer sums and ONE final division (no order-sensitive
+    * double avg), carried onto every row via a 1-row broadcast. The `floor`
+    * is ENFORCED via assert_true: a structural regression aborts the Spark
+    * side loudly while the oracle still returns rows — a gate failure.
+    */
+  private def annRecallGate(e: DataFrame, ivf: DataFrame, k: Int,
+                            floor: Double, label: String): DataFrame = {
+    val brute = Similarity.cosineTopK(e, e.filter(col("vec_id") < 100), k)
+      .select(col("query_id"), col("neighbor_id").as("true_id"))
+    val hits = ivf.join(brute,
+        ivf("query_id") === brute("query_id") &&
+          ivf("neighbor_id") === brute("true_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val per = brute.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+    val agg = per.agg(sum(col("n_hits")).as("sum_hits"), count(lit(1)).as("n_queries"))
+    per.crossJoin(broadcast(agg))
+      .withColumn("mean_recall",
+        round(col("sum_hits") / (lit(k.toDouble) * col("n_queries")), 6))
+      .filter(assert_true(col("mean_recall") >= floor, lit(label)).isNull)
+      .select(col("query_id"), col("n_hits"), col("recall"), col("mean_recall"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[annRecallGate]]: `ivfTopkSql` must define the probe
+    * side as rows (query_id, neighbor_id) named `ivf_topk`, on top of
+    * [[kmeansAsgCtes]]' prefix (so `b` and `a3`/`asg3` are in scope). No
+    * mirror of the Spark assert_true floor — see the gate's scaladoc.
+    */
+  private def annRecallOracle(ivfTopkSql: String, k: Int): String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+       |$ivfTopkSql,
+       |brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+       |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 100
+       |),
+       |brute_topk AS (
+       |  SELECT query_id, true_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
+       |    FROM brute_scored) WHERE rk <= $k
+       |),
+       |per AS (
+       |  SELECT t.query_id,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM brute_topk t LEFT JOIN ivf_topk i
+       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
+       |  GROUP BY 1
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
+       |)
+       |SELECT query_id, n_hits,
+       |  round(n_hits / $k.0, 6) AS recall,
+       |  round(sum_hits / ($k.0 * n_queries), 6) AS mean_recall
+       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d)).orderBy("text_hash")),
@@ -168,6 +231,15 @@ object DataQueries {
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
 
+    // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
+    // each query searches its 2 nearest cells while the corpus-side
+    // partitioning is unchanged. Row-level oracle like q52's.
+    "q107_ann_ivf_nprobe" -> ((s, d) =>
+      Similarity.ivfKmeansTopKProbed(emb(s, d), numCentroids = 8, iters = 3, k = 3,
+          nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")),
+
     // ANN quality gate: recall@3 of the IVF-kmeans search (q52's exact
     // configuration) against the brute-force ground truth (q29's exact
     // scoring) on a deterministic 100-query sample — the standard
@@ -185,30 +257,26 @@ object DataQueries {
     // not a quality target.
     "q106_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
-      val k = 3
-      val brute = Similarity.cosineTopK(e, e.filter(col("vec_id") < 100), k)
-        .select(col("query_id"), col("neighbor_id").as("true_id"))
-      val ivf = Similarity.ivfKmeansTopK(e, numCentroids = 8, iters = 3, k = k)
+      val ivf = Similarity.ivfKmeansTopK(e, numCentroids = 8, iters = 3, k = 3)
         .filter(col("query_id") < 100)
         .select(col("query_id"), col("neighbor_id"))
-      val hits = ivf.join(brute,
-          ivf("query_id") === brute("query_id") &&
-            ivf("neighbor_id") === brute("true_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      val per = brute.select(col("query_id")).distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
-      // integer sums -> ONE final division: the mean can't wobble with
-      // partial-aggregation order the way an avg-of-doubles could
-      val agg = per.agg(sum(col("n_hits")).as("sum_hits"), count(lit(1)).as("n_queries"))
-      per.crossJoin(broadcast(agg))
-        .withColumn("mean_recall",
-          round(col("sum_hits") / (lit(k.toDouble) * col("n_queries")), 6))
-        .filter(assert_true(col("mean_recall") >= 0.2,
-          lit("q106: IVF-kmeans recall@3 fell below the 0.2 floor")).isNull)
-        .select(col("query_id"), col("n_hits"), col("recall"), col("mean_recall"))
-        .orderBy("query_id")
+      annRecallGate(e, ivf, k = 3, floor = 0.2,
+        label = "q106: IVF-kmeans recall@3 fell below the 0.2 floor")
+    }),
+
+    // The same gate at nprobe=2 (q107's search): probing the second-nearest
+    // cell must buy real recall — measured mean recall@3 is
+    // 0.593 / 0.54 / 0.52 at sf0.001 / 0.01 / 0.1 vs 0.39 / 0.37 / 0.31
+    // single-probe, so the 0.4 floor sits ABOVE the single-probe ceiling:
+    // if the probe fan-out silently degrades to one cell, this aborts.
+    "q108_ann_recall_nprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivf = Similarity.ivfKmeansTopKProbed(e, numCentroids = 8, iters = 3, k = 3,
+          nprobe = 2)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+      annRecallGate(e, ivf, k = 3, floor = 0.4,
+        label = "q108: nprobe=2 recall@3 fell below the 0.4 floor")
     }),
 
     // Deterministic hash-based train/val/test assignment (80/10/10): the
@@ -602,47 +670,58 @@ object DataQueries {
     "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
     // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
     // vec_id < 100 query sample; `b` (double vectors + norms) comes from
-    // kmeansAsgCtes and matches both engines' scoring exactly. No oracle
-    // mirror of the Spark side's assert_true floor: a recall drop aborts
-    // the Spark run while this SQL still returns rows — a loud gate failure.
-    "q106_ann_recall" ->
+    // kmeansAsgCtes and matches both engines' scoring exactly.
+    "q106_ann_recall" -> annRecallOracle(
+      """ivf_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+        |  FROM asg3 q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100
+        |),
+        |ivf_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |    FROM ivf_scored) WHERE rk <= 3
+        |)""".stripMargin, k = 3),
+    // nprobe=2 rows: query side takes the TWO nearest centroids (crn <= 2
+    // over the final Lloyd scores a3); corpus side keeps its crn = 1 cell.
+    "q107_ann_ivf_nprobe" ->
       s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-         |ivf_scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |probes AS (
+         |  SELECT vec_id, v, n, cid AS cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+         |        FROM a3)
+         |  WHERE crn <= 2
+         |),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
          |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-         |  FROM asg3 q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 100
+         |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
          |),
-         |ivf_topk AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-         |    FROM ivf_scored) WHERE rk <= 3
-         |),
-         |brute_scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
-         |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-         |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 100
-         |),
-         |brute_topk AS (
-         |  SELECT query_id, true_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
-         |    FROM brute_scored) WHERE rk <= 3
-         |),
-         |per AS (
-         |  SELECT t.query_id,
-         |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-         |  FROM brute_topk t LEFT JOIN ivf_topk i
-         |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
-         |  GROUP BY 1
-         |),
-         |agg AS (
-         |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored
          |)
-         |SELECT query_id, n_hits,
-         |  round(n_hits / 3.0, 6) AS recall,
-         |  round(sum_hits / (3.0 * n_queries), 6) AS mean_recall
-         |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin,
+         |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q108_ann_recall_nprobe" -> annRecallOracle(
+      """probes AS (
+        |  SELECT vec_id, v, n, cid AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+        |        FROM a3)
+        |  WHERE crn <= 2
+        |),
+        |ivf_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+        |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100
+        |),
+        |ivf_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |    FROM ivf_scored) WHERE rk <= 3
+        |)""".stripMargin, k = 3),
     "q42_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings

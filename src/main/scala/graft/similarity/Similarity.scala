@@ -134,24 +134,40 @@ object Similarity {
     * vectors share one dot-product kernel.
     */
   def kmeansAssign(vectors: DataFrame, numCentroids: Int, iters: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(prepped(vectors, idCol, vecCol),
+      kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol), idCol)
+
+  /** Widened-input prep shared by the IVF family: (idCol, v: array<double>, n). */
+  private def prepped(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
+
+  /** Nearest-centroid assignment: same max_by argmax shape as [[ivfTopK]] —
+    * map-side reduction, no sort window; tie -> least cid.
+    */
+  private def assignTo(b: DataFrame, centroids: DataFrame, idCol: String): DataFrame =
+    b.join(broadcast(centroids))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("v"), col("n"), col("cid")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("__best"))
+      .select(col(idCol), col("__best.v").as("v"), col("__best.n").as("n"),
+        col("__best.cid").as("cell"))
+
+  /** The refined centroid set after `iters` Lloyd rounds — the loop behind
+    * [[kmeansAssign]] (see its scaladoc for the bounded driver-collect and
+    * integer-sum quantization). Returns (cid, cv, cn), <= numCentroids rows.
+    */
+  def kmeansCentroids(vectors: DataFrame, numCentroids: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
+    val b = prepped(vectors, idCol, vecCol)
     var cent = b.filter(col(idCol) < numCentroids)
       .select(col(idCol).cast("long").as("cid"), col("v").as("cv"), col("n").as("cn"))
-    // same max_by argmax shape as [[ivfTopK]] — map-side reduction, no sort
-    def assign(centroids: DataFrame): DataFrame =
-      b.join(broadcast(centroids))
-        .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-        .groupBy(col(idCol))
-        .agg(max_by(struct(col("v"), col("n"), col("cid")),
-          struct(col("csim"), (-col("cid")).as("nc"))).as("__best"))
-        .select(col(idCol), col("__best.v").as("v"), col("__best.n").as("n"),
-          col("__best.cid").as("cell"))
     for (_ <- 0 until iters) {
-      val means = assign(cent)
+      val means = assignTo(b, cent, idCol)
         .select(col("cell").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(floor(col("x") * 1e8)).cast("double") / count(lit(1)) / 1e8).as("m"))
@@ -163,7 +179,47 @@ object Similarity {
       cent = centLocal.toDF("cid", "cv")
         .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
     }
-    assign(cent)
+    cent
+  }
+
+  /** Multi-probe IVF search — the standard IVF recall/cost knob. Corpus
+    * vectors stay in their single nearest cell (the build is unchanged);
+    * each QUERY additionally searches its `nprobe` nearest centroids'
+    * cells, so search cost grows ~linearly in nprobe while recall climbs
+    * toward brute force (nprobe = numCentroids IS brute force). Probe
+    * selection uses the same rounded cosine and (csim desc, cid asc) total
+    * order as assignment — deterministic and engine-mirrorable; the
+    * top-nprobe pick is a bounded sort_array over the <= numCentroids
+    * scored centroids inside one aggregation (map-side combinable, no
+    * ranking window), and the query side fans out exactly nprobe rows.
+    * A (query, neighbor) pair can't duplicate: the neighbor has ONE cell,
+    * so at most one probe row matches it. Output: same as [[ivfTopK]].
+    */
+  def ivfKmeansTopKProbed(vectors: DataFrame, numCentroids: Int, iters: Int, k: Int,
+                          nprobe: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids, "need 1 <= nprobe <= numCentroids")
+    val b = prepped(vectors, idCol, vecCol)
+    val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
+    val assigned = assignTo(b, cent, idCol)
+    val probes = b.join(broadcast(cent))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol))
+      // first() is order-stable here: v and n are copied unchanged onto
+      // every scored-centroid row of the group
+      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+        slice(sort_array(collect_list(
+          struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
+          1, nprobe).as("__p"))
+      .select(col(idCol), col("v"), col("n"), explode(col("__p.cid")).as("cell"))
+    val scored = probes.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("q.cell").as("cell"),
+        round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
   }
 
   /** SemDeDup-style semantic dedup: k-means cells are the semantic blocks,

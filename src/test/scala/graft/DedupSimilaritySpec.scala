@@ -156,6 +156,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
 
+  test("multi-probe ivf: nprobe=1 equals the single-probe search, full probe equals brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)), (3L, Array(0.01f, 0.99f, 0.0f)),
+      (4L, Array(0.7f, 0.7f, 0.1f)), (5L, Array(0.6f, 0.75f, 0.0f)),
+      (6L, Array(0.98f, 0.02f, 0.0f)), (7L, Array(0.02f, 0.98f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .collect().map(_.toString).sorted.toSeq
+    // nprobe=1 must reproduce the single-probe search exactly
+    assert(rows(Similarity.ivfKmeansTopKProbed(vecs, 2, 2, k = 2, nprobe = 1)) ==
+      rows(Similarity.ivfKmeansTopK(vecs, 2, 2, k = 2)))
+    // nprobe = numCentroids searches everything -> brute-force results
+    assert(rows(Similarity.ivfKmeansTopKProbed(vecs, 2, 2, k = 2, nprobe = 2)) ==
+      rows(Similarity.cosineTopK(vecs, vecs, k = 2)))
+    // and the probed candidate set can only grow with nprobe: every
+    // single-probe neighbor pair survives into the nprobe=2 candidates
+    val one = Similarity.ivfKmeansTopKProbed(vecs, 2, 2, k = 8, nprobe = 1)
+      .select("query_id", "neighbor_id").collect().map(_.toString).toSet
+    val two = Similarity.ivfKmeansTopKProbed(vecs, 2, 2, k = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").collect().map(_.toString).toSet
+    assert(one.subsetOf(two))
+  }
+
   test("ivf k-means: plan depth is flat in iteration count") {
     // Lloyd iterations collect the broadcast-sized centroid set to the driver
     // and rebuild it as a local relation, so the FINAL search plan must be
