@@ -116,7 +116,8 @@ object Subword {
       .mapPartitions { it =>
         val set = bc.value.toSet
         it.map { case (id, text) =>
-          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = Option(text).getOrElse("")
+            .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           var nTok = 0L
           var nOov = 0L
           ws.foreach { w =>
@@ -172,7 +173,8 @@ object Subword {
         val set = bc.value.toSet
         val ml = bc.value.iterator.map(_.length).foldLeft(1)(math.max)
         it.map { case (id, text) =>
-          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = Option(text).getOrElse("")
+            .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           var concatViol = 0L; var greedyViol = 0L; var oovViol = 0L
           var nTok = 0L; var nonEmpty = 0L
           ws.foreach { w =>

@@ -175,12 +175,13 @@ object TextOps {
     * Output: (doc_id, n_tokens, shard, bin, bin_offset).
     */
   def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id",
+                    tokenCount: Option[Column] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).cast("long").as("n_tokens"),
+        tokenCount.getOrElse(size(words(col(textCol)))).cast("long").as("n_tokens"),
         pmod(col(idCol), lit(shards)).as("shard"))
       .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_excl div $budget"))
@@ -335,10 +336,11 @@ object TextOps {
     */
   def lengthTrim(docs: DataFrame, groupCol: String = "lang",
                  loPct: Double = 0.05, hiPct: Double = 0.95,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 tokenCount: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lens = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
-      size(words(col(textCol))).cast("long").as("n_tokens"))
+      tokenCount.getOrElse(size(words(col(textCol)))).cast("long").as("n_tokens"))
     val ranked = lens
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("n_tokens"), col("doc_id"))))

@@ -200,6 +200,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("oov_words") == 1L)
   }
 
+  test("packing and trimming compose with subword token counts") {
+    import graft.text.Subword
+    val docs = Seq((0L, "en", "abcd abab"), (1L, "en", "abcd"), (2L, "en", "d d d"))
+      .toDF("doc_id", "lang", "text")
+    val vocab = Seq("a", "b", "c", "d", "ab", "abc")
+    val withCounts = docs.join(
+      Subword.subwordCounts(docs, vocab).select(col("doc_id"), col("subword_tokens")),
+      Seq("doc_id"))
+    // subword counts: doc0 = abc+d + ab+ab = 4, doc1 = 2, doc2 = 3
+    val packed = TextOps.packSequences(withCounts, budget = 4, shards = 1,
+        tokenCount = Some(col("subword_tokens")))
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 2L, 3L),
+      "packing consumed the subword counts, not the whitespace counts")
+    assert(packed.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 1L),
+      "bins cut at the subword-token budget")
+    val trimmed = TextOps.lengthTrim(withCounts, loPct = 0.0, hiPct = 1.0,
+      tokenCount = Some(col("subword_tokens"))).collect()(0)
+    assert(trimmed.getAs[Long]("kept_tokens") == 9L,
+      "trim ranked and summed the subword counts")
+  }
+
   test("subword invariant gate: zero violations on a mixed corpus") {
     import graft.text.Subword
     val docs = Seq(
