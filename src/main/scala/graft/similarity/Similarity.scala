@@ -201,8 +201,13 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= numCentroids, "need 1 <= nprobe <= numCentroids")
     val b = prepped(vectors, idCol, vecCol)
     val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
-    val assigned = assignTo(b, cent, idCol)
-    val probes = b.join(broadcast(cent))
+    // ONE corpus x broadcast(centroids) scoring pass feeds both sides: the
+    // assignment is by construction probe rank 1 (element 1 of the sorted
+    // take), so the corpus side needs no second assignTo scan. Like the
+    // ivfTopK/q52 self-join, the two consumers of `topCells` compile as two
+    // subtrees — at production scale, land the assignment table in the
+    // store once and search from it.
+    val topCells = b.join(broadcast(cent))
       .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
       .groupBy(col(idCol))
       // first() is order-stable here: v and n are copied unchanged onto
@@ -211,6 +216,9 @@ object Similarity {
         slice(sort_array(collect_list(
           struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
           1, nprobe).as("__p"))
+    val assigned = topCells.select(col(idCol), col("v"), col("n"),
+      element_at(col("__p.cid"), 1).as("cell"))
+    val probes = topCells
       .select(col(idCol), col("v"), col("n"), explode(col("__p.cid")).as("cell"))
     val scored = probes.as("q").join(assigned.as("c"),
         col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))

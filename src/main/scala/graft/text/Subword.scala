@@ -30,6 +30,40 @@ object Subword {
     */
   val Unk = "[UNK]"
 
+  /** SQL-trim twin: strips SPACES only (U+0020), exactly like Spark/DuckDB
+    * `trim()` — Java's `String.trim` also strips tab/CR/NL (every char
+    * <= U+0020), which would silently shift word counts against the SQL
+    * convention every other corpus operator uses. Null maps to empty.
+    */
+  private def sqlTrim(s: String): String = {
+    val t = Option(s).getOrElse("")
+    var i = 0; var j = t.length
+    while (i < j && t.charAt(i) == ' ') i += 1
+    while (j > i && t.charAt(j - 1) == ' ') j -= 1
+    t.substring(i, j)
+  }
+
+  /** Whitespace words of lowercased text — the Scala twin of
+    * `split(trim(lower(text)), "\\s+")`.
+    */
+  private def toWords(text: String): Array[String] =
+    sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+")
+
+  /** True iff the word contains a CODE POINT outside the alphabet. Iterating
+    * UTF-16 chars would test each surrogate half of a supplementary-plane
+    * character individually and mislabel astral-character words as alien
+    * even when the full character is a learned piece.
+    */
+  private def hasAlienChar(word: String, inVocab: String => Boolean): Boolean = {
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      if (!inVocab(new String(Character.toChars(cp)))) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+
   /** Greedy longest-match tokenization of ONE word: at each position take
     * the longest vocabulary piece matching the remaining suffix (bounded by
     * `maxPieceLen`), advance by its length. If no piece matches at some
@@ -116,8 +150,7 @@ object Subword {
       .mapPartitions { it =>
         val set = bc.value.toSet
         it.map { case (id, text) =>
-          val ws = Option(text).getOrElse("")
-            .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = toWords(text)
           var nTok = 0L
           var nOov = 0L
           ws.foreach { w =>
@@ -173,15 +206,13 @@ object Subword {
         val set = bc.value.toSet
         val ml = bc.value.iterator.map(_.length).foldLeft(1)(math.max)
         it.map { case (id, text) =>
-          val ws = Option(text).getOrElse("")
-            .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val ws = toWords(text)
           var concatViol = 0L; var greedyViol = 0L; var oovViol = 0L
           var nTok = 0L; var nonEmpty = 0L
           ws.foreach { w =>
             val toks = tokenizeWord(w, set, ml)
             val isOov = toks.length == 1 && toks(0) == Unk
-            val hasAlienChar = w.exists(c => !set.contains(c.toString))
-            if (isOov != hasAlienChar) oovViol += 1
+            if (isOov != hasAlienChar(w, set)) oovViol += 1
             if (!isOov) {
               if (toks.mkString != w) concatViol += 1
               var pos = 0

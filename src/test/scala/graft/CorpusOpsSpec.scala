@@ -228,17 +228,26 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "pack my box with five dozen liquor jugs"),
       (3L, "THE QUICK the quick 12345 a-b-c x!y?z"),
-      (4L, "   ")
+      (4L, "   "),
+      // supplementary-plane char (surrogate pair): the alphabet keeps it as
+      // ONE piece and the OOV cross-check must compare code points, not
+      // UTF-16 halves
+      (5L, "héllo 😀x café"),
+      // leading tab survives the SQL-style (space-only) trim: both engines
+      // see a leading empty word
+      (6L, "\tx y")
     ).toDF("doc_id", "text")
     val out = Subword.invariantGate(docs, size = 64, maxPieceLen = 4)
       .orderBy("doc_id").collect()
-    assert(out.length == 4)
+    assert(out.length == 6)
     out.foreach { r =>
       for (c <- Seq("concat_viol", "greedy_viol", "oov_viol", "bound_viol", "unk_viol"))
         assert(r.getAs[Long](c) == 0L, s"$c nonzero for doc ${r.getAs[Long]("doc_id")}")
     }
     assert(out(0).getAs[Long]("n_words") == 9L)
     assert(out(3).getAs[Long]("n_words") == 1L, "whitespace-only text splits to ['']")
+    assert(out(4).getAs[Long]("n_words") == 3L)
+    assert(out(5).getAs[Long]("n_words") == 3L, "tab is not trimmed, so ['', x, y]")
   }
 
   test("lengthTrim drops each group's 5 percent tails by rank") {
