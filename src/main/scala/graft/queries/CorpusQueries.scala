@@ -109,7 +109,12 @@ object CorpusQueries {
     // round-trip / maximality / OOV / coverage counters are zero.
     "q105_subword_invariants" -> ((s, d) =>
       graft.text.Subword.invariantGate(docs(s, d), size = 256, maxPieceLen = 6)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Trigram Stupid-Backoff LM score: fit on the hex60 80% train split,
+    // score every document — held-out docs exercise the 0.4 backoff chain.
+    "q109_trigram_backoff" -> ((s, d) =>
+      TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +124,75 @@ object CorpusQueries {
         |  0 AS concat_viol, 0 AS greedy_viol, 0 AS oov_viol,
         |  0 AS bound_viol, 0 AS unk_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q109_trigram_backoff" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+         |),
+         |train AS (
+         |  SELECT * FROM base WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |),
+         |uni AS (
+         |  SELECT w[i] AS g, count(*) AS c
+         |  FROM train, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1
+         |),
+         |bi AS (
+         |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c
+         |  FROM train, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY 1
+         |),
+         |tri AS (
+         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g, count(*) AS c
+         |  FROM train, unnest(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
+         |),
+         |corpus AS (
+         |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_train FROM train
+         |),
+         |inst AS (
+         |  SELECT doc_id,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg,
+         |    w[i] || ' ' || w[i+1] AS w12,
+         |    w[i+1] || ' ' || w[i+2] AS w23,
+         |    w[i+1] AS w2, w[i+2] AS w3,
+         |    count(*) AS k
+         |  FROM base, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |),
+         |scored AS (
+         |  SELECT i.doc_id, i.k, t3.c AS c3,
+         |    CASE
+         |      WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b1.c
+         |      WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
+         |      WHEN u3.c IS NOT NULL THEN 0.16 * u3.c / corpus.n_train
+         |    END AS s
+         |  FROM inst i
+         |  LEFT JOIN tri t3 ON i.tg = t3.g
+         |  LEFT JOIN bi b1 ON i.w12 = b1.g
+         |  LEFT JOIN bi b2 ON i.w23 = b2.g
+         |  LEFT JOIN uni u2 ON i.w2 = u2.g
+         |  LEFT JOIN uni u3 ON i.w3 = u3.g
+         |  CROSS JOIN corpus
+         |),
+         |q AS (
+         |  SELECT doc_id, k, c3, s,
+         |    CASE WHEN s IS NOT NULL
+         |         THEN CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT) END AS nll6
+         |  FROM scored
+         |),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(CASE WHEN c3 IS NULL AND s IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_backoff,
+         |    CAST(sum(CASE WHEN s IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
+         |    round(CAST(sum(CASE WHEN s IS NOT NULL THEN k * nll6 ELSE 0 END) AS DOUBLE)
+         |      / greatest(sum(CASE WHEN s IS NOT NULL THEN k ELSE 0 END), 1) / 1000000.0, 6) AS nll
+         |  FROM q GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(p.n_backoff, 0) AS n_backoff,
+         |  coalesce(p.n_unseen, 0) AS n_unseen,
+         |  coalesce(p.nll, 0.0) AS nll
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q95_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -268,6 +268,85 @@ object TextOps {
         coalesce(col("nll"), lit(0.0)).as("nll"))
   }
 
+  /** Trigram Stupid-Backoff LM scoring (the Brants et al. 2007 web-scale
+    * recipe: relative frequencies with a fixed 0.4 backoff penalty, no
+    * discount fitting — counts only, which is exactly what suits a
+    * distributed pipeline):
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)      if the trigram was seen, else
+    *               = 0.4 · c(w2w3)/c(w2)    if the bigram was seen, else
+    *               = 0.16 · c(w3)/N         if w3 was seen, else unseen.
+    *
+    * The model is FIT on the deterministic hex60 80% train split (q59's
+    * bucket convention) and scores EVERY document, so held-out documents
+    * genuinely exercise the backoff chain; tokens whose unigram never
+    * occurs in training are excluded from the mean and surfaced in
+    * `n_unseen`.
+    *
+    * Scale/exactness: scored instances aggregate to (doc, trigram) BEFORE
+    * any join (narrow shuffle key — the context/suffix keys are re-derived
+    * post-agg, the [[bigramNll]] trick), the count tables are
+    * distinct-ngram-sized, the 1-row N broadcasts, and each position's
+    * −ln S quantizes to an integer micro-nat so per-doc sums are
+    * FP-order-immune; only the final division floats.
+    * Output: (doc_id, n_trigrams, n_backoff, n_unseen, nll).
+    */
+  def trigramBackoffNll(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    def grams(k: Int): Column = {
+      val parts = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
+      when(size(col("__w")) >= k,
+        expr(s"transform(sequence(0, size(__w) - $k), i -> concat_ws(' ', $parts))"))
+        .otherwise(array().cast("array<string>"))
+    }
+    val base = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+    val train = base.filter(
+      graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
+    val uni = train.select(explode(col("__w")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val bi = train.select(explode(grams(2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tri = train.select(explode(grams(3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val nTrain = train.select(explode(col("__w")).as("g"))
+      .agg(count(lit(1)).as("n_train"))
+    val inst = base.select(col("doc_id"), explode(grams(3)).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("k"))
+      // words contain no spaces, so the split keys re-derive exactly
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .withColumn("w23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+    val scored = inst
+      .join(tri.select(col("g").as("tg"), col("c").as("c3")), Seq("tg"), "left")
+      .join(bi.select(col("g").as("w12"), col("c").as("c2ctx")), Seq("w12"), "left")
+      .join(bi.select(col("g").as("w23"), col("c").as("c2")), Seq("w23"), "left")
+      .join(uni.select(col("g").as("w2"), col("c").as("c1w2")), Seq("w2"), "left")
+      .join(uni.select(col("g").as("w3"), col("c").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTrain))
+      .withColumn("s",
+        when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+          .when(col("c2").isNotNull, lit(0.4) * col("c2") / col("c1w2"))
+          .when(col("c1w3").isNotNull, lit(0.16) * col("c1w3") / col("n_train")))
+      .withColumn("nll6", floor(-log(col("s")) * 1e6 + 0.5).cast("long"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_trigrams"),
+        sum(when(col("c3").isNull && col("s").isNotNull, col("k")).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("s").isNull, col("k")).otherwise(0L)).as("n_unseen"),
+        round(sum(when(col("s").isNotNull, col("k") * col("nll6")).otherwise(0L))
+          .cast("double") /
+          greatest(sum(when(col("s").isNotNull, col("k")).otherwise(0L)), lit(1L)) / 1e6,
+          6).as("nll"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("nll"), lit(0.0)).as("nll"))
+  }
+
   /** Corpus-wide duplicated n-gram fraction: per document, the fraction of
     * its word-n-gram INSTANCES whose n-gram also appears in at least one
     * other document — the "fraction of duplicated content" signal the

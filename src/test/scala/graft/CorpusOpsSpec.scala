@@ -43,6 +43,39 @@ class CorpusOpsSpec extends SparkSpec {
       "single-token doc reports zero bigrams")
   }
 
+  test("trigramBackoffNll: train docs never back off; alien held-out docs are all-unseen") {
+    import graft.dedup.Dedup
+    // discover each candidate id's split bucket with the production gate
+    val buckets = (0L until 60L).map(i => i ->
+      Seq(Tuple1(i)).toDF("doc_id")
+        .select((Dedup.hex60(col("doc_id").cast("string")) % 100).as("b"))
+        .collect()(0).getLong(0)).toMap
+    val trainIds = (0L until 60L).filter(buckets(_) < 80).take(3)
+    val heldOut = (0L until 60L).filter(buckets(_) >= 80).take(2)
+    assert(trainIds.length == 3 && heldOut.length == 2, "need both splits in 0..59")
+    val docs = (
+      trainIds.map(id => (id, "the cat sat on the mat")) ++
+      Seq((heldOut(0), "zz qq xx ww"),              // no shared vocab: all unseen
+          (heldOut(1), "cat sat on on the cat"))    // shared words: backoff fires
+    ).toDF("doc_id", "text")
+    val out = TextOps.trigramBackoffNll(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    trainIds.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Long]("n_trigrams") == 4L)
+      assert(r.getAs[Long]("n_backoff") == 0L, "a train doc's trigrams are all in the fit")
+      assert(r.getAs[Long]("n_unseen") == 0L)
+      assert(r.getAs[Double]("nll") >= 0.0)
+    }
+    val alien = out(heldOut(0))
+    assert(alien.getAs[Long]("n_trigrams") == 2L)
+    assert(alien.getAs[Long]("n_unseen") == 2L && alien.getAs[Double]("nll") == 0.0)
+    val shared = out(heldOut(1))
+    assert(shared.getAs[Long]("n_unseen") == 0L, "every word is in the train vocab")
+    assert(shared.getAs[Long]("n_backoff") > 0L, "unseen trigrams over seen words back off")
+    assert(shared.getAs[Double]("nll") > 0.0)
+  }
+
   test("dupNgramStats counts shared trigram instances and keeps short docs total") {
     val docs = Seq(
       (1L, "x y z w"), // shingles: "x y z", "y z w"

@@ -35,7 +35,8 @@ class PlanShapeSpec extends SparkSpec {
     "q102_quality_sample", // 1-row corpus-max broadcast
     "q106_ann_recall",     // brute-force truth (q29's contract) + centroid + 1-row stats broadcasts
     "q107_ann_ivf_nprobe", // same bounded centroid-assignment broadcast as q42/q52
-    "q108_ann_recall_nprobe") // brute-force truth + centroid + 1-row stats broadcasts
+    "q108_ann_recall_nprobe", // brute-force truth + centroid + 1-row stats broadcasts
+    "q109_trigram_backoff") // 1-row train-token-count broadcast (N)
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"

@@ -306,6 +306,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subword tokenizeWord: round-trip, maximality, OOV totality on random vocab") {
+    import graft.text.Subword
+    val letters = Seq('a', 'b', 'c', 'd')
+    val wordGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(letters)).map(_.mkString))
+    val pieceGen = Gen.chooseNum(1, 4)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf(letters)).map(_.mkString))
+    val caseGen = Gen.zip(wordGen, Gen.chooseNum(0, 20).flatMap(Gen.listOfN(_, pieceGen)))
+    for ((word, extra) <- draws(caseGen, 300)) {
+      // alphabet-complete vocab: never OOV, exact round trip, greedy maximality
+      val full = extra.toSet ++ letters.map(_.toString)
+      val toks = Subword.tokenizeWord(word, full, 4)
+      assert(toks.mkString == word, s"round trip broke for '$word'")
+      var pos = 0
+      toks.foreach { p =>
+        ((p.length + 1) to math.min(4, word.length - pos)).foreach { l =>
+          assert(!full.contains(word.substring(pos, pos + l)),
+            s"piece '$p' at $pos in '$word' is not the longest match")
+        }
+        pos += p.length
+      }
+      // arbitrary partial vocab: the result is total — either an exact
+      // cover or exactly [UNK], never a partial/corrupt tokenization
+      val part = extra.toSet
+      val toksP = Subword.tokenizeWord(word, part, 4)
+      if (word.isEmpty) assert(toksP.isEmpty)
+      else assert(toksP.sameElements(Array(Subword.Unk)) || toksP.mkString == word)
+    }
+  }
+
   test("first-write-wins is idempotent and key-unique") {
     for (pairs <- draws(Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 1000L))), 8)) {
       val df = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
