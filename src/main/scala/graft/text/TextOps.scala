@@ -289,6 +289,11 @@ object TextOps {
     * distinct-ngram-sized, the 1-row N broadcasts, and each position's
     * −ln S quantizes to an integer micro-nat so per-doc sums are
     * FP-order-immune; only the final division floats.
+    *
+    * Note on plan shape (same caveat as [[unigramNll]]): the token subtree
+    * feeds the three count tables, N, and the instance table, and Catalyst
+    * compiles each consumer as its own scan — at production scale, land the
+    * token/ngram tables in the store once and score from them.
     * Output: (doc_id, n_trigrams, n_backoff, n_unseen, nll).
     */
   def trigramBackoffNll(docs: DataFrame, textCol: String = "text",
