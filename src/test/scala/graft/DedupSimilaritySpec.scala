@@ -181,6 +181,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.subsetOf(two))
   }
 
+  test("multi-table lsh: exact duplicates always surface; runs are deterministic") {
+    // identical vectors share every table's signature, so a duplicate can
+    // NEVER be missed — the property that makes amplified LSH a dedup tool
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => math.cos(i + 1).toFloat)),
+      (2L, Array.tabulate(8)(i => math.sin(i + 1).toFloat)),  // dup of 0
+      (3L, Array.tabulate(8)(i => (math.sin(i + 1) * -1).toFloat)),
+      (4L, Array.tabulate(8)(i => math.cos(i + 1).toFloat))   // dup of 1
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.lshMultiTopK(vecs, k = 2, bits = 4, tables = 3, dim = 8)
+    val rank1 = r.filter(col("rank") === 1).collect()
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("neighbor_id")).toMap
+    assert(rank1(0L) == 2L && rank1(2L) == 0L, "exact duplicate found at rank 1")
+    assert(rank1(1L) == 4L && rank1(4L) == 1L)
+    val again = Similarity.lshMultiTopK(vecs, k = 2, bits = 4, tables = 3, dim = 8)
+    assert(r.collect().map(_.toString).sorted.sameElements(
+      again.collect().map(_.toString).sorted), "hyperplanes are deterministic")
+    // dim contract is enforced, not assumed
+    val e = intercept[Exception](
+      Similarity.lshMultiTopK(vecs, k = 2, bits = 4, tables = 3, dim = 16).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("does not match")))
+  }
+
   test("ivf k-means: plan depth is flat in iteration count") {
     // Lloyd iterations collect the broadcast-sized centroid set to the driver
     // and rebuild it as a local relation, so the FINAL search plan must be

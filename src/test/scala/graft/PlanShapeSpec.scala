@@ -36,7 +36,9 @@ class PlanShapeSpec extends SparkSpec {
     "q106_ann_recall",     // brute-force truth (q29's contract) + centroid + 1-row stats broadcasts
     "q107_ann_ivf_nprobe", // same bounded centroid-assignment broadcast as q42/q52
     "q108_ann_recall_nprobe", // brute-force truth + centroid + 1-row stats broadcasts
-    "q109_trigram_backoff") // 1-row train-token-count broadcast (N)
+    "q109_trigram_backoff", // 1-row train-token-count broadcast (N)
+    "q110_ann_recall_lsh", // brute-force truth + 1-row stats broadcasts
+    "q111_ann_recall_lshmulti") // broadcast hyperplane table + brute truth + 1-row stats
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
