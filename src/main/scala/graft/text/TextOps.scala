@@ -18,6 +18,18 @@ object TextOps {
   def bpeIshCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Space-joined word k-grams over a bound `__w` token-array column —
+    * the single constructor shared by [[bigramNll]] and
+    * [[trigramBackoffNll]] so their shingle windows can never diverge.
+    * Documents shorter than k yield the empty array.
+    */
+  private def ngrams(k: Int): Column = {
+    val parts = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
+    when(size(col("__w")) >= k,
+      expr(s"transform(sequence(0, size(__w) - $k), i -> concat_ws(' ', $parts))"))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** TF-IDF term scoring: tf = raw term count per (doc, term) over
     * lowercased whitespace tokens, idf = ln(n_docs / df). The corpus size
     * arrives via a broadcast 1-row aggregate (no driver-side count, the
@@ -241,11 +253,8 @@ object TextOps {
     */
   def bigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val grams = when(size(col("__w")) >= 2,
-      expr("transform(sequence(0, size(__w) - 2), i -> concat(__w[i], ' ', __w[i+1]))"))
-      .otherwise(array().cast("array<string>"))
     val inst = docs.select(col(idCol).as("doc_id"), w.as("__w"))
-      .select(col("doc_id"), explode(grams).as("bg"))
+      .select(col("doc_id"), explode(ngrams(2)).as("bg"))
     // the context word is a function of the bigram, so it is NOT part of the
     // aggregation key — re-deriving it post-agg keeps the shuffled key
     // narrow (bg alone) and the hash-agg comparisons cheap
@@ -299,24 +308,18 @@ object TextOps {
   def trigramBackoffNll(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    def grams(k: Int): Column = {
-      val parts = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
-      when(size(col("__w")) >= k,
-        expr(s"transform(sequence(0, size(__w) - $k), i -> concat_ws(' ', $parts))"))
-        .otherwise(array().cast("array<string>"))
-    }
     val base = docs.select(col(idCol).as("doc_id"), w.as("__w"))
     val train = base.filter(
       graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
     val uni = train.select(explode(col("__w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val bi = train.select(explode(grams(2)).as("g"))
+    val bi = train.select(explode(ngrams(2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val tri = train.select(explode(grams(3)).as("g"))
+    val tri = train.select(explode(ngrams(3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val nTrain = train.select(explode(col("__w")).as("g"))
       .agg(count(lit(1)).as("n_train"))
-    val inst = base.select(col("doc_id"), explode(grams(3)).as("tg"))
+    val inst = base.select(col("doc_id"), explode(ngrams(3)).as("tg"))
       .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("k"))
       // words contain no spaces, so the split keys re-derive exactly
       .withColumn("w12", substring_index(col("tg"), " ", 2))

@@ -8,7 +8,8 @@ object ExplainNew {
     for (q <- Seq("q95_unigram_nll", "q96_dup_ngrams", "q97_domain_rebalance",
         "q98_length_trim", "q100_doc_chunks", "q101_bigram_nll", "q102_quality_sample",
         "q103_hist_quantiles", "q105_subword_invariants", "q106_ann_recall",
-        "q107_ann_ivf_nprobe", "q108_ann_recall_nprobe", "q109_trigram_backoff")) {
+        "q107_ann_ivf_nprobe", "q108_ann_recall_nprobe", "q109_trigram_backoff",
+        "q110_ann_recall_lsh", "q111_ann_recall_lshmulti")) {
       val p = graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(p).length
       val nScan = "FileScan".r.findAllIn(p).length

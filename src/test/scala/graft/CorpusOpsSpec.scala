@@ -45,11 +45,11 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("trigramBackoffNll: train docs never back off; alien held-out docs are all-unseen") {
     import graft.dedup.Dedup
-    // discover each candidate id's split bucket with the production gate
-    val buckets = (0L until 60L).map(i => i ->
-      Seq(Tuple1(i)).toDF("doc_id")
-        .select((Dedup.hex60(col("doc_id").cast("string")) % 100).as("b"))
-        .collect()(0).getLong(0)).toMap
+    // discover every candidate id's split bucket with ONE job
+    val buckets = (0L until 60L).map(Tuple1(_)).toDF("doc_id")
+      .select(col("doc_id"),
+        (Dedup.hex60(col("doc_id").cast("string")) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val trainIds = (0L until 60L).filter(buckets(_) < 80).take(3)
     val heldOut = (0L until 60L).filter(buckets(_) >= 80).take(2)
     assert(trainIds.length == 3 && heldOut.length == 2, "need both splits in 0..59")
