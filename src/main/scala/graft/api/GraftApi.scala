@@ -53,7 +53,11 @@ final class GraftApi(sources: DataFrame, metricDaily: DataFrame) {
                        agg: String = "sum", descending: Boolean = false,
                        limit: Option[Int] = None,
                        generatedAt: String = java.time.Instant.now().toString): String = {
-    val aggNorm = Option(agg).getOrElse("sum").toLowerCase(java.util.Locale.ROOT)
+    // empty string counts as UNSET, exactly like the reference's
+    // `(agg or "sum")` (routers/metrics.py) — only a NON-empty agg outside
+    // the supported set earns the error envelope
+    val aggNorm = Option(agg).filter(_.nonEmpty).getOrElse("sum")
+      .toLowerCase(java.util.Locale.ROOT)
     if (!Set("sum", "avg", "count").contains(aggNorm))
       Envelope.fail("UNSUPPORTED_AGG",
         s"Unsupported agg '$agg'. Use one of: sum, avg, count",

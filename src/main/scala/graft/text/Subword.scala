@@ -103,8 +103,18 @@ object Subword {
   def pieceVocab(docs: DataFrame, size: Int, maxPieceLen: Int,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxPieceLen >= 2, "need maxPieceLen >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // words come from the SAME Scala normalization as tokenize/apply
+    // ([[toWords]]: space-only trim + Locale.ROOT lowercase). Spark SQL
+    // lower() takes the JVM-default-locale String.toLowerCase slow path on
+    // non-ASCII input, so a vocab learned through it could diverge from the
+    // ROOT-locale apply path (e.g. Turkish dotted I, U+0130) and produce
+    // spurious [UNK]s. Still map-only into the same (word, cnt) aggregation.
     val wordCounts = docs
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .select(col(textCol).cast("string").as("__text")).as[String]
+      .flatMap(t => toWords(t))
+      .toDF("word")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val chars = wordCounts
       .select(col("cnt"), explode(split(col("word"), "")).as("piece"))

@@ -97,6 +97,13 @@ class ApiSpec extends SparkSpec {
         generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
     assert(good.getAs[Boolean]("ok"))
     assert(good.getSeq[org.apache.spark.sql.Row](good.fieldIndex("data")).nonEmpty)
+    // empty agg counts as unset -> OK envelope defaulting to sum, exactly
+    // like the reference's `(agg or "sum")` — NOT an UNSUPPORTED_AGG error
+    val blank = spark.read.json(Seq(
+      api.metricsDailyJson("demo", "events_total", agg = "",
+        generatedAt = "2026-01-01T00:00:00Z")).toDS).collect().head
+    assert(blank.getAs[Boolean]("ok"),
+      "empty agg must default to sum like the reference, not error")
   }
 
   test("S9 envelope: a literal dotted column name serializes (not a nested path)") {
