@@ -17,6 +17,13 @@ object DataQueries {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  /** Writable per-scale-dir location for the q112 persisted IVF index (the
+    * test fixtures are read-only, so index artifacts land under tmpdir).
+    */
+  private[queries] def ivfIndexPath(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_ivf_index_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Shared oracle CTEs: tokens and distinct word-trigram shingles. */
   private val triCte: String =
     """toks AS (
@@ -91,6 +98,32 @@ object DataQueries {
   }
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
+
+  /** Multi-probe (nprobe=2) IVF rows over the 8-centroid/3-iter build:
+    * query side takes the TWO nearest centroids (crn <= 2 over the final
+    * Lloyd scores a3); corpus side keeps its crn = 1 cell. Shared by q107
+    * (in-memory search) and q112 (probe of the persisted index) — the
+    * store round-trip must be invisible to the search results.
+    */
+  private val nprobeOracle: String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+       |probes AS (
+       |  SELECT vec_id, v, n, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+       |        FROM a3)
+       |  WHERE crn <= 2
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+       |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared recall@k machinery for the q106/q108 ANN quality gates: hit
     * counts of `ivf` (query_id, neighbor_id) against the q29 brute-force
@@ -239,6 +272,21 @@ object DataQueries {
           nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
+
+    // The persisted-index twin of q107: build the IVF structure ONCE into a
+    // parquet store (centroids + cell-partitioned assignments), then answer
+    // the same search by PROBING the store — no Lloyd recompute, no
+    // aggregation over the stored corpus (PlanShapeSpec locks that plan
+    // shape). Same oracle SQL as q107: the probe path must reproduce the
+    // in-memory search bit-for-bit, which is what makes the store safe to
+    // adopt as the production build-once/probe-many hot path.
+    "q112_ann_ivf_store" -> ((s, d) => {
+      val path = ivfIndexPath(d)
+      Similarity.buildIvfIndex(emb(s, d), numCentroids = 8, iters = 3, path)
+      Similarity.probeIvfIndex(emb(s, d), path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
 
     // The recall gate for the LSH path (q30's exact search: 64 sign-bit
     // buckets over the first 6 dims), completing quality measurement for
@@ -718,25 +766,11 @@ object DataQueries {
         |)""".stripMargin, k = 3),
     // nprobe=2 rows: query side takes the TWO nearest centroids (crn <= 2
     // over the final Lloyd scores a3); corpus side keeps its crn = 1 cell.
-    "q107_ann_ivf_nprobe" ->
-      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-         |probes AS (
-         |  SELECT vec_id, v, n, cid AS cell
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-         |        FROM a3)
-         |  WHERE crn <= 2
-         |),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-         |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-         |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-         |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q107_ann_ivf_nprobe" -> nprobeOracle,
+    // q112 probes the PERSISTED index built with q107's exact parameters,
+    // so its rows — and therefore its oracle — are identical to q107's:
+    // the store round-trip must be invisible to the search results.
+    "q112_ann_ivf_store" -> nprobeOracle,
     // LSH recall twin: bucket from b's double-cast vectors (sign-identical
     // to the raw floats q30 buckets on); the kmeans CTE prefix is unused
     // here but harmless — DuckDB prunes unreferenced CTEs.

@@ -300,6 +300,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Build-once half of the persisted IVF index: fit the k-means structure
+    * ([[kmeansCentroids]]' Lloyd loop — the expensive part) and land BOTH
+    * halves of the index in parquet under `path`:
+    *
+    *  - `centroids/` — (cid, cv, cn), <= numCentroids rows;
+    *  - `cells/` — (idCol, v, n, cell), the corpus with its final cell
+    *    assignment, PARTITIONED BY cell (one directory + one file per cell
+    *    via a pre-write repartition on the partition column).
+    *
+    * Per-cell directories are what make the probe side scale: a probe
+    * touches `nprobe` cells, and the cell-equijoin against a broadcast
+    * probe set triggers dynamic partition pruning, so only the probed
+    * cells' files are READ — at 100 TB the unprobed bulk of the index
+    * costs zero I/O. This is the compute-once/read-many treatment the
+    * reference applies to forecasts (`backend/app/services/forecast.py:
+    * 95-107`: persist results, re-read on every GET) applied to the ANN
+    * structure: the Lloyd refits that q42/q52/q107 pay per query become a
+    * batch build, and [[probeIvfIndex]] is the hot path.
+    */
+  def buildIvfIndex(vectors: DataFrame, numCentroids: Int, iters: Int, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no
+    * aggregation over the stored corpus — the index is scanned as-is and
+    * only the QUERY side does any work (score against the <= numCentroids
+    * stored centroids, pick its `nprobe` nearest cells, then a cell-local
+    * join into the stored assignments). Produces exactly
+    * [[ivfKmeansTopKProbed]]'s rows for the same (numCentroids, iters,
+    * nprobe) build — the q112 gate hash-checks that equivalence against
+    * q107 — but its plan reads two parquet scans instead of refitting:
+    * probing is O(queries x centroids + probed-cell volume).
+    */
+  def probeIvfIndex(queries: DataFrame, path: String, k: Int, nprobe: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    require(nprobe >= 1, "need nprobe >= 1")
+    val cent = spark.read.parquet(s"$path/centroids")
+    // the partition column comes back as the inferred directory type (int);
+    // restore the build's long so q112 hash-matches q107's cell column
+    val idx = spark.read.parquet(s"$path/cells")
+      .select(col(idCol), col("v"), col("n"), col("cell").cast("long").as("cell"))
+    val q = prepped(queries, idCol, vecCol)
+    val topCells = q.join(broadcast(cent))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol))
+      .agg(first(col("v")).as("v"), first(col("n")).as("n"),
+        slice(sort_array(collect_list(
+          struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
+          1, nprobe).as("__p"))
+    val probes = topCells
+      .select(col(idCol), col("v"), col("n"), explode(col("__p.cid")).as("cell"))
+    val scored = probes.as("q").join(idx.as("c"),
+        col("q.cell") === col("c.cell") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"),
+        col("q.cell").as("cell"),
+        round(ndot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic dedup: k-means cells are the semantic blocks,
     * and within each cell every cosine >= threshold pair collapses to its
     * smallest id — a document is `kept` iff no near-duplicate with a

@@ -207,6 +207,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("does not match")))
   }
 
+  test("persisted IVF index: probe reproduces the in-memory nprobe search bit-for-bit") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.2f, 0.1f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (4L, Array(0.8f, 0.3f, 0.2f)), (5L, Array(0.2f, 0.8f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_eq").toString
+    Similarity.buildIvfIndex(vecs, numCentroids = 2, iters = 2, path)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val mem = canon(Similarity.ivfKmeansTopKProbed(vecs, numCentroids = 2, iters = 2,
+      k = 2, nprobe = 2))
+    val stored = canon(Similarity.probeIvfIndex(vecs, path, k = 2, nprobe = 2))
+    assert(stored == mem, "store round-trip changed the search results")
+    // a query subset probes without touching the build
+    val one = Similarity.probeIvfIndex(vecs.filter(col("vec_id") === 0), path,
+      k = 2, nprobe = 2).collect()
+    assert(one.map(_.getAs[Long]("query_id")).toSet == Set(0L))
+    assert(one.length == 2)
+  }
+
   test("ivf k-means: plan depth is flat in iteration count") {
     // Lloyd iterations collect the broadcast-sized centroid set to the driver
     // and rebuild it as a local relation, so the FINAL search plan must be

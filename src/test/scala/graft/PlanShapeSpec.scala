@@ -38,7 +38,8 @@ class PlanShapeSpec extends SparkSpec {
     "q108_ann_recall_nprobe", // brute-force truth + centroid + 1-row stats broadcasts
     "q109_trigram_backoff", // 1-row train-token-count broadcast (N)
     "q110_ann_recall_lsh", // brute-force truth + 1-row stats broadcasts
-    "q111_ann_recall_lshmulti") // broadcast hyperplane table + brute truth + 1-row stats
+    "q111_ann_recall_lshmulti", // broadcast hyperplane table + brute truth + 1-row stats
+    "q112_ann_ivf_store") // probe side x broadcast STORED centroid set (<= numCentroids rows)
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
@@ -115,6 +116,38 @@ class PlanShapeSpec extends SparkSpec {
     val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(!read.contains("l_comment") && read.contains("l_quantity"),
       s"scan reads unprojected columns: $read")
+  }
+
+  test("IVF probe plan: the stored index is scanned, never aggregated") {
+    // The whole point of the persisted index (q112): probing must not refit
+    // the k-means structure. In the logical plan that means (a) NO Aggregate
+    // node may sit above the stored cells relation — a Lloyd recompute or a
+    // re-assignment would both show up as exactly that — and (b) the only
+    // aggregation anywhere is the QUERY side scoring itself against the
+    // <= numCentroids stored centroids.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
+    val e = graft.core.Tables(spark, sf, "embeddings")
+    graft.similarity.Similarity.buildIvfIndex(e, numCentroids = 8, iters = 3, path)
+    val probe = graft.similarity.Similarity
+      .probeIvfIndex(e.filter(col("vec_id") < 5), path, k = 3, nprobe = 2)
+    val plan = probe.queryExecution.optimizedPlan
+    def scansCells(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.exists(_.toString.contains(s"$path/cells"))
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(scansCells(plan), "probe plan lost its index scan entirely")
+    val overIndex = plan.collect { case a: Aggregate if scansCells(a) => a }
+    assert(overIndex.isEmpty,
+      "probe plan aggregates over the stored index — the build leaked into the hot path")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1,
+      s"probe should carry exactly the query-side centroid-scoring aggregate, found ${aggs.size}")
   }
 
   test("daily KPI aggregation is a two-phase hash aggregate with one shuffle") {
