@@ -16,6 +16,14 @@ object CorpusQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
+  /** Writable per-scale-dir location for the q113 persisted subword
+    * vocabulary (test fixtures are read-only, so artifacts land in tmpdir
+    * — the same convention as DataQueries.ivfIndexPath).
+    */
+  private[queries] def vocabPath(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_subword_vocab_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
   private val hex60Sql: String => String = OracleCte.hex60Sql
 
   val defs: Map[String, Q] = Map(
@@ -114,7 +122,20 @@ object CorpusQueries {
     // Trigram Stupid-Backoff LM score: fit on the hex60 80% train split,
     // score every document — held-out docs exercise the 0.4 backoff chain.
     "q109_trigram_backoff" -> ((s, d) =>
-      TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id"))
+      TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id")),
+
+    // The persisted-vocabulary twin of q105: train the WordPiece vocab ONCE
+    // into a parquet store (piece, weight, rank), then tokenize every
+    // document with the LOADED vocabulary and assert it produces the exact
+    // piece sequences the in-memory path does (vocab/tok/oov disagreement
+    // counters, all zero). DuckDB anchors the row shape; the counters make
+    // the store round-trip's fidelity oracle-checkable.
+    "q113_subword_store" -> ((s, d) => {
+      val path = vocabPath(d)
+      graft.text.Subword.savePieces(docs(s, d), size = 256, maxPieceLen = 6, path)
+      graft.text.Subword.storedVocabGate(docs(s, d), size = 256, maxPieceLen = 6, path)
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +144,11 @@ object CorpusQueries {
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
         |  0 AS concat_viol, 0 AS greedy_viol, 0 AS oov_viol,
         |  0 AS bound_viol, 0 AS unk_viol
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q113_subword_store" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q109_trigram_backoff" ->
       s"""WITH base AS (

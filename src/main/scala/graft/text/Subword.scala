@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Subword tokenization: a deterministic piece vocabulary learned from the
@@ -171,6 +172,86 @@ object Subword {
           (id, ws.length.toLong, nTok, nOov)
         }
       }.toDF("doc_id", "n_words", "subword_tokens", "oov_words")
+  }
+
+  /** Train-once half of the vocabulary-as-artifact pair: learn
+    * [[pieceVocab]] and persist it as a versioned parquet table
+    * (piece, weight, rank) — rank is the total-order position
+    * (weight desc, piece asc; total because pieces are unique), so the
+    * stored table carries its own deterministic ordering and two saves of
+    * the same corpus are bit-identical. The ranking window is global but
+    * the table is bounded by construction (`size` + alphabet rows), so the
+    * single-partition sort it implies is a non-issue at any corpus scale —
+    * the corpus-sized work (the word aggregation) happened upstream in
+    * [[pieceVocab]]. This is the same compute-once/read-many treatment the
+    * persisted IVF index gives ANN: a production pipeline trains a
+    * tokenizer once and applies it for months
+    * (reference analogue: `backend/app/services/forecast.py:95-107`,
+    * persist results, re-read on every GET).
+    */
+  def savePieces(docs: DataFrame, size: Int, maxPieceLen: Int, path: String,
+                 textCol: String = "text", idCol: String = "doc_id"): Unit =
+    pieceVocab(docs, size, maxPieceLen, textCol, idCol)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("piece").asc)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Apply-many half: read the stored vocabulary back in rank order.
+    * Bounded collect (the stored table is `size` + alphabet rows by
+    * construction); the result drops straight into [[subwordCounts]],
+    * which re-derives maxPieceLen from the pieces themselves — no
+    * side-channel config has to survive alongside the artifact.
+    */
+  def loadPieces(spark: SparkSession, path: String): Array[String] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .select(col("piece")).collect().map(_.getString(0))
+
+  /** q113 gate: the store round-trip must be invisible to tokenization.
+    * Saves nothing itself — callers [[savePieces]] first — it loads the
+    * stored vocabulary, re-learns the in-memory one, and tokenizes every
+    * word through BOTH, counting disagreements:
+    *
+    *  - vocab_viol — (driver, once — the q105 unk_viol pattern) the loaded
+    *    piece multiset differs from the freshly-learned one;
+    *  - tok_viol — words whose full piece SEQUENCES differ between the
+    *    stored and in-memory vocabularies (sequence compare, not count
+    *    compare — a reordering bug that preserved counts would still trip);
+    *  - oov_viol — words whose OOV verdicts differ.
+    *
+    * Output: (doc_id, n_words, vocab_viol, tok_viol, oov_viol); n_words is
+    * the DuckDB-derivable anchor.
+    */
+  def storedVocabGate(docs: DataFrame, size: Int, maxPieceLen: Int, path: String,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stored = loadPieces(spark, path)
+    val mem = collectPieces(docs, size, maxPieceLen, textCol, idCol)
+    val vocabViol = if (stored.sorted.sameElements(mem.sorted)) 0L else 1L
+    val bcS = spark.sparkContext.broadcast(stored)
+    val bcM = spark.sparkContext.broadcast(mem)
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val setS = bcS.value.toSet
+        val setM = bcM.value.toSet
+        val mlS = bcS.value.iterator.map(_.length).foldLeft(1)(math.max)
+        val mlM = bcM.value.iterator.map(_.length).foldLeft(1)(math.max)
+        it.map { case (id, text) =>
+          val ws = toWords(text)
+          var tokViol = 0L; var oovViol = 0L
+          ws.foreach { w =>
+            val ts = tokenizeWord(w, setS, mlS)
+            val tm = tokenizeWord(w, setM, mlM)
+            if (!ts.sameElements(tm)) tokViol += 1
+            val oovS = ts.length == 1 && ts(0) == Unk
+            val oovM = tm.length == 1 && tm(0) == Unk
+            if (oovS != oovM) oovViol += 1
+          }
+          (id, ws.length.toLong, vocabViol, tokViol, oovViol)
+        }
+      }.toDF("doc_id", "n_words", "vocab_viol", "tok_viol", "oov_viol")
   }
 
   /** q105 invariant gate (the q91–q94 pattern: DuckDB cannot apply

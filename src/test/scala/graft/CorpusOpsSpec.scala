@@ -283,6 +283,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(5).getAs[Long]("n_words") == 3L, "tab is not trimmed, so ['', x, y]")
   }
 
+  test("persisted subword vocab: load reproduces the learned pieces and tokenization") {
+    import graft.text.Subword
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "THE QUICK the quick 12345 a-b-c x!y?z"),
+      (4L, "héllo 😀x café")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    Subword.savePieces(docs, size = 64, maxPieceLen = 4, path)
+    val loaded = Subword.loadPieces(spark, path)
+    val mem = Subword.collectPieces(docs, size = 64, maxPieceLen = 4)
+    assert(loaded.sorted.toSeq == mem.sorted.toSeq, "store round-trip changed the piece set")
+    // the stored ranks carry the total order (weight desc, piece asc)
+    val ranked = spark.read.parquet(path).orderBy(col("rank"))
+      .select(col("piece"), col("weight")).collect()
+    assert(ranked.map(_.getString(0)).toSeq == loaded.toSeq)
+    val w = ranked.map(_.getLong(1)).toSeq
+    assert(w == w.sorted(Ordering[Long].reverse), "rank order does not follow weight desc")
+    // tokenizing with the LOADED vocab is bit-identical to the in-memory path
+    def counts(ps: Seq[String]) =
+      Subword.subwordCounts(docs, ps).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(counts(loaded.toSeq) == counts(mem.toSeq))
+    val gate = Subword.storedVocabGate(docs, size = 64, maxPieceLen = 4, path)
+      .orderBy("doc_id").collect()
+    assert(gate.length == 4)
+    gate.foreach { r =>
+      for (c <- Seq("vocab_viol", "tok_viol", "oov_viol"))
+        assert(r.getAs[Long](c) == 0L, s"$c nonzero for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
