@@ -321,6 +321,22 @@ object DataQueries {
         label = "q111: multi-table LSH recall@3 fell below the 0.1 floor")
     }),
 
+    // The PRODUCTION-recall LSH config (q111 proves the knob moves; this
+    // proves it reaches curation-pipeline recall): 16 random-hyperplane
+    // tables x 5 bits through the query-side search (cost ∝ queries, not
+    // corpus^2). Measured mean recall@3 is 0.80 / 0.73 / 0.82 at
+    // sf0.001 / 0.01 / 0.1 (tools/TuneLsh.scala sweep) — the 0.6 floor is
+    // deterministic margin below every measurement, and ~2.4x the nprobe=2
+    // IVF gate (q108), at candidates/query ~= corpus/2.
+    "q114_ann_recall_lshtuned" -> ((s, d) => {
+      val e = emb(s, d)
+      val lsh = Similarity.lshMultiTopKSearch(e, e.filter(col("vec_id") < 100),
+          k = 3, bits = 5, tables = 16, dim = 64)
+        .select(col("query_id"), col("neighbor_id"))
+      annRecallGate(e, lsh, k = 3, floor = 0.6,
+        label = "q114: tuned multi-table LSH recall@3 fell below the 0.6 floor")
+    }),
+
     // ANN quality gate: recall@3 of the IVF-kmeans search (q52's exact
     // configuration) against the brute-force ground truth (q29's exact
     // scoring) on a deterministic 100-query sample — the standard
@@ -806,6 +822,41 @@ object DataQueries {
          |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
          |  FROM unnest(generate_series(0, 3)) AS tt(t),
          |       unnest(generate_series(0, 5)) AS jj(j),
+         |       unnest(generate_series(0, 63)) AS dd(d)
+         |),
+         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT b.vec_id, hp.t,
+         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
+         |  FROM b CROSS JOIN hp
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c
+         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100
+         |),
+         |ivf_scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
+         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
+         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
+         |),
+         |ivf_topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM ivf_scored) WHERE rk <= 3
+         |)""".stripMargin, k = 3),
+    // Tuned-config twin: identical plane/signature/candidate derivation as
+    // q111's oracle, at 16 tables x 5 bits.
+    "q114_ann_recall_lshtuned" -> annRecallOracle(
+      s"""comps AS (
+         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
+         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
+         |  FROM unnest(generate_series(0, 15)) AS tt(t),
+         |       unnest(generate_series(0, 4)) AS jj(j),
          |       unnest(generate_series(0, 63)) AS dd(d)
          |),
          |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),

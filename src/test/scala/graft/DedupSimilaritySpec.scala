@@ -229,6 +229,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.length == 2)
   }
 
+  test("query-side LSH search matches the self-join search on the shared queries") {
+    val vecs = (0L to 19L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val self = canon(Similarity.lshMultiTopK(vecs, k = 3, bits = 4, tables = 4, dim = 8)
+      .filter(col("query_id") < 5))
+    val search = canon(Similarity.lshMultiTopKSearch(vecs,
+      vecs.filter(col("vec_id") < 5), k = 3, bits = 4, tables = 4, dim = 8))
+    assert(search == self, "query-side search diverged from the self-join search")
+  }
+
   test("ivf k-means: plan depth is flat in iteration count") {
     // Lloyd iterations collect the broadcast-sized centroid set to the driver
     // and rebuild it as a local relation, so the FINAL search plan must be

@@ -39,7 +39,8 @@ class PlanShapeSpec extends SparkSpec {
     "q109_trigram_backoff", // 1-row train-token-count broadcast (N)
     "q110_ann_recall_lsh", // brute-force truth + 1-row stats broadcasts
     "q111_ann_recall_lshmulti", // broadcast hyperplane table + brute truth + 1-row stats
-    "q112_ann_ivf_store") // probe side x broadcast STORED centroid set (<= numCentroids rows)
+    "q112_ann_ivf_store", // probe side x broadcast STORED centroid set (<= numCentroids rows)
+    "q114_ann_recall_lshtuned") // q111's broadcasts at the tuned 16x5 config
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
