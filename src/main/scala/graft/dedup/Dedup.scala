@@ -313,6 +313,48 @@ object Dedup {
       .filter(col("bucket_size") > maxBucket)
   }
 
+  // ---- incremental MinHash maintenance (streaming dedup-store support) ----
+
+  /** One batch's signature tables for the incremental MinHash dedup store
+    * ([[graft.streaming.StreamingPipeline.minhashDedupBatch]]): the per-doc
+    * distinct shingle-hash sets (doc_id, sh, n_sh) and the LSH band keys
+    * (doc_id, band_key). Signatures and band keys are PER-DOCUMENT
+    * functions — no other document influences them — which is exactly what
+    * makes incremental maintenance equal batch recompute: a stored doc's
+    * rows never have to change when new docs arrive.
+    */
+  def minhashState(docs: DataFrame, n: Int, numPerms: Int, bands: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val sets = shingleSets(wordShingles(docs, n, textCol, idCol))
+    val based = sets.select(col("doc_id"), explode(col("sh")).as("__h"))
+      .withColumn("__base", col("__h") % MinhashP)
+    val bandKeys = lshBands(minhashFromBase(based, numPerms), numPerms, bands)
+      .select(col("doc_id"), col("band_key"))
+    (sets, bandKeys)
+  }
+
+  /** The near-dup pairs a batch of NEW documents contributes against the
+    * unioned corpus: candidates are band-key collisions with at least one
+    * new side (new x all — old x old pairs were emitted when the younger of
+    * the two arrived), verified by exact Jaccard over the stored shingle
+    * sets. Because signatures are per-document, the union of these
+    * increments over any batch partitioning of a corpus equals the uncapped
+    * [[minhashLshPairs]] over the whole corpus — the parity contract the
+    * streaming maintainer's restart test asserts. Candidate volume per new
+    * doc is its band buckets' sizes (the blocking bound); production caps
+    * belong in the batch miners' maxBucket/audit surface, not here.
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def minhashIncrementPairs(newBands: DataFrame, allBands: DataFrame, allSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val cand = newBands.as("q").join(allBands.as("c"),
+        col("q.band_key") === col("c.band_key") && col("q.doc_id") =!= col("c.doc_id"))
+      .select(least(col("q.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("q.doc_id"), col("c.doc_id")).as("doc_b"))
+      .distinct()
+    jaccardForPairs(cand, allSets, threshold)
+  }
+
   /** Benchmark-contamination audit: for each corpus document, the fraction
     * of its distinct shingles that appear anywhere in the benchmark shingle
     * set — the decontamination check an LLM training pipeline runs against

@@ -420,28 +420,43 @@ object StreamingPipeline {
     * resolve. Parquet readers skip underscore-prefixed files, so the ledger
     * doesn't disturb `spark.read.parquet(storePath)`.
     */
+  /** Resolve the ACTIVE store dir ([[swapInStore]] semantics): main, else
+    * the `.prev` survivor of a crash between its two renames.
+    */
+  private def activeStoreDir(fs: org.apache.hadoop.fs.FileSystem,
+                             storePath: String): Option[String] =
+    if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) Some(storePath)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath.prev")))
+      Some(s"$storePath.prev")
+    else None
+
+  /** Merged batch ids from a store dir's `_batches` ledger. */
+  private def readLedger(fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[Long] = {
+    val ledger = new org.apache.hadoop.fs.Path(s"$dir/_batches")
+    if (fs.exists(ledger)) {
+      val in = fs.open(ledger)
+      try scala.io.Source.fromInputStream(in).getLines().map(_.trim.toLong).toSet
+      finally in.close()
+    } else Set.empty
+  }
+
+  /** Write the updated ledger into a STAGING dir (it lands with the data in
+    * the same [[swapInStore]], so store and ledger can never diverge).
+    */
+  private def writeLedger(fs: org.apache.hadoop.fs.FileSystem, staging: String,
+                          ids: Set[Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_batches"), true)
+    try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def ledgeredSumMerge(spark: SparkSession, storePath: String, batchId: Long)
                               (sketch: => DataFrame,
                                merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
-    // resolve the ACTIVE store dir ([[swapInStore]] semantics): main, else
-    // the .prev survivor of a crash between its two renames
-    val active: Option[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) Some(storePath)
-      else if (fs.exists(new org.apache.hadoop.fs.Path(s"$storePath.prev")))
-        Some(s"$storePath.prev")
-      else None
-    val seen: Set[Long] = active match {
-      case Some(dir) =>
-        val ledger = new org.apache.hadoop.fs.Path(s"$dir/_batches")
-        if (fs.exists(ledger)) {
-          val in = fs.open(ledger)
-          try scala.io.Source.fromInputStream(in).getLines().map(_.trim.toLong).toSet
-          finally in.close()
-        } else Set.empty
-      case None => Set.empty
-    }
+    val active = activeStoreDir(fs, storePath)
+    val seen: Set[Long] = active.map(readLedger(fs, _)).getOrElse(Set.empty)
     if (seen.contains(batchId)) return
     val merged = active.map(spark.read.parquet(_)) match {
       case Some(prev) => merge(prev, sketch)
@@ -449,10 +464,7 @@ object StreamingPipeline {
     }
     val staging = s"$storePath.staging-$batchId"
     merged.write.mode("overwrite").parquet(staging)
-    val stagedLedger = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_batches"), true)
-    try stagedLedger.write(
-      ((seen + batchId).toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally stagedLedger.close()
+    writeLedger(fs, staging, seen + batchId)
     swapInStore(spark, staging, storePath)
   }
 
@@ -481,6 +493,91 @@ object StreamingPipeline {
     ledgeredSumMerge(batch.sparkSession, storePath, batchId)(
       graft.sketch.Sketches.histogramSketch(batch, keys, col(valueCol), binWidth, numBins),
       graft.sketch.Sketches.histogramMerge(_, _, keys))
+
+  /** Incremental MinHash dedup-store maintenance — the `foreachBatch` body
+    * for continuous near-dup detection over an arriving corpus. Composes
+    * the batch MinHash operators ([[graft.dedup.Dedup.minhashState]] /
+    * [[graft.dedup.Dedup.minhashIncrementPairs]]) with the `_batches`
+    * ledger + staged-swap transaction the sketch maintainers prove out.
+    * Store layout under `storePath` (one atomic swap covers all three, so
+    * sets/bands/pairs can never be mutually inconsistent):
+    *
+    *  - `sets/`  (doc_id, sh, n_sh) — per-doc shingle-hash sets;
+    *  - `bands/` (doc_id, band_key) — the LSH index;
+    *  - `pairs/` (doc_a, doc_b, jaccard) — every verified near-dup pair
+    *    emitted so far, i.e. (new_doc, dup_of) against historical buckets
+    *    accumulated across batches.
+    *
+    * Each batch computes signatures for its docs ONLY (per-doc functions —
+    * stored docs never recompute), drops already-stored doc_ids (re-sent
+    * docs are no-ops even across different batch ids), mines new-vs-all
+    * candidates through the stored band index, and Jaccard-verifies against
+    * the stored sets. After ANY prefix of batches, with any crash/replay
+    * interleaving, `pairs/` equals the uncapped batch
+    * [[graft.dedup.Dedup.minhashLshPairs]] over the docs delivered so far —
+    * the restart test asserts bit-identical rows. At 100 TB the batch is
+    * small and the store is big: per-batch cost is the batch's signature
+    * pass plus bucket-local probes of the band index, never a corpus
+    * re-scan.
+    */
+  def minhashDedupBatch(storePath: String, n: Int = 3, numPerms: Int = 16,
+                        bands: Int = 4, threshold: Double = 0.8)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val active = activeStoreDir(fs, storePath)
+    val seen: Set[Long] = active.map(readLedger(fs, _)).getOrElse(Set.empty)
+    if (seen.contains(batchId)) return
+    val (batchSets, batchBands) = graft.dedup.Dedup.minhashState(batch, n, numPerms, bands)
+    val prev = active.map(dir => (
+      spark.read.parquet(s"$dir/sets"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/pairs")))
+    val newSets = prev match {
+      case Some((ps, _, _)) =>
+        batchSets.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => batchSets
+    }
+    val newBands = prev match {
+      case Some((ps, _, _)) =>
+        batchBands.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => batchBands
+    }
+    val allSets = prev.map(_._1.unionByName(newSets)).getOrElse(newSets)
+    val allBands = prev.map(_._2.unionByName(newBands)).getOrElse(newBands)
+    val dupPairs = graft.dedup.Dedup
+      .minhashIncrementPairs(newBands, allBands, allSets, threshold)
+    val pairs = prev.map(_._3.unionByName(dupPairs)).getOrElse(dupPairs)
+    val staging = s"$storePath.staging-$batchId"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    allSets.write.mode("overwrite").parquet(s"$staging/sets")
+    allBands.write.mode("overwrite").parquet(s"$staging/bands")
+    pairs.write.mode("overwrite").parquet(s"$staging/pairs")
+    writeLedger(fs, staging, seen + batchId)
+    swapInStore(spark, staging, storePath)
+  }
+
+  /** File-source stream of documents (doc_id, text). */
+  def readDocStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "16")
+      .parquet(path)
+
+  /** Streaming near-dup detection: document stream -> incremental MinHash
+    * dedup store via [[minhashDedupBatch]]. Read the verified pairs at any
+    * time from `storePath/pairs` — equal to the uncapped batch miner over
+    * every document delivered so far.
+    */
+  def minhashDedupStream(docs: DataFrame, storePath: String, checkpoint: String,
+                         n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(minhashDedupBatch(storePath, n, numPerms, bands, threshold) _)
 
   /** Streaming distinct-count query: file-source events -> incremental HLL
     * register store via [[hllMergeBatch]]. Read the estimate at any time

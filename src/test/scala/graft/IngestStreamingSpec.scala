@@ -128,6 +128,61 @@ class IngestStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup store: restart + replay match the batch miner bit-identically") {
+    import graft.dedup.Dedup
+    val base = Files.createTempDirectory("graft_mhd").toString
+    val in = s"$base/in"; val store = s"$base/store"
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text about spark incremental dedup stores"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "completely different text about spark incremental dedup stores"),
+      (7L, "unrelated corpus row carrying no shared shingles at all here")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .collect().map(_.toString).sorted.toSeq
+    b1.write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.minhashDedupStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    // restart from the same checkpoint with a second delivery: cross-batch
+    // dups (5 of 1/2, 6 of 3) must surface against the HISTORICAL buckets
+    b2.write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.minhashDedupStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val batchPairs = canon(Dedup.minhashLshPairs(
+      Dedup.wordShingles(b1.unionByName(b2), 3), numPerms = 16, bands = 4,
+      threshold = 0.8, maxBucket = Int.MaxValue))
+    val streamed = canon(spark.read.parquet(s"$store/pairs"))
+    assert(streamed == batchPairs,
+      "incremental pair store == uncapped batch miner over the unioned corpus")
+    val pairsSet = spark.read.parquet(s"$store/pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L), (3L, 6L)).subsetOf(pairsSet),
+      s"expected exact-dup pairs missing: $pairsSet")
+
+    // crash recovery: replayed batch ids are no-ops (the _batches ledger),
+    // and a re-sent doc under a NEW batch id is also a no-op (doc-id
+    // idempotency) — neither may duplicate pairs or store rows
+    val store2 = s"$base/store2"
+    val body = StreamingPipeline.minhashDedupBatch(store2) _
+    body(b1, 0L)
+    body(b1, 0L) // replayed id
+    body(b2, 1L)
+    body(b2, 1L) // replayed id
+    body(b1, 2L) // re-sent docs, fresh id
+    assert(canon(spark.read.parquet(s"$store2/pairs")) == batchPairs,
+      "replays and re-sent docs must not change the pair store")
+    assert(spark.read.parquet(s"$store2/sets").count() == 7L,
+      "one sets row per distinct doc")
+  }
+
   test("streaming query resumes exactly-once from its checkpoint after a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
