@@ -74,6 +74,37 @@ object Bench {
     val relMs = (System.nanoTime() - relT0) / 1e6 / math.max(1L, relSeries)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // ANN index build-once/probe-many evidence at ~10x the scale dir's
+    // embedding count: answering a 100-query workload by PROBING the
+    // persisted IVF index (no Lloyd refit) vs the in-memory path that
+    // refits k-means per call (q107's shape). Same (8, 3, nprobe=2) build
+    // as q107/q112; the gap is the per-query corpus-wide fit the store
+    // amortizes away.
+    val (annVectors, annBuild, annProbe, annRebuild) = try {
+      import org.apache.spark.sql.functions.col
+      val annDir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
+      graft.core.Tables(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(10).select(col("id").as("__r")))
+        .select((col("vec_id") * 10 + col("__r")).as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$annDir/vectors")
+      val vecs = spark.read.parquet(s"$annDir/vectors")
+      val nVec = vecs.count()
+      def clock(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val build = clock(graft.similarity.Similarity
+        .buildIvfIndex(vecs, numCentroids = 8, iters = 3, s"$annDir/index"))
+      val probe = clock(graft.similarity.Similarity
+        .probeIvfIndex(vecs.filter(col("vec_id") < 100), s"$annDir/index", k = 3, nprobe = 2)
+        .queryExecution.toRdd.count())
+      val rebuild = clock(graft.similarity.Similarity
+        .ivfKmeansTopKProbed(vecs, numCentroids = 8, iters = 3, k = 3, nprobe = 2)
+        .filter(col("query_id") < 100)
+        .queryExecution.toRdd.count())
+      (nVec, build, probe, rebuild)
+    } catch { case _: Throwable => (0L, -1.0, -1.0, -1.0) }
+    val annJson =
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)}}"""
     // bare qNN keys (unique by construction; full names in CORRECTNESS_r*.json)
     def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
@@ -93,11 +124,11 @@ object Bench {
     val detail = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"runs":$runs,"sf":"$sfDir","total_min":${f3(totalMin)},"total_median":${f3(totalMed)},"total_max":${f3(totalMax)},"queries":$detail}"""
+      s"""{"runs":$runs,"sf":"$sfDir","total_min":${f3(totalMin)},"total_median":${f3(totalMed)},"total_max":${f3(totalMax)},"ann_index":$annJson,"queries":$detail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(totalMed)},"unit":"sec","runs":$runs,"total_min":${f3(totalMin)},"total_max":${f3(totalMax)},"queries":$qs,"noisy":$noisy,"sf":"$sfDir","rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries}""")
+    println(s"""{"metric":"total","value":${f3(totalMed)},"unit":"sec","runs":$runs,"total_min":${f3(totalMin)},"total_max":${f3(totalMax)},"queries":$qs,"noisy":$noisy,"sf":"$sfDir","rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"ann_index":$annJson}""")
     spark.stop()
   }
 }
