@@ -154,14 +154,45 @@ object Sketches {
       .groupBy(keys.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** [[histogramSketchAuto]]'s result: the bucket table plus the derived
+    * geometry a reader needs ([[histogramQuantiles]]' binWidth and origin).
+    */
+  case class AutoHistogram(sketch: DataFrame, binWidth: Double, origin: Double)
+
+  /** Bounds-pass variant of [[histogramSketch]] for callers who can afford
+    * one extra job: a global min/max pre-pass derives `origin = min` and
+    * `binWidth = (max - min) / numBins`, so EVERY value lands in a real
+    * bucket and the one-bin-width quantile guarantee holds with no domain
+    * caveat — the [[histogramSketch]] DOMAIN note exists precisely because
+    * the fixed-geometry sketch clamps out-of-range values into edge
+    * buckets. The bounds are GLOBAL, not per group: per-group geometry
+    * would make bucket edges group-dependent, and two sketches could no
+    * longer merge cell-wise — which is the property the streaming
+    * maintainer and slice-merge tests rely on. Sketches built by this
+    * method merge with each other only when built from the same
+    * (origin, binWidth) — persist the two numbers with the bucket table.
+    * Degenerate inputs (empty, or all values equal) get binWidth 1.0 and a
+    * single occupied bucket.
+    */
+  def histogramSketchAuto(df: DataFrame, keys: Seq[String], value: Column,
+                          numBins: Int): AutoHistogram = {
+    val b = df.agg(min(value).cast("double").as("lo"), max(value).cast("double").as("hi")).head()
+    val (lo, hi) = if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / numBins else 1.0
+    AutoHistogram(histogramSketch(df, keys, value - lit(lo), width, numBins), width, lo)
+  }
+
   /** Quantile estimates from a histogram sketch: for each requested q, the
     * UPPER edge of the first bucket whose cumulative count reaches
     * ceil(q * total) — deterministic integer/IEEE arithmetic, exact to one
     * bin width. One partitioned cumulative window over ≤ numBins rows per
     * group, then a single aggregation; qs become columns `p<100q>`.
+    * `origin` shifts the edges for sketches built over offset values
+    * ([[histogramSketchAuto]]).
     */
   def histogramQuantiles(sketch: DataFrame, keys: Seq[String], binWidth: Double,
-                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                         origin: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = keys.map(col)
     val cum = sketch
@@ -170,7 +201,7 @@ object Sketches {
       .withColumn("total", sum(col("n")).over(Window.partitionBy(k: _*)))
     val qCols = qs.map { q =>
       ((min(when(col("cum") >= ceil(lit(q) * col("total")), col("bucket"))) + 1).cast("double")
-        * binWidth).as(s"p${(q * 100).round}")
+        * binWidth + origin).as(s"p${(q * 100).round}")
     }
     cum.groupBy(k: _*)
       .agg(max(col("total")).as("n_rows"), qCols: _*)

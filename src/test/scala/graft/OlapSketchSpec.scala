@@ -144,6 +144,32 @@ class OlapSketchSpec extends SparkSpec {
     assert(q.getAs[Long]("n_rows") == 4000L)
   }
 
+  test("auto-sized histogram: bounds pass keeps one-bin error on out-of-range data") {
+    // values span [-500, 1400) — the fixed sketch's [0, binWidth*numBins)
+    // domain would clamp ~40% of them into the two edge buckets, so its
+    // quantiles there are only bounded by the data range; the bounds-pass
+    // variant must stay within ONE derived bin everywhere
+    val rng = new scala.util.Random(11)
+    val vals = (1 to 4000).map(_ => ("g", rng.nextDouble() * 1900 - 500))
+    val df = vals.toDF("grp", "v")
+    val auto = Sketches.histogramSketchAuto(df, Seq("grp"), col("v"), numBins = 20)
+    assert(auto.origin <= vals.map(_._2).min && auto.binWidth > 0)
+    val q = Sketches.histogramQuantiles(auto.sketch, Seq("grp"), auto.binWidth,
+      origin = auto.origin).collect()(0)
+    val sorted = vals.map(_._2).sorted
+    for ((p, c) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val exact = sorted(math.ceil(p * sorted.length).toInt - 1)
+      val est = q.getAs[Double](c)
+      assert(est >= exact && est - exact <= auto.binWidth,
+        s"$c: $est must cover exact $exact within one derived bin (${auto.binWidth})")
+    }
+    assert(q.getAs[Long]("n_rows") == 4000L)
+    // degenerate inputs don't divide by zero
+    val flat = Seq(("g", 7.0), ("g", 7.0)).toDF("grp", "v")
+    val af = Sketches.histogramSketchAuto(flat, Seq("grp"), col("v"), numBins = 20)
+    assert(af.binWidth == 1.0 && af.sketch.collect().map(_.getAs[Long]("n")).sum == 2L)
+  }
+
   test("streaming histogram store: restart + replay reproduce the batch quantiles bit-identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_hist").toString
     val in = s"$base/in"; val store = s"$base/buckets"
