@@ -124,6 +124,61 @@ object CorpusQueries {
     "q109_trigram_backoff" -> ((s, d) =>
       TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id")),
 
+    // End-to-end curation pipeline: clean -> exact dedup -> minhash near-dup
+    // -> quality filter -> domain rebalance -> sequence packing, as ONE
+    // composed plan, reported as per-stage (n_docs, n_tokens, n_bins)
+    // counts. Every stage is individually green elsewhere (q24/q26/q31/
+    // q97/q76); composing them proves the stages agree on conventions —
+    // the whitespace token count, the doc_id keyed joins, the hex60 ppm
+    // gates — because any disagreement shifts a downstream stage's counts.
+    // Stage semantics (all deterministic):
+    //  2_clean   n_words >= 3 (long enough to carry a trigram shingle);
+    //  3_exact   keep the smallest doc_id per md5(lower(text)) group;
+    //  4_neardup drop docs with a verified near-dup of smaller id
+    //            (uncapped q26 pairs over the survivors, doc_b side);
+    //  5_quality quality_score >= 0.3 (q31's formula);
+    //  6_balance q97's ppm gate re-rated over the quality survivors;
+    //  7_pack    q76's shard-local packing: n_bins = distinct (shard, bin).
+    "q115_pipeline_e2e" -> ((s, d) => {
+      import graft.dedup.Dedup
+      val raw = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+        .withColumn("n_words", size(split(trim(col("text")), "\\s+")).cast("long"))
+      val clean = raw.filter(col("n_words") >= 3)
+      val exactKept = clean.join(
+        Dedup.exactGroups(clean).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minhashLshPairs(Dedup.wordShingles(exactKept, 3),
+        numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue)
+      val nearKept = exactKept.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val qualKept = nearKept.join(
+        TextOps.qualityFeatures(nearKept).filter(col("quality_score") >= 0.3)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val domCounts = qualKept.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
+        .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
+      val balanced = qualKept.join(broadcast(rates), Seq("source"))
+        .filter(Dedup.hex60(col("doc_id").cast("string")) % 1000000 < col("rate_ppm"))
+      val packed = TextOps.packSequences(balanced, budget = 512, shards = 32)
+      def st(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+            lit(0L).as("n_bins"))
+      val packStat = packed.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+          countDistinct(col("shard"), col("bin")).as("n_bins"))
+        .select(lit("7_pack").as("stage"), col("n_docs"), col("n_tokens"), col("n_bins"))
+      st("1_raw", raw)
+        .unionByName(st("2_clean", clean))
+        .unionByName(st("3_exact", exactKept))
+        .unionByName(st("4_neardup", nearKept))
+        .unionByName(st("5_quality", qualKept))
+        .unionByName(st("6_balance", balanced))
+        .unionByName(packStat)
+        .orderBy("stage")
+    }),
+
     // The persisted-vocabulary twin of q105: train the WordPiece vocab ONCE
     // into a parquet store (piece, weight, rank), then tokenize every
     // document with the LOADED vocabulary and assert it produces the exact
@@ -150,6 +205,112 @@ object CorpusQueries {
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
         |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The q26 minhash machinery verbatim, re-rooted on the exact-dedup
+    // survivors; each stage then reuses the already-green oracle formula of
+    // its standalone query (q24/q26/q31/q97/q76).
+    "q115_pipeline_e2e" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |  FROM documents
+         |),
+         |clean AS (SELECT * FROM nw WHERE n_words >= 3),
+         |exact AS (
+         |  SELECT doc_id, text, source, n_words FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
+         |    FROM clean)
+         |  WHERE doc_id = keep_id
+         |),
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exact),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |),
+         |tri2 AS (
+         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
+         |),
+         |mh AS (
+         |  SELECT doc_id, p.i AS i,
+         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
+         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
+         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
+         |  GROUP BY doc_id, p.i
+         |),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tri a ON a.doc_id = c.doc_a
+         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1,2
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT c.doc_b AS doc_id
+         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+         |),
+         |near AS (
+         |  SELECT e.* FROM exact e
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = e.doc_id)
+         |),
+         |qf AS (
+         |  SELECT near.*,
+         |    least(1.0, n_words / 100.0) * (1.0 - abs(
+         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+         |        / n_words - 0.4)) AS qs
+         |  FROM near
+         |),
+         |qual AS (SELECT * FROM qf WHERE qs >= 0.3),
+         |dc AS (SELECT source, count(*) AS nd FROM qual GROUP BY 1),
+         |rates AS (
+         |  SELECT source, (SELECT min(nd) FROM dc) * 1000000 // nd AS rate_ppm FROM dc
+         |),
+         |bal AS (
+         |  SELECT q.doc_id, q.source, q.n_words
+         |  FROM qual q JOIN rates r ON q.source = r.source
+         |  WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |),
+         |pc AS (
+         |  SELECT doc_id, n_words AS n_tokens, doc_id % 32 AS shard,
+         |    CAST(coalesce(sum(n_words) OVER (
+         |      PARTITION BY doc_id % 32 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+         |  FROM bal
+         |),
+         |pb AS (SELECT shard, cum_excl // 512 AS bin, n_tokens FROM pc),
+         |packstat AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+         |         CAST((SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM pb)) AS BIGINT) AS n_bins
+         |  FROM pb
+         |)
+         |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins FROM nw
+         |UNION ALL SELECT '2_clean', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM clean
+         |UNION ALL SELECT '3_exact', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
+         |UNION ALL SELECT '4_neardup', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
+         |UNION ALL SELECT '5_quality', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM qual
+         |UNION ALL SELECT '6_balance', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
+         |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
+         |ORDER BY stage""".stripMargin,
     "q109_trigram_backoff" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
