@@ -77,9 +77,13 @@ object Bench {
     // ANN index build-once/probe-many evidence at ~10x the scale dir's
     // embedding count: answering a 100-query workload by PROBING the
     // persisted IVF index (no Lloyd refit) vs the in-memory path that
-    // refits k-means per call (q107's shape). Same (8, 3, nprobe=2) build
-    // as q107/q112; the gap is the per-query corpus-wide fit the store
-    // amortizes away.
+    // refits k-means per call (q107's shape). The config is the
+    // production-shaped fit for this corpus size (64 cells ~ sqrt(20k),
+    // 10 Lloyd iters), NOT q112's oracle-parity (8, 3): with a toy fit the
+    // refit is as cheap as the probe's fixed overheads and the measurement
+    // says nothing — the gap this records is exactly the per-query
+    // corpus-wide fit the store amortizes away, and it grows with corpus
+    // size while the probe side stays O(queries).
     val (annVectors, annBuild, annProbe, annRebuild) = try {
       import org.apache.spark.sql.functions.col
       val annDir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
@@ -93,12 +97,12 @@ object Bench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       val build = clock(graft.similarity.Similarity
-        .buildIvfIndex(vecs, numCentroids = 8, iters = 3, s"$annDir/index"))
+        .buildIvfIndex(vecs, numCentroids = 64, iters = 10, s"$annDir/index"))
       val probe = clock(graft.similarity.Similarity
         .probeIvfIndex(vecs.filter(col("vec_id") < 100), s"$annDir/index", k = 3, nprobe = 2)
         .queryExecution.toRdd.count())
       val rebuild = clock(graft.similarity.Similarity
-        .ivfKmeansTopKProbed(vecs, numCentroids = 8, iters = 3, k = 3, nprobe = 2)
+        .ivfKmeansTopKProbed(vecs, numCentroids = 64, iters = 10, k = 3, nprobe = 2)
         .filter(col("query_id") < 100)
         .queryExecution.toRdd.count())
       (nVec, build, probe, rebuild)

@@ -139,43 +139,73 @@ object CorpusQueries {
     //  5_quality quality_score >= 0.3 (q31's formula);
     //  6_balance q97's ppm gate re-rated over the quality survivors;
     //  7_pack    q76's shard-local packing: n_bins = distinct (shard, bin).
+    // Plan shape: naive per-stage aggregates would re-run the whole
+    // upstream chain once per stage row (the pair mine 4x — measured 9.8 s
+    // vs q26's own 1.9); instead ONE doc-level frame carries a survival
+    // flag per stage, ONE conditional aggregation produces every stage's
+    // counts, and stack() unpivots the single row — the expensive near-dup
+    // mine executes exactly once.
     "q115_pipeline_e2e" -> ((s, d) => {
       import graft.dedup.Dedup
+      import org.apache.spark.sql.expressions.Window
       val raw = docs(s, d).select(col("doc_id"), col("text"), col("source"))
         .withColumn("n_words", size(split(trim(col("text")), "\\s+")).cast("long"))
       val clean = raw.filter(col("n_words") >= 3)
-      val exactKept = clean.join(
-        Dedup.exactGroups(clean).select(col("keep_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val pairs = Dedup.minhashLshPairs(Dedup.wordShingles(exactKept, 3),
-        numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue)
-      val nearKept = exactKept.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      val qualKept = nearKept.join(
-        TextOps.qualityFeatures(nearKept).filter(col("quality_score") >= 0.3)
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val domCounts = qualKept.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val exactKept = clean.withColumn("__keep",
+          min(col("doc_id")).over(Window.partitionBy(md5(lower(col("text"))))))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
+      val dropped = Dedup.minhashLshPairs(Dedup.wordShingles(exactKept, 3),
+          numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__dup", lit(1L))
+      // per-doc flags, each implying the previous stage's (exact rows only;
+      // raw/clean totals are recoverable from the pre-dedup columns)
+      val qs = least(lit(1.0), col("n_words") / 100.0) *
+        (lit(1.0) - abs(size(filter(split(trim(col("text")), "\\s+"),
+          x => x.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is"))))
+          .cast("double") / col("n_words") - 0.4))
+      val flagged = exactKept.join(dropped, Seq("doc_id"), "left")
+        .withColumn("near", col("__dup").isNull)
+        .withColumn("qual", col("near") && qs >= 0.3)
+      val domCounts = flagged.filter(col("qual"))
+        .groupBy(col("source")).agg(count(lit(1)).as("nd"))
       val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
         .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
-      val balanced = qualKept.join(broadcast(rates), Seq("source"))
-        .filter(Dedup.hex60(col("doc_id").cast("string")) % 1000000 < col("rate_ppm"))
-      val packed = TextOps.packSequences(balanced, budget = 512, shards = 32)
-      def st(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
-            lit(0L).as("n_bins"))
-      val packStat = packed.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
-          countDistinct(col("shard"), col("bin")).as("n_bins"))
-        .select(lit("7_pack").as("stage"), col("n_docs"), col("n_tokens"), col("n_bins"))
-      st("1_raw", raw)
-        .unionByName(st("2_clean", clean))
-        .unionByName(st("3_exact", exactKept))
-        .unionByName(st("4_neardup", nearKept))
-        .unionByName(st("5_quality", qualKept))
-        .unionByName(st("6_balance", balanced))
-        .unionByName(packStat)
+      val bal = flagged.join(broadcast(rates), Seq("source"), "left")
+        .withColumn("bal", col("qual") &&
+          Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
+      // shard-local packing over ONLY the balanced docs: the conditional
+      // running sum skips unbalanced rows, so each balanced doc's exclusive
+      // prefix counts exactly its prior balanced shard-mates (q76 semantics)
+      val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      val packed = bal
+        .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
+        .withColumn("__binkey", when(col("bal"),
+          concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+      val one = packed.agg(
+        count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
+        count(when(col("near"), 1)).as("d4"),
+        coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
+        count(when(col("qual"), 1)).as("d5"),
+        coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
+        count(when(col("bal"), 1)).as("d6"),
+        coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
+        countDistinct(col("__binkey")).as("nb"))
+      val pre = raw.agg(
+        count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+        count(when(col("n_words") >= 3, 1)).as("d2"),
+        coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
+      pre.crossJoin(one).selectExpr(
+        """stack(7,
+          |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
+          |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
+          |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
+          |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
+          |  '5_quality', d5, t5, CAST(0 AS BIGINT),
+          |  '6_balance', d6, t6, CAST(0 AS BIGINT),
+          |  '7_pack',    d6, t6, nb
+          |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
         .orderBy("stage")
     }),
 
