@@ -124,6 +124,16 @@ object CorpusQueries {
     "q109_trigram_backoff" -> ((s, d) =>
       TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id")),
 
+    // BPE tokenizer gate (q105's pattern for the merges-RANKED learner —
+    // the standard alternative to the frequency-ranked WordPiece vocab):
+    // learn 128 merges from the corpus word histogram, round-trip them
+    // through the parquet merge store, re-tokenize every word, and assert
+    // the round-trip / fixpoint / bound / store-parity counters are zero.
+    "q116_bpe_invariants" -> ((s, d) =>
+      graft.text.Bpe.invariantGate(docs(s, d), numMerges = 128,
+          storePath = vocabPath(d) + "_bpe")
+        .orderBy("doc_id")),
+
     // End-to-end curation pipeline: clean -> exact dedup -> minhash near-dup
     // -> quality filter -> domain rebalance -> sequence packing, as ONE
     // composed plan, reported as per-stage (n_docs, n_tokens, n_bins)
@@ -234,6 +244,12 @@ object CorpusQueries {
       """SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
         |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q116_bpe_invariants" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  0 AS concat_viol, 0 AS fixpoint_viol, 0 AS bound_viol,
+        |  0 AS store_viol, 0 AS dup_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The q26 minhash machinery verbatim, re-rooted on the exact-dedup
     // survivors; each stage then reuses the already-green oracle formula of

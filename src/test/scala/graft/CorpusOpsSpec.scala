@@ -314,6 +314,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE: merge learning order, apply fixpoint, and store round-trip") {
+    import graft.text.Bpe
+    val docs = Seq((1L, "ab ab ab"), (2L, "abc xyz")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, numMerges = 10)
+    // (a,b) occurs 4x (3x in 'ab', 1x in 'abc') — the clear first merge;
+    // (ab,c) then occurs once only, so learning stops (singletons earn no
+    // merge) and the list is exactly one merge long
+    assert(merges == Seq(("a", "b")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.tokenizeWord("abab", ranks).toSeq == Seq("ab", "ab"))
+    assert(Bpe.tokenizeWord("abc", ranks).toSeq == Seq("ab", "c"))
+    // unseen chars stay unmerged singles — no OOV collapse
+    assert(Bpe.tokenizeWord("qqab", ranks).toSeq == Seq("q", "q", "ab"))
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.saveMerges(spark, merges, path)
+    assert(Bpe.loadMerges(spark, path) == merges)
+    val counts = Bpe.bpeCounts(docs, merges).orderBy("doc_id").collect()
+    assert(counts(0).getAs[Long]("bpe_tokens") == 3L, "'ab ab ab' -> 3 merged tokens")
+    assert(counts(0).getAs[Long]("merged_words") == 3L)
+    assert(counts(1).getAs[Long]("bpe_tokens") == 5L, "'abc xyz' -> ab+c, x+y+z")
+  }
+
+  test("BPE invariant gate: zero violations on a mixed corpus") {
+    import graft.text.Bpe
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "THE QUICK the quick 12345 a-b-c x!y?z"),
+      (4L, "   "),
+      (5L, "héllo 😀x café"),
+      (6L, "\tx y")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_gate").toString
+    val out = Bpe.invariantGate(docs, numMerges = 64, storePath = path)
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      for (c <- Seq("concat_viol", "fixpoint_viol", "bound_viol", "store_viol", "dup_viol"))
+        assert(r.getAs[Long](c) == 0L, s"$c nonzero for doc ${r.getAs[Long]("doc_id")}")
+    }
+    assert(out(0).getAs[Long]("n_words") == 9L)
+    assert(out(3).getAs[Long]("n_words") == 1L, "whitespace-only text splits to ['']")
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
