@@ -200,6 +200,85 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** A tuned multi-table LSH configuration: what [[lshTuneConfig]] returns
+    * and [[lshMultiTopKSearch]] consumes.
+    *
+    * @param tables            independent hash tables (the recall knob)
+    * @param bits              hyperplane bits per table (the cost knob)
+    * @param sampleRecall      recall@k MEASURED on the tuning sample at
+    *                          exactly (tables, bits) — not a model output
+    * @param candidatesPerQuery tables * corpusSize / 2^bits (expected scan
+    *                          volume per query before the exact rescore)
+    */
+  case class LshConfig(tables: Int, bits: Int, sampleRecall: Double,
+                       candidatesPerQuery: Double)
+
+  /** The (corpus size, target recall) -> (tables, bits) map the LSH knobs
+    * were missing. Protocol, all on a deterministic query sample with
+    * brute-force truth (`idCol < sampleQueries` — the q106-q114 gate
+    * protocol):
+    *
+    *  1. measure single-table recall p at each bits setting and seed a
+    *     table count from the amplification model recall(T) = 1-(1-p)^T,
+    *     picking the bits whose modeled config costs the fewest candidates
+    *     within `maxCandidatesPerQuery`;
+    *  2. MEASURE recall at that seed config, then climb the table count
+    *     (x1.5 steps) re-measuring until the measured value clears
+    *     `targetRecall`, or the candidate budget / `maxTables` binds.
+    *
+    * Step 2 exists because the independence model OVERESTIMATES: table
+    * misses correlate on exactly the hard pairs (a wide-angle neighbor is
+    * missed by most random tables), so 1-(1-p)^T predicted 0.5 where a
+    * real run measured 0.38 on the test embeddings. The returned
+    * `sampleRecall` is therefore always a measured number at the returned
+    * config; if the budget binds first, it is honest best-effort below
+    * target. This is a TUNING utility, not a per-query path — a handful of
+    * sampled searches once, offline (the tools/TuneLsh budget), whose
+    * output configures the production [[lshMultiTopKSearch]].
+    */
+  def lshTuneConfig(vectors: DataFrame, k: Int, targetRecall: Double,
+                    maxCandidatesPerQuery: Double, dim: Int,
+                    minBits: Int = 4, maxBits: Int = 8, maxTables: Int = 64,
+                    sampleQueries: Int = 100,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): LshConfig = {
+    require(targetRecall > 0 && targetRecall < 1, "need 0 < targetRecall < 1")
+    val n = vectors.count().toDouble
+    val sample = vectors.filter(col(idCol) < sampleQueries)
+    val brute = cosineTopK(vectors, sample, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = math.max(1L, brute.count())
+    def measure(tables: Int, bits: Int): Double =
+      lshMultiTopKSearch(vectors, sample, k, bits, tables, dim, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nTruth
+    def cost(tables: Int, bits: Int): Double = tables * n / math.pow(2.0, bits.toDouble)
+    // step 1: model-seeded starting point per bits, cheapest in-budget wins
+    val seeds = (minBits to maxBits).map { bits =>
+      // clamp away 0/1 so the log model stays finite; p = 0 still yields
+      // the max table count rather than a division blow-up
+      val p = math.min(0.999, math.max(1e-6, measure(1, bits)))
+      val t = math.min(maxTables.toDouble,
+        math.ceil(math.log(1 - targetRecall) / math.log(1 - p))).toInt
+      (t, bits)
+    }
+    val inBudget = seeds.filter { case (t, b) => cost(t, b) <= maxCandidatesPerQuery }
+    val (t0, bits) =
+      if (inBudget.nonEmpty) inBudget.minBy { case (t, b) => cost(t, b) }
+      else seeds.minBy { case (t, b) => cost(t, b) }
+    // step 2: measured climb at the chosen bits
+    var t = math.max(1, t0)
+    var r = measure(t, bits)
+    var next = math.max(t + 1, math.ceil(t * 1.5).toInt)
+    while (r < targetRecall && next <= maxTables &&
+        cost(next, bits) <= maxCandidatesPerQuery) {
+      t = next
+      r = measure(t, bits)
+      next = math.max(t + 1, math.ceil(t * 1.5).toInt)
+    }
+    LshConfig(t, bits, sampleRecall = r, candidatesPerQuery = cost(t, bits))
+  }
+
   /** IVF-flat ANN (nprobe=1): the corpus is partitioned into cells by
     * nearest centroid (centroids = the first `numCentroids` vectors — a
     * deterministic seed choice; k-means iterations would slot in here), and

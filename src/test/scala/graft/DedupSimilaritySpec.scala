@@ -243,6 +243,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(search == self, "query-side search diverged from the self-join search")
   }
 
+  test("lshTuneConfig: measured-p model picks a config that reaches its target") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cfg = Similarity.lshTuneConfig(e, k = 3, targetRecall = 0.5,
+      maxCandidatesPerQuery = 500.0, dim = 64)
+    assert(cfg.tables >= 1 && cfg.bits >= 4 && cfg.bits <= 8)
+    assert(cfg.candidatesPerQuery <= 500.0, s"config exceeds its own budget: $cfg")
+    assert(cfg.sampleRecall >= 0.5,
+      s"tuner could not reach the target inside a generous budget: $cfg")
+    // the returned recall is a MEASURED number: an independent rerun of the
+    // returned config must reproduce it exactly (everything deterministic)
+    val brute = Similarity.cosineTopK(e, e.filter(col("vec_id") < 100), 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = Similarity.lshMultiTopKSearch(e, e.filter(col("vec_id") < 100),
+        k = 3, bits = cfg.bits, tables = cfg.tables, dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = lsh.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val actual = hits.toDouble / brute.count()
+    assert(math.abs(actual - cfg.sampleRecall) < 1e-9,
+      f"reported $cfg but independent rerun measured $actual%.3f")
+  }
+
   test("ivf k-means: plan depth is flat in iteration count") {
     // Lloyd iterations collect the broadcast-sized centroid set to the driver
     // and rebuild it as a local relation, so the FINAL search plan must be
