@@ -321,6 +321,20 @@ object DataQueries {
         label = "q111: multi-table LSH recall@3 fell below the 0.1 floor")
     }),
 
+    // The persisted-index twin of the tuned LSH search (the q112 treatment
+    // for the hyperplane family): corpus signatures land partitioned by
+    // (t, bucket) with the vector payloads and a geometry config row, then
+    // the same 100-query search is answered by PROBING the store — query-
+    // side hashing only, no corpus signature recompute. Oracle = the exact
+    // row-level search the store must reproduce.
+    "q117_ann_lsh_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lsh"
+      Similarity.buildLshIndex(emb(s, d), bits = 5, tables = 16, dim = 64, path)
+      Similarity.probeLshIndex(emb(s, d).filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The PRODUCTION-recall LSH config (q111 proves the knob moves; this
     // proves it reaches curation-pipeline recall): 16 random-hyperplane
     // tables x 5 bits through the query-side search (cost ∝ queries, not
@@ -849,6 +863,44 @@ object DataQueries {
          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
          |    FROM ivf_scored) WHERE rk <= 3
          |)""".stripMargin, k = 3),
+    // Row-level twin of the tuned 16x5 search, shared shape with q111's
+    // derivation; q117 probes the PERSISTED signature store, so its rows
+    // must equal the in-memory search — the store round-trip is invisible.
+    "q117_ann_lsh_store" ->
+      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+         |comps AS (
+         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
+         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
+         |  FROM unnest(generate_series(0, 15)) AS tt(t),
+         |       unnest(generate_series(0, 4)) AS jj(j),
+         |       unnest(generate_series(0, 63)) AS dd(d)
+         |),
+         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT b.vec_id, hp.t,
+         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
+         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
+         |  FROM b CROSS JOIN hp
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c
+         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 100
+         |),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
+         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
+         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // Tuned-config twin: identical plane/signature/candidate derivation as
     // q111's oracle, at 16 tables x 5 bits.
     "q114_ann_recall_lshtuned" -> annRecallOracle(

@@ -200,6 +200,68 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Build-once half of the persisted LSH index (the [[buildIvfIndex]]
+    * treatment for the multi-table random-hyperplane family): land the
+    * corpus signatures PARTITIONED BY (t, bucket) — a probe touches only
+    * its own buckets per table, so dynamic partition pruning skips the
+    * unprobed bulk — plus the prepped vector payloads (for the exact
+    * rescore) and a 1-row config table (tables, bits, dim), so the probe
+    * side cannot silently hash with a different geometry than the build.
+    * The planes themselves need no storage: they are pure integer-hash
+    * functions of (t, j, d) ([[lshPlanes]]), the same property that lets
+    * the DuckDB oracles re-derive them.
+    */
+  def buildLshIndex(vectors: DataFrame, bits: Int, tables: Int, dim: Int, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val c = lshPrepped(vectors, dim, idCol, vecCol)
+    lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
+      .repartition(col("t"), col("bucket"))
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs")
+    c.write.mode("overwrite").parquet(s"$path/vectors")
+    Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+  }
+
+  /** Probe-many half: hash ONLY the query set (tables rows per query, with
+    * the geometry read from the stored config), candidate-join into the
+    * stored signature partitions, and rescore exactly against the stored
+    * vector payloads — no corpus-side signature recompute. Produces exactly
+    * [[lshMultiTopKSearch]]'s rows for the stored (tables, bits) build (the
+    * q117 gate hash-checks that equivalence).
+    */
+  def probeLshIndex(queries: DataFrame, path: String, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cfg = spark.read.parquet(s"$path/config").head()
+    val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
+      cfg.getAs[Int]("dim"))
+    // partition columns come back as directory-inferred ints; restore the
+    // build's longs so the join keys and output hash-match the in-memory path
+    val sigC = spark.read.parquet(s"$path/sigs")
+      .select(col(idCol), col("t").cast("long").as("t"),
+        col("bucket").cast("long").as("bucket"))
+    val cVec = spark.read.parquet(s"$path/vectors")
+    val q = lshPrepped(queries, dim, idCol, vecCol)
+    val sigQ = lshSigs(q, lshPlanes(queries, tables, bits, dim), idCol)
+    val cand = sigQ.as("q").join(sigC.as("c"),
+        col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
+          col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(q.select(col(idCol).as("query_id"), col("v").as("qv"), col("n").as("qn")),
+        Seq("query_id"))
+      .join(cVec.select(col(idCol).as("neighbor_id"), col("v").as("cv"), col("n").as("cn")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(ndot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** A tuned multi-table LSH configuration: what [[lshTuneConfig]] returns
     * and [[lshMultiTopKSearch]] consumes.
     *

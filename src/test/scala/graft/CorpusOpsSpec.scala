@@ -336,6 +336,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counts(1).getAs[Long]("bpe_tokens") == 5L, "'abc xyz' -> ab+c, x+y+z")
   }
 
+  test("packing and trimming compose with BPE token counts") {
+    import graft.text.Bpe
+    val docs = Seq((0L, "en", "ab ab ab"), (1L, "en", "abc"), (2L, "en", "x y z"))
+      .toDF("doc_id", "lang", "text")
+    val merges = Seq(("a", "b"))
+    val withCounts = docs.join(
+      Bpe.bpeCounts(docs, merges).select(col("doc_id"), col("bpe_tokens")),
+      Seq("doc_id"))
+    // BPE counts: doc0 = ab+ab+ab = 3, doc1 = ab+c = 2, doc2 = 3
+    val packed = TextOps.packSequences(withCounts, budget = 3, shards = 1,
+        tokenCount = Some(col("bpe_tokens")))
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 2L, 3L),
+      "packing consumed the BPE counts, not the whitespace counts")
+    assert(packed.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 1L),
+      "bins cut at the BPE-token budget")
+    val trimmed = TextOps.lengthTrim(withCounts, loPct = 0.0, hiPct = 1.0,
+      tokenCount = Some(col("bpe_tokens"))).collect()(0)
+    assert(trimmed.getAs[Long]("kept_tokens") == 8L,
+      "trim ranked and summed the BPE counts")
+  }
+
   test("BPE invariant gate: zero violations on a mixed corpus") {
     import graft.text.Bpe
     val docs = Seq(

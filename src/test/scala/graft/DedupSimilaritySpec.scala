@@ -243,6 +243,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(search == self, "query-side search diverged from the self-join search")
   }
 
+  test("persisted LSH index: probe reproduces the in-memory search bit-for-bit") {
+    val vecs = (0L to 19L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_eq").toString
+    Similarity.buildLshIndex(vecs, bits = 4, tables = 4, dim = 8, path)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val mem = canon(Similarity.lshMultiTopKSearch(vecs,
+      vecs.filter(col("vec_id") < 5), k = 3, bits = 4, tables = 4, dim = 8))
+    val stored = canon(Similarity.probeLshIndex(vecs.filter(col("vec_id") < 5), path, k = 3))
+    assert(stored == mem, "store round-trip changed the search results")
+    // the probe plan reads the stored signatures; the only aggregation
+    // allowed above store relations is the pure candidate DISTINCT — an
+    // aggregate FUNCTION there would be the corpus signature recompute
+    // (lshSigs' sum) leaking back into the hot path
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val probe = Similarity.probeLshIndex(vecs.filter(col("vec_id") < 5), path, k = 3)
+    def scansStore(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation =>
+          f.location.rootPaths.exists(r => r.toString.contains(s"$path/sigs") ||
+            r.toString.contains(s"$path/vectors"))
+        case _ => false
+      }
+      case _ => false
+    }
+    val plan = probe.queryExecution.optimizedPlan
+    assert(scansStore(plan), "probe plan lost its store scans")
+    val withAggFns = plan.collect {
+      case a: Aggregate if scansStore(a) &&
+        a.aggregateExpressions.exists(_.exists(_.isInstanceOf[AggregateExpression])) => a
+    }
+    assert(withAggFns.isEmpty,
+      "aggregate functions over the stored index — corpus hashing leaked back in")
+  }
+
   test("lshTuneConfig: measured-p model picks a config that reaches its target") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cfg = Similarity.lshTuneConfig(e, k = 3, targetRecall = 0.5,
