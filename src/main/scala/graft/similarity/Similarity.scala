@@ -515,11 +515,49 @@ object Similarity {
     */
   def buildIvfIndex(vectors: DataFrame, numCentroids: Int, iters: Int, path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
     val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
+    // cells nest one more partition level (batch=<append id>/cell=<cell>)
+    // so [[ivfAppendCells]] can land increments as whole directories; a
+    // REBUILD must clear prior appends, not just batch=0, hence the delete
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
     assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells/batch=0")
+  }
+
+  /** Append-half of the persisted IVF index for a GROWING corpus: assign a
+    * batch of NEW vectors to the STORED centroids — no Lloyd refit; the
+    * index geometry is fixed at build time and drift correction is a batch
+    * re-index, exactly how production IVF deployments behave — and land
+    * them as the `cells/batch=<appendId>` partition directory. Exactly-once
+    * without a ledger file: the batch directory's EXISTENCE is the ledger
+    * (returns false and does nothing when it already exists), the write
+    * stages into a dot-prefixed dir Spark's partition discovery ignores,
+    * and one checked rename publishes it atomically. Replays after a crash
+    * therefore re-stage and re-publish with no double counting, and
+    * [[probeIvfIndex]] sees every published batch with zero changes — the
+    * `batch` column is simply never selected.
+    */
+  def ivfAppendCells(vectors: DataFrame, path: String, appendId: Long,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    require(appendId >= 1, "appendId 0 is the initial build")
+    val spark = vectors.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
+    if (fs.exists(dst)) return false
+    val cent = spark.read.parquet(s"$path/centroids")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/cells/.staging-$appendId")
+    fs.delete(staging, true)
+    assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    require(fs.rename(staging, dst), s"could not land $staging at $dst")
+    true
   }
 
   /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no

@@ -558,6 +558,40 @@ object StreamingPipeline {
     swapInStore(spark, staging, storePath)
   }
 
+  /** Incremental IVF index maintenance — the `foreachBatch` body for a
+    * growing embedding corpus: each micro-batch assigns its vectors to the
+    * index's FIXED stored centroids and publishes one `batch=<id+1>` cell
+    * directory ([[graft.similarity.Similarity.ivfAppendCells]] — directory
+    * presence is the exactly-once ledger, so foreachBatch replays are
+    * no-ops). Search continues through
+    * [[graft.similarity.Similarity.probeIvfIndex]] unchanged, seeing every
+    * published append; centroid drift correction is a batch re-index
+    * ([[graft.similarity.Similarity.buildIvfIndex]]), not a streaming
+    * concern.
+    */
+  def ivfAppendBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.similarity.Similarity.ivfAppendCells(batch, storePath, batchId + 1)
+    ()
+  }
+
+  /** File-source stream of embeddings (vec_id, embedding). */
+  def readEmbeddingStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "16")
+      .parquet(path)
+
+  /** Streaming IVF index maintenance: embedding stream -> per-micro-batch
+    * cell appends against the fixed centroids via [[ivfAppendBatch]].
+    */
+  def ivfAppendStream(embeddings: DataFrame, storePath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(ivfAppendBatch(storePath) _)
+
   /** File-source stream of documents (doc_id, text). */
   def readDocStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream

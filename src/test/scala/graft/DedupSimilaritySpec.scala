@@ -243,6 +243,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(search == self, "query-side search diverged from the self-join search")
   }
 
+  test("persisted IVF index: appends assign to the FIXED centroids exactly once") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 14); val b3 = mk(15 to 19)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_ivf_app1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_ivf_app2").toString
+    Similarity.buildIvfIndex(b1, numCentroids = 2, iters = 2, p1)
+    Similarity.buildIvfIndex(b1, numCentroids = 2, iters = 2, p2)
+    // streamed shape: two appends with a replayed id in between
+    assert(Similarity.ivfAppendCells(b2, p1, appendId = 1))
+    assert(!Similarity.ivfAppendCells(b2, p1, appendId = 1),
+      "replayed append id must be a no-op")
+    assert(Similarity.ivfAppendCells(b3, p1, appendId = 2))
+    // reference shape: the same rows landed as ONE append
+    assert(Similarity.ivfAppendCells(b2.unionByName(b3), p2, appendId = 1))
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(path: String): Seq[String] =
+      Similarity.probeIvfIndex(all, path, k = 2, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(p1)
+    assert(streamed == canon(p2), "append batching order changed the index contents")
+    // appended vectors really participate in search
+    val neighbors = Similarity.probeIvfIndex(all, p1, k = 2, nprobe = 1)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(neighbors.exists(_ >= 10L), "appended vectors never surfaced as neighbors")
+  }
+
   test("persisted LSH index: probe reproduces the in-memory search bit-for-bit") {
     val vecs = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
