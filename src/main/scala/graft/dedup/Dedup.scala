@@ -373,6 +373,39 @@ object Dedup {
       .withColumn("overlap_frac", round(col("n_overlap") / col("n_shingles"), 6))
   }
 
+  /** Bloom-prefiltered contamination: the same audit as [[contamination]],
+    * restructured for the 100 TB asymmetry where the corpus side is
+    * enormous and the benchmark side is small-but-not-broadcastable as raw
+    * strings. The benchmark shingle set becomes an `m`-bit Bloom filter
+    * ([[graft.sketch.Sketches.bloomWords]] — `m/32` packed words, 256 KB at
+    * m=2^21 vs the strings' raw bytes), every corpus shingle probes it
+    * map-side, and only the bloom-POSITIVE survivors (true overlaps plus
+    * the ~(1-e^(-kn/m))^k false-positive sliver) enter the exact
+    * shingle-keyed join. No false negatives are possible by construction,
+    * so `n_present` is EXACT — the filter moves cost, never answers. The
+    * probed subtree feeds both the per-doc totals and the survivor join
+    * (the registry's documented materialize-at-scale caveat: persist it
+    * when running this standalone on a real corpus).
+    * Output: (doc_id, n_shingles, n_bloom_pos, n_present, contaminated).
+    */
+  def bloomContamination(corpusShingles: DataFrame, benchShingles: DataFrame,
+                         k: Int = 4, m: Int = 1 << 21): DataFrame = {
+    val bench = benchShingles.select(col("shingle")).distinct()
+    val words = graft.sketch.Sketches.bloomWords(bench, "shingle", k, m)
+    val probed = graft.sketch.Sketches.bloomMightContain(
+      corpusShingles.select(col("doc_id"), col("shingle")).distinct(),
+      words, "shingle", k, m)
+    val present = probed.filter(col("might_contain"))
+      .join(bench, Seq("shingle"), "leftsemi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_present"))
+    probed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_pos"))
+      .join(present, Seq("doc_id"), "left")
+      .withColumn("n_present", coalesce(col("n_present"), lit(0L)))
+      .withColumn("contaminated", col("n_present") > 0)
+  }
+
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
     * fingerprint is 1 iff the sum of +-1 contributions (tokens whose hash has
     * bit b set contribute +1, else -1) is strictly positive.

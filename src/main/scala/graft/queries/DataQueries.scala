@@ -24,15 +24,10 @@ object DataQueries {
     sys.props("java.io.tmpdir") + "/graft_ivf_index_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Shared oracle CTEs: tokens and distinct word-trigram shingles. */
-  private val triCte: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-      |),
-      |tri AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
-      |)""".stripMargin
+  /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
+    * definition — [[OracleCte.triCte]] — shared with the sketch oracles).
+    */
+  private val triCte: String = OracleCte.triCte
 
   /** Unrolled DuckDB mirror of [[Similarity.ivfKmeansTopK]] for any iteration
     * count: c0 is the deterministic seed, each Lloyd iteration t emits

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.sketch.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,6 +37,24 @@ object SketchQueries {
       val terms = Tables(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       Sketches.countMinTopK(terms, "term", d = 3, w = 1024, k = 20)
+    }),
+
+    // Bloom-prefiltered benchmark decontamination (q75's audit restructured
+    // for the 100 TB corpus/benchmark asymmetry): the hex60 20% held-out
+    // slice plays the benchmark suite; its trigram-shingle Bloom filter
+    // (k=4, m=2^20 — 32 K packed words) prefilters the 80% corpus side so
+    // only bloom-positive shingles reach the exact join. assert_true
+    // enforces the no-false-negative invariant that keeps n_present exact.
+    "q118_bloom_decontam" -> ((s, d) => {
+      val sh = Dedup.wordShingles(Tables(s, d, "documents"), 3)
+        .withColumn("__b", Dedup.hex60(col("doc_id").cast("string")) % 100)
+      Dedup.bloomContamination(
+          sh.filter(col("__b") < 80).drop("__b"),
+          sh.filter(col("__b") >= 80).drop("__b"),
+          k = 4, m = 1 << 20)
+        .filter(assert_true(col("n_present") <= col("n_bloom_pos"),
+          lit("q118: bloom false negative")).isNull)
+        .orderBy("doc_id")
     }),
 
     // Histogram-sketch quantiles per event type (bin width 50, 20 bins):
@@ -102,6 +121,53 @@ object SketchQueries {
          |  GROUP BY 1, 2
          |)
          |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+    // Replays the filter bit-for-bit: same hex60 seeded bits, same 32-bit
+    // word packing (bit_or of BIGINT masks), same k-of-k membership test,
+    // then the exact join on the bloom-positive survivors only.
+    "q118_bloom_decontam" ->
+      s"""WITH ${OracleCte.triCte},
+         |b AS (
+         |  SELECT doc_id, shingle,
+         |    ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM tri
+         |),
+         |bench AS (SELECT DISTINCT shingle FROM b WHERE bucket >= 80),
+         |words AS (
+         |  SELECT bit >> 5 AS word_idx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(bit & 31 AS INT)) AS word
+         |  FROM (
+         |    SELECT ${hex60Sql("s.seed || ':' || bench.shingle")} % 1048576 AS bit
+         |    FROM bench CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+         |  ) GROUP BY 1
+         |),
+         |probes AS (
+         |  SELECT c.doc_id, c.shingle,
+         |    ${hex60Sql("s.seed || ':' || c.shingle")} % 1048576 AS bit
+         |  FROM (SELECT DISTINCT doc_id, shingle FROM b WHERE bucket < 80) c
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+         |),
+         |flags AS (
+         |  SELECT p.doc_id, p.shingle,
+         |    (count(*) FILTER (WHERE
+         |      (w.word & (CAST(1 AS BIGINT) << CAST(p.bit & 31 AS INT))) <> 0) = 4) AS might
+         |  FROM probes p LEFT JOIN words w ON w.word_idx = p.bit >> 5
+         |  GROUP BY 1, 2
+         |),
+         |pres AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_present
+         |  FROM flags f JOIN bench bn ON bn.shingle = f.shingle
+         |  WHERE f.might GROUP BY 1
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos
+         |  FROM flags GROUP BY 1
+         |)
+         |SELECT a.doc_id, a.n_shingles, a.n_bloom_pos,
+         |  coalesce(p.n_present, CAST(0 AS BIGINT)) AS n_present,
+         |  coalesce(p.n_present, 0) > 0 AS contaminated
+         |FROM agg a LEFT JOIN pres p ON p.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "q103_hist_quantiles" ->
       s"""WITH sk AS (
          |  SELECT event_type,

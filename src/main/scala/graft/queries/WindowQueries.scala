@@ -50,6 +50,19 @@ object OracleCte {
   val hex60Sql: String => String =
     e => s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"
 
+  /** DuckDB twin of [[graft.dedup.Dedup.wordShingles]] at n=3 over the
+    * documents table — the ONE shingle definition the dedup/decontamination
+    * oracles share (same drifted-copy argument as [[hex60Sql]]).
+    */
+  val triCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |)""".stripMargin
+
   /** Spark twin of the quantization inside the `series` oracle CTE.
     *
     * Event values are exact 2-decimal quantities, so the true per-day sums

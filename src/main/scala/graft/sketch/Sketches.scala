@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, mergeable sketches for corpus-scale statistics —
-  * approximate distinct counting (HyperLogLog) and approximate frequency /
-  * heavy hitters (count-min). Spark ships its own HLL++
+  * approximate distinct counting (HyperLogLog), approximate frequency /
+  * heavy hitters (count-min), fixed-bin quantile histograms, and
+  * approximate membership (Bloom). Spark ships its own HLL++
   * (`approx_count_distinct`), but its register layout and bias tables are
   * engine-private, so its estimates can never be checked against another
   * engine. These sketches instead fix every bit of the computation — the
@@ -205,6 +206,65 @@ object Sketches {
     }
     cum.groupBy(k: _*)
       .agg(max(col("total")).as("n_rows"), qCols: _*)
+  }
+
+  /** Bloom-filter sketch STATE: the packed word table — `(word_idx, word)`
+    * rows where bit `i` of the filter lives at
+    * `word_idx = i >> 5, mask = 1 << (i & 31)` (32 bits per BIGINT word, so
+    * every mask and every OR stays inside non-negative int64 range on both
+    * engines — a 64-bit packing would need `1 << 63`, whose sign semantics
+    * DuckDB and the JVM disagree on). An item sets `k` bits,
+    * `hex60(seed:item) mod m` for seeds `0..k-1` — the same seeded-hash
+    * scheme as [[cmsCells]]. At most `m/32` rows regardless of input size,
+    * and words from disjoint slices merge with bitwise OR — commutative,
+    * associative, and IDEMPOTENT, so like the HLL register table (and unlike
+    * the SUM-merged count-min/histogram families) replayed batches re-apply
+    * harmlessly and any merge tree yields the bit-identical filter.
+    *
+    * This is the membership prefilter at 100 TB: a set of n keys becomes
+    * `m` BITS (not rows — 2^21 bits is 256 KB), the filter broadcasts to
+    * every probe task, and a definite-NO answer skips the expensive exact
+    * join entirely. False positives are resolved by running the exact check
+    * on just the bloom-positive survivors; false negatives are impossible
+    * by construction, which is what keeps the composed result EXACT (see
+    * the q118 gate).
+    */
+  def bloomWords(items: DataFrame, itemCol: String,
+                 k: Int = 4, m: Int = 1 << 21): DataFrame = {
+    require(Integer.bitCount(m) == 1 && m >= 32, s"m must be a power of two >= 32: $m")
+    require(k >= 1 && k <= 16, s"hash count out of range: $k")
+    items.select(col(itemCol), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .withColumn("__bit", hex60(concat_ws(":", col("seed"), col(itemCol))) % m)
+      .select(shiftright(col("__bit"), 5).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit & 31 AS INT))").as("__mask"))
+      .groupBy(col("word_idx")).agg(expr("bit_or(__mask)").as("word"))
+  }
+
+  /** Merge two word tables (same k/m): union + per-word bitwise OR. */
+  def bloomMergeWords(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("word_idx")).agg(expr("bit_or(word)").as("word"))
+
+  /** Membership probe: every input row (any columns) gains `might_contain` —
+    * true iff all `k` of `itemCol`'s bits are set in the filter. The word
+    * table joins BROADCAST (it is at most `m/32` rows by construction), so
+    * probing is map-side: no shuffle of the probe stream beyond the per-row
+    * regroup, and at scale the definite-NO rows never reach the exact join
+    * this filter fronts. `k`/`m` must match the build call.
+    */
+  def bloomMightContain(items: DataFrame, words: DataFrame, itemCol: String,
+                        k: Int = 4, m: Int = 1 << 21): DataFrame = {
+    val orig = items.columns.map(col)
+    items.select(orig :+ explode(sequence(lit(0), lit(k - 1))).as("seed"): _*)
+      .withColumn("__bit", hex60(concat_ws(":", col("seed"), col(itemCol))) % m)
+      .withColumn("word_idx", shiftright(col("__bit"), 5))
+      .join(broadcast(words), Seq("word_idx"), "left")
+      .withColumn("__hit",
+        when(coalesce(col("word"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit & 31 AS INT))")) =!= 0L,
+          1).otherwise(0))
+      .groupBy(orig: _*)
+      .agg((sum(col("__hit")) === k).as("might_contain"))
   }
 
   /** Count-min frequency estimates with a top-k heavy-hitter report.

@@ -626,6 +626,47 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(hllMergeBatch(storePath, keys, itemCol, b) _)
 
+  /** Incremental Bloom-filter maintenance — the `foreachBatch` body for a
+    * streaming membership prefilter (e.g. the benchmark / historical-corpus
+    * side of [[graft.dedup.Dedup.bloomContamination]], kept current as the
+    * protected set grows). Word rows merge with bitwise OR, which like the
+    * HLL register max is commutative, associative, and IDEMPOTENT — so no
+    * `_batches` ledger is needed: a replayed batch re-ORs the same bits and
+    * the store after ANY prefix of batches is bit-identical to
+    * [[graft.sketch.Sketches.bloomWords]] over the same rows. Lands via the
+    * same staged [[swapInStore]] crash contract as the other maintainers.
+    */
+  def bloomMergeBatch(storePath: String, itemCol: String,
+                      k: Int = 4, m: Int = 1 << 21)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val words = graft.sketch.Sketches.bloomWords(batch, itemCol, k, m)
+    val merged = readSketchStore(spark, storePath) match {
+      case Some(prev) => graft.sketch.Sketches.bloomMergeWords(prev, words)
+      case None       => words
+    }
+    val staging = s"$storePath.staging-$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    swapInStore(spark, staging, storePath)
+  }
+
+  /** Streaming membership filter: document stream -> trigram shingles ->
+    * incremental Bloom word store via [[bloomMergeBatch]]. Probe at any time
+    * with `Sketches.bloomMightContain(items, spark.read.parquet(storePath),
+    * itemCol, k, m)` — bit-identical to the batch filter over every document
+    * delivered so far.
+    */
+  def bloomShingleStream(docs: DataFrame, storePath: String, checkpoint: String,
+                         n: Int = 3, k: Int = 4, m: Int = 1 << 21): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomMergeBatch(storePath, "shingle", k, m)(
+          graft.dedup.Dedup.wordShingles(batch, n), batchId)
+      }
+
   /** Streaming quantile sketch: file-source events -> incremental histogram
     * bucket store via [[histMergeBatch]]. Read quantiles at any time with
     * `Sketches.histogramQuantiles(spark.read.parquet(storePath), keys,

@@ -209,6 +209,97 @@ class OlapSketchSpec extends SparkSpec {
       == batchRows, "replayed ids are no-ops; final store == batch sketch")
   }
 
+  test("bloom: no false negatives ever; fp rate tracks the analytic bound; state stays bounded") {
+    val members = (1 to 2000).map(i => s"item_$i").toDF("item")
+    // production-shaped sizing: kn/m = 0.12, analytic fp ~ 1.7e-4
+    val words = Sketches.bloomWords(members, "item", k = 4, m = 1 << 16)
+    assert(words.count() <= (1 << 16) / 32, "word table must stay <= m/32 rows")
+    val neg = Sketches.bloomMightContain(members, words, "item", 4, 1 << 16)
+      .filter(!col("might_contain")).count()
+    assert(neg == 0, s"$neg false negatives — structurally impossible unless k/m mismatch")
+    val outsiders = (1 to 4000).map(i => s"other_$i").toDF("item")
+    val fpBig = Sketches.bloomMightContain(outsiders, words, "item", 4, 1 << 16)
+      .filter(col("might_contain")).count()
+    assert(fpBig <= 8, s"fp count $fpBig far above the ~0.7 analytic expectation")
+
+    // overloaded sizing (kn/m = 0.98): fp must appear AND stay near the
+    // (1 - e^-kn/m)^k = 0.151 bound — the test that the math is the real fp
+    // driver, not an accident of sparse state
+    val crowded = Sketches.bloomWords(members, "item", k = 4, m = 1 << 13)
+    val fpSmall = Sketches.bloomMightContain(outsiders, crowded, "item", 4, 1 << 13)
+      .filter(col("might_contain")).count()
+    assert(fpSmall > 0, "overloaded filter must show false positives")
+    assert(fpSmall.toDouble / 4000 < 0.30, s"fp rate ${fpSmall / 4000.0} above 2x the 0.151 bound")
+    val negSmall = Sketches.bloomMightContain(members, crowded, "item", 4, 1 << 13)
+      .filter(!col("might_contain")).count()
+    assert(negSmall == 0, "even an overloaded filter has NO false negatives")
+  }
+
+  test("bloom: OR-merge tree equals batch build bit-exactly and re-merge is a no-op") {
+    val all = (1 to 3000).map(i => s"k$i").toDF("item")
+    val slices = Seq(all.limit(1000), all.offset(1000).limit(1000), all.offset(2000))
+    val batch = Sketches.bloomWords(all, "item", 4, 1 << 16)
+      .orderBy("word_idx").collect().map(_.toString).toSeq
+    val merged = slices.map(Sketches.bloomWords(_, "item", 4, 1 << 16))
+      .reduceRight(Sketches.bloomMergeWords)
+    assert(merged.orderBy("word_idx").collect().map(_.toString).toSeq == batch,
+      "merge tree must reproduce the single-pass filter exactly")
+    // idempotence: re-ORing an already-included slice changes nothing
+    val again = Sketches.bloomMergeWords(merged,
+      Sketches.bloomWords(slices.head, "item", 4, 1 << 16))
+    assert(again.orderBy("word_idx").collect().map(_.toString).toSeq == batch)
+  }
+
+  test("bloom contamination: prefiltered audit is EXACT — equal to the full join audit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = graft.dedup.Dedup.wordShingles(docs, 3)
+      .withColumn("__b", graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100)
+    val corpus = sh.filter(col("__b") < 80).drop("__b")
+    val bench = sh.filter(col("__b") >= 80).drop("__b")
+    val pre = graft.dedup.Dedup.bloomContamination(corpus, bench, k = 4, m = 1 << 20)
+    val exact = graft.dedup.Dedup.contamination(corpus, bench)
+    val joined = pre.join(exact, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_present") == r.getAs[Long]("n_overlap"),
+        s"doc ${r.getAs[Long]("doc_id")}: prefiltered count diverged from the exact join")
+      assert(r.getAs[Long]("n_bloom_pos") >= r.getAs[Long]("n_present"))
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_overlap") > 0))
+    }
+  }
+
+  test("streaming bloom store: restart reproduces the batch filter; replayed ids are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val in = s"$base/in"; val store = s"$base/words"
+    val mk = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, s"alpha b$i gamma d$i epsilon"))
+      .toDF("doc_id", "text")
+    mk(1, 300).write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.bloomShingleStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    mk(301, 600).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.bloomShingleStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val batch = Sketches.bloomWords(
+        graft.dedup.Dedup.wordShingles(mk(1, 600), 3), "shingle")
+      .orderBy("word_idx").collect().map(_.toString).toSeq
+    assert(spark.read.parquet(store).orderBy("word_idx").collect().map(_.toString).toSeq
+      == batch, "streamed word store == one-shot batch filter, bit-identical")
+
+    // OR-merge is idempotent, so replayed batch ids need no ledger
+    val store2 = s"$base/words2"
+    val body = StreamingPipeline.bloomMergeBatch(store2, "shingle") _
+    val shingles = (lo: Int, hi: Int) => graft.dedup.Dedup.wordShingles(mk(lo, hi), 3)
+    body(shingles(1, 300), 0L)
+    body(shingles(1, 300), 0L) // replay
+    body(shingles(301, 600), 1L)
+    body(shingles(301, 600), 1L) // replay
+    assert(spark.read.parquet(store2).orderBy("word_idx").collect().map(_.toString).toSeq
+      == batch, "replays re-OR the same bits; final store == batch filter")
+  }
+
   test("funnel: stage counts only shrink and strict ordering is enforced") {
     val counts = queries.OlapQueries.defs("q87_funnel")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
