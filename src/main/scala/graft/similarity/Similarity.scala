@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -548,6 +548,7 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    recoverCells(fs, path)
     val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
     if (fs.exists(dst)) return false
     val cent = spark.read.parquet(s"$path/centroids")
@@ -558,6 +559,66 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     require(fs.rename(staging, dst), s"could not land $staging at $dst")
     true
+  }
+
+  /** Recover a compaction crash window: if only `cells.prev` survives (a
+    * crash between [[compactIvfIndex]]'s two renames), move it back before
+    * mutating the index — otherwise an append would land into a fresh
+    * `cells/` and orphan the corpus.
+    */
+  private def recoverCells(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val prev = new org.apache.hadoop.fs.Path(s"$path/cells.prev")
+    if (!fs.exists(cells) && fs.exists(prev))
+      require(fs.rename(prev, cells), s"could not recover $prev to $cells")
+  }
+
+  /** Maintenance half of the persisted IVF index: collapse the accumulated
+    * `cells/batch=<id>` append directories into a single compacted
+    * `batch=0`. Why this exists: every append lands one file per touched
+    * cell, so after B appends a probe of one cell opens up to B small files
+    * — the classic small-files decay of any append-only store; compaction
+    * restores the one-file-per-cell read path the initial build had.
+    * Rows are preserved exactly ([[probeIvfIndex]] results are
+    * bit-identical before/after — the spec asserts it) and the
+    * EXACTLY-ONCE ledger survives: every previously-published append id is
+    * left behind as an EMPTY `batch=<id>` tombstone directory, so
+    * [[ivfAppendCells]]'s existence check still refuses replays of merged
+    * batches (parquet readers ignore file-less directories, so tombstones
+    * cost nothing at probe time). The rewritten tree stages complete under
+    * a dot-prefixed dir, then lands via the same two-rename swap as the
+    * sketch stores — [[probeIvfIndex]] falls back to `cells.prev` inside
+    * the window, and [[recoverCells]] heals a crash between the renames.
+    * Single-maintainer assumption as with all the stores: don't run two
+    * compactions (or a compaction and an append) concurrently.
+    * Returns the number of data-bearing batch directories compacted
+    * (0 = nothing to do).
+    */
+  def compactIvfIndex(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    recoverCells(fs, path)
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val batchDirs = fs.listStatus(cells)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    if (dataIds.length <= 1) return 0
+    val allIds = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val data = spark.read.parquet(cells.toString)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/.cells-compact")
+    fs.delete(staging, true)
+    data.select(data.columns.filterNot(_ == "batch").map(col): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/batch=0")
+    allIds.filter(_ != 0L).foreach(id =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+    val prev = new org.apache.hadoop.fs.Path(s"$path/cells.prev")
+    fs.delete(prev, true)
+    require(fs.rename(cells, prev), s"could not move $cells aside to $prev")
+    require(fs.rename(staging, cells), s"could not land $staging at $cells")
+    fs.delete(prev, true)
+    dataIds.length
   }
 
   /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no
@@ -575,9 +636,16 @@ object Similarity {
     val spark = queries.sparkSession
     require(nprobe >= 1, "need nprobe >= 1")
     val cent = spark.read.parquet(s"$path/centroids")
+    // read-only .prev fallback covers the window between compactIvfIndex's
+    // two renames (and a crash inside it) without mutating the store
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val cellsDir =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells"))) s"$path/cells"
+      else s"$path/cells.prev"
     // the partition column comes back as the inferred directory type (int);
     // restore the build's long so q112 hash-matches q107's cell column
-    val idx = spark.read.parquet(s"$path/cells")
+    val idx = spark.read.parquet(cellsDir)
       .select(col(idCol), col("v"), col("n"), col("cell").cast("long").as("cell"))
     val q = prepped(queries, idCol, vecCol)
     val topCells = q.join(broadcast(cent))

@@ -272,6 +272,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(neighbors.exists(_ >= 10L), "appended vectors never surfaced as neighbors")
   }
 
+  test("persisted IVF index: compaction collapses batch dirs, preserves probes and the ledger") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 14); val b3 = mk(15 to 19)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    Similarity.buildIvfIndex(b1, numCentroids = 2, iters = 2, p)
+    assert(Similarity.ivfAppendCells(b2, p, appendId = 1))
+    assert(Similarity.ivfAppendCells(b3, p, appendId = 2))
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(): Seq[String] =
+      Similarity.probeIvfIndex(all, p, k = 2, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val before = canon()
+    assert(Similarity.compactIvfIndex(spark, p) == 3, "three data dirs to compact")
+    assert(canon() == before, "compaction changed probe results")
+    // one data-bearing dir left; merged ids survive as tombstones
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/cells"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    assert(dirs.count(s => fs.listFiles(s.getPath, true).hasNext) == 1,
+      "all rows must land in a single compacted batch dir")
+    assert(dirs.map(_.getPath.getName).toSet == Set("batch=0", "batch=1", "batch=2"))
+    // the existence ledger still refuses replays of merged batches
+    assert(!Similarity.ivfAppendCells(b2, p, appendId = 1))
+    assert(!Similarity.ivfAppendCells(b3, p, appendId = 2))
+    // a compacted index keeps accepting and serving NEW appends
+    val b4 = mk(20 to 24)
+    assert(Similarity.ivfAppendCells(b4, p, appendId = 3))
+    val withNew = Similarity.probeIvfIndex(b1.unionByName(b4), p, k = 2, nprobe = 1)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(withNew.exists(_ >= 20L), "post-compaction append never surfaced")
+    // idempotence: base + one append -> compact merges 2; immediate re-run is a no-op
+    val afterAppend = canon()
+    assert(Similarity.compactIvfIndex(spark, p) == 2)
+    assert(Similarity.compactIvfIndex(spark, p) == 0, "second compaction must be a no-op")
+    assert(canon() == afterAppend, "recompaction changed probe results")
+  }
+
   test("persisted LSH index: probe reproduces the in-memory search bit-for-bit") {
     val vecs = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
