@@ -215,14 +215,70 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
     val c = lshPrepped(vectors, dim, idCol, vecCol)
+    // sigs/vectors nest a batch=<append id> level so [[lshAppendVectors]]
+    // can land increments as whole directories (the [[ivfAppendCells]]
+    // layout); a REBUILD must clear prior appends, hence the deletes
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
     lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
       .repartition(col("t"), col("bucket"))
-      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs")
-    c.write.mode("overwrite").parquet(s"$path/vectors")
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs/batch=0")
+    c.write.mode("overwrite").parquet(s"$path/vectors/batch=0")
     Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
   }
+
+  /** Append-half of the persisted LSH index for a GROWING corpus: hash a
+    * batch of NEW vectors with the STORED geometry (the planes are pure
+    * integer-hash functions of (t, j, d), so `config`'s (tables, bits, dim)
+    * IS the complete hash state — nothing drifts) and land it as the
+    * `batch=<appendId>` directories. Exactly-once via the same
+    * directory-existence ledger as [[ivfAppendCells]], with one extra
+    * subtlety: an append lands TWO directories (rescore payloads under
+    * `vectors/`, candidate signatures under `sigs/`), so payloads land
+    * FIRST and the sigs rename publishes the append — a crash in between
+    * leaves payload rows no candidate can reach (invisible, re-landed by
+    * the replay) rather than candidates whose rescore join would silently
+    * drop rows.
+    */
+  def lshAppendVectors(vectors: DataFrame, path: String, appendId: Long,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    require(appendId >= 1, "appendId 0 is the initial build")
+    val spark = vectors.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, s"$path/sigs")
+    recoverDir(fs, s"$path/vectors")
+    val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
+    if (fs.exists(ledger)) return false
+    val cfg = spark.read.parquet(s"$path/config").head()
+    val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
+      cfg.getAs[Int]("dim"))
+    val c = lshPrepped(vectors, dim, idCol, vecCol)
+    // payloads first (a crashed attempt's leftovers are simply overwritten)
+    c.write.mode("overwrite").parquet(s"$path/vectors/batch=$appendId")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/sigs/.staging-$appendId")
+    fs.delete(staging, true)
+    lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
+      .repartition(col("t"), col("bucket"))
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(staging.toString)
+    require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+    true
+  }
+
+  /** [[compactIvfIndex]] for the LSH index: collapse the accumulated
+    * `batch=` directories of BOTH halves (signatures and payloads) into
+    * single compacted trees, preserving rows, probe results, and the
+    * append ledger (tombstone dirs) — see [[compactBatchStore]] for the
+    * staging/swap/tombstone contract. Returns the number of data dirs
+    * compacted across the two halves (0 = nothing to do).
+    */
+  def compactLshIndex(spark: SparkSession, path: String): Int =
+    compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket")) +
+      compactBatchStore(spark, s"$path/vectors", Seq.empty)
 
   /** Probe-many half: hash ONLY the query set (tables rows per query, with
     * the geometry read from the stored config), candidate-join into the
@@ -237,12 +293,15 @@ object Similarity {
     val cfg = spark.read.parquet(s"$path/config").head()
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
       cfg.getAs[Int]("dim"))
+    // read-only .prev fallback covers the compactLshIndex swap window
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
     // partition columns come back as directory-inferred ints; restore the
     // build's longs so the join keys and output hash-match the in-memory path
-    val sigC = spark.read.parquet(s"$path/sigs")
+    val sigC = spark.read.parquet(activeDir(fs, s"$path/sigs"))
       .select(col(idCol), col("t").cast("long").as("t"),
         col("bucket").cast("long").as("bucket"))
-    val cVec = spark.read.parquet(s"$path/vectors")
+    val cVec = spark.read.parquet(activeDir(fs, s"$path/vectors"))
     val q = lshPrepped(queries, dim, idCol, vecCol)
     val sigQ = lshSigs(q, lshPlanes(queries, tables, bits, dim), idCol)
     val cand = sigQ.as("q").join(sigC.as("c"),
@@ -548,7 +607,7 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    recoverCells(fs, path)
+    recoverDir(fs, s"$path/cells")
     val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
     if (fs.exists(dst)) return false
     val cent = spark.read.parquet(s"$path/centroids")
@@ -561,17 +620,64 @@ object Similarity {
     true
   }
 
-  /** Recover a compaction crash window: if only `cells.prev` survives (a
-    * crash between [[compactIvfIndex]]'s two renames), move it back before
-    * mutating the index — otherwise an append would land into a fresh
-    * `cells/` and orphan the corpus.
+  /** Recover a compaction crash window: if only `<dir>.prev` survives (a
+    * crash between [[compactBatchStore]]'s two renames), move it back
+    * before mutating the store — otherwise an append would land into a
+    * fresh dir and orphan the corpus.
     */
-  private def recoverCells(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val prev = new org.apache.hadoop.fs.Path(s"$path/cells.prev")
-    if (!fs.exists(cells) && fs.exists(prev))
-      require(fs.rename(prev, cells), s"could not recover $prev to $cells")
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
+    if (!fs.exists(main) && fs.exists(prev))
+      require(fs.rename(prev, main), s"could not recover $prev to $main")
   }
+
+  /** Shared compaction core for the batch-dir index stores (IVF cells, LSH
+    * sigs/vectors): collapse every data-bearing `batch=<id>` directory
+    * under `dir` into one compacted `batch=0`, leave every previously
+    * present id behind as an EMPTY tombstone directory (the appenders'
+    * existence ledger must survive — parquet readers ignore file-less
+    * dirs), stage the complete new tree under a dot-prefixed sibling, and
+    * land it with the two-rename `.prev` swap the sketch stores use.
+    * Returns the number of data dirs compacted (0 = nothing to do).
+    */
+  private def compactBatchStore(spark: SparkSession, dir: String,
+                                partitionCols: Seq[String]): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, dir)
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val batchDirs = fs.listStatus(main)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    if (dataIds.length <= 1) return 0
+    val allIds = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val data = spark.read.parquet(dir)
+    val staging = new org.apache.hadoop.fs.Path(s"${main.getParent}/.${main.getName}-compact")
+    fs.delete(staging, true)
+    val rows = data.select(data.columns.filterNot(_ == "batch").map(col): _*)
+    val w =
+      if (partitionCols.isEmpty) rows.write
+      else rows.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+    w.mode("overwrite").parquet(s"$staging/batch=0")
+    allIds.filter(_ != 0L).foreach(id =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+    val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
+    fs.delete(prev, true)
+    require(fs.rename(main, prev), s"could not move $main aside to $prev")
+    require(fs.rename(staging, main), s"could not land $staging at $main")
+    fs.delete(prev, true)
+    dataIds.length
+  }
+
+  /** The active directory for read paths: `dir`, or its `.prev` survivor
+    * inside/after a [[compactBatchStore]] swap window — read-only, never
+    * mutates (contrast [[recoverDir]], which heals before writes).
+    */
+  private def activeDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir))) dir else s"$dir.prev"
 
   /** Maintenance half of the persisted IVF index: collapse the accumulated
     * `cells/batch=<id>` append directories into a single compacted
@@ -588,38 +694,14 @@ object Similarity {
     * cost nothing at probe time). The rewritten tree stages complete under
     * a dot-prefixed dir, then lands via the same two-rename swap as the
     * sketch stores — [[probeIvfIndex]] falls back to `cells.prev` inside
-    * the window, and [[recoverCells]] heals a crash between the renames.
+    * the window, and [[recoverDir]] heals a crash between the renames.
     * Single-maintainer assumption as with all the stores: don't run two
     * compactions (or a compaction and an append) concurrently.
     * Returns the number of data-bearing batch directories compacted
     * (0 = nothing to do).
     */
-  def compactIvfIndex(spark: SparkSession, path: String): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    recoverCells(fs, path)
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val batchDirs = fs.listStatus(cells)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
-    if (dataIds.length <= 1) return 0
-    val allIds = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
-    val data = spark.read.parquet(cells.toString)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/.cells-compact")
-    fs.delete(staging, true)
-    data.select(data.columns.filterNot(_ == "batch").map(col): _*)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/batch=0")
-    allIds.filter(_ != 0L).foreach(id =>
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
-    val prev = new org.apache.hadoop.fs.Path(s"$path/cells.prev")
-    fs.delete(prev, true)
-    require(fs.rename(cells, prev), s"could not move $cells aside to $prev")
-    require(fs.rename(staging, cells), s"could not land $staging at $cells")
-    fs.delete(prev, true)
-    dataIds.length
-  }
+  def compactIvfIndex(spark: SparkSession, path: String): Int =
+    compactBatchStore(spark, s"$path/cells", Seq("cell"))
 
   /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no
     * aggregation over the stored corpus — the index is scanned as-is and

@@ -592,6 +592,31 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(ivfAppendBatch(storePath) _)
 
+  /** Incremental LSH index maintenance — [[ivfAppendBatch]] for the
+    * multi-table hyperplane index: each micro-batch hashes its vectors with
+    * the STORED geometry and publishes `batch=<id+1>` signature + payload
+    * directories ([[graft.similarity.Similarity.lshAppendVectors]] — the
+    * sigs directory's presence is the exactly-once ledger, payloads land
+    * first so a crash never leaves unreachable-rescore candidates).
+    */
+  def lshAppendBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.similarity.Similarity.lshAppendVectors(batch, storePath, batchId + 1)
+    ()
+  }
+
+  /** Streaming LSH index maintenance: embedding stream -> per-micro-batch
+    * signature/payload appends against the stored geometry via
+    * [[lshAppendBatch]]. Search continues through
+    * [[graft.similarity.Similarity.probeLshIndex]] unchanged.
+    */
+  def lshAppendStream(embeddings: DataFrame, storePath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(lshAppendBatch(storePath) _)
+
   /** File-source stream of documents (doc_id, text). */
   def readDocStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream

@@ -353,6 +353,48 @@ class DedupSimilaritySpec extends SparkSpec {
       "aggregate functions over the stored index — corpus hashing leaked back in")
   }
 
+  test("persisted LSH index: appends hash with the stored geometry exactly once; compaction preserves all of it") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 14); val b3 = mk(15 to 19)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_lsh_app1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_lsh_app2").toString
+    Similarity.buildLshIndex(b1, bits = 4, tables = 4, dim = 8, p1)
+    Similarity.buildLshIndex(b1, bits = 4, tables = 4, dim = 8, p2)
+    assert(Similarity.lshAppendVectors(b2, p1, appendId = 1))
+    assert(!Similarity.lshAppendVectors(b2, p1, appendId = 1),
+      "replayed append id must be a no-op")
+    assert(Similarity.lshAppendVectors(b3, p1, appendId = 2))
+    assert(Similarity.lshAppendVectors(b2.unionByName(b3), p2, appendId = 1))
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(path: String): Seq[String] =
+      Similarity.probeLshIndex(all, path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(p1)
+    assert(streamed == canon(p2), "append batching order changed the index contents")
+    // the incrementally-built index answers exactly like the in-memory search
+    val mem = Similarity.lshMultiTopKSearch(all, all, k = 3, bits = 4, tables = 4, dim = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == mem, "appended index diverged from the one-shot search")
+    // compaction: single data dir per half, probes bit-identical, ledger kept
+    assert(Similarity.compactLshIndex(spark, p1) == 6, "3 sig dirs + 3 vector dirs")
+    assert(canon(p1) == streamed, "compaction changed probe results")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p1),
+      spark.sparkContext.hadoopConfiguration)
+    for (half <- Seq("sigs", "vectors")) {
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p1/$half"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      assert(dirs.count(s => fs.listFiles(s.getPath, true).hasNext) == 1,
+        s"$half must compact to one data dir")
+    }
+    assert(!Similarity.lshAppendVectors(b2, p1, appendId = 1),
+      "merged ids must stay refused after compaction")
+    assert(Similarity.compactLshIndex(spark, p1) == 0, "re-run must be a no-op")
+  }
+
   test("lshTuneConfig: measured-p model picks a config that reaches its target") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cfg = Similarity.lshTuneConfig(e, k = 3, targetRecall = 0.5,

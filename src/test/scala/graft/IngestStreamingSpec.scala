@@ -208,6 +208,36 @@ class IngestStreamingSpec extends SparkSpec {
       .exists(_ >= 10L), "streamed vectors never surfaced in search")
   }
 
+  test("streaming LSH appends: restart publishes each delivery exactly once") {
+    import graft.similarity.Similarity
+    val base = Files.createTempDirectory("graft_lshstream").toString
+    val in = s"$base/in"; val store = s"$base/index"
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.buildLshIndex(mk(0 to 9), bits = 4, tables = 4, dim = 8, store)
+    mk(10 to 14).write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.lshAppendStream(
+      StreamingPipeline.readEmbeddingStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    mk(15 to 19).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.lshAppendStream(
+      StreamingPipeline.readEmbeddingStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val vecs = spark.read.parquet(s"$store/vectors")
+    assert(vecs.count() == 20L, "every delivered vector lands exactly once")
+    assert(vecs.select("vec_id").distinct().count() == 20L)
+    // the streamed index answers exactly like the one-shot in-memory search
+    val all = mk(0 to 19)
+    val stored = Similarity.probeLshIndex(all, store, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .collect().map(_.toString).sorted.toSeq
+    val mem = Similarity.lshMultiTopKSearch(all, all, k = 3, bits = 4, tables = 4, dim = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == mem, "streamed index diverged from the one-shot search")
+  }
+
   test("streaming query resumes exactly-once from its checkpoint after a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
