@@ -641,7 +641,7 @@ object Similarity {
     * land it with the two-rename `.prev` swap the sketch stores use.
     * Returns the number of data dirs compacted (0 = nothing to do).
     */
-  private def compactBatchStore(spark: SparkSession, dir: String,
+  private[graft] def compactBatchStore(spark: SparkSession, dir: String,
                                 partitionCols: Seq[String]): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)

@@ -497,28 +497,32 @@ object StreamingPipeline {
   /** Incremental MinHash dedup-store maintenance — the `foreachBatch` body
     * for continuous near-dup detection over an arriving corpus. Composes
     * the batch MinHash operators ([[graft.dedup.Dedup.minhashState]] /
-    * [[graft.dedup.Dedup.minhashIncrementPairs]]) with the `_batches`
-    * ledger + staged-swap transaction the sketch maintainers prove out.
-    * Store layout under `storePath` (one atomic swap covers all three, so
-    * sets/bands/pairs can never be mutually inconsistent):
+    * [[graft.dedup.Dedup.minhashIncrementPairs]]) with the APPEND-ONLY
+    * `batch=<id>` directory layout of the index appenders
+    * ([[graft.similarity.Similarity.ivfAppendCells]]). Store layout:
     *
-    *  - `sets/`  (doc_id, sh, n_sh) — per-doc shingle-hash sets;
-    *  - `bands/` (doc_id, band_key) — the LSH index;
-    *  - `pairs/` (doc_a, doc_b, jaccard) — every verified near-dup pair
-    *    emitted so far, i.e. (new_doc, dup_of) against historical buckets
-    *    accumulated across batches.
+    *  - `sets/batch=<id>/`  (doc_id, sh, n_sh) — per-doc shingle-hash sets;
+    *  - `bands/batch=<id>/` (doc_id, band_key) — the LSH index;
+    *  - `pairs/batch=<id>/` (doc_a, doc_b, jaccard) — the verified pairs
+    *    THIS batch contributed against historical buckets.
     *
     * Each batch computes signatures for its docs ONLY (per-doc functions —
     * stored docs never recompute), drops already-stored doc_ids (re-sent
     * docs are no-ops even across different batch ids), mines new-vs-all
-    * candidates through the stored band index, and Jaccard-verifies against
-    * the stored sets. After ANY prefix of batches, with any crash/replay
+    * candidates through the stored band index, Jaccard-verifies against the
+    * stored sets, and APPENDS its increment — per-batch WRITE volume is the
+    * batch's own rows, where a rewrite-merge store would re-write the whole
+    * corpus every trigger and decay quadratically. Exactly-once without a
+    * ledger file: `pairs/batch=<id>` lands LAST via a staged rename, and
+    * its existence is the ledger — a crash after sets/bands but before
+    * pairs leaves state a replay simply overwrites (both halves are
+    * deterministic per-doc functions), and the replay EXCLUDES its own
+    * partial leftovers from the "stored" view so re-sent docs still dedup
+    * correctly. After ANY prefix of batches, with any crash/replay
     * interleaving, `pairs/` equals the uncapped batch
     * [[graft.dedup.Dedup.minhashLshPairs]] over the docs delivered so far —
-    * the restart test asserts bit-identical rows. At 100 TB the batch is
-    * small and the store is big: per-batch cost is the batch's signature
-    * pass plus bucket-local probes of the band index, never a corpus
-    * re-scan.
+    * the restart test asserts bit-identical rows. Small-files decay from
+    * many appends is handled by [[compactMinhashStore]].
     */
   def minhashDedupBatch(storePath: String, n: Int = 3, numPerms: Int = 16,
                         bands: Int = 4, threshold: Double = 0.8)
@@ -526,37 +530,57 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
-    val active = activeStoreDir(fs, storePath)
-    val seen: Set[Long] = active.map(readLedger(fs, _)).getOrElse(Set.empty)
-    if (seen.contains(batchId)) return
+    val ledger = new org.apache.hadoop.fs.Path(s"$storePath/pairs/batch=$batchId")
+    if (fs.exists(ledger)) return
+    // stored state = every published batch dir EXCEPT this id's partial
+    // leftovers (a crashed attempt's sets/bands land before the pairs
+    // ledger); tombstones and empty dirs carry no files and are skipped
+    def stored(half: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$storePath/$half")
+      if (!fs.exists(p)) return None
+      val dirs = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filterNot(_.getPath.getName == s"batch=$batchId")
+        .filter(s => fs.listFiles(s.getPath, true).hasNext)
+        .map(_.getPath.toString)
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    }
+    val storedSets = stored("sets")
+    val storedBands = stored("bands")
     val (batchSets, batchBands) = graft.dedup.Dedup.minhashState(batch, n, numPerms, bands)
-    val prev = active.map(dir => (
-      spark.read.parquet(s"$dir/sets"),
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/pairs")))
-    val newSets = prev match {
-      case Some((ps, _, _)) =>
-        batchSets.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newSets = storedSets match {
+      case Some(ps) => batchSets.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => batchSets
     }
-    val newBands = prev match {
-      case Some((ps, _, _)) =>
-        batchBands.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newBands = storedSets match {
+      case Some(ps) => batchBands.join(ps.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => batchBands
     }
-    val allSets = prev.map(_._1.unionByName(newSets)).getOrElse(newSets)
-    val allBands = prev.map(_._2.unionByName(newBands)).getOrElse(newBands)
+    val allSets = storedSets.map(_.unionByName(newSets)).getOrElse(newSets)
+    val allBands = storedBands.map(_.unionByName(newBands)).getOrElse(newBands)
     val dupPairs = graft.dedup.Dedup
       .minhashIncrementPairs(newBands, allBands, allSets, threshold)
-    val pairs = prev.map(_._3.unionByName(dupPairs)).getOrElse(dupPairs)
-    val staging = s"$storePath.staging-$batchId"
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    allSets.write.mode("overwrite").parquet(s"$staging/sets")
-    allBands.write.mode("overwrite").parquet(s"$staging/bands")
-    pairs.write.mode("overwrite").parquet(s"$staging/pairs")
-    writeLedger(fs, staging, seen + batchId)
-    swapInStore(spark, staging, storePath)
+    // deterministic halves land first (replays overwrite them identically);
+    // the pairs rename publishes the batch
+    newSets.write.mode("overwrite").parquet(s"$storePath/sets/batch=$batchId")
+    newBands.write.mode("overwrite").parquet(s"$storePath/bands/batch=$batchId")
+    val staging = new org.apache.hadoop.fs.Path(s"$storePath/pairs/.staging-$batchId")
+    fs.delete(staging, true)
+    dupPairs.write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
   }
+
+  /** [[graft.similarity.Similarity.compactIvfIndex]] for the MinHash dedup
+    * store: collapse each half's accumulated `batch=` directories into one
+    * (rows, pair parity, and the pairs-dir append ledger all preserved —
+    * tombstone dirs keep replays refused). Run it between triggers; the
+    * probe/append path needs no coordination beyond the single-maintainer
+    * assumption all the stores share.
+    */
+  def compactMinhashStore(spark: SparkSession, storePath: String): Int =
+    Seq("sets", "bands", "pairs")
+      .map(h => graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h", Seq.empty))
+      .sum
 
   /** Incremental IVF index maintenance — the `foreachBatch` body for a
     * growing embedding corpus: each micro-batch assigns its vectors to the

@@ -181,6 +181,20 @@ class IngestStreamingSpec extends SparkSpec {
       "replays and re-sent docs must not change the pair store")
     assert(spark.read.parquet(s"$store2/sets").count() == 7L,
       "one sets row per distinct doc")
+
+    // small-files maintenance: compaction preserves pairs, sets, and the
+    // append ledger (replays stay refused), and a post-compaction batch
+    // still dedups against the compacted history
+    assert(StreamingPipeline.compactMinhashStore(spark, store2) > 0)
+    assert(canon(spark.read.parquet(s"$store2/pairs")) == batchPairs,
+      "compaction changed the pair store")
+    assert(spark.read.parquet(s"$store2/sets").count() == 7L)
+    body(b1, 0L) // replay of a compacted id
+    assert(canon(spark.read.parquet(s"$store2/pairs")) == batchPairs,
+      "replay of a compacted batch id must stay a no-op")
+    body(b1, 3L) // re-sent docs after compaction: doc-id idempotency holds
+    assert(canon(spark.read.parquet(s"$store2/pairs")) == batchPairs)
+    assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
   test("streaming IVF appends: restart publishes each delivery exactly once") {
