@@ -11,7 +11,7 @@ object ExplainNew {
         "q107_ann_ivf_nprobe", "q108_ann_recall_nprobe", "q109_trigram_backoff",
         "q110_ann_recall_lsh", "q111_ann_recall_lshmulti", "q112_ann_ivf_store",
         "q113_subword_store", "q114_ann_recall_lshtuned", "q115_pipeline_e2e",
-        "q116_bpe_invariants", "q117_ann_lsh_store")) {
+        "q116_bpe_invariants", "q117_ann_lsh_store", "q118_bloom_decontam")) {
       val p = graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       val nEx = "Exchange".r.findAllIn(p).length
       val nScan = "FileScan".r.findAllIn(p).length
