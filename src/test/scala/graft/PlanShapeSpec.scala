@@ -153,6 +153,20 @@ class PlanShapeSpec extends SparkSpec {
       s"probe should carry exactly the query-side centroid-scoring aggregate, found ${aggs.size}")
   }
 
+  test("bloom probe plan: the packed word table broadcasts; the probe stream never shuffles on bits") {
+    // The whole point of the prefilter (q118): the m/32-row word table moves
+    // to the probes, not the other way round. A hash exchange on word_idx
+    // would mean the corpus-side shingle stream is being shuffled to meet
+    // the filter — the exact cost the bloom exists to avoid.
+    // (The filter BUILD legitimately shuffles on word_idx — that aggregation
+    // is bounded at m/32 rows; what must never happen is the PROBE join
+    // hash-exchanging its stream to meet the words.)
+    val p = planOf("q118_bloom_decontam")
+    assert(p.contains("BroadcastHashJoin [word_idx"), "bloom word table lost its broadcast")
+    assert(!p.contains("SortMergeJoin [word_idx") && !p.contains("ShuffledHashJoin [word_idx"),
+      "probe joins the words with a shuffle — the broadcast prefilter degenerated")
+  }
+
   test("daily KPI aggregation is a two-phase hash aggregate with one shuffle") {
     val p = planOf("q02_kpi_daily")
     assert(p.contains("HashAggregate"), "KPI agg not hash-based")

@@ -77,6 +77,38 @@ class PropertySpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("bloom filter: no false negatives and a brute-force membership twin on random sets") {
+    // deliberately TINY m (crowded filter) so collisions are common — the
+    // no-false-negative property must hold even when nearly every bit is set
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.identifier))
+    for ((ms, ps) <- draws(Gen.zip(wordGen, wordGen), 6)) {
+      val members = ms.distinct.toDF("item")
+      val probes = (ms ++ ps).distinct.toDF("item")
+      val words = graft.sketch.Sketches.bloomWords(members, "item", k = 3, m = 256)
+      val got = graft.sketch.Sketches
+        .bloomMightContain(probes, words, "item", k = 3, m = 256)
+        .collect().map(r => r.getAs[String]("item") -> r.getAs[Boolean]("might_contain")).toMap
+      val memberSet = ms.toSet
+      (ms ++ ps).distinct.foreach { it =>
+        if (memberSet(it))
+          assert(got(it), s"false negative for member '$it'")
+      }
+      // brute-force twin: might_contain iff all k bits collide with SOME member's bits
+      val bitOf = (seed: Int, s: String) => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$s".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 256
+      }
+      val setBits = memberSet.flatMap(s => (0 until 3).map(k => bitOf(k, s)))
+      (ms ++ ps).distinct.foreach { it =>
+        val expect = (0 until 3).forall(k => setBits(bitOf(k, it)))
+        assert(got(it) == expect, s"membership verdict for '$it' diverged from brute force")
+      }
+    }
+  }
+
   test("as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
