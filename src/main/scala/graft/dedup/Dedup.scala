@@ -391,7 +391,17 @@ object Dedup {
   def bloomContamination(corpusShingles: DataFrame, benchShingles: DataFrame,
                          k: Int = 4, m: Int = 1 << 21): DataFrame = {
     val bench = benchShingles.select(col("shingle")).distinct()
-    val words = graft.sketch.Sketches.bloomWords(bench, "shingle", k, m)
+    bloomContaminationAgainst(corpusShingles, bench,
+      graft.sketch.Sketches.bloomWords(bench, "shingle", k, m), k, m)
+  }
+
+  /** [[bloomContamination]] against a PREBUILT filter + benchmark shingle
+    * table (e.g. the streaming-maintained stores) — the probe-side shape:
+    * the benchmark side costs nothing per call, only the incoming docs'
+    * shingles are hashed.
+    */
+  def bloomContaminationAgainst(corpusShingles: DataFrame, bench: DataFrame,
+                                words: DataFrame, k: Int, m: Int): DataFrame = {
     val probed = graft.sketch.Sketches.bloomMightContain(
       corpusShingles.select(col("doc_id"), col("shingle")).distinct(),
       words, "shingle", k, m)
@@ -404,6 +414,29 @@ object Dedup {
       .join(present, Seq("doc_id"), "left")
       .withColumn("n_present", coalesce(col("n_present"), lit(0L)))
       .withColumn("contaminated", col("n_present") > 0)
+  }
+
+  /** Build-once half of a persisted decontamination artifact (the
+    * [[graft.similarity.Similarity.buildIvfIndex]] treatment for benchmark
+    * suites, which are static files in practice): the benchmark's distinct
+    * shingles, the packed Bloom words over them, and a 1-row config table
+    * (n, k, m) so a probe cannot silently hash with a different geometry.
+    * Consumers ([[graft.streaming.StreamingPipeline.decontamRouteBatch]],
+    * or any batch [[bloomContaminationAgainst]] call) broadcast the words,
+    * prefilter their corpus, and exact-join only the survivors against
+    * `shingles/`.
+    */
+  def buildDecontamStore(benchDocs: DataFrame, path: String, n: Int = 3,
+                         k: Int = 4, m: Int = 1 << 21,
+                         textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = benchDocs.sparkSession
+    import spark.implicits._
+    val sh = wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    graft.sketch.Sketches.bloomWords(sh, "shingle", k, m)
+      .write.mode("overwrite").parquet(s"$path/words")
+    Seq((n, k, m)).toDF("n", "k", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
   }
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the

@@ -716,6 +716,49 @@ object StreamingPipeline {
           graft.dedup.Dedup.wordShingles(batch, n), batchId)
       }
 
+  /** Streaming decontamination router — the probe-side consumer of a
+    * [[graft.dedup.Dedup.buildDecontamStore]] artifact: each micro-batch of
+    * arriving corpus docs is shingled, prefiltered through the stored Bloom
+    * words (broadcast, definite-NOs never join), exact-verified against the
+    * stored benchmark shingles, and its per-doc verdicts land as an
+    * `out/batch=<id>` directory (staged rename; directory existence is the
+    * exactly-once ledger, the index appenders' contract). The union of all
+    * published batches equals the batch
+    * [[graft.dedup.Dedup.bloomContamination]] over the same docs — the
+    * restart test asserts bit-identical rows. Geometry comes from the
+    * artifact's config row, never from call-site arguments.
+    */
+  def decontamRouteBatch(storePath: String, outPath: String)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outPath),
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$outPath/batch=$batchId")
+    if (fs.exists(dst)) return
+    val cfg = spark.read.parquet(s"$storePath/config").head()
+    val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
+    val verdicts = graft.dedup.Dedup.bloomContaminationAgainst(
+      graft.dedup.Dedup.wordShingles(batch, n),
+      spark.read.parquet(s"$storePath/shingles"),
+      spark.read.parquet(s"$storePath/words"), k, m)
+    val staging = new org.apache.hadoop.fs.Path(s"$outPath/.staging-$batchId")
+    fs.delete(staging, true)
+    verdicts.write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging, dst), s"could not land $staging at $dst")
+  }
+
+  /** Streaming decontamination: document stream -> per-micro-batch routed
+    * verdicts via [[decontamRouteBatch]]. Read the accumulated verdicts at
+    * any time with `spark.read.parquet(outPath)`.
+    */
+  def decontamRouteStream(docs: DataFrame, storePath: String, outPath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(decontamRouteBatch(storePath, outPath) _)
+
   /** Streaming quantile sketch: file-source events -> incremental histogram
     * bucket store via [[histMergeBatch]]. Read quantiles at any time with
     * `Sketches.histogramQuantiles(spark.read.parquet(storePath), keys,

@@ -197,6 +197,51 @@ class IngestStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
+  test("streaming decontamination route: verdict union == batch audit; replays are no-ops") {
+    import graft.dedup.Dedup
+    val base = Files.createTempDirectory("graft_route").toString
+    val in = s"$base/in"; val store = s"$base/decontam"; val out = s"$base/out"
+    val bench = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    Dedup.buildDecontamStore(bench, store, n = 3, k = 4, m = 1 << 16)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta unrelated tail words here"),
+      (2L, "nothing shared with any benchmark row at all")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (3L, "prefix words then one two three four five"),
+      (4L, "another fully disjoint document body text")
+    ).toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.decontamRouteStream(
+      StreamingPipeline.readDocStream(spark, in), store, out, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    b2.write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.decontamRouteStream(
+      StreamingPipeline.readDocStream(spark, in), store, out, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_id"), col("n_shingles"), col("n_bloom_pos"),
+          col("n_present"), col("contaminated"))
+        .collect().map(_.toString).sorted.toSeq
+    val batchAudit = canon(Dedup.bloomContamination(
+      Dedup.wordShingles(b1.unionByName(b2), 3),
+      Dedup.wordShingles(bench, 3), k = 4, m = 1 << 16))
+    assert(canon(spark.read.parquet(out)) == batchAudit,
+      "streamed verdict union != one-shot batch audit")
+    // the contaminated docs are exactly the two that share trigrams
+    val flagged = spark.read.parquet(out).filter(col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L), s"wrong routing: $flagged")
+    // replayed batch ids are no-ops (directory-existence ledger)
+    val body = StreamingPipeline.decontamRouteBatch(store, out) _
+    body(b1, 0L)
+    assert(canon(spark.read.parquet(out)) == batchAudit,
+      "replayed batch id changed the routed output")
+  }
+
   test("streaming IVF appends: restart publishes each delivery exactly once") {
     import graft.similarity.Similarity
     val base = Files.createTempDirectory("graft_ivfstream").toString
