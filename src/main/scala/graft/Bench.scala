@@ -107,8 +107,31 @@ object Bench {
         .queryExecution.toRdd.count())
       (nVec, build, probe, rebuild)
     } catch { case _: Throwable => (0L, -1.0, -1.0, -1.0) }
+    // same story for the LSH signature index (q114's tuned 16x5 config):
+    // probe-from-store hashes only the 100 queries; the in-memory search
+    // re-signs the whole corpus per call
+    val (lshBuild, lshProbe, lshSearch) = try {
+      import org.apache.spark.sql.functions.col
+      val lshDir = java.nio.file.Files.createTempDirectory("graft_bench_lsh").toString
+      val vecs = graft.core.Tables(spark, sfDir, "embeddings")
+        .crossJoin(spark.range(10).select(col("id").as("__r")))
+        .select((col("vec_id") * 10 + col("__r")).as("vec_id"), col("embedding"))
+      def clock(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val build = clock(graft.similarity.Similarity
+        .buildLshIndex(vecs, bits = 5, tables = 16, dim = 64, s"$lshDir/index"))
+      val probe = clock(graft.similarity.Similarity
+        .probeLshIndex(vecs.filter(col("vec_id") < 100), s"$lshDir/index", k = 3)
+        .queryExecution.toRdd.count())
+      val search = clock(graft.similarity.Similarity
+        .lshMultiTopKSearch(vecs, vecs.filter(col("vec_id") < 100),
+          k = 3, bits = 5, tables = 16, dim = 64)
+        .queryExecution.toRdd.count())
+      (build, probe, search)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)}}"""
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)}}"""
     // bare qNN keys (unique by construction; full names in CORRECTNESS_r*.json)
     def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
