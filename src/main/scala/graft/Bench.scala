@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * proving recorded spikes were phantom). The consumer of this line keeps
   * only the LAST ~2 KB of output and truncates the line head first, so the
   * line stays under ~1.8 KB: medians at 2 decimals, bare qNN keys, `noisy`
-  * capped at 10 entries. The complete per-run matrix goes to
+  * capped at 6 entries. The complete per-run matrix goes to
   * BENCH_DETAIL.json (cwd) for anything the capped line can't answer.
   */
 object Bench {
@@ -139,11 +139,13 @@ object Bench {
     val totalMed = results.map { case (_, ts) => med(ts) }.sum
     val totalMin = results.map(_._2.min).sum
     val totalMax = results.map(_._2.max).sum
-    // worst max/min ratios above 1.3x, capped at 10 entries: the queries a
-    // co-tenant burst actually hit, as [min, median, max]
+    // worst max/min ratios above 1.5x, capped at 6 entries: the queries a
+    // co-tenant burst actually hit, as [min, median, max]. The cap buys
+    // line-size headroom (driver keeps the last ~2 KB, head-truncated);
+    // the full matrix is in BENCH_DETAIL.json
     val noisy = results
       .map { case (k, ts) => (k, ts.max / math.max(ts.min, 1e-3), ts) }
-      .filter(_._2 > 1.3).sortBy(-_._2).take(10)
+      .filter(_._2 > 1.5).sortBy(-_._2).take(6)
       .map { case (k, _, ts) =>
         "\"" + short(k) + "\":[" + f2(ts.min) + "," + f2(med(ts)) + "," + f2(ts.max) + "]" }
       .mkString("{", ",", "}")
