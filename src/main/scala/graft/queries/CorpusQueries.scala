@@ -18,11 +18,12 @@ object CorpusQueries {
 
   /** Writable per-scale-dir location for the q113 persisted subword
     * vocabulary (test fixtures are read-only, so artifacts land in tmpdir
-    * — the same convention as DataQueries.ivfIndexPath).
+    * — the same convention as DataQueries.ivfIndexPath, including the PID
+    * namespace that keeps concurrent runners off each other's artifacts).
     */
   private[queries] def vocabPath(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_subword_vocab_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+    sys.props("java.io.tmpdir") + "/graft_subword_vocab_p" +
+      ProcessHandle.current().pid() + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
 

@@ -19,10 +19,14 @@ object DataQueries {
 
   /** Writable per-scale-dir location for the q112 persisted IVF index (the
     * test fixtures are read-only, so index artifacts land under tmpdir).
+    * Namespaced by PID: two concurrent runners over the same scale dir
+    * (e.g. a bench and a test session) would otherwise race one artifact —
+    * one's build delete/overwrite running under the other's probe read.
+    * Each query builds before probing, so per-process isolation suffices.
     */
   private[queries] def ivfIndexPath(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft_ivf_index_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+    sys.props("java.io.tmpdir") + "/graft_ivf_index_p" +
+      ProcessHandle.current().pid() + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
     * definition — [[OracleCte.triCte]] — shared with the sketch oracles).

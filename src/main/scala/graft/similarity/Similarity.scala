@@ -625,7 +625,7 @@ object Similarity {
     * before mutating the store — otherwise an append would land into a
     * fresh dir and orphan the corpus.
     */
-  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+  private[graft] def recoverDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val main = new org.apache.hadoop.fs.Path(dir)
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
     if (!fs.exists(main) && fs.exists(prev))
@@ -647,6 +647,9 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
     val main = new org.apache.hadoop.fs.Path(dir)
+    // a store half that has never published (e.g. compacting a minhash
+    // store before its first batch) is "nothing to do", not a crash
+    if (!fs.exists(main)) return 0
     val batchDirs = fs.listStatus(main)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)

@@ -251,6 +251,12 @@ object Sketches {
     * probing is map-side: no shuffle of the probe stream beyond the per-row
     * regroup, and at scale the definite-NO rows never reach the exact join
     * this filter fronts. `k`/`m` must match the build call.
+    *
+    * Duplicate probe rows are safe but COLLAPSE: the regroup keys on all
+    * original columns, so g identical rows come back as ONE output row
+    * (whose verdict is correct — the test compares hit count against the
+    * group's own seed-row count, not against a bare k, so duplicates can
+    * never fabricate a false negative).
     */
   def bloomMightContain(items: DataFrame, words: DataFrame, itemCol: String,
                         k: Int = 4, m: Int = 1 << 21): DataFrame = {
@@ -264,7 +270,10 @@ object Sketches {
           .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit & 31 AS INT))")) =!= 0L,
           1).otherwise(0))
       .groupBy(orig: _*)
-      .agg((sum(col("__hit")) === k).as("might_contain"))
+      // === count(*), not === k: duplicate input rows group together, so a
+      // group holds g*k seed rows — requiring exactly k hits would turn
+      // every all-bits-set duplicate pair into a bogus false negative
+      .agg((sum(col("__hit")) === count(lit(1))).as("might_contain"))
   }
 
   /** Count-min frequency estimates with a top-k heavy-hitter report.

@@ -530,6 +530,13 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    // heal a compactMinhashStore crash window BEFORE the ledger check: if a
+    // crash between the compaction's two renames left only `<half>.prev`,
+    // proceeding would see an empty store (stored() returns None), re-mine
+    // without history, and strand the compacted corpus in the .prev dirs —
+    // the same recoverDir treatment the IVF/LSH appenders apply
+    Seq("sets", "bands", "pairs").foreach(h =>
+      graft.similarity.Similarity.recoverDir(fs, s"$storePath/$h"))
     val ledger = new org.apache.hadoop.fs.Path(s"$storePath/pairs/batch=$batchId")
     if (fs.exists(ledger)) return
     // stored state = every published batch dir EXCEPT this id's partial

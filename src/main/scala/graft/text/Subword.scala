@@ -192,6 +192,10 @@ object Subword {
   def savePieces(docs: DataFrame, size: Int, maxPieceLen: Int, path: String,
                  textCol: String = "text", idCol: String = "doc_id"): Unit =
     pieceVocab(docs, size, maxPieceLen, textCol, idCol)
+      // unpartitioned window — BENIGN by construction: it ranks the learned
+      // vocab, <= size + alphabet rows (a few hundred), never corpus rows;
+      // the corpus-sized work happened upstream. This is the WindowExec
+      // single-partition WARN the bench logs show — safe to ignore.
       .withColumn("rank", row_number().over(
         Window.orderBy(col("weight").desc, col("piece").asc)))
       .coalesce(1)
