@@ -40,11 +40,11 @@ object DataQueries {
     * side collects centroids to the driver per iteration, but computes the
     * exact same quantized means, so the unrolled SQL stays hash-identical.
     */
-  private def assignCte(t: Int, centName: String): String =
+  private def assignCte(t: Int, centName: String, src: String = "b"): String =
     s"""a$t AS (
        |  SELECT b.vec_id, b.v, b.n, c.cid,
        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-       |  FROM b CROSS JOIN $centName c
+       |  FROM $src b CROSS JOIN $centName c
        |),
        |asg$t AS (
        |  SELECT vec_id, v, n, cid AS cell
@@ -56,11 +56,24 @@ object DataQueries {
   /** WITH-prefix replaying [[Similarity.kmeansAssign]] in DuckDB: defines
     * `asg<iters>` = (vec_id, v, n, cell) after the Lloyd loop. Shared by the
     * q52 top-k oracle and the q99 semantic-dedup oracle.
+    *
+    * `fitWhere` (optional) restricts the vectors the Lloyd LOOP fits on —
+    * the q119 lifecycle shape, where the index is built from a corpus
+    * prefix and later arrivals are assigned to the FROZEN centroids: loop
+    * CTEs run over `bf` (the fit subset) while the final `asg<iters>`
+    * assignment — and the `a<iters>` scores the nprobe probe reads — covers
+    * every vector, exactly like [[Similarity.ivfAppendCells]] against the
+    * stored centroid set.
     */
-  private[queries] def kmeansAsgCtes(numCentroids: Int, iters: Int): String = {
+  private[queries] def kmeansAsgCtes(numCentroids: Int, iters: Int,
+                                     fitWhere: String = ""): String = {
+    val fitSrc = if (fitWhere.isEmpty) "b" else "bf"
+    val bfCte = if (fitWhere.isEmpty) ""
+      else s""",
+              |bf AS (SELECT * FROM b WHERE $fitWhere)""".stripMargin
     val loop = (0 until iters).map { t =>
       s""",
-         |${assignCte(t, s"c$t")},
+         |${assignCte(t, s"c$t", fitSrc)},
          |upd$t AS (
          |  SELECT cell AS cid, t.i AS dim,
          |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
@@ -76,9 +89,9 @@ object DataQueries {
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-       |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < $numCentroids)$loop,
-       |${assignCte(iters, s"c$iters")}""".stripMargin
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)$bfCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $numCentroids)$loop,
+       |${assignCte(iters, s"c$iters", "b")}""".stripMargin
   }
 
   private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
@@ -104,9 +117,8 @@ object DataQueries {
     * (in-memory search) and q112 (probe of the persisted index) — the
     * store round-trip must be invisible to the search results.
     */
-  private val nprobeOracle: String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-       |probes AS (
+  private val nprobeOracleBody: String =
+    s"""probes AS (
        |  SELECT vec_id, v, n, cid AS cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
        |        FROM a3)
@@ -122,6 +134,61 @@ object DataQueries {
        |  FROM scored
        |)
        |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val nprobeOracle: String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+       |$nprobeOracleBody""".stripMargin
+
+  /** q119's oracle: the SAME nprobe probe, but the Lloyd fit runs only on
+    * the vec_id < 300 build prefix (the store's frozen geometry) while the
+    * final assignment — prefix at build time, remainder at append time —
+    * covers every vector. The probe after build→append→compact must be
+    * bit-identical to this; compaction must be invisible entirely.
+    */
+  private val ivfLifecycleOracle: String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3, fitWhere = "vec_id < 300")},
+       |$nprobeOracleBody""".stripMargin
+
+  /** Row-level twin of the tuned 16x5 LSH search (q117 and the q122
+    * lifecycle share it — the store round-trip, and any build/append split
+    * of the corpus, must be invisible to the search results). The kmeans
+    * CTE prefix supplies `b`; DuckDB prunes the unreferenced Lloyd CTEs.
+    */
+  private val lshStoreOracle: String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+       |comps AS (
+       |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
+       |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
+       |  FROM unnest(generate_series(0, 15)) AS tt(t),
+       |       unnest(generate_series(0, 4)) AS jj(j),
+       |       unnest(generate_series(0, 63)) AS dd(d)
+       |),
+       |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT b.vec_id, hp.t,
+       |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
+       |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
+       |  FROM b CROSS JOIN hp
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig q JOIN sig c
+       |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 100
+       |),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
+       |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
+       |            JOIN b cb ON cand.neighbor_id = cb.vec_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared recall@k machinery for the q106/q108 ANN quality gates: hit
@@ -287,6 +354,26 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The store LIFECYCLE gate (q112 covers only the fresh monolithic
+    // build): build the IVF index from the vec_id < 300 corpus prefix,
+    // append the remainder against the FROZEN stored centroids
+    // (ivfAppendCells — the production write path), COMPACT the accumulated
+    // batch dirs, then probe. The oracle replays exactly that semantics
+    // (Lloyd fit on the prefix, assignment of everyone), so a bug anywhere
+    // in append's assignment, compaction's rewrite, or the ledger/tombstone
+    // plumbing shifts rows and fails the hash.
+    "q119_ann_ivf_lifecycle" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lc"
+      val e = emb(s, d)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+        numCentroids = 8, iters = 3, path)
+      Similarity.ivfAppendCells(e.filter(col("vec_id") >= 300), path, appendId = 1)
+      Similarity.compactIvfIndex(s, path)
+      Similarity.probeIvfIndex(e, path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The recall gate for the LSH path (q30's exact search: 64 sign-bit
     // buckets over the first 6 dims), completing quality measurement for
     // every ANN variant. Measured mean recall@3 is 0.047 / 0.047 / 0.033 at
@@ -330,6 +417,25 @@ object DataQueries {
       val path = ivfIndexPath(d) + "_lsh"
       Similarity.buildLshIndex(emb(s, d), bits = 5, tables = 16, dim = 64, path)
       Similarity.probeLshIndex(emb(s, d).filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q119's lifecycle gate for the LSH store: build from the vec_id < 300
+    // prefix, append the remainder with the STORED geometry
+    // (lshAppendVectors), compact both halves, probe. Signatures are pure
+    // per-vector functions of the config geometry, so — unlike the IVF
+    // lifecycle, whose centroids freeze at build time — the probe after any
+    // build/append split must be BIT-IDENTICAL to the monolithic q117
+    // search: the oracle is q117's verbatim.
+    "q122_ann_lsh_lifecycle" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lshlc"
+      val e = emb(s, d)
+      Similarity.buildLshIndex(e.filter(col("vec_id") < 300),
+        bits = 5, tables = 16, dim = 64, path)
+      Similarity.lshAppendVectors(e.filter(col("vec_id") >= 300), path, appendId = 1)
+      Similarity.compactLshIndex(s, path)
+      Similarity.probeLshIndex(e.filter(col("vec_id") < 100), path, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")
     }),
@@ -865,41 +971,14 @@ object DataQueries {
     // Row-level twin of the tuned 16x5 search, shared shape with q111's
     // derivation; q117 probes the PERSISTED signature store, so its rows
     // must equal the in-memory search — the store round-trip is invisible.
-    "q117_ann_lsh_store" ->
-      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-         |comps AS (
-         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
-         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
-         |  FROM unnest(generate_series(0, 15)) AS tt(t),
-         |       unnest(generate_series(0, 4)) AS jj(j),
-         |       unnest(generate_series(0, 63)) AS dd(d)
-         |),
-         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT b.vec_id, hp.t,
-         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
-         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
-         |  FROM b CROSS JOIN hp
-         |  GROUP BY 1, 2
-         |),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM sig q JOIN sig c
-         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 100
-         |),
-         |scored AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
-         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
-         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
-         |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q117_ann_lsh_store" -> lshStoreOracle,
+    // Signatures are per-vector pure functions, so the q122 lifecycle
+    // (build prefix -> append remainder -> compact -> probe) must reproduce
+    // the monolithic search exactly — q117's oracle verbatim.
+    "q122_ann_lsh_lifecycle" -> lshStoreOracle,
+    // Prefix-fit Lloyd + assign-everyone: the frozen-centroid append
+    // semantics of the q119 lifecycle.
+    "q119_ann_ivf_lifecycle" -> ivfLifecycleOracle,
     // Tuned-config twin: identical plane/signature/candidate derivation as
     // q111's oracle, at 16 tables x 5 bits.
     "q114_ann_recall_lshtuned" -> annRecallOracle(

@@ -42,7 +42,9 @@ class PlanShapeSpec extends SparkSpec {
     "q112_ann_ivf_store", // probe side x broadcast STORED centroid set (<= numCentroids rows)
     "q114_ann_recall_lshtuned", // q111's broadcasts at the tuned 16x5 config
     "q115_pipeline_e2e", // 1-row min-docs broadcast for the rebalance rates (q97's shape)
-    "q117_ann_lsh_store") // query side x broadcast plane table (tables x bits rows)
+    "q117_ann_lsh_store", // query side x broadcast plane table (tables x bits rows)
+    "q119_ann_ivf_lifecycle", // q112's bounded stored-centroid broadcast, post-append/compact
+    "q122_ann_lsh_lifecycle") // q117's bounded plane-table broadcast, post-append/compact
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
