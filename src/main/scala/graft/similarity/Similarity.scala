@@ -177,11 +177,12 @@ object Similarity {
     */
   def lshMultiTopKSearch(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
                          tables: Int, dim: Int, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val c = lshPrepped(corpus, dim, idCol, vecCol)
     val q = lshPrepped(queries, dim, idCol, vecCol)
     val planes = lshPlanes(corpus, tables, bits, dim)
-    val sigC = lshSigs(c, planes, idCol)
+    val sigC = boundedBuckets(lshSigs(c, planes, idCol), maxBucket)
     val sigQ = lshSigs(q, planes, idCol)
     val cand = sigQ.as("q").join(sigC.as("c"),
         col("q.t") === col("c.t") && col("q.bucket") === col("c.bucket") &&
@@ -288,7 +289,8 @@ object Similarity {
     * q117 gate hash-checks that equivalence).
     */
   def probeLshIndex(queries: DataFrame, path: String, k: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     val cfg = spark.read.parquet(s"$path/config").head()
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
@@ -298,9 +300,11 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     // partition columns come back as directory-inferred ints; restore the
     // build's longs so the join keys and output hash-match the in-memory path
-    val sigC = spark.read.parquet(activeDir(fs, s"$path/sigs"))
-      .select(col(idCol), col("t").cast("long").as("t"),
-        col("bucket").cast("long").as("bucket"))
+    val sigC = boundedBuckets(
+      spark.read.parquet(activeDir(fs, s"$path/sigs"))
+        .select(col(idCol), col("t").cast("long").as("t"),
+          col("bucket").cast("long").as("bucket")),
+      maxBucket)
     val cVec = spark.read.parquet(activeDir(fs, s"$path/vectors"))
     val q = lshPrepped(queries, dim, idCol, vecCol)
     val sigQ = lshSigs(q, lshPlanes(queries, tables, bits, dim), idCol)
@@ -319,6 +323,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
+  }
+
+  /** Drop corpus-side signature rows belonging to HOT buckets (> maxBucket
+    * members within one (t, bucket)) — the [[graft.dedup.Dedup.minhashLshPairs]]
+    * maxBucket treatment for the query-side searches: a degenerate embedding
+    * batch (e.g. many near-zero vectors hashing identically in EVERY table)
+    * otherwise makes per-query candidate volume O(corpus), the one unbounded
+    * fan-out in the ANN family. Whole buckets drop (recall contract: such
+    * buckets are hash pathologies, not neighbor structure — a bucket holding
+    * 1% of the corpus carries no discrimination), and the drop is AUDITED,
+    * never silent: [[lshSearchOverflow]] / [[lshIndexOverflow]] report
+    * exactly which (t, bucket) a given cap excludes. The default cap is
+    * unbounded — correctness gates mirror their oracle exactly; production
+    * callers opt in.
+    */
+  private def boundedBuckets(sigs: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) sigs
+    else sigs.join(
+      sigs.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucket),
+      Seq("t", "bucket"), "left_semi")
+
+  /** Audit companion for [[lshMultiTopKSearch]]'s maxBucket: the corpus
+    * buckets a given cap would drop, as (t, bucket, bucket_size). Empty
+    * means the cap loses nothing on this corpus — the
+    * [[graft.dedup.Dedup.minhashLshOverflow]] contract.
+    */
+  def lshSearchOverflow(corpus: DataFrame, bits: Int, tables: Int, dim: Int,
+                        maxBucket: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val c = lshPrepped(corpus, dim, idCol, vecCol)
+    lshSigs(c, lshPlanes(corpus, tables, bits, dim), idCol)
+      .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+  }
+
+  /** [[lshSearchOverflow]] against a PERSISTED index: audits the stored
+    * signature partitions without re-signing anything.
+    */
+  def lshIndexOverflow(spark: SparkSession, path: String, maxBucket: Int): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(activeDir(fs, s"$path/sigs"))
+      .groupBy(col("t").cast("long").as("t"), col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
   }
 
   /** A tuned multi-table LSH configuration: what [[lshTuneConfig]] returns

@@ -395,6 +395,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Similarity.compactLshIndex(spark, p1) == 0, "re-run must be a no-op")
   }
 
+  test("lsh hot-bucket cap: degenerate duplicates drop whole and audited; normal buckets unaffected") {
+    // 40 byte-identical near-zero vectors hash to the SAME bucket in every
+    // table — the degenerate batch that makes per-query candidate volume
+    // O(corpus) without a cap; 10 ordinary vectors spread normally
+    val hot = (100L to 139L).map(i => (i, Array.fill(8)(0.001f)))
+    val normal = (0L to 9L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)))
+    val vecs = (hot ++ normal).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 100L || col("vec_id") < 5L)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    val uncapped = Similarity.lshMultiTopKSearch(vecs, queries, k = 3,
+      bits = 4, tables = 4, dim = 8)
+    val capped = Similarity.lshMultiTopKSearch(vecs, queries, k = 3,
+      bits = 4, tables = 4, dim = 8, maxBucket = 20)
+    // uncapped: the hot query drowns in its 39 duplicates; capped: the hot
+    // bucket drops WHOLE in every table, so the hot query returns nothing
+    assert(uncapped.filter(col("query_id") === 100L).count() == 3)
+    assert(capped.filter(col("query_id") === 100L).count() == 0,
+      "capped search must drop the pathological bucket entirely")
+    // ordinary queries are untouched by the cap
+    assert(canon(capped.filter(col("query_id") < 5L)) ==
+      canon(uncapped.filter(col("query_id") < 5L)),
+      "cap must not disturb normal buckets")
+    // the drop is audited, never silent: one hot bucket per table
+    val audit = Similarity.lshSearchOverflow(vecs, bits = 4, tables = 4, dim = 8,
+      maxBucket = 20).collect()
+    assert(audit.length == 4, s"expected 4 hot buckets (one per table): ${audit.length}")
+    assert(audit.forall(_.getAs[Long]("bucket_size") >= 40L))
+    // same contract through the persisted index
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_cap").toString
+    Similarity.buildLshIndex(vecs, bits = 4, tables = 4, dim = 8, path)
+    val cappedProbe = Similarity.probeLshIndex(queries, path, k = 3, maxBucket = 20)
+    assert(cappedProbe.filter(col("query_id") === 100L).count() == 0)
+    assert(canon(cappedProbe.filter(col("query_id") < 5L)) ==
+      canon(uncapped.filter(col("query_id") < 5L)),
+      "probe cap must match the in-memory capped search")
+    assert(Similarity.lshIndexOverflow(spark, path, maxBucket = 20).count() == 4)
+    assert(Similarity.lshIndexOverflow(spark, path, maxBucket = 50).count() == 0,
+      "a cap above every bucket size must audit clean")
+  }
+
   test("lshTuneConfig: measured-p model picks a config that reaches its target") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val cfg = Similarity.lshTuneConfig(e, k = 3, targetRecall = 0.5,
