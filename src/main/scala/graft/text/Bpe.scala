@@ -87,13 +87,28 @@ object Bpe {
 
   /** The corpus distinct-word histogram: ONE shuffle proportional to
     * DISTINCT words; everything after operates on this bounded table.
+    *
+    * `minCount` makes the driver collect's bound hold BY CONSTRUCTION on
+    * web-scale corpora, where "distinct words" is dominated by a hapax tail
+    * of URLs/typos/hashes that would OOM the driver: words seen fewer than
+    * `minCount` times are dropped BEFORE the collect (a distributed filter
+    * on the aggregated counts — the raw shuffle is unchanged). The default
+    * 1 keeps the exact histogram for oracle-gated paths; production
+    * trainers run a floor >= 2, the standard tokenizer-trainer knob. The
+    * truncation can in principle perturb learned merges (dropped singletons
+    * subtract their weight from pair counts), but merge decisions are
+    * dominated by frequent words — the spec pins minCount=2 ≡ exact on the
+    * test corpus — and a pair carried ONLY by hapax words is exactly the
+    * junk the floor exists to ignore.
     */
-  private def wordHistogram(docs: DataFrame, textCol: String, idCol: String): Array[(String, Long)] = {
+  private def wordHistogram(docs: DataFrame, textCol: String, idCol: String,
+                            minCount: Long = 1L): Array[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(textCol).cast("string")).as[String]
       .flatMap(t => toWords(t)).filter(_.nonEmpty)
       .groupByKey(identity).count()
+      .filter(_._2 >= minCount)
       .collect()
       .sortBy(_._1) // deterministic driver-side iteration order
   }
@@ -105,9 +120,10 @@ object Bpe {
     * pair repeats. Returns merges in rank order.
     */
   def learnMerges(docs: DataFrame, numMerges: Int,
-                  textCol: String = "text", idCol: String = "doc_id"): Seq[(String, String)] = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  minCount: Long = 1L): Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
-      wordHistogram(docs, textCol, idCol).map { case (w, c) => (baseSymbols(w), c) }
+      wordHistogram(docs, textCol, idCol, minCount).map { case (w, c) => (baseSymbols(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false

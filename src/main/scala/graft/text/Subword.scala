@@ -102,7 +102,8 @@ object Subword {
     * Output: (piece, weight).
     */
   def pieceVocab(docs: DataFrame, size: Int, maxPieceLen: Int,
-                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 minCount: Long = 1L): DataFrame = {
     require(maxPieceLen >= 2, "need maxPieceLen >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -112,11 +113,18 @@ object Subword {
     // non-ASCII input, so a vocab learned through it could diverge from the
     // ROOT-locale apply path (e.g. Turkish dotted I, U+0130) and produce
     // spurious [UNK]s. Still map-only into the same (word, cnt) aggregation.
+    // minCount (default 1 = exact) floors the histogram BEFORE the substring
+    // fan-out — on web-scale corpora the hapax tail of URLs/typos dominates
+    // distinct words, and dropping it bounds the n-gram candidate table the
+    // same way Bpe.wordHistogram's floor bounds its driver collect. NOTE:
+    // characters seen only in dropped words leave the alphabet, so their
+    // words become [UNK] at apply time — the WordPiece trade, opt-in.
     val wordCounts = docs
       .select(col(textCol).cast("string").as("__text")).as[String]
       .flatMap(t => toWords(t))
       .toDF("word")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
     val chars = wordCounts
       .select(col("cnt"), explode(split(col("word"), "")).as("piece"))
       .filter(length(col("piece")) === 1)
@@ -141,8 +149,9 @@ object Subword {
     * invoke once and reuse).
     */
   def collectPieces(docs: DataFrame, size: Int, maxPieceLen: Int,
-                    textCol: String = "text", idCol: String = "doc_id"): Array[String] =
-    pieceVocab(docs, size, maxPieceLen, textCol, idCol)
+                    textCol: String = "text", idCol: String = "doc_id",
+                    minCount: Long = 1L): Array[String] =
+    pieceVocab(docs, size, maxPieceLen, textCol, idCol, minCount)
       .select(col("piece")).collect().map(_.getString(0))
 
   /** Map-only subword apply: per document, whitespace-split the lowercased

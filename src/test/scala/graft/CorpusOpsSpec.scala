@@ -336,6 +336,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(counts(1).getAs[Long]("bpe_tokens") == 5L, "'abc xyz' -> ab+c, x+y+z")
   }
 
+  test("BPE minCount floor: bounded collect, merges stable on the test corpus") {
+    import graft.text.Bpe
+    // constructed: frequent-word pairs dominate; the hapax word 'zq' carries
+    // a pair no frequent word has, so its pair can never out-rank (a,b) and
+    // dropping it cannot change the learned merges
+    val docs = Seq((1L, "ab ab ab ab"), (2L, "ab ab zq")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(docs, 10, minCount = 2) == Bpe.learnMerges(docs, 10),
+      "dropping the hapax tail changed merges on a frequent-pair corpus")
+    // the property the scaladoc documents, pinned on the real test corpus:
+    // merge decisions are dominated by frequent words, so the production
+    // minCount=2 floor learns the exact same merge list as the full histogram
+    val corpus = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Bpe.learnMerges(corpus, numMerges = 32)
+    val floored = Bpe.learnMerges(corpus, numMerges = 32, minCount = 2)
+    assert(floored == exact,
+      "minCount=2 changed the learned merges on the test corpus")
+  }
+
+  test("Subword minCount floor: vocab from floored histogram still tokenizes frequent words") {
+    import graft.text.Subword
+    val docs = Seq((1L, "abab abab abab"), (2L, "abab qqqq")).toDF("doc_id", "text")
+    val floored = Subword.collectPieces(docs, size = 8, maxPieceLen = 4, minCount = 2)
+    // 'abab' survives the floor and tokenizes via learned pieces; 'qqqq'
+    // was hapax — its chars left the alphabet, so it collapses to [UNK]
+    // (the documented opt-in trade)
+    val ml = floored.map(_.length).max
+    assert(!Subword.tokenizeWord("abab", floored.toSet, ml).contains(Subword.Unk))
+    assert(Subword.tokenizeWord("qqqq", floored.toSet, ml).toSeq == Seq(Subword.Unk))
+  }
+
   test("packing and trimming compose with BPE token counts") {
     import graft.text.Bpe
     val docs = Seq((0L, "en", "ab ab ab"), (1L, "en", "abc"), (2L, "en", "x y z"))
