@@ -125,6 +125,19 @@ object CorpusQueries {
     "q109_trigram_backoff" -> ((s, d) =>
       TextOps.trigramBackoffNll(docs(s, d)).orderBy("doc_id")),
 
+    // The persisted-LM twin of q109 (the q113/q112 treatment for the last
+    // trained structure that refit per query): land the trigram
+    // Stupid-Backoff count tables as a parquet artifact, then score every
+    // document FROM THE STORE — no training pass in the scoring plan. Same
+    // oracle as q109: the store round-trip must be invisible to the scores,
+    // which is what makes the frozen-LM artifact safe for a curation
+    // pipeline that must score identically across runs.
+    "q120_trigram_lm_store" -> ((s, d) => {
+      val path = vocabPath(d) + "_lm"
+      TextOps.saveLm(docs(s, d), path)
+      TextOps.scoreWithLm(docs(s, d), path).orderBy("doc_id")
+    }),
+
     // BPE tokenizer gate (q105's pattern for the merges-RANKED learner —
     // the standard alternative to the frequency-ranked WordPiece vocab):
     // learn 128 merges from the corpus word histogram, round-trip them
@@ -233,6 +246,80 @@ object CorpusQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** DuckDB replay of the trigram Stupid-Backoff scoring — shared by q109
+    * (in-memory fit) and q120 (scores from the persisted LM artifact, which
+    * must be bit-identical).
+    */
+  private val trigramBackoffOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+       |),
+       |train AS (
+       |  SELECT * FROM base WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+       |),
+       |uni AS (
+       |  SELECT w[i] AS g, count(*) AS c
+       |  FROM train, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1
+       |),
+       |bi AS (
+       |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c
+       |  FROM train, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY 1
+       |),
+       |tri AS (
+       |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g, count(*) AS c
+       |  FROM train, unnest(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
+       |),
+       |corpus AS (
+       |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_train FROM train
+       |),
+       |inst AS (
+       |  SELECT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg,
+       |    w[i] || ' ' || w[i+1] AS w12,
+       |    w[i+1] || ' ' || w[i+2] AS w23,
+       |    w[i+1] AS w2, w[i+2] AS w3,
+       |    count(*) AS k
+       |  FROM base, unnest(generate_series(1, len(w)-2)) AS t(i)
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |),
+       |scored AS (
+       |  SELECT i.doc_id, i.k, t3.c AS c3,
+       |    CASE
+       |      WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b1.c
+       |      WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
+       |      WHEN u3.c IS NOT NULL THEN 0.16 * u3.c / corpus.n_train
+       |    END AS s
+       |  FROM inst i
+       |  LEFT JOIN tri t3 ON i.tg = t3.g
+       |  LEFT JOIN bi b1 ON i.w12 = b1.g
+       |  LEFT JOIN bi b2 ON i.w23 = b2.g
+       |  LEFT JOIN uni u2 ON i.w2 = u2.g
+       |  LEFT JOIN uni u3 ON i.w3 = u3.g
+       |  CROSS JOIN corpus
+       |),
+       |q AS (
+       |  SELECT doc_id, k, c3, s,
+       |    CASE WHEN s IS NOT NULL
+       |         THEN CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT) END AS nll6
+       |  FROM scored
+       |),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(sum(k) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CASE WHEN c3 IS NULL AND s IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_backoff,
+       |    CAST(sum(CASE WHEN s IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
+       |    round(CAST(sum(CASE WHEN s IS NOT NULL THEN k * nll6 ELSE 0 END) AS DOUBLE)
+       |      / greatest(sum(CASE WHEN s IS NOT NULL THEN k ELSE 0 END), 1) / 1000000.0, 6) AS nll
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_trigrams, 0) AS n_trigrams,
+       |  coalesce(p.n_backoff, 0) AS n_backoff,
+       |  coalesce(p.n_unseen, 0) AS n_unseen,
+       |  coalesce(p.nll, 0.0) AS nll
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q105_subword_invariants" ->
@@ -358,75 +445,10 @@ object CorpusQueries {
          |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
          |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
          |ORDER BY stage""".stripMargin,
-    "q109_trigram_backoff" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
-         |),
-         |train AS (
-         |  SELECT * FROM base WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
-         |),
-         |uni AS (
-         |  SELECT w[i] AS g, count(*) AS c
-         |  FROM train, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1
-         |),
-         |bi AS (
-         |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c
-         |  FROM train, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY 1
-         |),
-         |tri AS (
-         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g, count(*) AS c
-         |  FROM train, unnest(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
-         |),
-         |corpus AS (
-         |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_train FROM train
-         |),
-         |inst AS (
-         |  SELECT doc_id,
-         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg,
-         |    w[i] || ' ' || w[i+1] AS w12,
-         |    w[i+1] || ' ' || w[i+2] AS w23,
-         |    w[i+1] AS w2, w[i+2] AS w3,
-         |    count(*) AS k
-         |  FROM base, unnest(generate_series(1, len(w)-2)) AS t(i)
-         |  GROUP BY 1, 2, 3, 4, 5, 6
-         |),
-         |scored AS (
-         |  SELECT i.doc_id, i.k, t3.c AS c3,
-         |    CASE
-         |      WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b1.c
-         |      WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
-         |      WHEN u3.c IS NOT NULL THEN 0.16 * u3.c / corpus.n_train
-         |    END AS s
-         |  FROM inst i
-         |  LEFT JOIN tri t3 ON i.tg = t3.g
-         |  LEFT JOIN bi b1 ON i.w12 = b1.g
-         |  LEFT JOIN bi b2 ON i.w23 = b2.g
-         |  LEFT JOIN uni u2 ON i.w2 = u2.g
-         |  LEFT JOIN uni u3 ON i.w3 = u3.g
-         |  CROSS JOIN corpus
-         |),
-         |q AS (
-         |  SELECT doc_id, k, c3, s,
-         |    CASE WHEN s IS NOT NULL
-         |         THEN CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT) END AS nll6
-         |  FROM scored
-         |),
-         |per AS (
-         |  SELECT doc_id,
-         |    CAST(sum(k) AS BIGINT) AS n_trigrams,
-         |    CAST(sum(CASE WHEN c3 IS NULL AND s IS NOT NULL THEN k ELSE 0 END) AS BIGINT) AS n_backoff,
-         |    CAST(sum(CASE WHEN s IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
-         |    round(CAST(sum(CASE WHEN s IS NOT NULL THEN k * nll6 ELSE 0 END) AS DOUBLE)
-         |      / greatest(sum(CASE WHEN s IS NOT NULL THEN k ELSE 0 END), 1) / 1000000.0, 6) AS nll
-         |  FROM q GROUP BY 1
-         |)
-         |SELECT d.doc_id,
-         |  coalesce(p.n_trigrams, 0) AS n_trigrams,
-         |  coalesce(p.n_backoff, 0) AS n_backoff,
-         |  coalesce(p.n_unseen, 0) AS n_unseen,
-         |  coalesce(p.nll, 0.0) AS nll
-         |FROM documents d LEFT JOIN per p USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "q109_trigram_backoff" -> trigramBackoffOracle,
+    // The stored-LM scores must hash-match the in-memory fit — q109's
+    // oracle verbatim.
+    "q120_trigram_lm_store" -> trigramBackoffOracle,
     "q95_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -307,10 +307,21 @@ object TextOps {
     */
   def trigramBackoffNll(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
+    scoreTrigramLm(docs, uni, bi, tri, nTrain, textCol, idCol)
+  }
+
+  /** The trained Stupid-Backoff state — the LM as DATA: (uni, bi, tri)
+    * count tables (g, c) plus the 1-row token total (n_train), fit on the
+    * deterministic hex60 80% train split. Counts are longs over strings, so
+    * persisting and reloading them is exact — which is what makes
+    * [[saveLm]]/[[scoreWithLm]] bit-reproduce [[trigramBackoffNll]].
+    */
+  def trainTrigramLm(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val base = docs.select(col(idCol).as("doc_id"), w.as("__w"))
-    val train = base.filter(
-      graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
+    val train = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+      .filter(graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
     val uni = train.select(explode(col("__w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val bi = train.select(explode(ngrams(2)).as("g"))
@@ -319,6 +330,46 @@ object TextOps {
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val nTrain = train.select(explode(col("__w")).as("g"))
       .agg(count(lit(1)).as("n_train"))
+    (uni, bi, tri, nTrain)
+  }
+
+  /** Train-once half of the LM-as-artifact pair (the persisted-vocab /
+    * IVF-index treatment for the last per-query refit in the text family):
+    * land the [[trainTrigramLm]] count tables + token total under `path`.
+    * A curation pipeline scores with a FROZEN LM — training it per batch
+    * would both waste the corpus pass and make scores drift between runs.
+    */
+  def saveLm(docs: DataFrame, path: String,
+             textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
+    uni.write.mode("overwrite").parquet(s"$path/uni")
+    bi.write.mode("overwrite").parquet(s"$path/bi")
+    tri.write.mode("overwrite").parquet(s"$path/tri")
+    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score-many half: [[trigramBackoffNll]]'s exact scoring against the
+    * STORED count tables — no training pass; the only corpus-sized work is
+    * the documents being scored. The q120 gate hash-checks this against the
+    * in-memory fit.
+    */
+  def scoreWithLm(docs: DataFrame, path: String,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    scoreTrigramLm(docs,
+      spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"),
+      spark.read.parquet(s"$path/tri"), spark.read.parquet(s"$path/meta"),
+      textCol, idCol)
+  }
+
+  /** Scoring shared by the in-memory and stored-LM paths — see
+    * [[trigramBackoffNll]] for the semantics and exactness discipline.
+    */
+  private def scoreTrigramLm(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                             tri: DataFrame, nTrain: DataFrame,
+                             textCol: String, idCol: String): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol).as("doc_id"), w.as("__w"))
     val inst = base.select(col("doc_id"), explode(ngrams(3)).as("tg"))
       .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("k"))
       // words contain no spaces, so the split keys re-derive exactly

@@ -44,6 +44,7 @@ class PlanShapeSpec extends SparkSpec {
     "q115_pipeline_e2e", // 1-row min-docs broadcast for the rebalance rates (q97's shape)
     "q117_ann_lsh_store", // query side x broadcast plane table (tables x bits rows)
     "q119_ann_ivf_lifecycle", // q112's bounded stored-centroid broadcast, post-append/compact
+    "q120_trigram_lm_store", // 1-row STORED train-token-count broadcast (q109's shape)
     "q122_ann_lsh_lifecycle") // q117's bounded plane-table broadcast, post-append/compact
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
