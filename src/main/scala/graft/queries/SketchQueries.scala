@@ -57,6 +57,39 @@ object SketchQueries {
         .orderBy("doc_id")
     }),
 
+    // The streaming twin of q118: build the persisted decontamination
+    // artifact from the hex60 >= 80 benchmark slice, run the corpus slice
+    // through the STREAMING router (micro-batched file source -> per-batch
+    // bloom prefilter + exact verify -> exactly-once `out/batch=<id>`
+    // verdict dirs), then read the ROUTED ARTIFACT back and hash it against
+    // q118's batch semantics — the oracle never knows a stream was
+    // involved, which is precisely the router's replay-parity contract.
+    "q121_decontam_routed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_route"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      val all = Tables(s, d, "documents")
+        .withColumn("__b", Dedup.hex60(col("doc_id").cast("string")) % 100)
+      Dedup.buildDecontamStore(all.filter(col("__b") >= 80).drop("__b"),
+        s"$base/store", n = 3, k = 4, m = 1 << 20)
+      // 32 input files at maxFilesPerTrigger=16 -> the router sees (at
+      // least) two micro-batches, so cross-batch accumulation is exercised
+      all.filter(col("__b") < 80).select(col("doc_id"), col("text"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+      // fresh run each call: the routed output is the artifact under test
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ck"), true)
+      StreamingPipeline.decontamRouteStream(
+          StreamingPipeline.readDocStream(s, s"$base/in"),
+          s"$base/store", s"$base/out", s"$base/ck")
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_pos"),
+          col("n_present"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Histogram-sketch quantiles per event type (bin width 50, 20 bins):
     // the mergeable no-sort quantile path, with the exact quantiles
     // alongside so the one-bin-width error is visible in the output.
@@ -124,7 +157,14 @@ object SketchQueries {
     // Replays the filter bit-for-bit: same hex60 seeded bits, same 32-bit
     // word packing (bit_or of BIGINT masks), same k-of-k membership test,
     // then the exact join on the bloom-positive survivors only.
-    "q118_bloom_decontam" ->
+    "q118_bloom_decontam" -> bloomDecontamOracle,
+    // The union of the router's published batches must equal the batch
+    // computation over the same corpus — q118's oracle verbatim.
+    "q121_decontam_routed" -> bloomDecontamOracle,
+    "q103_hist_quantiles" -> histQuantilesOracle)
+
+  /** Shared by q118 (batch) and q121 (the streaming router's artifact). */
+  private lazy val bloomDecontamOracle: String =
       s"""WITH ${OracleCte.triCte},
          |b AS (
          |  SELECT doc_id, shingle,
@@ -167,8 +207,9 @@ object SketchQueries {
          |  coalesce(p.n_present, CAST(0 AS BIGINT)) AS n_present,
          |  coalesce(p.n_present, 0) > 0 AS contaminated
          |FROM agg a LEFT JOIN pres p ON p.doc_id = a.doc_id
-         |ORDER BY a.doc_id""".stripMargin,
-    "q103_hist_quantiles" ->
+         |ORDER BY a.doc_id""".stripMargin
+
+  private lazy val histQuantilesOracle: String =
       s"""WITH sk AS (
          |  SELECT event_type,
          |    CAST(least(greatest(floor(value / 50.0), 0.0), 19.0) AS INT) AS bucket,
@@ -197,5 +238,4 @@ object SketchQueries {
          |SELECT a.event_type, a.n_rows, a.p50, a.p90, a.p99, ex.exact_p50, ex.exact_p90
          |FROM approx a JOIN ex ON ex.event_type = a.event_type
          |ORDER BY 1""".stripMargin
-  )
 }
