@@ -732,6 +732,66 @@ object Similarity {
   private def activeDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
     if (fs.exists(new org.apache.hadoop.fs.Path(dir))) dir else s"$dir.prev"
 
+  /** Two-rename publish of a fully-staged replacement tree: `dir` moves
+    * aside to `dir.prev`, `staging` lands at `dir`, the survivor is
+    * dropped. A crash between the renames is healed by [[recoverDir]] /
+    * read around by [[activeDir]] — the contract every store here shares.
+    */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+                      staging: org.apache.hadoop.fs.Path, dir: String): Unit = {
+    val main = new org.apache.hadoop.fs.Path(dir)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
+    fs.delete(prev, true)
+    require(fs.rename(main, prev), s"could not move $main aside to $prev")
+    require(fs.rename(staging, main), s"could not land $staging at $main")
+    fs.delete(prev, true)
+  }
+
+  /** Batch re-index of a persisted IVF store — the documented drift answer
+    * for [[ivfAppendCells]]' frozen-centroid appends: refit the k-means
+    * structure FROM THE STORED PAYLOADS (no re-read of the source corpus —
+    * the store's `v` arrays are exactly the widened doubles a fresh build
+    * would derive, so the refit is bit-identical to
+    * [[buildIvfIndex]] over the same vectors with the same parameters),
+    * stage complete replacement `centroids/` and `cells/` trees, and land
+    * each via the [[compactBatchStore]] two-rename `.prev` swap. The
+    * append LEDGER survives: every previously-published batch id is left
+    * behind as an empty tombstone, so replays of merged batches stay
+    * refused. The two halves swap one after the other — not jointly
+    * atomic; like compaction this is a single-maintainer maintenance job
+    * to run between probes, and [[recoverDir]]/the probes' `.prev`
+    * fallbacks heal a crash inside either window. Returns the number of
+    * vectors re-indexed.
+    */
+  def reindexIvf(spark: SparkSession, path: String, numCentroids: Int,
+                 iters: Int, idCol: String = "vec_id"): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, s"$path/cells")
+    recoverDir(fs, s"$path/centroids")
+    val stored = spark.read.parquet(s"$path/cells").select(col(idCol), col("v"))
+    val n = stored.count()
+    val cent = kmeansCentroids(stored, numCentroids, iters, idCol, "v")
+    val assigned = assignTo(prepped(stored, idCol, "v"), cent, idCol)
+    val allIds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val stagingCells = new org.apache.hadoop.fs.Path(s"$path/.cells-reindex")
+    fs.delete(stagingCells, true)
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stagingCells/batch=0")
+    allIds.filter(_ != 0L).foreach(id =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingCells/batch=$id")))
+    val stagingCent = new org.apache.hadoop.fs.Path(s"$path/.centroids-reindex")
+    fs.delete(stagingCent, true)
+    cent.write.mode("overwrite").parquet(stagingCent.toString)
+    // cells first, then the (broadcast-sized) centroids — both windows are
+    // covered by the read-side fallbacks
+    swapDir(fs, stagingCells, s"$path/cells")
+    swapDir(fs, stagingCent, s"$path/centroids")
+    n
+  }
+
   /** Maintenance half of the persisted IVF index: collapse the accumulated
     * `cells/batch=<id>` append directories into a single compacted
     * `batch=0`. Why this exists: every append lands one file per touched
@@ -770,14 +830,12 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     require(nprobe >= 1, "need nprobe >= 1")
-    val cent = spark.read.parquet(s"$path/centroids")
-    // read-only .prev fallback covers the window between compactIvfIndex's
-    // two renames (and a crash inside it) without mutating the store
+    // read-only .prev fallbacks cover the windows between compactIvfIndex's
+    // / reindexIvf's two renames (and a crash inside) without mutating
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    val cellsDir =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells"))) s"$path/cells"
-      else s"$path/cells.prev"
+    val cent = spark.read.parquet(activeDir(fs, s"$path/centroids"))
+    val cellsDir = activeDir(fs, s"$path/cells")
     // the partition column comes back as the inferred directory type (int);
     // restore the build's long so q112 hash-matches q107's cell column
     val idx = spark.read.parquet(cellsDir)

@@ -313,6 +313,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon() == afterAppend, "recompaction changed probe results")
   }
 
+  test("persisted IVF index: reindexIvf refits from stored payloads, probes continue, ledger survives") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 19)
+    val all = b1.unionByName(b2)
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_re1").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_re2").toString
+    // grown store: build on b1 (frozen 4-centroid fit), append b2 — the
+    // drifted state a re-index exists to correct
+    Similarity.buildIvfIndex(b1, numCentroids = 4, iters = 2, grown)
+    assert(Similarity.ivfAppendCells(b2, grown, appendId = 1))
+    // re-index refits over ALL stored vectors; must equal a fresh build of
+    // the union corpus with the same parameters, bit for bit
+    assert(Similarity.reindexIvf(spark, grown, numCentroids = 4, iters = 2) == 20L)
+    Similarity.buildIvfIndex(all, numCentroids = 4, iters = 2, fresh)
+    def canon(path: String): Seq[String] =
+      Similarity.probeIvfIndex(all.filter(col("vec_id") < 5), path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(grown) == canon(fresh),
+      "reindexed store diverged from a fresh build over the same vectors")
+    // the append ledger survives the swap: merged ids stay refused
+    assert(!Similarity.ivfAppendCells(b2, grown, appendId = 1),
+      "replayed append id must stay refused after reindex")
+    // and new appends assign against the REFIT centroids
+    val b3 = mk(20 to 24)
+    assert(Similarity.ivfAppendCells(b3, grown, appendId = 2))
+    assert(spark.read.parquet(s"$grown/cells").count() == 25L,
+      "post-reindex append lost rows")
+  }
+
   test("persisted LSH index: probe reproduces the in-memory search bit-for-bit") {
     val vecs = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
