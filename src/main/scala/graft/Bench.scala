@@ -25,6 +25,14 @@ import org.apache.spark.sql.SparkSession
   * capped at 6 entries (stretching to at most 12 only for mandatory
   * spikes). The complete per-run matrix goes to BENCH_DETAIL.json (cwd)
   * for anything the capped line can't answer.
+  *
+  * FIELD ORDER IS TRUNCATION ORDER: because the consumer cuts the HEAD,
+  * the bulky per-query map is printed first and the headline fields
+  * (noisy, total_min/max, value) LAST — r7's line start sat 147 bytes from
+  * the cut, so one noisy session plus three new queries would have eaten
+  * `"value"` had it stayed at the head. Losing a few qNN entries to the
+  * cut is recoverable (BENCH_DETAIL.json has them all); losing the
+  * headline is not.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -175,7 +183,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(totalMed)},"unit":"sec","runs":$runs,"total_min":${f3(totalMin)},"total_max":${f3(totalMax)},"queries":$qs,"noisy":$noisy,"sf":"$sfDir","rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"ann_index":$annJson}""")
+    println(s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs,"ann_index":$annJson,"rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"noisy":$noisy,"total_max":${f3(totalMax)},"total_min":${f3(totalMin)},"value":${f3(totalMed)}}""")
     spark.stop()
   }
 }

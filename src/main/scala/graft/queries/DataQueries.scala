@@ -440,6 +440,29 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The RE-INDEX gate, closing the IVF store's maintenance loop: build
+    // from the vec_id < 300 prefix (frozen 8-centroid fit), append the
+    // remainder against those FROZEN centroids — the drifted state q119
+    // gates — then reindexIvf refits the k-means structure from the STORED
+    // payloads and swaps it in. The probe afterwards must be bit-identical
+    // to a monolithic full-corpus build (q107's oracle verbatim): the
+    // re-index has to fully HEAL the drift, not merely reshuffle it, which
+    // only holds if the stored `v` payloads are exactly the widened doubles
+    // a fresh build derives and the refit is order-insensitive
+    // (quantized-mean Lloyd). Any payload corruption in append/compact or
+    // drift in the refit path shifts a centroid and fails the hash.
+    "q123_ann_ivf_reindex" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_re"
+      val e = emb(s, d)
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 300),
+        numCentroids = 8, iters = 3, path)
+      Similarity.ivfAppendCells(e.filter(col("vec_id") >= 300), path, appendId = 1)
+      Similarity.reindexIvf(s, path, numCentroids = 8, iters = 3)
+      Similarity.probeIvfIndex(e, path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The PRODUCTION-recall LSH config (q111 proves the knob moves; this
     // proves it reaches curation-pipeline recall): 16 random-hyperplane
     // tables x 5 bits through the query-side search (cost ∝ queries, not
@@ -979,6 +1002,10 @@ object DataQueries {
     // Prefix-fit Lloyd + assign-everyone: the frozen-centroid append
     // semantics of the q119 lifecycle.
     "q119_ann_ivf_lifecycle" -> ivfLifecycleOracle,
+    // Re-index heals the prefix-fit drift completely: after reindexIvf the
+    // store must answer exactly like a monolithic full-corpus build, so the
+    // oracle is q107's full-fit nprobe search verbatim.
+    "q123_ann_ivf_reindex" -> nprobeOracle,
     // Tuned-config twin: identical plane/signature/candidate derivation as
     // q111's oracle, at 16 tables x 5 bits.
     "q114_ann_recall_lshtuned" -> annRecallOracle(
