@@ -4,6 +4,7 @@ import graft.core.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
+import graft.streaming.StreamingPipeline
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,6 +33,47 @@ object DataQueries {
     * definition — [[OracleCte.triCte]] — shared with the sketch oracles).
     */
   private val triCte: String = OracleCte.triCte
+
+  /** The uncapped MinHash+LSH pair mine replayed in DuckDB — q26's oracle,
+    * shared verbatim by the q124 store-lifecycle gate (the increment-parity
+    * contract: batched appends accumulate exactly the monolithic mine).
+    */
+  private lazy val minhashOracle: String =
+    s"""WITH $triCte,
+       |tri2 AS (
+       |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
+       |),
+       |mh AS (
+       |  SELECT doc_id, p.i AS i,
+       |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
+       |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
+       |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
+       |  GROUP BY doc_id, p.i
+       |),
+       |bandkeys AS (
+       |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+       |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
+       |  FROM mh GROUP BY doc_id, i // 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tri a ON a.doc_id = c.doc_a
+       |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1,2
+       |)
+       |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
+       |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+       |ORDER BY 1,2""".stripMargin
 
   /** Unrolled DuckDB mirror of [[Similarity.ivfKmeansTopK]] for any iteration
     * count: c0 is the deterministic seed, each Lloyd iteration t emits
@@ -440,6 +482,33 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The MinHash dedup STORE through the oracle — the third store family
+    // gets the q119/q122 lifecycle treatment: the corpus arrives as three
+    // disjoint micro-batches through minhashDedupBatch (the streaming
+    // maintainer's exact foreachBatch body — per-doc signatures, new-vs-all
+    // candidate mining against the stored band index, append-only
+    // publishes), the store compacts, and the accumulated pairs/ dirs are
+    // read back. The documented parity contract says the union of the
+    // increments over ANY batch partitioning equals the uncapped batch
+    // miner over the whole corpus, so the oracle is q26's SQL verbatim —
+    // a bug in the increment join, the re-sent-doc exclusion, the ledger,
+    // or compaction's rewrite shifts or duplicates a pair and fails the
+    // hash. (The store is wiped first: the pairs ledger makes replays
+    // no-ops, so a stale store would short-circuit the mining under test.)
+    "q124_minhash_store_lifecycle" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_mhlc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dd = docs(s, d)
+      (0L to 2L).foreach(i =>
+        StreamingPipeline.minhashDedupBatch(path)(dd.filter(col("doc_id") % 3 === i), i))
+      StreamingPipeline.compactMinhashStore(s, path)
+      s.read.parquet(s"$path/pairs")
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The RE-INDEX gate, closing the IVF store's maintenance loop: build
     // from the vec_id < 300 prefix (frozen 8-centroid fit), append the
     // remainder against those FROZEN centroids — the drifted state q119
@@ -460,6 +529,27 @@ object DataQueries {
       Similarity.reindexIvf(s, path, numCentroids = 8, iters = 3)
       Similarity.probeIvfIndex(e, path, k = 3, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The RE-TUNE gate for the LSH store (q123's treatment for the
+    // hyperplane family): build at a WEAK 4x5 geometry on the vec_id < 300
+    // prefix, append the remainder, then reindexLsh re-signs the stored
+    // payloads at the tuned 16x5 geometry and swaps config. The probe
+    // afterwards must be bit-identical to the monolithic 16x5 search
+    // (q117's oracle verbatim) — signatures are pure functions of the
+    // geometry, so the re-tune must leave NO trace of the old one, and any
+    // payload loss in append or a stale-config read would shift candidates
+    // and fail the hash.
+    "q125_ann_lsh_reindex" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lshre"
+      val e = emb(s, d)
+      Similarity.buildLshIndex(e.filter(col("vec_id") < 300),
+        bits = 5, tables = 4, dim = 64, path)
+      Similarity.lshAppendVectors(e.filter(col("vec_id") >= 300), path, appendId = 1)
+      Similarity.reindexLsh(s, path, tables = 16, bits = 5)
+      Similarity.probeLshIndex(e.filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")
     }),
 
@@ -666,42 +756,11 @@ object DataQueries {
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
          |ORDER BY 1,2""".stripMargin,
-    "q26_dedup_minhash" ->
-      s"""WITH $triCte,
-         |tri2 AS (
-         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
-         |),
-         |mh AS (
-         |  SELECT doc_id, p.i AS i,
-         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
-         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
-         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
-         |  GROUP BY doc_id, p.i
-         |),
-         |bandkeys AS (
-         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
-         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
-         |  FROM mh GROUP BY doc_id, i // 4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandkeys a JOIN bandkeys b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN tri a ON a.doc_id = c.doc_a
-         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1,2
-         |)
-         |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
-         |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN sizes sa ON sa.doc_id = c.doc_a
-         |JOIN sizes sb ON sb.doc_id = c.doc_b
-         |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
-         |ORDER BY 1,2""".stripMargin,
+    "q26_dedup_minhash" -> minhashOracle,
+    // The documented increment-parity contract: pairs accumulated by the
+    // batched store equal the uncapped batch miner over the whole corpus,
+    // so the lifecycle gate shares q26's oracle verbatim.
+    "q124_minhash_store_lifecycle" -> minhashOracle,
     "q27_dedup_simhash" ->
       s"""WITH tok2 AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
@@ -1006,6 +1065,10 @@ object DataQueries {
     // store must answer exactly like a monolithic full-corpus build, so the
     // oracle is q107's full-fit nprobe search verbatim.
     "q123_ann_ivf_reindex" -> nprobeOracle,
+    // Re-tune leaves no trace of the old geometry: after reindexLsh to
+    // 16x5 the store must answer exactly like a monolithic 16x5 build —
+    // q117's oracle verbatim.
+    "q125_ann_lsh_reindex" -> lshStoreOracle,
     // Tuned-config twin: identical plane/signature/candidate derivation as
     // q111's oracle, at 16 tables x 5 bits.
     "q114_ann_recall_lshtuned" -> annRecallOracle(

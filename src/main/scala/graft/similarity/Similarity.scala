@@ -255,7 +255,8 @@ object Similarity {
     recoverDir(fs, s"$path/vectors")
     val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
     if (fs.exists(ledger)) return false
-    val cfg = spark.read.parquet(s"$path/config").head()
+    // .prev fallback covers reindexLsh's config swap window
+    val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
       cfg.getAs[Int]("dim"))
     val c = lshPrepped(vectors, dim, idCol, vecCol)
@@ -292,12 +293,13 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = queries.sparkSession
-    val cfg = spark.read.parquet(s"$path/config").head()
-    val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
-      cfg.getAs[Int]("dim"))
-    // read-only .prev fallback covers the compactLshIndex swap window
+    // read-only .prev fallbacks cover the compactLshIndex / reindexLsh
+    // swap windows (config included — its swap publishes a re-tune)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
+    val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
+      cfg.getAs[Int]("dim"))
     // partition columns come back as directory-inferred ints; restore the
     // build's longs so the join keys and output hash-match the in-memory path
     val sigC = boundedBuckets(
@@ -789,6 +791,59 @@ object Similarity {
     // covered by the read-side fallbacks
     swapDir(fs, stagingCells, s"$path/cells")
     swapDir(fs, stagingCent, s"$path/centroids")
+    n
+  }
+
+  /** Batch re-tune of a persisted LSH index — [[reindexIvf]] for the
+    * hyperplane family, except nothing is "fit": signatures are pure
+    * integer-hash functions of (t, j, d), so re-tuning to a NEW
+    * (tables, bits) geometry (e.g. the [[lshTuneConfig]] answer after the
+    * corpus grew) is a deterministic re-sign of the stored payloads. The
+    * `vectors/` half is geometry-independent and is NOT rewritten — only
+    * `sigs/` is restaged (one `batch=0` tree plus a tombstone per
+    * previously-published append id, so replays of merged batches stay
+    * refused) and `config` swaps after it, pinning the new geometry for
+    * probes and appends. The two swaps are not jointly atomic: a crash in
+    * between leaves new-geometry signatures under an old-geometry config,
+    * which a probe would answer near-empty (geometry mismatch finds no
+    * collisions — wrong, but loud, and nothing is lost). RECOVERY IS
+    * RE-RUNNING THE JOB: every output is a deterministic function of the
+    * untouched payload half, so the re-run re-stages both and converges —
+    * the same single-maintainer, run-between-probes contract as
+    * compaction and [[reindexIvf]]. Returns the number of vectors
+    * re-signed.
+    */
+  def reindexLsh(spark: SparkSession, path: String, tables: Int, bits: Int,
+                 idCol: String = "vec_id"): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, s"$path/sigs")
+    recoverDir(fs, s"$path/vectors")
+    recoverDir(fs, s"$path/config")
+    val dim = spark.read.parquet(s"$path/config").head().getAs[Int]("dim")
+    // the stored payloads ARE the prepped (idCol, v, n) rows a fresh build
+    // would derive — re-sign them directly, no source-corpus re-read
+    val c = spark.read.parquet(s"$path/vectors")
+      .select(col(idCol), col("v"), col("n"))
+    val n = c.count()
+    val allIds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/sigs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val stagingSigs = new org.apache.hadoop.fs.Path(s"$path/.sigs-reindex")
+    fs.delete(stagingSigs, true)
+    lshSigs(c, lshPlanes(c, tables, bits, dim), idCol)
+      .repartition(col("t"), col("bucket"))
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$stagingSigs/batch=0")
+    allIds.filter(_ != 0L).foreach(id =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingSigs/batch=$id")))
+    val stagingCfg = new org.apache.hadoop.fs.Path(s"$path/.config-reindex")
+    fs.delete(stagingCfg, true)
+    import spark.implicits._
+    Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(stagingCfg.toString)
+    // sigs first, then the 1-row config that publishes the new geometry
+    swapDir(fs, stagingSigs, s"$path/sigs")
+    swapDir(fs, stagingCfg, s"$path/config")
     n
   }
 

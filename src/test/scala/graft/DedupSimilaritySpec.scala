@@ -345,6 +345,36 @@ class DedupSimilaritySpec extends SparkSpec {
       "post-reindex append lost rows")
   }
 
+  test("persisted LSH index: reindexLsh re-signs at the new geometry, ledger survives, appends use it") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 19)
+    val all = b1.unionByName(b2)
+    val grown = java.nio.file.Files.createTempDirectory("graft_lsh_re1").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft_lsh_re2").toString
+    // grown store at a weak 2x4 geometry, then re-tune to 8x4
+    Similarity.buildLshIndex(b1, bits = 4, tables = 2, dim = 8, grown)
+    assert(Similarity.lshAppendVectors(b2, grown, appendId = 1))
+    assert(Similarity.reindexLsh(spark, grown, tables = 8, bits = 4) == 20L)
+    Similarity.buildLshIndex(all, bits = 4, tables = 8, dim = 8, fresh)
+    def canon(path: String): Seq[String] =
+      Similarity.probeLshIndex(all.filter(col("vec_id") < 5), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(grown) == canon(fresh),
+      "re-tuned store diverged from a fresh build at the same geometry")
+    // ledger survives the swap: merged append ids stay refused
+    assert(!Similarity.lshAppendVectors(b2, grown, appendId = 1),
+      "replayed append id must stay refused after reindex")
+    // new appends sign with the NEW stored geometry and stay probe-visible
+    val b3 = mk(20 to 24)
+    assert(Similarity.lshAppendVectors(b3, grown, appendId = 2))
+    Similarity.buildLshIndex(all.unionByName(b3), bits = 4, tables = 8, dim = 8, fresh)
+    assert(canon(grown) == canon(fresh),
+      "post-reindex append diverged from the monolithic build")
+  }
+
   test("persisted LSH index: probe reproduces the in-memory search bit-for-bit") {
     val vecs = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))

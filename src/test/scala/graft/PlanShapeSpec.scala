@@ -46,7 +46,8 @@ class PlanShapeSpec extends SparkSpec {
     "q119_ann_ivf_lifecycle", // q112's bounded stored-centroid broadcast, post-append/compact
     "q120_trigram_lm_store", // 1-row STORED train-token-count broadcast (q109's shape)
     "q122_ann_lsh_lifecycle", // q117's bounded plane-table broadcast, post-append/compact
-    "q123_ann_ivf_reindex") // q112's bounded stored-centroid broadcast, post-reindex swap
+    "q123_ann_ivf_reindex", // q112's bounded stored-centroid broadcast, post-reindex swap
+    "q125_ann_lsh_reindex") // q117's bounded plane-table broadcast, post-re-tune swap
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
