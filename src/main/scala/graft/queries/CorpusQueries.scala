@@ -138,6 +138,25 @@ object CorpusQueries {
       TextOps.scoreWithLm(docs(s, d), path).orderBy("doc_id")
     }),
 
+    // The LM store LIFECYCLE gate (q124's treatment for the count-table
+    // family): the corpus arrives as three disjoint batches — build,
+    // then two appendLm increments — the store compacts (counts MERGED
+    // per gram, not just rewritten), and every document is scored from
+    // the result. N-gram counts are additive longs, so the store must
+    // score exactly like the monolithic fit over the union (q109's
+    // oracle verbatim): a lost delta, a double-counted replay, or a
+    // compaction that drops/duplicates a gram shifts some document's
+    // backoff path and fails the hash.
+    "q126_trigram_lm_lifecycle" -> ((s, d) => {
+      val path = vocabPath(d) + "_lmlc"
+      val dd = docs(s, d)
+      TextOps.saveLm(dd.filter(col("doc_id") % 3 === 0), path)
+      TextOps.appendLm(dd.filter(col("doc_id") % 3 === 1), path, appendId = 1)
+      TextOps.appendLm(dd.filter(col("doc_id") % 3 === 2), path, appendId = 2)
+      TextOps.compactLm(s, path)
+      TextOps.scoreWithLm(dd, path).orderBy("doc_id")
+    }),
+
     // BPE tokenizer gate (q105's pattern for the merges-RANKED learner —
     // the standard alternative to the frequency-ranked WordPiece vocab):
     // learn 128 merges from the corpus word histogram, round-trip them
@@ -449,6 +468,9 @@ object CorpusQueries {
     // The stored-LM scores must hash-match the in-memory fit — q109's
     // oracle verbatim.
     "q120_trigram_lm_store" -> trigramBackoffOracle,
+    // Counts are additive: the batched-then-compacted store must score
+    // exactly like the monolithic fit — q109's oracle verbatim.
+    "q126_trigram_lm_lifecycle" -> trigramBackoffOracle,
     "q95_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

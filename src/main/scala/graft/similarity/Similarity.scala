@@ -731,7 +731,7 @@ object Similarity {
     * inside/after a [[compactBatchStore]] swap window — read-only, never
     * mutates (contrast [[recoverDir]], which heals before writes).
     */
-  private def activeDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
+  private[graft] def activeDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
     if (fs.exists(new org.apache.hadoop.fs.Path(dir))) dir else s"$dir.prev"
 
   /** Two-rename publish of a fully-staged replacement tree: `dir` moves
@@ -739,7 +739,7 @@ object Similarity {
     * dropped. A crash between the renames is healed by [[recoverDir]] /
     * read around by [[activeDir]] — the contract every store here shares.
     */
-  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapDir(fs: org.apache.hadoop.fs.FileSystem,
                       staging: org.apache.hadoop.fs.Path, dir: String): Unit = {
     val main = new org.apache.hadoop.fs.Path(dir)
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")

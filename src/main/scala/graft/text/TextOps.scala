@@ -341,24 +341,114 @@ object TextOps {
     */
   def saveLm(docs: DataFrame, path: String,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    // build semantics: a rebuild replaces the whole store, appends and all
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
-    uni.write.mode("overwrite").parquet(s"$path/uni")
-    bi.write.mode("overwrite").parquet(s"$path/bi")
-    tri.write.mode("overwrite").parquet(s"$path/tri")
-    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    tri.write.mode("overwrite").parquet(s"$path/tri/batch=0")
+    bi.write.mode("overwrite").parquet(s"$path/bi/batch=0")
+    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=0")
+    uni.write.mode("overwrite").parquet(s"$path/uni/batch=0")
+  }
+
+  /** Incremental half of the LM store — [[graft.similarity.Similarity
+    * .ivfAppendCells]]' treatment for the count tables, and the reason it
+    * is EXACT here: n-gram counts are additive longs, so training on a new
+    * document batch and landing the deltas under `batch=<id>` makes the
+    * summed store equal the monolithic fit over the union, for ANY disjoint
+    * batch partitioning (groupBy-count over a union IS the sum of
+    * groupBy-counts over its parts; the hex60 train-split filter is
+    * per-document, so it commutes with the partitioning). Exactly-once via
+    * the directory-existence ledger: `uni/batch=<id>` is written LAST as
+    * the commit marker, so a replay of a crashed append deterministically
+    * rewrites the same deltas and converges; a replay of a completed one
+    * returns false untouched. Appends are maintenance ops — run them
+    * between scoring jobs (single-maintainer, the contract every store in
+    * this repo shares); a scorer racing a half-landed append could pair new
+    * trigram counts with old context counts.
+    */
+  def appendLm(docs: DataFrame, path: String, appendId: Long,
+               textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+    require(appendId != 0L, "appendId 0 is reserved for the initial build")
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    Seq("uni", "bi", "tri", "meta").foreach(h =>
+      graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/uni/batch=$appendId")))
+      return false
+    val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
+    tri.write.mode("overwrite").parquet(s"$path/tri/batch=$appendId")
+    bi.write.mode("overwrite").parquet(s"$path/bi/batch=$appendId")
+    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=$appendId")
+    uni.write.mode("overwrite").parquet(s"$path/uni/batch=$appendId")
+    true
+  }
+
+  /** Maintenance half: MERGE the accumulated per-batch count deltas into
+    * one `batch=0` per table — unlike the index stores' row-preserving
+    * [[graft.similarity.Similarity.compactBatchStore]], LM compaction sums
+    * counts per gram (exact long adds), so the store shrinks back to one
+    * row per distinct n-gram no matter how many appends landed. Every
+    * previously-published id stays behind as an empty tombstone dir so the
+    * append ledger survives; each table lands via the two-rename `.prev`
+    * swap ([[scoreWithLm]] reads around the window, [[appendLm]] heals it).
+    * Returns the number of tables that had anything to merge.
+    */
+  def compactLm(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    var compacted = 0
+    Seq("uni", "bi", "tri", "meta").foreach { h =>
+      val dir = s"$path/$h"
+      graft.similarity.Similarity.recoverDir(fs, dir)
+      val main = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(main)) {
+        val batchDirs = fs.listStatus(main)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
+        if (dataIds.length > 1) {
+          val merged =
+            if (h == "meta")
+              spark.read.parquet(dir).agg(sum(col("n_train")).as("n_train")).coalesce(1)
+            else
+              spark.read.parquet(dir).groupBy(col("g")).agg(sum(col("c")).as("c"))
+          val staging = new org.apache.hadoop.fs.Path(s"$path/.$h-compact")
+          fs.delete(staging, true)
+          merged.write.mode("overwrite").parquet(s"$staging/batch=0")
+          batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
+            .filter(_ != 0L).foreach(id =>
+              fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+          graft.similarity.Similarity.swapDir(fs, staging, dir)
+          compacted += 1
+        }
+      }
+    }
+    compacted
   }
 
   /** Score-many half: [[trigramBackoffNll]]'s exact scoring against the
     * STORED count tables — no training pass; the only corpus-sized work is
-    * the documents being scored. The q120 gate hash-checks this against the
-    * in-memory fit.
+    * the documents being scored. Each table is summed per gram on read, so
+    * the scorer is indifferent to whether [[compactLm]] has merged the
+    * appends yet (longs sum to the same longs in any order/grouping). The
+    * q120 gate hash-checks this against the in-memory fit; q126 drives
+    * build→append→compact and hash-checks against the monolithic fit.
     */
   def scoreWithLm(docs: DataFrame, path: String,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    scoreTrigramLm(docs,
-      spark.read.parquet(s"$path/uni"), spark.read.parquet(s"$path/bi"),
-      spark.read.parquet(s"$path/tri"), spark.read.parquet(s"$path/meta"),
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    // read-only .prev fallback covers the compactLm swap window
+    def counts(h: String): DataFrame =
+      spark.read.parquet(graft.similarity.Similarity.activeDir(fs, s"$path/$h"))
+        .groupBy(col("g")).agg(sum(col("c")).as("c"))
+    val nTrain = spark.read
+      .parquet(graft.similarity.Similarity.activeDir(fs, s"$path/meta"))
+      .agg(sum(col("n_train")).as("n_train"))
+    scoreTrigramLm(docs, counts("uni"), counts("bi"), counts("tri"), nTrain,
       textCol, idCol)
   }
 

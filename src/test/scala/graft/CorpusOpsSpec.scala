@@ -43,6 +43,39 @@ class CorpusOpsSpec extends SparkSpec {
       "single-token doc reports zero bigrams")
   }
 
+  test("LM store lifecycle: batched appends score like the monolithic fit; ledger and compaction hold") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"the cat ${if (i % 2 == 0) "sat on" else "ran past"} the mat row$i end"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_lc").toString + "/lm"
+    TextOps.saveLm(docs.filter(col("doc_id") % 3 === 0), path)
+    assert(TextOps.appendLm(docs.filter(col("doc_id") % 3 === 1), path, appendId = 1))
+    assert(TextOps.appendLm(docs.filter(col("doc_id") % 3 === 2), path, appendId = 2))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val mono = canon(TextOps.trigramBackoffNll(docs))
+    assert(canon(TextOps.scoreWithLm(docs, path)) == mono,
+      "pre-compaction store diverged from the monolithic fit")
+    // uni/bi/tri/meta all had 3 batches to merge
+    assert(TextOps.compactLm(spark, path) == 4)
+    assert(canon(TextOps.scoreWithLm(docs, path)) == mono,
+      "compacted store diverged from the monolithic fit")
+    // compaction merged to one row per gram: a second pass finds nothing
+    assert(TextOps.compactLm(spark, path) == 0)
+    // ledger survives compaction: replays of merged batches stay refused
+    assert(!TextOps.appendLm(docs.filter(col("doc_id") % 3 === 1), path, appendId = 1),
+      "replayed append id must stay refused after compaction")
+    // post-compaction appends keep counting (several docs so some land in
+    // the 80% train split and actually shift the counts)
+    val extra = (100L until 110L).map(i => (i, s"the cat sat on the mat again x$i end"))
+      .toDF("doc_id", "text")
+    assert(TextOps.appendLm(extra, path, appendId = 3))
+    assert(canon(TextOps.scoreWithLm(docs, path)) ==
+      canon(TextOps.trigramBackoffNll(docs.unionByName(extra))
+        .filter(col("doc_id") < 100)),
+      "post-compaction append diverged from the monolithic fit over the union")
+  }
+
   test("trigramBackoffNll: train docs never back off; alien held-out docs are all-unseen") {
     import graft.dedup.Dedup
     // discover every candidate id's split bucket with ONE job
