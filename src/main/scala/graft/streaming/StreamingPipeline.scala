@@ -669,6 +669,38 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(minhashDedupBatch(storePath, n, numPerms, bands, threshold) _)
 
+  /** Incremental LM maintenance — the `foreachBatch` body for a trigram
+    * Stupid-Backoff model that keeps learning as the corpus arrives: each
+    * micro-batch trains count DELTAS on its own documents only and appends
+    * them via [[graft.text.TextOps.appendLm]] (counts are additive longs,
+    * so after any prefix of batches the store scores exactly like the
+    * monolithic fit over the documents delivered so far; the
+    * `uni/batch=<id+1>` commit marker makes foreachBatch replays no-ops).
+    * Unlike [[minhashDedupBatch]] there is no per-doc idempotency layer:
+    * counting is not keyed by doc_id, so the maintainer relies on the
+    * file-source's exactly-once delivery (each document appears in ONE
+    * batch) — re-sending a document under a fresh batch id double-counts
+    * it, which is the correct semantics for a count model fed an
+    * append-only corpus. Score at any time with
+    * [[graft.text.TextOps.scoreWithLm]]; merge small files with
+    * [[graft.text.TextOps.compactLm]] between triggers.
+    */
+  def lmAppendBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.text.TextOps.appendLm(batch, storePath, batchId + 1)
+    ()
+  }
+
+  /** Streaming LM maintenance: document stream -> per-micro-batch count
+    * deltas via [[lmAppendBatch]].
+    */
+  def lmAppendStream(docs: DataFrame, storePath: String,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(lmAppendBatch(storePath) _)
+
   /** Streaming distinct-count query: file-source events -> incremental HLL
     * register store via [[hllMergeBatch]]. Read the estimate at any time
     * with `Sketches.hllEstimate(spark.read.parquet(storePath), keys)`.

@@ -197,6 +197,44 @@ class IngestStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
+  test("streaming LM maintainer: restart + replay score like the monolithic fit") {
+    import graft.text.TextOps
+    val base = Files.createTempDirectory("graft_lms").toString
+    val in = s"$base/in"; val store = s"$base/lm"
+    val b1 = (0L until 12L).map(i => (i, s"the cat sat on the mat row$i end"))
+      .toDF("doc_id", "text")
+    val b2 = (12L until 20L).map(i => (i, s"the dog ran past the door row$i end"))
+      .toDF("doc_id", "text")
+    val all = b1.unionByName(b2)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    b1.write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.lmAppendStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    assert(canon(TextOps.scoreWithLm(b1, store)) == canon(TextOps.trigramBackoffNll(b1)),
+      "after the first delivery the store must score like a fit on it")
+    // restart from the same checkpoint with a second delivery
+    b2.write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.lmAppendStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val mono = canon(TextOps.trigramBackoffNll(all))
+    assert(canon(TextOps.scoreWithLm(all, store)) == mono,
+      "accumulated count deltas diverged from the monolithic fit")
+    // foreachBatch replays are no-ops (the uni commit marker refuses)
+    StreamingPipeline.lmAppendBatch(store)(b1, 0L)
+    StreamingPipeline.lmAppendBatch(store)(b2, 1L)
+    assert(canon(TextOps.scoreWithLm(all, store)) == mono,
+      "replayed batch ids must not double-count")
+    // compaction between triggers preserves scores and the ledger
+    assert(TextOps.compactLm(spark, store) == 4)
+    assert(canon(TextOps.scoreWithLm(all, store)) == mono)
+    StreamingPipeline.lmAppendBatch(store)(b1, 0L)
+    assert(canon(TextOps.scoreWithLm(all, store)) == mono,
+      "replay of a compacted batch id must stay a no-op")
+  }
+
   test("streaming decontamination route: verdict union == batch audit; replays are no-ops") {
     import graft.dedup.Dedup
     val base = Files.createTempDirectory("graft_route").toString
