@@ -431,13 +431,77 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val spark = benchDocs.sparkSession
     import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    // build semantics: a rebuild replaces the whole store, appends and all
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val sh = wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.write.mode("overwrite").parquet(s"$path/shingles/batch=0")
     graft.sketch.Sketches.bloomWords(sh, "shingle", k, m)
       .write.mode("overwrite").parquet(s"$path/words")
     Seq((n, k, m)).toDF("n", "k", "m")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
   }
+
+  /** Incremental half of the decontamination store — benchmark suites GROW
+    * (a new eval ships; its prompts must start blocking immediately,
+    * without re-shingling every suite already stored), and Bloom bits make
+    * the increment EXACT: the filter is a bitwise OR of per-item
+    * contributions, so OR-merging each batch's bits over any disjoint
+    * partitioning of the distinct shingles reproduces the monolithic
+    * build's words table bit-for-bit (q127 hash-checks exactly this, down
+    * to `n_bloom_pos`). Publish order is the no-false-negative invariant:
+    * the merged words land FIRST (a superset bloom is safe — extra
+    * positives just reach the exact join and fail it), the
+    * `shingles/batch=<id>` commit marker lands last; a crash in between
+    * leaves a superset filter over the old shingle store, and the replay
+    * re-merges (OR is idempotent) and converges. New shingles are
+    * anti-joined against the stored set so the exact table stays
+    * duplicate-free for the contamination counts. Exactly-once via the
+    * marker; geometry is pinned by the stored config — an append can never
+    * hash with different (k, m) than the build.
+    */
+  def appendDecontamBench(benchDocs: DataFrame, path: String, appendId: Long,
+                          textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+    require(appendId != 0L, "appendId 0 is reserved for the initial build")
+    val spark = benchDocs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    Seq("shingles", "words", "config").foreach(h =>
+      graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId")))
+      return false
+    val cfg = spark.read.parquet(s"$path/config").head()
+    val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
+    val stored = spark.read.parquet(s"$path/shingles").select(col("shingle"))
+    // stage the delta once, then derive its bloom bits from the staged
+    // parquet (one computation, durable across the two publishes)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/shingles/.staging-$appendId")
+    fs.delete(staging, true)
+    wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
+      .join(stored, Seq("shingle"), "left_anti")
+      .write.mode("overwrite").parquet(staging.toString)
+    val mergedWords = graft.sketch.Sketches.bloomMergeWords(
+      spark.read.parquet(s"$path/words"),
+      graft.sketch.Sketches.bloomWords(
+        spark.read.parquet(staging.toString), "shingle", k, m))
+    val wordsStaging = new org.apache.hadoop.fs.Path(s"$path/.words-append")
+    fs.delete(wordsStaging, true)
+    mergedWords.write.mode("overwrite").parquet(wordsStaging.toString)
+    graft.similarity.Similarity.swapDir(fs, wordsStaging, s"$path/words")
+    val ledger = new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId")
+    require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+    true
+  }
+
+  /** Maintenance half: collapse the shingle store's accumulated `batch=`
+    * dirs into one (rows preserved, ledger tombstoned — the
+    * [[graft.similarity.Similarity.compactBatchStore]] contract); the
+    * words table is a fixed-size sketch rewritten whole on every append,
+    * so only the shingle half accumulates files.
+    */
+  def compactDecontamStore(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    graft.similarity.Similarity.compactBatchStore(spark, s"$path/shingles", Seq.empty)
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
     * fingerprint is 1 iff the sum of +-1 contributions (tokens whose hash has

@@ -90,6 +90,36 @@ object SketchQueries {
         .orderBy("doc_id")
     }),
 
+    // The decontamination store LIFECYCLE gate (q124/q126's treatment for
+    // the fourth artifact family — benchmark suites GROW): the hex60 >= 80
+    // benchmark slice arrives as three disjoint doc groups — build, then
+    // two appendDecontamBench OR-merge increments — the shingle store
+    // compacts, and the corpus slice is scored against the result. Bloom
+    // bits are a pure OR of per-item contributions, so the lifecycle store
+    // must reproduce the monolithic build BIT-FOR-BIT — including
+    // n_bloom_pos, the filter's own false-positive pattern — which is why
+    // the oracle is q118's verbatim: a lost delta, a double-stored
+    // shingle, or a words/shingles publish-order bug shifts a count and
+    // fails the hash.
+    "q127_decontam_lifecycle" -> ((s, d) => {
+      val base = CorpusQueries.vocabPath(d) + "_dclc"
+      val all = Tables(s, d, "documents")
+        .withColumn("__b", Dedup.hex60(col("doc_id").cast("string")) % 100)
+      val bench = all.filter(col("__b") >= 80).drop("__b")
+      Dedup.buildDecontamStore(bench.filter(col("doc_id") % 3 === 0),
+        s"$base/store", n = 3, k = 4, m = 1 << 20)
+      Dedup.appendDecontamBench(bench.filter(col("doc_id") % 3 === 1),
+        s"$base/store", appendId = 1)
+      Dedup.appendDecontamBench(bench.filter(col("doc_id") % 3 === 2),
+        s"$base/store", appendId = 2)
+      Dedup.compactDecontamStore(s, s"$base/store")
+      Dedup.bloomContaminationAgainst(
+          Dedup.wordShingles(all.filter(col("__b") < 80).drop("__b"), 3),
+          s.read.parquet(s"$base/store/shingles"),
+          s.read.parquet(s"$base/store/words"), k = 4, m = 1 << 20)
+        .orderBy("doc_id")
+    }),
+
     // Histogram-sketch quantiles per event type (bin width 50, 20 bins):
     // the mergeable no-sort quantile path, with the exact quantiles
     // alongside so the one-bin-width error is visible in the output.
@@ -161,6 +191,10 @@ object SketchQueries {
     // The union of the router's published batches must equal the batch
     // computation over the same corpus — q118's oracle verbatim.
     "q121_decontam_routed" -> bloomDecontamOracle,
+    // Bloom bits OR-merge exactly, so the built-then-appended-then-
+    // compacted store answers bit-for-bit like the monolithic build —
+    // q118's oracle verbatim.
+    "q127_decontam_lifecycle" -> bloomDecontamOracle,
     "q103_hist_quantiles" -> histQuantilesOracle)
 
   /** Shared by q118 (batch) and q121 (the streaming router's artifact). */

@@ -774,12 +774,18 @@ object StreamingPipeline {
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$outPath/batch=$batchId")
     if (fs.exists(dst)) return
-    val cfg = spark.read.parquet(s"$storePath/config").head()
+    // read-only .prev fallbacks cover appendDecontamBench's words swap and
+    // compactDecontamStore's shingle swap windows
+    val storeFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    def active(h: String): String =
+      graft.similarity.Similarity.activeDir(storeFs, s"$storePath/$h")
+    val cfg = spark.read.parquet(active("config")).head()
     val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
     val verdicts = graft.dedup.Dedup.bloomContaminationAgainst(
       graft.dedup.Dedup.wordShingles(batch, n),
-      spark.read.parquet(s"$storePath/shingles"),
-      spark.read.parquet(s"$storePath/words"), k, m)
+      spark.read.parquet(active("shingles")),
+      spark.read.parquet(active("words")), k, m)
     val staging = new org.apache.hadoop.fs.Path(s"$outPath/.staging-$batchId")
     fs.delete(staging, true)
     verdicts.write.mode("overwrite").parquet(staging.toString)

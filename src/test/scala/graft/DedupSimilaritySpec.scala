@@ -345,6 +345,48 @@ class DedupSimilaritySpec extends SparkSpec {
       "post-reindex append lost rows")
   }
 
+  test("decontam store lifecycle: OR-merged appends reproduce the monolithic build; ledger holds") {
+    val bench1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val bench2 = Seq((3L, "red green blue yellow purple orange")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "alpha beta gamma completely new tail"),
+      (11L, "red green blue yellow something else"),
+      (12L, "nothing shared with any bench suite here")).toDF("doc_id", "text")
+    val grown = java.nio.file.Files.createTempDirectory("graft_dc1").toString + "/s"
+    val fresh = java.nio.file.Files.createTempDirectory("graft_dc2").toString + "/s"
+    Dedup.buildDecontamStore(bench1, grown, n = 3, k = 4, m = 1 << 16)
+    assert(Dedup.appendDecontamBench(bench2, grown, appendId = 1))
+    Dedup.buildDecontamStore(bench1.unionByName(bench2), fresh, n = 3, k = 4, m = 1 << 16)
+    def words(p: String): Set[(Long, Long)] = spark.read.parquet(s"$p/words")
+      .collect().map(r => (r.getAs[Long]("word_idx"), r.getAs[Long]("word"))).toSet
+    assert(words(grown) == words(fresh),
+      "OR-merged filter must be bit-identical to the monolithic build's")
+    def verdicts(p: String): Seq[String] =
+      Dedup.bloomContaminationAgainst(Dedup.wordShingles(corpus, 3),
+          spark.read.parquet(s"$p/shingles"), spark.read.parquet(s"$p/words"),
+          k = 4, m = 1 << 16)
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_pos"),
+          col("n_present"), col("contaminated"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(verdicts(grown) == verdicts(fresh),
+      "lifecycle store verdicts diverged from the monolithic build")
+    // replayed append ids are refused
+    assert(!Dedup.appendDecontamBench(bench2, grown, appendId = 1))
+    // an append carrying only already-stored shingles adds no rows and
+    // flips no bits
+    val dupOnly = Seq((4L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Dedup.appendDecontamBench(dupOnly, grown, appendId = 2))
+    val sh = spark.read.parquet(s"$grown/shingles")
+    assert(sh.select("shingle").distinct().count() == sh.count(),
+      "shingle store must stay duplicate-free")
+    assert(words(grown) == words(fresh), "duplicate-only append changed the filter")
+    // compaction preserves verdicts and keeps replays refused
+    assert(Dedup.compactDecontamStore(spark, grown) > 0)
+    assert(verdicts(grown) == verdicts(fresh), "compaction changed the verdicts")
+    assert(!Dedup.appendDecontamBench(bench2, grown, appendId = 1),
+      "replay of a compacted append id must stay refused")
+  }
+
   test("persisted LSH index: reindexLsh re-signs at the new geometry, ledger survives, appends use it") {
     def mk(r: Range) = r.map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
