@@ -792,6 +792,33 @@ object StreamingPipeline {
     require(fs.rename(staging, dst), s"could not land $staging at $dst")
   }
 
+  /** Incremental decontam-store maintenance — the BENCH side's
+    * `foreachBatch` body (the router above is the probe side): each
+    * micro-batch of newly-shipped benchmark docs OR-merges its shingle
+    * bloom bits into the stored filter and appends its new shingles, via
+    * [[graft.dedup.Dedup.appendDecontamBench]] (words land first — a
+    * superset filter is safe; the `shingles/batch=<id+1>` marker makes
+    * foreachBatch replays no-ops). New suites start blocking the very next
+    * routed corpus batch, with no rebuild of the suites already stored.
+    */
+  def decontamAppendBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.dedup.Dedup.appendDecontamBench(batch, storePath, batchId + 1)
+    ()
+  }
+
+  /** Streaming decontam-store maintenance: benchmark-doc stream ->
+    * per-micro-batch OR-merge appends via [[decontamAppendBatch]]. Routing
+    * continues through [[decontamRouteBatch]] unchanged (its activeDir
+    * reads cover the words swap).
+    */
+  def decontamAppendStream(benchDocs: DataFrame, storePath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    benchDocs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(decontamAppendBatch(storePath) _)
+
   /** Streaming decontamination: document stream -> per-micro-batch routed
     * verdicts via [[decontamRouteBatch]]. Read the accumulated verdicts at
     * any time with `spark.read.parquet(outPath)`.

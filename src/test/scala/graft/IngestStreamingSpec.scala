@@ -280,6 +280,63 @@ class IngestStreamingSpec extends SparkSpec {
       "replayed batch id changed the routed output")
   }
 
+  test("streaming decontam appends: grown store routes like a monolithic build") {
+    import graft.dedup.Dedup
+    val base = Files.createTempDirectory("graft_dappend").toString
+    val in = s"$base/in"; val store = s"$base/decontam"
+    val suite1 = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val suite2 = Seq(
+      (901L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val suite3 = Seq(
+      (902L, "red orange yellow green blue indigo violet")
+    ).toDF("doc_id", "text")
+    Dedup.buildDecontamStore(suite1, store, n = 3, k = 4, m = 1 << 16)
+    // two deliveries across a restart: each new suite OR-merges into the
+    // stored filter and appends its shingles exactly once
+    suite2.write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.decontamAppendStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    suite3.write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.decontamAppendStream(
+      StreamingPipeline.readDocStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    // probing the grown store must equal a one-shot audit against ALL suites
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unrelated tail words here"),
+      (2L, "prefix words then one two three four five"),
+      (3L, "ending with red orange yellow green blue"),
+      (4L, "nothing shared with any benchmark row at all")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_id"), col("n_shingles"), col("n_bloom_pos"),
+          col("n_present"), col("contaminated"))
+        .collect().map(_.toString).sorted.toSeq
+    val allBench = suite1.unionByName(suite2).unionByName(suite3)
+    def routed(): Seq[String] = canon(Dedup.bloomContaminationAgainst(
+      Dedup.wordShingles(corpus, 3),
+      spark.read.parquet(s"$store/shingles").select(col("shingle")),
+      spark.read.parquet(s"$store/words"), k = 4, m = 1 << 16))
+    val mono = canon(Dedup.bloomContamination(
+      Dedup.wordShingles(corpus, 3), Dedup.wordShingles(allBench, 3),
+      k = 4, m = 1 << 16))
+    assert(routed() == mono,
+      "grown store diverged from a monolithic build over all suites")
+    assert(spark.read.parquet(s"$store/shingles").count() ==
+      Dedup.wordShingles(allBench, 3).select("shingle").distinct().count(),
+      "appended shingle store must stay duplicate-free")
+    // foreachBatch replays are no-ops (the shingles/batch marker refuses)
+    StreamingPipeline.decontamAppendBatch(store)(suite2, 0L)
+    StreamingPipeline.decontamAppendBatch(store)(suite3, 1L)
+    assert(routed() == mono, "replayed batch ids changed the store")
+    // compaction collapses the batch dirs without changing verdicts
+    assert(Dedup.compactDecontamStore(spark, store) == 3)
+    assert(routed() == mono, "compaction changed the store")
+  }
+
   test("streaming IVF appends: restart publishes each delivery exactly once") {
     import graft.similarity.Similarity
     val base = Files.createTempDirectory("graft_ivfstream").toString

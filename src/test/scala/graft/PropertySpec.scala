@@ -109,6 +109,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom OR-merge: any 2-way partition of a set merges to the monolithic filter bit-for-bit") {
+    val wordGen = Gen.nonEmptyListOf(Gen.identifier)
+    def words(items: Seq[String]): Set[(Long, Long)] =
+      graft.sketch.Sketches.bloomWords(items.toDF("item"), "item", k = 3, m = 256)
+        .collect().map(r => (r.getAs[Long]("word_idx"), r.getAs[Long]("word"))).toSet
+    for ((items, cut) <- draws(Gen.zip(wordGen, Gen.choose(0, 100)), 6)) {
+      val all = items.distinct
+      // arbitrary (possibly empty-sided) split — OR over per-item
+      // contributions must be partition-independent, which is the
+      // invariant appendDecontamBench's exactness rests on
+      val (a, b) = all.partition(s => (s.hashCode & 0x7fffffff) % 100 < cut)
+      val merged = graft.sketch.Sketches.bloomMergeWords(
+          graft.sketch.Sketches.bloomWords(a.toDF("item"), "item", k = 3, m = 256),
+          graft.sketch.Sketches.bloomWords(b.toDF("item"), "item", k = 3, m = 256))
+        .collect().map(r => (r.getAs[Long]("word_idx"), r.getAs[Long]("word"))).toSet
+      assert(merged == words(all),
+        s"merged filter diverged from monolithic for split $cut")
+    }
+  }
+
+  test("LM additivity: appends over any partition of the corpus score like the monolithic fit") {
+    val vocab = Gen.oneOf("the", "cat", "sat", "mat", "dog", "ran", "past", "door")
+    val docGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, vocab).map(_.mkString(" "))),
+        Gen.choose(0, 2)))
+    for ((docsRaw, i) <- draws(docGen, 3).zipWithIndex) {
+      val docs = docsRaw.zipWithIndex.map { case ((text, grp), id) => (id.toLong, text, grp) }
+      val df = docs.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory(s"graft_lm_prop$i").toString + "/lm"
+      def part(g: Int) = docs.filter(_._3 == g).map { case (id, t, _) => (id, t) }
+        .toDF("doc_id", "text")
+      // group 0 is the build (possibly empty corpora are exercised by the
+      // random assignment landing all docs in one group)
+      graft.text.TextOps.saveLm(part(0), path)
+      graft.text.TextOps.appendLm(part(1), path, appendId = 1)
+      graft.text.TextOps.appendLm(part(2), path, appendId = 2)
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(canon(graft.text.TextOps.scoreWithLm(df, path)) ==
+        canon(graft.text.TextOps.trigramBackoffNll(df)),
+        s"partitioned store diverged from monolithic fit on draw $i")
+    }
+  }
+
   test("as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
