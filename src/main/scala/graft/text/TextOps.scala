@@ -631,6 +631,61 @@ object TextOps {
     * it into larger pipelines should invoke it once and reuse the result.
     * Output: (term, df, cf, rank).
     */
+  /** Exact duplicated-span removal — the substring-level dedup pass of a
+    * pretraining data recipe (cf. "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022: drop every repeated span,
+    * not just whole near-duplicate documents; the reference's pipeline has
+    * no analogue, this is a training-data extension). A word position is
+    * removed iff it is covered by some `span`-gram that occurs >= 2 times
+    * ANYWHERE in the corpus (including twice inside one document); the
+    * surviving words are re-joined in order.
+    *
+    * Plan: one map-side gram construction over the token array (no
+    * self-join, no suffix array — the gram multiset IS the suffix
+    * information at fixed length), one hash aggregation on the gram for
+    * global occurrence counts, one shuffle join marking duplicated start
+    * positions, then a per-document `rowsBetween(-(span-1), 0)` running-max
+    * window that turns start marks into covered intervals WITHOUT an
+    * interval-union pass, and one final per-document aggregation that
+    * rebuilds the text via a sorted struct collect. Scale: shuffle ∝ token
+    * count (the same bound as any corpus-wide dedup); the windows are
+    * partitioned by doc_id (never global); hot grams carry only their
+    * start marks, and AQE splits skewed join keys. Short documents
+    * (< span words) emit no grams and pass through unchanged.
+    * Output: (doc_id, n_words, n_removed, clean_text).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, span: Int = 5,
+                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+    val parts = (0 until span).map(j => s"__w[i+$j]").mkString(", ")
+    val inst = toks
+      .select(col("doc_id"),
+        when(size(col("__w")) >= span,
+          expr(s"transform(sequence(0, size(__w) - $span), i -> concat_ws(' ', $parts))"))
+          .otherwise(array().cast("array<string>")).as("__g"))
+      .select(col("doc_id"), posexplode(col("__g")).as(Seq("start", "gram")))
+    // grams occurring >= 2 times corpus-wide; the aggregate combines
+    // map-side so the shuffle carries partial counts, not instances
+    val dup = inst.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("gram"))
+    // one row per duplicated start — (doc_id, start) is unique because a
+    // start has exactly one gram, so the join can never multiply rows
+    val dupStarts = inst.join(dup, "gram")
+      .select(col("doc_id"), col("start").as("pos"), lit(1).as("__dup"))
+    val pos = toks.select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(span - 1), 0)
+    pos.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("__cov", max(coalesce(col("__dup"), lit(0))).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__cov")).cast("long").as("n_removed"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN __cov = 0 THEN struct(pos, word) END)), s -> s.word)"),
+          " ").as("clean_text"))
+  }
+
   def vocabulary(docs: DataFrame, minDf: Int, topK: Int,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession

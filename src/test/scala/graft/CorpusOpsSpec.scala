@@ -122,6 +122,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_shingles") == 0L && out(2).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("removeDuplicatedSpans cuts exactly the corpus-duplicated span cover") {
+    val docs = Seq(
+      (1L, "p q r s t u v"), // shares the 5-gram "p q r s t" with doc 2
+      (2L, "p q r s t x y"),
+      (3L, "m n o"), // shorter than the span: no grams, passes through
+      (4L, "k k k k k k k k k k") // within-doc repetition: every start dup
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, span = 5)
+      .orderBy("doc_id").collect()
+    // docs 1/2: positions 0-4 covered, tail survives
+    assert(out(0).getAs[Long]("n_removed") == 5L)
+    assert(out(0).getAs[String]("clean_text") == "u v")
+    assert(out(1).getAs[String]("clean_text") == "x y")
+    // short doc unchanged
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    assert(out(2).getAs[String]("clean_text") == "m n o")
+    // all-repetition doc empties out (the Lee et al. pathological case)
+    assert(out(3).getAs[Long]("n_removed") == 10L)
+    assert(out(3).getAs[String]("clean_text") == "")
+    // conservation: n_words always = surviving words + n_removed
+    out.foreach { r =>
+      val kept = r.getAs[String]("clean_text") match {
+        case "" => 0L
+        case t  => t.split(" ").length.toLong
+      }
+      assert(r.getAs[Long]("n_words") == kept + r.getAs[Long]("n_removed"))
+    }
+  }
+
   test("domainRebalance keeps the smallest domain whole with exact ppm rates") {
     val docs = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small")).toDF("doc_id", "source")
     val out = TextOps.domainRebalance(docs).orderBy("domain").collect()
