@@ -81,15 +81,27 @@ object Tables {
     if (name == "events") events(spark, dir)
     else cached(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses to read natively; read nanos as LONG and truncate to
-    * microseconds (matching DuckDB's `CAST(ts_ns AS TIMESTAMP)`).
+  /** The events table's `ts` storage type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively; the legacy flag reads it as LONG nanos) and plain
+    * TIMESTAMP(MICROS) without a zone (which reads as TIMESTAMP_NTZ) —
+    * so dispatch on what the footer actually says and normalize both to
+    * the session-zone TIMESTAMP every downstream query expects. The
+    * session zone is UTC everywhere (see [[Graft.localSession]]), so the
+    * NTZ cast preserves wall-clock values bit-for-bit, matching DuckDB's
+    * naive read of the same parquet.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     }
 
   /** The reference's canonical fact table `clean_events(source_id, ts, metric,
