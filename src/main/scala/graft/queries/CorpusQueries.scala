@@ -42,6 +42,13 @@ object CorpusQueries {
     "q128_span_removal" -> ((s, d) =>
       TextOps.removeDuplicatedSpans(docs(s, d), span = 5).orderBy("doc_id")),
 
+    // Span removal at the production span scale (Lee et al. 2022 uses
+    // ~50-token spans; 20 here so sf0.01 still has duplicated spans to
+    // cut) — gates the parameterized span path AND the kept_offsets
+    // remap column at a non-default setting.
+    "q129_span_removal_wide" -> ((s, d) =>
+      TextOps.removeDuplicatedSpans(docs(s, d), span = 20).orderBy("doc_id")),
+
     // Uniform domain mix via deterministic hash-gated downsampling.
     "q97_domain_rebalance" -> ((s, d) =>
       TextOps.domainRebalance(docs(s, d), domainCol = "source").orderBy("domain")),
@@ -653,34 +660,43 @@ object CorpusQueries {
          |    < CAST(floor(exp((qs - m.q_max) / 0.25) * 1000000.0 + 0.5) AS BIGINT) AS kept
          |FROM q CROSS JOIN m
          |ORDER BY doc_id""".stripMargin,
-    "q128_span_removal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-        |),
-        |inst AS (
-        |  SELECT doc_id, i - 1 AS start,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
-        |  FROM toks, unnest(generate_series(1, len(w) - 4)) AS t(i)
-        |),
-        |dup AS (
-        |  SELECT gram FROM (SELECT gram, count(*) AS occ FROM inst GROUP BY 1) WHERE occ >= 2
-        |),
-        |starts AS (
-        |  SELECT i.doc_id, i.start FROM inst i JOIN dup USING (gram)
-        |),
-        |pos AS (
-        |  SELECT doc_id, i - 1 AS pos, w[i] AS word
-        |  FROM toks, unnest(generate_series(1, len(w))) AS t(i)
-        |),
-        |cov AS (
-        |  SELECT p.doc_id, p.pos, p.word,
-        |         max(CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY p.doc_id ORDER BY p.pos
-        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
-        |  FROM pos p LEFT JOIN starts s ON p.doc_id = s.doc_id AND p.pos = s.start
-        |)
-        |SELECT doc_id, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_removed,
-        |  coalesce(string_agg(CASE WHEN c = 0 THEN word END, ' ' ORDER BY pos), '') AS clean_text
-        |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
+    "q128_span_removal" -> spanRemovalSql(5),
+    "q129_span_removal_wide" -> spanRemovalSql(20)
   )
+
+  /** Span-removal oracle, parameterized on the span length — the same
+    * gram/dup/coverage pipeline as [[TextOps.removeDuplicatedSpans]]
+    * expressed in DuckDB SQL (list slice `w[i:i+span-1]` is 1-based
+    * inclusive, so it yields exactly `span` tokens).
+    */
+  private def spanRemovalSql(span: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+       |),
+       |inst AS (
+       |  SELECT doc_id, i - 1 AS start,
+       |         array_to_string(w[i:i+${span - 1}], ' ') AS gram
+       |  FROM toks, unnest(generate_series(1, len(w) - ${span - 1})) AS t(i)
+       |),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS occ FROM inst GROUP BY 1) WHERE occ >= 2
+       |),
+       |starts AS (
+       |  SELECT i.doc_id, i.start FROM inst i JOIN dup USING (gram)
+       |),
+       |pos AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+       |  FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+       |),
+       |cov AS (
+       |  SELECT p.doc_id, p.pos, p.word,
+       |         max(CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY p.doc_id ORDER BY p.pos
+       |                 ROWS BETWEEN ${span - 1} PRECEDING AND CURRENT ROW) AS c
+       |  FROM pos p LEFT JOIN starts s ON p.doc_id = s.doc_id AND p.pos = s.start
+       |)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN c = 0 THEN word END, ' ' ORDER BY pos), '') AS clean_text,
+       |  coalesce(string_agg(CASE WHEN c = 0 THEN CAST(pos AS VARCHAR) END, ',' ORDER BY pos), '') AS kept_offsets
+       |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin
 }

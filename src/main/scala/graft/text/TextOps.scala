@@ -640,31 +640,54 @@ object TextOps {
     * ANYWHERE in the corpus (including twice inside one document); the
     * surviving words are re-joined in order.
     *
-    * Plan: one map-side gram construction over the token array (no
-    * self-join, no suffix array — the gram multiset IS the suffix
-    * information at fixed length), one hash aggregation on the gram for
-    * global occurrence counts, one shuffle join marking duplicated start
-    * positions, then a per-document `rowsBetween(-(span-1), 0)` running-max
-    * window that turns start marks into covered intervals WITHOUT an
-    * interval-union pass, and one final per-document aggregation that
-    * rebuilds the text via a sorted struct collect. Scale: shuffle ∝ token
-    * count (the same bound as any corpus-wide dedup); the windows are
-    * partitioned by doc_id (never global); hot grams carry only their
-    * start marks, and AQE splits skewed join keys. Short documents
-    * (< span words) emit no grams and pass through unchanged.
-    * Output: (doc_id, n_words, n_removed, clean_text).
+    * Plan: grams are built from the EXPLODED token stream via `lead(word,
+    * j)` over the per-document window — never by indexing a computed array
+    * column inside a higher-order `transform` lambda. (The lambda form is
+    * an O(doc_len²) trap: CollapseProject inlines the tokenizer split into
+    * the lambda body, and higher-order functions evaluate interpreted with
+    * no common-subexpression elimination, so the full-text regex split
+    * re-executes on every element access. The `lead` form evaluates the
+    * split exactly once per row and all `span` leads share one window
+    * spec, planning as a single Window operator.) Then: one hash
+    * aggregation on the gram for global occurrence counts, one shuffle
+    * join marking duplicated start positions, a per-document
+    * `rowsBetween(-(span-1), 0)` running-max window that turns start marks
+    * into covered intervals WITHOUT an interval-union pass, and one final
+    * per-document aggregation that rebuilds the text via a sorted struct
+    * collect. Scale: shuffle ∝ token count (the same bound as any
+    * corpus-wide dedup); the windows are partitioned by doc_id (never
+    * global); hot grams carry only their start marks, and AQE splits
+    * skewed join keys. Short documents (< span words) emit no grams and
+    * pass through unchanged.
+    *
+    * `span` follows the exact-substring-dedup recipe scale — Lee et al.
+    * 2022 dedupes ~50-token spans; the default 5 is the demo setting and
+    * production corpora should pass 20-50. `kept_offsets` carries the
+    * surviving ORIGINAL word positions (comma-joined, ascending) so
+    * downstream chunkers can remap clean-text token indices back to
+    * pre-removal offsets.
+    * Output: (doc_id, n_words, n_removed, clean_text, kept_offsets).
     */
   def removeDuplicatedSpans(docs: DataFrame, span: Int = 5,
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
-    val parts = (0 until span).map(j => s"__w[i+$j]").mkString(", ")
-    val inst = toks
-      .select(col("doc_id"),
-        when(size(col("__w")) >= span,
-          expr(s"transform(sequence(0, size(__w) - $span), i -> concat_ws(' ', $parts))"))
-          .otherwise(array().cast("array<string>")).as("__g"))
-      .select(col("doc_id"), posexplode(col("__g")).as(Seq("start", "gram")))
+    val pos = toks.select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "word")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gram starting at pos = this word + the next span-1 words via lead();
+    // a position within span-1 of the document end has a null final lead
+    // and is not a gram start (filtered below — concat_ws would silently
+    // skip the nulls and fabricate a short gram otherwise)
+    val inst =
+      if (span == 1) pos.select(col("doc_id"), col("pos").as("start"), col("word").as("gram"))
+      else {
+        val nexts = (1 until span).map(j => lead(col("word"), j).over(wDoc).as(s"__n$j"))
+        pos.select(col("doc_id") +: col("pos") +: col("word") +: nexts: _*)
+          .filter(col(s"__n${span - 1}").isNotNull)
+          .select(col("doc_id"), col("pos").as("start"),
+            concat_ws(" ", col("word") +: (1 until span).map(j => col(s"__n$j")): _*).as("gram"))
+      }
     // grams occurring >= 2 times corpus-wide; the aggregate combines
     // map-side so the shuffle carries partial counts, not instances
     val dup = inst.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
@@ -673,9 +696,7 @@ object TextOps {
     // start has exactly one gram, so the join can never multiply rows
     val dupStarts = inst.join(dup, "gram")
       .select(col("doc_id"), col("start").as("pos"), lit(1).as("__dup"))
-    val pos = toks.select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "word")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(span - 1), 0)
+    val w = wDoc.rowsBetween(-(span - 1), 0)
     pos.join(dupStarts, Seq("doc_id", "pos"), "left")
       .withColumn("__cov", max(coalesce(col("__dup"), lit(0))).over(w))
       .groupBy(col("doc_id"))
@@ -683,7 +704,10 @@ object TextOps {
         sum(col("__cov")).cast("long").as("n_removed"),
         array_join(
           expr("transform(array_sort(collect_list(CASE WHEN __cov = 0 THEN struct(pos, word) END)), s -> s.word)"),
-          " ").as("clean_text"))
+          " ").as("clean_text"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN __cov = 0 THEN struct(pos, word) END)), s -> CAST(s.pos AS STRING))"),
+          ",").as("kept_offsets"))
   }
 
   def vocabulary(docs: DataFrame, minDf: Int, topK: Int,
