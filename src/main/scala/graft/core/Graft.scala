@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Session factory for the graft engine.
@@ -40,6 +40,42 @@ object Graft {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+}
+
+/** Expression-level evaluation discipline for computed array columns.
+  *
+  * Two Catalyst behaviors can silently multiply the cost of an expensive
+  * projected expression (measured on the q128 span-removal pathology,
+  * where a tokenizer `split` re-ran per array-element access —
+  * O(doc_len²) per document, 52 s on 600 KB of input):
+  *
+  *  1. `CollapseProject` inlines a single-reference non-cheap alias into
+  *     its consumer; if the consumer reference sits inside a
+  *     higher-order-function lambda body, the expression re-evaluates on
+  *     EVERY element access (higher-order functions run interpreted, with
+  *     no common-subexpression elimination).
+  *  2. `InferFiltersFromGenerate` adds `size(x) > 0 AND isnotnull(x)`
+  *     above a Generate whose input is an Attribute; predicate pushdown
+  *     then substitutes the attribute's defining expression into the
+  *     interpreted Filter, re-evaluating the full expression (twice) per
+  *     row — and per element access for any lambda inside it. This is
+  *     exactly the `explode(col("alias"))` shape.
+  *
+  * `materialized(e)` defends against both by routing `e` through
+  * `explode(array(e))`: the value then flows out of a Generate as a plain
+  * output attribute, which CollapseProject cannot inline downstream and
+  * which pushdown cannot substitute past. Cost: one extra Generate row
+  * copy per input row — no shuffle, no caching. Row-count-preserving
+  * (`array(e)` always has exactly one element, even when `e` is null).
+  */
+object Eval {
+  /** Evaluation barrier: compute `e` exactly once per row, downstream
+    * consumers see only the materialized attribute. Use when binding an
+    * expensive computed array/struct that later feeds lambda bodies or
+    * explode. One generator per select — the barrier must be the only
+    * generator in its projection.
+    */
+  def materialized(e: Column): Column = explode(array(e))
 }
 
 /** Canonical table loaders over the driver-provided parquet layout

@@ -44,7 +44,13 @@ object Dedup {
     val grams = when(size(col("__w")) >= n,
       expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), words.as("__w"))
+    // Eval.materialized: __w feeds a transform lambda (slice per element).
+    // The direct-explode shape below is measured-safe today (CollapseProject
+    // declines multi-reference non-cheap inlining, and the generator input
+    // is a non-Attribute so InferFiltersFromGenerate skips it), but the
+    // barrier makes once-per-row evaluation structural, not an optimizer
+    // coincidence — see graft.core.Eval.
+    docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(words).as("__w"))
       .select(col("doc_id"), explode(grams).as("shingle"))
   }
 
@@ -55,6 +61,11 @@ object Dedup {
     * Per-key fan-out is capped at C(maxDf, 2) pairs, so hot keys can never
     * blow up the shuffle at scale. Output: distinct (doc_a, doc_b).
     */
+  // lambda-recompute audit (see graft.core.Eval): safe — the nested pair
+  // transforms index `__ds`, which is a collect_set AGGREGATION output
+  // attribute; an Aggregate is itself an evaluation barrier (nothing to
+  // inline), so each __ds[i] is an O(1) index into the materialized array,
+  // and total work is the C(|__ds|, 2) pair emission bounded by maxDf.
   private def blockedPairs(keyed: DataFrame, keyCol: String, maxDf: Int): DataFrame =
     keyed.groupBy(col(keyCol))
       .agg(array_sort(collect_set(col("doc_id"))).as("__ds"))
@@ -536,6 +547,9 @@ object Dedup {
     val banded = sims.select(col("doc_id"),
         explode(sequence(lit(0), lit(3))).as("band"), col("simhash"))
       .withColumn("bkey", expr("((simhash >> (band * 15)) & 32767) + band * 32768"))
+    // lambda-recompute audit (see graft.core.Eval): safe — same shape as
+    // blockedPairs: __ds is an aggregation output, so the pair lambdas index
+    // a materialized array
     banded.groupBy(col("bkey"))
       .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("__ds"))
       .filter(size(col("__ds")) >= 2)

@@ -131,7 +131,11 @@ object Subword {
       .groupBy(col("piece")).agg(sum(col("cnt")).as("weight"))
     // all substrings of length 2..maxPieceLen of each DISTINCT word,
     // weighted by the word's occurrence count; the when() guard (not a
-    // descending sequence(1, 0)) bounds each start position's lengths
+    // descending sequence(1, 0)) bounds each start position's lengths.
+    // lambda-recompute audit (see graft.core.Eval): safe — `word` is a
+    // groupBy output attribute (the aggregate is the barrier), so each
+    // substr/length call reads the materialized string; per-word work is
+    // the inherent O(len × maxPieceLen) substring enumeration
     val multi = wordCounts.filter(length(col("word")) >= 2)
       .select(col("cnt"), explode(flatten(transform(
         sequence(lit(1), length(col("word"))), i =>

@@ -22,6 +22,12 @@ object TextOps {
     * the single constructor shared by [[bigramNll]] and
     * [[trigramBackoffNll]] so their shingle windows can never diverge.
     * Documents shorter than k yield the empty array.
+    *
+    * CALLER CONTRACT: `__w` must be bound behind
+    * [[graft.core.Eval.materialized]] — the lambda body indexes `__w` k
+    * times per element, so an inlined tokenizer split would re-run per
+    * element access (the q128 O(doc_len²) pathology; see
+    * [[graft.core.Eval]]).
     */
   private def ngrams(k: Int): Column = {
     val parts = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
@@ -110,6 +116,10 @@ object TextOps {
 
   def languageId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = words(col(textCol))
+    // lambda-recompute audit (see graft.core.Eval): safe — each filter()
+    // lambda references only its own lambda variable, and `__w` (the HOF
+    // *argument*, evaluated once per call) is referenced by all four lang
+    // scores, so CollapseProject keeps the split materialized
     val scored = langProfiles.foldLeft(docs.select(col(idCol).as("doc_id"), w.as("__w"))) {
       case (df, (lang, markers)) =>
         df.withColumn(s"score_$lang", size(filter(col("__w"), x => x.isInCollection(markers))))
@@ -253,7 +263,7 @@ object TextOps {
     */
   def bigramNll(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val inst = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+    val inst = docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
       .select(col("doc_id"), explode(ngrams(2)).as("bg"))
     // the context word is a function of the bigram, so it is NOT part of the
     // aggregation key — re-deriving it post-agg keeps the shuffled key
@@ -320,7 +330,10 @@ object TextOps {
   def trainTrigramLm(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val train = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+    // Eval.materialized: __w feeds four consumers (two of them explode the
+    // bare attribute — the InferFiltersFromGenerate shape); the barrier
+    // pins the split to one evaluation per row in every branch
+    val train = docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
       .filter(graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
     val uni = train.select(explode(col("__w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
@@ -459,7 +472,7 @@ object TextOps {
                              tri: DataFrame, nTrain: DataFrame,
                              textCol: String, idCol: String): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val base = docs.select(col(idCol).as("doc_id"), w.as("__w"))
+    val base = docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
     val inst = base.select(col("doc_id"), explode(ngrams(3)).as("tg"))
       .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("k"))
       // words contain no spaces, so the split keys re-derive exactly
@@ -599,6 +612,11 @@ object TextOps {
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
+    // lambda-recompute audit (see graft.core.Eval): safe — no lambda indexes
+    // __w; the explode input is the sequence (a non-Attribute, so no filter
+    // inference), the post-explode slice sees __w as a Generate output
+    // attribute, and the pre-explode multi-reference keeps the split
+    // materialized
     docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
       .withColumn("__n", size(col("__w")).cast("long"))
       .withColumn("__chunks",
@@ -672,7 +690,11 @@ object TextOps {
                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+    // Eval.materialized: posexplode of a bare split alias is the exact
+    // InferFiltersFromGenerate shape that made the pre-fix version of this
+    // operator quadratic — the barrier pins the split to once per row
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.core.Eval.materialized(words(col(textCol))).as("__w"))
     val pos = toks.select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "word")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // gram starting at pos = this word + the next span-1 words via lead();
