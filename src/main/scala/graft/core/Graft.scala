@@ -121,24 +121,64 @@ object Tables {
     * generations — TIMESTAMP(NANOS) (which Spark 4 refuses to read
     * natively; the legacy flag reads it as LONG nanos) and plain
     * TIMESTAMP(MICROS) without a zone (which reads as TIMESTAMP_NTZ) —
-    * so dispatch on what the footer actually says and normalize both to
-    * the session-zone TIMESTAMP every downstream query expects. The
-    * session zone is UTC everywhere (see [[Graft.localSession]]), so the
-    * NTZ cast preserves wall-clock values bit-for-bit, matching DuckDB's
-    * naive read of the same parquet.
+    * so dispatch on what the parquet FOOTER's logical type annotation
+    * actually says (the Spark-read schema alone is ambiguous: LongType is
+    * also what a raw INT64 column of unknown unit would produce — a
+    * `div 1000` guess there could be off by 1000x, so that case fails
+    * loudly instead) and normalize to the session-zone TIMESTAMP every
+    * downstream query expects. The NTZ→TIMESTAMP cast is value-preserving
+    * ONLY under a UTC session zone, which is why it is asserted here
+    * rather than assumed: a session built outside [[Graft.localSession]]
+    * with a local zone would otherwise silently shift every event
+    * timestamp and bake the shift into the cached DataFrame.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "events") {
+      val zone = spark.conf.get("spark.sql.session.timeZone")
+      require(zone == "UTC",
+        s"graft requires spark.sql.session.timeZone=UTC (see Graft.localSession), got '$zone' " +
+          "— casting the NTZ events under a non-UTC zone would silently shift every timestamp")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case org.apache.spark.sql.types.LongType if tsFooterIsNanos(spark, dir) =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.LongType =>
+          throw new IllegalStateException(
+            s"$dir/events.parquet: ts reads as LONG but the footer does not say " +
+              "TIMESTAMP(NANOS) — a raw INT64 timestamp has no discoverable unit, " +
+              "refusing to guess; annotate the column or convert it upstream")
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
     }
+
+  /** True iff the events file's `ts` column is annotated TIMESTAMP with
+    * NANOS unit in the parquet footer — the one case where the legacy
+    * nanosAsLong LONG read is known to carry nanoseconds.
+    */
+  private def tsFooterIsNanos(spark: SparkSession, dir: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .minBy(_.getName)
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+        case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      })
+    } finally reader.close()
+  }
 
   /** The reference's canonical fact table `clean_events(source_id, ts, metric,
     * value)` (`backend/app/models/clean_event.py:8-23`), mapped from the

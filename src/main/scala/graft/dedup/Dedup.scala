@@ -478,31 +478,34 @@ object Dedup {
     val spark = benchDocs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    Seq("shingles", "words", "config").foreach(h =>
-      graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId")))
-      return false
-    val cfg = spark.read.parquet(s"$path/config").head()
-    val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
-    val stored = spark.read.parquet(s"$path/shingles").select(col("shingle"))
-    // stage the delta once, then derive its bloom bits from the staged
-    // parquet (one computation, durable across the two publishes)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/shingles/.staging-$appendId")
-    fs.delete(staging, true)
-    wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
-      .join(stored, Seq("shingle"), "left_anti")
-      .write.mode("overwrite").parquet(staging.toString)
-    val mergedWords = graft.sketch.Sketches.bloomMergeWords(
-      spark.read.parquet(s"$path/words"),
-      graft.sketch.Sketches.bloomWords(
-        spark.read.parquet(staging.toString), "shingle", k, m))
-    val wordsStaging = new org.apache.hadoop.fs.Path(s"$path/.words-append")
-    fs.delete(wordsStaging, true)
-    mergedWords.write.mode("overwrite").parquet(wordsStaging.toString)
-    graft.similarity.Similarity.swapDir(fs, wordsStaging, s"$path/words")
-    val ledger = new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId")
-    require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
-    true
+    graft.store.MaintenanceLock.withLock(fs, path, "decontam-append") {
+      Seq("shingles", "words", "config").foreach(h =>
+        graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId"))) false
+      else {
+        val cfg = spark.read.parquet(s"$path/config").head()
+        val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
+        val stored = spark.read.parquet(s"$path/shingles").select(col("shingle"))
+        // stage the delta once, then derive its bloom bits from the staged
+        // parquet (one computation, durable across the two publishes)
+        val staging = new org.apache.hadoop.fs.Path(s"$path/shingles/.staging-$appendId")
+        fs.delete(staging, true)
+        wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
+          .join(stored, Seq("shingle"), "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        val mergedWords = graft.sketch.Sketches.bloomMergeWords(
+          spark.read.parquet(s"$path/words"),
+          graft.sketch.Sketches.bloomWords(
+            spark.read.parquet(staging.toString), "shingle", k, m))
+        val wordsStaging = new org.apache.hadoop.fs.Path(s"$path/.words-append")
+        fs.delete(wordsStaging, true)
+        mergedWords.write.mode("overwrite").parquet(wordsStaging.toString)
+        graft.similarity.Similarity.swapDir(fs, wordsStaging, s"$path/words")
+        val ledger = new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId")
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
   }
 
   /** Maintenance half: collapse the shingle store's accumulated `batch=`
@@ -511,8 +514,13 @@ object Dedup {
     * words table is a fixed-size sketch rewritten whole on every append,
     * so only the shingle half accumulates files.
     */
-  def compactDecontamStore(spark: org.apache.spark.sql.SparkSession, path: String): Int =
-    graft.similarity.Similarity.compactBatchStore(spark, s"$path/shingles", Seq.empty)
+  def compactDecontamStore(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "decontam-compact") {
+      graft.similarity.Similarity.compactBatchStore(spark, s"$path/shingles", Seq.empty)
+    }
+  }
 
   /** 60-bit SimHash over word tokens (with multiplicity): bit b of the
     * fingerprint is 1 iff the sum of +-1 contributions (tokens whose hash has

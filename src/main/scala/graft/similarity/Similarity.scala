@@ -251,24 +251,28 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    recoverDir(fs, s"$path/sigs")
-    recoverDir(fs, s"$path/vectors")
-    val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
-    if (fs.exists(ledger)) return false
-    // .prev fallback covers reindexLsh's config swap window
-    val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
-    val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
-      cfg.getAs[Int]("dim"))
-    val c = lshPrepped(vectors, dim, idCol, vecCol)
-    // payloads first (a crashed attempt's leftovers are simply overwritten)
-    c.write.mode("overwrite").parquet(s"$path/vectors/batch=$appendId")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/sigs/.staging-$appendId")
-    fs.delete(staging, true)
-    lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
-      .repartition(col("t"), col("bucket"))
-      .write.mode("overwrite").partitionBy("t", "bucket").parquet(staging.toString)
-    require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
-    true
+    graft.store.MaintenanceLock.withLock(fs, path, "lsh-append") {
+      recoverDir(fs, s"$path/sigs")
+      recoverDir(fs, s"$path/vectors")
+      val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
+      if (fs.exists(ledger)) false
+      else {
+        // .prev fallback covers reindexLsh's config swap window
+        val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
+        val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
+          cfg.getAs[Int]("dim"))
+        val c = lshPrepped(vectors, dim, idCol, vecCol)
+        // payloads first (a crashed attempt's leftovers are simply overwritten)
+        c.write.mode("overwrite").parquet(s"$path/vectors/batch=$appendId")
+        val staging = new org.apache.hadoop.fs.Path(s"$path/sigs/.staging-$appendId")
+        fs.delete(staging, true)
+        lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
+          .repartition(col("t"), col("bucket"))
+          .write.mode("overwrite").partitionBy("t", "bucket").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
   }
 
   /** [[compactIvfIndex]] for the LSH index: collapse the accumulated
@@ -278,9 +282,14 @@ object Similarity {
     * staging/swap/tombstone contract. Returns the number of data dirs
     * compacted across the two halves (0 = nothing to do).
     */
-  def compactLshIndex(spark: SparkSession, path: String): Int =
-    compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket")) +
-      compactBatchStore(spark, s"$path/vectors", Seq.empty)
+  def compactLshIndex(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "lsh-compact") {
+      compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket")) +
+        compactBatchStore(spark, s"$path/vectors", Seq.empty)
+    }
+  }
 
   /** Probe-many half: hash ONLY the query set (tables rows per query, with
     * the geometry read from the stored config), candidate-join into the
@@ -659,17 +668,21 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    recoverDir(fs, s"$path/cells")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
-    if (fs.exists(dst)) return false
-    val cent = spark.read.parquet(s"$path/centroids")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/cells/.staging-$appendId")
-    fs.delete(staging, true)
-    assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    require(fs.rename(staging, dst), s"could not land $staging at $dst")
-    true
+    graft.store.MaintenanceLock.withLock(fs, path, "ivf-append") {
+      recoverDir(fs, s"$path/cells")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
+      if (fs.exists(dst)) false
+      else {
+        val cent = spark.read.parquet(s"$path/centroids")
+        val staging = new org.apache.hadoop.fs.Path(s"$path/cells/.staging-$appendId")
+        fs.delete(staging, true)
+        assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+        require(fs.rename(staging, dst), s"could not land $staging at $dst")
+        true
+      }
+    }
   }
 
   /** Recover a compaction crash window: if only `<dir>.prev` survives (a
@@ -769,6 +782,7 @@ object Similarity {
                  iters: Int, idCol: String = "vec_id"): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "ivf-reindex") {
     recoverDir(fs, s"$path/cells")
     recoverDir(fs, s"$path/centroids")
     val stored = spark.read.parquet(s"$path/cells").select(col(idCol), col("v"))
@@ -792,6 +806,7 @@ object Similarity {
     swapDir(fs, stagingCells, s"$path/cells")
     swapDir(fs, stagingCent, s"$path/centroids")
     n
+    }
   }
 
   /** Batch re-tune of a persisted LSH index — [[reindexIvf]] for the
@@ -817,6 +832,7 @@ object Similarity {
                  idCol: String = "vec_id"): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "lsh-reindex") {
     recoverDir(fs, s"$path/sigs")
     recoverDir(fs, s"$path/vectors")
     recoverDir(fs, s"$path/config")
@@ -845,6 +861,7 @@ object Similarity {
     swapDir(fs, stagingSigs, s"$path/sigs")
     swapDir(fs, stagingCfg, s"$path/config")
     n
+    }
   }
 
   /** Maintenance half of the persisted IVF index: collapse the accumulated
@@ -863,13 +880,20 @@ object Similarity {
     * a dot-prefixed dir, then lands via the same two-rename swap as the
     * sketch stores — [[probeIvfIndex]] falls back to `cells.prev` inside
     * the window, and [[recoverDir]] heals a crash between the renames.
-    * Single-maintainer assumption as with all the stores: don't run two
-    * compactions (or a compaction and an append) concurrently.
+    * Single-maintainer contract as with all the stores — and since round 9
+    * it is CHECKED, not assumed: every append/compact/reindex entry point
+    * holds the store's [[graft.store.MaintenanceLock]], so a concurrent
+    * maintainer refuses loudly instead of racing the staging swaps.
     * Returns the number of data-bearing batch directories compacted
     * (0 = nothing to do).
     */
-  def compactIvfIndex(spark: SparkSession, path: String): Int =
-    compactBatchStore(spark, s"$path/cells", Seq("cell"))
+  def compactIvfIndex(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "ivf-compact") {
+      compactBatchStore(spark, s"$path/cells", Seq("cell"))
+    }
+  }
 
   /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no
     * aggregation over the stored corpus — the index is scanned as-is and

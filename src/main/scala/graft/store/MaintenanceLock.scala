@@ -1,0 +1,105 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Advisory single-maintainer lock for the persisted artifact stores (IVF
+  * and LSH indexes, minhash dedup store, LM count tables, decontam bloom
+  * store).
+  *
+  * Every store documents a "single maintainer, run between probes"
+  * contract: append/compact/reindex stage under dot-prefixed siblings and
+  * publish with the two-rename `.prev` swap, which is crash-safe for ONE
+  * writer but races badly for two (a second compactor can swap a stale
+  * staging tree over the first one's published result). This lock turns
+  * that documented contract into a checked one: each maintenance entry
+  * point takes `<store>/_maintenance.lock` for the duration of the
+  * operation and a concurrent maintainer REFUSES LOUDLY
+  * (`IllegalStateException` naming the holder) instead of silently
+  * racing.
+  *
+  * Mechanics:
+  *  - Acquisition is `FileSystem.create(overwrite = false)` — atomic on
+  *    HDFS and close enough on local/object stores for an ADVISORY lock
+  *    (this guards against cron overlap and operator error, not byzantine
+  *    writers). The lock file body records pid, op, and acquire time for
+  *    the refusal message.
+  *  - A holder that CRASHES leaves the file behind; a later maintainer
+  *    takes the lock over once the file is older than `staleAfterMs`
+  *    (default 30 min — far beyond any store operation here, far under a
+  *    cron period). Takeover is delete+recreate, so two waiters racing a
+  *    stale lock still serialize on the atomic create.
+  *  - Reentrant per thread: a maintainer that composes another locked
+  *    entry point on the same store (e.g. a streaming batch maintainer
+  *    delegating to the batch appender) re-enters without touching the
+  *    file. Distinct threads and distinct processes always contend.
+  *  - Probes/readers never take the lock — reads are lock-free by design
+  *    (the `.prev` fallback already covers the swap window), so a stuck
+  *    maintainer can never block serving.
+  *
+  * The lock file lives at the store ROOT next to the store's half dirs
+  * (`sigs/`, `cells/`, `uni/`, ...); parquet readers only ever open those
+  * half dirs, so the extra root file is invisible to every read path.
+  */
+object MaintenanceLock {
+
+  final val LockName = "_maintenance.lock"
+
+  private val held = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+    override def initialValue(): scala.collection.mutable.Map[String, Int] =
+      scala.collection.mutable.Map.empty
+  }
+
+  /** Run `body` holding the maintenance lock of the store rooted at
+    * `storePath`; refuses (IllegalStateException) if another maintainer
+    * holds a fresh lock. Releases on every exit path, including non-local
+    * returns and failures inside `body`.
+    */
+  def withLock[T](fs: FileSystem, storePath: String, op: String,
+                  staleAfterMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val key = new Path(storePath).toString
+    val counts = held.get()
+    if (counts.getOrElse(key, 0) > 0) {
+      counts(key) += 1
+      try body finally counts(key) -= 1
+    } else {
+      val lock = new Path(key, LockName)
+      acquire(fs, lock, op, staleAfterMs)
+      counts(key) = 1
+      try body finally {
+        counts(key) -= 1
+        if (counts(key) <= 0) counts.remove(key)
+        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  private def acquire(fs: FileSystem, lock: Path, op: String, staleAfterMs: Long): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"""{"pid":${ProcessHandle.current().pid()},"op":"$op","acquired_at_ms":${System.currentTimeMillis()}}"""
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    fs.mkdirs(lock.getParent)
+    if (tryCreate()) return
+    // lock exists (or raced): stale takeover, else refuse loudly
+    val holder =
+      try {
+        val age = System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+        if (age > staleAfterMs) {
+          fs.delete(lock, false)
+          if (tryCreate()) return
+        }
+        val in = fs.open(lock)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").take(200)
+        finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
+    throw new IllegalStateException(
+      s"store ${lock.getParent} is under maintenance ($holder) — the single-maintainer " +
+        s"contract refuses concurrent $op; if the previous maintainer crashed, its lock " +
+        s"goes stale after ${staleAfterMs / 1000} s and is taken over automatically")
+  }
+}

@@ -535,6 +535,7 @@ object StreamingPipeline {
     // proceeding would see an empty store (stored() returns None), re-mine
     // without history, and strand the compacted corpus in the .prev dirs —
     // the same recoverDir treatment the IVF/LSH appenders apply
+    graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-append") {
     Seq("sets", "bands", "pairs").foreach(h =>
       graft.similarity.Similarity.recoverDir(fs, s"$storePath/$h"))
     val ledger = new org.apache.hadoop.fs.Path(s"$storePath/pairs/batch=$batchId")
@@ -575,6 +576,7 @@ object StreamingPipeline {
     fs.delete(staging, true)
     dupPairs.write.mode("overwrite").parquet(staging.toString)
     require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+    }
   }
 
   /** [[graft.similarity.Similarity.compactIvfIndex]] for the MinHash dedup
@@ -584,10 +586,15 @@ object StreamingPipeline {
     * probe/append path needs no coordination beyond the single-maintainer
     * assumption all the stores share.
     */
-  def compactMinhashStore(spark: SparkSession, storePath: String): Int =
-    Seq("sets", "bands", "pairs")
-      .map(h => graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h", Seq.empty))
-      .sum
+  def compactMinhashStore(spark: SparkSession, storePath: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-compact") {
+      Seq("sets", "bands", "pairs")
+        .map(h => graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h", Seq.empty))
+        .sum
+    }
+  }
 
   /** Incremental IVF index maintenance — the `foreachBatch` body for a
     * growing embedding corpus: each micro-batch assigns its vectors to the

@@ -387,16 +387,19 @@ object TextOps {
     val spark = docs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    Seq("uni", "bi", "tri", "meta").foreach(h =>
-      graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/uni/batch=$appendId")))
-      return false
-    val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
-    tri.write.mode("overwrite").parquet(s"$path/tri/batch=$appendId")
-    bi.write.mode("overwrite").parquet(s"$path/bi/batch=$appendId")
-    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=$appendId")
-    uni.write.mode("overwrite").parquet(s"$path/uni/batch=$appendId")
-    true
+    graft.store.MaintenanceLock.withLock(fs, path, "lm-append") {
+      Seq("uni", "bi", "tri", "meta").foreach(h =>
+        graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/uni/batch=$appendId"))) false
+      else {
+        val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
+        tri.write.mode("overwrite").parquet(s"$path/tri/batch=$appendId")
+        bi.write.mode("overwrite").parquet(s"$path/bi/batch=$appendId")
+        nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=$appendId")
+        uni.write.mode("overwrite").parquet(s"$path/uni/batch=$appendId")
+        true
+      }
+    }
   }
 
   /** Maintenance half: MERGE the accumulated per-batch count deltas into
@@ -412,6 +415,7 @@ object TextOps {
   def compactLm(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "lm-compact") {
     var compacted = 0
     Seq("uni", "bi", "tri", "meta").foreach { h =>
       val dir = s"$path/$h"
@@ -439,6 +443,7 @@ object TextOps {
       }
     }
     compacted
+    }
   }
 
   /** Score-many half: [[trigramBackoffNll]]'s exact scoring against the

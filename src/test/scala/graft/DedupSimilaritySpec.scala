@@ -663,4 +663,48 @@ class DedupSimilaritySpec extends SparkSpec {
     val byId = fp.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_md5")).toMap
     assert(byId(1L) == byId(2L) && byId(1L) != byId(4L))
   }
+
+  test("maintenance lock: concurrent maintainer refuses, holder completes, stale lock taken over") {
+    import graft.store.MaintenanceLock
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    Similarity.buildIvfIndex(mk(0 to 9), numCentroids = 2, iters = 2, p)
+    assert(Similarity.ivfAppendCells(mk(10 to 19), p, appendId = 1))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    // a maintainer is mid-compaction (the lock is held on another thread):
+    // a second compaction and an append must refuse loudly, not race
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      MaintenanceLock.withLock(fs, p, "test-compact") {
+        inside.countDown(); release.await()
+      })
+    holder.start()
+    assert(inside.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val refusal = intercept[IllegalStateException](Similarity.compactIvfIndex(spark, p))
+    assert(refusal.getMessage.contains("single-maintainer"))
+    intercept[IllegalStateException](Similarity.ivfAppendCells(mk(20 to 24), p, appendId = 2))
+    release.countDown(); holder.join(10000)
+    // released: maintenance proceeds normally (and the append ledger is intact)
+    assert(Similarity.ivfAppendCells(mk(20 to 24), p, appendId = 2))
+    assert(Similarity.compactIvfIndex(spark, p) == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, MaintenanceLock.LockName)),
+      "lock must not outlive its operation")
+    // a CRASHED maintainer's leftover lock file is taken over once stale
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, MaintenanceLock.LockName), false)
+    out.write("{\"pid\":0,\"op\":\"crashed\"}".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException](Similarity.compactIvfIndex(spark, p)) // still fresh: refuses
+    Thread.sleep(50)
+    assert(MaintenanceLock.withLock(fs, p, "takeover", staleAfterMs = 10) { 42 } == 42,
+      "a stale crashed lock must be taken over")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p, MaintenanceLock.LockName)))
+    // reentrancy: a maintainer composing another locked op on the same
+    // store (the streaming-batch -> batch-appender delegation) re-enters
+    MaintenanceLock.withLock(fs, p, "outer") {
+      assert(Similarity.ivfAppendCells(mk(25 to 29), p, appendId = 3))
+    }
+  }
 }
