@@ -170,6 +170,36 @@ object CorpusQueries {
       TextOps.scoreWithLm(dd, path).orderBy("doc_id")
     }),
 
+    // The STREAMING-maintained LM store (q121's treatment for the LM
+    // family, completing q126's batch lifecycle): the corpus arrives as a
+    // micro-batched file stream (32 files at maxFilesPerTrigger=16, so the
+    // maintainer fires across multiple triggers), each micro-batch lands a
+    // count-delta append via the streaming maintainer, the store compacts,
+    // and every document is scored from the result. Per-batch training
+    // composes because the hex60 80% train gate is per-document and the
+    // counts are additive longs — so the stream-grown store must score
+    // exactly like the monolithic in-memory fit (q109's oracle verbatim);
+    // a dropped micro-batch, a double-fired trigger, or a checkpoint
+    // replay that double-counts fails the hash.
+    "q130_trigram_lm_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = vocabPath(d) + "_lmst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      // fresh run each call: appendLm's ledger makes replays no-ops, so a
+      // stale store would short-circuit the maintenance under test
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val dd = docs(s, d)
+      dd.select(col("doc_id"), col("text"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.lmAppendStream(
+          StreamingPipeline.readDocStream(s, s"$base/in"),
+          s"$base/lm", s"$base/ck")
+        .start().awaitTermination()
+      TextOps.compactLm(s, s"$base/lm")
+      TextOps.scoreWithLm(dd, s"$base/lm").orderBy("doc_id")
+    }),
+
     // BPE tokenizer gate (q105's pattern for the merges-RANKED learner —
     // the standard alternative to the frequency-ranked WordPiece vocab):
     // learn 128 merges from the corpus word histogram, round-trip them
@@ -484,6 +514,7 @@ object CorpusQueries {
     // Counts are additive: the batched-then-compacted store must score
     // exactly like the monolithic fit — q109's oracle verbatim.
     "q126_trigram_lm_lifecycle" -> trigramBackoffOracle,
+    "q130_trigram_lm_streamed" -> trigramBackoffOracle,
     "q95_unigram_nll" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -321,6 +321,22 @@ object TextOps {
     scoreTrigramLm(docs, uni, bi, tri, nTrain, textCol, idCol)
   }
 
+  /** Score `scoreDocs` against an in-memory LM fit on a DIFFERENT corpus —
+    * the refit-per-batch shape a pipeline WITHOUT the persisted LM store
+    * is forced into: every scoring call re-pays the corpus-sized training
+    * pass, while [[scoreWithLm]] against a [[saveLm]] artifact pays only
+    * the batch being scored. Scores are identical to
+    * `scoreWithLm(scoreDocs, <store built from corpus>)` by the same
+    * exact-long-counts argument as [[trigramBackoffNll]]/q120 (spec-checked
+    * in CorpusOpsSpec); the bench's `lm10_probe` vs `lm10_probe_refit`
+    * fields measure the amortization gap this store exists to win.
+    */
+  def trigramBackoffNllAgainst(scoreDocs: DataFrame, corpus: DataFrame,
+                               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (uni, bi, tri, nTrain) = trainTrigramLm(corpus, textCol, idCol)
+    scoreTrigramLm(scoreDocs, uni, bi, tri, nTrain, textCol, idCol)
+  }
+
   /** The trained Stupid-Backoff state — the LM as DATA: (uni, bi, tri)
     * count tables (g, c) plus the 1-row token total (n_train), fit on the
     * deterministic hex60 80% train split. Counts are longs over strings, so

@@ -74,6 +74,13 @@ class CorpusOpsSpec extends SparkSpec {
       canon(TextOps.trigramBackoffNll(docs.unionByName(extra))
         .filter(col("doc_id") < 100)),
       "post-compaction append diverged from the monolithic fit over the union")
+    // the probe-vs-refit pair the bench's lm10_probe fields time: scoring a
+    // fresh batch FROM THE STORE must equal the in-memory refit-per-batch
+    // path over the same corpus (exact long counts -> identical backoff)
+    val batch = docs.filter(col("doc_id") < 5)
+    assert(canon(TextOps.scoreWithLm(batch, path)) ==
+      canon(TextOps.trigramBackoffNllAgainst(batch, docs.unionByName(extra))),
+      "store probe diverged from the refit-per-batch scorer")
   }
 
   test("trigramBackoffNll: train docs never back off; alien held-out docs are all-unseen") {
