@@ -39,6 +39,26 @@ import org.apache.spark.sql.SparkSession
   * headline is not.
   */
 object Bench {
+
+  /** The lm10 measurement corpus: `documents` x10 with per-replica text
+    * perturbation (verbatim replicas would leave the count tables' key
+    * space unchanged and understate the training aggregation), staged to
+    * parquet so the timed paths all read the same files. Shared with
+    * `tools.ProbeLm10` so the isolation check can never drift from what
+    * the bench measures. Caller deletes the returned dir when done.
+    */
+  private[graft] def lm10Corpus(spark: SparkSession,
+                                sfDir: String): (org.apache.spark.sql.DataFrame, String) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_lm10").toString
+    graft.core.Tables(spark, sfDir, "documents")
+      .crossJoin(spark.range(10).select(col("id").as("__r")))
+      .select((col("doc_id") * 10 + col("__r")).as("doc_id"),
+        concat_ws(" ", col("text"), concat_ws("", lit("rep"), col("__r"))).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    (spark.read.parquet(s"$dir/docs"), dir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the contract's local[32]; measured equal to local[4]
@@ -175,31 +195,29 @@ object Bench {
     // the batch, refit-per-batch re-pays the 10x training pass per call —
     // the gap that grows with corpus size while the probe stays O(batch).
     val (lm10Build, lm10Score, lm10Refit, lm10Probe, lm10ProbeRefit) = try {
-      import org.apache.spark.sql.functions.{col, concat_ws, lit}
-      val lmDir = java.nio.file.Files.createTempDirectory("graft_bench_lm10").toString
-      graft.core.Tables(spark, sfDir, "documents")
-        .crossJoin(spark.range(10).select(col("id").as("__r")))
-        .select((col("doc_id") * 10 + col("__r")).as("doc_id"),
-          // perturb the replica text so distinct-gram cardinality grows
-          // with the corpus too (verbatim replicas would leave the count
-          // tables' key space unchanged and understate the training agg)
-          concat_ws(" ", col("text"), concat_ws("", lit("rep"), col("__r"))).as("text"))
-        .write.mode("overwrite").parquet(s"$lmDir/docs")
-      val docs10 = spark.read.parquet(s"$lmDir/docs")
-      def clock(f: => Unit): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.functions.col
+      val (docs10, lmDir) = lm10Corpus(spark, sfDir)
+      try {
+        def clock(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val build = clock(graft.text.TextOps.saveLm(docs10, s"$lmDir/lm"))
+        val score = clock(graft.text.TextOps.scoreWithLm(docs10, s"$lmDir/lm")
+          .queryExecution.toRdd.count())
+        val refit = clock(graft.text.TextOps.trigramBackoffNll(docs10)
+          .queryExecution.toRdd.count())
+        val batch = docs10.filter(col("doc_id") % 10 === 0)
+        val probe = clock(graft.text.TextOps.scoreWithLm(batch, s"$lmDir/lm")
+          .queryExecution.toRdd.count())
+        val probeRefit = clock(graft.text.TextOps.trigramBackoffNllAgainst(batch, docs10)
+          .queryExecution.toRdd.count())
+        (build, score, refit, probe, probeRefit)
+      } finally {
+        // the staged 10x corpus is the dominant disk artifact of a bench
+        // run — don't let it accumulate across invocations
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lmDir))
+        catch { case _: Throwable => () }
       }
-      val build = clock(graft.text.TextOps.saveLm(docs10, s"$lmDir/lm"))
-      val score = clock(graft.text.TextOps.scoreWithLm(docs10, s"$lmDir/lm")
-        .queryExecution.toRdd.count())
-      val refit = clock(graft.text.TextOps.trigramBackoffNll(docs10)
-        .queryExecution.toRdd.count())
-      val batch = docs10.filter(col("doc_id") % 10 === 0)
-      val probe = clock(graft.text.TextOps.scoreWithLm(batch, s"$lmDir/lm")
-        .queryExecution.toRdd.count())
-      val probeRefit = clock(graft.text.TextOps.trigramBackoffNllAgainst(batch, docs10)
-        .queryExecution.toRdd.count())
-      (build, score, refit, probe, probeRefit)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0) }
     val annJson =
       s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
@@ -237,9 +255,12 @@ object Bench {
     val retimed: Map[String, Double] = mandatory.map { k =>
       val fn = SparkEntry.queries(k)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      k -> (System.nanoTime() - t0) / 1e9
+      // a FAILED re-run records the -1 sentinel, never its elapsed time —
+      // a fast failure must not read as "re-timed near the min = phantom"
+      val t = try { fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      k -> t
     }.toMap
     val byDelta = cand.sortBy(-_._3).map(_._1)
     val byRatio = cand.sortBy(-_._2).map(_._1)

@@ -162,14 +162,25 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-          .minBy(_.getName)
-      else root
+    // recursive walk so a partitioned layout (part files nested under
+    // key=value dirs) still yields a footer; no data file at all → false,
+    // which lands in the caller's loud raw-INT64 refusal rather than an
+    // empty-minBy crash
+    val file: Option[org.apache.hadoop.fs.Path] =
+      if (!fs.getFileStatus(root).isDirectory) Some(root)
+      else {
+        val it = fs.listFiles(root, true)
+        var found: Option[org.apache.hadoop.fs.Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+            !p.getName.startsWith(".")) found = Some(p)
+        }
+        found
+      }
+    if (file.isEmpty) return false
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file.get, conf))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       schema.containsField("ts") && (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
