@@ -58,9 +58,36 @@ class PlanShapeSpec extends SparkSpec {
       val cart = if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
       val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         Some(s"$name: BroadcastNestedLoopJoin") else None
-      cart ++ bnlj
+      // the q128 pathology, guarded structurally across every plan: a
+      // tokenizer split inside a higher-order-function lambda body
+      // re-executes per ELEMENT access (interpreted, no CSE) — O(doc_len²)
+      // per row. The regex-split belongs below a Generate barrier
+      // (graft.core.Eval.materialized); per-ROW splits in plain
+      // projections/filters are linear and fine. LambdaRecomputeSpec is
+      // the wall-clock complement of this shape check.
+      val lambdaSplit = p.linesIterator.flatMap { line =>
+        // examine only the balanced-paren span of each lambdafunction(...)
+        // (a wide Project line can legitimately carry per-row splits in
+        // OTHER expressions after the lambda)
+        var idx = line.indexOf("lambdafunction(")
+        var hit: Option[String] = None
+        while (idx >= 0 && hit.isEmpty) {
+          val start = idx + "lambdafunction".length
+          var depth = 0; var j = start
+          while (j < line.length && (depth > 0 || j == start)) {
+            if (line.charAt(j) == '(') depth += 1
+            else if (line.charAt(j) == ')') depth -= 1
+            j += 1
+          }
+          if (line.substring(start, j).contains("split("))
+            hit = Some(s"$name: split inside a lambda body — ${line.trim.take(120)}")
+          idx = line.indexOf("lambdafunction(", idx + 1)
+        }
+        hit
+      }.take(1).toSeq
+      cart ++ bnlj ++ lambdaSplit
     }
-    assert(violations.isEmpty, s"scale-unsafe join shapes:\n${violations.mkString("\n")}")
+    assert(violations.isEmpty, s"scale-unsafe plan shapes:\n${violations.mkString("\n")}")
   }
 
   test("vocabulary plan has no window at all — ranks zip onto the bounded take") {
