@@ -153,6 +153,144 @@ object DataQueries {
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
 
+  /** q131 oracle: replay [[Similarity.pqCodebooks]]' m independent
+    * per-subspace spherical Lloyd fits (each the kmeansAsgCtes loop over a
+    * `v[lo:hi]` slice), [[Similarity.pqEncode]]'s assignment argmax, and
+    * [[Similarity.pqAdcTopK]]'s integer-quantized ADC lookup-table scoring
+    * — same floor*1e8 long partials, so the per-pair sums are
+    * addition-order-independent in BOTH engines and the ranking matches
+    * bit-for-bit.
+    */
+  private def pqAdcOracle(m: Int, k: Int, iters: Int, dim: Int,
+                          nQueries: Int, topK: Int): String =
+    s"""${pqCtes(m, k, iters, dim, nQueries)}
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** q132's oracle: the PQ pipeline as the probe side of the q106-shaped
+    * recall computation (no mirror of the Spark assert_true floor, same as
+    * the other recall gates).
+    */
+  private def pqRecallOracle(m: Int, k: Int, iters: Int, dim: Int,
+                             nQueries: Int, topK: Int): String =
+    s"""${pqCtes(m, k, iters, dim, nQueries)},
+       |pq_topk AS (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $topK
+       |),
+       |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+       |  FROM bn q JOIN bn c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |),
+       |brute_topk AS (
+       |  SELECT query_id, true_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
+       |    FROM brute_scored) WHERE rk <= $topK
+       |),
+       |per AS (
+       |  SELECT t.query_id,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM brute_topk t LEFT JOIN pq_topk i
+       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
+       |  GROUP BY 1
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
+       |)
+       |SELECT query_id, n_hits,
+       |  round(n_hits / $topK.0, 6) AS recall,
+       |  round(sum_hits / ($topK.0 * n_queries), 6) AS mean_recall
+       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
+
+  /** Shared WITH-prefix for the PQ oracles: defines `e` (widened vectors),
+    * `q` (the first `nQueries` as queries), the per-subspace Lloyd loops,
+    * `codes`/`lut`, and `ranked` = the full ADC ranking.
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int): String = {
+    val sub = dim / m
+    val perS = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      val loop = (0 until iters).map { t =>
+        s""",
+           |a${s}_$t AS (
+           |  SELECT b.vec_id, b.v, b.n, c.cid,
+           |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+           |  FROM b$s b CROSS JOIN c${s}_$t c
+           |),
+           |asg${s}_$t AS (
+           |  SELECT vec_id, v, n, cid AS cell
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+           |        FROM a${s}_$t)
+           |  WHERE crn = 1
+           |),
+           |upd${s}_$t AS (
+           |  SELECT cell AS cid, t.i AS dim,
+           |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
+           |           / count(*) / 100000000.0 AS m
+           |  FROM asg${s}_$t, unnest(generate_series(1, len(v))) AS t(i)
+           |  GROUP BY 1, 2
+           |),
+           |c${s}_${t + 1} AS (
+           |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+           |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd${s}_$t GROUP BY cid)
+           |)""".stripMargin
+      }.mkString
+      s""",
+         |b$s AS (
+         |  SELECT vec_id, v[$lo:$hi] AS v,
+         |         sqrt(list_dot_product(v[$lo:$hi], v[$lo:$hi])) AS n
+         |  FROM e
+         |),
+         |c${s}_0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b$s WHERE vec_id < $k)$loop,
+         |af$s AS (
+         |  SELECT b.vec_id, c.cid,
+         |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
+         |  FROM b$s b CROSS JOIN c${s}_$iters c
+         |),
+         |codes$s AS (
+         |  SELECT vec_id, $s AS s, cid AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+         |        FROM af$s)
+         |  WHERE crn = 1
+         |),
+         |lut$s AS (
+         |  SELECT q.query_id, q.qn, $s AS s, c.cid,
+         |    CAST(floor(list_dot_product(q.qv[$lo:$hi], c.cv) * 100000000.0) AS BIGINT) AS pdot,
+         |    CAST(floor(c.cn * c.cn * 100000000.0) AS BIGINT) AS pn2
+         |  FROM q CROSS JOIN c${s}_$iters c
+         |)""".stripMargin
+    }.mkString
+    val codesUnion = (0 until m).map(s => s"SELECT * FROM codes$s").mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |  FROM e WHERE vec_id < $nQueries
+       |)$perS,
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion),
+       |scored AS (
+       |  SELECT l.query_id, co.vec_id,
+       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
+       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
+       |  WHERE l.query_id <> co.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
+       |  FROM scored
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM approx
+       |)""".stripMargin
+  }
+
   /** Multi-probe (nprobe=2) IVF rows over the 8-centroid/3-iter build:
     * query side takes the TWO nearest centroids (crn <= 2 over the final
     * Lloyd scores a3); corpus side keeps its crn = 1 cell. Shared by q107
@@ -371,6 +509,38 @@ object DataQueries {
       Similarity.ivfKmeansTopK(emb(s, d), numCentroids = 8, iters = 3, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
         .orderBy("query_id", "rank")),
+
+    // Product-quantization ANN (the compression path q60's scalar int8
+    // only hints at): 4 subspaces x 16 dims, 8 codewords each (two Lloyd
+    // rounds per subspace), corpus reduced to 4 small ints per vector,
+    // queries scored by ADC lookup-table sums against the reconstructed
+    // codeword norms — never touching the original corpus vectors. The
+    // oracle replays all four sub-k-means loops, the encoding argmax, the
+    // integer-quantized LUT partials, and the ranking.
+    "q131_ann_pq_adc" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Similarity.pqCodebooks(e, m = 4, k = 8, iters = 2)
+      Similarity.pqAdcTopK(Similarity.pqEncode(e, cb, m = 4), cb,
+          e.filter(col("vec_id") < 10), k = 5, m = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ recall floor (q106's shape over the ADC searcher): 8 subspaces x
+    // 16 codewords — 8 bytes per corpus vector. Measured recall@3 over the
+    // 100-query set: ~0.16-0.17 at sf0.001/sf0.01; floor 0.10. Honest
+    // framing: these synthetic embeddings are near-random (PQ's worst
+    // case — no subspace correlation to exploit), so absolute recall is
+    // low the same way q110's single-table LSH is (~0.03-0.05, also
+    // gated); the gate pins determinism and the floor, and m/k is the
+    // recall/compression knob a real corpus would tune.
+    "q132_ann_recall_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Similarity.pqCodebooks(e, m = 8, k = 16, iters = 2)
+      annRecallGate(e,
+        Similarity.pqAdcTopK(Similarity.pqEncode(e, cb, m = 8), cb,
+          e.filter(col("vec_id") < 100), k = 3, m = 8),
+        k = 3, floor = 0.10, "q132: PQ-ADC recall fell below 0.10")
+    }),
 
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
     // each query searches its 2 nearest cells while the corpus-side
@@ -966,6 +1136,10 @@ object DataQueries {
         |FROM m, unnest(generate_series(1, len(v))) AS t(i)
         |ORDER BY vec_id, dim""".stripMargin,
     "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
+    "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
+      nQueries = 10, topK = 5),
+    "q132_ann_recall_pq" -> pqRecallOracle(m = 8, k = 16, iters = 2, dim = 64,
+      nQueries = 100, topK = 3),
     // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
     // vec_id < 100 query sample; `b` (double vectors + norms) comes from
     // kmeansAsgCtes and matches both engines' scoring exactly.

@@ -1017,4 +1017,91 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("sim"))
   }
+
+  // ===== Product quantization (the ANN *compression* path: PQ codes are
+  // m small ints per vector — 16-64x smaller than float32 — and ADC scores
+  // candidates from a per-query lookup table without touching the original
+  // vectors; composes with IVF cell pruning the way IVF-PQ engines do) ====
+
+  /** PQ codebooks: split each `dim`-vector into `m` contiguous subvectors
+    * (dim/m each) and fit an INDEPENDENT codebook of `k` codewords per
+    * subspace — the same deterministic spherical Lloyd as the IVF family
+    * (quantized integer-sum means, `vec_id < k` seeding, cosine argmax
+    * with round-6 and least-cid ties), applied to the subvector slice.
+    * m*k rows total — broadcast-sized at any corpus scale; the m*iters
+    * bounded driver collects are <= k*dim/m doubles each (the
+    * kmeansCentroids contract). Output: (s, cid, cv, cn).
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        vectors.select(col(idCol),
+          slice(asDouble(col(vecCol)), s * sub + 1, sub).as("__sv")),
+        k, iters, idCol, "__sv")
+        .select(lit(s).as("s"), col("cid"), col("cv"), col("cn"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector's s-th subvector -> its nearest codeword in
+    * subspace s (assignTo's exact total order: rounded cosine desc, least
+    * cid on ties). LONG form (idCol, s, code) — m rows per vector, the
+    * compressed corpus representation ADC scores against; map-only given
+    * the broadcast codebooks.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
+    val sub = dim / m
+    (0 until m).map { s =>
+      assignTo(
+        prepped(vectors.select(col(idCol),
+          slice(asDouble(col(vecCol)), s * sub + 1, sub).as("__sv")), idCol, "__sv"),
+        codebooks.filter(col("s") === s).select(col("cid"), col("cv"), col("cn")),
+        idCol)
+        .select(col(idCol), lit(s).as("s"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query side builds a
+    * (query, s, code) -> partial-dot lookup table against the broadcast
+    * codebooks (queries x m x k rows — tiny), the corpus side is ONLY its
+    * codes (never the original vectors), and each candidate's approximate
+    * cosine is the LUT-sum divided by |q| times the RECONSTRUCTED corpus
+    * norm (sqrt of the summed codeword norm-squares). Partials are
+    * integer-quantized (floor x 1e8 longs) BEFORE summing so the per-pair
+    * sums are addition-order-independent — the same exactness discipline
+    * as the Lloyd means — which is what lets a SQL oracle reproduce the
+    * ranking bit-for-bit. Scale: the scoring join streams N x m code rows
+    * against a broadcast LUT with map-side partial aggregation; nothing
+    * shuffles but (query, candidate) partial sums.
+    * Output: (query_id, neighbor_id, rank, sim) — [[cosineTopK]]'s shape,
+    * with sim the PQ-approximate cosine.
+    */
+  def pqAdcTopK(corpusCodes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                k: Int, m: Int, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(ndot(col("qv"), col("qv"))))
+    val lut = q.crossJoin(codebooks)
+      .select(col("query_id"), col("qn"), col("s").as("ls"), col("cid").as("lcid"),
+        floor(ndot(slice(col("qv"), col("s") * sub + lit(1), lit(sub)), col("cv")) * 1e8)
+          .cast("long").as("pdot"),
+        floor(col("cn") * col("cn") * 1e8).cast("long").as("pn2"))
+    corpusCodes
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("pdot")).as("sdot"), sum(col("pn2")).as("sn2"), max(col("qn")).as("qn"))
+      .withColumn("sim",
+        round((col("sdot") / 1e8) / (col("qn") * sqrt(col("sn2") / 1e8)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("sim"))
+  }
 }

@@ -664,6 +664,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(1L) == byId(2L) && byId(1L) != byId(4L))
   }
 
+  test("product quantization: complete deterministic codes, ADC finds exact duplicates") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    // vec 20 duplicates vec 3 exactly: same subvectors -> same codes ->
+    // identical ADC scores, and each must be the other's top neighbor
+    val base = mk(0 to 19)
+    val dup = mk(3 to 3).select(lit(20L).as("vec_id"), col("embedding"))
+    val vecs = base.unionByName(dup)
+    val (m, k) = (2, 4)
+    val cb = Similarity.pqCodebooks(vecs, m, k, iters = 2, dim = 8)
+    assert(cb.count() <= m.toLong * k && cb.select("s").distinct().count() == m)
+    val codes = Similarity.pqEncode(vecs, cb, m, dim = 8)
+    // every vector gets exactly m codes, all within the codebook
+    val perVec = codes.groupBy("vec_id").agg(count(lit(1)).as("n")).collect()
+    assert(perVec.length == 21 && perVec.forall(_.getAs[Long]("n") == m.toLong))
+    assert(codes.filter(col("code") >= k || col("code") < 0).count() == 0)
+    // deterministic: an independent refit + re-encode reproduces the codes
+    val codes2 = Similarity.pqEncode(vecs,
+      Similarity.pqCodebooks(vecs, m, k, iters = 2, dim = 8), m, dim = 8)
+    assert(codes.orderBy("vec_id", "s").collect().toSeq ==
+      codes2.orderBy("vec_id", "s").collect().toSeq)
+    // the duplicate pair shares all m codes, so ADC gives the duplicate
+    // the MAXIMUM similarity for its twin (tied with any code-colliding
+    // vector — at 4^2 combos over 21 vectors collisions are guaranteed,
+    // and ties break by least neighbor_id, so assert on sims not ranks)
+    val c3 = codes.filter(col("vec_id") === 3).orderBy("s").collect().map(_.getAs[Long]("code")).toSeq
+    val c20 = codes.filter(col("vec_id") === 20).orderBy("s").collect().map(_.getAs[Long]("code")).toSeq
+    assert(c3 == c20, "exact duplicate vectors must share every PQ code")
+    val full = Similarity.pqAdcTopK(codes, cb, vecs.filter(col("vec_id") === 3),
+        k = 21, m = m, dim = 8).collect()
+    val simOfDup = full.find(_.getAs[Long]("neighbor_id") == 20L).get.getAs[Double]("sim")
+    val maxSim = full.map(_.getAs[Double]("sim")).max
+    assert(simOfDup == maxSim,
+      "an exact duplicate must score the maximum ADC similarity for its twin")
+  }
+
   test("maintenance lock: concurrent maintainer refuses, holder completes, stale lock taken over") {
     import graft.store.MaintenanceLock
     def mk(r: Range) = r.map { i =>
