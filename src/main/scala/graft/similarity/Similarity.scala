@@ -1023,46 +1023,76 @@ object Similarity {
   // candidates from a per-query lookup table without touching the original
   // vectors; composes with IVF cell pruning the way IVF-PQ engines do) ====
 
+  /** The (idCol, s, v: subvector, n) long frame carrying all `m` subspace
+    * problems of the PQ family at once — one corpus pass serves every
+    * subspace, instead of m sequential jobs.
+    */
+  private def pqSubvectors(vectors: DataFrame, m: Int, sub: Int,
+                           idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("s"), col("__v"))
+      .select(col(idCol), col("s"),
+        slice(col("__v"), col("s") * sub + lit(1), lit(sub)).as("v"))
+      .withColumn("n", sqrt(ndot(col("v"), col("v"))))
+
   /** PQ codebooks: split each `dim`-vector into `m` contiguous subvectors
     * (dim/m each) and fit an INDEPENDENT codebook of `k` codewords per
     * subspace — the same deterministic spherical Lloyd as the IVF family
     * (quantized integer-sum means, `vec_id < k` seeding, cosine argmax
     * with round-6 and least-cid ties), applied to the subvector slice.
-    * m*k rows total — broadcast-sized at any corpus scale; the m*iters
-    * bounded driver collects are <= k*dim/m doubles each (the
-    * kmeansCentroids contract). Output: (s, cid, cv, cn).
+    * All m fits advance together: each Lloyd iteration is ONE corpus pass
+    * over the s-keyed subvector frame (a broadcast hash join on s + one
+    * aggregation), not m sequential jobs — per-iteration cost is
+    * independent of m, and the bounded driver collect is m*k*(dim/m) =
+    * k*dim doubles. m*k rows total — broadcast-sized at any corpus
+    * scale. Output: (s, cid, cv, cn).
     */
   def pqCodebooks(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
-    val sub = dim / m
-    (0 until m).map { s =>
-      kmeansCentroids(
-        vectors.select(col(idCol),
-          slice(asDouble(col(vecCol)), s * sub + 1, sub).as("__sv")),
-        k, iters, idCol, "__sv")
-        .select(lit(s).as("s"), col("cid"), col("cv"), col("cn"))
-    }.reduce(_ unionByName _)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subs = pqSubvectors(vectors, m, dim / m, idCol, vecCol)
+    var cent = subs.filter(col(idCol) < k)
+      .select(col("s"), col(idCol).cast("long").as("cid"),
+        col("v").as("cv"), col("n").as("cn"))
+    for (_ <- 0 until iters) {
+      val means = subs.join(broadcast(cent), "s")
+        .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+        .groupBy(col("s"), col(idCol))
+        .agg(max_by(struct(col("v"), col("cid")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("__best"))
+        .select(col("s"), col("__best.cid").as("cid"),
+          posexplode(col("__best.v")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("cid"), col("dim"))
+        .agg((sum(floor(col("x") * 1e8)).cast("double") / count(lit(1)) / 1e8).as("m"))
+        .collect()
+      val centLocal = means.groupBy(r => (r.getAs[Int]("s"), r.getAs[Long]("cid"))).toSeq
+        .map { case ((s, cid), rows) =>
+          (s, cid, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq)
+        }
+      cent = centLocal.toDF("s", "cid", "cv")
+        .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
+    }
+    cent.select(col("s"), col("cid"), col("cv"), col("cn"))
   }
 
   /** PQ encoding: each vector's s-th subvector -> its nearest codeword in
     * subspace s (assignTo's exact total order: rounded cosine desc, least
     * cid on ties). LONG form (idCol, s, code) — m rows per vector, the
-    * compressed corpus representation ADC scores against; map-only given
-    * the broadcast codebooks.
+    * compressed corpus representation ADC scores against. One corpus pass
+    * for all m subspaces: broadcast-join the s-keyed subvector frame with
+    * the codebooks, argmax per (vector, s) map-side.
     */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
-    val sub = dim / m
-    (0 until m).map { s =>
-      assignTo(
-        prepped(vectors.select(col(idCol),
-          slice(asDouble(col(vecCol)), s * sub + 1, sub).as("__sv")), idCol, "__sv"),
-        codebooks.filter(col("s") === s).select(col("cid"), col("cv"), col("cn")),
-        idCol)
-        .select(col(idCol), lit(s).as("s"), col("cell").as("code"))
-    }.reduce(_ unionByName _)
+    pqSubvectors(vectors, m, dim / m, idCol, vecCol)
+      .join(broadcast(codebooks), "s")
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol), col("s"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("code"))
+      .select(col(idCol), col("s"), col("code"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query side builds a
