@@ -208,7 +208,36 @@ object DataQueries {
     * `q` (the first `nQueries` as queries), the per-subspace Lloyd loops,
     * `codes`/`lut`, and `ranked` = the full ADC ranking.
     */
-  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int): String = {
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |  FROM e WHERE vec_id < $nQueries
+       |)${pqSubCtes(m, k, iters, dim)},
+       |scored AS (
+       |  SELECT l.query_id, co.vec_id,
+       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
+       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
+       |  WHERE l.query_id <> co.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
+       |  FROM scored
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM approx
+       |)""".stripMargin
+
+  /** The per-subspace PQ CTEs alone (Lloyd loops, `codes`, `lut`) — they
+    * reference an already-defined `e` (corpus) and `q` (queries), so they
+    * compose after [[kmeansAsgCtes]] for the IVF-PQ oracle. Leading comma.
+    */
+  private def pqSubCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
     val sub = dim / m
     val perS = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = (s + 1) * sub
@@ -264,32 +293,53 @@ object DataQueries {
     }.mkString
     val codesUnion = (0 until m).map(s => s"SELECT * FROM codes$s").mkString(" UNION ALL ")
     val lutUnion = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
-    s"""WITH e AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
+    s"""$perS,
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion)""".stripMargin
+  }
+
+  /** q133's oracle: [[kmeansAsgCtes]] supplies the IVF cells (`a3`/`asg3`),
+    * [[pqSubCtes]] the codebooks/codes/LUT, and the probe/candidate/ADC
+    * chain mirrors [[Similarity.ivfPqTopK]] — nprobe cells per query,
+    * cell-local candidates, integer-quantized LUT sums.
+    */
+  private def ivfPqOracle(numCentroids: Int, iters: Int, m: Int, k: Int,
+                          pqIters: Int, dim: Int, nQueries: Int, topK: Int,
+                          nprobe: Int): String =
+    s"""${kmeansAsgCtes(numCentroids, iters)},
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
        |  FROM e WHERE vec_id < $nQueries
-       |)$perS,
-       |codes AS ($codesUnion),
-       |lut AS ($lutUnion),
+       |)${pqSubCtes(m, k, pqIters, dim)},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
+       |        FROM a$iters)
+       |  WHERE crn <= $nprobe AND vec_id < $nQueries
+       |),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, p.cell
+       |  FROM probes p JOIN asg$iters c ON p.cell = c.cell AND p.query_id <> c.vec_id
+       |),
        |scored AS (
-       |  SELECT l.query_id, co.vec_id,
+       |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
        |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
-       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
-       |  WHERE l.query_id <> co.vec_id
-       |  GROUP BY 1, 2
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.neighbor_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.s = co.s AND l.cid = co.code
+       |  GROUP BY 1, 2, 3
        |),
        |approx AS (
-       |  SELECT query_id, vec_id AS neighbor_id,
+       |  SELECT query_id, neighbor_id, cell,
        |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
        |  FROM scored
        |),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM approx
-       |)""".stripMargin
-  }
+       |)
+       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** Multi-probe (nprobe=2) IVF rows over the 8-centroid/3-iter build:
     * query side takes the TWO nearest centroids (crn <= 2 over the final
@@ -522,6 +572,19 @@ object DataQueries {
       val cb = Similarity.pqCodebooks(e, m = 4, k = 8, iters = 2)
       Similarity.pqAdcTopK(Similarity.pqEncode(e, cb, m = 4), cb,
           e.filter(col("vec_id") < 10), k = 5, m = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ search — cell pruning x code compression composed, the
+    // architecture a 100 TB ANN deployment actually runs: each query
+    // scores ONLY its 2 probed cells' candidates, and scoring reads ONLY
+    // the 4-int codes + a broadcast LUT. Oracle replays the q107 Lloyd
+    // cells, the q131 codebooks, and the candidate-filtered ADC chain.
+    "q133_ann_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          numCentroids = 8, iters = 3, m = 4, codebookK = 8, pqIters = 2,
+          k = 3, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -1140,6 +1203,8 @@ object DataQueries {
       nQueries = 10, topK = 5),
     "q132_ann_recall_pq" -> pqRecallOracle(m = 8, k = 16, iters = 2, dim = 64,
       nQueries = 100, topK = 3),
+    "q133_ann_ivfpq" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4, k = 8,
+      pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
     // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
     // vec_id < 100 query sample; `b` (double vectors + norms) comes from
     // kmeansAsgCtes and matches both engines' scoring exactly.

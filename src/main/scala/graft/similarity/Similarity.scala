@@ -1110,18 +1110,26 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, sim) — [[cosineTopK]]'s shape,
     * with sim the PQ-approximate cosine.
     */
-  def pqAdcTopK(corpusCodes: DataFrame, codebooks: DataFrame, queries: DataFrame,
-                k: Int, m: Int, dim: Int = 64,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
-    val sub = dim / m
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+  /** The per-(query, s, code) ADC lookup table: integer-quantized partial
+    * dots of each query subvector against every codeword, plus the
+    * codeword's quantized norm-square. queries x m x k rows — broadcast
+    * material whenever the query batch is bounded.
+    */
+  private def pqLut(queries: DataFrame, codebooks: DataFrame, sub: Int,
+                    idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(ndot(col("qv"), col("qv"))))
-    val lut = q.crossJoin(codebooks)
+      .crossJoin(codebooks)
       .select(col("query_id"), col("qn"), col("s").as("ls"), col("cid").as("lcid"),
         floor(ndot(slice(col("qv"), col("s") * sub + lit(1), lit(sub)), col("cv")) * 1e8)
           .cast("long").as("pdot"),
         floor(col("cn") * col("cn") * 1e8).cast("long").as("pn2"))
+
+  def pqAdcTopK(corpusCodes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                k: Int, m: Int, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
+    val lut = pqLut(queries, codebooks, dim / m, idCol, vecCol)
     corpusCodes
       .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lcid"))
       .filter(col("query_id") =!= col(idCol))
@@ -1133,5 +1141,57 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** IVF-PQ search — the composition large-scale ANN engines actually run:
+    * IVF cell pruning bounds WHICH candidates are scored (each query
+    * touches its `nprobe` nearest cells, never the whole corpus) and PQ/ADC
+    * bounds WHAT scoring reads (m small ints per candidate + a broadcast
+    * lookup table, never the original vectors). The corpus-side artifacts
+    * — cell assignments, codebooks, codes — are all build-once structures;
+    * at production scale they live in the persisted-index stores and the
+    * codes table is co-partitioned with the cells so the candidate join is
+    * cell-local. Probe selection uses [[ivfKmeansTopKProbed]]'s exact
+    * total order; scoring uses [[pqAdcTopK]]'s integer-quantized partials.
+    * Output: (query_id, neighbor_id, cell, rank, sim) — q107's shape with
+    * sim the PQ-approximate cosine.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, numCentroids: Int, iters: Int,
+                m: Int, codebookK: Int, pqIters: Int, k: Int, nprobe: Int,
+                dim: Int = 64, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCentroids, "need 1 <= nprobe <= numCentroids")
+    require(m >= 1 && dim % m == 0, s"need dim ($dim) divisible by m ($m)")
+    val cent = kmeansCentroids(corpus, numCentroids, iters, idCol, vecCol)
+    val assigned = assignTo(prepped(corpus, idCol, vecCol), cent, idCol)
+      .select(col(idCol), col("cell"))
+    val cb = pqCodebooks(corpus, m, codebookK, pqIters, dim, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, m, dim, idCol, vecCol)
+    // query side: nprobe nearest cells per query, same bounded sorted-take
+    // as ivfKmeansTopKProbed (no ranking window)
+    val probes = prepped(queries, idCol, vecCol).join(broadcast(cent))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(
+        struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
+        1, nprobe).as("__p"))
+      .select(col(idCol).as("query_id"), explode(col("__p.cid")).as("cell"))
+    // candidates are cell-local; a neighbor has ONE cell so a (query,
+    // neighbor) pair cannot duplicate across probes
+    val cand = probes.join(assigned.withColumnRenamed(idCol, "neighbor_id"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val lut = pqLut(queries, cb, dim / m, idCol, vecCol)
+    cand.join(codes.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .join(broadcast(lut.withColumnRenamed("query_id", "lqid")),
+        col("query_id") === col("lqid") &&
+          col("s") === col("ls") && col("code") === col("lcid"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("pdot")).as("sdot"), sum(col("pn2")).as("sn2"), max(col("qn")).as("qn"))
+      .withColumn("sim",
+        round((col("sdot") / 1e8) / (col("qn") * sqrt(col("sn2") / 1e8)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
   }
 }
