@@ -162,8 +162,8 @@ object DataQueries {
     * bit-for-bit.
     */
   private def pqAdcOracle(m: Int, k: Int, iters: Int, dim: Int,
-                          nQueries: Int, topK: Int): String =
-    s"""${pqCtes(m, k, iters, dim, nQueries)}
+                          nQueries: Int, topK: Int, fitWhere: String = ""): String =
+    s"""${pqCtes(m, k, iters, dim, nQueries, fitWhere)}
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
@@ -208,14 +208,15 @@ object DataQueries {
     * `q` (the first `nQueries` as queries), the per-subspace Lloyd loops,
     * `codes`/`lut`, and `ranked` = the full ADC ranking.
     */
-  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int): String =
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int,
+                     fitWhere: String = ""): String =
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
        |  FROM e WHERE vec_id < $nQueries
-       |)${pqSubCtes(m, k, iters, dim)},
+       |)${pqSubCtes(m, k, iters, dim, fitWhere)},
        |scored AS (
        |  SELECT l.query_id, co.vec_id,
        |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
@@ -237,16 +238,25 @@ object DataQueries {
     * reference an already-defined `e` (corpus) and `q` (queries), so they
     * compose after [[kmeansAsgCtes]] for the IVF-PQ oracle. Leading comma.
     */
-  private def pqSubCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+  private def pqSubCtes(m: Int, k: Int, iters: Int, dim: Int,
+                        fitWhere: String = ""): String = {
     val sub = dim / m
+    // `fitWhere` restricts the Lloyd LOOP's fit set (the q134 lifecycle
+    // shape: codebooks frozen from a corpus prefix, later arrivals encoded
+    // against them) while the final `codes`/`lut` cover every vector —
+    // the kmeansAsgCtes fitWhere treatment applied per subspace.
     val perS = (0 until m).map { s =>
+      val fitSrc = if (fitWhere.isEmpty) s"b$s" else s"bf$s"
+      val bfCte = if (fitWhere.isEmpty) ""
+        else s""",
+                |bf$s AS (SELECT * FROM b$s WHERE $fitWhere)""".stripMargin
       val lo = s * sub + 1; val hi = (s + 1) * sub
       val loop = (0 until iters).map { t =>
         s""",
            |a${s}_$t AS (
            |  SELECT b.vec_id, b.v, b.n, c.cid,
            |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-           |  FROM b$s b CROSS JOIN c${s}_$t c
+           |  FROM $fitSrc b CROSS JOIN c${s}_$t c
            |),
            |asg${s}_$t AS (
            |  SELECT vec_id, v, n, cid AS cell
@@ -271,8 +281,8 @@ object DataQueries {
          |  SELECT vec_id, v[$lo:$hi] AS v,
          |         sqrt(list_dot_product(v[$lo:$hi], v[$lo:$hi])) AS n
          |  FROM e
-         |),
-         |c${s}_0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b$s WHERE vec_id < $k)$loop,
+         |)$bfCte,
+         |c${s}_0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $k)$loop,
          |af$s AS (
          |  SELECT b.vec_id, c.cid,
          |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
@@ -585,6 +595,25 @@ object DataQueries {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
           numCentroids = 8, iters = 3, m = 4, codebookK = 8, pqIters = 2,
           k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The PQ store LIFECYCLE gate (the q119/q122 treatment for the sixth
+    // artifact family): build the index from the vec_id < 300 prefix
+    // (codebooks FROZEN from that fit), append the remainder encoded
+    // against those frozen codebooks, compact, probe. The probe must
+    // hash-match the monolithic ADC ranking whose codebooks were fit on
+    // the same prefix (fitWhere oracle) — a lost append, a replay, or a
+    // compaction that drops/duplicates a code shifts some candidate's
+    // reconstructed similarity and fails the hash.
+    "q134_ann_pq_lifecycle" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pqlc"
+      val e = emb(s, d)
+      Similarity.buildPqIndex(e.filter(col("vec_id") < 300), m = 4, k = 8,
+        iters = 2, path)
+      Similarity.pqAppendVectors(e.filter(col("vec_id") >= 300), path, appendId = 1)
+      Similarity.compactPqIndex(s, path)
+      Similarity.probePqIndex(e.filter(col("vec_id") < 10), path, k = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -1205,6 +1234,8 @@ object DataQueries {
       nQueries = 100, topK = 3),
     "q133_ann_ivfpq" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4, k = 8,
       pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
+    "q134_ann_pq_lifecycle" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
+      nQueries = 10, topK = 5, fitWhere = "vec_id < 300"),
     // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
     // vec_id < 100 query sample; `b` (double vectors + norms) comes from
     // kmeansAsgCtes and matches both engines' scoring exactly.

@@ -1143,6 +1143,95 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Build-once half of the persisted PQ index — the store treatment every
+    * trained structure here gets. Lands four parts under `path`:
+    * `codebooks/` (s, cid, cv, cn — m*k rows), `config/` (1-row m/k/dim
+    * geometry, the LSH-store pattern), `codes/batch=0` (the compressed
+    * corpus: m small ints per vector), and `vectors/batch=0` (the prepped
+    * payloads a future re-fit would need — the LSH payload-half pattern).
+    * Probes read codes + codebooks only.
+    */
+  def buildPqIndex(vectors: DataFrame, m: Int, k: Int, iters: Int, path: String,
+                   dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+    val cb = pqCodebooks(vectors, m, k, iters, dim, idCol, vecCol)
+    prepped(vectors, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/vectors/batch=0")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((m, k, dim)).toDF("m", "k", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+    pqEncode(vectors, cb, m, dim, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes/batch=0")
+  }
+
+  /** Incremental half: encode a new batch against the STORED (frozen)
+    * codebooks and publish it exactly-once — payloads land first, the
+    * `codes/batch=<id>` rename is the commit marker (the lshAppendVectors
+    * two-dir publish order, for the same reason: a crash in between
+    * leaves unreachable payload rows, not codes that can't rescore).
+    */
+  def pqAppendVectors(vectors: DataFrame, path: String, appendId: Long,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    require(appendId >= 1, "appendId 0 is the initial build")
+    val spark = vectors.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "pq-append") {
+      recoverDir(fs, s"$path/codes")
+      recoverDir(fs, s"$path/vectors")
+      val ledger = new org.apache.hadoop.fs.Path(s"$path/codes/batch=$appendId")
+      if (fs.exists(ledger)) false
+      else {
+        val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
+        val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
+        val cb = spark.read.parquet(activeDir(fs, s"$path/codebooks"))
+        prepped(vectors, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$path/vectors/batch=$appendId")
+        val staging = new org.apache.hadoop.fs.Path(s"$path/codes/.staging-$appendId")
+        fs.delete(staging, true)
+        pqEncode(vectors, cb, m, dim, idCol, vecCol)
+          .write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
+  }
+
+  /** [[compactIvfIndex]] for the PQ store: collapse both halves' `batch=`
+    * dirs (rows, probe results, and the append ledger preserved).
+    */
+  def compactPqIndex(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "pq-compact") {
+      compactBatchStore(spark, s"$path/codes", Seq.empty) +
+        compactBatchStore(spark, s"$path/vectors", Seq.empty)
+    }
+  }
+
+  /** Probe-many half: ADC top-k from the STORED codes and codebooks — the
+    * original vectors are never read; the only per-query work is the
+    * m*k-row LUT. `.prev`-aware reads cover the compaction swap window.
+    */
+  def probePqIndex(queries: DataFrame, path: String, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
+    val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
+    val cb = spark.read.parquet(activeDir(fs, s"$path/codebooks"))
+    val codes = spark.read.parquet(activeDir(fs, s"$path/codes"))
+      .select(col(idCol), col("s"), col("code"))
+    pqAdcTopK(codes, cb, queries, k, m, dim, idCol, vecCol)
+  }
+
   /** IVF-PQ search — the composition large-scale ANN engines actually run:
     * IVF cell pruning bounds WHICH candidates are scored (each query
     * touches its `nprobe` nearest cells, never the whole corpus) and PQ/ADC

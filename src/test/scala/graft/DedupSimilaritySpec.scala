@@ -701,6 +701,40 @@ class DedupSimilaritySpec extends SparkSpec {
       "an exact duplicate must score the maximum ADC similarity for its twin")
   }
 
+  test("persisted PQ index: frozen-codebook appends match the in-memory fit; compaction invisible; ledger survives") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 19)
+    val all = b1.unionByName(b2)
+    val p = java.nio.file.Files.createTempDirectory("graft_pq_store").toString
+    Similarity.buildPqIndex(b1, m = 2, k = 4, iters = 2, p, dim = 8)
+    assert(Similarity.pqAppendVectors(b2, p, appendId = 1))
+    def canon(): Seq[String] =
+      Similarity.probePqIndex(all.filter(col("vec_id") < 5), p, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    // the grown store answers exactly like the in-memory ADC whose
+    // codebooks were fit on the same b1 prefix
+    val cb = Similarity.pqCodebooks(b1, m = 2, k = 4, iters = 2, dim = 8)
+    val mono = Similarity.pqAdcTopK(Similarity.pqEncode(all, cb, m = 2, dim = 8),
+        cb, all.filter(col("vec_id") < 5), k = 3, m = 2, dim = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val before = canon()
+    assert(before == mono, "store probe diverged from the prefix-fit in-memory ADC")
+    // compaction collapses both halves' two batch dirs, changes nothing
+    assert(Similarity.compactPqIndex(spark, p) == 4)
+    assert(canon() == before, "compaction changed probe results")
+    assert(Similarity.compactPqIndex(spark, p) == 0, "recompaction must be a no-op")
+    // the ledger survives compaction: merged batch ids stay refused
+    assert(!Similarity.pqAppendVectors(b2, p, appendId = 1))
+    // a compacted index keeps accepting and serving new appends
+    val b3 = mk(20 to 24)
+    assert(Similarity.pqAppendVectors(b3, p, appendId = 2))
+    val withNew = Similarity.probePqIndex(all.filter(col("vec_id") < 5), p, k = 21)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(withNew.exists(_ >= 20L), "post-compaction append never surfaced")
+  }
+
   test("maintenance lock: concurrent maintainer refuses, holder completes, stale lock taken over") {
     import graft.store.MaintenanceLock
     def mk(r: Range) = r.map { i =>

@@ -50,6 +50,7 @@ class PlanShapeSpec extends SparkSpec {
     "q131_ann_pq_adc", // bounded broadcasts: <= m*k codebook rows (Lloyd + LUT) x the 10-query set
     "q132_ann_recall_pq", // same bounded codebook broadcasts + brute-force truth (q106's contract)
     "q133_ann_ivfpq", // bounded centroid/codebook/LUT broadcasts (q42/q131's adjudication)
+    "q134_ann_pq_lifecycle", // same bounded codebook/LUT broadcasts over the stored index
     "q122_ann_lsh_lifecycle", // q117's bounded plane-table broadcast, post-append/compact
     "q123_ann_ivf_reindex", // q112's bounded stored-centroid broadcast, post-reindex swap
     "q125_ann_lsh_reindex") // q117's bounded plane-table broadcast, post-re-tune swap
