@@ -642,6 +642,31 @@ object StreamingPipeline {
     ()
   }
 
+  /** Incremental PQ index maintenance — [[ivfAppendBatch]] for the
+    * product-quantization store: each micro-batch is encoded against the
+    * STORED frozen codebooks and published exactly-once
+    * ([[graft.similarity.Similarity.pqAppendVectors]] — the codes
+    * directory's presence is the ledger, payloads land first). ADC search
+    * continues through [[graft.similarity.Similarity.probePqIndex]]
+    * unchanged; codebook drift correction is a batch re-build, not a
+    * streaming concern.
+    */
+  def pqAppendBatch(storePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    graft.similarity.Similarity.pqAppendVectors(batch, storePath, batchId + 1)
+    ()
+  }
+
+  /** Streaming PQ index maintenance: embedding stream -> per-micro-batch
+    * frozen-codebook code appends via [[pqAppendBatch]].
+    */
+  def pqAppendStream(embeddings: DataFrame, storePath: String,
+                     checkpoint: String): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(pqAppendBatch(storePath) _)
+
   /** Streaming LSH index maintenance: embedding stream -> per-micro-batch
     * signature/payload appends against the stored geometry via
     * [[lshAppendBatch]]. Search continues through

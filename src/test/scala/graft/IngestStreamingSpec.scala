@@ -392,6 +392,37 @@ class IngestStreamingSpec extends SparkSpec {
     assert(stored == mem, "streamed index diverged from the one-shot search")
   }
 
+  test("streaming PQ appends: restart publishes each delivery exactly once") {
+    import graft.similarity.Similarity
+    val base = Files.createTempDirectory("graft_pqstream").toString
+    val in = s"$base/in"; val store = s"$base/index"
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.buildPqIndex(mk(0 to 9), m = 2, k = 4, iters = 2, store, dim = 8)
+    mk(10 to 14).write.mode("overwrite").parquet(in)
+    val q1 = StreamingPipeline.pqAppendStream(
+      StreamingPipeline.readEmbeddingStream(spark, in), store, s"$base/ckpt").start()
+    q1.awaitTermination(60000)
+    mk(15 to 19).write.mode("append").parquet(in)
+    val q2 = StreamingPipeline.pqAppendStream(
+      StreamingPipeline.readEmbeddingStream(spark, in), store, s"$base/ckpt").start()
+    q2.awaitTermination(60000)
+    val codes = spark.read.parquet(s"$store/codes")
+    assert(codes.select("vec_id").distinct().count() == 20L,
+      "every delivered vector lands exactly once")
+    // the stream-grown index answers exactly like the in-memory ADC whose
+    // codebooks were fit on the same build prefix
+    val all = mk(0 to 19)
+    val cb = Similarity.pqCodebooks(mk(0 to 9), m = 2, k = 4, iters = 2, dim = 8)
+    val stored = Similarity.probePqIndex(all.filter(col("vec_id") < 5), store, k = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val mem = Similarity.pqAdcTopK(Similarity.pqEncode(all, cb, m = 2, dim = 8), cb,
+        all.filter(col("vec_id") < 5), k = 3, m = 2, dim = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == mem, "stream-grown PQ index diverged from the in-memory ADC")
+  }
+
   test("streaming query resumes exactly-once from its checkpoint after a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.timestamp_micros
