@@ -277,6 +277,31 @@ object AdvancedRelQueries {
         .orderBy("event_id")
     }),
 
+    // SCD Type-2 dimension build: signup events are the change log of each
+    // user's plan tier; versions collapse no-op changes and carry half-open
+    // validity intervals. Two windows over one (user ORDER BY ts) exchange.
+    "q135_scd2_build" -> ((s, d) => {
+      graft.operators.Scd.type2(scdChanges(s, d), Seq("user_id"), "ts_us",
+          Seq("plan_tier"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Point-in-time (as-of) dimension lookup: each purchase picks up the
+    // plan version valid when it happened — the backward as-of merge shape,
+    // NOT a fact x versions range join; oracle-checked against DuckDB's
+    // native ASOF LEFT JOIN over the same Type-2 build.
+    "q136_scd2_pit" -> ((s, d) => {
+      val dim = graft.operators.Scd.type2(scdChanges(s, d), Seq("user_id"),
+        "ts_us", Seq("plan_tier"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.operators.Scd.pointInTime(facts, dim, Seq("user_id"), "ts_us",
+          Seq("plan_tier", "version"))
+        .orderBy("event_id")
+    }),
+
     // Explicit GROUPING SETS (vs q51's full CUBE): only the named
     // combinations aggregate — per-metric, per-bucket, and grand total.
     "q72_grouping_sets" -> ((s, d) => {
@@ -293,7 +318,65 @@ object AdvancedRelQueries {
     })
   )
 
+  /** Shared change log for the SCD2 pair: signup events as plan-tier
+    * changes, deduped to one row per (user, ts) with the greatest event_id
+    * winning — the deterministic pick the oracle mirrors.
+    */
+  private def scdChanges(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts_us")).orderBy(col("event_id").desc)
+    Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (floor(col("value")).cast("int") % 3).cast("int").as("plan_tier"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("user_id", "ts_us", "plan_tier")
+  }
+
+  /** WITH-prefix shared by the q135/q136 oracles: the deduped change log,
+    * collapse of no-op changes, and the versioned dimension.
+    */
+  private val scdDimCtes: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type, value FROM events
+      |),
+      |sign0 AS (
+      |  SELECT event_id, user_id, ts_us,
+      |         CAST(CAST(floor(value) AS INT) % 3 AS INT) AS plan_tier
+      |  FROM ev WHERE event_type = 'signup'
+      |),
+      |changes AS (
+      |  SELECT user_id, ts_us, plan_tier FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+      |    FROM sign0) WHERE rn = 1
+      |),
+      |kept AS (
+      |  SELECT user_id, ts_us, plan_tier FROM (
+      |    SELECT *, lag(plan_tier) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      |    FROM changes) WHERE plan_tier IS DISTINCT FROM prev
+      |),
+      |dim AS (
+      |  SELECT user_id, plan_tier, ts_us AS effective_from,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS effective_to,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS INT) AS version
+      |  FROM kept
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q135_scd2_build" ->
+      s"""$scdDimCtes
+         |SELECT user_id, plan_tier, effective_from, effective_to,
+         |  effective_to IS NULL AS is_current, version
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    "q136_scd2_pit" ->
+      s"""$scdDimCtes
+         |SELECT f.event_id, f.user_id, f.ts_us, f.value, d.plan_tier, d.version
+         |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
+         |      FROM events WHERE event_type = 'purchase') f
+         |ASOF LEFT JOIN dim d
+         |  ON f.user_id = d.user_id AND f.ts_us >= d.effective_from
+         |ORDER BY f.event_id""".stripMargin,
     "q49_big_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

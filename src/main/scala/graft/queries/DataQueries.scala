@@ -494,6 +494,160 @@ object DataQueries {
        |  round(sum_hits / ($k.0 * n_queries), 6) AS mean_recall
        |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
 
+  /** WITH-prefix shared by the PCA oracles: replay [[Pca.covariance]]'s
+    * quantized means + centered Gram matrix, then [[Pca.powerIteration]]'s
+    * fixed-count power iteration with Hotelling deflation — every inner sum
+    * a floor*1e8 BIGINT partial, iterates re-rounded to 6 decimals per
+    * step, so both engines run the identical arithmetic whether or not the
+    * subspace has converged. Defines `pe` (widened vectors), `pcx`
+    * (centered exploded rows), `ptrace`, and `comps` = (comp, dim, w
+    * signed, eigval).
+    */
+  private def pcaCtes(p: Int, iters: Int): String = {
+    val perC = (0 until p).map { c =>
+      val loop = (1 to iters).map { t =>
+        s""",
+           |y${c}_$t AS MATERIALIZED (
+           |  SELECT g.i, CAST(sum(CAST(floor(g.g * x.w * 100000000.0) AS BIGINT)) AS DOUBLE)
+           |           / 100000000.0 AS y
+           |  FROM g$c g JOIN x${c}_${t - 1} x ON g.j = x.i GROUP BY 1
+           |),
+           |n${c}_$t AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(floor(y * y * 100000000.0) AS BIGINT)) AS DOUBLE)
+           |              / 100000000.0) AS nrm
+           |  FROM y${c}_$t
+           |),
+           |x${c}_$t AS MATERIALIZED (
+           |  SELECT y.i, CASE WHEN n.nrm = 0.0 THEN x.w ELSE round(y.y / n.nrm, 6) END AS w
+           |  FROM y${c}_$t y JOIN x${c}_${t - 1} x ON y.i = x.i CROSS JOIN n${c}_$t n
+           |)""".stripMargin
+      }.mkString
+      s""",
+         |x${c}_0 AS MATERIALIZED (
+         |  SELECT i, CASE WHEN i = ${c % 64} THEN 1.0 ELSE 0.0 END AS w FROM pmu
+         |)$loop,
+         |l$c AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(floor(g.g * xi.w * xj.w * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |           / 100000000.0 AS lam
+         |  FROM g$c g JOIN x${c}_$iters xi ON g.i = xi.i JOIN x${c}_$iters xj ON g.j = xj.i
+         |),
+         |s$c AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT w FROM x${c}_$iters ORDER BY abs(w) DESC, i ASC LIMIT 1) < 0
+         |              THEN -1.0 ELSE 1.0 END AS sgn
+         |),
+         |g${c + 1} AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |    g.g - CAST(floor(l.lam * xi.w * xj.w * 100000000.0) AS BIGINT) / 100000000.0 AS g
+         |  FROM g$c g JOIN x${c}_$iters xi ON g.i = xi.i JOIN x${c}_$iters xj ON g.j = xj.i
+         |  CROSS JOIN l$c l
+         |)""".stripMargin
+    }.mkString
+    val compsUnion = (0 until p).map { c =>
+      s"""SELECT $c AS comp, x.i AS dim, x.w * s.sgn AS w, l.lam AS eigval
+         |  FROM x${c}_$iters x CROSS JOIN s$c s CROSS JOIN l$c l""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH pe AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |),
+       |pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pe),
+       |pex AS MATERIALIZED (
+       |  SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
+       |  FROM pe, unnest(generate_series(1, len(v))) AS t(i)
+       |),
+       |pmu AS MATERIALIZED (
+       |  SELECT i, CAST(sum(CAST(floor(x * 100000000.0) AS BIGINT)) AS DOUBLE)
+       |         / (SELECT nd FROM pnn) / 100000000.0 AS m
+       |  FROM pex GROUP BY 1
+       |),
+       |pcx AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - m.m AS x FROM pex e JOIN pmu m ON e.i = m.i),
+       |g0 AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(floor(a.x * b.x * 100000000.0) AS BIGINT)) AS DOUBLE)
+       |      / (SELECT nd FROM pnn) / 100000000.0 AS g
+       |  FROM pcx a JOIN pcx b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       |),
+       |ptrace AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
+       |  FROM g0 WHERE i = j
+       |)$perC,
+       |comps AS (
+       |  $compsUnion
+       |)""".stripMargin
+  }
+
+  /** The q139 projection CTE (leading comma): centered rows x signed
+    * loadings, quantized partials per (vector, component).
+    */
+  private val pcaProjCte: String =
+    """,
+      |proj AS MATERIALIZED (
+      |  SELECT c.vec_id, p.comp,
+      |    CAST(sum(CAST(floor(c.x * p.w * 100000000.0) AS BIGINT)) AS DOUBLE)
+      |      / 100000000.0 AS proj
+      |  FROM pcx c JOIN comps p ON c.i = p.dim
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def pcaComponentsOracle(p: Int, iters: Int): String =
+    s"""${pcaCtes(p, iters)}
+       |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
+       |  round(eigval, 6) AS eigval,
+       |  round(eigval / (SELECT tr FROM ptrace), 6) AS var_ratio
+       |FROM comps ORDER BY comp, dim""".stripMargin
+
+  private def pcaProjectOracle(p: Int, iters: Int): String =
+    s"""${pcaCtes(p, iters)}$pcaProjCte
+       |SELECT vec_id, CAST(comp AS INT) AS comp, proj
+       |FROM proj ORDER BY vec_id, comp""".stripMargin
+
+  /** q140's oracle: recall@k of brute-force cosine in the PCA-projected
+    * space vs brute-force truth in the full space (the annRecallOracle
+    * shape over the PCA chain; no mirror of the Spark assert_true floor).
+    */
+  private def pcaRecallOracle(p: Int, iters: Int, k: Int): String =
+    s"""${pcaCtes(p, iters)}$pcaProjCte,
+       |pvn AS MATERIALIZED (
+       |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn
+       |  FROM (SELECT vec_id, list(proj ORDER BY comp) AS pv FROM proj GROUP BY 1)
+       |),
+       |proj_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.pv, c.pv) / (q.pn * c.pn), 6) AS sim
+       |  FROM pvn q JOIN pvn c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 100
+       |),
+       |proj_topk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM proj_scored) WHERE rk <= $k
+       |),
+       |pb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM pe),
+       |brute_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
+       |  FROM pb q JOIN pb c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 100
+       |),
+       |brute_topk AS (
+       |  SELECT query_id, true_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
+       |    FROM brute_scored) WHERE rk <= $k
+       |),
+       |per AS (
+       |  SELECT t.query_id,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM brute_topk t LEFT JOIN proj_topk i
+       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
+       |  GROUP BY 1
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
+       |)
+       |SELECT query_id, n_hits,
+       |  round(n_hits / $k.0, 6) AS recall,
+       |  round(sum_hits / ($k.0 * n_queries), 6) AS mean_recall
+       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d)).orderBy("text_hash")),
@@ -632,6 +786,42 @@ object DataQueries {
         Similarity.pqAdcTopK(Similarity.pqEncode(e, cb, m = 8), cb,
           e.filter(col("vec_id") < 100), k = 3, m = 8),
         k = 3, floor = 0.10, "q132: PQ-ADC recall fell below 0.10")
+    }),
+
+    // Distributed PCA fit: quantized per-dim means + centered Gram matrix
+    // (ONE shuffle of 64x64 integer partials), then fixed-count power
+    // iteration with deflation on the driver over the collected 4096-double
+    // matrix — the linear-projection half of the embedding-compression
+    // toolbox (PCA-then-quantize is the OPQ/IVF-PQ preprocessing step).
+    // Oracle replays means, Gram, all 4x8 matvec/normalize rounds, the
+    // Rayleigh eigenvalues, deflation, and the sign convention bit-for-bit.
+    "q138_pca_components" -> ((s, d) => {
+      graft.similarity.Pca.fitComponents(emb(s, d), p = 4, iters = 8)
+        .orderBy("comp", "dim")
+    }),
+
+    // Map-only PCA projection: every vector through the broadcast 64x4
+    // loading matrix via quantized per-(vector, component) partial sums —
+    // 64 floats compressed to 4 doubles per vector.
+    "q139_pca_project" -> ((s, d) => {
+      graft.similarity.Pca.project(emb(s, d), dim = 64, p = 4, iters = 8)
+        .orderBy("vec_id", "comp")
+    }),
+
+    // PCA compression quality gate: recall@3 of brute-force cosine in the
+    // 16-dim projected space (4x compression) vs full-space truth. Same
+    // honest framing as q132: these synthetic embeddings are near-isotropic
+    // (PCA's worst case — the measured spectrum is ~flat at ~1/48 variance
+    // per direction), so measured recall is 0.16 at sf0.01 / 0.07 at sf0.1,
+    // right at the exact-eigendecomposition level for this p; the 0.04
+    // floor pins determinism + the sanity bound, and p is the quality knob
+    // a real (anisotropic) corpus would move much further.
+    "q140_pca_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val pvs = graft.similarity.Pca.projectedVectors(e, dim = 64, p = 16, iters = 6)
+      annRecallGate(e,
+        Similarity.cosineTopK(pvs, pvs.filter(col("vec_id") < 100), k = 3, vecCol = "pv"),
+        k = 3, floor = 0.04, "q140: PCA-projected recall fell below 0.04")
     }),
 
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
@@ -1228,6 +1418,9 @@ object DataQueries {
         |FROM m, unnest(generate_series(1, len(v))) AS t(i)
         |ORDER BY vec_id, dim""".stripMargin,
     "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
+    "q138_pca_components" -> pcaComponentsOracle(p = 4, iters = 8),
+    "q139_pca_project" -> pcaProjectOracle(p = 4, iters = 8),
+    "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),
     "q132_ann_recall_pq" -> pqRecallOracle(m = 8, k = 16, iters = 2, dim = 64,

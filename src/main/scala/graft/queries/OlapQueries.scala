@@ -83,10 +83,43 @@ object OlapQueries {
         .unionByName(c.agg(count(lit(1)).as("users")).select(lit("2_click").as("stage"), col("users")))
         .unionByName(p.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("stage"), col("users")))
         .orderBy("stage")
+    }),
+
+    // Column profiler over the documents table: completeness, exact
+    // cardinality, and typed bounds per column in ONE pass (multi-distinct
+    // Expand + one hash aggregate, then a stack projection to long form).
+    "q137_profile" -> ((s, d) => {
+      graft.operators.Profile.profile(
+          Tables(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column_name")
     })
   )
 
+  /** One q137 oracle branch: the per-column stats row, with bounds routed
+    * to the numeric or string pair exactly as [[graft.operators.Profile]]
+    * types them.
+    */
+  private def profileBranch(c: String, num: Boolean): String = {
+    val (mn, mx) = if (num) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (ms, xs) = if (num) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      else (s"min($c)", s"max($c)")
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+       |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+       |FROM documents""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q137_profile" ->
+      s"""${profileBranch("doc_id", num = true)}
+         |UNION ALL
+         |${profileBranch("lang", num = false)}
+         |UNION ALL
+         |${profileBranch("source", num = false)}
+         |UNION ALL
+         |${profileBranch("n_chars", num = true)}
+         |ORDER BY column_name""".stripMargin,
     "q84_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
         |  coalesce(l_linestatus, '(all)') AS l_linestatus,

@@ -1,0 +1,201 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed PCA over an embedding column — the linear-projection half of
+  * the embedding-compression toolbox (alongside [[Similarity.quantizeInt8]]
+  * and the PQ family): fit once, then every vector maps through a d x p
+  * matrix to a p-dim representation for cheaper storage, search, and
+  * clustering. Classic pipeline usage is PCA-then-quantize (the OPQ/IVF-PQ
+  * literature's preprocessing step) and embedding whitening.
+  *
+  * Scale shape — the only data-sized passes are embarrassingly parallel:
+  *
+  *  1. per-dimension means: one posexplode + 64-group aggregate;
+  *  2. Gram/covariance matrix: one n x d^2 flat-map into a d^2-group
+  *     aggregate (map-side partial combine, ONE shuffle of 32 x 4096 tiny
+  *     rows) — the only superlinear term, and it is the textbook
+  *     data-parallel Gram reduction;
+  *  3. eigensolve: on the DRIVER over the collected d x d matrix (4096
+  *     doubles — bounded by construction, the [[Similarity.kmeansCentroids]]
+  *     centroid-collect discipline), via power iteration with deflation;
+  *  4. projection: map-only broadcast matrix multiply.
+  *
+  * Cross-engine exactness discipline (the house rule the k-means/PQ family
+  * established): every sum whose addition order Spark cannot pin is summed
+  * as `floor(x * 1e8)` BIGINT partials — means, Gram cells, every
+  * matrix-vector product inside the power iteration, eigenvalues, and
+  * projections — so DuckDB replays the whole fit bit-for-bit. Nonlinear
+  * steps (normalize, round) happen on scalars AFTER the quantized sum.
+  * Power iteration runs a FIXED iteration count: both engines execute the
+  * same arithmetic whether or not the subspace has numerically converged,
+  * so the oracle gate is exact even on worst-case spectra.
+  */
+object Pca {
+
+  private val Q = 1e8
+
+  /** One fitted principal component. `weights` is the signed, 6-round unit
+    * vector; `eigval` the (quantized) Rayleigh quotient = variance along
+    * the component; `varRatio` = eigval / trace(covariance).
+    */
+  final case class PcaComponent(comp: Int, weights: Seq[Double], eigval: Double,
+                                varRatio: Double)
+
+  /** Spark's `round(col, 6)` on the driver: decimal-string HALF_UP — the
+    * same rounding the distributed side and DuckDB's round() apply.
+    */
+  private def r6(x: Double): Double =
+    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  /** Distributed pass 1+2: quantized per-dimension means and the centered
+    * covariance matrix, collected to the driver. Returns (n, mu, cov) with
+    * cov(i)(j) = sum_rows(floor((x_i - mu_i)(x_j - mu_j) * 1e8)) / n / 1e8.
+    */
+  private[graft] def covariance(vectors: DataFrame, dim: Int, idCol: String,
+                                vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val n = b.count()
+    require(n > 0, "PCA needs a non-empty vector set")
+    val nD = n.toDouble
+    val muRows = b.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x") * Q).cast("long")).as("sq"))
+      .collect()
+    val mu = Array.ofDim[Double](dim)
+    muRows.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Long]("sq").toDouble / nD / Q)
+    val muLit = array(mu.map(lit): _*)
+    // centered array: the lambda reads the scan column + a literal — both
+    // O(1) per element, no computed-child recompute risk (LambdaRecomputeSpec
+    // pattern notes; contrast TextOps.removeDuplicatedSpans' r8 pathology)
+    val cb = b.select(transform(col("v"),
+      (x, i) => x - element_at(muLit, (i + 1).cast("int"))).as("cv"))
+    val gRows = cb.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("long")).as("gq"))
+      .collect()
+    val g = Array.ofDim[Double](dim, dim)
+    gRows.foreach { r =>
+      g(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("gq").toDouble / nD / Q
+    }
+    (n, mu, g)
+  }
+
+  /** Driver-side eigensolve: `p` rounds of fixed-`iters` power iteration,
+    * each followed by Hotelling deflation of the found component. All inner
+    * sums quantize to the 1e-8 grid; iterate vectors are re-rounded to 6
+    * decimals each step so the growing expression stays engine-mirrorable.
+    * The returned weights carry a deterministic sign: the largest-|w|
+    * coordinate (ties -> lowest index) is made positive.
+    */
+  private[graft] def powerIteration(g0: Array[Array[Double]], p: Int,
+                                    iters: Int): Seq[PcaComponent] = {
+    val dim = g0.length
+    val traceQ = (0 until dim).map(i => math.floor(g0(i)(i) * Q).toLong).sum
+    val trace = traceQ.toDouble / Q
+    var g = g0.map(_.clone())
+    (0 until p).map { c =>
+      // one-hot start e_{c mod d}: an all-ones start collapses after the
+      // first deflation kills the ones-aligned direction (measured: the
+      // iterate's quantized norm hits 0 at sf0.1), while distinct axis
+      // starts keep every component's iteration well-conditioned
+      var x = Array.tabulate(dim)(i => if (i == c % dim) 1.0 else 0.0)
+      for (_ <- 0 until iters) {
+        val y = Array.tabulate(dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dim) { acc += math.floor(g(i)(j) * x(j) * Q).toLong; j += 1 }
+          acc.toDouble / Q
+        }
+        val nq = y.map(v => math.floor(v * v * Q).toLong).sum
+        val nrm = math.sqrt(nq.toDouble / Q)
+        // degenerate-subspace guard (engine-mirrored): a zero quantized
+        // norm keeps the previous iterate instead of dividing by zero
+        if (nrm != 0.0) x = y.map(v => r6(v / nrm))
+      }
+      var lamQ = 0L
+      for (i <- 0 until dim; j <- 0 until dim)
+        lamQ += math.floor(g(i)(j) * x(i) * x(j) * Q).toLong
+      val lam = lamQ.toDouble / Q
+      // deflate with the UNSIGNED iterate (x x^T is sign-invariant anyway)
+      g = Array.tabulate(dim, dim) { (i, j) =>
+        g(i)(j) - math.floor(lam * x(i) * x(j) * Q).toLong / Q
+      }
+      val anchor = (0 until dim).maxBy(i => (math.abs(x(i)), -i))
+      val sgn = if (x(anchor) < 0) -1.0 else 1.0
+      // constant input -> zero covariance -> trace 0: report 0 explained
+      // variance instead of propagating 0/0 NaN into the rounding
+      val vr = if (trace == 0.0) 0.0 else r6(lam / trace)
+      PcaComponent(c, x.map(_ * sgn).toSeq, r6(lam), vr)
+    }
+  }
+
+  /** Fit `p` principal components of the embedding column. Output one row
+    * per (comp, dim): the long-form loading matrix plus per-component
+    * eigenvalue and explained-variance ratio.
+    */
+  def fitComponents(vectors: DataFrame, p: Int, iters: Int, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val (_, _, g) = covariance(vectors, dim, idCol, vecCol)
+    val comps = powerIteration(g, p, iters)
+    val rows = for (cp <- comps; i <- 0 until dim)
+      yield Row(cp.comp, i, cp.weights(i), cp.eigval, cp.varRatio)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("comp", IntegerType, nullable = false),
+        StructField("dim", IntegerType, nullable = false),
+        StructField("w", DoubleType, nullable = false),
+        StructField("eigval", DoubleType, nullable = false),
+        StructField("var_ratio", DoubleType, nullable = false))))
+  }
+
+  /** Map-only projection of every vector onto the fitted components:
+    * center, then per (vector, component) a quantized dot product. Long
+    * form (idCol, comp, proj); the loading matrix broadcasts.
+    */
+  def project(vectors: DataFrame, dim: Int, p: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val (_, mu, g) = covariance(vectors, dim, idCol, vecCol)
+    val comps = powerIteration(g, p, iters)
+    projectWith(vectors, mu, comps, idCol, vecCol)
+  }
+
+  private[graft] def projectWith(vectors: DataFrame, mu: Array[Double],
+                                 comps: Seq[PcaComponent], idCol: String,
+                                 vecCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val muLit = array(mu.map(lit): _*)
+    val compDf = broadcast(
+      comps.flatMap(cp => cp.weights.zipWithIndex.map { case (w, i) => (cp.comp, i, w) })
+        .toDF("comp", "i", "w"))
+    vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("cx", col("x") - element_at(muLit, (col("i") + 1).cast("int")))
+      .join(compDf, "i")
+      .groupBy(col(idCol), col("comp"))
+      .agg(sum(floor(col("cx") * col("w") * Q).cast("long")).as("pq"))
+      // no round(): the quantized sum already lands both engines on the
+      // same double, and round-half edges at 1e-6 are where they disagree
+      .select(col(idCol), col("comp"), (col("pq") / Q).as("proj"))
+  }
+
+  /** The projected corpus in vector form: (idCol, pv array<double>, pn norm)
+    * — ready for cosine search in the compressed space.
+    */
+  def projectedVectors(vectors: DataFrame, dim: Int, p: Int, iters: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    project(vectors, dim, p, iters, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("comp"), col("proj")))).as("ps"))
+      .select(col(idCol), col("ps.proj").as("pv"))
+      .withColumn("pn", sqrt(graft.expressions.DotProduct(col("pv"), col("pv"))))
+}
