@@ -132,6 +132,51 @@ object Store {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) key: interleave the low `bits` bits of two bucket
+    * ids, a's bit i at position 2i, b's at 2i+1 — a space-filling curve, so
+    * rows close in EITHER dimension stay close in the one-dimensional sort
+    * order. Pure bit arithmetic, codegen-friendly, no UDF.
+    */
+  def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(
+          shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Z-order-clustered rewrite: lay the table out along a Morton curve over
+    * TWO hot filter columns. [[writeRangeClustered]]'s linear sort makes
+    * min/max skipping perfect on its one column and useless on every other;
+    * the Z-curve trades a little of that to make BOTH columns skippable —
+    * with 2k files, a narrow filter on either column overlaps only
+    * ~sqrt-proportionally many files' min/max ranges (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout, rebuilt on plain parquet).
+    *
+    * Bucketization is uniform `width_bucket` over the observed min/max (one
+    * bounded stats pass); at 100 TB swap in approx-quantile boundaries for
+    * heavy skew — the curve math is unchanged. The write-side sort is paid
+    * once at compaction time, like the range-clustered path.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 32, bits: Int = 10): Unit = {
+    val s = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val n = 1 << bits
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (lo == hi) lit(0L)
+      else least(greatest(width_bucket(col(c).cast("double"), lit(lo), lit(hi),
+        lit(n)) - 1, lit(0L)), lit((n - 1).toLong))
+    val z = mortonKey(bucket(colA, s.getDouble(0), s.getDouble(1)),
+      bucket(colB, s.getDouble(2), s.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z") // projection after the sort: file order is preserved
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Rows the parquet scans actually DELIVERED for `df`'s plan — i.e. what
     * survived row-group min/max skipping, measured from the executed scan
     * nodes' own metrics (runs the plan). The ratio of this number between a

@@ -114,6 +114,34 @@ class StoreSpec extends SparkSpec {
       s"clustered scan must skip >= 4x ($clusteredRows vs $plainRows)")
   }
 
+  test("z-ordered layout skips on BOTH columns; linear sort only on its own") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    // two independent pseudo-uniform columns: the adversarial case for a
+    // linear sort (sorting on a randomizes b completely)
+    val rows = (1 to 100000).map(i =>
+      ((i.toLong * 7919L) % 100000L, (i.toLong * 104729L) % 100000L, s"payload_$i"))
+      .toDF("a", "b", "payload")
+    rows.repartition(32).write.mode("overwrite").parquet(s"$base/plain")
+    Store.writeRangeClustered(rows, s"$base/lin_a", "a", numFiles = 32)
+    Store.writeZOrdered(rows, s"$base/zorder", "a", "b", numFiles = 32)
+    def filt(p: String, c: String) = spark.read.parquet(p)
+      .filter(col(c) >= 40000 && col(c) < 45000)
+    // correctness: every layout answers identically
+    for (layout <- Seq("plain", "lin_a", "zorder"); c <- Seq("a", "b"))
+      assert(filt(s"$base/$layout", c).count() == 5000L, s"$layout/$c")
+    val zA = Store.scanOutputRows(filt(s"$base/zorder", "a"))
+    val zB = Store.scanOutputRows(filt(s"$base/zorder", "b"))
+    val linA = Store.scanOutputRows(filt(s"$base/lin_a", "a"))
+    val linB = Store.scanOutputRows(filt(s"$base/lin_a", "b"))
+    val plainA = Store.scanOutputRows(filt(s"$base/plain", "a"))
+    // the linear sort is perfect on its own column and useless off it
+    assert(linA * 4 <= plainA, s"linear layout must skip on a ($linA vs $plainA)")
+    assert(linB >= 90000L, s"linear layout can't skip on b, got $linB")
+    // the curve skips on BOTH: >= 2x vs the unclustered/off-column scans
+    assert(zA * 2 <= plainA, s"z-order must skip on a ($zA vs $plainA)")
+    assert(zB * 2 <= linB, s"z-order must skip on b ($zB vs $linB)")
+  }
+
   test("dynamic partition overwrite touches only recomputed dates") {
     val base = Files.createTempDirectory("graft_store2").toString + "/md"
     val v1 = Seq(
