@@ -133,6 +133,30 @@ object CorpusQueries {
       graft.text.Subword.invariantGate(docs(s, d), size = 256, maxPieceLen = 6)
         .orderBy("doc_id")),
 
+    // Unigram-LM (SentencePiece) tokenizer gate — the third subword family
+    // next to q105's WordPiece and q116's BPE: hard-EM-fitted piece
+    // probabilities, Viterbi max-likelihood apply, and an INDEPENDENT
+    // backward-DP optimality checker per word (plus round-trip/OOV/bound/
+    // normalization counters, all pinned to zero by the oracle).
+    "q141_unigram_invariants" -> ((s, d) =>
+      graft.text.Unigram.invariantGate(docs(s, d), size = 256, maxPieceLen = 6,
+          emRounds = 3)
+        .orderBy("doc_id")),
+
+    // The persisted-vocabulary twin of q141 (q113's treatment): fit the
+    // unigram vocab ONCE, persist (piece, logp, rank), and gate that the
+    // store round-trip is invisible — stored vs re-fit vocabularies must
+    // produce identical ML segmentations and OOV verdicts on every word.
+    "q142_unigram_store" -> ((s, d) => {
+      val path = vocabPath(d) + "_uni"
+      val vocab = graft.text.Unigram.fitVocab(docs(s, d), size = 256,
+        maxPieceLen = 6, emRounds = 3)
+      graft.text.Unigram.saveVocab(s, vocab, path)
+      graft.text.Unigram.storedVocabGate(docs(s, d), size = 256,
+          maxPieceLen = 6, emRounds = 3, path)
+        .orderBy("doc_id")
+    }),
+
     // Trigram Stupid-Backoff LM score: fit on the hex60 80% train split,
     // score every document — held-out docs exercise the 0.4 backoff chain.
     "q109_trigram_backoff" -> ((s, d) =>
@@ -391,6 +415,17 @@ object CorpusQueries {
         |  0 AS bound_viol, 0 AS unk_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q113_subword_store" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q141_unigram_invariants" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
+        |  0 AS concat_viol, 0 AS opt_viol, 0 AS oov_viol,
+        |  0 AS bound_viol, 0 AS norm_viol
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q142_unigram_store" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
         |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
