@@ -808,6 +808,19 @@ object DataQueries {
         .orderBy("vec_id", "comp")
     }),
 
+    // The persisted-basis twin of q139 (the q112/q113/q120 treatment for
+    // the seventh trained structure): fit once, land means/ + components/
+    // as the artifact, project every vector FROM THE STORE — must
+    // hash-match q139's in-memory fit (oracle shared verbatim), so a lossy
+    // round-trip of any loading weight or mean shifts a projection and
+    // fails the hash.
+    "q143_pca_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pca"
+      graft.similarity.Pca.savePca(emb(s, d), dim = 64, p = 4, iters = 8, path)
+      graft.similarity.Pca.projectFromStore(emb(s, d), path)
+        .orderBy("vec_id", "comp")
+    }),
+
     // PCA compression quality gate: recall@3 of brute-force cosine in the
     // 16-dim projected space (4x compression) vs full-space truth. Same
     // honest framing as q132: these synthetic embeddings are near-isotropic
@@ -1420,6 +1433,8 @@ object DataQueries {
     "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
     "q138_pca_components" -> pcaComponentsOracle(p = 4, iters = 8),
     "q139_pca_project" -> pcaProjectOracle(p = 4, iters = 8),
+    // the store round-trip must be invisible: q139's oracle verbatim
+    "q143_pca_store" -> pcaProjectOracle(p = 4, iters = 8),
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

@@ -198,4 +198,57 @@ object Pca {
       .agg(array_sort(collect_list(struct(col("comp"), col("proj")))).as("ps"))
       .select(col(idCol), col("ps.proj").as("pv"))
       .withColumn("pn", sqrt(graft.expressions.DotProduct(col("pv"), col("pv"))))
+
+  /** Fit-once half of the PCA artifact (the persisted-index treatment the
+    * IVF/LSH/PQ/LM/vocab families get): land the centering means and the
+    * loading matrix as parquet under `path` —
+    *
+    *  - `means/` — (i, m), dim rows;
+    *  - `components/` — (comp, dim, w, eigval, var_ratio), p x dim rows.
+    *
+    * The expensive pass (the n x d^2 Gram reduction) is paid here once;
+    * [[projectFromStore]] is then a pure map over any vector set — new
+    * arrivals project against the frozen basis without refitting, exactly
+    * how production embedding-compression runs (and the precondition for
+    * composing PCA with the PQ family, whose codebooks would be fit in the
+    * projected space). Writes are tiny (dim + p*dim rows, coalesce(1)).
+    */
+  def savePca(vectors: DataFrame, dim: Int, p: Int, iters: Int, path: String,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (_, mu, g) = covariance(vectors, dim, idCol, vecCol)
+    val comps = powerIteration(g, p, iters)
+    mu.toSeq.zipWithIndex.map { case (m, i) => (i, m) }.toDF("i", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/means")
+    comps.flatMap(cp => cp.weights.zipWithIndex.map { case (w, i) =>
+        (cp.comp, i, w, cp.eigval, cp.varRatio)
+      }).toDF("comp", "dim", "w", "eigval", "var_ratio")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/components")
+  }
+
+  /** Load the stored basis (bounded: dim + p*dim rows). */
+  def loadPca(spark: SparkSession, path: String): (Array[Double], Seq[PcaComponent]) = {
+    val muRows = spark.read.parquet(s"$path/means").collect()
+    val mu = Array.ofDim[Double](muRows.length)
+    muRows.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Double]("m"))
+    val comps = spark.read.parquet(s"$path/components").collect()
+      .groupBy(_.getAs[Int]("comp")).toSeq.sortBy(_._1)
+      .map { case (c, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("dim"))
+        PcaComponent(c, sorted.map(_.getAs[Double]("w")).toSeq,
+          sorted.head.getAs[Double]("eigval"), sorted.head.getAs[Double]("var_ratio"))
+      }
+    (mu, comps)
+  }
+
+  /** Apply-many half: project any vector set against the stored basis —
+    * map-only, no refit, bit-identical to [[project]] over the fit corpus
+    * (the q143 gate's contract).
+    */
+  def projectFromStore(vectors: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (mu, comps) = loadPca(vectors.sparkSession, path)
+    projectWith(vectors, mu, comps, idCol, vecCol)
+  }
 }

@@ -76,6 +76,25 @@ class PcaSpec extends SparkSpec {
     assert(comps.forall(r => !r.getAs[Double]("w").isNaN))
   }
 
+  test("stored basis projects bit-identically, including unseen vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString + "/b"
+    Pca.savePca(axisData, dim = 8, p = 2, iters = 8, dir)
+    val fromStore = Pca.projectFromStore(axisData, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("comp")) ->
+        r.getAs[Double]("proj")).toMap
+    val inMem = Pca.project(axisData, dim = 8, p = 2, iters = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("comp")) ->
+        r.getAs[Double]("proj")).toMap
+    assert(fromStore == inMem)
+    // a vector the fit never saw projects against the FROZEN basis (no
+    // refit): its axis-0 projection reflects its centered axis-0 value
+    val unseen = Seq((999L, Seq(50.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val pu = Pca.projectFromStore(unseen, dir)
+      .collect().map(r => r.getAs[Int]("comp") -> r.getAs[Double]("proj")).toMap
+    assert(math.abs(math.abs(pu(0)) - 50.0) < 1.0, s"got ${pu(0)}")
+  }
+
   test("projectedVectors emits comp-ordered arrays with norms") {
     val pv = Pca.projectedVectors(axisData, dim = 8, p = 2, iters = 8)
     val row = pv.filter($"vec_id" === 0L).collect().head
