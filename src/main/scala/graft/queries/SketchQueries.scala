@@ -123,6 +123,22 @@ object SketchQueries {
     // Histogram-sketch quantiles per event type (bin width 50, 20 bins):
     // the mergeable no-sort quantile path, with the exact quantiles
     // alongside so the one-bin-width error is visible in the output.
+    // Misra-Gries heavy hitters (the deterministic-guarantee complement to
+    // q89's count-min top-k): per-partition MG summaries fold into one
+    // ≤ k-counter summary, and the gate pins the algorithm's THEOREM — the
+    // oracle derives the true heavy hitters (count > n/k) exactly, and
+    // every one must be present (found_viol), undercounted (under_viol),
+    // within n/k (err_viol). floor(value) gives a ~293-distinct exponential
+    // tail at k=64, so eviction and the merge-side cut both exercise.
+    "q144_mg_heavy_hitters" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(floor(col("value")).cast("int").cast("string").as("item"))
+      Sketches.heavyHittersGate(ev, "item", k = 64)
+        .select(col("item").cast("int").as("item"), col("exact_cnt"),
+          col("found_viol"), col("under_viol"), col("err_viol"))
+        .orderBy("item")
+    }),
+
     "q103_hist_quantiles" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val sk = Sketches.histogramSketch(ev, Seq("event_type"), col("value"),
@@ -188,6 +204,17 @@ object SketchQueries {
     // word packing (bit_or of BIGINT masks), same k-of-k membership test,
     // then the exact join on the bloom-positive survivors only.
     "q118_bloom_decontam" -> bloomDecontamOracle,
+    "q144_mg_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(value) AS INT) AS item, count(*) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |),
+        |n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n FROM c)
+        |SELECT item, exact_cnt,
+        |  0 AS found_viol, 0 AS under_viol, 0 AS err_viol
+        |FROM c CROSS JOIN n
+        |WHERE exact_cnt > n / 64.0
+        |ORDER BY item""".stripMargin,
     // The union of the router's published batches must equal the batch
     // computation over the same corpus — q118's oracle verbatim.
     "q121_decontam_routed" -> bloomDecontamOracle,

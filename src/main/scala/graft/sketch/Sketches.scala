@@ -288,6 +288,96 @@ object Sketches {
     * (ties broken by term) with the true count alongside, which makes the
     * collision inflation `est − cnt` directly visible.
     */
+  /** Misra-Gries heavy-hitters summary over one partition's items: at most
+    * `k` counters; an incoming item either increments its counter, claims a
+    * free slot, or decrements EVERY counter (dropping zeros) — the classic
+    * frequent-items stream algorithm. Guarantee per summary: estimates
+    * undercount, and by at most n_partition / (k+1).
+    */
+  private[graft] def mgReduce(items: Iterator[String], k: Int): collection.mutable.HashMap[String, Long] = {
+    val m = collection.mutable.HashMap.empty[String, Long]
+    items.foreach { it =>
+      m.get(it) match {
+        case Some(c) => m(it) = c + 1
+        case None if m.size < k => m(it) = 1L
+        case None =>
+          var dropped = List.empty[String]
+          m.keysIterator.foreach { key =>
+            val c = m(key) - 1
+            if (c == 0) dropped ::= key else m(key) = c
+          }
+          dropped.foreach(m.remove)
+      }
+    }
+    m
+  }
+
+  /** Mergeable-summaries merge (Agarwal et al. 2013): sum both counter
+    * sets, then if more than `k` survive, subtract the (k+1)-th largest
+    * count from every counter and drop the non-positive — the combined
+    * summary keeps the MG guarantee (error ≤ n_total / (k+1)) at size ≤ k.
+    * Tie-break on (count desc, item asc) keeps the cut deterministic.
+    */
+  private[graft] def mgMerge(a: collection.Map[String, Long],
+                             b: collection.Map[String, Long],
+                             k: Int): Map[String, Long] = {
+    val sum = collection.mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (i, c) =>
+      sum(i) = sum.getOrElse(i, 0L) + c
+    }
+    if (sum.size <= k) sum.toMap
+    else {
+      val cut = sum.toSeq.sortBy { case (i, c) => (-c, i) }.apply(k)._2
+      sum.iterator.map { case (i, c) => (i, c - cut) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
+  /** Distributed Misra-Gries: one MG pass per partition (map-only over the
+    * raw rows — the shuffle-free half), then a deterministic driver fold of
+    * the ≤ numPartitions bounded summaries in partition order. State is
+    * ≤ k counters per partition BY CONSTRUCTION — the same bounded-collect
+    * discipline as the k-means centroid and BPE-histogram collects. At
+    * 100 TB this is the cheap first pass that finds candidate hot keys
+    * (for salting decisions, cache admission, skew diagnostics) without
+    * paying the exact groupBy shuffle; the exact pass then runs ONLY for
+    * the surfaced candidates if true counts are needed.
+    */
+  def mgSummary(items: DataFrame, itemCol: String, k: Int): Map[String, Long] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val partials = items.select(col(itemCol).cast("string").as("i")).as[String]
+      .mapPartitions(it => Iterator.single(mgReduce(it, k).toMap))
+      .collect()
+    partials.foldLeft(Map.empty[String, Long])((acc, p) => mgMerge(acc, p, k))
+  }
+
+  /** q144 gate (the invariant-counter pattern): every TRUE heavy hitter —
+    * item with exact count > n/k, which DuckDB derives exactly — must
+    * appear in the merged MG summary (found_viol), with an estimate that
+    * undercounts (under_viol) by at most n/k (err_viol). The exact
+    * aggregation also anchors the row shape; the MG summary itself rides
+    * along only through the pinned-zero counters, so partition-order
+    * freedom inside the sketch cannot wobble the gate.
+    */
+  def heavyHittersGate(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val mgDf = mgSummary(items, itemCol, k).toSeq.toDF("item", "__est")
+    val exact = items.select(col(itemCol).cast("string").as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+    val n = exact.agg(sum(col("exact_cnt")).as("n"))
+    exact.crossJoin(broadcast(n))
+      .filter(col("exact_cnt") > col("n") / k.toDouble)
+      .join(broadcast(mgDf), Seq("item"), "left") // ≤ k summary rows
+      .select(col("item"), col("exact_cnt"),
+        when(col("__est").isNull, 1L).otherwise(0L).as("found_viol"),
+        when(col("__est") > col("exact_cnt"), 1L).otherwise(0L).as("under_viol"),
+        when(col("exact_cnt") - coalesce(col("__est"), lit(0L)) > col("n") / k.toDouble, 1L)
+          .otherwise(0L).as("err_viol"))
+      .orderBy("item")
+  }
+
   def countMinTopK(terms: DataFrame, termCol: String = "term",
                    d: Int = 3, w: Int = 1024, k: Int = 20): DataFrame = {
     val counts = terms.groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))

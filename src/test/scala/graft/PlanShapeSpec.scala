@@ -54,7 +54,8 @@ class PlanShapeSpec extends SparkSpec {
     "q122_ann_lsh_lifecycle", // q117's bounded plane-table broadcast, post-append/compact
     "q123_ann_ivf_reindex", // q112's bounded stored-centroid broadcast, post-reindex swap
     "q125_ann_lsh_reindex", // q117's bounded plane-table broadcast, post-re-tune swap
-    "q140_pca_ann_recall") // brute-force truth in the projected space (q106's contract) + 1-row stats broadcast
+    "q140_pca_ann_recall", // brute-force truth in the projected space (q106's contract) + 1-row stats broadcast
+    "q144_mg_heavy_hitters") // 1-row total-count broadcast (the q97/q102 shape)
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"

@@ -153,6 +153,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("misra-gries guarantee holds over any partition split of random skewed streams") {
+    val itemGen = Gen.frequency(
+      (8, Gen.choose(0, 4)),    // a few hot items
+      (4, Gen.choose(5, 30)),   // warm band
+      (1, Gen.choose(31, 400))) // long tail
+    for (seed <- 0 until 6) {
+      val items = draws(Gen.listOfN(600, itemGen), 1).head.map(_.toString)
+      val k = 8
+      val n = items.length
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // arbitrary split points -> per-part MG + fold merge, as the
+      // distributed path does per partition
+      val cuts = draws(Gen.listOfN(3, Gen.choose(0, n)), 1).head.sorted
+      val parts = (Seq(0) ++ cuts ++ Seq(n)).sliding(2).map {
+        case Seq(a, b) => items.slice(a, b)
+      }.toSeq
+      val merged = parts.foldLeft(Map.empty[String, Long]) { (acc, p) =>
+        graft.sketch.Sketches.mgMerge(acc,
+          graft.sketch.Sketches.mgReduce(p.iterator, k), k)
+      }
+      assert(merged.size <= k, s"summary overflows k: ${merged.size}")
+      exact.foreach { case (item, cnt) =>
+        if (cnt > n.toDouble / k) {
+          val est = merged.getOrElse(item, 0L)
+          assert(est > 0, s"true heavy hitter $item ($cnt of $n) missing")
+          assert(est <= cnt, s"$item overcounted: $est > $cnt")
+          assert(cnt - est <= n.toDouble / k, s"$item error ${cnt - est} > n/k")
+        }
+      }
+    }
+  }
+
   test("as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
