@@ -302,6 +302,30 @@ object AdvancedRelQueries {
         .orderBy("event_id")
     }),
 
+    // SCD2 store LIFECYCLE gate (the q119/q124/q126 treatment for the
+    // streaming-maintained dimension): the change log arrives as three
+    // micro-batches DELIBERATELY OUT OF TIME ORDER (ts_us % 3 splits), each
+    // through scdUpsertBatch's bucket-incremental recompute, then the
+    // change log compacts — and the read-back dimension must hash-match
+    // q135's monolithic build (oracle verbatim). A lost append, a replayed
+    // batch, or a late change that failed to resurrect/collapse a version
+    // shifts some interval and fails the hash.
+    "q145_scd2_lifecycle" -> ((s, d) => {
+      val path = scdStorePath(d)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ch = scdChanges(s, d)
+      val up = graft.streaming.StreamingPipeline.scdUpsertBatch(
+        path, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+      up(ch.filter(col("ts_us") % 3 === 0), 0L)
+      up(ch.filter(col("ts_us") % 3 === 1), 1L)
+      up(ch.filter(col("ts_us") % 3 === 2), 2L)
+      graft.streaming.StreamingPipeline.compactScdChanges(s, path)
+      graft.streaming.StreamingPipeline.readScdDim(s, path)
+        .orderBy("user_id", "version")
+    }),
+
     // Explicit GROUPING SETS (vs q51's full CUBE): only the named
     // combinations aggregate — per-metric, per-bucket, and grand total.
     "q72_grouping_sets" -> ((s, d) => {
@@ -334,6 +358,13 @@ object AdvancedRelQueries {
       .select("user_id", "ts_us", "plan_tier")
   }
 
+  /** Writable pid-namespaced location for the q145 SCD2 store (the
+    * DataQueries.ivfIndexPath convention).
+    */
+  private def scdStorePath(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft_scd_store_p" +
+      ProcessHandle.current().pid() + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
   /** WITH-prefix shared by the q135/q136 oracles: the deduped change log,
     * collapse of no-op changes, and the versioned dimension.
     */
@@ -365,6 +396,12 @@ object AdvancedRelQueries {
 
   val oracles: Map[String, String] = Map(
     "q135_scd2_build" ->
+      s"""$scdDimCtes
+         |SELECT user_id, plan_tier, effective_from, effective_to,
+         |  effective_to IS NULL AS is_current, version
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    // the streamed/compacted store must be invisible: q135's oracle verbatim
+    "q145_scd2_lifecycle" ->
       s"""$scdDimCtes
          |SELECT user_id, plan_tier, effective_from, effective_to,
          |  effective_to IS NULL AS is_current, version

@@ -877,4 +877,196 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(histMergeBatch(storePath, keys, valueCol, binWidth, numBins) _)
+
+  // ---- streaming SCD Type-2 dimension maintenance ------------------------
+
+  /** Incremental SCD Type-2 maintenance — the `foreachBatch` body for a
+    * live change feed. Store layout under `storePath`:
+    *
+    *  - `changes/batch=<id>/` — the RAW change log, append-only with the
+    *    exactly-once batch ledger (rename-published, the minhash pattern).
+    *    The raw log is authoritative: version collapse is lossy (a no-op
+    *    change dropped today can become a real transition once a LATE
+    *    change lands between it and its predecessor), so the dimension is
+    *    always re-derivable, never the source of truth.
+    *  - `dim/bucket=<key-hash bucket>/` — the derived Type-2 dimension,
+    *    recomputed per batch ONLY for the buckets the batch touches
+    *    (dynamic partition overwrite; untouched buckets keep their files).
+    *    At 100 TB a batch touching k of B buckets rewrites k/B of the
+    *    dimension — bounded incremental maintenance with late-arrival
+    *    correctness for free, because touched keys re-derive from their
+    *    FULL change history.
+    *
+    * Crash windows: the dim overwrite runs BEFORE the changes ledger lands,
+    * under a `dim/_pending-<id>` marker naming the touched buckets. A crash
+    * leaves either (a) marker + no ledger — the next maintainer run heals
+    * by recomputing those buckets from LEDGERED changes only (the un-
+    * ledgered batch re-arrives via streaming replay), or (b) marker +
+    * ledger — the write completed; the marker is just dropped. Replayed
+    * batch ids are refused by the ledger check. Cross-batch duplicate
+    * (key, ts) changes resolve first-write-wins (the S5 dedup-insert
+    * convention); within a batch the greatest attribute struct wins
+    * deterministically.
+    */
+  def scdUpsertBatch(storePath: String, keyCols: Seq[String], tsCol: String,
+                     attrCols: Seq[String], buckets: Int = 32)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(buckets))
+    graft.store.MaintenanceLock.withLock(fs, storePath, "scd-append") {
+      graft.similarity.Similarity.recoverDir(fs, s"$storePath/changes")
+      healScdPending(spark, fs, storePath, keyCols, tsCol, attrCols, buckets)
+      val ledger = new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$batchId")
+      if (fs.exists(ledger)) return
+      val stored = storedScdChanges(spark, fs, storePath, batchId)
+      val cols = keyCols ++ Seq(tsCol) ++ attrCols
+      // in-batch dedup: greatest attr struct per (key, ts) wins; then
+      // first-write-wins against the ledgered history
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((keyCols :+ tsCol).map(col): _*)
+        .orderBy(struct(attrCols.map(col): _*).desc)
+      val deduped = batch.select(cols.map(col): _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val fresh = stored match {
+        case Some(prev) => deduped.join(prev.select((keyCols :+ tsCol).map(col): _*),
+          keyCols :+ tsCol, "left_anti")
+        case None => deduped
+      }
+      val touched = fresh.select(bucketExpr.as("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: <= `buckets` values
+      if (touched.nonEmpty) {
+        val pending = new org.apache.hadoop.fs.Path(s"$storePath/dim/_pending-$batchId")
+        writeLines(fs, pending, touched.map(_.toString))
+        val all = stored.map(_.unionByName(fresh)).getOrElse(fresh)
+          .withColumn("bucket", bucketExpr)
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        rewriteScdBuckets(spark, all, storePath, keyCols, tsCol, attrCols,
+          touched.length, buckets)
+        val staging = new org.apache.hadoop.fs.Path(s"$storePath/changes/.staging-$batchId")
+        fs.delete(staging, true)
+        fresh.write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        fs.delete(pending, false)
+      } else {
+        // a fully-duplicate batch still lands its (empty) ledger so the
+        // replay check stays monotone
+        val staging = new org.apache.hadoop.fs.Path(s"$storePath/changes/.staging-$batchId")
+        fs.delete(staging, true)
+        fresh.write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+      }
+    }
+  }
+
+  /** The derived dimension, bucket column dropped. */
+  def readScdDim(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/dim").drop("bucket")
+
+  /** Collapse the change log's batch directories ([[compactMinhashStore]]'s
+    * treatment): rows preserved, ledger tombstones keep replays refused.
+    */
+  def compactScdChanges(spark: SparkSession, storePath: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "scd-compact") {
+      graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/changes", Seq.empty)
+    }
+  }
+
+  /** Streaming wrapper: change feed -> incremental Type-2 dimension. */
+  def scdUpsertStream(changes: DataFrame, storePath: String, checkpoint: String,
+                      keyCols: Seq[String], tsCol: String,
+                      attrCols: Seq[String]): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(scdUpsertBatch(storePath, keyCols, tsCol, attrCols) _)
+
+  private def storedScdChanges(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                               storePath: String, excludeId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/changes")
+    if (!fs.exists(p)) return None
+    val dirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filterNot(_.getPath.getName == s"batch=$excludeId")
+      .filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+  }
+
+  /** Recompute + dynamically overwrite the named buckets' dim partitions
+    * from the given change set (already bucket-filtered, `bucket` column
+    * present). One shuffle on the key; each bucket lands in one partition
+    * dir.
+    */
+  private def rewriteScdBuckets(spark: SparkSession, changes: DataFrame,
+                                storePath: String, keyCols: Seq[String],
+                                tsCol: String, attrCols: Seq[String],
+                                nTouched: Int, bucketMod: Int): Unit = {
+    val dim = graft.operators.Scd.type2(
+        changes.drop("bucket"), keyCols, tsCol, attrCols)
+      .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(bucketMod)))
+      .repartition(math.max(nTouched, 1), col("bucket"))
+      .localCheckpoint(true) // Spark refuses to overwrite a path it reads
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try dim.write.mode("overwrite").partitionBy("bucket").parquet(s"$storePath/dim")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Heal the [[scdUpsertBatch]] crash window: a `dim/_pending-<id>` marker
+    * without its changes ledger means the dim buckets it names may carry
+    * un-ledgered data — recompute them from ledgered changes only. With the
+    * ledger present the write completed; just drop the marker.
+    */
+  private def healScdPending(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                             storePath: String, keyCols: Seq[String], tsCol: String,
+                             attrCols: Seq[String], buckets: Int): Unit = {
+    val dimPath = new org.apache.hadoop.fs.Path(s"$storePath/dim")
+    if (!fs.exists(dimPath)) return
+    fs.listStatus(dimPath)
+      .filter(s => !s.isDirectory && s.getPath.getName.startsWith("_pending-"))
+      .foreach { m =>
+        val id = m.getPath.getName.stripPrefix("_pending-")
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$id"))) {
+          val touched = readLines(fs, m.getPath).map(_.trim.toInt).sorted
+          storedScdChanges(spark, fs, storePath, excludeId = -1L) match {
+            case Some(stored) =>
+              val filtered = stored
+                .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+                .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+              rewriteScdBuckets(spark, filtered, storePath, keyCols, tsCol, attrCols,
+                touched.length, buckets)
+            case None =>
+              // crash on the very first batch: no ledgered history at all —
+              // the touched buckets' data is entirely un-ledgered, drop them
+              touched.foreach(b => fs.delete(
+                new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
+          }
+        }
+        fs.delete(m.getPath, false)
+      }
+  }
+
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
 }

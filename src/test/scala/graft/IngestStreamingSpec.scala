@@ -758,4 +758,77 @@ class IngestStreamingSpec extends SparkSpec {
     val out = Ingest.recomputeOverwrite(ev, touched).collect()
     assert(out.length == 1 && out.head.getAs[Double]("value_sum") == 1.0)
   }
+
+  test("streaming SCD2 maintainer: late arrivals, restart, replay, heal == monolithic") {
+    import graft.operators.Scd
+    val base = Files.createTempDirectory("graft_scd").toString
+    val in = s"$base/in"; val store = s"$base/scd"
+    // b1 carries a change that is a NO-OP given only b1 (u1: a@10, a@30);
+    // the LATE b2 change (u1: b@20) must resurrect a@30 as a real version
+    val b1 = Seq(("u1", 10L, "a"), ("u1", 30L, "a"), ("u2", 15L, "x"))
+      .toDF("k", "ts", "plan")
+    val b2 = Seq(("u1", 20L, "b"), ("u3", 5L, "z")).toDF("k", "ts", "plan")
+    val all = b1.unionByName(b2)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("k", "plan", "effective_from", "effective_to", "is_current", "version")
+        .orderBy("k", "version").collect().map(_.toString).toSeq
+    def streamOnce(): Unit = {
+      val q = StreamingPipeline.scdUpsertStream(
+        spark.readStream.schema("k STRING, ts BIGINT, plan STRING")
+          .option("maxFilesPerTrigger", "16").parquet(in),
+        store, s"$base/ckpt", Seq("k"), "ts", Seq("plan")).start()
+      q.awaitTermination(60000)
+    }
+    b1.write.mode("overwrite").parquet(in)
+    streamOnce()
+    assert(canon(StreamingPipeline.readScdDim(spark, store))
+      == canon(Scd.type2(b1, Seq("k"), "ts", Seq("plan"))),
+      "after the first delivery the dim must equal a monolithic build on it")
+    // u1's a@30 collapsed as a no-op in the first delivery
+    assert(StreamingPipeline.readScdDim(spark, store)
+      .filter($"k" === "u1").count() == 1)
+    // restart from the same checkpoint; the second delivery is EARLIER data
+    b2.write.mode("append").parquet(in)
+    streamOnce()
+    val mono = canon(Scd.type2(all, Seq("k"), "ts", Seq("plan")))
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) == mono,
+      "late-arriving change failed to resurrect the collapsed version")
+    // foreachBatch replays are no-ops (ledger refuses)
+    val up = StreamingPipeline.scdUpsertBatch(store, Seq("k"), "ts", Seq("plan")) _
+    up(b1, 0L); up(b2, 1L)
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) == mono,
+      "replayed batch ids must not duplicate versions")
+    // a cross-batch duplicate (key, ts) resolves first-write-wins
+    up(Seq(("u1", 20L, "DIFFERENT")).toDF("k", "ts", "plan"), 2L)
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) == mono,
+      "cross-batch duplicate (key, ts) must not overwrite the first write")
+    // compaction preserves the dim and keeps replays refused
+    assert(StreamingPipeline.compactScdChanges(spark, store) >= 1)
+    up(b1, 0L)
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) == mono)
+    // crash-window heal: plant un-ledgered garbage in u1's bucket under a
+    // _pending marker with no matching changes ledger -> the next batch run
+    // must rebuild that bucket from ledgered changes only
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    val bucket = Seq("u1").toDF("k")
+      .select(pmod(hash(col("k")), lit(32)).as("b")).head().getInt(0)
+    Scd.type2(Seq(("u1", 99L, "GARBAGE")).toDF("k", "ts", "plan"),
+        Seq("k"), "ts", Seq("plan"))
+      .withColumn("bucket", lit(bucket))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$store/dim_garbage")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/dim/bucket=$bucket"), true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$store/dim_garbage/bucket=$bucket"),
+      new org.apache.hadoop.fs.Path(s"$store/dim/bucket=$bucket")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$store/dim/_pending-99"), true)
+    out.write(s"$bucket\n".getBytes("UTF-8")); out.close()
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) != mono,
+      "the planted garbage must be visible before the heal")
+    up(Seq(("u9", 50L, "q")).toDF("k", "ts", "plan"), 3L)
+    val healed = Scd.type2(all.unionByName(Seq(("u9", 50L, "q")).toDF("k", "ts", "plan")),
+      Seq("k"), "ts", Seq("plan"))
+    assert(canon(StreamingPipeline.readScdDim(spark, store)) == canon(healed),
+      "heal must rebuild the pending bucket from ledgered changes")
+  }
 }
