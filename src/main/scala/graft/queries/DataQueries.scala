@@ -588,6 +588,41 @@ object DataQueries {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
+  /** q146's oracle: the composed PCA -> PQ pipeline — [[pcaCtes]]' fit and
+    * projection feed a RE-ROOTED `e` (the 16-dim projected corpus), and
+    * [[pqSubCtes]] + the ADC tail replay the sub-k-means fits, encoding,
+    * LUT, and ranking over it — every stage the same quantized arithmetic,
+    * so the whole two-model pipeline is hash-exact end to end.
+    */
+  private def pcaPqOracle(p: Int, pIters: Int, m: Int, k: Int, pqIters: Int,
+                          nQueries: Int, topK: Int): String =
+    s"""${pcaCtes(p, pIters)}$pcaProjCte,
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, list(proj ORDER BY comp) AS v FROM proj GROUP BY 1
+       |),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |  FROM e WHERE vec_id < $nQueries
+       |)${pqSubCtes(m, k, pqIters, p)},
+       |scored AS (
+       |  SELECT l.query_id, co.vec_id,
+       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
+       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
+       |  WHERE l.query_id <> co.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
+       |  FROM scored
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM approx
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   private def pcaComponentsOracle(p: Int, iters: Int): String =
     s"""${pcaCtes(p, iters)}
        |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
@@ -835,6 +870,24 @@ object DataQueries {
       annRecallGate(e,
         Similarity.cosineTopK(pvs, pvs.filter(col("vec_id") < 100), k = 3, vecCol = "pv"),
         k = 3, floor = 0.04, "q140: PCA-projected recall fell below 0.04")
+    }),
+
+    // PCA x PQ composed (the OPQ-family preprocessing pipeline large-scale
+    // ANN actually deploys): project 64 -> 16 dims against the PCA basis,
+    // then fit PQ codebooks IN THE PROJECTED SPACE (4 subspaces x 8 codes
+    // over 4-dim slices) and ADC-search the 4-int codes — 64 floats
+    // compressed 64x end to end. The oracle replays the full two-model
+    // chain: Gram + 16 power iterations + projection, then 4 sub-k-means
+    // fits, encoding, LUT, ranking — hash-exact.
+    "q146_ann_pca_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val pvs = graft.similarity.Pca.projectedVectors(e, dim = 64, p = 16, iters = 6)
+      val cb = Similarity.pqCodebooks(pvs, m = 4, k = 8, iters = 2, dim = 16,
+        vecCol = "pv")
+      Similarity.pqAdcTopK(
+          Similarity.pqEncode(pvs, cb, m = 4, dim = 16, vecCol = "pv"), cb,
+          pvs.filter(col("vec_id") < 10), k = 5, m = 4, dim = 16, vecCol = "pv")
+        .orderBy("query_id", "rank")
     }),
 
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
@@ -1435,6 +1488,8 @@ object DataQueries {
     "q139_pca_project" -> pcaProjectOracle(p = 4, iters = 8),
     // the store round-trip must be invisible: q139's oracle verbatim
     "q143_pca_store" -> pcaProjectOracle(p = 4, iters = 8),
+    "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
+      pqIters = 2, nQueries = 10, topK = 5),
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),
