@@ -623,6 +623,93 @@ object DataQueries {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  /** Feature frame shared by the ridge pair: q31's quality features as the
+    * regressors, n_chars as the label.
+    */
+  private def ridgeFrame(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.qualityFeatures(docs(s, d))
+      .select(col("doc_id"), col("n_words").cast("double").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"))
+      .join(docs(s, d).select(col("doc_id"), col("n_chars").cast("double").as("y")),
+        "doc_id")
+
+  private val ridgeFeatureCols = Seq("n_words", "avg_word_len", "stopword_ratio")
+
+  /** WITH-prefix for the ridge oracles: replay [[graft.operators.Ridge.fit]]
+    * — q31's feature derivations, quantized means/variances,
+    * standardization (sd=0 guard mirrored), the 3x3 standardized moment
+    * matrix + moment vector, and the fixed-count gradient loop as 1-row
+    * scalar-column CTEs. Defines `rf`, `rmu`, `rsd`, `rz`, `rab`, and
+    * `w$iters`.
+    */
+  private def ridgeCtes(iters: Int, lr: Double, lambda: Double): String = {
+    def z(i: Int) = s"CASE WHEN s$i = 0 THEN 0.0 ELSE (x$i - m$i) / s$i END"
+    def aName(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
+    val loop = (1 to iters).map { t =>
+      val aws = (0 until 3).map { i =>
+        (0 until 3).map(j =>
+          s"CAST(floor(${aName(i, j)} * w$j * 100000000.0) AS BIGINT)")
+          .mkString("(", " + ", ") / 100000000.0")
+      }
+      s""",
+         |w$t AS MATERIALIZED (
+         |  SELECT
+         |    round(w0 - $lr * (${aws(0)} - b_0 + $lambda * w0), 6) AS w0,
+         |    round(w1 - $lr * (${aws(1)} - b_1 + $lambda * w1), 6) AS w1,
+         |    round(w2 - $lr * (${aws(2)} - b_2 + $lambda * w2), 6) AS w2
+         |  FROM w${t - 1} CROSS JOIN rab
+         |)""".stripMargin
+    }.mkString
+    s"""WITH rf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x0,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS x1,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS x2,
+       |    CAST(n_chars AS DOUBLE) AS y
+       |  FROM documents
+       |),
+       |rn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM rf),
+       |rmu AS MATERIALIZED (
+       |  SELECT
+       |    CAST(sum(CAST(floor(x0 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m0,
+       |    CAST(sum(CAST(floor(x1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m1,
+       |    CAST(sum(CAST(floor(x2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m2,
+       |    CAST(sum(CAST(floor(y * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS my
+       |  FROM rf
+       |),
+       |rsd AS MATERIALIZED (
+       |  SELECT
+       |    sqrt(CAST(sum(CAST(floor((x0 - m0) * (x0 - m0) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s0,
+       |    sqrt(CAST(sum(CAST(floor((x1 - m1) * (x1 - m1) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s1,
+       |    sqrt(CAST(sum(CAST(floor((x2 - m2) * (x2 - m2) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s2,
+       |    sqrt(CAST(sum(CAST(floor((y - my) * (y - my) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS sy
+       |  FROM rf CROSS JOIN rmu
+       |),
+       |rz AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    ${z(0)} AS z0, ${z(1)} AS z1, ${z(2)} AS z2,
+       |    CASE WHEN sy = 0 THEN 0.0 ELSE (y - my) / sy END AS zy
+       |  FROM rf CROSS JOIN rmu CROSS JOIN rsd
+       |),
+       |rab AS MATERIALIZED (
+       |  SELECT
+       |    CAST(sum(CAST(floor(z0 * z0 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_0,
+       |    CAST(sum(CAST(floor(z0 * z1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_1,
+       |    CAST(sum(CAST(floor(z0 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_2,
+       |    CAST(sum(CAST(floor(z1 * z1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_1_1,
+       |    CAST(sum(CAST(floor(z1 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_1_2,
+       |    CAST(sum(CAST(floor(z2 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_2_2,
+       |    CAST(sum(CAST(floor(z0 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_0,
+       |    CAST(sum(CAST(floor(z1 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_1,
+       |    CAST(sum(CAST(floor(z2 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_2
+       |  FROM rz
+       |),
+       |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)$loop""".stripMargin
+  }
+
   private def pcaComponentsOracle(p: Int, iters: Int): String =
     s"""${pcaCtes(p, iters)}
        |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
@@ -888,6 +975,41 @@ object DataQueries {
           Similarity.pqEncode(pvs, cb, m = 4, dim = 16, vecCol = "pv"), cb,
           pvs.filter(col("vec_id") < 10), k = 5, m = 4, dim = 16, vecCol = "pv")
         .orderBy("query_id", "rank")
+    }),
+
+    // Distributed ridge regression (the supervised fit-on-aggregates
+    // member): q31's quality features regress n_chars. Three bounded
+    // aggregation passes (quantized means/variances/standardized moments),
+    // a fixed-30-round gradient loop on the driver over the 3x3 system —
+    // and the oracle replays ALL of it, so the learned weights are
+    // hash-exact, not approximately similar.
+    "q147_ridge_fit" -> ((s, d) => {
+      val fit = graft.operators.Ridge.fit(ridgeFrame(s, d), ridgeFeatureCols, "y")
+      graft.operators.Ridge.weightsDf(s, fit).orderBy("i")
+    }),
+
+    // The model's predictions + its R^2 under an assert floor: map-only
+    // scoring against the broadcast fit, residual sums quantized in
+    // STANDARDIZED space (so the integer partials cannot overflow on large
+    // labels). Measured R^2 ~ 0.9987 at sf0.01 and sf0.1 — n_chars is
+    // nearly linear in n_words for this corpus, which is exactly what a
+    // length/cost model exploits; floor 0.9.
+    "q148_ridge_predict" -> ((s, d) => {
+      val f = ridgeFrame(s, d)
+      val fit = graft.operators.Ridge.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Ridge.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      def sq(c: org.apache.spark.sql.Column) = c * c
+      val stats = pred.agg(
+        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("long"))
+          .cast("double").as("sseq"),
+        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("long"))
+          .cast("double").as("sstq"))
+      pred.crossJoin(broadcast(stats))
+        .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
+        .filter(assert_true(col("r2") >= 0.9, lit("q148: ridge R^2 fell below 0.9")).isNull)
+        .select(col("doc_id"), col("y"), col("yhat"), col("r2"))
+        .orderBy("doc_id")
     }),
 
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
@@ -1490,6 +1612,36 @@ object DataQueries {
     "q143_pca_store" -> pcaProjectOracle(p = 4, iters = 8),
     "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
       pqIters = 2, nQueries = 10, topK = 5),
+    "q147_ridge_fit" ->
+      s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)}
+         |SELECT * FROM (
+         |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd,
+         |         my AS y_mu, sy AS y_sd
+         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
+         |  UNION ALL
+         |  SELECT 1, 'avg_word_len', w1, m1, s1, my, sy
+         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
+         |  UNION ALL
+         |  SELECT 2, 'stopword_ratio', w2, m2, s2, my, sy
+         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
+         |) ORDER BY i""".stripMargin,
+    "q148_ridge_predict" ->
+      s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
+         |pred AS MATERIALIZED (
+         |  SELECT r.doc_id, r.y,
+         |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
+         |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
+         |),
+         |r2c AS MATERIALIZED (
+         |  SELECT
+         |    CAST(sum(CAST(floor(((y - yhat) / sy) * ((y - yhat) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sseq,
+         |    CAST(sum(CAST(floor(((y - my) / sy) * ((y - my) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sstq
+         |  FROM pred CROSS JOIN rmu CROSS JOIN rsd
+         |)
+         |SELECT doc_id, y, yhat, round(1 - sseq / sstq, 6) AS r2
+         |FROM pred CROSS JOIN r2c ORDER BY doc_id""".stripMargin,
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

@@ -56,7 +56,8 @@ class PlanShapeSpec extends SparkSpec {
     "q125_ann_lsh_reindex", // q117's bounded plane-table broadcast, post-re-tune swap
     "q140_pca_ann_recall", // brute-force truth in the projected space (q106's contract) + 1-row stats broadcast
     "q144_mg_heavy_hitters", // 1-row total-count broadcast (the q97/q102 shape)
-    "q146_ann_pca_pq") // q131's bounded codebook/LUT broadcasts, over the projected corpus
+    "q146_ann_pca_pq", // q131's bounded codebook/LUT broadcasts, over the projected corpus
+    "q148_ridge_predict") // 1-row residual-stats broadcast (the q97/q102 shape)
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Ridge
+
+class RidgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y = 3 + 2*x1 - x2 exactly; x3 is constant (sd = 0, must be zeroed out)
+  private def data = (1 to 200).map { i =>
+    val x1 = (i % 17).toDouble
+    val x2 = ((i * 7) % 11).toDouble
+    (i.toLong, x1, x2, 5.0, 3.0 + 2.0 * x1 - x2)
+  }.toDF("id", "x1", "x2", "x3", "y")
+
+  test("recovers an exact linear relationship (R2 ~ 1) and is deterministic") {
+    val fit1 = Ridge.fit(data, Seq("x1", "x2", "x3"), "y")
+    val fit2 = Ridge.fit(data, Seq("x1", "x2", "x3"), "y")
+    assert(fit1 == fit2, "two fits of the same data must be bit-identical")
+    val pred = Ridge.predict(data, fit1, "id")
+      .join(data.select($"id", $"y"), "id")
+      .collect().map(r => (r.getAs[Double]("y"), r.getAs[Double]("yhat")))
+    val sse = pred.map { case (y, yh) => (y - yh) * (y - yh) }.sum
+    val mean = pred.map(_._1).sum / pred.length
+    val sst = pred.map { case (y, _) => (y - mean) * (y - mean) }.sum
+    assert(1.0 - sse / sst > 0.999, s"R2 = ${1.0 - sse / sst}")
+  }
+
+  test("constant feature gets weight through zeroed z, not a division by zero") {
+    val fit = Ridge.fit(data, Seq("x1", "x2", "x3"), "y")
+    assert(fit.sd(2) == 0.0)
+    assert(!fit.weights.exists(_.isNaN))
+    // x3 contributes nothing: its standardized column is identically zero
+    assert(fit.weights(2) == 0.0, s"got ${fit.weights(2)}")
+  }
+
+  test("weightsDf carries the full model in rank order") {
+    val fit = Ridge.fit(data, Seq("x1", "x2", "x3"), "y")
+    val rows = Ridge.weightsDf(spark, fit).orderBy("i").collect()
+    assert(rows.map(_.getAs[String]("feature")).toSeq == Seq("x1", "x2", "x3"))
+    assert(rows.forall(r => r.getAs[Double]("y_sd") == fit.ySd))
+  }
+}
