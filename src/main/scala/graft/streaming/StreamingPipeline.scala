@@ -878,6 +878,47 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(histMergeBatch(storePath, keys, valueCol, binWidth, numBins) _)
 
+  /** Incremental Misra-Gries heavy-hitters maintenance — the `foreachBatch`
+    * body for a streaming frequent-items summary. MG summaries merge
+    * through [[graft.sketch.Sketches.mgMerge]]'s deterministic cut
+    * (non-idempotent, like the sum-merged family), so this reuses
+    * [[ledgeredSumMerge]]'s batch-id ledger + staged swap. The stored
+    * table is ≤ k (item, cnt) rows; both sides of each merge are bounded,
+    * so the driver-side fold is a constant-size operation per trigger.
+    * The stream-grown summary keeps the theorem over the TOTAL delivered
+    * rows (mergeable-summaries bound): every item with overall count >
+    * n/k is present, undercounted by at most n/k — PropertySpec pins the
+    * bound over arbitrary splits, IngestStreamingSpec over
+    * restart/replay.
+    */
+  def mgMergeBatch(storePath: String, itemCol: String, k: Int)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def summaryDf(m: Map[String, Long]): DataFrame = {
+      val rows = m.toSeq.sortBy(_._1)
+      if (rows.isEmpty) Seq.empty[(String, Long)].toDF("item", "cnt")
+      else rows.toDF("item", "cnt")
+    }
+    def toMap(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
+    ledgeredSumMerge(spark, storePath, batchId)(
+      summaryDf(graft.sketch.Sketches.mgSummary(batch, itemCol, k)),
+      (prev, next) => summaryDf(
+        graft.sketch.Sketches.mgMerge(toMap(prev), toMap(next), k)))
+  }
+
+  /** Streaming heavy hitters: item stream -> incremental MG summary store.
+    * Read candidates at any time with `spark.read.parquet(storePath)`.
+    */
+  def mgStream(items: DataFrame, storePath: String, checkpoint: String,
+               itemCol: String, k: Int): DataStreamWriter[Row] =
+    items.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(mgMergeBatch(storePath, itemCol, k) _)
+
   // ---- streaming SCD Type-2 dimension maintenance ------------------------
 
   /** Incremental SCD Type-2 maintenance — the `foreachBatch` body for a

@@ -318,4 +318,43 @@ class OlapSketchSpec extends SparkSpec {
     // decimal-summed prices roll up exactly, not just approximately
     assert(math.abs(leaf.map(_.getAs[Double]("sum_price")).sum - grand.head.getAs[Double]("sum_price")) < 1e-4)
   }
+
+  test("streaming MG store: restart + replay keep the heavy-hitter theorem") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    val in = s"$base/in"; val store = s"$base/mg"
+    // skewed stream: items 0..4 hot, 5..60 tail
+    def mk(seed: Int, n: Int) = (0 until n)
+      .map(i => ((if ((i * 7 + seed) % 3 != 0) (i * 13 + seed) % 5 else 5 + (i * 31 + seed) % 56).toString))
+      .toDF("item")
+    val b1 = mk(0, 500); val b2 = mk(1, 400)
+    val k = 8
+    b1.write.mode("overwrite").parquet(in)
+    def streamOnce(): Unit = {
+      val q = StreamingPipeline.mgStream(
+        spark.readStream.schema("item STRING").option("maxFilesPerTrigger", "16").parquet(in),
+        store, s"$base/ckpt", "item", k).start()
+      q.awaitTermination(60000)
+    }
+    streamOnce()
+    b2.write.mode("append").parquet(in)
+    streamOnce()
+    val summary = spark.read.parquet(store).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
+    assert(summary.size <= k)
+    val all = b1.unionByName(b2).collect().map(_.getString(0))
+    val exact = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = all.length.toDouble
+    exact.foreach { case (item, cnt) =>
+      if (cnt > n / k) {
+        val est = summary.getOrElse(item, 0L)
+        assert(est > 0, s"heavy hitter $item ($cnt) missing from streamed summary")
+        assert(est <= cnt && cnt - est <= n / k, s"$item est $est vs $cnt")
+      }
+    }
+    // replayed batch ids are no-ops (the _batches ledger refuses)
+    val before = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+    StreamingPipeline.mgMergeBatch(store, "item", k)(b1, 0L)
+    val after = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+    assert(before == after, "replayed batch must not re-merge")
+  }
 }
