@@ -111,6 +111,32 @@ object Ridge {
         StructField("y_sd", DoubleType, nullable = false))))
   }
 
+  /** Persist the fitted model ([[weightsDf]]'s table IS the artifact —
+    * one row per feature carries everything needed to score: w, mu, sd and
+    * the label stats). The [[graft.similarity.Pca.savePca]] treatment:
+    * train once on the big corpus, score any table from the store.
+    */
+  def saveModel(spark: SparkSession, fit: RidgeFit, path: String): Unit =
+    weightsDf(spark, fit).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load the stored model (bounded collect: d rows). */
+  def loadModel(spark: SparkSession, path: String): RidgeFit = {
+    val rows = spark.read.parquet(path).orderBy("i").collect()
+    require(rows.nonEmpty, s"no ridge model at $path")
+    RidgeFit(
+      rows.map(_.getAs[String]("feature")).toSeq,
+      rows.map(_.getAs[Double]("mu")).toSeq,
+      rows.map(_.getAs[Double]("sd")).toSeq,
+      rows.head.getAs[Double]("y_mu"), rows.head.getAs[Double]("y_sd"),
+      rows.map(_.getAs[Double]("w")).toSeq)
+  }
+
+  /** Score from the stored model — bit-identical to [[predict]] with the
+    * in-memory fit (the q150 gate's contract).
+    */
+  def predictFromStore(df: DataFrame, path: String, idCol: String): DataFrame =
+    predict(df, loadModel(df.sparkSession, path), idCol)
+
   /** Map-only prediction: yhat = y_mu + y_sd * sum_i(w_i * z_i), the inner
     * sum as quantized integer partials so both engines land on the same
     * double.

@@ -710,6 +710,27 @@ object DataQueries {
        |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)$loop""".stripMargin
   }
 
+  /** Shared by q148/q150: predictions + R^2 over [[ridgeCtes]]' fit (the
+    * store round-trip must be invisible, so both register it verbatim).
+    */
+  private lazy val ridgePredictOracle: String =
+    s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
+       |pred AS MATERIALIZED (
+       |  SELECT r.doc_id, r.y,
+       |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+       |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+       |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
+       |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
+       |),
+       |r2c AS MATERIALIZED (
+       |  SELECT
+       |    CAST(sum(CAST(floor(((y - yhat) / sy) * ((y - yhat) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sseq,
+       |    CAST(sum(CAST(floor(((y - my) / sy) * ((y - my) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sstq
+       |  FROM pred CROSS JOIN rmu CROSS JOIN rsd
+       |)
+       |SELECT doc_id, y, yhat, round(1 - sseq / sstq, 6) AS r2
+       |FROM pred CROSS JOIN r2c ORDER BY doc_id""".stripMargin
+
   private def pcaComponentsOracle(p: Int, iters: Int): String =
     s"""${pcaCtes(p, iters)}
        |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
@@ -1008,6 +1029,29 @@ object DataQueries {
       pred.crossJoin(broadcast(stats))
         .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
         .filter(assert_true(col("r2") >= 0.9, lit("q148: ridge R^2 fell below 0.9")).isNull)
+        .select(col("doc_id"), col("y"), col("yhat"), col("r2"))
+        .orderBy("doc_id")
+    }),
+
+    // The persisted-model twin of q148 (the q143 treatment): fit once,
+    // land the weights table, score FROM THE STORE — predictions and R^2
+    // must hash-match q148's oracle verbatim, so any lossy round-trip of a
+    // weight, mean, or scale fails the gate.
+    "q150_ridge_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_ridge"
+      val f = ridgeFrame(s, d)
+      val fit = graft.operators.Ridge.fit(f, ridgeFeatureCols, "y")
+      graft.operators.Ridge.saveModel(s, fit, path)
+      val pred = graft.operators.Ridge.predictFromStore(f, path, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      def sq(c: org.apache.spark.sql.Column) = c * c
+      val stats = pred.agg(
+        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("long"))
+          .cast("double").as("sseq"),
+        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("long"))
+          .cast("double").as("sstq"))
+      pred.crossJoin(broadcast(stats))
+        .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
         .select(col("doc_id"), col("y"), col("yhat"), col("r2"))
         .orderBy("doc_id")
     }),
@@ -1625,23 +1669,9 @@ object DataQueries {
          |  SELECT 2, 'stopword_ratio', w2, m2, s2, my, sy
          |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
          |) ORDER BY i""".stripMargin,
-    "q148_ridge_predict" ->
-      s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
-         |pred AS MATERIALIZED (
-         |  SELECT r.doc_id, r.y,
-         |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
-         |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
-         |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
-         |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
-         |),
-         |r2c AS MATERIALIZED (
-         |  SELECT
-         |    CAST(sum(CAST(floor(((y - yhat) / sy) * ((y - yhat) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sseq,
-         |    CAST(sum(CAST(floor(((y - my) / sy) * ((y - my) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sstq
-         |  FROM pred CROSS JOIN rmu CROSS JOIN rsd
-         |)
-         |SELECT doc_id, y, yhat, round(1 - sseq / sstq, 6) AS r2
-         |FROM pred CROSS JOIN r2c ORDER BY doc_id""".stripMargin,
+    "q148_ridge_predict" -> ridgePredictOracle,
+    // the store round-trip must be invisible: q148's oracle verbatim
+    "q150_ridge_store" -> ridgePredictOracle,
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

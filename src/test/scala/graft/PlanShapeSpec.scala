@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
     "q140_pca_ann_recall", // brute-force truth in the projected space (q106's contract) + 1-row stats broadcast
     "q144_mg_heavy_hitters", // 1-row total-count broadcast (the q97/q102 shape)
     "q146_ann_pca_pq", // q131's bounded codebook/LUT broadcasts, over the projected corpus
-    "q148_ridge_predict") // 1-row residual-stats broadcast (the q97/q102 shape)
+    "q148_ridge_predict", // 1-row residual-stats broadcast (the q97/q102 shape)
+    "q150_ridge_store") // same 1-row broadcast, scoring from the stored model
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
