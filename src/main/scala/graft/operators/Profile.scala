@@ -32,20 +32,24 @@ object Profile {
     def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
     def isStr(c: String) = schema(c).dataType == StringType
 
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // positional internal aliases: raw column names would need quoting in
+    // the stack() expression (spaces/hyphens/quotes break the parser), so
+    // the user-facing name travels only as an escaped string LITERAL
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double")).as(s"__mn_$c"),
-        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double")).as(s"__mx_$c"),
-        (if (isStr(c)) min(col(c)) else lit(null).cast("string")).as(s"__ms_$c"),
-        (if (isStr(c)) max(col(c)) else lit(null).cast("string")).as(s"__xs_$c"))
+        count(col(c)).as(s"__nn_$i"),
+        count_distinct(col(c)).as(s"__nd_$i"),
+        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double")).as(s"__mn_$i"),
+        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double")).as(s"__mx_$i"),
+        (if (isStr(c)) min(col(c)) else lit(null).cast("string")).as(s"__ms_$i"),
+        (if (isStr(c)) max(col(c)) else lit(null).cast("string")).as(s"__xs_$i"))
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
 
     // stack(m, 'name', stats...) -> m rows; a pure projection of the 1-row agg
-    val branches = cols.map { c =>
-      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c, __ms_$c, __xs_$c"
+    val branches = cols.zipWithIndex.map { case (c, i) =>
+      val esc = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$esc', __nn_$i, __nd_$i, __mn_$i, __mx_$i, __ms_$i, __xs_$i"
     }.mkString(", ")
     wide.select(col("__n").as("n_rows"), expr(
         s"stack(${cols.size}, $branches) AS (column_name, n_non_null, n_distinct, min_num, max_num, min_str, max_str)"))

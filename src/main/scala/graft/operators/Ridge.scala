@@ -27,8 +27,7 @@ object Ridge {
 
   private val Q = 1e8
 
-  private def r6(x: Double): Double =
-    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = graft.core.Num.round6(x)
 
   /** A fitted model: per-feature standardization (mu, sd) + standardized-
     * space weights, and the label's (mu, sd). sd of 0 (constant column)

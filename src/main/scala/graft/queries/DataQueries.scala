@@ -974,7 +974,10 @@ object DataQueries {
     // a real (anisotropic) corpus would move much further.
     "q140_pca_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
+      // materialized once: the projected corpus feeds both sides of the
+      // brute-force cosine self-join
       val pvs = graft.similarity.Pca.projectedVectors(e, dim = 64, p = 16, iters = 6)
+        .localCheckpoint(true)
       annRecallGate(e,
         Similarity.cosineTopK(pvs, pvs.filter(col("vec_id") < 100), k = 3, vecCol = "pv"),
         k = 3, floor = 0.04, "q140: PCA-projected recall fell below 0.04")
@@ -989,7 +992,11 @@ object DataQueries {
     // fits, encoding, LUT, ranking — hash-exact.
     "q146_ann_pca_pq" -> ((s, d) => {
       val e = emb(s, d)
+      // materialized once: the PQ fit's per-iteration Lloyd collects (and
+      // pqEncode + the ADC action) would otherwise re-run the whole
+      // projection pipeline per consumer
       val pvs = graft.similarity.Pca.projectedVectors(e, dim = 64, p = 16, iters = 6)
+        .localCheckpoint(true)
       val cb = Similarity.pqCodebooks(pvs, m = 4, k = 8, iters = 2, dim = 16,
         vecCol = "pv")
       Similarity.pqAdcTopK(

@@ -44,11 +44,7 @@ object Pca {
   final case class PcaComponent(comp: Int, weights: Seq[Double], eigval: Double,
                                 varRatio: Double)
 
-  /** Spark's `round(col, 6)` on the driver: decimal-string HALF_UP — the
-    * same rounding the distributed side and DuckDB's round() apply.
-    */
-  private def r6(x: Double): Double =
-    BigDecimal.decimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double = graft.core.Num.round6(x)
 
   private def asDouble(c: org.apache.spark.sql.Column) =
     transform(c, x => x.cast("double"))
@@ -67,6 +63,11 @@ object Pca {
       .groupBy(col("i"))
       .agg(sum(floor(col("x") * Q).cast("long")).as("sq"))
       .collect()
+    // one group per ACTUAL dimension: a mismatched `dim` would otherwise
+    // crash on the fill (longer vectors) or silently pad the basis with
+    // zero rows/columns (shorter) — fail loudly instead
+    require(muRows.length == dim,
+      s"vectors have ${muRows.length} dimensions, caller said $dim")
     val mu = Array.ofDim[Double](dim)
     muRows.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Long]("sq").toDouble / nD / Q)
     val muLit = array(mu.map(lit): _*)

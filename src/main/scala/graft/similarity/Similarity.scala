@@ -218,18 +218,25 @@ object Similarity {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    val c = lshPrepped(vectors, dim, idCol, vecCol)
-    // sigs/vectors nest a batch=<append id> level so [[lshAppendVectors]]
-    // can land increments as whole directories (the [[ivfAppendCells]]
-    // layout); a REBUILD must clear prior appends, hence the deletes
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
-    lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
-      .repartition(col("t"), col("bucket"))
-      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs/batch=0")
-    c.write.mode("overwrite").parquet(s"$path/vectors/batch=0")
-    Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+    // lock + build marker: see [[buildPqIndex]] — a rebuild over a live
+    // store must not interleave with appenders, and a crash mid-rebuild
+    // must refuse maintenance loudly rather than mix geometry generations
+    graft.store.MaintenanceLock.withLock(fs, path, "lsh-build") {
+      withBuildMarker(fs, path) {
+        val c = lshPrepped(vectors, dim, idCol, vecCol)
+        // sigs/vectors nest a batch=<append id> level so [[lshAppendVectors]]
+        // can land increments as whole directories (the [[ivfAppendCells]]
+        // layout); a REBUILD must clear prior appends, hence the deletes
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+        lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
+          .repartition(col("t"), col("bucket"))
+          .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs/batch=0")
+        c.write.mode("overwrite").parquet(s"$path/vectors/batch=0")
+        Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+      }
+    }
   }
 
   /** Append-half of the persisted LSH index for a GROWING corpus: hash a
@@ -252,6 +259,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lsh-append") {
+      requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/sigs")
       recoverDir(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
@@ -286,6 +294,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lsh-compact") {
+      requireNoPendingBuild(fs, path)
       compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket")) +
         compactBatchStore(spark, s"$path/vectors", Seq.empty)
     }
@@ -638,15 +647,20 @@ object Similarity {
     val spark = vectors.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
-    // cells nest one more partition level (batch=<append id>/cell=<cell>)
-    // so [[ivfAppendCells]] can land increments as whole directories; a
-    // REBUILD must clear prior appends, not just batch=0, hence the delete
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
-    assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells/batch=0")
+    // lock + build marker: see [[buildPqIndex]]
+    graft.store.MaintenanceLock.withLock(fs, path, "ivf-build") {
+      withBuildMarker(fs, path) {
+        val cent = kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol)
+        cent.write.mode("overwrite").parquet(s"$path/centroids")
+        // cells nest one more partition level (batch=<append id>/cell=<cell>)
+        // so [[ivfAppendCells]] can land increments as whole directories; a
+        // REBUILD must clear prior appends, not just batch=0, hence the delete
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+        assignTo(prepped(vectors, idCol, vecCol), cent, idCol)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells/batch=0")
+      }
+    }
   }
 
   /** Append-half of the persisted IVF index for a GROWING corpus: assign a
@@ -669,6 +683,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-append") {
+      requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/cells")
       val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
       if (fs.exists(dst)) false
@@ -747,6 +762,31 @@ object Similarity {
   private[graft] def activeDir(fs: org.apache.hadoop.fs.FileSystem, dir: String): String =
     if (fs.exists(new org.apache.hadoop.fs.Path(dir))) dir else s"$dir.prev"
 
+  /** Crash-window guard for the (re)build paths: a full build clears and
+    * rewrites multiple store halves with no joint atomicity, so a crash
+    * mid-build leaves a mixed-generation store. The builds run under the
+    * store's MaintenanceLock (no CONCURRENT appender can interleave — the
+    * lock is store-wide) and keep this marker for their duration; the
+    * append/compact/reindex entry points refuse while it exists, so the
+    * crash window degrades to a loud "re-run the build" instead of silent
+    * mixed-generation results.
+    */
+  private[graft] def withBuildMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String)(body: => Unit): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val pending = new org.apache.hadoop.fs.Path(path, "_build-pending")
+    val out = fs.create(pending, true)
+    try out.write(s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+    finally out.close()
+    body
+    fs.delete(pending, false)
+  }
+
+  private[graft] def requireNoPendingBuild(fs: org.apache.hadoop.fs.FileSystem,
+                                           path: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_build-pending")),
+      s"$path has an incomplete (re)build — re-run the build before maintaining it")
+
   /** Two-rename publish of a fully-staged replacement tree: `dir` moves
     * aside to `dir.prev`, `staging` lands at `dir`, the survivor is
     * dropped. A crash between the renames is healed by [[recoverDir]] /
@@ -783,6 +823,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-reindex") {
+      requireNoPendingBuild(fs, path)
     recoverDir(fs, s"$path/cells")
     recoverDir(fs, s"$path/centroids")
     val stored = spark.read.parquet(s"$path/cells").select(col(idCol), col("v"))
@@ -833,6 +874,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lsh-reindex") {
+      requireNoPendingBuild(fs, path)
     recoverDir(fs, s"$path/sigs")
     recoverDir(fs, s"$path/vectors")
     recoverDir(fs, s"$path/config")
@@ -891,6 +933,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-compact") {
+      requireNoPendingBuild(fs, path)
       compactBatchStore(spark, s"$path/cells", Seq("cell"))
     }
   }
@@ -1158,16 +1201,24 @@ object Similarity {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
-    val cb = pqCodebooks(vectors, m, k, iters, dim, idCol, vecCol)
-    prepped(vectors, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/vectors/batch=0")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((m, k, dim)).toDF("m", "k", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
-    pqEncode(vectors, cb, m, dim, idCol, vecCol)
-      .write.mode("overwrite").parquet(s"$path/codes/batch=0")
+    // the store-wide lock serializes the long Lloyd fit against concurrent
+    // appenders (an append encoded against the OLD codebooks landing after
+    // the rebuild would silently mix codeword generations); the build
+    // marker turns a crash mid-rebuild into a loud refusal downstream
+    graft.store.MaintenanceLock.withLock(fs, path, "pq-build") {
+      withBuildMarker(fs, path) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+        val cb = pqCodebooks(vectors, m, k, iters, dim, idCol, vecCol)
+        prepped(vectors, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$path/vectors/batch=0")
+        cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+        Seq((m, k, dim)).toDF("m", "k", "dim")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+        pqEncode(vectors, cb, m, dim, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$path/codes/batch=0")
+      }
+    }
   }
 
   /** Incremental half: encode a new batch against the STORED (frozen)
@@ -1183,6 +1234,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "pq-append") {
+      requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/codes")
       recoverDir(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/codes/batch=$appendId")
@@ -1210,6 +1262,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "pq-compact") {
+      requireNoPendingBuild(fs, path)
       compactBatchStore(spark, s"$path/codes", Seq.empty) +
         compactBatchStore(spark, s"$path/vectors", Seq.empty)
     }

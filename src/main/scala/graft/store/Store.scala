@@ -163,6 +163,10 @@ object Store {
                     numFiles: Int = 32, bits: Int = 10): Unit = {
     val s = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (s.isNullAt(0)) { // empty input: no stats to bucket on — write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val n = 1 << bits
     def bucket(c: String, lo: Double, hi: Double) =
       if (lo == hi) lit(0L)

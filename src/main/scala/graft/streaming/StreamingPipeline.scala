@@ -971,11 +971,14 @@ object StreamingPipeline {
       val deduped = batch.select(cols.map(col): _*)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      val fresh = stored match {
+      // materialized once: the anti-join against the FULL ledgered history
+      // is the dominant per-batch cost, and `fresh` feeds three consumers
+      // (touched-bucket collect, the recompute union, the ledger write)
+      val fresh = (stored match {
         case Some(prev) => deduped.join(prev.select((keyCols :+ tsCol).map(col): _*),
           keyCols :+ tsCol, "left_anti")
         case None => deduped
-      }
+      }).localCheckpoint(true)
       val touched = fresh.select(bucketExpr.as("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: <= `buckets` values
       if (touched.nonEmpty) {
@@ -1083,8 +1086,19 @@ object StreamingPipeline {
               val filtered = stored
                 .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
                 .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-              rewriteScdBuckets(spark, filtered, storePath, keyCols, tsCol, attrCols,
-                touched.length, buckets)
+                .localCheckpoint(true)
+              // a touched bucket with NO ledgered history must be DROPPED,
+              // not left alone: dynamic partition overwrite only replaces
+              // partitions present in the recompute, so without the delete
+              // the bucket would keep serving the crashed batch's
+              // un-ledgered versions forever
+              val present = filtered.select(col("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSet
+              (touched.toSet -- present).foreach(b => fs.delete(
+                new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
+              if (present.nonEmpty)
+                rewriteScdBuckets(spark, filtered, storePath, keyCols, tsCol, attrCols,
+                  present.size, buckets)
             case None =>
               // crash on the very first batch: no ledgered history at all —
               // the touched buckets' data is entirely un-ledgered, drop them

@@ -36,7 +36,7 @@ object Subword {
     * <= U+0020), which would silently shift word counts against the SQL
     * convention every other corpus operator uses. Null maps to empty.
     */
-  private def sqlTrim(s: String): String = {
+  private[text] def sqlTrim(s: String): String = {
     val t = Option(s).getOrElse("")
     var i = 0; var j = t.length
     while (i < j && t.charAt(i) == ' ') i += 1
@@ -47,7 +47,7 @@ object Subword {
   /** Whitespace words of lowercased text — the Scala twin of
     * `split(trim(lower(text)), "\\s+")`.
     */
-  private def toWords(text: String): Array[String] =
+  private[text] def toWords(text: String): Array[String] =
     sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+")
 
   /** True iff the word contains a CODE POINT outside the alphabet. Iterating

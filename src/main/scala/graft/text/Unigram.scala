@@ -35,20 +35,11 @@ object Unigram {
     */
   val Unk = "[UNK]"
 
-  private def sqlTrim(s: String): String = {
-    val t = Option(s).getOrElse("")
-    var i = 0; var j = t.length
-    while (i < j && t.charAt(i) == ' ') i += 1
-    while (j > i && t.charAt(j - 1) == ' ') j -= 1
-    t.substring(i, j)
-  }
-
-  /** Whitespace words of lowercased text — the engine-wide convention
-    * (space-only trim + ROOT lowercase, see [[Subword.pieceVocab]]'s
-    * locale note).
+  /** Whitespace words of lowercased text — [[Subword.toWords]]' exact
+    * convention (space-only trim + ROOT lowercase), shared so the
+    * tokenizer trio can never drift on word boundaries.
     */
-  private def toWords(text: String): Array[String] =
-    sqlTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  private def toWords(text: String): Array[String] = Subword.toWords(text)
 
   /** Single code points of a word (surrogate-pair safe). */
   private def codePoints(word: String): Seq[String] = {

@@ -778,4 +778,28 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(Similarity.ivfAppendCells(mk(25 to 29), p, appendId = 3))
     }
   }
+
+  test("a crashed (re)build's pending marker makes maintenance refuse loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqmark").toString + "/pq"
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(8)((i % 5).toDouble + 0.5)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildPqIndex(vecs, m = 2, k = 4, iters = 1, base, dim = 8)
+    // a completed build leaves no marker; appends work
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_build-pending")
+    assert(!fs.exists(marker))
+    // plant the crash-window marker: every maintenance door refuses
+    val out = fs.create(marker, true); out.write("pid=0\n".getBytes); out.close()
+    val more = (30L until 35L).map(i => (i, Seq.fill(8)(1.25))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqAppendVectors(more, base, appendId = 1)
+    }
+    assert(e1.getMessage.contains("incomplete"))
+    intercept[IllegalArgumentException] { Similarity.compactPqIndex(spark, base) }
+    // a re-run of the build clears the marker and maintenance resumes
+    Similarity.buildPqIndex(vecs, m = 2, k = 4, iters = 1, base, dim = 8)
+    assert(!fs.exists(marker))
+    assert(Similarity.pqAppendVectors(more, base, appendId = 1))
+  }
 }
