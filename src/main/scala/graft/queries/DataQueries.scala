@@ -1063,6 +1063,23 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // IVF-PQ served from BOTH persisted stores — the production composed
+    // search path: centroids + cell assignments from the IVF store,
+    // codes + codebooks from the PQ store, the corpus vectors read by
+    // neither side. Must hash-match q133's in-memory compose (oracle
+    // verbatim): two trained structures round-trip their stores without
+    // moving a single ranking.
+    "q151_ann_ivfpq_stores" -> ((s, d) => {
+      val e = emb(s, d)
+      val ivfPath = ivfIndexPath(d) + "_cmp_ivf"
+      val pqPath = ivfIndexPath(d) + "_cmp_pq"
+      Similarity.buildIvfIndex(e, numCentroids = 8, iters = 3, ivfPath)
+      Similarity.buildPqIndex(e, m = 4, k = 8, iters = 2, pqPath)
+      Similarity.ivfPqProbeStores(e.filter(col("vec_id") < 10), ivfPath, pqPath,
+          k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
     // each query searches its 2 nearest cells while the corpus-side
     // partitioning is unchanged. Row-level oracle like q52's.
@@ -1686,6 +1703,9 @@ object DataQueries {
       nQueries = 100, topK = 3),
     "q133_ann_ivfpq" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4, k = 8,
       pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
+    // both stores' round-trips must be invisible: q133's oracle verbatim
+    "q151_ann_ivfpq_stores" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4,
+      k = 8, pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
     "q134_ann_pq_lifecycle" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5, fitWhere = "vec_id < 300"),
     // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the

@@ -1336,4 +1336,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
   }
+
+  /** [[ivfPqTopK]] served entirely from the persisted artifacts — the
+    * production composed-search path: cell pruning reads the IVF store's
+    * centroids (broadcast) + cell assignments (DPP prunes to the probed
+    * cells), scoring reads the PQ store's codes + codebooks, and the
+    * original corpus vectors are touched by NEITHER side. Bit-identical to
+    * the in-memory [[ivfPqTopK]] over the same corpus and geometry (the
+    * q151 gate's contract — both trained structures round-trip through
+    * their stores without moving a single ranking).
+    */
+  def ivfPqProbeStores(queries: DataFrame, ivfPath: String, pqPath: String,
+                       k: Int, nprobe: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsI = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(ivfPath), conf)
+    val fsP = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pqPath), conf)
+    val cent = spark.read.parquet(activeDir(fsI, s"$ivfPath/centroids"))
+    val assigned = spark.read.parquet(activeDir(fsI, s"$ivfPath/cells"))
+      .select(col(idCol), col("cell"))
+    val cfg = spark.read.parquet(activeDir(fsP, s"$pqPath/config")).head()
+    val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
+    val cb = spark.read.parquet(activeDir(fsP, s"$pqPath/codebooks"))
+    val codes = spark.read.parquet(activeDir(fsP, s"$pqPath/codes"))
+      .select(col(idCol), col("s"), col("code"))
+    val probes = prepped(queries, idCol, vecCol).join(broadcast(cent))
+      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(
+        struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
+        1, nprobe).as("__p"))
+      .select(col(idCol).as("query_id"), explode(col("__p.cid")).as("cell"))
+    val cand = probes.join(assigned.withColumnRenamed(idCol, "neighbor_id"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val lut = pqLut(queries, cb, dim / m, idCol, vecCol)
+    cand.join(codes.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .join(broadcast(lut.withColumnRenamed("query_id", "lqid")),
+        col("query_id") === col("lqid") &&
+          col("s") === col("ls") && col("code") === col("lcid"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("pdot")).as("sdot"), sum(col("pn2")).as("sn2"), max(col("qn")).as("qn"))
+      .withColumn("sim",
+        round((col("sdot") / 1e8) / (col("qn") * sqrt(col("sn2") / 1e8)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+  }
 }
