@@ -503,7 +503,11 @@ object DataQueries {
     * (centered exploded rows), `ptrace`, and `comps` = (comp, dim, w
     * signed, eigval).
     */
-  private def pcaCtes(p: Int, iters: Int): String = {
+  /** The per-component power-iteration/deflation loop + `comps` (leading
+    * comma) — references `pmu` (dims), `g0` (the covariance, however
+    * derived), shared by the centered-Gram and raw-moments prefixes.
+    */
+  private def pcaLoopCtes(p: Int, iters: Int): String = {
     val perC = (0 until p).map { c =>
       val loop = (1 to iters).map { t =>
         s""",
@@ -546,6 +550,13 @@ object DataQueries {
       s"""SELECT $c AS comp, x.i AS dim, x.w * s.sgn AS w, l.lam AS eigval
          |  FROM x${c}_$iters x CROSS JOIN s$c s CROSS JOIN l$c l""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
+    s"""$perC,
+       |comps AS (
+       |  $compsUnion
+       |)""".stripMargin
+  }
+
+  private def pcaCtes(p: Int, iters: Int): String =
     s"""WITH pe AS MATERIALIZED (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
@@ -569,11 +580,53 @@ object DataQueries {
        |ptrace AS MATERIALIZED (
        |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
        |  FROM g0 WHERE i = j
-       |)$perC,
-       |comps AS (
-       |  $compsUnion
-       |)""".stripMargin
-  }
+       |)${pcaLoopCtes(p, iters)}""".stripMargin
+
+  /** Raw-moments PCA prefix (the streamable path): the covariance derives
+    * from ADDITIVE quantized sums — count, per-dim first moments, and the
+    * second-moment matrix — via cov_ij = M2_ij/n/1e8 - mu_i*mu_j. The sums
+    * are plain BIGINTs, so any partition of the corpus accumulates to the
+    * identical store (the LM-counts additivity argument) — which is what
+    * makes the q153 stream-grown fit hash-equal to this batch fit.
+    */
+  private def pcaMomentsCtes(p: Int, iters: Int): String =
+    s"""WITH pe AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |),
+       |pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pe),
+       |pex AS MATERIALIZED (
+       |  SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
+       |  FROM pe, unnest(generate_series(1, len(v))) AS t(i)
+       |),
+       |pm1 AS MATERIALIZED (
+       |  SELECT i, CAST(sum(CAST(floor(x * 100000000.0) AS BIGINT)) AS BIGINT) AS s1
+       |  FROM pex GROUP BY 1
+       |),
+       |pm2 AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(floor(a.x * b.x * 100000000.0) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM pex a JOIN pex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       |),
+       |pmu AS MATERIALIZED (
+       |  SELECT i, CAST(s1 AS DOUBLE) / (SELECT nd FROM pnn) / 100000000.0 AS m
+       |  FROM pm1
+       |),
+       |g0 AS MATERIALIZED (
+       |  SELECT m2.i, m2.j,
+       |    CAST(m2.s2 AS DOUBLE) / (SELECT nd FROM pnn) / 100000000.0 - mi.m * mj.m AS g
+       |  FROM pm2 m2 JOIN pmu mi ON m2.i = mi.i JOIN pmu mj ON m2.j = mj.i
+       |),
+       |ptrace AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
+       |  FROM g0 WHERE i = j
+       |)${pcaLoopCtes(p, iters)}""".stripMargin
+
+  private def pcaMomentsOracle(p: Int, iters: Int): String =
+    s"""${pcaMomentsCtes(p, iters)}
+       |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
+       |  round(eigval, 6) AS eigval,
+       |  round(eigval / (SELECT tr FROM ptrace), 6) AS var_ratio
+       |FROM comps ORDER BY comp, dim""".stripMargin
 
   /** The q139 projection CTE (leading comma): centered rows x signed
     * loadings, quantized partials per (vector, component).
@@ -1078,6 +1131,37 @@ object DataQueries {
       Similarity.ivfPqProbeStores(e.filter(col("vec_id") < 10), ivfPath, pqPath,
           k = 3, nprobe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // Moments-path PCA: the covariance derives from ADDITIVE quantized
+    // sums (count + first moments + the second-moment matrix) instead of
+    // q138's centered Gram — the representation a streaming maintainer can
+    // grow. Same driver eigensolve; the oracle replays the raw-moments
+    // formula cov = M2/n/1e8 - mu mu^T bit-for-bit.
+    "q152_pca_moments" -> ((s, d) => {
+      graft.similarity.Pca.fitFromMoments(s,
+          graft.similarity.Pca.momentSums(emb(s, d)), p = 4, iters = 8)
+        .orderBy("comp", "dim")
+    }),
+
+    // The STREAM-grown twin (the q130 treatment): the embedding corpus
+    // arrives as three ledgered micro-batch moment merges, and the fit
+    // from the accumulated store must hash-match q152's batch fit (oracle
+    // verbatim) — BIGINT-sum additivity makes the lifecycle exact, not
+    // approximately healed.
+    "q153_pca_moments_stream" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pcamom"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".prev"), true)
+      val e = emb(s, d)
+      val up = graft.streaming.StreamingPipeline.pcaMomentsBatch(path) _
+      up(e.filter(col("vec_id") % 3 === 0), 0L)
+      up(e.filter(col("vec_id") % 3 === 1), 1L)
+      up(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.similarity.Pca.fitFromMoments(s, s.read.parquet(path), p = 4, iters = 8)
+        .orderBy("comp", "dim")
     }),
 
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
@@ -1678,6 +1762,9 @@ object DataQueries {
     "q139_pca_project" -> pcaProjectOracle(p = 4, iters = 8),
     // the store round-trip must be invisible: q139's oracle verbatim
     "q143_pca_store" -> pcaProjectOracle(p = 4, iters = 8),
+    "q152_pca_moments" -> pcaMomentsOracle(p = 4, iters = 8),
+    // the stream-grown moments store must fit identically: q152 verbatim
+    "q153_pca_moments_stream" -> pcaMomentsOracle(p = 4, iters = 8),
     "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
       pqIters = 2, nQueries = 10, topK = 5),
     "q147_ridge_fit" ->

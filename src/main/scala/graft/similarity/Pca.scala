@@ -200,6 +200,62 @@ object Pca {
       .select(col(idCol), col("ps.proj").as("pv"))
       .withColumn("pn", sqrt(graft.expressions.DotProduct(col("pv"), col("pv"))))
 
+  /** Raw (uncentered) quantized moment sums — the STREAMABLE fit state:
+    * count, per-dim first moments, and the d x d second-moment matrix, all
+    * plain BIGINT sums, so any partition of the corpus accumulates to the
+    * identical table (the LM-count additivity argument) and a streaming
+    * maintainer can grow the state with ledgered SUM-merges. Long form:
+    * (i, j, q) — (i, -1) rows are first moments, (-1, -1) is the count.
+    */
+  def momentSums(vectors: DataFrame, dim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val b = vectors.select(asDouble(col(vecCol)).as("v"))
+    val ex = b.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+    val m2 = ex.select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("long")).as("q"))
+    val m1 = b.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(floor(col("x") * Q).cast("long")).as("q"))
+      .select(col("i"), lit(-1).as("j"), col("q"))
+    val cnt = b.agg(count(lit(1)).as("q"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("q"))
+    m2.select(col("i"), col("j"), col("q")).unionByName(m1).unionByName(cnt)
+  }
+
+  /** SUM-merge two moment tables (the streaming maintainer's combine). */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("i"), col("j")).agg(sum(col("q")).as("q"))
+
+  /** Fit components FROM accumulated moments: mu_i = S1_i/n/1e8 and
+    * cov_ij = M2_ij/n/1e8 - mu_i*mu_j — a different (but equally pinned)
+    * derivation than [[covariance]]'s centered floor-sums, chosen because
+    * it is ADDITIVE; the q152 oracle replays exactly this formula. The
+    * eigensolve and output shape are [[fitComponents]]'.
+    */
+  def fitFromMoments(spark: SparkSession, moments: DataFrame, p: Int, iters: Int,
+                     dim: Int = 64): DataFrame = {
+    val rows = moments.collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Long]("q")).toMap
+    val n = rows.getOrElse((-1, -1),
+      throw new IllegalArgumentException("moments table has no count row")).toDouble
+    require(n > 0, "PCA needs a non-empty vector set")
+    val mu = Array.tabulate(dim)(i => rows((i, -1)).toDouble / n / Q)
+    val g = Array.tabulate(dim, dim) { (i, j) =>
+      rows((i, j)).toDouble / n / Q - mu(i) * mu(j)
+    }
+    val comps = powerIteration(g, p, iters)
+    val out = for (cp <- comps; i <- 0 until dim)
+      yield Row(cp.comp, i, cp.weights(i), cp.eigval, cp.varRatio)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(StructField("comp", IntegerType, nullable = false),
+        StructField("dim", IntegerType, nullable = false),
+        StructField("w", DoubleType, nullable = false),
+        StructField("eigval", DoubleType, nullable = false),
+        StructField("var_ratio", DoubleType, nullable = false))))
+  }
+
   /** Fit-once half of the PCA artifact (the persisted-index treatment the
     * IVF/LSH/PQ/LM/vocab families get): land the centering means and the
     * loading matrix as parquet under `path` —

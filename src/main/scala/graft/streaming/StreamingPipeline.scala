@@ -919,6 +919,29 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(mgMergeBatch(storePath, itemCol, k) _)
 
+  /** Incremental PCA-moments maintenance — the `foreachBatch` body for a
+    * live embedding feed: [[graft.similarity.Pca.momentSums]]' count/first/
+    * second-moment BIGINT sums merge by plain SUM (additive by
+    * construction), so [[ledgeredSumMerge]]'s batch-id ledger + staged swap
+    * give exactly-once accumulation, and `Pca.fitFromMoments` over the
+    * store is hash-identical to the batch fit over all delivered vectors —
+    * the model keeps refitting as the corpus arrives, at d^2-row state.
+    */
+  def pcaMomentsBatch(storePath: String, dim: Int = 64)
+                     (batch: DataFrame, batchId: Long): Unit =
+    ledgeredSumMerge(batch.sparkSession, storePath, batchId)(
+      graft.similarity.Pca.momentSums(batch, dim),
+      graft.similarity.Pca.mergeMoments)
+
+  /** Streaming wrapper: embedding feed -> incremental moments store. */
+  def pcaMomentsStream(embeddings: DataFrame, storePath: String,
+                       checkpoint: String, dim: Int = 64): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(pcaMomentsBatch(storePath, dim) _)
+
   // ---- streaming SCD Type-2 dimension maintenance ------------------------
 
   /** Incremental SCD Type-2 maintenance — the `foreachBatch` body for a

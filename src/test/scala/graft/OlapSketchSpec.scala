@@ -357,4 +357,36 @@ class OlapSketchSpec extends SparkSpec {
     val after = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
     assert(before == after, "replayed batch must not re-merge")
   }
+
+  test("streaming PCA moments store: restart/replay fit == batch fit bit-for-bit") {
+    import graft.similarity.Pca
+    val base = java.nio.file.Files.createTempDirectory("graft_pcam").toString
+    val in = s"$base/in"; val store = s"$base/mom"
+    def mk(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, Seq.tabulate(8)(d => ((i * 13 + d * 7) % 11).toDouble - 5.0)))
+      .toDF("vec_id", "embedding")
+    val b1 = mk(0, 25); val b2 = mk(25, 40)
+    b1.write.mode("overwrite").parquet(in)
+    def streamOnce(): Unit = {
+      val q = StreamingPipeline.pcaMomentsStream(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+          .option("maxFilesPerTrigger", "16").parquet(in),
+        store, s"$base/ckpt", dim = 8).start()
+      q.awaitTermination(60000)
+    }
+    streamOnce()
+    b2.write.mode("append").parquet(in)
+    streamOnce()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("comp", "dim").collect().map(_.toString).toSeq
+    val streamed = canon(Pca.fitFromMoments(spark, spark.read.parquet(store),
+      p = 2, iters = 6, dim = 8))
+    val batch = canon(Pca.fitFromMoments(spark,
+      Pca.momentSums(mk(0, 40), dim = 8), p = 2, iters = 6, dim = 8))
+    assert(streamed == batch, "stream-grown moments fit diverged from the batch fit")
+    // replays are no-ops (the _batches ledger refuses)
+    StreamingPipeline.pcaMomentsBatch(store, dim = 8)(b1, 0L)
+    assert(canon(Pca.fitFromMoments(spark, spark.read.parquet(store),
+      p = 2, iters = 6, dim = 8)) == batch)
+  }
 }

@@ -153,6 +153,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PCA moment sums are additive: any 3-way split merges to the monolithic table") {
+    import graft.similarity.Pca
+    val dim = 6
+    for (seed <- 0 until 3) {
+      val vecs = draws(Gen.listOfN(40, Gen.listOfN(dim, Gen.chooseNum(-5.0, 5.0))), 1).head
+        .zipWithIndex.map { case (v, i) => ((i + seed * 100).toLong, v) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val cuts = draws(Gen.listOfN(2, Gen.choose(0, vecs.length)), 1).head.sorted
+      val parts = (Seq(0) ++ cuts ++ Seq(vecs.length)).sliding(2).map {
+        case Seq(a, b) => vecs.slice(a, b).toDF("vec_id", "embedding")
+      }.toSeq
+      val merged = parts.map(p => Pca.momentSums(p, dim))
+        .reduce(Pca.mergeMoments)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val mono = Pca.momentSums(df, dim)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(merged == mono, s"seed $seed: split-merged moments differ from monolithic")
+    }
+  }
+
   test("misra-gries guarantee holds over any partition split of random skewed streams") {
     val itemGen = Gen.frequency(
       (8, Gen.choose(0, 4)),    // a few hot items
