@@ -1452,6 +1452,17 @@ object DataQueries {
 
     // Top-3 TF-IDF terms per document, ranked on the quantized score with a
     // term tie-break so ordering is total and cross-engine.
+    // Sparse TF-IDF cosine neighbors over word-trigram shingles (the
+    // inverted-index similarity join — the lexical complement to the
+    // embedding ANN stack): top-3 neighbors per query doc among documents
+    // SHARING at least one kept shingle, boilerplate shingles dropped at
+    // df > 20, quantized partial dots. No dense vectors, no n^2 — pair
+    // cost tracks shared-shingle fan-out only, capped per shingle.
+    "q154_tfidf_ann" -> ((s, d) => {
+      TextOps.tfidfCosineTopK(docs(s, d), k = 3, maxDf = 20, nQueries = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     "q61_tfidf_top_terms" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
@@ -1718,6 +1729,53 @@ object DataQueries {
         |)
         |SELECT doc_id, term, tf, doc_len, bm25, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q154_tfidf_ann" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3
+        |),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN nd
+        |),
+        |kept AS (
+        |  SELECT s.doc_id, s.term, s.tfidf
+        |  FROM scored s JOIN dfx USING (term) WHERE dfx.df <= 20
+        |),
+        |norms AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(floor(tfidf * tfidf * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |         / 100000000.0) AS nrm
+        |  FROM kept GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    CAST(sum(CAST(floor(q.tfidf * c.tfidf * 100000000.0) AS BIGINT)) AS BIGINT) AS sdot
+        |  FROM kept q JOIN kept c ON q.term = c.term AND q.doc_id <> c.doc_id
+        |  WHERE q.doc_id < 20
+        |  GROUP BY 1, 2
+        |),
+        |sims AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |    round((CAST(p.sdot AS DOUBLE) / 100000000.0) / (nq.nrm * nc.nrm), 6) AS sim
+        |  FROM pairs p
+        |  JOIN norms nq ON p.query_id = nq.doc_id
+        |  JOIN norms nc ON p.neighbor_id = nc.doc_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q61_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -59,6 +59,72 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF document similarity — top-k cosine neighbors through an
+    * INVERTED-INDEX join, the lexical complement to the embedding-side ANN
+    * stack: no dense vectors anywhere, a pair is scored only when the two
+    * documents SHARE a term, and the per-term fan-out is capped by `maxDf`
+    * (terms in more than maxDf documents are dropped from the metric —
+    * the stop-term pruning every inverted index applies, and the same
+    * self-consistent treatment [[graft.dedup.Dedup.ngramJaccardPairs]]
+    * gives hot shingles: norms and dots both use only kept terms).
+    *
+    * Scale shape: one shuffle on term (bounded df^2 pair fan-out per
+    * term), one hash aggregation on (query, neighbor) with integer-
+    * quantized partial dots (addition-order-independent), one bounded
+    * per-query ranking window. At 100 TB this is the classic sparse
+    * similarity join — cost tracks shared-term pairs, never n^2.
+    */
+  def tfidfCosineTopK(docs: DataFrame, k: Int, maxDf: Long, nQueries: Long,
+                      shingleN: Int = 3, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    // terms are word n-gram shingles by default: single words degenerate on
+    // small-vocabulary corpora (every doc shares every word, so a df cap
+    // either keeps nothing or keeps everything), while shingles carry the
+    // discriminative phrase structure the lexical metric needs
+    val toks =
+      if (shingleN <= 1)
+        docs.select(col(idCol).as("doc_id"),
+          explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      else {
+        val words = split(trim(lower(col(textCol))), "\\s+")
+        val grams = when(size(col("__w")) >= shingleN,
+          expr(s"transform(sequence(0, size(__w) - $shingleN), i -> concat_ws(' ', slice(__w, i + 1, $shingleN)))"))
+          .otherwise(array().cast("array<string>"))
+        docs.select(col(idCol).as("doc_id"),
+            graft.core.Eval.materialized(words).as("__w"))
+          .select(col("doc_id"), explode(grams).as("term"))
+      }
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w0 = tf.crossJoin(broadcast(nDocs)).join(dfx, "term")
+      .withColumn("tfidf",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+    val kept = w0.join(dfx.filter(col("df") <= maxDf).select(col("term")), "term")
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sqrt(sum(floor(col("tfidf") * col("tfidf") * 1e8).cast("long"))
+        .cast("double") / 1e8).as("nrm"))
+    val q = kept.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"), col("tfidf").as("qw"))
+    val pairs = q.join(
+        kept.select(col("doc_id").as("neighbor_id"), col("term"), col("tfidf").as("cw")),
+        "term")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(floor(col("qw") * col("cw") * 1e8).cast("long")).as("sdot"))
+    pairs
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("qn")), "query_id")
+      .join(norms.select(col("doc_id").as("neighbor_id"), col("nrm").as("cn")), "neighbor_id")
+      .withColumn("sim",
+        round((col("sdot").cast("double") / 1e8) / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** BM25 (Okapi) term scoring: idf = ln((N - df + 0.5)/(df + 0.5) + 1)
     * (the non-negative variant), tf component saturates at k1 and is
     * normalized by relative document length with slope b. Same plan shape
