@@ -1450,8 +1450,6 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
-    // Top-3 TF-IDF terms per document, ranked on the quantized score with a
-    // term tie-break so ordering is total and cross-engine.
     // Sparse TF-IDF cosine neighbors over word-trigram shingles (the
     // inverted-index similarity join — the lexical complement to the
     // embedding ANN stack): top-3 neighbors per query doc among documents
@@ -1463,6 +1461,8 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Top-3 TF-IDF terms per document, ranked on the quantized score with a
+    // term tie-break so ordering is total and cross-engine.
     "q61_tfidf_top_terms" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
@@ -1751,10 +1751,12 @@ object DataQueries {
         |  FROM scored s JOIN dfx USING (term) WHERE dfx.df <= 20
         |),
         |norms AS (
-        |  SELECT doc_id,
-        |    sqrt(CAST(sum(CAST(floor(tfidf * tfidf * 100000000.0) AS BIGINT)) AS DOUBLE)
-        |         / 100000000.0) AS nrm
-        |  FROM kept GROUP BY 1
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      sqrt(CAST(sum(CAST(floor(tfidf * tfidf * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |           / 100000000.0) AS nrm
+        |    FROM kept GROUP BY 1
+        |  ) WHERE nrm > 0.0
         |),
         |pairs AS (
         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,

@@ -207,9 +207,18 @@ object Pca {
     * maintainer can grow the state with ledgered SUM-merges. Long form:
     * (i, j, q) — (i, -1) rows are first moments, (-1, -1) is the count.
     */
-  def momentSums(vectors: DataFrame, dim: Int = 64, idCol: String = "vec_id",
+  def momentSums(vectors: DataFrame, dim: Int = 64,
                  vecCol: String = "embedding"): DataFrame = {
-    val b = vectors.select(asDouble(col(vecCol)).as("v"))
+    // per-row dimensionality check AT SCAN TIME: a mixed-width feed would
+    // otherwise accumulate silently-skewed moments (short vectors count in
+    // n but contribute nothing to their missing dims) — the covariance
+    // path's fail-loudly rule, enforced row-by-row here because the
+    // moments are lazy and streamed
+    val b = vectors.select(
+      when(size(col(vecCol)) === dim, asDouble(col(vecCol)))
+        .otherwise(raise_error(concat(
+          lit(s"momentSums: expected $dim-dim vector, got "),
+          size(col(vecCol)).cast("string")))).as("v"))
     val ex = b.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
     val m2 = ex.select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
@@ -240,6 +249,10 @@ object Pca {
     val n = rows.getOrElse((-1, -1),
       throw new IllegalArgumentException("moments table has no count row")).toDouble
     require(n > 0, "PCA needs a non-empty vector set")
+    // clear mismatch error instead of a bare key-not-found on the fill
+    val dims = rows.keysIterator.collect { case (i, -1) if i >= 0 => i }.toSet
+    require(dims == (0 until dim).toSet,
+      s"moments cover dimensions ${dims.toSeq.sorted.mkString(",")}, caller said $dim")
     val mu = Array.tabulate(dim)(i => rows((i, -1)).toDouble / n / Q)
     val g = Array.tabulate(dim, dim) { (i, j) =>
       rows((i, j)).toDouble / n / Q - mu(i) * mu(j)

@@ -1309,8 +1309,22 @@ object Similarity {
       .select(col(idCol), col("cell"))
     val cb = pqCodebooks(corpus, m, codebookK, pqIters, dim, idCol, vecCol)
     val codes = pqEncode(corpus, cb, m, dim, idCol, vecCol)
-    // query side: nprobe nearest cells per query, same bounded sorted-take
-    // as ivfKmeansTopKProbed (no ranking window)
+    ivfPqSearchCore(cent, assigned, cb, codes, queries, k, nprobe, m, dim,
+      idCol, vecCol)
+  }
+
+  /** The ONE query-side IVF-PQ pipeline behind [[ivfPqTopK]] (in-memory)
+    * and [[ivfPqProbeStores]] (from artifacts): nprobe cell selection with
+    * the exact assignment total order (the ivfKmeansTopKProbed bounded
+    * sorted-take, no ranking window), cell-local candidates, and the
+    * integer-quantized ADC scoring tail. Both callers' gates (q133/q151)
+    * assume bit-identical rankings, so the tie-breaks and rounding live
+    * here exactly once.
+    */
+  private def ivfPqSearchCore(cent: DataFrame, assigned: DataFrame, cb: DataFrame,
+                              codes: DataFrame, queries: DataFrame, k: Int,
+                              nprobe: Int, m: Int, dim: Int, idCol: String,
+                              vecCol: String): DataFrame = {
     val probes = prepped(queries, idCol, vecCol).join(broadcast(cent))
       .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
       .groupBy(col(idCol))
@@ -1361,27 +1375,7 @@ object Similarity {
     val cb = spark.read.parquet(activeDir(fsP, s"$pqPath/codebooks"))
     val codes = spark.read.parquet(activeDir(fsP, s"$pqPath/codes"))
       .select(col(idCol), col("s"), col("code"))
-    val probes = prepped(queries, idCol, vecCol).join(broadcast(cent))
-      .withColumn("csim", round(ndot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-      .groupBy(col(idCol))
-      .agg(slice(sort_array(collect_list(
-        struct(col("csim"), (-col("cid")).as("nc"), col("cid"))), asc = false),
-        1, nprobe).as("__p"))
-      .select(col(idCol).as("query_id"), explode(col("__p.cid")).as("cell"))
-    val cand = probes.join(assigned.withColumnRenamed(idCol, "neighbor_id"), "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-    val lut = pqLut(queries, cb, dim / m, idCol, vecCol)
-    cand.join(codes.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
-      .join(broadcast(lut.withColumnRenamed("query_id", "lqid")),
-        col("query_id") === col("lqid") &&
-          col("s") === col("ls") && col("code") === col("lcid"))
-      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
-      .agg(sum(col("pdot")).as("sdot"), sum(col("pn2")).as("sn2"), max(col("qn")).as("qn"))
-      .withColumn("sim",
-        round((col("sdot") / 1e8) / (col("qn") * sqrt(col("sn2") / 1e8)), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+    ivfPqSearchCore(cent, assigned, cb, codes, queries, k, nprobe, m, dim,
+      idCol, vecCol)
   }
 }

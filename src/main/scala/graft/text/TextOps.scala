@@ -47,16 +47,26 @@ object TextOps {
     * last-ulp differences in `ln` across engines/libm builds.
     * Output: (doc_id, term, tf, tfidf).
     */
-  def tfidf(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+  def tfidf(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tfidfWeights(docs,
+        docs.select(col(idCol).as("doc_id"),
+          explode(split(trim(lower(col(textCol))), "\\s+")).as("term")), idCol)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+
+  /** The ONE tf/df/idf scoring pipeline behind [[tfidf]] and
+    * [[tfidfCosineTopK]] — the floor(tf * ln(n/df) * 1e6 + 0.5)/1e6
+    * quantization is a cross-engine convention mirrored by the q61/q154
+    * oracles, so it must never exist as two drifting copies. Keeps `df`
+    * so callers can cap fan-out without re-joining.
+    */
+  private def tfidfWeights(docs: DataFrame, toks: DataFrame, idCol: String): DataFrame = {
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     tf.join(dfx, "term").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
-      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Sparse TF-IDF document similarity — top-k cosine neighbors through an
@@ -80,31 +90,28 @@ object TextOps {
     // terms are word n-gram shingles by default: single words degenerate on
     // small-vocabulary corpora (every doc shares every word, so a df cap
     // either keeps nothing or keeps everything), while shingles carry the
-    // discriminative phrase structure the lexical metric needs
+    // discriminative phrase structure the lexical metric needs. Shingles
+    // come from the shared [[ngrams]] constructor (one shingle-window
+    // convention repo-wide) over the LOWERCASED token binding.
     val toks =
       if (shingleN <= 1)
         docs.select(col(idCol).as("doc_id"),
           explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
-      else {
-        val words = split(trim(lower(col(textCol))), "\\s+")
-        val grams = when(size(col("__w")) >= shingleN,
-          expr(s"transform(sequence(0, size(__w) - $shingleN), i -> concat_ws(' ', slice(__w, i + 1, $shingleN)))"))
-          .otherwise(array().cast("array<string>"))
+      else
         docs.select(col(idCol).as("doc_id"),
-            graft.core.Eval.materialized(words).as("__w"))
-          .select(col("doc_id"), explode(grams).as("term"))
-      }
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val w0 = tf.crossJoin(broadcast(nDocs)).join(dfx, "term")
-      .withColumn("tfidf",
-        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
+            graft.core.Eval.materialized(
+              split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+          .select(col("doc_id"), explode(ngrams(shingleN)).as("term"))
+    val kept = tfidfWeights(docs, toks, idCol)
+      .filter(col("df") <= maxDf)
       .select(col("doc_id"), col("term"), col("tfidf"))
-    val kept = w0.join(dfx.filter(col("df") <= maxDf).select(col("term")), "term")
+    // a doc whose kept terms all carry zero weight (a shingle in EVERY doc
+    // has idf 0) would divide by a zero norm — NULL sims in Spark, inf in
+    // DuckDB; exclude such docs from the metric on both sides
     val norms = kept.groupBy(col("doc_id"))
       .agg(sqrt(sum(floor(col("tfidf") * col("tfidf") * 1e8).cast("long"))
         .cast("double") / 1e8).as("nrm"))
+      .filter(col("nrm") > 0.0)
     val q = kept.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("term"), col("tfidf").as("qw"))
     val pairs = q.join(
