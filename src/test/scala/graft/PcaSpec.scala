@@ -95,6 +95,25 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(math.abs(pu(0)) - 50.0) < 1.0, s"got ${pu(0)}")
   }
 
+  test("momentSums fails loudly on a mixed-width feed instead of skewing the fit") {
+    val mixed = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (2L, Seq(1.0, 2.0, 3.0)) // wrong width
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.momentSums(mixed, dim = 8).collect()
+    }
+    assert(e.getMessage.contains("expected 8-dim vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected 8-dim vector")),
+      s"got: ${e.getMessage}")
+    // and fitFromMoments names the mismatch when handed foreign moments
+    val ok = Pca.momentSums(axisData, dim = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.fitFromMoments(spark, ok, p = 2, iters = 4, dim = 16)
+    }
+    assert(e2.getMessage.contains("caller said 16"))
+  }
+
   test("projectedVectors emits comp-ordered arrays with norms") {
     val pv = Pca.projectedVectors(axisData, dim = 8, p = 2, iters = 8)
     val row = pv.filter($"vec_id" === 0L).collect().head

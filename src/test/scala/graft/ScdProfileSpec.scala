@@ -80,6 +80,13 @@ class ScdProfileSpec extends SparkSpec {
       && score.getAs[Double]("min_num") == 2.5 && score.getAs[Double]("max_num") == 7.5)
   }
 
+  test("profile handles column names that need quoting") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("my-col", "it's")
+    val rows = Profile.profile(df, Seq("my-col", "it's"))
+      .collect().map(r => r.getAs[String]("column_name")).toSet
+    assert(rows == Set("my-col", "it's"))
+  }
+
   test("profile is a single aggregation pass (one scan of the input)") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
     val plan = Profile.profile(df, Seq("id", "tag")).queryExecution.optimizedPlan
