@@ -181,6 +181,141 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + image near-dup — the dedup family
+  // extended to image bytes. The pipeline is REAL end-to-end: pixels render
+  // into actual PNG payloads (javax.imageio encode), the hash decodes those
+  // payloads back through the real reader and thumbnails non-9x8 inputs
+  // with a Graphics2D scale — the industry-standard difference-hash recipe
+  // (scale to 9x8 grayscale, hash = adjacent-pixel comparisons).
+  //
+  // ORACLE STRATEGY (what makes this gateable without an image decoder in
+  // DuckDB): the gate corpus renders its images DETERMINISTICALLY from the
+  // embeddings table — pixel(y, x) = floor(clamp((v[(9y+x) mod d] + 3)/6,
+  // 0, 1) * 255), all double arithmetic — and gray8 PNG is lossless, so
+  // dHash(decode(render(v))) has a closed form DuckDB can compute straight
+  // from the vector. A byte flipped anywhere in the encode → decode →
+  // thumbnail → compare chain breaks the hash equality, so the gate pins
+  // the REAL codec path bit-for-bit, not a fake.
+  // ---------------------------------------------------------------------
+
+  /** The shared pixel quantizer (double in, 0..255 int out) — keep in exact
+    * sync with the SQL replay in the q155/q157 oracles.
+    */
+  private def quantizePixel(v: Double): Int =
+    math.floor(math.min(1.0, math.max(0.0, (v + 3.0) / 6.0)) * 255.0).toInt
+
+  /** Render one 9x8 8-bit grayscale PNG per vector row (id, array<double>):
+    * pixel (y, x) quantizes dimension (9y + x) mod d. Map-only, payloads
+    * are ~100-byte blobs; at scale this is the "images live in a binary
+    * column" ingest shape with a generator standing in for the crawl.
+    */
+  def renderGrayPngs(vectors: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Dataset[MediaRecord] = {
+    import vectors.sparkSession.implicits._
+    vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = img.getRaster
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              ras.setSample(x, y, 0, quantizePixel(v((y * 9 + x) % v.length)))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, bos.toByteArray, "image/png")
+        }
+      }
+  }
+
+  case class ImageHash(doc_id: Long, dhash: Long, decoded: Boolean)
+
+  /** 63-bit difference hash over the REAL decoded image: payload ->
+    * `ImageIO.read` -> (if not already 9x8 gray) Graphics2D thumbnail ->
+    * bit (8y + x) set iff pixel(y, x) < pixel(y, x + 1), for y in 0..7 and
+    * x in 0..7 minus the (7,7) slot — 63 comparisons, never touching the
+    * sign bit, so the hash survives BIGINT engines and band arithmetic
+    * without wrap surprises. Undecodable payloads fall back to a
+    * deterministic digest-derived hash with `decoded = false` (the
+    * [[ImageIoCodec]] corrupt-input discipline: one bad blob must not kill
+    * the task, and the flag lets callers quarantine the fallbacks).
+    */
+  def imageDhash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      batch.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth < 1 || img.getHeight < 1) {
+          // deterministic fallback: top 63 bits of the payload digest
+          val d = md.digest(r.payload)
+          val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 1
+          ImageHash(r.doc_id, h, decoded = false)
+        } else {
+          val thumb =
+            if (img.getWidth == 9 && img.getHeight == 8 &&
+              img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+            else {
+              val t = new java.awt.image.BufferedImage(
+                9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = t.createGraphics()
+              try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+              t
+            }
+          val ras = thumb.getRaster
+          var h = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8 && (y < 7 || x < 7)) {
+              if (ras.getSample(x, y, 0) < ras.getSample(x + 1, y, 0))
+                h |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(r.doc_id, h, decoded = true)
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs by banded Hamming over the dHash — the
+    * [[graft.dedup.Dedup.simhashPairs]] mine verbatim (one groupBy + pair
+    * explode, no self-join): four 16-bit bands (the top band carries 15
+    * live bits) guarantee recall for Hamming distance <= 3 by pigeonhole;
+    * candidates verify by exact `bit_count(xor)`. Input: (doc_id, dhash).
+    * Output: distinct (doc_a, doc_b, hamming).
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("band"), col("dhash"))
+      .withColumn("bkey", expr("((dhash >> (band * 16)) & 65535) + band * 65536"))
+    banded.groupBy(col("bkey"))
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("dhash")))).as("__ds"))
+      .filter(size(col("__ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(__ds) - 2), i ->
+          |  transform(sequence(i + 1, size(__ds) - 1), j ->
+          |    struct(__ds[i].doc_id AS doc_a, __ds[j].doc_id AS doc_b,
+          |           __ds[i].dhash AS ha, __ds[j].dhash AS hb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Column-expression twin of the fake decode (used by the oracle-checked
     * query so DuckDB can mirror it; the Dataset path above is the operator).
     */

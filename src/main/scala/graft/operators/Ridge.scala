@@ -36,7 +36,20 @@ object Ridge {
   final case class RidgeFit(features: Seq[String], mu: Seq[Double], sd: Seq[Double],
                             yMu: Double, ySd: Double, weights: Seq[Double])
 
-  private def qsum(c: org.apache.spark.sql.Column) = sum(floor(c * Q).cast("long"))
+  /** Quantized-partial sum, accumulated as DECIMAL(38,0): per-term values
+    * are exact integers (|x| < 2^53/1e8 per term — the floor-on-double
+    * envelope), and a 38-digit accumulator keeps the advertised
+    * "n is billions of rows" honest — a BIGINT accumulator silently wraps
+    * once sum(|x|) exceeds ~9.2e10 (raw labels like n_chars hit that at
+    * ~1e7 rows). DuckDB's oracle side already accumulates BIGINT sums in
+    * HUGEINT, so the engines agree wherever either is in range.
+    */
+  private def qsum(c: org.apache.spark.sql.Column) =
+    sum(floor(c * Q).cast("decimal(38,0)"))
+
+  /** Read a qsum cell back as the exact integer it holds, as Double. */
+  private def qget(row: Row, name: String): Double =
+    row.getAs[java.math.BigDecimal](name).doubleValue
 
   /** Standardized column for feature i under the fitted moments. */
   private def zCol(c: org.apache.spark.sql.Column, mu: Double, sd: Double) =
@@ -53,7 +66,7 @@ object Ridge {
 
     val meanRow = df.agg(qsum(col(cols.head)).as("q0"),
       cols.tail.zipWithIndex.map { case (c, i) => qsum(col(c)).as(s"q${i + 1}") }: _*).head()
-    val mus = cols.indices.map(i => meanRow.getAs[Long](s"q$i").toDouble / n / Q)
+    val mus = cols.indices.map(i => qget(meanRow, s"q$i") / n / Q)
 
     // squared via explicit multiply, not pow(): x*x is pinned by IEEE 754,
     // pow's libm rounding is not
@@ -63,8 +76,7 @@ object Ridge {
       cols.tail.zipWithIndex.map { case (c, i) =>
         qsum(sq(col(c) - mus(i + 1))).as(s"q${i + 1}")
       }: _*).head()
-    val sds = cols.indices.map(i =>
-      math.sqrt(varRow.getAs[Long](s"q$i").toDouble / n / Q))
+    val sds = cols.indices.map(i => math.sqrt(qget(varRow, s"q$i") / n / Q))
 
     val zs = featureCols.indices.map(i => zCol(col(featureCols(i)), mus(i), sds(i)))
     val zy = zCol(col(labelCol), mus(d), sds(d))
@@ -75,10 +87,10 @@ object Ridge {
     val mRow = df.agg(momentAggs.head, momentAggs.tail: _*).head()
     val a = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
-      val v = mRow.getAs[Long](s"a_${i}_$j").toDouble / n / Q
+      val v = qget(mRow, s"a_${i}_$j") / n / Q
       a(i)(j) = v; a(j)(i) = v
     }
-    val b = Array.tabulate(d)(i => mRow.getAs[Long](s"b_$i").toDouble / n / Q)
+    val b = Array.tabulate(d)(i => qget(mRow, s"b_$i") / n / Q)
 
     var w = Array.fill(d)(0.0)
     for (_ <- 0 until iters) {

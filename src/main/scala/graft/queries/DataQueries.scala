@@ -34,6 +34,62 @@ object DataQueries {
     */
   private val triCte: String = OracleCte.triCte
 
+  /** q155/q157 gate corpus: every embedding rendered as a 9x8 gray PNG,
+    * plus planted near-dup twins of vec_id < 10 (id + 1,000,000; dimension
+    * vec_id nudged by exactly 0.125). All pixel math is double and the
+    * nudge is a power of two, so the DuckDB oracles replay the corpus
+    * bit-for-bat from the embeddings table.
+    */
+  private def dhashCorpus(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val base = emb(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // perturb FIRST, rename after: projecting `vec_id + 1000000 AS vec_id`
+    // in the same select makes the lambda's vec_id reference resolve to the
+    // SHIFTED alias (measured: the nudge then never fires — i is 0..63,
+    // the alias is 1e6+), silently rendering unperturbed twins
+    val planted = base.filter(col("vec_id") < 10)
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i.cast("long") === col("vec_id"), x + lit(0.125)).otherwise(x)).as("v"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+    Multimodal.renderGrayPngs(base.unionByName(planted), "vec_id", "v")
+  }
+
+  /** Shared CTE prefix for the q155/q157 oracles: corpus (base + planted
+    * twins), the 9x8 pixel grid, and the 63-bit dHash — the SQL replay of
+    * renderGrayPngs + imageDhash (lossless gray8 PNG makes them equal).
+    */
+  private val dhashCtes: String =
+    """WITH base AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+      |),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         [CASE WHEN i - 1 = vec_id THEN v[i] + 0.125 ELSE v[i] END
+      |          FOR i IN generate_series(1, len(v))] AS v
+      |  FROM base WHERE vec_id < 10
+      |),
+      |cells AS (
+      |  SELECT c.vec_id, t.y, u.x,
+      |    CAST(floor(least(greatest((v[((t.y * 9 + u.x) % len(v)) + 1] + 3.0) / 6.0,
+      |                              0.0), 1.0) * 255.0) AS BIGINT) AS p
+      |  FROM corpus c, unnest(generate_series(0, 7)) AS t(y),
+      |       unnest(generate_series(0, 8)) AS u(x)
+      |),
+      |dh AS (
+      |  SELECT a.vec_id,
+      |    CAST(sum(CASE WHEN a.p < b.p
+      |                  THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END)
+      |         AS BIGINT) AS dhash
+      |  FROM cells a JOIN cells b
+      |    ON a.vec_id = b.vec_id AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND NOT (a.y = 7 AND a.x = 7)
+      |  GROUP BY 1
+      |)""".stripMargin
+
   /** The uncapped MinHash+LSH pair mine replayed in DuckDB — q26's oracle,
     * shared verbatim by the q124 store-lifecycle gate (the increment-parity
     * contract: batched appends accumulate exactly the monolithic mine).
@@ -507,7 +563,7 @@ object DataQueries {
     * comma) — references `pmu` (dims), `g0` (the covariance, however
     * derived), shared by the centered-Gram and raw-moments prefixes.
     */
-  private def pcaLoopCtes(p: Int, iters: Int): String = {
+  private def pcaLoopCtes(p: Int, iters: Int, dim: Int = 64): String = {
     val perC = (0 until p).map { c =>
       val loop = (1 to iters).map { t =>
         s""",
@@ -528,7 +584,7 @@ object DataQueries {
       }.mkString
       s""",
          |x${c}_0 AS MATERIALIZED (
-         |  SELECT i, CASE WHEN i = ${c % 64} THEN 1.0 ELSE 0.0 END AS w FROM pmu
+         |  SELECT i, CASE WHEN i = ${c % dim} THEN 1.0 ELSE 0.0 END AS w FROM pmu
          |)$loop,
          |l$c AS MATERIALIZED (
          |  SELECT CAST(sum(CAST(floor(g.g * xi.w * xj.w * 100000000.0) AS BIGINT)) AS DOUBLE)
@@ -556,7 +612,9 @@ object DataQueries {
        |)""".stripMargin
   }
 
-  private def pcaCtes(p: Int, iters: Int): String =
+  // dim threads through to the one-hot start (`c % dim`) so the oracle
+  // can't silently diverge from Pca.powerIteration if reused with dim != 64
+  private def pcaCtes(p: Int, iters: Int, dim: Int = 64): String =
     s"""WITH pe AS MATERIALIZED (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
@@ -580,7 +638,7 @@ object DataQueries {
        |ptrace AS MATERIALIZED (
        |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
        |  FROM g0 WHERE i = j
-       |)${pcaLoopCtes(p, iters)}""".stripMargin
+       |)${pcaLoopCtes(p, iters, dim)}""".stripMargin
 
   /** Raw-moments PCA prefix (the streamable path): the covariance derives
     * from ADDITIVE quantized sums — count, per-dim first moments, and the
@@ -589,7 +647,7 @@ object DataQueries {
     * identical store (the LM-counts additivity argument) — which is what
     * makes the q153 stream-grown fit hash-equal to this batch fit.
     */
-  private def pcaMomentsCtes(p: Int, iters: Int): String =
+  private def pcaMomentsCtes(p: Int, iters: Int, dim: Int = 64): String =
     s"""WITH pe AS MATERIALIZED (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
@@ -619,7 +677,7 @@ object DataQueries {
        |ptrace AS MATERIALIZED (
        |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
        |  FROM g0 WHERE i = j
-       |)${pcaLoopCtes(p, iters)}""".stripMargin
+       |)${pcaLoopCtes(p, iters, dim)}""".stripMargin
 
   private def pcaMomentsOracle(p: Int, iters: Int): String =
     s"""${pcaMomentsCtes(p, iters)}
@@ -909,6 +967,30 @@ object DataQueries {
 
     "q35_mm_meta" -> ((s, d) =>
       Multimodal.metaColumns(Multimodal.asMedia(docs(s, d))).orderBy("doc_id")),
+
+    // Perceptual image hash over REAL image bytes: the corpus renders one
+    // 9x8 gray PNG per embedding vector (deterministic pixels, see
+    // Multimodal.renderGrayPngs) plus ten planted near-dup twins
+    // (vec_id + 1e6, dimension vec_id nudged by exactly 0.125 — a power of
+    // two, engine-exact in doubles). The Spark side goes bytes ->
+    // ImageIO.read -> thumbnail -> adjacent-pixel comparisons; gray8 PNG is
+    // lossless, so DuckDB replays the hash straight from the vectors — any
+    // byte flipped in the encode/decode/thumbnail chain breaks the gate.
+    "q155_image_dhash" -> ((s, d) => {
+      Multimodal.imageDhash(dhashCorpus(s, d)).toDF()
+        .select(col("doc_id").as("vec_id"), col("dhash"), col("decoded"))
+        .orderBy("vec_id")
+    }),
+
+    // Image near-dup: banded Hamming over the dHash (simhashPairs' mine on
+    // the 63-bit image hash). The planted twins surface as cross-1e6 pairs
+    // at small Hamming; any organically similar embeddings pair up too —
+    // both engines replay the identical banding, so the sets hash-match.
+    "q157_image_neardup" -> ((s, d) => {
+      Multimodal.dhashPairs(
+          Multimodal.imageDhash(dhashCorpus(s, d)).toDF(), maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "q42_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), numCentroids = 8, k = 3)
@@ -1705,6 +1787,24 @@ object DataQueries {
         |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q155_image_dhash" ->
+      s"""$dhashCtes
+         |SELECT vec_id, dhash, TRUE AS decoded FROM dh ORDER BY vec_id""".stripMargin,
+    "q157_image_neardup" ->
+      s"""$dhashCtes,
+         |banded AS (
+         |  SELECT vec_id, dhash,
+         |    ((dhash >> (b.band * 16)) & 65535) + b.band * 65536 AS bkey
+         |  FROM dh, unnest(generate_series(0, 3)) AS b(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |         a.dhash AS ha, b.dhash AS hb
+         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q62_bm25_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

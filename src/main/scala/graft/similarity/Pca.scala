@@ -55,13 +55,30 @@ object Pca {
     */
   private[graft] def covariance(vectors: DataFrame, dim: Int, idCol: String,
                                 vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
-    val b = vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    // per-row width check, same fail-loudly rule as momentSums: the
+    // distinct-dimension require below only catches a corpus whose WIDEST
+    // vector mismatches `dim` — a mix of short vectors with one full-width
+    // row would pass it and silently skew means/covariance (short rows
+    // count in n but contribute nothing to their missing dims)
+    val b = vectors.select(col(idCol),
+      when(size(col(vecCol)) === dim, asDouble(col(vecCol)))
+        .otherwise(raise_error(concat(
+          lit(s"covariance: expected $dim-dim vector, got "),
+          size(col(vecCol)).cast("string")))).as("v"))
     val n = b.count()
     require(n > 0, "PCA needs a non-empty vector set")
     val nD = n.toDouble
+    // DECIMAL(38,0) accumulation (Ridge.qsum's rationale): per-term values
+    // are exact integers, and the 38-digit accumulator removes the BIGINT
+    // wrap at sum(|x|) ~ 9.2e10 — for unit-scale embeddings that bound was
+    // ~9e10 rows, close enough to the "billions of vectors" envelope to
+    // fix rather than document. DuckDB accumulates BIGINT sums in HUGEINT,
+    // so the engines agree wherever either is in range. momentSums stays
+    // BIGINT deliberately: its `q` column is the persisted/streamed store
+    // contract (see its scaladoc envelope).
     val muRows = b.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(floor(col("x") * Q).cast("long")).as("sq"))
+      .agg(sum(floor(col("x") * Q).cast("decimal(38,0)")).as("sq"))
       .collect()
     // one group per ACTUAL dimension: a mismatched `dim` would otherwise
     // crash on the fill (longer vectors) or silently pad the basis with
@@ -69,7 +86,8 @@ object Pca {
     require(muRows.length == dim,
       s"vectors have ${muRows.length} dimensions, caller said $dim")
     val mu = Array.ofDim[Double](dim)
-    muRows.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Long]("sq").toDouble / nD / Q)
+    muRows.foreach(r =>
+      mu(r.getAs[Int]("i")) = r.getAs[java.math.BigDecimal]("sq").doubleValue / nD / Q)
     val muLit = array(mu.map(lit): _*)
     // centered array: the lambda reads the scan column + a literal — both
     // O(1) per element, no computed-child recompute risk (LambdaRecomputeSpec
@@ -79,11 +97,12 @@ object Pca {
     val gRows = cb.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(floor(col("xi") * col("xj") * Q).cast("long")).as("gq"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("decimal(38,0)")).as("gq"))
       .collect()
     val g = Array.ofDim[Double](dim, dim)
     gRows.foreach { r =>
-      g(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("gq").toDouble / nD / Q
+      g(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
+        r.getAs[java.math.BigDecimal]("gq").doubleValue / nD / Q
     }
     (n, mu, g)
   }
@@ -206,6 +225,16 @@ object Pca {
     * identical table (the LM-count additivity argument) and a streaming
     * maintainer can grow the state with ledgered SUM-merges. Long form:
     * (i, j, q) — (i, -1) rows are first moments, (-1, -1) is the count.
+    *
+    * ACCUMULATOR ENVELOPE: `q` stays BIGINT because it is the persisted /
+    * stream-merged store schema (q152/q153 and the streaming maintainer
+    * read and SUM-merge it). That bounds the valid corpus at
+    * n * E[|x_i|] < ~9.2e10 for first moments and n * E[x_i x_j] < ~9.2e10
+    * for second moments — for unit-scale embeddings, ~1e10-1e11 vectors
+    * per store generation. Beyond that, shard the store (the moments are
+    * additive by construction, so per-shard tables merge in a wider type
+    * at fit time); covariance()/Ridge, which have no persistence contract,
+    * already accumulate DECIMAL(38,0).
     */
   def momentSums(vectors: DataFrame, dim: Int = 64,
                  vecCol: String = "embedding"): DataFrame = {

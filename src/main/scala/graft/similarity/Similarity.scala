@@ -315,6 +315,9 @@ object Similarity {
     // swap windows (config included — its swap publishes a re-tune)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    // a crashed (re)build leaves a mixed-generation store that .prev
+    // fallbacks cannot read around — refuse loudly instead of serving it
+    requireNoPendingBuild(fs, path)
     val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
       cfg.getAs[Int]("dim"))
@@ -767,9 +770,10 @@ object Similarity {
     * mid-build leaves a mixed-generation store. The builds run under the
     * store's MaintenanceLock (no CONCURRENT appender can interleave — the
     * lock is store-wide) and keep this marker for their duration; the
-    * append/compact/reindex entry points refuse while it exists, so the
-    * crash window degrades to a loud "re-run the build" instead of silent
-    * mixed-generation results.
+    * append/compact/reindex entry points AND the store-reading probes
+    * (probeIvfIndex/probeLshIndex/probePqIndex/ivfPqProbeStores) refuse
+    * while it exists, so the crash window degrades to a loud "re-run the
+    * build" instead of silent mixed-generation results.
     */
   private[graft] def withBuildMarker(fs: org.apache.hadoop.fs.FileSystem,
                                      path: String)(body: => Unit): Unit = {
@@ -956,6 +960,9 @@ object Similarity {
     // / reindexIvf's two renames (and a crash inside) without mutating
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    // a crashed (re)build leaves a mixed-generation store that .prev
+    // fallbacks cannot read around — refuse loudly instead of serving it
+    requireNoPendingBuild(fs, path)
     val cent = spark.read.parquet(activeDir(fs, s"$path/centroids"))
     val cellsDir = activeDir(fs, s"$path/cells")
     // the partition column comes back as the inferred directory type (int);
@@ -1277,6 +1284,8 @@ object Similarity {
     val spark = queries.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    // refuse a crashed-build mixed-generation store (probeLshIndex's note)
+    requireNoPendingBuild(fs, path)
     val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
     val cb = spark.read.parquet(activeDir(fs, s"$path/codebooks"))
@@ -1367,6 +1376,9 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val fsI = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(ivfPath), conf)
     val fsP = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pqPath), conf)
+    // refuse a crashed-build mixed-generation store on EITHER side
+    requireNoPendingBuild(fsI, ivfPath)
+    requireNoPendingBuild(fsP, pqPath)
     val cent = spark.read.parquet(activeDir(fsI, s"$ivfPath/centroids"))
     val assigned = spark.read.parquet(activeDir(fsI, s"$ivfPath/cells"))
       .select(col(idCol), col("cell"))

@@ -346,7 +346,13 @@ object Sketches {
   def mgSummary(items: DataFrame, itemCol: String, k: Int): Map[String, Long] = {
     val spark = items.sparkSession
     import spark.implicits._
-    val partials = items.select(col(itemCol).cast("string").as("i")).as[String]
+    // nulls are dropped (the count(col) convention) BEFORE the per-partition
+    // reduce: a null surviving the cast-to-string would become a null map
+    // key, and the streaming maintainer's sortBy/toDF over summary keys
+    // NPEs on null String ordering — a poisoned stream must not take down
+    // the whole summary store
+    val partials = items.select(col(itemCol).cast("string").as("i"))
+      .filter(col("i").isNotNull).as[String]
       .mapPartitions(it => Iterator.single(mgReduce(it, k).toMap))
       .collect()
     partials.foldLeft(Map.empty[String, Long])((acc, p) => mgMerge(acc, p, k))
@@ -365,6 +371,7 @@ object Sketches {
     import spark.implicits._
     val mgDf = mgSummary(items, itemCol, k).toSeq.toDF("item", "__est")
     val exact = items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull) // mirror mgSummary's null-drop
       .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
     val n = exact.agg(sum(col("exact_cnt")).as("n"))
     exact.crossJoin(broadcast(n))

@@ -479,6 +479,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3).getAs[Long]("n_words") == 1L, "whitespace-only text splits to ['']")
   }
 
+  test("imageDhash: real decode round-trip, thumbnail path, corrupt fallback") {
+    import graft.multimodal.Multimodal
+    // 9x8 gray PNG rendered from a vector: decode must be bit-exact (the
+    // q155 oracle contract), and repeated hashing deterministic
+    val vecs = Seq((1L, (0 until 64).map(i => math.sin(i * 0.37)).toArray))
+      .toDF("vec_id", "v")
+    val media = Multimodal.renderGrayPngs(vecs, "vec_id", "v")
+    val h1 = Multimodal.imageDhash(media).collect().head
+    val h2 = Multimodal.imageDhash(media).collect().head
+    assert(h1.decoded && h1 == h2)
+    assert((h1.dhash >>> 63) == 0L, "63-bit hash must never touch the sign bit")
+    // a non-9x8 image goes through the Graphics2D thumbnail: 2x
+    // pixel-doubling then downscale must still decode (value may differ
+    // from the 9x8 hash — interpolation is the codec's business — but the
+    // path must be deterministic and flagged decoded)
+    val big = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media.collect().head.payload))
+      val t = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 18)
+        t.getRaster.setSample(x, y, 0, img.getRaster.getSample(x / 2, y / 2, 0))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(t, "png", bos)
+      bos.toByteArray
+    }
+    val bigDs = Seq(Multimodal.MediaRecord(2L, big, "image/png")).toDS()
+    val hb = Multimodal.imageDhash(bigDs).collect().head
+    val hb2 = Multimodal.imageDhash(bigDs).collect().head
+    assert(hb.decoded && hb == hb2)
+    // corrupt payload: deterministic digest fallback, decoded = false,
+    // task survives (the ImageIoCodec corrupt-input discipline)
+    val junk = Seq(
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3, 4), "image/png"),
+      Multimodal.MediaRecord(4L, "PNG\r\n garbage".getBytes("ISO-8859-1"), "image/png"))
+      .toDS()
+    val hj = Multimodal.imageDhash(junk).collect().sortBy(_.doc_id)
+    assert(hj.forall(h => !h.decoded && (h.dhash >>> 63) == 0L))
+    assert(hj.map(_.dhash).distinct.length == 2)
+  }
+
+  test("dhashPairs finds planted near-dup twins and nothing spurious") {
+    import graft.multimodal.Multimodal
+    val rng = new scala.util.Random(11)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(64)(rng.nextDouble() * 4 - 2)))
+    // twins of ids 0..4: one dimension nudged (small pixel move)
+    val twins = (0 until 5).map { i =>
+      val v = base(i)._2.clone(); v(i) += 0.125
+      (1000L + i, v)
+    }
+    val hashes = Multimodal.imageDhash(Multimodal.renderGrayPngs(
+      (base ++ twins).toDF("vec_id", "v"), "vec_id", "v")).toDF()
+    val pairs = Multimodal.dhashPairs(hashes, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (0 until 5).foreach(i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"planted twin $i not found"))
+    // random 64-dim vectors are ~32 bits apart — no spurious pairs at <= 8
+    assert(pairs.size == 5, s"unexpected extra pairs: ${pairs.size}")
+  }
+
   test("lengthTrim drops each group's 5 percent tails by rank") {
     val docs = (1 to 20).map(i => (i.toLong, "en", Seq.fill(i)("w").mkString(" ")))
       .toDF("doc_id", "lang", "text")
