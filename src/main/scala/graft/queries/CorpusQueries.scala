@@ -27,6 +27,54 @@ object CorpusQueries {
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
 
+  /** Shared stage frame for the q115/q160 pipeline compositions: (raw,
+    * packed), where `raw` carries every document with its n_words and
+    * `packed` carries the post-exact-dedup rows with cumulative per-stage
+    * survival flags (`near`, `qual`, `bal`) and the packing `__binkey`.
+    * One doc-level frame + one conditional aggregation per consumer — the
+    * expensive near-dup mine executes exactly once per composed plan.
+    */
+  private def pipelineFlags(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+      .withColumn("n_words", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val clean = raw.filter(col("n_words") >= 3)
+    val exactKept = clean.withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy(md5(lower(col("text"))))))
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+    val dropped = Dedup.minhashLshPairs(Dedup.wordShingles(exactKept, 3),
+        numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(1L))
+    // per-doc flags, each implying the previous stage's (exact rows only;
+    // raw/clean totals are recoverable from the pre-dedup columns)
+    val qs = least(lit(1.0), col("n_words") / 100.0) *
+      (lit(1.0) - abs(size(filter(split(trim(col("text")), "\\s+"),
+        x => x.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is"))))
+        .cast("double") / col("n_words") - 0.4))
+    val flagged = exactKept.join(dropped, Seq("doc_id"), "left")
+      .withColumn("near", col("__dup").isNull)
+      .withColumn("qual", col("near") && qs >= 0.3)
+    val domCounts = flagged.filter(col("qual"))
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
+      .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
+    val bal = flagged.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("bal", col("qual") &&
+        Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
+    // shard-local packing over ONLY the balanced docs: the conditional
+    // running sum skips unbalanced rows, so each balanced doc's exclusive
+    // prefix counts exactly its prior balanced shard-mates (q76 semantics)
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val packed = bal
+      .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
+      .withColumn("__binkey", when(col("bal"),
+        concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+    (raw, packed)
+  }
+
   val defs: Map[String, Q] = Map(
     // Unigram-LM quality score (add-one smoothing, corpus-fit).
     "q95_unigram_nll" -> ((s, d) =>
@@ -256,43 +304,7 @@ object CorpusQueries {
     // counts, and stack() unpivots the single row — the expensive near-dup
     // mine executes exactly once.
     "q115_pipeline_e2e" -> ((s, d) => {
-      import graft.dedup.Dedup
-      import org.apache.spark.sql.expressions.Window
-      val raw = docs(s, d).select(col("doc_id"), col("text"), col("source"))
-        .withColumn("n_words", size(split(trim(col("text")), "\\s+")).cast("long"))
-      val clean = raw.filter(col("n_words") >= 3)
-      val exactKept = clean.withColumn("__keep",
-          min(col("doc_id")).over(Window.partitionBy(md5(lower(col("text"))))))
-        .filter(col("doc_id") === col("__keep")).drop("__keep")
-      val dropped = Dedup.minhashLshPairs(Dedup.wordShingles(exactKept, 3),
-          numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue)
-        .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("__dup", lit(1L))
-      // per-doc flags, each implying the previous stage's (exact rows only;
-      // raw/clean totals are recoverable from the pre-dedup columns)
-      val qs = least(lit(1.0), col("n_words") / 100.0) *
-        (lit(1.0) - abs(size(filter(split(trim(col("text")), "\\s+"),
-          x => x.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is"))))
-          .cast("double") / col("n_words") - 0.4))
-      val flagged = exactKept.join(dropped, Seq("doc_id"), "left")
-        .withColumn("near", col("__dup").isNull)
-        .withColumn("qual", col("near") && qs >= 0.3)
-      val domCounts = flagged.filter(col("qual"))
-        .groupBy(col("source")).agg(count(lit(1)).as("nd"))
-      val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
-        .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
-      val bal = flagged.join(broadcast(rates), Seq("source"), "left")
-        .withColumn("bal", col("qual") &&
-          Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
-      // shard-local packing over ONLY the balanced docs: the conditional
-      // running sum skips unbalanced rows, so each balanced doc's exclusive
-      // prefix counts exactly its prior balanced shard-mates (q76 semantics)
-      val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
-        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-      val packed = bal
-        .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
-        .withColumn("__binkey", when(col("bal"),
-          concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+      val (raw, packed) = pipelineFlags(s, d)
       val one = packed.agg(
         count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
         count(when(col("near"), 1)).as("d4"),
@@ -319,6 +331,57 @@ object CorpusQueries {
         .orderBy("stage")
     }),
 
+    // Pipeline v2 (the flagship composition with the round-9 operators
+    // load-bearing): q115's seven stages BOOKENDED by the column profiler
+    // — '0_profile' packs the one-pass profile of the raw table as
+    // (n_rows, sum n_distinct, sum n_null) over five columns — and a ridge
+    // quality-scorer stage — '8_score' trains the q147 model ON THE
+    // BALANCED SURVIVORS and packs (n_scored, sum floor(yhat)). Every
+    // number is downstream of every stage: a drifted dedup verdict or
+    // rebalance rate changes the training set, moves the learned weights,
+    // and shifts the prediction mass — so one hash gates the whole
+    // composition including both new operators.
+    "q160_pipeline_v2" -> ((s, d) => {
+      val (raw, packed) = pipelineFlags(s, d)
+      val one = packed.agg(
+        count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
+        count(when(col("near"), 1)).as("d4"),
+        coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
+        count(when(col("qual"), 1)).as("d5"),
+        coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
+        count(when(col("bal"), 1)).as("d6"),
+        coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
+        countDistinct(col("__binkey")).as("nb"))
+      val pre = raw.agg(
+        count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+        count(when(col("n_words") >= 3, 1)).as("d2"),
+        coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
+      val prof = graft.operators.Profile
+        .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
+          sum(col("n_null")).as("p3"))
+      val surv = packed.filter(col("bal")).select(col("doc_id"))
+      val fj = DataQueries.ridgeFrame(s, d).join(surv, "doc_id")
+      val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
+      val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
+        .agg(count(lit(1)).as("s1"),
+          coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
+      pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
+        .selectExpr(
+          """stack(9,
+            |  '0_profile', p1, p2, p3,
+            |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
+            |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
+            |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
+            |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
+            |  '5_quality', d5, t5, CAST(0 AS BIGINT),
+            |  '6_balance', d6, t6, CAST(0 AS BIGINT),
+            |  '7_pack',    d6, t6, nb,
+            |  '8_score',   s1, s2, CAST(0 AS BIGINT)
+            |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
+        .orderBy("stage")
+    }),
+
     // The persisted-vocabulary twin of q105: train the WordPiece vocab ONCE
     // into a parquet store (piece, weight, rank), then tokenize every
     // document with the LOADED vocabulary and assert it produces the exact
@@ -332,6 +395,99 @@ object CorpusQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The q115 stage CTEs (nw .. packstat), shared verbatim by the q160
+    * pipeline-v2 oracle which appends profiler + ridge CTEs after them.
+    */
+  private lazy val pipelineOracleCtes: String =
+    s"""nw AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |  FROM documents
+         |),
+         |clean AS (SELECT * FROM nw WHERE n_words >= 3),
+         |exact AS (
+         |  SELECT doc_id, text, source, n_words FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
+         |    FROM clean)
+         |  WHERE doc_id = keep_id
+         |),
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exact),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |),
+         |tri2 AS (
+         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
+         |),
+         |mh AS (
+         |  SELECT doc_id, p.i AS i,
+         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
+         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
+         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
+         |  GROUP BY doc_id, p.i
+         |),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tri a ON a.doc_id = c.doc_a
+         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1,2
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT c.doc_b AS doc_id
+         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+         |),
+         |near AS (
+         |  SELECT e.* FROM exact e
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = e.doc_id)
+         |),
+         |qf AS (
+         |  SELECT near.*,
+         |    least(1.0, n_words / 100.0) * (1.0 - abs(
+         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+         |        / n_words - 0.4)) AS qs
+         |  FROM near
+         |),
+         |qual AS (SELECT * FROM qf WHERE qs >= 0.3),
+         |dc AS (SELECT source, count(*) AS nd FROM qual GROUP BY 1),
+         |rates AS (
+         |  SELECT source, (SELECT min(nd) FROM dc) * 1000000 // nd AS rate_ppm FROM dc
+         |),
+         |bal AS (
+         |  SELECT q.doc_id, q.source, q.n_words
+         |  FROM qual q JOIN rates r ON q.source = r.source
+         |  WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |),
+         |pc AS (
+         |  SELECT doc_id, n_words AS n_tokens, doc_id % 32 AS shard,
+         |    CAST(coalesce(sum(n_words) OVER (
+         |      PARTITION BY doc_id % 32 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+         |  FROM bal
+         |),
+         |pb AS (SELECT shard, cum_excl // 512 AS bin, n_tokens FROM pc),
+         |packstat AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+         |         CAST((SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM pb)) AS BIGINT) AS n_bins
+         |  FROM pb
+         |)""".stripMargin
 
   /** DuckDB replay of the trigram Stupid-Backoff scoring — shared by q109
     * (in-memory fit) and q120 (scores from the persisted LM artifact, which
@@ -440,94 +596,7 @@ object CorpusQueries {
     // survivors; each stage then reuses the already-green oracle formula of
     // its standalone query (q24/q26/q31/q97/q76).
     "q115_pipeline_e2e" ->
-      s"""WITH nw AS (
-         |  SELECT doc_id, text, source,
-         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
-         |  FROM documents
-         |),
-         |clean AS (SELECT * FROM nw WHERE n_words >= 3),
-         |exact AS (
-         |  SELECT doc_id, text, source, n_words FROM (
-         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
-         |    FROM clean)
-         |  WHERE doc_id = keep_id
-         |),
-         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exact),
-         |tri AS (
-         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-         |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
-         |),
-         |tri2 AS (
-         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
-         |),
-         |mh AS (
-         |  SELECT doc_id, p.i AS i,
-         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
-         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
-         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
-         |  GROUP BY doc_id, p.i
-         |),
-         |bandkeys AS (
-         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
-         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
-         |  FROM mh GROUP BY doc_id, i // 4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandkeys a JOIN bandkeys b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN tri a ON a.doc_id = c.doc_a
-         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1,2
-         |),
-         |dropped AS (
-         |  SELECT DISTINCT c.doc_b AS doc_id
-         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
-         |),
-         |near AS (
-         |  SELECT e.* FROM exact e
-         |  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = e.doc_id)
-         |),
-         |qf AS (
-         |  SELECT near.*,
-         |    least(1.0, n_words / 100.0) * (1.0 - abs(
-         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
-         |        / n_words - 0.4)) AS qs
-         |  FROM near
-         |),
-         |qual AS (SELECT * FROM qf WHERE qs >= 0.3),
-         |dc AS (SELECT source, count(*) AS nd FROM qual GROUP BY 1),
-         |rates AS (
-         |  SELECT source, (SELECT min(nd) FROM dc) * 1000000 // nd AS rate_ppm FROM dc
-         |),
-         |bal AS (
-         |  SELECT q.doc_id, q.source, q.n_words
-         |  FROM qual q JOIN rates r ON q.source = r.source
-         |  WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
-         |),
-         |pc AS (
-         |  SELECT doc_id, n_words AS n_tokens, doc_id % 32 AS shard,
-         |    CAST(coalesce(sum(n_words) OVER (
-         |      PARTITION BY doc_id % 32 ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-         |  FROM bal
-         |),
-         |pb AS (SELECT shard, cum_excl // 512 AS bin, n_tokens FROM pc),
-         |packstat AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
-         |         CAST((SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM pb)) AS BIGINT) AS n_bins
-         |  FROM pb
-         |)
+      s"""WITH $pipelineOracleCtes
          |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_bins FROM nw
          |UNION ALL SELECT '2_clean', CAST(count(*) AS BIGINT),
@@ -542,6 +611,54 @@ object CorpusQueries {
          |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
          |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
          |ORDER BY stage""".stripMargin,
+
+    // q115's stage CTEs + the profiler replay + the ridge fit (q147's
+    // CTEs re-pointed at the balanced survivors) + the prediction mass.
+    "q160_pipeline_v2" ->
+      s"""WITH $pipelineOracleCtes,
+         |prof AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS p1,
+         |    CAST(count(DISTINCT doc_id) + count(DISTINCT text) + count(DISTINCT lang)
+         |       + count(DISTINCT source) + count(DISTINCT n_chars) AS BIGINT) AS p2,
+         |    CAST((count(*) - count(doc_id)) + (count(*) - count(text))
+         |       + (count(*) - count(lang)) + (count(*) - count(source))
+         |       + (count(*) - count(n_chars)) AS BIGINT) AS p3
+         |  FROM documents
+         |),
+         |rsrc AS MATERIALIZED (
+         |  SELECT dd.doc_id, dd.text, dd.n_chars
+         |  FROM documents dd JOIN bal ON bal.doc_id = dd.doc_id
+         |),
+         |${DataQueries.ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001, src = "rsrc")},
+         |pred AS MATERIALIZED (
+         |  SELECT r.doc_id,
+         |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
+         |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
+         |),
+         |scoresum AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS s1,
+         |    CAST(coalesce(sum(CAST(floor(yhat) AS BIGINT)), 0) AS BIGINT) AS s2
+         |  FROM pred
+         |)
+         |SELECT '0_profile' AS stage, p1 AS n_docs, p2 AS n_tokens, p3 AS n_bins FROM prof
+         |UNION ALL SELECT '1_raw', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM nw
+         |UNION ALL SELECT '2_clean', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM clean
+         |UNION ALL SELECT '3_exact', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
+         |UNION ALL SELECT '4_neardup', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
+         |UNION ALL SELECT '5_quality', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM qual
+         |UNION ALL SELECT '6_balance', CAST(count(*) AS BIGINT),
+         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
+         |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
+         |UNION ALL SELECT '8_score', s1, s2, CAST(0 AS BIGINT) FROM scoresum
+         |ORDER BY stage""".stripMargin,
+
     "q109_trigram_backoff" -> trigramBackoffOracle,
     // The stored-LM scores must hash-match the in-memory fit — q109's
     // oracle verbatim.

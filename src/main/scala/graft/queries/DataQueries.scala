@@ -737,14 +737,14 @@ object DataQueries {
   /** Feature frame shared by the ridge pair: q31's quality features as the
     * regressors, n_chars as the label.
     */
-  private def ridgeFrame(s: SparkSession, d: String): DataFrame =
+  private[queries] def ridgeFrame(s: SparkSession, d: String): DataFrame =
     graft.text.TextOps.qualityFeatures(docs(s, d))
       .select(col("doc_id"), col("n_words").cast("double").as("n_words"),
         col("avg_word_len"), col("stopword_ratio"))
       .join(docs(s, d).select(col("doc_id"), col("n_chars").cast("double").as("y")),
         "doc_id")
 
-  private val ridgeFeatureCols = Seq("n_words", "avg_word_len", "stopword_ratio")
+  private[queries] val ridgeFeatureCols = Seq("n_words", "avg_word_len", "stopword_ratio")
 
   /** WITH-prefix for the ridge oracles: replay [[graft.operators.Ridge.fit]]
     * — q31's feature derivations, quantized means/variances,
@@ -753,7 +753,11 @@ object DataQueries {
     * scalar-column CTEs. Defines `rf`, `rmu`, `rsd`, `rz`, `rab`, and
     * `w$iters`.
     */
-  private def ridgeCtes(iters: Int, lr: Double, lambda: Double): String = {
+  // `src` parameterizes the training table (q160 fits on the pipeline's
+  // balanced survivors); emitted WITHOUT the leading WITH so callers can
+  // compose it after their own CTEs
+  private[queries] def ridgeCtes(iters: Int, lr: Double, lambda: Double,
+                                 src: String = "documents"): String = {
     def z(i: Int) = s"CASE WHEN s$i = 0 THEN 0.0 ELSE (x$i - m$i) / s$i END"
     def aName(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
     val loop = (1 to iters).map { t =>
@@ -771,7 +775,7 @@ object DataQueries {
          |  FROM w${t - 1} CROSS JOIN rab
          |)""".stripMargin
     }.mkString
-    s"""WITH rf AS MATERIALIZED (
+    s"""rf AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x0,
        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
@@ -780,7 +784,7 @@ object DataQueries {
        |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
        |      / len(string_split_regex(trim(text), '\\s+')) AS x2,
        |    CAST(n_chars AS DOUBLE) AS y
-       |  FROM documents
+       |  FROM $src
        |),
        |rn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM rf),
        |rmu AS MATERIALIZED (
@@ -825,7 +829,7 @@ object DataQueries {
     * store round-trip must be invisible, so both register it verbatim).
     */
   private lazy val ridgePredictOracle: String =
-    s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
+    s"""WITH ${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
        |pred AS MATERIALIZED (
        |  SELECT r.doc_id, r.y,
        |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
@@ -1928,7 +1932,7 @@ object DataQueries {
     "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
       pqIters = 2, nQueries = 10, topK = 5),
     "q147_ridge_fit" ->
-      s"""${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)}
+      s"""WITH ${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)}
          |SELECT * FROM (
          |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd,
          |         my AS y_mu, sy AS y_sd

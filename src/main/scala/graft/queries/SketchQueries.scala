@@ -139,6 +139,98 @@ object SketchQueries {
         .orderBy("item")
     }),
 
+    // The STREAM-GROWN sketch stores (q130's treatment for the three
+    // maintainers that were spec-only — the last gap in the streaming
+    // oracle story): each corpus is staged as a 32-file stream
+    // (maxFilesPerTrigger=16 -> at least two triggers, so cross-batch
+    // merge + the ledger both exercise), the maintainer grows the
+    // persisted sketch store per micro-batch, and the STORED STATE answers
+    // the exact batch query — q88/q89/q103's oracles verbatim, because
+    // register max-merge (idempotent) and ledgered cell/bucket SUM-merge
+    // (exactly-once) reproduce the single-pass sketch bit-for-bit over any
+    // batch interleaving. A dropped trigger, a double-merged batch, or a
+    // torn store swap shifts a register/cell and fails the hash.
+    "q156_hll_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_hllst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables(s, d, "events")
+      ev.select(col("event_type"), col("user_id"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.hllStream(
+          StreamingPipeline.readColumnsStream(s, s"$base/in",
+            "event_type STRING, user_id BIGINT"),
+          s"$base/store", s"$base/ck",
+          keys = Seq("event_type"), itemCol = "user_id", b = 8)
+        .start().awaitTermination()
+      val hll = Sketches.hllEstimate(
+        s.read.parquet(s"$base/store"), Seq("event_type"), b = 8)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      hll.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("nonempty"),
+          OracleCte.qround6(col("estimate")).as("estimate"), col("exact_distinct"))
+        .orderBy("event_type")
+    }),
+
+    "q158_cms_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_cmsst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val terms = Tables(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      terms.repartition(32).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.cmsStream(
+          StreamingPipeline.readColumnsStream(s, s"$base/in", "term STRING"),
+          s"$base/store", s"$base/ck", termCol = "term", d = 3, w = 1024)
+        .start().awaitTermination()
+      // q89's countMinTopK tail, with the cells read FROM THE STORE instead
+      // of sketched in-query — identical (term, est, cnt) iff the
+      // stream-grown cells match the batch sketch
+      val cells = s.read.parquet(s"$base/store")
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      counts.select(col("term"), col("cnt"),
+          explode(sequence(lit(0), lit(2))).as("seed"))
+        .withColumn("cell",
+          Dedup.hex60(concat_ws(":", col("seed"), col("term"))) % 1024)
+        .join(broadcast(cells), Seq("seed", "cell"))
+        .groupBy(col("term"), col("cnt")).agg(min(col("cell_total")).as("est"))
+        .orderBy(col("est").desc, col("term").asc).limit(20)
+        .select(col("term"), col("est"), col("cnt"))
+    }),
+
+    "q159_hist_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_histst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables(s, d, "events")
+      ev.select(col("event_type"), col("value"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.histogramStream(
+          StreamingPipeline.readColumnsStream(s, s"$base/in",
+            "event_type STRING, value DOUBLE"),
+          s"$base/store", s"$base/ck",
+          keys = Seq("event_type"), valueCol = "value",
+          binWidth = 50.0, numBins = 20)
+        .start().awaitTermination()
+      val approx = Sketches.histogramQuantiles(
+        s.read.parquet(s"$base/store"), Seq("event_type"), binWidth = 50.0)
+      val exact = ev.withColumn("__v", floor(col("value") * 100.0 + 0.5) / 100.0)
+        .groupBy(col("event_type"))
+        .agg(OracleCte.qround6(expr("percentile(__v, 0.5D)")).as("exact_p50"),
+          OracleCte.qround6(expr("percentile(__v, 0.9D)")).as("exact_p90"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"), col("p50"), col("p90"), col("p99"),
+          col("exact_p50"), col("exact_p90"))
+        .orderBy("event_type")
+    }),
+
     "q103_hist_quantiles" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val sk = Sketches.histogramSketch(ev, Seq("event_type"), col("value"),
@@ -157,49 +249,8 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "q88_hll_distinct" ->
-      s"""WITH h AS (
-         |  SELECT event_type, ${hex60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
-         |),
-         |r AS (
-         |  SELECT event_type, h >> 52 AS reg,
-         |    least(52 - length(bin(h & ((CAST(1 AS BIGINT) << 52) - 1))) + 1, 30) AS rank
-         |  FROM h
-         |),
-         |regs AS (SELECT event_type, reg, max(rank) AS rank FROM r GROUP BY 1, 2),
-         |agg AS (
-         |  SELECT event_type, count(*) AS nonempty,
-         |    sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << rank AS DOUBLE)) AS sum_pow
-         |  FROM regs GROUP BY 1
-         |),
-         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
-         |SELECT a.event_type, a.nonempty,
-         |  ${OracleCte.qround6Sql(
-             "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
-             " * CAST(65536 AS DOUBLE) / (CAST(256 - a.nonempty AS DOUBLE) + a.sum_pow)")} AS estimate,
-         |  ex.exact_distinct
-         |FROM agg a JOIN ex ON ex.event_type = a.event_type
-         |ORDER BY 1""".stripMargin,
-    "q89_cms_heavy_hitters" ->
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
-         |),
-         |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
-         |seeded AS (
-         |  SELECT term, cnt, s.seed,
-         |    ${hex60Sql("s.seed || ':' || term")} % 1024 AS cell
-         |  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed) s
-         |),
-         |cells AS (
-         |  SELECT seed, cell, CAST(sum(cnt) AS BIGINT) AS cell_total
-         |  FROM seeded GROUP BY 1, 2
-         |),
-         |est AS (
-         |  SELECT t.term, t.cnt, min(c.cell_total) AS est
-         |  FROM seeded t JOIN cells c ON c.seed = t.seed AND c.cell = t.cell
-         |  GROUP BY 1, 2
-         |)
-         |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+    "q88_hll_distinct" -> hllOracle,
+    "q89_cms_heavy_hitters" -> cmsOracle,
     // Replays the filter bit-for-bit: same hex60 seeded bits, same 32-bit
     // word packing (bit_or of BIGINT masks), same k-of-k membership test,
     // then the exact join on the bloom-positive survivors only.
@@ -222,7 +273,63 @@ object SketchQueries {
     // compacted store answers bit-for-bit like the monolithic build —
     // q118's oracle verbatim.
     "q127_decontam_lifecycle" -> bloomDecontamOracle,
-    "q103_hist_quantiles" -> histQuantilesOracle)
+    "q103_hist_quantiles" -> histQuantilesOracle,
+    // Stream-grown sketch stores answer the batch queries bit-for-bit —
+    // q88/q89/q103's oracles verbatim (register max-merge is idempotent;
+    // the SUM-merged families are exactly-once via the _batches ledger).
+    "q156_hll_streamed" -> hllOracle,
+    "q158_cms_streamed" -> cmsOracle,
+    "q159_hist_streamed" -> histQuantilesOracle)
+
+  /** Shared by q88 (batch sketch) and q156 (the stream-grown register
+    * store): the bit-exact HLL replay — md5-derived hash, integer shifts,
+    * dyadic denominators — over the same events.
+    */
+  private lazy val hllOracle: String =
+      s"""WITH h AS (
+         |  SELECT event_type, ${hex60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, h >> 52 AS reg,
+         |    least(52 - length(bin(h & ((CAST(1 AS BIGINT) << 52) - 1))) + 1, 30) AS rank
+         |  FROM h
+         |),
+         |regs AS (SELECT event_type, reg, max(rank) AS rank FROM r GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, count(*) AS nonempty,
+         |    sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << rank AS DOUBLE)) AS sum_pow
+         |  FROM regs GROUP BY 1
+         |),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+         |SELECT a.event_type, a.nonempty,
+         |  ${OracleCte.qround6Sql(
+             "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
+             " * CAST(65536 AS DOUBLE) / (CAST(256 - a.nonempty AS DOUBLE) + a.sum_pow)")} AS estimate,
+         |  ex.exact_distinct
+         |FROM agg a JOIN ex ON ex.event_type = a.event_type
+         |ORDER BY 1""".stripMargin
+
+  /** Shared by q89 (batch sketch) and q158 (the stream-grown cell store). */
+  private lazy val cmsOracle: String =
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+         |),
+         |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |seeded AS (
+         |  SELECT term, cnt, s.seed,
+         |    ${hex60Sql("s.seed || ':' || term")} % 1024 AS cell
+         |  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2]) AS seed) s
+         |),
+         |cells AS (
+         |  SELECT seed, cell, CAST(sum(cnt) AS BIGINT) AS cell_total
+         |  FROM seeded GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT t.term, t.cnt, min(c.cell_total) AS est
+         |  FROM seeded t JOIN cells c ON c.seed = t.seed AND c.cell = t.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT term, est, cnt FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin
 
   /** Shared by q118 (batch) and q121 (the streaming router's artifact). */
   private lazy val bloomDecontamOracle: String =

@@ -733,6 +733,28 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(lmAppendBatch(storePath) _)
 
+  /** Generic file-source stream with a caller-provided schema — the reader
+    * the sketch maintainers use for arbitrary column subsets (HLL
+    * key/item, CMS terms, histogram values) without a per-shape reader.
+    */
+  def readColumnsStream(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(path)
+
+  /** Streaming frequency sketch: term stream -> incremental count-min cell
+    * store via [[cmsMergeBatch]] (ledgered SUM-merge). Estimate at any time
+    * with `Sketches.cmsEstimate(terms, spark.read.parquet(storePath))`.
+    */
+  def cmsStream(terms: DataFrame, storePath: String, checkpoint: String,
+                termCol: String = "term", d: Int = 3, w: Int = 1024): DataStreamWriter[Row] =
+    terms.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(cmsMergeBatch(storePath, termCol, d, w) _)
+
   /** Streaming distinct-count query: file-source events -> incremental HLL
     * register store via [[hllMergeBatch]]. Read the estimate at any time
     * with `Sketches.hllEstimate(spark.read.parquet(storePath), keys)`.

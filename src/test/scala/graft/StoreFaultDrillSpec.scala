@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crash-window fault drill, parameterized over the persisted-store
+  * families (the r9 verdict's ask: the `.prev` swap + ledger + lock
+  * protocol was tested per-family for replay/stale-lock, and SCD2 had a
+  * planted-garbage heal test — generalize the heal drill). Two windows per
+  * family, simulated by materializing exactly the on-disk state a crash at
+  * that point leaves:
+  *
+  *  W1 "payloads landed, publish missing": the commit marker (sigs/codes/
+  *     uni/shingles `batch=<id>`, or a dot-staging leftover for the
+  *     single-half IVF store) is removed after a successful append.
+  *     Asserts: probes still serve (exactly the pre-append rows for the
+  *     index families, whose un-published payloads are unreachable by
+  *     construction), and replaying the SAME append re-lands and converges
+  *     bit-for-bit with a never-crashed twin — then a second replay is a
+  *     ledgered no-op.
+  *
+  *  W2 "between the two swap renames": a store half sits at `<half>.prev`
+  *     with no main (compaction's crash window). Asserts: the read paths'
+  *     activeDir fallback serves the FULL store unchanged, and the next
+  *     maintenance entry (an append replay) heals via recoverDir without
+  *     double-counting (returns false — the ledger survived the swap).
+  *
+  * Families: IVF cells, LSH sigs+vectors, PQ codes+vectors, LM count
+  * tables, decontamination shingles+words. (The sketch stores' equivalent
+  * windows are exercised by the streaming specs' replay cases; SCD2 has
+  * its own heal test in ScdProfileSpec.)
+  */
+class StoreFaultDrillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type FS = org.apache.hadoop.fs.FileSystem
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private lazy val fs: FS = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  /** One store family's drill hooks. `crashW1` turns a store that has seen
+    * build(A)+append(B, 1) into the W1 state; `halves` lists the dirs W2
+    * swaps aside one at a time.
+    */
+  private case class Family(
+    name: String,
+    build: (DataFrame, String) => Unit,
+    append: (DataFrame, String, Long) => Boolean,
+    crashW1: String => Unit,
+    halves: Seq[String],
+    probe: String => DataFrame,
+    // index probes see ONLY published appends, so W1 serves exactly the
+    // base store; LM/decontam W1 semantics are "maintenance window — heal
+    // before scoring", so those assert probe-runs + replay-converges only
+    w1ServesBase: Boolean)
+
+  private lazy val vecs: DataFrame = {
+    val rng = new scala.util.Random(23)
+    (0 until 120).map(i => (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+  private lazy val sliceA = vecs.filter(col("vec_id") < 80)
+  private lazy val sliceB = vecs.filter(col("vec_id") >= 80)
+  private lazy val queries = vecs.filter(col("vec_id") < 10)
+
+  private lazy val docsAll: DataFrame = {
+    val rng = new scala.util.Random(29)
+    (0 until 60).map { i =>
+      (i.toLong, (0 until 30).map(_ => "w" + rng.nextInt(40)).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+  private lazy val docsA = docsAll.filter(col("doc_id") < 40)
+  private lazy val docsB = docsAll.filter(col("doc_id") >= 40)
+
+  private def rm(p: String): Unit = fs.delete(hpath(p), true)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private lazy val families: Seq[Family] = {
+    import graft.similarity.Similarity
+    import graft.text.TextOps
+    import graft.dedup.Dedup
+    Seq(
+      Family("ivf",
+        (df, p) => Similarity.buildIvfIndex(df, numCentroids = 4, iters = 2, p),
+        (df, p, id) => Similarity.ivfAppendCells(df, p, id),
+        // IVF publishes with ONE rename, so its W1 state is a dead staging
+        // dir next to a missing batch dir
+        p => { rm(s"$p/cells/batch=1"); fs.mkdirs(hpath(s"$p/cells/.staging-1/junk")) },
+        Seq("cells"),
+        p => Similarity.probeIvfIndex(queries, p, k = 3, nprobe = 2),
+        w1ServesBase = true),
+      Family("lsh",
+        (df, p) => Similarity.buildLshIndex(df, bits = 4, tables = 4, dim = 64, p),
+        (df, p, id) => Similarity.lshAppendVectors(df, p, id),
+        p => rm(s"$p/sigs/batch=1"), // payloads under vectors/batch=1 stay
+        Seq("sigs", "vectors"),
+        p => Similarity.probeLshIndex(queries, p, k = 3),
+        w1ServesBase = true),
+      Family("pq",
+        (df, p) => Similarity.buildPqIndex(df, m = 4, k = 4, iters = 1, p),
+        (df, p, id) => Similarity.pqAppendVectors(df, p, id),
+        p => rm(s"$p/codes/batch=1"),
+        Seq("codes", "vectors"),
+        p => Similarity.probePqIndex(queries, p, k = 3),
+        w1ServesBase = true),
+      Family("lm",
+        (df, p) => TextOps.saveLm(df, p),
+        (df, p, id) => TextOps.appendLm(df, p, id),
+        p => rm(s"$p/uni/batch=1"), // tri/bi/meta deltas of the append stay
+        Seq("uni", "bi", "tri", "meta"),
+        p => TextOps.scoreWithLm(docsAll, p),
+        w1ServesBase = false),
+      Family("decontam",
+        (df, p) => Dedup.buildDecontamStore(df, p, n = 3, k = 4, m = 1 << 16),
+        (df, p, id) => Dedup.appendDecontamBench(df, p, id),
+        p => rm(s"$p/shingles/batch=1"), // the OR-merged words swap stays
+        Seq("shingles", "words"),
+        p => Dedup.bloomContaminationAgainst(
+          Dedup.wordShingles(docsAll, 3),
+          spark.read.parquet(Similarity.activeDir(fs, s"$p/shingles")),
+          spark.read.parquet(Similarity.activeDir(fs, s"$p/words")),
+          k = 4, m = 1 << 16),
+        w1ServesBase = false))
+  }
+
+  private def data(f: Family): (DataFrame, DataFrame) =
+    if (f.name == "lm" || f.name == "decontam") (docsA, docsB) else (sliceA, sliceB)
+
+  private def root(f: Family, tag: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_fault_${f.name}_${tag}_p" +
+      ProcessHandle.current().pid()
+
+  for (f <- families) test(s"${f.name}: W1 marker-loss crash — continuity, replay convergence, ledger") {
+    val (a, b) = data(f)
+    val base = root(f, "base"); val twin = root(f, "twin"); val drill = root(f, "drill")
+    Seq(base, twin, drill).foreach(rm)
+    f.build(a, base)
+    f.build(a, twin); assert(f.append(b, twin, 1L))
+    f.build(a, drill); assert(f.append(b, drill, 1L))
+    val twinRows = rows(f.probe(twin))
+    f.crashW1(drill)
+    val crashed = rows(f.probe(drill)) // must serve, never throw
+    if (f.w1ServesBase)
+      assert(crashed == rows(f.probe(base)),
+        s"${f.name}: an unpublished append leaked into the probe")
+    assert(f.append(b, drill, 1L),
+      s"${f.name}: replay of the crashed append must re-land (marker was lost)")
+    assert(rows(f.probe(drill)) == twinRows,
+      s"${f.name}: healed store diverges from the never-crashed twin")
+    assert(!f.append(b, drill, 1L),
+      s"${f.name}: second replay must be a ledgered no-op")
+    assert(rows(f.probe(drill)) == twinRows)
+  }
+
+  for (f <- families; half <- f.halves)
+    test(s"${f.name}/$half: W2 swap-window crash — .prev continuity, recoverDir heal") {
+      val (a, b) = data(f)
+      val p = root(f, s"swap_$half")
+      rm(p)
+      f.build(a, p); assert(f.append(b, p, 1L))
+      val full = rows(f.probe(p))
+      // crash between swapDir's two renames: main gone, .prev is the store
+      assert(fs.rename(hpath(s"$p/$half"), hpath(s"$p/$half.prev")),
+        s"could not stage the swap-window state for $half")
+      assert(rows(f.probe(p)) == full,
+        s"${f.name}/$half: activeDir fallback failed to serve the .prev half")
+      // the next maintenance entry heals (recoverDir) and the ledger
+      // survived the swap: the replayed append is a no-op
+      assert(!f.append(b, p, 1L),
+        s"${f.name}/$half: ledger lost across the swap window — double-count risk")
+      assert(fs.exists(hpath(s"$p/$half")) && !fs.exists(hpath(s"$p/$half.prev")),
+        s"${f.name}/$half: recoverDir did not restore the main dir")
+      assert(rows(f.probe(p)) == full)
+    }
+}
