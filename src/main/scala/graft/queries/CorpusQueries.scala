@@ -360,7 +360,13 @@ object CorpusQueries {
         .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
         .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
           sum(col("n_null")).as("p3"))
+      // materialized once (the q146 localCheckpoint precedent): the ridge
+      // fit makes FOUR aggregation passes over its training frame and
+      // predict a fifth — without the checkpoint each pass re-runs the
+      // whole pipeline including the near-dup mine (measured 20.1 s vs
+      // q115's 5.1 s at sf0.1; the checkpoint is a few hundred doc_id rows)
       val surv = packed.filter(col("bal")).select(col("doc_id"))
+        .localCheckpoint(true)
       val fj = DataQueries.ridgeFrame(s, d).join(surv, "doc_id")
       val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
       val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
