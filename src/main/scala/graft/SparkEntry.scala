@@ -23,5 +23,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ WindowQueries.oracles ++ ForecastQueries.oracles ++ DataQueries.oracles ++ IngestQueries.oracles ++ ModelQueries.oracles ++ AnalyticsQueries.oracles ++ AdvancedRelQueries.oracles ++ SmoothingQueries.oracles ++ OlapQueries.oracles ++ SketchQueries.oracles ++ CorpusQueries.oracles
+    RelationalQueries.oracles ++ WindowQueries.oracles ++ ForecastQueries.oracles ++ DataOracles.oracles ++ IngestQueries.oracles ++ ModelQueries.oracles ++ AnalyticsQueries.oracles ++ AdvancedRelQueries.oracles ++ SmoothingQueries.oracles ++ OlapQueries.oracles ++ SketchQueries.oracles ++ CorpusQueries.oracles
 }

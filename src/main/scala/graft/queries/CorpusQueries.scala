@@ -635,7 +635,7 @@ object CorpusQueries {
          |  SELECT dd.doc_id, dd.text, dd.n_chars
          |  FROM documents dd JOIN bal ON bal.doc_id = dd.doc_id
          |),
-         |${DataQueries.ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001, src = "rsrc")},
+         |${DataOracles.ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001, src = "rsrc")},
          |pred AS MATERIALIZED (
          |  SELECT r.doc_id,
          |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
@@ -750,7 +750,7 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_semantic_dedup" ->
-      s"""${DataQueries.kmeansAsgCtes(numCentroids = 8, iters = 3)},
+      s"""${DataOracles.kmeansAsgCtes(numCentroids = 8, iters = 3)},
          |pairs AS (
          |  SELECT q.vec_id, c.vec_id AS nid,
          |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim

@@ -29,11 +29,6 @@ object DataQueries {
     sys.props("java.io.tmpdir") + "/graft_ivf_index_p" +
       ProcessHandle.current().pid() + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
-    * definition — [[OracleCte.triCte]] — shared with the sketch oracles).
-    */
-  private val triCte: String = OracleCte.triCte
-
   /** q155/q157 gate corpus: every embedding rendered as a 9x8 gray PNG,
     * plus planted near-dup twins of vec_id < 10 (id + 1,000,000; dimension
     * vec_id nudged by exactly 0.125). All pixel math is double and the
@@ -55,437 +50,6 @@ object DataQueries {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
     Multimodal.renderGrayPngs(base.unionByName(planted), "vec_id", "v")
   }
-
-  /** Shared CTE prefix for the q155/q157 oracles: corpus (base + planted
-    * twins), the 9x8 pixel grid, and the 63-bit dHash — the SQL replay of
-    * renderGrayPngs + imageDhash (lossless gray8 PNG makes them equal).
-    */
-  private val dhashCtes: String =
-    """WITH base AS (
-      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-      |),
-      |corpus AS (
-      |  SELECT vec_id, v FROM base
-      |  UNION ALL
-      |  SELECT vec_id + 1000000 AS vec_id,
-      |         [CASE WHEN i - 1 = vec_id THEN v[i] + 0.125 ELSE v[i] END
-      |          FOR i IN generate_series(1, len(v))] AS v
-      |  FROM base WHERE vec_id < 10
-      |),
-      |cells AS (
-      |  SELECT c.vec_id, t.y, u.x,
-      |    CAST(floor(least(greatest((v[((t.y * 9 + u.x) % len(v)) + 1] + 3.0) / 6.0,
-      |                              0.0), 1.0) * 255.0) AS BIGINT) AS p
-      |  FROM corpus c, unnest(generate_series(0, 7)) AS t(y),
-      |       unnest(generate_series(0, 8)) AS u(x)
-      |),
-      |dh AS (
-      |  SELECT a.vec_id,
-      |    CAST(sum(CASE WHEN a.p < b.p
-      |                  THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END)
-      |         AS BIGINT) AS dhash
-      |  FROM cells a JOIN cells b
-      |    ON a.vec_id = b.vec_id AND a.y = b.y AND b.x = a.x + 1
-      |  WHERE a.x < 8 AND NOT (a.y = 7 AND a.x = 7)
-      |  GROUP BY 1
-      |)""".stripMargin
-
-  /** The uncapped MinHash+LSH pair mine replayed in DuckDB — q26's oracle,
-    * shared verbatim by the q124 store-lifecycle gate (the increment-parity
-    * contract: batched appends accumulate exactly the monolithic mine).
-    */
-  private lazy val minhashOracle: String =
-    s"""WITH $triCte,
-       |tri2 AS (
-       |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
-       |),
-       |mh AS (
-       |  SELECT doc_id, p.i AS i,
-       |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
-       |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
-       |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
-       |  GROUP BY doc_id, p.i
-       |),
-       |bandkeys AS (
-       |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
-       |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
-       |  FROM mh GROUP BY doc_id, i // 4
-       |),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bandkeys a JOIN bandkeys b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-       |  FROM cand c
-       |  JOIN tri a ON a.doc_id = c.doc_a
-       |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-       |  GROUP BY 1,2
-       |)
-       |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
-       |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |JOIN sizes sa ON sa.doc_id = c.doc_a
-       |JOIN sizes sb ON sb.doc_id = c.doc_b
-       |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
-       |ORDER BY 1,2""".stripMargin
-
-  /** Unrolled DuckDB mirror of [[Similarity.ivfKmeansTopK]] for any iteration
-    * count: c0 is the deterministic seed, each Lloyd iteration t emits
-    * assignment (a / asg), quantized-mean (upd), and rebuilt-centroid (c)
-    * CTEs, and the final assignment feeds the cell-local search. The Spark
-    * side collects centroids to the driver per iteration, but computes the
-    * exact same quantized means, so the unrolled SQL stays hash-identical.
-    */
-  private def assignCte(t: Int, centName: String, src: String = "b"): String =
-    s"""a$t AS (
-       |  SELECT b.vec_id, b.v, b.n, c.cid,
-       |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-       |  FROM $src b CROSS JOIN $centName c
-       |),
-       |asg$t AS (
-       |  SELECT vec_id, v, n, cid AS cell
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-       |        FROM a$t)
-       |  WHERE crn = 1
-       |)""".stripMargin
-
-  /** WITH-prefix replaying [[Similarity.kmeansAssign]] in DuckDB: defines
-    * `asg<iters>` = (vec_id, v, n, cell) after the Lloyd loop. Shared by the
-    * q52 top-k oracle and the q99 semantic-dedup oracle.
-    *
-    * `fitWhere` (optional) restricts the vectors the Lloyd LOOP fits on —
-    * the q119 lifecycle shape, where the index is built from a corpus
-    * prefix and later arrivals are assigned to the FROZEN centroids: loop
-    * CTEs run over `bf` (the fit subset) while the final `asg<iters>`
-    * assignment — and the `a<iters>` scores the nprobe probe reads — covers
-    * every vector, exactly like [[Similarity.ivfAppendCells]] against the
-    * stored centroid set.
-    */
-  private[queries] def kmeansAsgCtes(numCentroids: Int, iters: Int,
-                                     fitWhere: String = ""): String = {
-    val fitSrc = if (fitWhere.isEmpty) "b" else "bf"
-    val bfCte = if (fitWhere.isEmpty) ""
-      else s""",
-              |bf AS (SELECT * FROM b WHERE $fitWhere)""".stripMargin
-    val loop = (0 until iters).map { t =>
-      s""",
-         |${assignCte(t, s"c$t", fitSrc)},
-         |upd$t AS (
-         |  SELECT cell AS cid, t.i AS dim,
-         |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
-         |           / count(*) / 100000000.0 AS m
-         |  FROM asg$t, unnest(generate_series(1, len(v))) AS t(i)
-         |  GROUP BY 1, 2
-         |),
-         |c${t + 1} AS (
-         |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
-         |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd$t GROUP BY cid)
-         |)""".stripMargin
-    }.mkString
-    s"""WITH e AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)$bfCte,
-       |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $numCentroids)$loop,
-       |${assignCte(iters, s"c$iters", "b")}""".stripMargin
-  }
-
-  private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
-    s"""${kmeansAsgCtes(numCentroids, iters)},
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-       |  FROM asg$iters q JOIN asg$iters c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM scored
-       |)
-       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
-
-  private val hex60Sql: String => String = OracleCte.hex60Sql
-
-  /** q131 oracle: replay [[Similarity.pqCodebooks]]' m independent
-    * per-subspace spherical Lloyd fits (each the kmeansAsgCtes loop over a
-    * `v[lo:hi]` slice), [[Similarity.pqEncode]]'s assignment argmax, and
-    * [[Similarity.pqAdcTopK]]'s integer-quantized ADC lookup-table scoring
-    * — same floor*1e8 long partials, so the per-pair sums are
-    * addition-order-independent in BOTH engines and the ranking matches
-    * bit-for-bit.
-    */
-  private def pqAdcOracle(m: Int, k: Int, iters: Int, dim: Int,
-                          nQueries: Int, topK: Int, fitWhere: String = ""): String =
-    s"""${pqCtes(m, k, iters, dim, nQueries, fitWhere)}
-       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
-
-  /** q132's oracle: the PQ pipeline as the probe side of the q106-shaped
-    * recall computation (no mirror of the Spark assert_true floor, same as
-    * the other recall gates).
-    */
-  private def pqRecallOracle(m: Int, k: Int, iters: Int, dim: Int,
-                             nQueries: Int, topK: Int): String =
-    s"""${pqCtes(m, k, iters, dim, nQueries)},
-       |pq_topk AS (
-       |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= $topK
-       |),
-       |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-       |brute_scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
-       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-       |  FROM bn q JOIN bn c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $nQueries
-       |),
-       |brute_topk AS (
-       |  SELECT query_id, true_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
-       |    FROM brute_scored) WHERE rk <= $topK
-       |),
-       |per AS (
-       |  SELECT t.query_id,
-       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-       |  FROM brute_topk t LEFT JOIN pq_topk i
-       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
-       |  GROUP BY 1
-       |),
-       |agg AS (
-       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
-       |)
-       |SELECT query_id, n_hits,
-       |  round(n_hits / $topK.0, 6) AS recall,
-       |  round(sum_hits / ($topK.0 * n_queries), 6) AS mean_recall
-       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
-
-  /** Shared WITH-prefix for the PQ oracles: defines `e` (widened vectors),
-    * `q` (the first `nQueries` as queries), the per-subspace Lloyd loops,
-    * `codes`/`lut`, and `ranked` = the full ADC ranking.
-    */
-  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int,
-                     fitWhere: String = ""): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
-       |q AS (
-       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-       |  FROM e WHERE vec_id < $nQueries
-       |)${pqSubCtes(m, k, iters, dim, fitWhere)},
-       |scored AS (
-       |  SELECT l.query_id, co.vec_id,
-       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
-       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
-       |  WHERE l.query_id <> co.vec_id
-       |  GROUP BY 1, 2
-       |),
-       |approx AS (
-       |  SELECT query_id, vec_id AS neighbor_id,
-       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
-       |  FROM scored
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM approx
-       |)""".stripMargin
-
-  /** The per-subspace PQ CTEs alone (Lloyd loops, `codes`, `lut`) — they
-    * reference an already-defined `e` (corpus) and `q` (queries), so they
-    * compose after [[kmeansAsgCtes]] for the IVF-PQ oracle. Leading comma.
-    */
-  private def pqSubCtes(m: Int, k: Int, iters: Int, dim: Int,
-                        fitWhere: String = ""): String = {
-    val sub = dim / m
-    // `fitWhere` restricts the Lloyd LOOP's fit set (the q134 lifecycle
-    // shape: codebooks frozen from a corpus prefix, later arrivals encoded
-    // against them) while the final `codes`/`lut` cover every vector —
-    // the kmeansAsgCtes fitWhere treatment applied per subspace.
-    val perS = (0 until m).map { s =>
-      val fitSrc = if (fitWhere.isEmpty) s"b$s" else s"bf$s"
-      val bfCte = if (fitWhere.isEmpty) ""
-        else s""",
-                |bf$s AS (SELECT * FROM b$s WHERE $fitWhere)""".stripMargin
-      val lo = s * sub + 1; val hi = (s + 1) * sub
-      val loop = (0 until iters).map { t =>
-        s""",
-           |a${s}_$t AS (
-           |  SELECT b.vec_id, b.v, b.n, c.cid,
-           |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-           |  FROM $fitSrc b CROSS JOIN c${s}_$t c
-           |),
-           |asg${s}_$t AS (
-           |  SELECT vec_id, v, n, cid AS cell
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-           |        FROM a${s}_$t)
-           |  WHERE crn = 1
-           |),
-           |upd${s}_$t AS (
-           |  SELECT cell AS cid, t.i AS dim,
-           |         CAST(sum(CAST(floor(v[t.i] * 100000000.0) AS BIGINT)) AS DOUBLE)
-           |           / count(*) / 100000000.0 AS m
-           |  FROM asg${s}_$t, unnest(generate_series(1, len(v))) AS t(i)
-           |  GROUP BY 1, 2
-           |),
-           |c${s}_${t + 1} AS (
-           |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
-           |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd${s}_$t GROUP BY cid)
-           |)""".stripMargin
-      }.mkString
-      s""",
-         |b$s AS (
-         |  SELECT vec_id, v[$lo:$hi] AS v,
-         |         sqrt(list_dot_product(v[$lo:$hi], v[$lo:$hi])) AS n
-         |  FROM e
-         |)$bfCte,
-         |c${s}_0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $k)$loop,
-         |af$s AS (
-         |  SELECT b.vec_id, c.cid,
-         |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-         |  FROM b$s b CROSS JOIN c${s}_$iters c
-         |),
-         |codes$s AS (
-         |  SELECT vec_id, $s AS s, cid AS code
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-         |        FROM af$s)
-         |  WHERE crn = 1
-         |),
-         |lut$s AS (
-         |  SELECT q.query_id, q.qn, $s AS s, c.cid,
-         |    CAST(floor(list_dot_product(q.qv[$lo:$hi], c.cv) * 100000000.0) AS BIGINT) AS pdot,
-         |    CAST(floor(c.cn * c.cn * 100000000.0) AS BIGINT) AS pn2
-         |  FROM q CROSS JOIN c${s}_$iters c
-         |)""".stripMargin
-    }.mkString
-    val codesUnion = (0 until m).map(s => s"SELECT * FROM codes$s").mkString(" UNION ALL ")
-    val lutUnion = (0 until m).map(s => s"SELECT * FROM lut$s").mkString(" UNION ALL ")
-    s"""$perS,
-       |codes AS ($codesUnion),
-       |lut AS ($lutUnion)""".stripMargin
-  }
-
-  /** q133's oracle: [[kmeansAsgCtes]] supplies the IVF cells (`a3`/`asg3`),
-    * [[pqSubCtes]] the codebooks/codes/LUT, and the probe/candidate/ADC
-    * chain mirrors [[Similarity.ivfPqTopK]] — nprobe cells per query,
-    * cell-local candidates, integer-quantized LUT sums.
-    */
-  private def ivfPqOracle(numCentroids: Int, iters: Int, m: Int, k: Int,
-                          pqIters: Int, dim: Int, nQueries: Int, topK: Int,
-                          nprobe: Int): String =
-    s"""${kmeansAsgCtes(numCentroids, iters)},
-       |q AS (
-       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-       |  FROM e WHERE vec_id < $nQueries
-       |)${pqSubCtes(m, k, pqIters, dim)},
-       |probes AS (
-       |  SELECT vec_id AS query_id, cid AS cell
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-       |        FROM a$iters)
-       |  WHERE crn <= $nprobe AND vec_id < $nQueries
-       |),
-       |cand AS (
-       |  SELECT p.query_id, c.vec_id AS neighbor_id, p.cell
-       |  FROM probes p JOIN asg$iters c ON p.cell = c.cell AND p.query_id <> c.vec_id
-       |),
-       |scored AS (
-       |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
-       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
-       |  FROM cand cd
-       |  JOIN codes co ON co.vec_id = cd.neighbor_id
-       |  JOIN lut l ON l.query_id = cd.query_id AND l.s = co.s AND l.cid = co.code
-       |  GROUP BY 1, 2, 3
-       |),
-       |approx AS (
-       |  SELECT query_id, neighbor_id, cell,
-       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
-       |  FROM scored
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM approx
-       |)
-       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
-
-  /** Multi-probe (nprobe=2) IVF rows over the 8-centroid/3-iter build:
-    * query side takes the TWO nearest centroids (crn <= 2 over the final
-    * Lloyd scores a3); corpus side keeps its crn = 1 cell. Shared by q107
-    * (in-memory search) and q112 (probe of the persisted index) — the
-    * store round-trip must be invisible to the search results.
-    */
-  private val nprobeOracleBody: String =
-    s"""probes AS (
-       |  SELECT vec_id, v, n, cid AS cell
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-       |        FROM a3)
-       |  WHERE crn <= 2
-       |),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-       |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM scored
-       |)
-       |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-
-  private val nprobeOracle: String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-       |$nprobeOracleBody""".stripMargin
-
-  /** q119's oracle: the SAME nprobe probe, but the Lloyd fit runs only on
-    * the vec_id < 300 build prefix (the store's frozen geometry) while the
-    * final assignment — prefix at build time, remainder at append time —
-    * covers every vector. The probe after build→append→compact must be
-    * bit-identical to this; compaction must be invisible entirely.
-    */
-  private val ivfLifecycleOracle: String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3, fitWhere = "vec_id < 300")},
-       |$nprobeOracleBody""".stripMargin
-
-  /** Row-level twin of the tuned 16x5 LSH search (q117 and the q122
-    * lifecycle share it — the store round-trip, and any build/append split
-    * of the corpus, must be invisible to the search results). The kmeans
-    * CTE prefix supplies `b`; DuckDB prunes the unreferenced Lloyd CTEs.
-    */
-  private val lshStoreOracle: String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-       |comps AS (
-       |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
-       |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
-       |  FROM unnest(generate_series(0, 15)) AS tt(t),
-       |       unnest(generate_series(0, 4)) AS jj(j),
-       |       unnest(generate_series(0, 63)) AS dd(d)
-       |),
-       |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
-       |sig AS (
-       |  SELECT b.vec_id, hp.t,
-       |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
-       |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
-       |  FROM b CROSS JOIN hp
-       |  GROUP BY 1, 2
-       |),
-       |cand AS (
-       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM sig q JOIN sig c
-       |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 100
-       |),
-       |scored AS (
-       |  SELECT cand.query_id, cand.neighbor_id,
-       |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
-       |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
-       |            JOIN b cb ON cand.neighbor_id = cb.vec_id
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM scored
-       |)
-       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Shared recall@k machinery for the q106/q108 ANN quality gates: hit
     * counts of `ivf` (query_id, neighbor_id) against the q29 brute-force
@@ -516,224 +80,6 @@ object DataQueries {
       .orderBy("query_id")
   }
 
-  /** DuckDB twin of [[annRecallGate]]: `ivfTopkSql` must define the probe
-    * side as rows (query_id, neighbor_id) named `ivf_topk`, on top of
-    * [[kmeansAsgCtes]]' prefix (so `b` and `a3`/`asg3` are in scope). No
-    * mirror of the Spark assert_true floor — see the gate's scaladoc.
-    */
-  private def annRecallOracle(ivfTopkSql: String, k: Int): String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
-       |$ivfTopkSql,
-       |brute_scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
-       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-       |  FROM b q JOIN b c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 100
-       |),
-       |brute_topk AS (
-       |  SELECT query_id, true_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
-       |    FROM brute_scored) WHERE rk <= $k
-       |),
-       |per AS (
-       |  SELECT t.query_id,
-       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-       |  FROM brute_topk t LEFT JOIN ivf_topk i
-       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
-       |  GROUP BY 1
-       |),
-       |agg AS (
-       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
-       |)
-       |SELECT query_id, n_hits,
-       |  round(n_hits / $k.0, 6) AS recall,
-       |  round(sum_hits / ($k.0 * n_queries), 6) AS mean_recall
-       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
-
-  /** WITH-prefix shared by the PCA oracles: replay [[Pca.covariance]]'s
-    * quantized means + centered Gram matrix, then [[Pca.powerIteration]]'s
-    * fixed-count power iteration with Hotelling deflation — every inner sum
-    * a floor*1e8 BIGINT partial, iterates re-rounded to 6 decimals per
-    * step, so both engines run the identical arithmetic whether or not the
-    * subspace has converged. Defines `pe` (widened vectors), `pcx`
-    * (centered exploded rows), `ptrace`, and `comps` = (comp, dim, w
-    * signed, eigval).
-    */
-  /** The per-component power-iteration/deflation loop + `comps` (leading
-    * comma) — references `pmu` (dims), `g0` (the covariance, however
-    * derived), shared by the centered-Gram and raw-moments prefixes.
-    */
-  private def pcaLoopCtes(p: Int, iters: Int, dim: Int = 64): String = {
-    val perC = (0 until p).map { c =>
-      val loop = (1 to iters).map { t =>
-        s""",
-           |y${c}_$t AS MATERIALIZED (
-           |  SELECT g.i, CAST(sum(CAST(floor(g.g * x.w * 100000000.0) AS BIGINT)) AS DOUBLE)
-           |           / 100000000.0 AS y
-           |  FROM g$c g JOIN x${c}_${t - 1} x ON g.j = x.i GROUP BY 1
-           |),
-           |n${c}_$t AS MATERIALIZED (
-           |  SELECT sqrt(CAST(sum(CAST(floor(y * y * 100000000.0) AS BIGINT)) AS DOUBLE)
-           |              / 100000000.0) AS nrm
-           |  FROM y${c}_$t
-           |),
-           |x${c}_$t AS MATERIALIZED (
-           |  SELECT y.i, CASE WHEN n.nrm = 0.0 THEN x.w ELSE round(y.y / n.nrm, 6) END AS w
-           |  FROM y${c}_$t y JOIN x${c}_${t - 1} x ON y.i = x.i CROSS JOIN n${c}_$t n
-           |)""".stripMargin
-      }.mkString
-      s""",
-         |x${c}_0 AS MATERIALIZED (
-         |  SELECT i, CASE WHEN i = ${c % dim} THEN 1.0 ELSE 0.0 END AS w FROM pmu
-         |)$loop,
-         |l$c AS MATERIALIZED (
-         |  SELECT CAST(sum(CAST(floor(g.g * xi.w * xj.w * 100000000.0) AS BIGINT)) AS DOUBLE)
-         |           / 100000000.0 AS lam
-         |  FROM g$c g JOIN x${c}_$iters xi ON g.i = xi.i JOIN x${c}_$iters xj ON g.j = xj.i
-         |),
-         |s$c AS MATERIALIZED (
-         |  SELECT CASE WHEN (SELECT w FROM x${c}_$iters ORDER BY abs(w) DESC, i ASC LIMIT 1) < 0
-         |              THEN -1.0 ELSE 1.0 END AS sgn
-         |),
-         |g${c + 1} AS MATERIALIZED (
-         |  SELECT g.i, g.j,
-         |    g.g - CAST(floor(l.lam * xi.w * xj.w * 100000000.0) AS BIGINT) / 100000000.0 AS g
-         |  FROM g$c g JOIN x${c}_$iters xi ON g.i = xi.i JOIN x${c}_$iters xj ON g.j = xj.i
-         |  CROSS JOIN l$c l
-         |)""".stripMargin
-    }.mkString
-    val compsUnion = (0 until p).map { c =>
-      s"""SELECT $c AS comp, x.i AS dim, x.w * s.sgn AS w, l.lam AS eigval
-         |  FROM x${c}_$iters x CROSS JOIN s$c s CROSS JOIN l$c l""".stripMargin
-    }.mkString("\n  UNION ALL\n  ")
-    s"""$perC,
-       |comps AS (
-       |  $compsUnion
-       |)""".stripMargin
-  }
-
-  // dim threads through to the one-hot start (`c % dim`) so the oracle
-  // can't silently diverge from Pca.powerIteration if reused with dim != 64
-  private def pcaCtes(p: Int, iters: Int, dim: Int = 64): String =
-    s"""WITH pe AS MATERIALIZED (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
-       |pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pe),
-       |pex AS MATERIALIZED (
-       |  SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
-       |  FROM pe, unnest(generate_series(1, len(v))) AS t(i)
-       |),
-       |pmu AS MATERIALIZED (
-       |  SELECT i, CAST(sum(CAST(floor(x * 100000000.0) AS BIGINT)) AS DOUBLE)
-       |         / (SELECT nd FROM pnn) / 100000000.0 AS m
-       |  FROM pex GROUP BY 1
-       |),
-       |pcx AS MATERIALIZED (SELECT e.vec_id, e.i, e.x - m.m AS x FROM pex e JOIN pmu m ON e.i = m.i),
-       |g0 AS MATERIALIZED (
-       |  SELECT a.i, b.i AS j,
-       |    CAST(sum(CAST(floor(a.x * b.x * 100000000.0) AS BIGINT)) AS DOUBLE)
-       |      / (SELECT nd FROM pnn) / 100000000.0 AS g
-       |  FROM pcx a JOIN pcx b ON a.vec_id = b.vec_id GROUP BY 1, 2
-       |),
-       |ptrace AS MATERIALIZED (
-       |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
-       |  FROM g0 WHERE i = j
-       |)${pcaLoopCtes(p, iters, dim)}""".stripMargin
-
-  /** Raw-moments PCA prefix (the streamable path): the covariance derives
-    * from ADDITIVE quantized sums — count, per-dim first moments, and the
-    * second-moment matrix — via cov_ij = M2_ij/n/1e8 - mu_i*mu_j. The sums
-    * are plain BIGINTs, so any partition of the corpus accumulates to the
-    * identical store (the LM-counts additivity argument) — which is what
-    * makes the q153 stream-grown fit hash-equal to this batch fit.
-    */
-  private def pcaMomentsCtes(p: Int, iters: Int, dim: Int = 64): String =
-    s"""WITH pe AS MATERIALIZED (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
-       |pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pe),
-       |pex AS MATERIALIZED (
-       |  SELECT vec_id, t.i - 1 AS i, v[t.i] AS x
-       |  FROM pe, unnest(generate_series(1, len(v))) AS t(i)
-       |),
-       |pm1 AS MATERIALIZED (
-       |  SELECT i, CAST(sum(CAST(floor(x * 100000000.0) AS BIGINT)) AS BIGINT) AS s1
-       |  FROM pex GROUP BY 1
-       |),
-       |pm2 AS MATERIALIZED (
-       |  SELECT a.i, b.i AS j,
-       |    CAST(sum(CAST(floor(a.x * b.x * 100000000.0) AS BIGINT)) AS BIGINT) AS s2
-       |  FROM pex a JOIN pex b ON a.vec_id = b.vec_id GROUP BY 1, 2
-       |),
-       |pmu AS MATERIALIZED (
-       |  SELECT i, CAST(s1 AS DOUBLE) / (SELECT nd FROM pnn) / 100000000.0 AS m
-       |  FROM pm1
-       |),
-       |g0 AS MATERIALIZED (
-       |  SELECT m2.i, m2.j,
-       |    CAST(m2.s2 AS DOUBLE) / (SELECT nd FROM pnn) / 100000000.0 - mi.m * mj.m AS g
-       |  FROM pm2 m2 JOIN pmu mi ON m2.i = mi.i JOIN pmu mj ON m2.j = mj.i
-       |),
-       |ptrace AS MATERIALIZED (
-       |  SELECT CAST(sum(CAST(floor(g * 100000000.0) AS BIGINT)) AS DOUBLE) / 100000000.0 AS tr
-       |  FROM g0 WHERE i = j
-       |)${pcaLoopCtes(p, iters, dim)}""".stripMargin
-
-  private def pcaMomentsOracle(p: Int, iters: Int): String =
-    s"""${pcaMomentsCtes(p, iters)}
-       |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
-       |  round(eigval, 6) AS eigval,
-       |  round(eigval / (SELECT tr FROM ptrace), 6) AS var_ratio
-       |FROM comps ORDER BY comp, dim""".stripMargin
-
-  /** The q139 projection CTE (leading comma): centered rows x signed
-    * loadings, quantized partials per (vector, component).
-    */
-  private val pcaProjCte: String =
-    """,
-      |proj AS MATERIALIZED (
-      |  SELECT c.vec_id, p.comp,
-      |    CAST(sum(CAST(floor(c.x * p.w * 100000000.0) AS BIGINT)) AS DOUBLE)
-      |      / 100000000.0 AS proj
-      |  FROM pcx c JOIN comps p ON c.i = p.dim
-      |  GROUP BY 1, 2
-      |)""".stripMargin
-
-  /** q146's oracle: the composed PCA -> PQ pipeline — [[pcaCtes]]' fit and
-    * projection feed a RE-ROOTED `e` (the 16-dim projected corpus), and
-    * [[pqSubCtes]] + the ADC tail replay the sub-k-means fits, encoding,
-    * LUT, and ranking over it — every stage the same quantized arithmetic,
-    * so the whole two-model pipeline is hash-exact end to end.
-    */
-  private def pcaPqOracle(p: Int, pIters: Int, m: Int, k: Int, pqIters: Int,
-                          nQueries: Int, topK: Int): String =
-    s"""${pcaCtes(p, pIters)}$pcaProjCte,
-       |e AS MATERIALIZED (
-       |  SELECT vec_id, list(proj ORDER BY comp) AS v FROM proj GROUP BY 1
-       |),
-       |q AS (
-       |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-       |  FROM e WHERE vec_id < $nQueries
-       |)${pqSubCtes(m, k, pqIters, p)},
-       |scored AS (
-       |  SELECT l.query_id, co.vec_id,
-       |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
-       |  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.cid
-       |  WHERE l.query_id <> co.vec_id
-       |  GROUP BY 1, 2
-       |),
-       |approx AS (
-       |  SELECT query_id, vec_id AS neighbor_id,
-       |    round((sdot / 100000000.0) / (qn * sqrt(sn2 / 100000000.0)), 6) AS sim
-       |  FROM scored
-       |),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM approx
-       |)
-       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
-
   /** Feature frame shared by the ridge pair: q31's quality features as the
     * regressors, n_chars as the label.
     */
@@ -745,166 +91,6 @@ object DataQueries {
         "doc_id")
 
   private[queries] val ridgeFeatureCols = Seq("n_words", "avg_word_len", "stopword_ratio")
-
-  /** WITH-prefix for the ridge oracles: replay [[graft.operators.Ridge.fit]]
-    * — q31's feature derivations, quantized means/variances,
-    * standardization (sd=0 guard mirrored), the 3x3 standardized moment
-    * matrix + moment vector, and the fixed-count gradient loop as 1-row
-    * scalar-column CTEs. Defines `rf`, `rmu`, `rsd`, `rz`, `rab`, and
-    * `w$iters`.
-    */
-  // `src` parameterizes the training table (q160 fits on the pipeline's
-  // balanced survivors); emitted WITHOUT the leading WITH so callers can
-  // compose it after their own CTEs
-  private[queries] def ridgeCtes(iters: Int, lr: Double, lambda: Double,
-                                 src: String = "documents"): String = {
-    def z(i: Int) = s"CASE WHEN s$i = 0 THEN 0.0 ELSE (x$i - m$i) / s$i END"
-    def aName(i: Int, j: Int) = s"a_${math.min(i, j)}_${math.max(i, j)}"
-    val loop = (1 to iters).map { t =>
-      val aws = (0 until 3).map { i =>
-        (0 until 3).map(j =>
-          s"CAST(floor(${aName(i, j)} * w$j * 100000000.0) AS BIGINT)")
-          .mkString("(", " + ", ") / 100000000.0")
-      }
-      s""",
-         |w$t AS MATERIALIZED (
-         |  SELECT
-         |    round(w0 - $lr * (${aws(0)} - b_0 + $lambda * w0), 6) AS w0,
-         |    round(w1 - $lr * (${aws(1)} - b_1 + $lambda * w1), 6) AS w1,
-         |    round(w2 - $lr * (${aws(2)} - b_2 + $lambda * w2), 6) AS w2
-         |  FROM w${t - 1} CROSS JOIN rab
-         |)""".stripMargin
-    }.mkString
-    s"""rf AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x0,
-       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-       |      / len(string_split_regex(trim(text), '\\s+')) AS x1,
-       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
-       |      / len(string_split_regex(trim(text), '\\s+')) AS x2,
-       |    CAST(n_chars AS DOUBLE) AS y
-       |  FROM $src
-       |),
-       |rn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM rf),
-       |rmu AS MATERIALIZED (
-       |  SELECT
-       |    CAST(sum(CAST(floor(x0 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m0,
-       |    CAST(sum(CAST(floor(x1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m1,
-       |    CAST(sum(CAST(floor(x2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS m2,
-       |    CAST(sum(CAST(floor(y * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS my
-       |  FROM rf
-       |),
-       |rsd AS MATERIALIZED (
-       |  SELECT
-       |    sqrt(CAST(sum(CAST(floor((x0 - m0) * (x0 - m0) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s0,
-       |    sqrt(CAST(sum(CAST(floor((x1 - m1) * (x1 - m1) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s1,
-       |    sqrt(CAST(sum(CAST(floor((x2 - m2) * (x2 - m2) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS s2,
-       |    sqrt(CAST(sum(CAST(floor((y - my) * (y - my) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0) AS sy
-       |  FROM rf CROSS JOIN rmu
-       |),
-       |rz AS MATERIALIZED (
-       |  SELECT doc_id, y,
-       |    ${z(0)} AS z0, ${z(1)} AS z1, ${z(2)} AS z2,
-       |    CASE WHEN sy = 0 THEN 0.0 ELSE (y - my) / sy END AS zy
-       |  FROM rf CROSS JOIN rmu CROSS JOIN rsd
-       |),
-       |rab AS MATERIALIZED (
-       |  SELECT
-       |    CAST(sum(CAST(floor(z0 * z0 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_0,
-       |    CAST(sum(CAST(floor(z0 * z1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_1,
-       |    CAST(sum(CAST(floor(z0 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_0_2,
-       |    CAST(sum(CAST(floor(z1 * z1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_1_1,
-       |    CAST(sum(CAST(floor(z1 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_1_2,
-       |    CAST(sum(CAST(floor(z2 * z2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS a_2_2,
-       |    CAST(sum(CAST(floor(z0 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_0,
-       |    CAST(sum(CAST(floor(z1 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_1,
-       |    CAST(sum(CAST(floor(z2 * zy * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM rn) / 100000000.0 AS b_2
-       |  FROM rz
-       |),
-       |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)$loop""".stripMargin
-  }
-
-  /** Shared by q148/q150: predictions + R^2 over [[ridgeCtes]]' fit (the
-    * store round-trip must be invisible, so both register it verbatim).
-    */
-  private lazy val ridgePredictOracle: String =
-    s"""WITH ${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)},
-       |pred AS MATERIALIZED (
-       |  SELECT r.doc_id, r.y,
-       |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
-       |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
-       |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
-       |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
-       |),
-       |r2c AS MATERIALIZED (
-       |  SELECT
-       |    CAST(sum(CAST(floor(((y - yhat) / sy) * ((y - yhat) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sseq,
-       |    CAST(sum(CAST(floor(((y - my) / sy) * ((y - my) / sy) * 100000000.0) AS BIGINT)) AS DOUBLE) AS sstq
-       |  FROM pred CROSS JOIN rmu CROSS JOIN rsd
-       |)
-       |SELECT doc_id, y, yhat, round(1 - sseq / sstq, 6) AS r2
-       |FROM pred CROSS JOIN r2c ORDER BY doc_id""".stripMargin
-
-  private def pcaComponentsOracle(p: Int, iters: Int): String =
-    s"""${pcaCtes(p, iters)}
-       |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
-       |  round(eigval, 6) AS eigval,
-       |  round(eigval / (SELECT tr FROM ptrace), 6) AS var_ratio
-       |FROM comps ORDER BY comp, dim""".stripMargin
-
-  private def pcaProjectOracle(p: Int, iters: Int): String =
-    s"""${pcaCtes(p, iters)}$pcaProjCte
-       |SELECT vec_id, CAST(comp AS INT) AS comp, proj
-       |FROM proj ORDER BY vec_id, comp""".stripMargin
-
-  /** q140's oracle: recall@k of brute-force cosine in the PCA-projected
-    * space vs brute-force truth in the full space (the annRecallOracle
-    * shape over the PCA chain; no mirror of the Spark assert_true floor).
-    */
-  private def pcaRecallOracle(p: Int, iters: Int, k: Int): String =
-    s"""${pcaCtes(p, iters)}$pcaProjCte,
-       |pvn AS MATERIALIZED (
-       |  SELECT vec_id, pv, sqrt(list_dot_product(pv, pv)) AS pn
-       |  FROM (SELECT vec_id, list(proj ORDER BY comp) AS pv FROM proj GROUP BY 1)
-       |),
-       |proj_scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.pv, c.pv) / (q.pn * c.pn), 6) AS sim
-       |  FROM pvn q JOIN pvn c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 100
-       |),
-       |proj_topk AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-       |    FROM proj_scored) WHERE rk <= $k
-       |),
-       |pb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM pe),
-       |brute_scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS true_id,
-       |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-       |  FROM pb q JOIN pb c ON q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 100
-       |),
-       |brute_topk AS (
-       |  SELECT query_id, true_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, true_id ASC) AS rk
-       |    FROM brute_scored) WHERE rk <= $k
-       |),
-       |per AS (
-       |  SELECT t.query_id,
-       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-       |  FROM brute_topk t LEFT JOIN proj_topk i
-       |    ON t.query_id = i.query_id AND t.true_id = i.neighbor_id
-       |  GROUP BY 1
-       |),
-       |agg AS (
-       |  SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits, count(*) AS n_queries FROM per
-       |)
-       |SELECT query_id, n_hits,
-       |  round(n_hits / $k.0, 6) AS recall,
-       |  round(sum_hits / ($k.0 * n_queries), 6) AS mean_recall
-       |FROM per CROSS JOIN agg ORDER BY query_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) =>
@@ -1605,616 +791,5 @@ object DataQueries {
         .agg(count(lit(1)).as("n_kept"), round(sum(col("value")), 2).as("value_kept"))
         .orderBy("event_type")
     })
-  )
-
-  val oracles: Map[String, String] = Map(
-    "q24_dedup_exact" ->
-      """SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q66_text_repetition" ->
-      """WITH counts AS (
-        |  SELECT doc_id, w AS word, count(*) AS cnt
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_id,
-        |  CAST(sum(cnt) AS BIGINT) AS n_words,
-        |  count(*) AS n_distinct,
-        |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_word_frac,
-        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_word_frac,
-        |  (CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.2
-        |    AND 1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= 0.7) AS keep
-        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q25_dedup_ngram" ->
-      s"""WITH $triCte,
-         |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 5),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2
-         |)
-         |SELECT c.doc_a, c.doc_b, round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard
-         |FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN sizes sa ON sa.doc_id = c.doc_a
-         |JOIN sizes sb ON sb.doc_id = c.doc_b
-         |WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
-         |ORDER BY 1,2""".stripMargin,
-    "q26_dedup_minhash" -> minhashOracle,
-    // The documented increment-parity contract: pairs accumulated by the
-    // batched store equal the uncapped batch miner over the whole corpus,
-    // so the lifecycle gate shares q26's oracle verbatim.
-    "q124_minhash_store_lifecycle" -> minhashOracle,
-    "q27_dedup_simhash" ->
-      s"""WITH tok2 AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
-         |),
-         |th AS (SELECT doc_id, ${hex60Sql("tok")} AS h FROM tok2),
-         |bitsums AS (
-         |  SELECT doc_id, t.b AS b, sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th, unnest(generate_series(0, 59)) AS t(b) GROUP BY 1,2
-         |),
-         |sh AS (
-         |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-         |  FROM bitsums GROUP BY 1
-         |),
-         |banded AS (
-         |  SELECT doc_id, simhash, bb.band AS band, (simhash >> (bb.band * 15)) & 32767 AS band_val
-         |  FROM sh, unnest(generate_series(0, 3)) AS bb(band)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.simhash AS ha, b.simhash AS hb
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
-         |ORDER BY 1,2""".stripMargin,
-    "q28_dedup_embcos" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-        |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) /
-        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
-        |ORDER BY 1,2""".stripMargin,
-    "q29_ann_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-        |),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
-        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 10
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q30_ann_lsh" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-        |    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-        |    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
-        |  FROM embeddings
-        |),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) /
-        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
-        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q31_text_quality" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS nsl,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt,
-        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
-        |  FROM documents
-        |)
-        |SELECT doc_id, n_words,
-        |  round(CAST(nsl AS DOUBLE) / n_words, 6) AS avg_word_len,
-        |  round(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stopword_ratio,
-        |  round(CAST(dig AS DOUBLE) / greatest(nsl, 1), 6) AS digit_ratio,
-        |  round(least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)), 6) AS quality_score
-        |FROM f ORDER BY doc_id""".stripMargin,
-    "q32_text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['der','und','die','nicht','ist'], x))) AS s_de,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['the','and','of','is','a'], x))) AS s_en,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-        |       ELSE 'fr' END AS pred_lang,
-        |  greatest(s_de, s_en, s_es, s_fr) AS top_score
-        |FROM s ORDER BY doc_id""".stripMargin,
-    "q33_text_tokens" ->
-      """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
-        |  length(text) AS n_chars_txt
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q34_text_fingerprint" ->
-      s"""WITH nrm AS (
-         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents
-         |),
-         |codes AS (
-         |  SELECT doc_id, norm,
-         |    list_transform(string_split(norm, ''), c -> ascii(c)) || [0,0,0,0,0,0,0,0] AS cs
-         |  FROM nrm
-         |)
-         |SELECT doc_id, md5(norm) AS fp_md5,
-         |  list_min([${TextOps.polyTerms(8, "::BIGINT")(j => s"cs[i + $j]")}
-         |            FOR i IN generate_series(1, greatest(length(norm) - 7, 1))]) AS winnow_min
-         |FROM codes ORDER BY doc_id""".stripMargin,
-    "q35_mm_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  sha256(text) AS sha256,
-        |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
-        |  CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 16 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 32 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "q155_image_dhash" ->
-      s"""$dhashCtes
-         |SELECT vec_id, dhash, TRUE AS decoded FROM dh ORDER BY vec_id""".stripMargin,
-    "q157_image_neardup" ->
-      s"""$dhashCtes,
-         |banded AS (
-         |  SELECT vec_id, dhash,
-         |    ((dhash >> (b.band * 16)) & 65535) + b.band * 65536 AS bkey
-         |  FROM dh, unnest(generate_series(0, 3)) AS b(band)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
-         |         a.dhash AS ha, b.dhash AS hb
-         |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
-         |)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
-         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q62_bm25_top_terms" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents
-        |),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
-        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |corpus AS (SELECT count(*) AS n_docs, CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_len
-        |           FROM lens),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, lens.doc_len,
-        |    floor(
-        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avg_len)))
-        |      * 1e6 + 0.5) / 1e6 AS bm25
-        |  FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id) CROSS JOIN corpus
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT doc_id, term, tf, doc_len, bm25, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "q154_tfidf_ann" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
-        |),
-        |toks AS (
-        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
-        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
-        |  WHERE len(ws) >= 3
-        |),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS tfidf
-        |  FROM tf JOIN dfx USING (term) CROSS JOIN nd
-        |),
-        |kept AS (
-        |  SELECT s.doc_id, s.term, s.tfidf
-        |  FROM scored s JOIN dfx USING (term) WHERE dfx.df <= 20
-        |),
-        |norms AS (
-        |  SELECT * FROM (
-        |    SELECT doc_id,
-        |      sqrt(CAST(sum(CAST(floor(tfidf * tfidf * 100000000.0) AS BIGINT)) AS DOUBLE)
-        |           / 100000000.0) AS nrm
-        |    FROM kept GROUP BY 1
-        |  ) WHERE nrm > 0.0
-        |),
-        |pairs AS (
-        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-        |    CAST(sum(CAST(floor(q.tfidf * c.tfidf * 100000000.0) AS BIGINT)) AS BIGINT) AS sdot
-        |  FROM kept q JOIN kept c ON q.term = c.term AND q.doc_id <> c.doc_id
-        |  WHERE q.doc_id < 20
-        |  GROUP BY 1, 2
-        |),
-        |sims AS (
-        |  SELECT p.query_id, p.neighbor_id,
-        |    round((CAST(p.sdot AS DOUBLE) / 100000000.0) / (nq.nrm * nc.nrm), 6) AS sim
-        |  FROM pairs p
-        |  JOIN norms nq ON p.query_id = nq.doc_id
-        |  JOIN norms nc ON p.neighbor_id = nc.doc_id
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM sims
-        |)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q61_tfidf_top_terms" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents
-        |),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf,
-        |    floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6 AS tfidf
-        |  FROM tf JOIN dfx USING (term) CROSS JOIN nd
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "q59_hash_split" ->
-      s"""WITH b AS (
-         |  SELECT event_type, value,
-         |         ${hex60Sql("event_id || ':' || user_id")} % 100 AS bucket
-         |  FROM events
-         |)
-         |SELECT event_type,
-         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-         |  count(*) AS n, round(sum(value), 2) AS value_sum
-         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q60_quantize_int8" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-        |),
-        |m AS (
-        |  SELECT vec_id, v, greatest(list_max([abs(x) FOR x IN v]), 1e-12) AS m FROM e
-        |)
-        |SELECT vec_id, t.i AS dim, CAST(floor(v[t.i] * 127.0 / m + 0.5) AS INT) AS q8
-        |FROM m, unnest(generate_series(1, len(v))) AS t(i)
-        |ORDER BY vec_id, dim""".stripMargin,
-    "q52_ann_ivf_kmeans" -> ivfKmeansOracle(numCentroids = 8, iters = 3, k = 3),
-    "q138_pca_components" -> pcaComponentsOracle(p = 4, iters = 8),
-    "q139_pca_project" -> pcaProjectOracle(p = 4, iters = 8),
-    // the store round-trip must be invisible: q139's oracle verbatim
-    "q143_pca_store" -> pcaProjectOracle(p = 4, iters = 8),
-    "q152_pca_moments" -> pcaMomentsOracle(p = 4, iters = 8),
-    // the stream-grown moments store must fit identically: q152 verbatim
-    "q153_pca_moments_stream" -> pcaMomentsOracle(p = 4, iters = 8),
-    "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
-      pqIters = 2, nQueries = 10, topK = 5),
-    "q147_ridge_fit" ->
-      s"""WITH ${ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001)}
-         |SELECT * FROM (
-         |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd,
-         |         my AS y_mu, sy AS y_sd
-         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
-         |  UNION ALL
-         |  SELECT 1, 'avg_word_len', w1, m1, s1, my, sy
-         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
-         |  UNION ALL
-         |  SELECT 2, 'stopword_ratio', w2, m2, s2, my, sy
-         |  FROM w30 CROSS JOIN rmu CROSS JOIN rsd
-         |) ORDER BY i""".stripMargin,
-    "q148_ridge_predict" -> ridgePredictOracle,
-    // the store round-trip must be invisible: q148's oracle verbatim
-    "q150_ridge_store" -> ridgePredictOracle,
-    "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
-    "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
-      nQueries = 10, topK = 5),
-    "q132_ann_recall_pq" -> pqRecallOracle(m = 8, k = 16, iters = 2, dim = 64,
-      nQueries = 100, topK = 3),
-    "q133_ann_ivfpq" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4, k = 8,
-      pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
-    // both stores' round-trips must be invisible: q133's oracle verbatim
-    "q151_ann_ivfpq_stores" -> ivfPqOracle(numCentroids = 8, iters = 3, m = 4,
-      k = 8, pqIters = 2, dim = 64, nQueries = 10, topK = 3, nprobe = 2),
-    "q134_ann_pq_lifecycle" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
-      nQueries = 10, topK = 5, fitWhere = "vec_id < 300"),
-    // Recall@3 of the q52 IVF search vs the q29 brute-force scoring on the
-    // vec_id < 100 query sample; `b` (double vectors + norms) comes from
-    // kmeansAsgCtes and matches both engines' scoring exactly.
-    "q106_ann_recall" -> annRecallOracle(
-      """ivf_scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-        |  FROM asg3 q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 100
-        |),
-        |ivf_topk AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-        |    FROM ivf_scored) WHERE rk <= 3
-        |)""".stripMargin, k = 3),
-    // nprobe=2 rows: query side takes the TWO nearest centroids (crn <= 2
-    // over the final Lloyd scores a3); corpus side keeps its crn = 1 cell.
-    "q107_ann_ivf_nprobe" -> nprobeOracle,
-    // q112 probes the PERSISTED index built with q107's exact parameters,
-    // so its rows — and therefore its oracle — are identical to q107's:
-    // the store round-trip must be invisible to the search results.
-    "q112_ann_ivf_store" -> nprobeOracle,
-    // LSH recall twin: bucket from b's double-cast vectors (sign-identical
-    // to the raw floats q30 buckets on); the kmeans CTE prefix is unused
-    // here but harmless — DuckDB prunes unreferenced CTEs.
-    "q110_ann_recall_lsh" -> annRecallOracle(
-      """lshb AS (
-        |  SELECT vec_id, v, n,
-        |    (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
-        |    + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
-        |    + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
-        |    + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
-        |  FROM b
-        |),
-        |ivf_scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-        |  FROM lshb q JOIN lshb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 100
-        |),
-        |ivf_topk AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-        |    FROM ivf_scored) WHERE rk <= 3
-        |)""".stripMargin, k = 3),
-    // Multi-table LSH recall twin: the hyperplane components replay the
-    // SAME integer-hash construction as Similarity.lshPlanes, the per-plane
-    // dot products run over identically-ordered double lists, and buckets
-    // are integer shift sums — engine-exact end to end.
-    "q111_ann_recall_lshmulti" -> annRecallOracle(
-      s"""comps AS (
-         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
-         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
-         |  FROM unnest(generate_series(0, 3)) AS tt(t),
-         |       unnest(generate_series(0, 5)) AS jj(j),
-         |       unnest(generate_series(0, 63)) AS dd(d)
-         |),
-         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT b.vec_id, hp.t,
-         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
-         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
-         |  FROM b CROSS JOIN hp
-         |  GROUP BY 1, 2
-         |),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM sig q JOIN sig c
-         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 100
-         |),
-         |ivf_scored AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
-         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
-         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
-         |),
-         |ivf_topk AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-         |    FROM ivf_scored) WHERE rk <= 3
-         |)""".stripMargin, k = 3),
-    // Row-level twin of the tuned 16x5 search, shared shape with q111's
-    // derivation; q117 probes the PERSISTED signature store, so its rows
-    // must equal the in-memory search — the store round-trip is invisible.
-    "q117_ann_lsh_store" -> lshStoreOracle,
-    // Signatures are per-vector pure functions, so the q122 lifecycle
-    // (build prefix -> append remainder -> compact -> probe) must reproduce
-    // the monolithic search exactly — q117's oracle verbatim.
-    "q122_ann_lsh_lifecycle" -> lshStoreOracle,
-    // Prefix-fit Lloyd + assign-everyone: the frozen-centroid append
-    // semantics of the q119 lifecycle.
-    "q119_ann_ivf_lifecycle" -> ivfLifecycleOracle,
-    // Re-index heals the prefix-fit drift completely: after reindexIvf the
-    // store must answer exactly like a monolithic full-corpus build, so the
-    // oracle is q107's full-fit nprobe search verbatim.
-    "q123_ann_ivf_reindex" -> nprobeOracle,
-    // Re-tune leaves no trace of the old geometry: after reindexLsh to
-    // 16x5 the store must answer exactly like a monolithic 16x5 build —
-    // q117's oracle verbatim.
-    "q125_ann_lsh_reindex" -> lshStoreOracle,
-    // Tuned-config twin: identical plane/signature/candidate derivation as
-    // q111's oracle, at 16 tables x 5 bits.
-    "q114_ann_recall_lshtuned" -> annRecallOracle(
-      s"""comps AS (
-         |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
-         |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
-         |  FROM unnest(generate_series(0, 15)) AS tt(t),
-         |       unnest(generate_series(0, 4)) AS jj(j),
-         |       unnest(generate_series(0, 63)) AS dd(d)
-         |),
-         |hp AS (SELECT t, j, list(h ORDER BY d) AS harr FROM comps GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT b.vec_id, hp.t,
-         |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
-         |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
-         |  FROM b CROSS JOIN hp
-         |  GROUP BY 1, 2
-         |),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM sig q JOIN sig c
-         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 100
-         |),
-         |ivf_scored AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
-         |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
-         |            JOIN b cb ON cand.neighbor_id = cb.vec_id
-         |),
-         |ivf_topk AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-         |    FROM ivf_scored) WHERE rk <= 3
-         |)""".stripMargin, k = 3),
-    "q108_ann_recall_nprobe" -> annRecallOracle(
-      """probes AS (
-        |  SELECT vec_id, v, n, cid AS cell
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-        |        FROM a3)
-        |  WHERE crn <= 2
-        |),
-        |ivf_scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-        |  FROM probes q JOIN asg3 c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |  WHERE q.vec_id < 100
-        |),
-        |ivf_topk AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-        |    FROM ivf_scored) WHERE rk <= 3
-        |)""".stripMargin, k = 3),
-    "q42_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-        |),
-        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-        |cent AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM b WHERE vec_id < 8),
-        |assign0 AS (
-        |  SELECT b.vec_id, b.v, b.n, c.cid,
-        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-        |  FROM b CROSS JOIN cent c
-        |),
-        |assigned AS (
-        |  SELECT vec_id, v, n, cid AS cell
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-        |        FROM assign0)
-        |  WHERE crn = 1
-        |),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
-        |    round(list_dot_product(q.v, c.v) / (q.n * c.n), 6) AS sim
-        |  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, cell, CAST(rank AS INT) AS rank, sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "q75_contamination" ->
-      s"""WITH $triCte,
-         |bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 20 = 0),
-         |corp AS (SELECT doc_id, shingle FROM tri WHERE doc_id % 20 <> 0),
-         |agg AS (
-         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |    CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
-         |  FROM corp c LEFT JOIN bench b ON b.shingle = c.shingle
-         |  GROUP BY 1
-         |)
-         |SELECT doc_id, n_shingles, n_overlap,
-         |  round(n_overlap / n_shingles, 6) AS overlap_frac,
-         |  (n_overlap / n_shingles) >= 0.5 AS contaminated
-         |FROM agg ORDER BY doc_id""".stripMargin,
-    "q76_seq_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    doc_id % 32 AS shard
-        |  FROM documents
-        |),
-        |c AS (
-        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-        |    PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-        |  FROM t
-        |)
-        |SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
-        |  cum_excl - (cum_excl // 512) * 512 AS bin_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
-    "q77_vocab_topk" ->
-      """WITH terms AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents
-        |),
-        |stats AS (
-        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-        |    CAST(count(*) AS BIGINT) AS cf
-        |  FROM terms GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-        |),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (ORDER BY df DESC, cf DESC, term ASC) AS rank
-        |  FROM stats
-        |)
-        |SELECT term, df, cf, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 200 ORDER BY rank""".stripMargin,
-    "q79_pii_redact" ->
-      s"""WITH enriched AS (
-         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
-         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-         |  FROM documents
-         |),
-         |r AS (
-         |  SELECT doc_id,
-         |    len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS n_emails,
-         |    regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS ne
-         |  FROM enriched
-         |)
-         |SELECT doc_id,
-         |  CAST(n_emails AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(ne, '${TextOps.PhoneRe}')) AS INT) AS n_phones,
-         |  md5(regexp_replace(ne, '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
-         |FROM r ORDER BY doc_id""".stripMargin,
-    "q80_stratified_sample" ->
-      s"""WITH b AS (
-         |  SELECT event_type, value,
-         |         ${hex60Sql("event_id || ':' || user_id")} % 1000 AS bucket
-         |  FROM events
-         |)
-         |SELECT event_type, count(*) AS n_kept, round(sum(value), 2) AS value_kept
-         |FROM b
-         |WHERE bucket < CASE event_type WHEN 'view' THEN 100 WHEN 'click' THEN 500 ELSE 1000 END
-         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
