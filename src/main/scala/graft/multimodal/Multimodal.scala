@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: [[ImageIoCodec]] parses PNG/JPEG/GIF/BMP headers
   * with the JDK-native `javax.imageio` readers (no extra dependencies, no
-  * pixel materialization). Audio/video codec work stays STUBBED with a
-  * deterministic fake — those libraries are not in this container — behind
-  * the same [[MediaCodec]] slot. The Spark-side shape is real throughout:
+  * pixel materialization), [[imageDhash]] decodes full pixel rasters for
+  * the perceptual hash, and [[sampleFrameHashes]] decodes ANIMATED GIF
+  * frames one by one — the multi-frame path is no longer a stub. Only
+  * audio formats beyond WAV/AIFF/AU (mp3/ogg/flac) and non-GIF video
+  * stay behind the deterministic-fake slot: those codecs are not in the
+  * JDK. The Spark-side shape is real throughout:
   * binary columns survive columnar scans, the decode runs via
   * `mapPartitions` over a typed Dataset (one JVM call per batch, the Scala
   * analogue of `mapInPandas` batch UDFs), and downstream operators see a
@@ -160,11 +163,11 @@ object Multimodal {
 
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
 
-  /** Frame sampling: every `everyK`-th frame of each media payload, so the
-    * fan-out per document is bounded by n_frames/everyK (the explode-shaped
-    * media op — at scale the output is rows-per-frame, never a shuffled
-    * blob). The per-frame decode is the stubbed codec slot: the fake
-    * derives a deterministic digest from (doc, frame index, payload head).
+  /** Deterministic-FAKE frame sampling — kept as the fallback-shaped twin
+    * of [[sampleFrameHashes]] (which does the REAL multi-frame decode) for
+    * media types with no JDK reader: the fake derives a digest from (doc,
+    * frame index, payload head). Prefer sampleFrameHashes for anything a
+    * `javax.imageio` reader can open (GIF animations decode for real).
     */
   def sampleFrames(media: Dataset[MediaRecord], everyK: Int = 4): Dataset[FrameSample] = {
     require(everyK >= 1, "everyK must be >= 1")
@@ -237,6 +240,56 @@ object Multimodal {
       }
   }
 
+  /** True iff the image is an indexed-color frame whose palette maps every
+    * index i to gray (i, i, i) — the identity-gray palette [[renderGrayGifs]]
+    * writes. For such frames the raster's band-0 samples ARE the gray
+    * values, so no color conversion is needed (or wanted: conversion would
+    * break the oracle's closed form).
+    */
+  private def identityGrayIndexed(img: java.awt.image.BufferedImage): Boolean =
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val n = icm.getMapSize
+        n <= 256 && (0 until n).forall { i =>
+          icm.getRed(i) == i && icm.getGreen(i) == i && icm.getBlue(i) == i
+        }
+      case _ => false
+    }
+
+  /** The 9x8 grayscale raster every hash reads: direct when the frame is
+    * already 9x8 gray (TYPE_BYTE_GRAY, or indexed with the identity-gray
+    * palette), a Graphics2D thumbnail otherwise.
+    */
+  private def gray9x8(img: java.awt.image.BufferedImage): java.awt.image.Raster =
+    if (img.getWidth == 9 && img.getHeight == 8 &&
+      (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY ||
+        identityGrayIndexed(img))) img.getRaster
+    else {
+      val t = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = t.createGraphics()
+      try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+      t.getRaster
+    }
+
+  /** The 63-bit difference hash over a 9x8 gray raster (see [[imageDhash]]
+    * for the bit layout and the sign-bit rationale).
+    */
+  private def dhashOf(ras: java.awt.image.Raster): Long = {
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8 && (y < 7 || x < 7)) {
+        if (ras.getSample(x, y, 0) < ras.getSample(x + 1, y, 0))
+          h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   case class ImageHash(doc_id: Long, dhash: Long, decoded: Boolean)
 
   /** 63-bit difference hash over the REAL decoded image: payload ->
@@ -262,30 +315,105 @@ object Multimodal {
           val d = md.digest(r.payload)
           val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 1
           ImageHash(r.doc_id, h, decoded = false)
-        } else {
-          val thumb =
-            if (img.getWidth == 9 && img.getHeight == 8 &&
-              img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-            else {
-              val t = new java.awt.image.BufferedImage(
-                9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-              val g = t.createGraphics()
-              try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
-              t
+        } else ImageHash(r.doc_id, dhashOf(gray9x8(img)), decoded = true)
+      }
+    }
+  }
+
+  /** Render one ANIMATED GIF per vector row (id, array<double>): `frames`
+    * frames of 9x8 indexed-color pixels under an IDENTITY gray palette
+    * (index i -> rgb(i, i, i)), frame f's pixel (y, x) quantizing dimension
+    * (9y + x + 7f) mod d — each frame samples a rotated slice of the
+    * vector, so frames are distinct but closed-form. GIF's LZW coding is
+    * lossless on palette INDICES and the identity palette makes index ==
+    * gray level, so the encode -> decode round trip is pixel-exact
+    * (measured by tools.GifProbe) — which is what lets the frame hashes be
+    * oracle-gated the way q155 gates the still-image path.
+    */
+  def renderGrayGifs(vectors: DataFrame, frames: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Dataset[MediaRecord] = {
+    require(frames >= 1, "need at least one frame")
+    import vectors.sparkSession.implicits._
+    vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val comps = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, comps, comps, comps)
+        it.map { case (id, v) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          try {
+            w.setOutput(ios)
+            w.prepareWriteSequence(null)
+            var f = 0
+            while (f < frames) {
+              val img = new java.awt.image.BufferedImage(
+                9, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val ras = img.getRaster
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 9) {
+                  ras.setSample(x, y, 0, quantizePixel(v((y * 9 + x + f * 7) % v.length)))
+                  x += 1
+                }
+                y += 1
+              }
+              w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
             }
-          val ras = thumb.getRaster
-          var h = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8 && (y < 7 || x < 7)) {
-              if (ras.getSample(x, y, 0) < ras.getSample(x + 1, y, 0))
-                h |= 1L << (y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-          ImageHash(r.doc_id, h, decoded = true)
+            w.endWriteSequence()
+          } finally { w.dispose(); ios.close() }
+          MediaRecord(id, bos.toByteArray, "image/gif")
+        }
+      }
+  }
+
+  case class FrameHash(doc_id: Long, frame_idx: Int, dhash: Long, decoded: Boolean)
+
+  /** REAL frame sampling — the stub [[sampleFrames]] carried since round 3,
+    * retired: every `everyK`-th frame of each payload decodes through the
+    * actual `javax.imageio` multi-frame reader (`getNumImages(true)` +
+    * per-frame `read(i)` — GIF is the JDK-native multi-frame container)
+    * and hashes via the shared 9x8-gray dHash. Fan-out per document is
+    * bounded by n_frames/everyK; frames never shuffle as pixels, only as
+    * 63-bit hashes. Payloads with no reader (or a reader that throws)
+    * degrade to ONE fallback row (frame -1, digest-derived hash,
+    * decoded = false) — the corrupt-input discipline of [[imageDhash]].
+    */
+  def sampleFrameHashes(media: Dataset[MediaRecord],
+                        everyK: Int = 1): Dataset[FrameHash] = {
+    require(everyK >= 1, "everyK must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      batch.flatMap { r =>
+        val out =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Seq.empty
+              else {
+                val rd = readers.next()
+                try {
+                  rd.setInput(iis)
+                  val n = rd.getNumImages(true)
+                  (0 until n by everyK).map { i =>
+                    FrameHash(r.doc_id, i, dhashOf(gray9x8(rd.read(i))), decoded = true)
+                  }
+                } finally rd.dispose()
+              }
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (out.nonEmpty) out
+        else {
+          val d = md.digest(r.payload)
+          Seq(FrameHash(r.doc_id, -1,
+            java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 1, decoded = false))
         }
       }
     }

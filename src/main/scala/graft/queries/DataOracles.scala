@@ -1026,6 +1026,33 @@ object DataOracles {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the GIF frames' closed form: frame f samples dimension
+    // (9y + x + 7f) mod d — the q155 pixel/dHash replay with a frame axis
+    "q161_frame_dhash" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |cells AS (
+        |  SELECT b.vec_id, ff.f, t.y, u.x,
+        |    CAST(floor(least(greatest(
+        |      (v[((t.y * 9 + u.x + ff.f * 7) % len(v)) + 1] + 3.0) / 6.0,
+        |      0.0), 1.0) * 255.0) AS BIGINT) AS p
+        |  FROM base b, unnest([0, 2]) AS ff(f),
+        |       unnest(generate_series(0, 7)) AS t(y),
+        |       unnest(generate_series(0, 8)) AS u(x)
+        |),
+        |dh AS (
+        |  SELECT a.vec_id, a.f,
+        |    CAST(sum(CASE WHEN a.p < b.p
+        |                  THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END)
+        |         AS BIGINT) AS dhash
+        |  FROM cells a JOIN cells b
+        |    ON a.vec_id = b.vec_id AND a.f = b.f AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND NOT (a.y = 7 AND a.x = 7)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_id, CAST(f AS INT) AS frame_idx, dhash, TRUE AS decoded
+        |FROM dh ORDER BY vec_id, frame_idx""".stripMargin,
     "q62_bm25_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

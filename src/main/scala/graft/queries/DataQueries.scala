@@ -182,6 +182,25 @@ object DataQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Animated-GIF frame sampling through the REAL multi-frame reader: one
+    // 4-frame GIF per embedding (frame f samples a 7f-rotated slice of the
+    // vector; identity gray palette -> LZW round-trips indices exactly),
+    // every 2nd frame decoded and dHashed. The oracle computes each
+    // sampled frame's hash straight from the vector — so the gate covers
+    // getNumImages, per-frame read(i), the indexed-palette fast path, and
+    // the hash in one row set. This retires the repo's last stubbed
+    // codec corner.
+    "q161_frame_dhash" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      Multimodal.sampleFrameHashes(
+          Multimodal.renderGrayGifs(base, frames = 4, idCol = "vec_id", vecCol = "v"),
+          everyK = 2).toDF()
+        .select(col("doc_id").as("vec_id"), col("frame_idx"), col("dhash"),
+          col("decoded"))
+        .orderBy("vec_id", "frame_idx")
+    }),
+
     "q42_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), numCentroids = 8, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))

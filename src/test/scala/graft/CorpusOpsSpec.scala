@@ -520,6 +520,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hj.map(_.dhash).distinct.length == 2)
   }
 
+  test("sampleFrameHashes: real GIF decode, everyK stride, corrupt fallback") {
+    import graft.multimodal.Multimodal
+    val vecs = Seq(
+      (1L, (0 until 64).map(i => math.cos(i * 0.21)).toArray),
+      (2L, (0 until 64).map(i => math.sin(i * 0.43) * 2).toArray))
+      .toDF("vec_id", "v")
+    val gifs = Multimodal.renderGrayGifs(vecs, frames = 5, "vec_id", "v")
+    // everyK = 2 over 5 frames -> indices 0, 2, 4 per doc
+    val fh = Multimodal.sampleFrameHashes(gifs, everyK = 2).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(fh(1L).map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(fh.values.flatten.forall(h => h.decoded && (h.dhash >>> 63) == 0L))
+    // frame 0 of the GIF must hash exactly like the still PNG of the same
+    // vector (both are the f = 0 pixel formula through real decodes)
+    val still = Multimodal.imageDhash(
+      Multimodal.renderGrayPngs(vecs, "vec_id", "v")).collect()
+      .map(h => h.doc_id -> h.dhash).toMap
+    assert(fh(1L).head.dhash == still(1L) && fh(2L).head.dhash == still(2L),
+      "GIF frame 0 and the still PNG disagree — a codec path is lossy")
+    // determinism across invocations
+    val again = Multimodal.sampleFrameHashes(gifs, everyK = 2).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(again(2L).map(_.dhash).toSeq == fh(2L).map(_.dhash).toSeq)
+    // corrupt payload: exactly one fallback row, flagged, sign-safe
+    val junk = Seq(Multimodal.MediaRecord(9L, Array[Byte](9, 9, 9), "image/gif")).toDS()
+    val jf = Multimodal.sampleFrameHashes(junk).collect()
+    assert(jf.length == 1 && !jf.head.decoded && jf.head.frame_idx == -1 &&
+      (jf.head.dhash >>> 63) == 0L)
+  }
+
   test("dhashPairs finds planted near-dup twins and nothing spurious") {
     import graft.multimodal.Multimodal
     val rng = new scala.util.Random(11)
