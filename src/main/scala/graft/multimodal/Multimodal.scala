@@ -161,6 +161,96 @@ object Multimodal {
     }
   }
 
+  /** Render one mono 16-bit PCM WAV per vector row (id, array<double>):
+    * `samples` samples at 8 kHz, sample j quantizing dimension j mod d as
+    * s_j = floor(clamp(v[j mod d] / 3, -1, 1) * 32767) — an exact integer,
+    * and PCM16 in a WAV container is lossless, so the decoded samples have
+    * a closed form (the q155/q161 oracle strategy, now for audio DATA, not
+    * just headers). The bytes go through the REAL `javax.sound.sampled`
+    * writer (`AudioSystem.write(..., Type.WAVE, ...)`), not a hand-rolled
+    * header.
+    */
+  def renderPcmWavs(vectors: DataFrame, samples: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Dataset[MediaRecord] = {
+    require(samples >= 1, "need at least one sample")
+    import vectors.sparkSession.implicits._
+    vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        it.map { case (id, v) =>
+          val pcm = new Array[Byte](samples * 2)
+          var j = 0
+          while (j < samples) {
+            val s = math.floor(
+              math.min(1.0, math.max(-1.0, v(j % v.length) / 3.0)) * 32767.0).toInt
+            pcm(2 * j) = (s & 0xff).toByte          // little-endian PCM16
+            pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+            j += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, bos.toByteArray, "audio/wav")
+        }
+      }
+  }
+
+  case class AudioWindow(doc_id: Long, win: Int, n_samples: Long, min_s: Int,
+                         max_s: Int, sum_s: Long, sum_sq: Long, decoded: Boolean)
+
+  /** Windowed sample statistics through the REAL audio decode: payload ->
+    * `AudioSystem.getAudioInputStream` (container parse + PCM frame
+    * extraction) -> 16-bit LE samples -> per `window`-sample chunk the
+    * exact integer aggregates (count, min, max, sum, sum of squares —
+    * everything an energy/silence detector derives). Integer sums of
+    * |s| <= 32767 over bounded windows cannot overflow; all five numbers
+    * are engine-exact. Undecodable payloads degrade to one flagged
+    * fallback row (win -1), the codec family's corrupt-input discipline.
+    */
+  def audioWindows(media: Dataset[MediaRecord], window: Int): Dataset[AudioWindow] = {
+    require(window >= 1, "window must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val out: Seq[AudioWindow] =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
+                Seq.empty
+              else {
+                val bytes = ais.readAllBytes()
+                val n = bytes.length / 2
+                (0 until n by window).map { start =>
+                  val end = math.min(start + window, n)
+                  var i = start
+                  var mn = Int.MaxValue; var mx = Int.MinValue
+                  var sum = 0L; var sq = 0L
+                  while (i < end) {
+                    val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+                    if (s < mn) mn = s
+                    if (s > mx) mx = s
+                    sum += s; sq += s.toLong * s
+                    i += 1
+                  }
+                  AudioWindow(r.doc_id, start / window, (end - start).toLong,
+                    mn, mx, sum, sq, decoded = true)
+                }
+              }
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (out.nonEmpty) out
+        else Seq(AudioWindow(r.doc_id, -1, 0L, 0, 0, 0L, 0L, decoded = false))
+      }
+    }
+  }
+
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
 
   /** Deterministic-FAKE frame sampling — kept as the fallback-shaped twin

@@ -1053,6 +1053,25 @@ object DataOracles {
         |)
         |SELECT vec_id, CAST(f AS INT) AS frame_idx, dhash, TRUE AS decoded
         |FROM dh ORDER BY vec_id, frame_idx""".stripMargin,
+    // PCM16 closed form: sample j = floor(clamp(v[j mod d]/3, -1, 1)*32767),
+    // windows of 64 over 256 samples — exact integer aggregates
+    "q162_audio_windows" ->
+      """WITH base AS (
+        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+        |),
+        |smp AS (
+        |  SELECT b.vec_id, t.j, t.j // 64 AS win,
+        |    CAST(floor(least(greatest(v[(t.j % len(v)) + 1] / 3.0, -1.0), 1.0)
+        |               * 32767.0) AS INT) AS s
+        |  FROM base b, unnest(generate_series(0, 255)) AS t(j)
+        |)
+        |SELECT vec_id, CAST(win AS INT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s,
+        |  CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  TRUE AS decoded
+        |FROM smp GROUP BY 1, 2 ORDER BY vec_id, win""".stripMargin,
     "q62_bm25_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -201,6 +201,24 @@ object DataQueries {
         .orderBy("vec_id", "frame_idx")
     }),
 
+    // Audio SAMPLE-DATA decode (the audio story past WavCodec's header
+    // parse): 256 PCM16 samples per embedding, through the real
+    // javax.sound.sampled WAV writer AND reader, aggregated per 64-sample
+    // window into exact integer stats. PCM16 is lossless, so the oracle
+    // derives every number straight from the vector — container parse,
+    // frame extraction, endianness, and the windowing all sit under one
+    // row-set hash.
+    "q162_audio_windows" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      Multimodal.audioWindows(
+          Multimodal.renderPcmWavs(base, samples = 256, idCol = "vec_id", vecCol = "v"),
+          window = 64).toDF()
+        .select(col("doc_id").as("vec_id"), col("win"), col("n_samples"),
+          col("min_s"), col("max_s"), col("sum_s"), col("sum_sq"), col("decoded"))
+        .orderBy("vec_id", "win")
+    }),
+
     "q42_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), numCentroids = 8, k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))

@@ -550,6 +550,28 @@ class CorpusOpsSpec extends SparkSpec {
       (jf.head.dhash >>> 63) == 0L)
   }
 
+  test("audioWindows: real WAV round-trip, exact stats, corrupt fallback") {
+    import graft.multimodal.Multimodal
+    val v = (0 until 64).map(i => math.sin(i * 0.37) * 4).toArray // some clamp
+    val vecs = Seq((7L, v)).toDF("vec_id", "v")
+    val wavs = Multimodal.renderPcmWavs(vecs, samples = 130, "vec_id", "v")
+    val w = Multimodal.audioWindows(wavs, window = 64).collect().sortBy(_.win)
+    // 130 samples / 64 -> windows of 64, 64, 2
+    assert(w.map(_.n_samples).toSeq == Seq(64L, 64L, 2L))
+    assert(w.forall(_.decoded))
+    def s(j: Int) = math.floor(math.min(1.0, math.max(-1.0, v(j % 64) / 3.0)) * 32767.0).toInt
+    val exp0 = (0 until 64).map(s)
+    assert(w(0).min_s == exp0.min && w(0).max_s == exp0.max &&
+      w(0).sum_s == exp0.map(_.toLong).sum &&
+      w(0).sum_sq == exp0.map(x => x.toLong * x).sum,
+      "decoded window stats diverge from the PCM closed form")
+    assert(w(2).sum_s == (128 until 130).map(s).map(_.toLong).sum)
+    // corrupt payload -> one flagged fallback row
+    val junk = Seq(Multimodal.MediaRecord(8L, Array[Byte](1, 2, 3), "audio/wav")).toDS()
+    val jw = Multimodal.audioWindows(junk, window = 64).collect()
+    assert(jw.length == 1 && !jw.head.decoded && jw.head.win == -1)
+  }
+
   test("dhashPairs finds planted near-dup twins and nothing spurious") {
     import graft.multimodal.Multimodal
     val rng = new scala.util.Random(11)
