@@ -119,11 +119,16 @@ object Bench {
             .cast("float")).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // absolute targets: a relative SPARK_GRAFT_SF_DIR would otherwise store
+    // relative link targets that resolve against the TEMP dir — dangling
+    // links that surface as silent -1 sentinels if a future scale10 query
+    // reads one of these tables
+    val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath
     graft.core.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
       .foreach { t =>
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$dir/$t.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+          abs.resolve(s"$t.parquet"))
       }
     dir
   }
@@ -344,14 +349,20 @@ object Bench {
             Seq(("q42c_ann_ivf_cscaled", t1, (System.nanoTime() - t0) / 1e9))
           } catch { case _: Throwable => Seq.empty }
           std ++ scaled
-        } finally {
-          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-          catch { case _: Throwable => () }
-        }
-      } catch { case _: Throwable => Seq.empty }
+        } finally rmTemp(dir)
+      } catch {
+        // a whole-block failure (staging write, disk full) must be
+        // distinguishable from the SPARK_GRAFT_SCALE10=0 opt-out's {}:
+        // one sentinel entry marks "crashed", never "disabled"
+        case _: Throwable => Seq(("scale10_failed", -1.0, -1.0))
+      }
+    // no lower clamp on t1: a clamp silently DEFLATES exponents for fast
+    // queries (the exact super-linear outliers the block exists to catch);
+    // tiny-t1 noise inflating an exponent is the safe failure direction.
+    // Sub-millisecond medians are sentinel'd rather than divided by ~0.
     def expOf(t1: Double, t10: Double): Double =
-      if (t10 <= 0.0 || t1 <= 0.0) -9.99
-      else math.log10(t10 / math.max(t1, 0.05))
+      if (t10 <= 0.0 || t1 <= 0.001) -9.99
+      else math.log10(t10 / t1)
     val scale10Line = scale10
       .map { case (n, t1, t10) =>
         "\"" + n.takeWhile(_ != '_') + "\":" + f2(expOf(t1, t10)) }

@@ -179,7 +179,8 @@ object Multimodal {
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        it.map { case (id, v) =>
+        it.map { case (id, v0) =>
+          val v = nonEmptyOrZero(v0)
           val pcm = new Array[Byte](samples * 2)
           var j = 0
           while (j < samples) {
@@ -298,6 +299,14 @@ object Multimodal {
   private def quantizePixel(v: Double): Int =
     math.floor(math.min(1.0, math.max(0.0, (v + 3.0) / 6.0)) * 255.0).toInt
 
+  /** Renderer input guard: an EMPTY vector would `% 0`-crash the whole
+    * task (codec discipline: one bad row degrades, never kills) — it
+    * renders as the constant zero-vector payload instead. Gate corpora
+    * never contain empty vectors, so the oracles need no mirror.
+    */
+  private def nonEmptyOrZero(v: Seq[Double]): Seq[Double] =
+    if (v.isEmpty) Seq(0.0) else v
+
   /** Render one 9x8 8-bit grayscale PNG per vector row (id, array<double>):
     * pixel (y, x) quantizes dimension (9y + x) mod d. Map-only, payloads
     * are ~100-byte blobs; at scale this is the "images live in a binary
@@ -310,7 +319,8 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
-        it.map { case (id, v) =>
+        it.map { case (id, v0) =>
+          val v = nonEmptyOrZero(v0)
           val img = new java.awt.image.BufferedImage(
             9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
           val ras = img.getRaster
@@ -430,7 +440,8 @@ object Multimodal {
       .mapPartitions { it =>
         val comps = Array.tabulate(256)(_.toByte)
         val icm = new java.awt.image.IndexColorModel(8, 256, comps, comps, comps)
-        it.map { case (id, v) =>
+        it.map { case (id, v0) =>
+          val v = nonEmptyOrZero(v0)
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
           val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()

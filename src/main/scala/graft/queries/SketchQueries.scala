@@ -188,19 +188,13 @@ object SketchQueries {
           StreamingPipeline.readColumnsStream(s, s"$base/in", "term STRING"),
           s"$base/store", s"$base/ck", termCol = "term", d = 3, w = 1024)
         .start().awaitTermination()
-      // q89's countMinTopK tail, with the cells read FROM THE STORE instead
-      // of sketched in-query — identical (term, est, cnt) iff the
-      // stream-grown cells match the batch sketch
-      val cells = s.read.parquet(s"$base/store")
-      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      counts.select(col("term"), col("cnt"),
-          explode(sequence(lit(0), lit(2))).as("seed"))
-        .withColumn("cell",
-          Dedup.hex60(concat_ws(":", col("seed"), col("term"))) % 1024)
-        .join(broadcast(cells), Seq("seed", "cell"))
-        .groupBy(col("term"), col("cnt")).agg(min(col("cell_total")).as("est"))
-        .orderBy(col("est").desc, col("term").asc).limit(20)
-        .select(col("term"), col("est"), col("cnt"))
+      // q89's countMinTopK tail (the SHARED cmsTopKFromCells, so the two
+      // paths can never copy-drift), with the cells read FROM THE STORE —
+      // identical (term, est, cnt) iff the stream-grown cells match the
+      // batch sketch. The exact-count side reads the staged parquet back
+      // rather than re-tokenizing the corpus a second time.
+      Sketches.cmsTopKFromCells(s.read.parquet(s"$base/in"),
+        s.read.parquet(s"$base/store"), termCol = "term", d = 3, w = 1024, k = 20)
     }),
 
     "q159_hist_streamed" -> ((s, d) => {
@@ -257,8 +251,12 @@ object SketchQueries {
     "q118_bloom_decontam" -> bloomDecontamOracle,
     "q144_mg_heavy_hitters" ->
       """WITH c AS (
+        |  -- NULL values are dropped on BOTH engines (the count(col)
+        |  -- convention mgSummary applies since the null-key NPE fix):
+        |  -- without this WHERE, a corpus with NULL values would keep a
+        |  -- NULL item group and a larger n here while Spark excludes both
         |  SELECT CAST(floor(value) AS INT) AS item, count(*) AS exact_cnt
-        |  FROM events GROUP BY 1
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
         |),
         |n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n FROM c)
         |SELECT item, exact_cnt,

@@ -386,18 +386,24 @@ object Sketches {
   }
 
   def countMinTopK(terms: DataFrame, termCol: String = "term",
-                   d: Int = 3, w: Int = 1024, k: Int = 20): DataFrame = {
-    val counts = terms.groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
-    val seeded = counts.select(col(termCol), col("cnt"),
-      explode(sequence(lit(0), lit(d - 1))).as("seed"))
+                   d: Int = 3, w: Int = 1024, k: Int = 20): DataFrame =
+    cmsTopKFromCells(terms, cmsCells(terms, termCol, d, w), termCol, d, w, k)
+
+  /** The heavy-hitter ranking tail over ANY cell table — in-query sketch
+    * ([[countMinTopK]]) or a stream-grown store (q158): exact counts from
+    * `terms`, per-term estimate = min over the d seeded cells, top-k by
+    * (est desc, term asc). Shared so the two paths can never copy-drift.
+    */
+  def cmsTopKFromCells(terms: DataFrame, cells: DataFrame, termCol: String = "term",
+                       d: Int = 3, w: Int = 1024, k: Int = 20): DataFrame =
+    terms.groupBy(col(termCol)).agg(count(lit(1)).as("cnt"))
+      .select(col(termCol), col("cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("seed"))
       .withColumn("cell", hex60(concat_ws(":", col("seed"), col(termCol))) % w)
-    val cells = seeded.groupBy(col("seed"), col("cell")).agg(sum(col("cnt")).as("cell_total"))
-    seeded
       .join(broadcast(cells), Seq("seed", "cell"))
       .groupBy(col(termCol), col("cnt"))
       .agg(min(col("cell_total")).as("est"))
       .orderBy(col("est").desc, col(termCol).asc)
       .limit(k)
       .select(col(termCol), col("est"), col("cnt"))
-  }
 }
