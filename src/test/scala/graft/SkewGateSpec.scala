@@ -121,6 +121,25 @@ class SkewGateSpec extends SparkSpec {
     (nDocs / 2 until nDocs).foreach(d => assert(out(d.toLong) == 0L))
   }
 
+  test("removeDuplicatedSpans: one giant document among normal ones") {
+    // doc-skew (vs the key-skew cases above): the per-doc windows put the
+    // WHOLE 100k-word document in one task — a straggler by construction,
+    // which must stay linear-in-doc work, not stall. The giant doc is one
+    // 10-word sentence repeated 10k times, so every position is covered by
+    // a duplicated gram and the removal verdict has a closed form.
+    val docs = staged("giant",
+      (0L, Seq.fill(10000)((0 until 10).map(i => s"s$i").mkString(" ")).mkString(" ")) +:
+        (1 until 20).map(d => (d.toLong, (0 until 200).map(p => s"f${d}_$p").mkString(" "))))
+    val out = timed(45, "giant-doc span removal") {
+      graft.text.TextOps.removeDuplicatedSpans(docs, span = 5)
+        .select(col("doc_id"), col("n_words"), col("n_removed")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"))).toMap
+    }
+    assert(out(0L) == ((100000L, 100000L)), s"giant doc verdict: ${out(0L)}")
+    (1 until 20).foreach(d => assert(out(d.toLong)._2 == 0L))
+  }
+
   test("ngramJaccardPairs: a shingle in every doc is blocked by the df cap") {
     // 400 docs x 200 words: unique filler except one 5-word hot run —
     // df(hot shingles) = 400 >> maxDf = 50, so blocking must drop the hot
