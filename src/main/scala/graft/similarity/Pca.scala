@@ -261,9 +261,38 @@ object Pca {
     m2.select(col("i"), col("j"), col("q")).unionByName(m1).unionByName(cnt)
   }
 
-  /** SUM-merge two moment tables (the streaming maintainer's combine). */
+  /** Merge-time envelope guard threshold: Long.MaxValue/4 leaves 4x
+    * headroom, so two stores EACH at the guard still SUM-merge without
+    * wrapping (2 x 2.3e18 < 9.2e18) — the raise always fires before any
+    * silent wraparound is arithmetically possible.
+    */
+  private[graft] val momentGuardQ: Long = Long.MaxValue / 4
+
+  /** SUM-merge two moment tables (the streaming maintainer's combine).
+    *
+    * LOUD ENVELOPE GUARD: `q` is BIGINT by persisted-store contract (see
+    * [[momentSums]]' ACCUMULATOR ENVELOPE), and the streaming maintainer
+    * ([[graft.streaming.StreamingPipeline.pcaMomentsBatch]]) accumulates
+    * it unboundedly — at 100 TB a store generation can genuinely approach
+    * the ~9.2e18 Long range. Any merged cell whose |q| crosses
+    * [[momentGuardQ]] raises AT MERGE TIME with the remedy in the message
+    * (shard the store; moments are additive, shards merge in a wider type
+    * at fit time), so a long-running stream fails loudly instead of
+    * wrapping silently. Values under the guard pass through unchanged, so
+    * the q153 oracle hash is unaffected.
+    */
   def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("i"), col("j")).agg(sum(col("q")).as("q"))
+    a.unionByName(b).groupBy(col("i"), col("j"))
+      .agg(sum(col("q")).as("qm"))
+      .select(col("i"), col("j"),
+        when(abs(col("qm")) < lit(momentGuardQ), col("qm"))
+          .otherwise(raise_error(concat(
+            lit("momentSums envelope exceeded at cell ("),
+            col("i").cast("string"), lit(","), col("j").cast("string"),
+            lit("): |q| >= Long.MaxValue/4 — shard the moment store and "
+              + "merge shards in a wider type at fit time (moments are "
+              + "additive by construction)"))).cast("long"))
+          .as("q"))
 
   /** Fit components FROM accumulated moments: mu_i = S1_i/n/1e8 and
     * cov_ij = M2_ij/n/1e8 - mu_i*mu_j — a different (but equally pinned)

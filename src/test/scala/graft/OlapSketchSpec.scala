@@ -389,4 +389,41 @@ class OlapSketchSpec extends SparkSpec {
     assert(canon(Pca.fitFromMoments(spark, spark.read.parquet(store),
       p = 2, iters = 6, dim = 8)) == batch)
   }
+
+  test("moments merge raises loudly when a cell crosses the BIGINT envelope") {
+    import graft.similarity.Pca
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // unit level: a planted near-envelope cell + a small push must raise at
+    // merge time, not wrap
+    val near = Seq((0, 0, Pca.momentGuardQ - 5L), (0, -1, 10L), (-1, -1, 100L))
+      .toDF("i", "j", "q")
+    val push = Seq((0, 0, 10L), (0, -1, 1L), (-1, -1, 1L)).toDF("i", "j", "q")
+    val ex = intercept[Exception] { Pca.mergeMoments(near, push).collect() }
+    assert(msgs(ex).exists(_.contains("envelope exceeded")),
+      s"expected envelope raise, got: ${msgs(ex).mkString(" | ")}")
+    // under the guard: values pass through exactly (q153's hash contract)
+    val ok = Pca.mergeMoments(near, Seq((0, 0, -20L)).toDF("i", "j", "q"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ok((0, 0)) == Pca.momentGuardQ - 25L)
+    // maintainer level: a streamed store grown to near the envelope fails
+    // LOUDLY on the batch that would cross it, and the staged-swap layout
+    // leaves the pre-crossing store intact and readable
+    val base = java.nio.file.Files.createTempDirectory("graft_pcam_env").toString
+    val store = s"$base/mom"
+    // dim-2 vectors at 1e5: each second-moment cell gains floor(1e10*1e8)
+    // = 1e18 per row, so 2 rows land under the ~2.3e18 guard and the next
+    // row's merge crosses it
+    def big(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, Seq(1.0e5, 1.0e5))).toDF("vec_id", "embedding")
+    StreamingPipeline.pcaMomentsBatch(store, dim = 2)(big(0, 2), 0L)
+    val beforeRows = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+    val ex2 = intercept[Exception] {
+      StreamingPipeline.pcaMomentsBatch(store, dim = 2)(big(2, 3), 1L)
+    }
+    assert(msgs(ex2).exists(_.contains("envelope exceeded")),
+      s"expected envelope raise from the maintainer, got: ${msgs(ex2).mkString(" | ")}")
+    val afterRows = spark.read.parquet(store).collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows, "failed merge must leave the store untouched")
+  }
 }
