@@ -209,23 +209,48 @@ object Multimodal {
     * exact integer aggregates (count, min, max, sum, sum of squares —
     * everything an energy/silence detector derives). Integer sums of
     * |s| <= 32767 over bounded windows cannot overflow; all five numbers
-    * are engine-exact. Undecodable payloads degrade to one flagged
-    * fallback row (win -1), the codec family's corrupt-input discipline.
+    * are engine-exact.
+    *
+    * Non-canonical-but-valid PCM (big-endian, 8-bit, unsigned) is
+    * CONVERTED to 16-bit LE signed through the JDK's deterministic
+    * PCM-to-PCM codec ((b-128)<<8 widening with full-scale saturation,
+    * bit-exact across runs — pinned in CorpusOpsSpec), so those payloads
+    * get real windows instead of a fallback row. Two fallback
+    * flavors remain, distinguishable by `win` (the ADVICE r10 fix —
+    * "unsupported" must not read as "corrupt"): `win = -2` is a VALID
+    * audio container in a format the JDK codec cannot reach (multi-channel
+    * down-mix, float PCM); `win = -1` is a payload that failed container
+    * parse or sample read — actually corrupt. Both are row-scoped
+    * (decoded = false), the codec family's corrupt-input discipline.
     */
   def audioWindows(media: Dataset[MediaRecord], window: Int): Dataset[AudioWindow] = {
     require(window >= 1, "window must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { r =>
+        // Right(samples) = decodable to 16-bit LE mono; Left(win sentinel)
+        // = valid container, unreachable format
         val out: Seq[AudioWindow] =
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.payload))
             try {
-              val f = ais.getFormat
-              if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
-                Seq.empty
-              else {
+              val f = ais0.getFormat
+              val canonical = f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+                !f.isBigEndian &&
+                f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val aisOrSkip: Either[Int, javax.sound.sampled.AudioInputStream] =
+                if (canonical) Right(ais0)
+                else if (f.getChannels != 1) Left(-2) // JDK codec has no down-mix
+                else try Right(javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new javax.sound.sampled.AudioFormat(
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                    f.getSampleRate, 16, 1, 2, f.getSampleRate, false), ais0))
+                catch { case _: IllegalArgumentException => Left(-2) }
+              aisOrSkip match {
+                case Left(skipWin) =>
+                  Seq(AudioWindow(r.doc_id, skipWin, 0L, 0, 0, 0L, 0L, decoded = false))
+                case Right(ais) =>
                 val bytes = ais.readAllBytes()
                 val n = bytes.length / 2
                 (0 until n by window).map { start =>
@@ -244,7 +269,7 @@ object Multimodal {
                     mn, mx, sum, sq, decoded = true)
                 }
               }
-            } finally ais.close()
+            } finally ais0.close()
           } catch { case scala.util.control.NonFatal(_) => Seq.empty }
         if (out.nonEmpty) out
         else Seq(AudioWindow(r.doc_id, -1, 0L, 0, 0, 0L, 0L, decoded = false))
@@ -358,18 +383,59 @@ object Multimodal {
 
   /** The 9x8 grayscale raster every hash reads: direct when the frame is
     * already 9x8 gray (TYPE_BYTE_GRAY, or indexed with the identity-gray
-    * palette), a Graphics2D thumbnail otherwise.
+    * palette), an integer box-sampled thumbnail otherwise.
+    *
+    * The downscale is a HAND-ROLLED integer box mean + BT.601 integer luma
+    * ((299r + 587g + 114b) / 1000), not Graphics2D.drawImage: default-hint
+    * Graphics2D scaling is JDK/platform-dependent, which made dHash values
+    * for real-world-sized images deterministic only within one
+    * environment (the ADVICE r10 finding). All-integer arithmetic is
+    * bit-exact everywhere, so a hash computed on one cluster matches a
+    * store built on another. Single-band gray frames read their samples
+    * directly (no ICC gray->sRGB round trip); everything else goes through
+    * getRGB + integer luma.
     */
   private def gray9x8(img: java.awt.image.BufferedImage): java.awt.image.Raster =
     if (img.getWidth == 9 && img.getHeight == 8 &&
       (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY ||
         identityGrayIndexed(img))) img.getRaster
     else {
+      val w = img.getWidth; val h = img.getHeight
+      val direct = img.getRaster.getNumBands == 1 &&
+        (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY ||
+          identityGrayIndexed(img))
       val t = new java.awt.image.BufferedImage(
         9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val g = t.createGraphics()
-      try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
-      t.getRaster
+      val out = t.getRaster
+      var y = 0
+      while (y < 8) {
+        val sy0 = y * h / 8; val sy1 = math.max(sy0 + 1, (y + 1) * h / 8)
+        var x = 0
+        while (x < 9) {
+          val sx0 = x * w / 9; val sx1 = math.max(sx0 + 1, (x + 1) * w / 9)
+          var sum = 0L; var cnt = 0L
+          var sy = sy0
+          while (sy < sy1) {
+            var sx = sx0
+            while (sx < sx1) {
+              val lum =
+                if (direct) img.getRaster.getSample(sx, sy, 0)
+                else {
+                  val rgb = img.getRGB(sx, sy)
+                  (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                }
+              sum += lum; cnt += 1
+              sx += 1
+            }
+            sy += 1
+          }
+          out.setSample(x, y, 0, (sum / cnt).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
   /** The 63-bit difference hash over a 9x8 gray raster (see [[imageDhash]]
@@ -526,6 +592,15 @@ object Multimodal {
     * live bits) guarantee recall for Hamming distance <= 3 by pigeonhole;
     * candidates verify by exact `bit_count(xor)`. Input: (doc_id, dhash).
     * Output: distinct (doc_a, doc_b, hamming).
+    *
+    * RECALL CONTRACT (the simhashPairs convention, stated here because
+    * callers pass maxHamming > 3): the output is the set of BANDING
+    * CANDIDATES filtered to `hamming <= maxHamming`, NOT an exhaustive
+    * all-pairs-within-maxHamming — a pair at distance 4..maxHamming whose
+    * differing bits spread across all four bands shares no band and is
+    * never generated. Exhaustive recall at distance d needs d+1 bands
+    * (pigeonhole); four bands are the scale-chosen operating point, and
+    * any oracle gating this operator must replay the identical banding.
     */
   def dhashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("doc_id"),

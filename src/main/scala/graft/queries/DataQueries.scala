@@ -176,6 +176,10 @@ object DataQueries {
     // the 63-bit image hash). The planted twins surface as cross-1e6 pairs
     // at small Hamming; any organically similar embeddings pair up too —
     // both engines replay the identical banding, so the sets hash-match.
+    // NOTE maxHamming = 8 > the 4-band exhaustive-recall bound of 3: the
+    // result is banding CANDIDATES filtered to <= 8, not all pairs <= 8
+    // (see dhashPairs' RECALL CONTRACT) — the oracle replays the same
+    // banding, so the gate pins the operator's actual contract.
     "q157_image_neardup" -> ((s, d) => {
       Multimodal.dhashPairs(
           Multimodal.imageDhash(dhashCorpus(s, d)).toDF(), maxHamming = 8)

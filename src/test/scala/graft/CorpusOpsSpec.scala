@@ -570,6 +570,44 @@ class CorpusOpsSpec extends SparkSpec {
     val junk = Seq(Multimodal.MediaRecord(8L, Array[Byte](1, 2, 3), "audio/wav")).toDS()
     val jw = Multimodal.audioWindows(junk, window = 64).collect()
     assert(jw.length == 1 && !jw.head.decoded && jw.head.win == -1)
+
+    // ADVICE r10: non-canonical-but-valid PCM CONVERTS through the JDK's
+    // deterministic PCM codec instead of falling back, and formats the
+    // codec cannot reach flag win = -2 — distinguishable from corrupt (-1)
+    import javax.sound.sampled._
+    def container(fmt: AudioFormat, raw: Array[Byte],
+                  tpe: AudioFileFormat.Type): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt,
+        raw.length / fmt.getFrameSize), tpe, bos)
+      bos.toByteArray
+    }
+    // 8-bit unsigned mono WAV: the codec widens (b - 128) << 8 with
+    // saturation at full scale (255 -> 32767, measured JDK behavior)
+    val u8 = container(
+      new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false),
+      Array[Byte](0, 128.toByte, 255.toByte, 64), AudioFileFormat.Type.WAVE)
+    val w8 = Multimodal.audioWindows(
+      Seq(Multimodal.MediaRecord(9L, u8, "audio/wav")).toDS(), window = 4).collect()
+    assert(w8.length == 1 && w8.head.decoded && w8.head.win == 0, s"u8: ${w8.toSeq}")
+    assert(w8.head.n_samples == 4L && w8.head.min_s == -32768 && w8.head.max_s == 32767
+      && w8.head.sum_s == -16385L, s"u8 conversion stats: ${w8.head}")
+    // big-endian 16-bit mono (AIFF container): endianness converts exactly
+    val be = container(new AudioFormat(8000f, 16, 1, true, true),
+      Array[Byte](0x03, 0xE8.toByte, 0xF8.toByte, 0x30), AudioFileFormat.Type.AIFF)
+    val wb = Multimodal.audioWindows(
+      Seq(Multimodal.MediaRecord(10L, be, "audio/aiff")).toDS(), window = 4).collect()
+    assert(wb.length == 1 && wb.head.decoded && wb.head.n_samples == 2L, s"be: ${wb.toSeq}")
+    assert(wb.head.min_s == -2000 && wb.head.max_s == 1000 && wb.head.sum_s == -1000L,
+      s"be conversion stats: ${wb.head}")
+    // stereo: valid container, but the JDK codec has no down-mix -> win -2
+    val st = container(new AudioFormat(8000f, 16, 2, true, false),
+      Array.fill(16)(0: Byte), AudioFileFormat.Type.WAVE)
+    val ws = Multimodal.audioWindows(
+      Seq(Multimodal.MediaRecord(11L, st, "audio/wav")).toDS(), window = 4).collect()
+    assert(ws.length == 1 && !ws.head.decoded && ws.head.win == -2,
+      s"stereo must flag format-skip (-2), not corrupt: ${ws.toSeq}")
   }
 
   test("dhashPairs finds planted near-dup twins and nothing spurious") {

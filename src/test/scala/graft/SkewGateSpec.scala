@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   *     structural in blockedPairs; this gate pins it with the adversarial
   *     corpus wall budget + exact zero-pair assertion.
   *
-  * Budgets follow LambdaRecomputeSpec's regime-separation logic: the
-  * linear shapes finish in ~1-5 s on the 4-core test session, a quadratic
-  * or unsplit-straggler regression lands 10x+ over budget.
+  * Budgets are RATIOS against a same-session skew-free baseline of
+  * comparable total work, measured immediately before each skewed run —
+  * not absolute wall budgets (the ADVICE r10 fix: on this box a sustained
+  * co-tenant burst inflated a ~2 s query to 41.5 s, >10x, which would trip
+  * any absolute budget spuriously; a burst inflates baseline and skewed
+  * run alike, so the ratio stays stable). Regime separation survives: the
+  * linear shapes land within a few x of baseline (skew costs real extra
+  * work — the dup join, the straggler task), while a quadratic or
+  * unsplit-straggler regression lands 100x+.
   */
 class SkewGateSpec extends SparkSpec {
   import spark.implicits._
@@ -77,19 +83,42 @@ class SkewGateSpec extends SparkSpec {
       (d.toLong, words.mkString(" "))
     })
 
-  private def timed[A](budgetSec: Int, what: String)(body: => A): A = {
+  /** A skew-free corpus of the same doc-count/word-count shape: every word
+    * globally unique, so no gram ever duplicates and no shingle repeats —
+    * the linear-regime reference the skewed run is measured against.
+    */
+  private def uniqueDocs(name: String, docs: Int, words: Int): DataFrame =
+    staged(name, (0 until docs).map { d =>
+      (d.toLong, (0 until words).map(p => s"u${d}_$p").mkString(" "))
+    })
+
+  /** Time `baseline` then `body` back-to-back in the same session and
+    * assert body/baseline < factor. The 1 s baseline floor keeps a
+    * too-fast reference from turning scheduler jitter into flakes; the
+    * baseline running FIRST also absorbs the codepath's JIT warmup, which
+    * only loosens the gate (safe direction).
+    */
+  private def ratioGated[A](factor: Double, what: String)(baseline: => Unit)(body: => A): A = {
+    val b0 = System.nanoTime()
+    baseline
+    val bt = math.max((System.nanoTime() - b0) / 1e9, 1.0)
     val t0 = System.nanoTime()
     val r = body
     val dt = (System.nanoTime() - t0) / 1e9
-    assert(dt < budgetSec,
-      f"$what took $dt%.1f s — over the $budgetSec s linear-regime budget: " +
-        "the hot join key is being processed super-linearly (skew split or " +
-        "df-cap blocking is not doing its job)")
+    info(f"$what: baseline $bt%.1f s, skewed $dt%.1f s (${dt / bt}%.1fx, budget ${factor}%.0fx)")
+    assert(dt < factor * bt,
+      f"$what took $dt%.1f s vs $bt%.1f s skew-free baseline " +
+        f"(${dt / bt}%.1fx > ${factor}%.0fx): the hot join key is being " +
+        "processed super-linearly (skew split or df-cap blocking is not " +
+        "doing its job)")
     r
   }
 
   test("removeDuplicatedSpans: one gram key holding 50% of all instances") {
-    val out = timed(30, "solo-gram span removal") {
+    val out = ratioGated(15.0, "solo-gram span removal") {
+      graft.text.TextOps.removeDuplicatedSpans(
+        uniqueDocs("solo_base", nDocs, docLen), span = 5).collect()
+    } {
       graft.text.TextOps.removeDuplicatedSpans(soloGramDocs, span = 5)
         .collect().map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
@@ -106,7 +135,10 @@ class SkewGateSpec extends SparkSpec {
   }
 
   test("removeDuplicatedSpans: hot gram interleaved with unique filler") {
-    val out = timed(30, "mixed-gram span removal") {
+    val out = ratioGated(15.0, "mixed-gram span removal") {
+      graft.text.TextOps.removeDuplicatedSpans(
+        uniqueDocs("mixed_base", nDocs, docLen), span = 5).collect()
+    } {
       graft.text.TextOps.removeDuplicatedSpans(mixedGramDocs, span = 5)
         .select(col("doc_id"), col("n_removed")).collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
@@ -130,7 +162,14 @@ class SkewGateSpec extends SparkSpec {
     val docs = staged("giant",
       (0L, Seq.fill(10000)((0 until 10).map(i => s"s$i").mkString(" ")).mkString(" ")) +:
         (1 until 20).map(d => (d.toLong, (0 until 200).map(p => s"f${d}_$p").mkString(" "))))
-    val out = timed(45, "giant-doc span removal") {
+    // baseline spreads the same ~104k words evenly (20 x 5200): the gate
+    // factor is wider than the span-removal pair above because the giant
+    // doc legitimately serializes into one straggler task while the
+    // baseline parallelizes across the session's cores
+    val out = ratioGated(25.0, "giant-doc span removal") {
+      graft.text.TextOps.removeDuplicatedSpans(
+        uniqueDocs("giant_base", 20, 5200), span = 5).collect()
+    } {
       graft.text.TextOps.removeDuplicatedSpans(docs, span = 5)
         .select(col("doc_id"), col("n_words"), col("n_removed")).collect()
         .map(r => r.getAs[Long]("doc_id") ->
@@ -151,7 +190,11 @@ class SkewGateSpec extends SparkSpec {
         }
         (d.toLong, words.mkString(" "))
       })
-    val pairs = timed(30, "hot-shingle pair mining") {
+    val pairs = ratioGated(15.0, "hot-shingle pair mining") {
+      graft.dedup.Dedup.ngramJaccardPairs(
+        graft.dedup.Dedup.wordShingles(uniqueDocs("shingle_base", 400, 200), n = 5),
+        threshold = 0.1, maxDf = 50).count()
+    } {
       graft.dedup.Dedup.ngramJaccardPairs(
         graft.dedup.Dedup.wordShingles(docs, n = 5), threshold = 0.1, maxDf = 50)
         .count()
