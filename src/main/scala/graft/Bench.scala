@@ -253,7 +253,8 @@ object Bench {
     def rmTemp(dir: String): Unit =
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: Throwable => () }
-    val (annVectors, annBuild, annProbe, annRebuild) = try {
+    val (annVectors, annBuild, annProbe, annRebuild,
+         annAppend, annCompactMinor, annCompactFull, annReindex) = try {
       import org.apache.spark.sql.functions.col
       val annDir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
       try {
@@ -275,9 +276,28 @@ object Bench {
           .ivfKmeansTopKProbed(vecs, numCentroids = 64, iters = 10, k = 3, nprobe = 2)
           .filter(col("query_id") < 100)
           .queryExecution.toRdd.count())
-        (nVec, build, probe, rebuild)
+        // MAINTENANCE-PATH EVIDENCE at the same 10x store (the r10 verdict's
+        // stretch ask): three ~1/20th-store appends create the debris, then
+        // minor compaction (merges debris only — cost ∝ appends since last
+        // cycle), full compaction (rewrites the whole half — cost ∝ store),
+        // and a re-index (refit + rewrite — cost ∝ payloads). The committed
+        // gap between compact_minor and compact_full is the ∝-debris claim
+        // in numbers.
+        def inc(id: Int) = vecs.filter(col("vec_id") < nVec / 20)
+          .select((col("vec_id") + 10000000L * id).as("vec_id"), col("embedding"))
+        val append = clock(graft.similarity.Similarity
+          .ivfAppendCells(inc(1), s"$annDir/index", appendId = 1))
+        graft.similarity.Similarity.ivfAppendCells(inc(2), s"$annDir/index", appendId = 2)
+        graft.similarity.Similarity.ivfAppendCells(inc(3), s"$annDir/index", appendId = 3)
+        val compactMinor = clock(graft.similarity.Similarity
+          .compactIvfIndexMinor(spark, s"$annDir/index"))
+        val compactFull = clock(graft.similarity.Similarity
+          .compactIvfIndex(spark, s"$annDir/index"))
+        val reindex = clock(graft.similarity.Similarity
+          .reindexIvf(spark, s"$annDir/index", numCentroids = 64, iters = 10))
+        (nVec, build, probe, rebuild, append, compactMinor, compactFull, reindex)
       } finally rmTemp(annDir) // staged 10x vectors: don't accumulate per run
-    } catch { case _: Throwable => (0L, -1.0, -1.0, -1.0) }
+    } catch { case _: Throwable => (0L, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
     // same story for the LSH signature index (q114's tuned 16x5 config):
     // probe-from-store hashes only the 100 queries; the in-memory search
     // re-signs the whole corpus per call
@@ -439,7 +459,7 @@ object Bench {
         s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
       .mkString("{", ",", "}")
     val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
       .mkString("{", ",", "}")
     val totalMed = results.map { case (_, ts) => med(ts) }.sum

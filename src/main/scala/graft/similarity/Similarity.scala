@@ -688,6 +688,7 @@ object Similarity {
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-append") {
       requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/cells")
+      recoverMinor(fs, s"$path/cells")
       val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
       if (fs.exists(dst)) false
       else {
@@ -729,6 +730,7 @@ object Similarity {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
+    recoverMinor(fs, dir) // a crashed minor compaction heals before the full rewrite
     val main = new org.apache.hadoop.fs.Path(dir)
     // a store half that has never published (e.g. compacting a minhash
     // store before its first batch) is "nothing to do", not a crash
@@ -757,6 +759,121 @@ object Similarity {
     fs.delete(prev, true)
     dataIds.length
   }
+
+  /** MINOR (debris-only) compaction — the LSM analogue of
+    * [[compactBatchStore]]'s full rewrite, and the append-heavy 100 TB
+    * answer: ONLY the appended `batch=<id != 0>` dirs merge (into the
+    * greatest data id), the base `batch=0` — the bulk of the store — is
+    * never read or rewritten, so the cost is proportional to the DEBRIS,
+    * not the store size. Fold the merged debris into the base with an
+    * occasional full [[compactBatchStore]]; run this per maintenance
+    * cycle. The append ledger survives: every previously-published id
+    * stays behind as an empty tombstone dir, so replays stay refused.
+    *
+    * Crash discipline: the merged tree is fully staged at `.minor-staged`
+    * BEFORE the `_minor-pending` journal lands (journal publish itself is
+    * a temp-file + atomic rename), so the journal's existence implies the
+    * staged tree is complete and healing always ROLLS FORWARD —
+    * [[recoverMinor]] (run by the maintenance entry points) replays
+    * [[applyMinor]]'s idempotent rename sequence from any crash point.
+    * Unlike the full compaction's `.prev` window, the mid-sequence
+    * visible tree is missing debris rows, which a read-only prober cannot
+    * heal around — so probes REFUSE while the journal exists
+    * ([[requireNoMinorPending]], the [[withBuildMarker]] loud-refusal
+    * discipline).
+    */
+  private[graft] def compactBatchStoreMinor(spark: SparkSession, dir: String,
+                                            partitionCols: Seq[String]): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    recoverDir(fs, dir)
+    recoverMinor(fs, dir)
+    val main = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(main)) return 0
+    val batchDirs = fs.listStatus(main)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ != 0L).sorted
+    if (dataIds.length <= 1) return 0
+    val target = dataIds.max
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/.minor-staged")
+    fs.delete(staged, true)
+    val rows = spark.read.option("basePath", dir)
+      .parquet(dataIds.map(id => s"$dir/batch=$id").toIndexedSeq: _*)
+    val kept = rows.select(rows.columns.filterNot(_ == "batch").map(col): _*)
+    val w =
+      if (partitionCols.isEmpty) kept.write
+      else kept.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+    w.mode("overwrite").parquet(staged.toString)
+    // journal AFTER staging, published atomically: existence == staged is
+    // complete and the merge must roll forward
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.minor-journal-tmp")
+    val out = fs.create(tmp, true)
+    try out.write((target +: dataIds).mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    val journal = new org.apache.hadoop.fs.Path(dir, "_minor-pending")
+    fs.delete(journal, false)
+    require(fs.rename(tmp, journal), s"could not publish $journal")
+    applyMinor(fs, dir, target, dataIds.toSeq)
+    dataIds.length
+  }
+
+  /** The idempotent landing sequence of [[compactBatchStoreMinor]] —
+    * re-runnable from any crash point. While `.minor-staged` exists the
+    * landing has not happened: move every source dir (including the
+    * target id's original) aside to invisible `.gone-<id>`, then rename
+    * the staged tree in. Once staged is gone the landing is done:
+    * recreate tombstones for the merged ids and drop the journal.
+    */
+  private def applyMinor(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                         target: Long, ids: Seq[Long]): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/.minor-staged")
+    if (fs.exists(staged)) {
+      ids.foreach { id =>
+        val d = new org.apache.hadoop.fs.Path(s"$dir/batch=$id")
+        if (fs.exists(d)) {
+          val gone = new org.apache.hadoop.fs.Path(s"$dir/.gone-$id")
+          fs.delete(gone, true)
+          require(fs.rename(d, gone), s"could not move $d aside")
+        }
+      }
+      require(fs.rename(staged, new org.apache.hadoop.fs.Path(s"$dir/batch=$target")),
+        s"could not land $staged")
+    }
+    ids.filterNot(_ == target).foreach(id =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/batch=$id")))
+    ids.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.gone-$id"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_minor-pending"), false)
+  }
+
+  /** Heal a crashed [[compactBatchStoreMinor]]: journal present -> roll
+    * the landing forward; no journal -> an orphan staged tree (crash
+    * before the journal published) is dead weight to drop. Maintenance
+    * entry points run this; probes refuse instead
+    * ([[requireNoMinorPending]]).
+    */
+  private[graft] def recoverMinor(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: String): Unit = {
+    val journal = new org.apache.hadoop.fs.Path(dir, "_minor-pending")
+    if (!fs.exists(journal)) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.minor-staged"), true)
+      return
+    }
+    val in = fs.open(journal)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val nums = txt.trim.split(",").map(_.toLong)
+    applyMinor(fs, dir, nums.head, nums.tail.toIndexedSeq)
+  }
+
+  private[graft] def requireNoMinorPending(fs: org.apache.hadoop.fs.FileSystem,
+                                           dir: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_minor-pending")),
+      s"$dir has an incomplete minor compaction — run append/compact " +
+        "maintenance to heal it before probing")
 
   /** The active directory for read paths: `dir`, or its `.prev` survivor
     * inside/after a [[compactBatchStore]] swap window — read-only, never
@@ -942,6 +1059,22 @@ object Similarity {
     }
   }
 
+  /** [[compactBatchStoreMinor]] for the IVF store's cells half: merge the
+    * append debris only, never touching the `batch=0` base — per-cycle
+    * maintenance whose cost tracks the appends since the last cycle, with
+    * [[compactIvfIndex]] as the occasional full fold. Probe results are
+    * row-identical before and after (rows are only re-grouped), and the
+    * append ledger's tombstones keep replays refused.
+    */
+  def compactIvfIndexMinor(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "ivf-compact") {
+      requireNoPendingBuild(fs, path)
+      compactBatchStoreMinor(spark, s"$path/cells", Seq("cell"))
+    }
+  }
+
   /** Probe-many half of the persisted IVF index: NO Lloyd recompute and no
     * aggregation over the stored corpus — the index is scanned as-is and
     * only the QUERY side does any work (score against the <= numCentroids
@@ -965,6 +1098,9 @@ object Similarity {
     requireNoPendingBuild(fs, path)
     val cent = spark.read.parquet(activeDir(fs, s"$path/centroids"))
     val cellsDir = activeDir(fs, s"$path/cells")
+    // a crashed MINOR compaction's mid-sequence tree is missing debris
+    // rows and a read-only probe cannot heal it — refuse loudly
+    requireNoMinorPending(fs, cellsDir)
     // the partition column comes back as the inferred directory type (int);
     // restore the build's long so q112 hash-matches q107's cell column
     val idx = spark.read.parquet(cellsDir)

@@ -313,6 +313,102 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon() == afterAppend, "recompaction changed probe results")
   }
 
+  test("persisted IVF index: MINOR compaction merges debris only, base untouched, ledger preserved") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 14); val b3 = mk(15 to 19)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_minor").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.buildIvfIndex(b1, numCentroids = 2, iters = 2, p)
+    assert(Similarity.ivfAppendCells(b2, p, appendId = 1))
+    assert(Similarity.ivfAppendCells(b3, p, appendId = 2))
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(): Seq[String] =
+      Similarity.probeIvfIndex(all, p, k = 2, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    def listing(dir: String): Seq[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) { val f = it.next(); buf += s"${f.getPath}:${f.getLen}" }
+      buf.sorted.toSeq
+    }
+    val before = canon()
+    val base0 = listing(s"$p/cells/batch=0")
+    assert(Similarity.compactIvfIndexMinor(spark, p) == 2, "two debris dirs to merge")
+    assert(canon() == before, "minor compaction changed probe results")
+    // base is byte-for-byte untouched — the cost ∝ debris claim in file terms
+    assert(listing(s"$p/cells/batch=0") == base0,
+      "minor compaction must never rewrite the batch=0 base")
+    // debris merged into the greatest id; batch=1 is a file-less tombstone
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/cells"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    assert(dirs.map(_.getPath.getName).toSet == Set("batch=0", "batch=1", "batch=2"))
+    assert(!fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/cells/batch=1"), true).hasNext)
+    assert(fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/cells/batch=2"), true).hasNext)
+    // ledger: replays of merged ids stay refused; re-run is a no-op
+    assert(!Similarity.ivfAppendCells(b2, p, appendId = 1))
+    assert(!Similarity.ivfAppendCells(b3, p, appendId = 2))
+    assert(Similarity.compactIvfIndexMinor(spark, p) == 0)
+    // a full compaction afterwards folds the merged debris into the base
+    assert(Similarity.compactIvfIndex(spark, p) == 2)
+    assert(canon() == before)
+  }
+
+  test("persisted IVF index: minor-compaction crash windows roll forward; probes refuse meanwhile") {
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 9); val b2 = mk(10 to 14); val b3 = mk(15 to 19)
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(p: String): Seq[String] =
+      Similarity.probeIvfIndex(all, p, k = 2, nprobe = 1)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"), col("sim"))
+        .collect().map(_.toString).sorted.toSeq
+    def freshStore(): (String, org.apache.hadoop.fs.FileSystem) = {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_minorcrash").toString
+      Similarity.buildIvfIndex(b1, numCentroids = 2, iters = 2, p)
+      assert(Similarity.ivfAppendCells(b2, p, appendId = 1))
+      assert(Similarity.ivfAppendCells(b3, p, appendId = 2))
+      (p, org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+        spark.sparkContext.hadoopConfiguration))
+    }
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    // stage the exact crash states: staged tree complete + journal
+    // published (the journal's contract), renames in various stages
+    def stageCrash(p: String, fs: org.apache.hadoop.fs.FileSystem,
+                   renames: Int): Unit = {
+      val cells = s"$p/cells"
+      spark.read.option("basePath", cells)
+        .parquet(s"$cells/batch=1", s"$cells/batch=2")
+        .drop("batch").repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$cells/.minor-staged")
+      val out = fs.create(hp(s"$cells/_minor-pending"), true)
+      try out.write("2,1,2".getBytes("UTF-8")) finally out.close()
+      if (renames >= 1) assert(fs.rename(hp(s"$cells/batch=1"), hp(s"$cells/.gone-1")))
+      if (renames >= 2) assert(fs.rename(hp(s"$cells/batch=2"), hp(s"$cells/.gone-2")))
+      if (renames >= 3) assert(fs.rename(hp(s"$cells/.minor-staged"), hp(s"$cells/batch=2")))
+    }
+    val expected = { val (p, _) = freshStore(); canon(p) }
+    (0 to 3).foreach { renames =>
+      val (p, fs) = freshStore()
+      stageCrash(p, fs, renames)
+      // probes refuse while the journal exists
+      val ex = intercept[Exception] { canon(p) }
+      assert(Option(ex.getMessage).exists(_.contains("incomplete minor compaction")),
+        s"renames=$renames: probe refused with the wrong error: ${ex.getMessage}")
+      // ANY maintenance entry heals by rolling forward (here: a replayed
+      // append, whose ledger check then refuses — exactly W2's shape)
+      assert(!Similarity.ivfAppendCells(b3, p, appendId = 2),
+        s"renames=$renames: healed ledger lost a merged id")
+      assert(!fs.exists(hp(s"$p/cells/_minor-pending")),
+        s"renames=$renames: journal not cleared by the heal")
+      assert(canon(p) == expected, s"renames=$renames: healed store diverged")
+    }
+  }
+
   test("persisted IVF index: reindexIvf refits from stored payloads, probes continue, ledger survives") {
     def mk(r: Range) = r.map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
