@@ -262,6 +262,8 @@ object Similarity {
       requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/sigs")
       recoverDir(fs, s"$path/vectors")
+      recoverMinor(fs, s"$path/sigs")
+      recoverMinor(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
       if (fs.exists(ledger)) false
       else {
@@ -300,6 +302,19 @@ object Similarity {
     }
   }
 
+  /** [[compactIvfIndexMinor]] for the LSH store: debris-only merge of both
+    * halves' appended batch dirs, `batch=0` bases untouched.
+    */
+  def compactLshIndexMinor(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "lsh-compact") {
+      requireNoPendingBuild(fs, path)
+      compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket")) +
+        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty)
+    }
+  }
+
   /** Probe-many half: hash ONLY the query set (tables rows per query, with
     * the geometry read from the stored config), candidate-join into the
     * stored signature partitions, and rescore exactly against the stored
@@ -318,6 +333,8 @@ object Similarity {
     // a crashed (re)build leaves a mixed-generation store that .prev
     // fallbacks cannot read around — refuse loudly instead of serving it
     requireNoPendingBuild(fs, path)
+    requireNoMinorPending(fs, activeDir(fs, s"$path/sigs"))
+    requireNoMinorPending(fs, activeDir(fs, s"$path/vectors"))
     val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
       cfg.getAs[Int]("dim"))
@@ -1380,6 +1397,8 @@ object Similarity {
       requireNoPendingBuild(fs, path)
       recoverDir(fs, s"$path/codes")
       recoverDir(fs, s"$path/vectors")
+      recoverMinor(fs, s"$path/codes")
+      recoverMinor(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/codes/batch=$appendId")
       if (fs.exists(ledger)) false
       else {
@@ -1411,6 +1430,19 @@ object Similarity {
     }
   }
 
+  /** [[compactIvfIndexMinor]] for the PQ store: debris-only merge of both
+    * halves' appended batch dirs, `batch=0` bases untouched.
+    */
+  def compactPqIndexMinor(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "pq-compact") {
+      requireNoPendingBuild(fs, path)
+      compactBatchStoreMinor(spark, s"$path/codes", Seq.empty) +
+        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty)
+    }
+  }
+
   /** Probe-many half: ADC top-k from the STORED codes and codebooks — the
     * original vectors are never read; the only per-query work is the
     * m*k-row LUT. `.prev`-aware reads cover the compaction swap window.
@@ -1422,6 +1454,8 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     // refuse a crashed-build mixed-generation store (probeLshIndex's note)
     requireNoPendingBuild(fs, path)
+    requireNoMinorPending(fs, activeDir(fs, s"$path/codes"))
+    requireNoMinorPending(fs, activeDir(fs, s"$path/vectors"))
     val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
     val cb = spark.read.parquet(activeDir(fs, s"$path/codebooks"))
@@ -1512,9 +1546,12 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val fsI = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(ivfPath), conf)
     val fsP = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pqPath), conf)
-    // refuse a crashed-build mixed-generation store on EITHER side
+    // refuse a crashed-build mixed-generation store on EITHER side, and a
+    // crashed minor compaction's debris-missing tree on any read half
     requireNoPendingBuild(fsI, ivfPath)
     requireNoPendingBuild(fsP, pqPath)
+    requireNoMinorPending(fsI, activeDir(fsI, s"$ivfPath/cells"))
+    requireNoMinorPending(fsP, activeDir(fsP, s"$pqPath/codes"))
     val cent = spark.read.parquet(activeDir(fsI, s"$ivfPath/centroids"))
     val assigned = spark.read.parquet(activeDir(fsI, s"$ivfPath/cells"))
       .select(col(idCol), col("cell"))

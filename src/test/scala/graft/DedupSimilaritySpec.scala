@@ -357,6 +357,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon() == before)
   }
 
+  test("LSH and PQ stores: minor compaction merges debris only, bases untouched, probes identical") {
+    val rng = new scala.util.Random(41)
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 59); val b2 = mk(60 to 69); val b3 = mk(70 to 79)
+    val qs = mk(100 to 104)
+    // (name, build, append, minor, full, probe, halves)
+    val fams = Seq(
+      ("lsh",
+        (df: org.apache.spark.sql.DataFrame, p: String) =>
+          Similarity.buildLshIndex(df, bits = 4, tables = 4, dim = 64, p),
+        (df: org.apache.spark.sql.DataFrame, p: String, id: Long) =>
+          Similarity.lshAppendVectors(df, p, id),
+        (p: String) => Similarity.compactLshIndexMinor(spark, p),
+        (p: String) => Similarity.compactLshIndex(spark, p),
+        (p: String) => Similarity.probeLshIndex(qs, p, k = 3),
+        Seq("sigs", "vectors")),
+      ("pq",
+        (df: org.apache.spark.sql.DataFrame, p: String) =>
+          Similarity.buildPqIndex(df, m = 4, k = 4, iters = 1, p),
+        (df: org.apache.spark.sql.DataFrame, p: String, id: Long) =>
+          Similarity.pqAppendVectors(df, p, id),
+        (p: String) => Similarity.compactPqIndexMinor(spark, p),
+        (p: String) => Similarity.compactPqIndex(spark, p),
+        (p: String) => Similarity.probePqIndex(qs, p, k = 3),
+        Seq("codes", "vectors")))
+    for ((name, build, append, minor, full, probe, halves) <- fams) {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${name}_minor").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+        spark.sparkContext.hadoopConfiguration)
+      build(b1, p)
+      assert(append(b2, p, 1L)); assert(append(b3, p, 2L))
+      def canon(): Seq[String] =
+        probe(p).collect().map(_.toString).sorted.toSeq
+      def listing(dir: String): Seq[String] = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) { val f = it.next(); buf += s"${f.getPath}:${f.getLen}" }
+        buf.sorted.toSeq
+      }
+      val before = canon()
+      val bases = halves.map(h => h -> listing(s"$p/$h/batch=0")).toMap
+      assert(minor(p) == 4, s"$name: two debris dirs per half to merge")
+      assert(canon() == before, s"$name: minor compaction changed probe results")
+      halves.foreach(h => assert(listing(s"$p/$h/batch=0") == bases(h),
+        s"$name/$h: minor compaction rewrote the batch=0 base"))
+      // ledger survives; re-run is a no-op; full fold still works
+      assert(!append(b2, p, 1L), s"$name: merged id replay must stay refused")
+      assert(minor(p) == 0, s"$name: immediate minor re-run must be a no-op")
+      assert(full(p) == 4, s"$name: full fold after minor")
+      assert(canon() == before, s"$name: full fold changed probe results")
+    }
+  }
+
   test("persisted IVF index: minor-compaction crash windows roll forward; probes refuse meanwhile") {
     def mk(r: Range) = r.map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
