@@ -743,6 +743,109 @@ object DataOracles {
        |w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)$loop""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.Logit.fit]] — the classifier twin
+    * of [[ridgeCtes]]. Differences from ridge: the label is the binary
+    * "quality_score >= 0.3" verdict (derived from the same features by
+    * identical IEEE ops, so both engines agree on every label), only the
+    * FEATURES standardize, and each of the `iters` gradient rounds is a
+    * DATA pass: per-row margin as summed floor(z_i*w_i*1e8) BIGINT terms,
+    * the ALGEBRAIC sigmoid 0.5 + 0.5*t/(1+|t|) (no libm anywhere — exp's
+    * last ulp differs across builds, +,*,/,abs do not), residual sums as
+    * quantized BIGINT partials, and the iterate re-rounded to 6 decimals.
+    * Defines lmu/lsd (moments), lz (standardized frame), v<iters>
+    * (final weights w0..w2 + bias bb).
+    */
+  private[queries] def logitCtes(iters: Int, lr: Double, lambda: Double,
+                                 src: String = "documents"): String = {
+    def z(i: Int) = s"CASE WHEN s$i = 0 THEN 0.0 ELSE (x$i - m$i) / s$i END"
+    val loop = (1 to iters).map { t =>
+      s""",
+         |gr$t AS MATERIALIZED (
+         |  SELECT
+         |    CAST(sum(CAST(floor(z0 * (pp - y) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS g0,
+         |    CAST(sum(CAST(floor(z1 * (pp - y) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS g1,
+         |    CAST(sum(CAST(floor(z2 * (pp - y) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS g2,
+         |    CAST(sum(CAST(floor((pp - y) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS gb
+         |  FROM (
+         |    SELECT z0, z1, z2, y, 0.5 + 0.5 * tt / (1 + abs(tt)) AS pp
+         |    FROM (
+         |      SELECT lz.*,
+         |        (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |         + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |         + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |      FROM lz CROSS JOIN v${t - 1})
+         |  )
+         |),
+         |v$t AS MATERIALIZED (
+         |  SELECT
+         |    round(w0 - $lr * (g0 + $lambda * w0), 6) AS w0,
+         |    round(w1 - $lr * (g1 + $lambda * w1), 6) AS w1,
+         |    round(w2 - $lr * (g2 + $lambda * w2), 6) AS w2,
+         |    round(bb - $lr * gb, 6) AS bb
+         |  FROM v${t - 1} CROSS JOIN gr$t
+         |)""".stripMargin
+    }.mkString
+    s"""lf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x0,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS x1,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS x2,
+       |    CASE WHEN least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0)
+       |      * (1.0 - abs(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |          x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+       |          / len(string_split_regex(trim(text), '\\s+')) - 0.4)) >= 0.3
+       |      THEN 1.0 ELSE 0.0 END AS y
+       |  FROM $src
+       |),
+       |lcnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM lf),
+       |lmu AS MATERIALIZED (
+       |  SELECT
+       |    CAST(sum(CAST(floor(x0 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS m0,
+       |    CAST(sum(CAST(floor(x1 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS m1,
+       |    CAST(sum(CAST(floor(x2 * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0 AS m2
+       |  FROM lf
+       |),
+       |lsd AS MATERIALIZED (
+       |  SELECT
+       |    sqrt(CAST(sum(CAST(floor((x0 - m0) * (x0 - m0) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0) AS s0,
+       |    sqrt(CAST(sum(CAST(floor((x1 - m1) * (x1 - m1) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0) AS s1,
+       |    sqrt(CAST(sum(CAST(floor((x2 - m2) * (x2 - m2) * 100000000.0) AS BIGINT)) AS DOUBLE) / (SELECT n FROM lcnt) / 100000000.0) AS s2
+       |  FROM lf CROSS JOIN lmu
+       |),
+       |lz AS MATERIALIZED (
+       |  SELECT doc_id, y, ${z(0)} AS z0, ${z(1)} AS z1, ${z(2)} AS z2
+       |  FROM lf CROSS JOIN lmu CROSS JOIN lsd
+       |),
+       |v0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS bb)$loop""".stripMargin
+  }
+
+  /** Shared by q165/q166: quantized scores, thresholded verdicts, and the
+    * 6-decimal accuracy over [[logitCtes]]' fit (the store round-trip must
+    * be invisible, so both register it verbatim).
+    */
+  private lazy val logitPredictOracle: String =
+    s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+       |lp AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM (
+       |    SELECT lz.doc_id, lz.y,
+       |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+       |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+       |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+       |    FROM lz CROSS JOIN v30)
+       |),
+       |lacc AS MATERIALIZED (
+       |  SELECT floor(CAST(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS acc
+       |  FROM lp
+       |)
+       |SELECT doc_id, p, p >= 0.5 AS pred, y, acc
+       |FROM lp CROSS JOIN lacc ORDER BY doc_id""".stripMargin
+
   /** Shared by q148/q150: predictions + R^2 over [[ridgeCtes]]' fit (the
     * store round-trip must be invisible, so both register it verbatim).
     */
@@ -1210,6 +1313,21 @@ object DataOracles {
     "q148_ridge_predict" -> ridgePredictOracle,
     // the store round-trip must be invisible: q148's oracle verbatim
     "q150_ridge_store" -> ridgePredictOracle,
+    "q164_logit_fit" ->
+      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)}
+         |SELECT * FROM (
+         |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd, bb AS bias
+         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+         |  UNION ALL
+         |  SELECT 1, 'avg_word_len', w1, m1, s1, bb
+         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+         |  UNION ALL
+         |  SELECT 2, 'stopword_ratio', w2, m2, s2, bb
+         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+         |) ORDER BY i""".stripMargin,
+    "q165_logit_predict" -> logitPredictOracle,
+    // the store round-trip must be invisible: q165's oracle verbatim
+    "q166_logit_store" -> logitPredictOracle,
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

@@ -92,6 +92,19 @@ object DataQueries {
 
   private[queries] val ridgeFeatureCols = Seq("n_words", "avg_word_len", "stopword_ratio")
 
+  /** Feature frame for the classifier trio: q31's quality features, with
+    * the binary label "quality_score >= 0.3" — the threshold the q115/q160
+    * pipelines gate on, so the classifier learns the pipeline's own
+    * quality verdict from the raw features. The comparison runs on a score
+    * both engines derive by identical IEEE ops (the q31 oracle's proof),
+    * so the labels are engine-identical.
+    */
+  private[queries] def logitFrame(s: SparkSession, d: String): DataFrame =
+    graft.text.TextOps.qualityFeatures(docs(s, d))
+      .select(col("doc_id"), col("n_words").cast("double").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"),
+        (col("quality_score") >= 0.3).cast("double").as("y"))
+
   val defs: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d)).orderBy("text_hash")),
@@ -426,6 +439,60 @@ object DataQueries {
       pred.crossJoin(broadcast(stats))
         .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
         .select(col("doc_id"), col("y"), col("yhat"), col("r2"))
+        .orderBy("doc_id")
+    }),
+
+    // Distributed binary classifier fit (the quality-FILTER member of the
+    // fit-on-aggregates family; Ridge is the regressor): q31's quality
+    // features classify the pipeline's own "quality_score >= 0.3" gate.
+    // Two moment passes + 30 gradient DATA passes (unlike ridge the
+    // logistic-form loss is not moment-reducible), each a bounded
+    // aggregation over a materialized (z, y) frame; the link is the
+    // ALGEBRAIC sigmoid 0.5 + 0.5*t/(1+|t|) — no libm, so the oracle
+    // replays every round bit-for-bit and the learned weights + bias are
+    // hash-exact.
+    "q164_logit_fit" -> ((s, d) => {
+      val fit = graft.operators.Logit.fit(logitFrame(s, d), ridgeFeatureCols, "y")
+      graft.operators.Logit.weightsDf(s, fit).orderBy("i")
+    }),
+
+    // The classifier's per-doc scores and verdicts + its training accuracy
+    // under an assert floor: map-only scoring against the broadcast fit,
+    // p quantized to 6 decimals BEFORE the 0.5 threshold so the verdict
+    // cannot differ between engines at a sub-quantum boundary. The label
+    // is a nonlinear function of two features (min(1,x/100)*(1-|r-0.4|)
+    // thresholded), so a linear boundary cannot be perfect — measured
+    // accuracy 0.972 at sf0.01 on a 59/41 label split; floor 0.85.
+    "q165_logit_predict" -> ((s, d) => {
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Logit.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      val stats = pred.agg((sum(when(col("pred") === (col("y") === 1.0), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("accr"))
+        .select((floor(col("accr") * 1e6 + 0.5) / 1e6).as("acc"))
+      pred.crossJoin(broadcast(stats))
+        .filter(assert_true(col("acc") >= 0.85, lit("q165: classifier accuracy fell below 0.85")).isNull)
+        .select(col("doc_id"), col("p"), col("pred"), col("y"), col("acc"))
+        .orderBy("doc_id")
+    }),
+
+    // The persisted-model twin of q165 (the q150 treatment): fit once,
+    // land the (i, feature, w, mu, sd, bias) table, score FROM THE STORE —
+    // scores, verdicts, and accuracy must hash-match q165's oracle
+    // verbatim, so any lossy round-trip of a weight or scale fails.
+    "q166_logit_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_logit"
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      graft.operators.Logit.saveModel(s, fit, path)
+      val pred = graft.operators.Logit.predictFromStore(f, path, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      val stats = pred.agg((sum(when(col("pred") === (col("y") === 1.0), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("accr"))
+        .select((floor(col("accr") * 1e6 + 0.5) / 1e6).as("acc"))
+      pred.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("p"), col("pred"), col("y"), col("acc"))
         .orderBy("doc_id")
     }),
 

@@ -62,7 +62,9 @@ class PlanShapeSpec extends SparkSpec {
     "q151_ann_ivfpq_stores", // q133's bounded stored-centroid/LUT broadcasts
     "q154_tfidf_ann", // q61's 1-row corpus-stats broadcast (n_docs)
     "q160_pipeline_v2", // q115's 1-row rates broadcast + its own 1-row profile/score frames
-    "q163_streaming_flagship") // scoreWithLm's 1-row stored train-token-count broadcast (q120/q130's adjudicated shape)
+    "q163_streaming_flagship", // scoreWithLm's 1-row stored train-token-count broadcast (q120/q130's adjudicated shape)
+    "q165_logit_predict", // 1-row accuracy-stats broadcast (the q148 shape)
+    "q166_logit_store") // same 1-row broadcast, scoring from the stored model
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"

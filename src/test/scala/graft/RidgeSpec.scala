@@ -39,4 +39,42 @@ class RidgeSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("feature")).toSeq == Seq("x1", "x2", "x3"))
     assert(rows.forall(r => r.getAs[Double]("y_sd") == fit.ySd))
   }
+
+  // ---- Logit (the classifier twin) ---------------------------------------
+
+  import graft.operators.Logit
+
+  // linearly separable with margin: y = 1 iff 2*x1 - x2 > 10; x3 constant
+  private def cls = (1 to 400).map { i =>
+    val x1 = (i % 19).toDouble
+    val x2 = ((i * 5) % 13).toDouble
+    (i.toLong, x1, x2, 5.0, if (2.0 * x1 - x2 > 10.0) 1.0 else 0.0)
+  }.toDF("id", "x1", "x2", "x3", "y")
+
+  test("logit separates a margin-separable labeling, deterministically, order-free") {
+    val fit1 = Logit.fit(cls, Seq("x1", "x2", "x3"), "y")
+    val fit2 = Logit.fit(cls.repartition(7, $"x2"), Seq("x1", "x2", "x3"), "y")
+    assert(fit1 == fit2, "the fit must be bit-identical under repartitioning")
+    assert(fit1.sd(2) == 0.0 && fit1.weights(2) == 0.0,
+      "constant feature must zero out, not NaN")
+    val pred = Logit.predict(cls, fit1, "id")
+      .join(cls.select($"id", $"y"), "id").collect()
+    val acc = pred.count(r =>
+      r.getAs[Boolean]("pred") == (r.getAs[Double]("y") == 1.0)).toDouble / pred.length
+    assert(acc >= 0.95, s"separable data should classify cleanly, got $acc")
+    // scores are valid probabilities under the algebraic sigmoid
+    assert(pred.forall { r =>
+      val p = r.getAs[Double]("p"); p >= 0.0 && p <= 1.0 })
+  }
+
+  test("logit store round-trip scores bit-identically to the in-memory fit") {
+    val path = java.nio.file.Files.createTempDirectory("graft_logit").toString + "/m"
+    val fit = Logit.fit(cls, Seq("x1", "x2", "x3"), "y")
+    Logit.saveModel(spark, fit, path)
+    assert(Logit.loadModel(spark, path) == fit, "model must round-trip exactly")
+    val direct = Logit.predict(cls, fit, "id").collect().map(_.toString).sorted.toSeq
+    val stored = Logit.predictFromStore(cls, path, "id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == direct)
+  }
 }
