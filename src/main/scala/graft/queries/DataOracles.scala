@@ -1328,6 +1328,31 @@ object DataOracles {
     "q165_logit_predict" -> logitPredictOracle,
     // the store round-trip must be invisible: q165's oracle verbatim
     "q166_logit_store" -> logitPredictOracle,
+    "q167_logit_calibration" ->
+      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |lp AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM (
+         |    SELECT lz.doc_id, lz.y,
+         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |    FROM lz CROSS JOIN v30)
+         |),
+         |cb AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(p * 100000000.0) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 100000000.0 AS pr,
+         |    CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) AS yr
+         |  FROM lp GROUP BY 1
+         |)
+         |SELECT bin, n,
+         |  floor(pr * 1000000.0 + 0.5) / 1000000.0 AS avg_p,
+         |  floor(yr * 1000000.0 + 0.5) / 1000000.0 AS avg_y,
+         |  floor(abs(pr - yr) * 1000000.0 + 0.5) / 1000000.0 AS gap
+         |FROM cb ORDER BY bin""".stripMargin,
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

@@ -496,6 +496,36 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // Calibration bins for the classifier (the reliability-diagram
+    // aggregation a pipeline runs before trusting its quality scores as
+    // sampling weights): decile-bin the quantized scores, per bin the
+    // exact count, quantized mean score, empirical positive rate, and
+    // their gap. Means derive from integer partial sums (exact: p is a
+    // 1e-6 multiple, y is 0/1), so every bin row is engine-exact. The
+    // measured table at sf0.01 is the operator's own argument: scores are
+    // MONOTONE with the label (empirical rate jumps 0 -> 1 across bins
+    // 3-4) but NOT calibrated as probabilities (gaps up to ~0.48 — the
+    // algebraic sigmoid squashes less than the logistic), so a pipeline
+    // must sample through this calibration map, not through raw p.
+    "q167_logit_calibration" -> ((s, d) => {
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Logit.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      pred.select(least(floor(col("p") * 10), lit(9.0)).cast("int").as("bin"),
+          col("p"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("p") * 1e8).cast("long")).cast("double")
+            / count(lit(1)) / 1e8).as("pr"),
+          (sum(col("y").cast("long")).cast("double") / count(lit(1))).as("yr"))
+        .select(col("bin"), col("n"),
+          (floor(col("pr") * 1e6 + 0.5) / 1e6).as("avg_p"),
+          (floor(col("yr") * 1e6 + 0.5) / 1e6).as("avg_y"),
+          (floor(abs(col("pr") - col("yr")) * 1e6 + 0.5) / 1e6).as("gap"))
+        .orderBy("bin")
+    }),
+
     // IVF-PQ served from BOTH persisted stores — the production composed
     // search path: centroids + cell assignments from the IVF store,
     // codes + codebooks from the PQ store, the corpus vectors read by
