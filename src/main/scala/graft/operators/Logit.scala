@@ -160,4 +160,69 @@ object Logit {
     val p6 = floor(sigmoid(marginCol(zs, fit.weights, fit.bias)) * 1e6 + 0.5) / 1e6
     df.select(col(idCol), p6.as("p"), (p6 >= 0.5).as("pred"))
   }
+
+  /** Exact Mann-Whitney AUC from a grouped-count table (p, np, nn) — one
+    * row per DISTINCT quantized score with its positive/negative counts,
+    * which quantization bounds at <= 1e6+1 rows regardless of corpus size,
+    * so the unpartitioned cumulative window is safe at any scale. Returns
+    * one row (n_pos, n_neg, auc) with ties at half credit and auc rounded
+    * to 6 decimals.
+    *
+    * ENVELOPE: the pairwise products `neg_below*np` and `nn*np` sum to at
+    * most n_pos*n_neg, which crosses Long.MaxValue at ~3e9 docs per class —
+    * so the products accumulate as DECIMAL(38,0) (the house rule every
+    * data-sized sum follows; DuckDB's BIGINT sums widen to HUGEINT, so the
+    * engines agree wherever either is in range). The per-group counts and
+    * their plain sums stay LONG: those are bounded by n itself.
+    */
+  def aucFromGroupedCounts(grp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("p")).rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    grp.select(col("np"), col("nn"),
+        coalesce(sum(col("nn")).over(w), lit(0L)).as("neg_below"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("neg_below").cast(dec) * col("np")).as("full"),
+        sum(col("nn").cast(dec) * col("np")).as("ties"))
+      .select(col("n_pos"), col("n_neg"),
+        (floor((col("full").cast("double") + lit(0.5) * col("ties").cast("double"))
+          / (col("n_pos").cast(dec) * col("n_neg")).cast("double") * 1e6 + 0.5) / 1e6)
+          .as("auc"))
+  }
+
+  /** Reliability-diagram bins over a scored+labeled frame (columns `p`,
+    * `y`): decile-bin the quantized scores; per bin the exact count, the
+    * quantized mean score, the empirical positive rate, and their gap.
+    * Means derive from integer partial sums (exact: p is a 1e-6 multiple,
+    * y is 0/1), so every row is engine-exact. `avg_y` IS the calibrated
+    * probability [[calibratedPredict]] samples through.
+    */
+  def calibrationBins(scored: DataFrame): DataFrame =
+    scored.select(least(floor(col("p") * 10), lit(9.0)).cast("int").as("bin"),
+        col("p"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("p") * 1e8).cast("long")).cast("double")
+          / count(lit(1)) / 1e8).as("pr"),
+        (sum(col("y").cast("long")).cast("double") / count(lit(1))).as("yr"))
+      .select(col("bin"), col("n"),
+        (floor(col("pr") * 1e6 + 0.5) / 1e6).as("avg_p"),
+        (floor(col("yr") * 1e6 + 0.5) / 1e6).as("avg_y"),
+        (floor(abs(col("pr") - col("yr")) * 1e6 + 0.5) / 1e6).as("gap"))
+
+  /** Calibrated scoring — the operator q167's own measurement demands: the
+    * raw algebraic-sigmoid p is MONOTONE with the label but not calibrated
+    * as a probability (the sigmoid squashes less than the logistic), so a
+    * pipeline that samples documents by quality must sample through the
+    * calibration map, not raw p. Each score joins its decile bin and takes
+    * the bin's empirical positive rate `avg_y` as `p_cal` (histogram
+    * calibration — exact, engine-stable arithmetic: avg_y is already a
+    * quantized 6-decimal multiple). The bin table is <= 10 rows and joins
+    * broadcast; scoring stays map-shaped at any corpus size.
+    */
+  def calibratedPredict(scored: DataFrame, bins: DataFrame, idCol: String): DataFrame =
+    scored.select(col(idCol), col("p"),
+        least(floor(col("p") * 10), lit(9.0)).cast("int").as("bin"))
+      .join(broadcast(bins.select(col("bin"), col("avg_y").as("p_cal"))), Seq("bin"))
+      .select(col(idCol), col("p"), col("bin"), col("p_cal"))
 }

@@ -1353,7 +1353,8 @@ object DataOracles {
          |  FROM grp
          |)
          |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-         |  floor((CAST(sum(neg_below * np) AS DOUBLE) + 0.5 * CAST(sum(nn * np) AS DOUBLE))
+         |  floor((CAST(sum(CAST(neg_below AS HUGEINT) * np) AS DOUBLE)
+         |      + 0.5 * CAST(sum(CAST(nn AS HUGEINT) * np) AS DOUBLE))
          |    / CAST(sum(np) * sum(nn) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS auc
          |FROM cum""".stripMargin,
     "q167_logit_calibration" ->
@@ -1381,6 +1382,61 @@ object DataOracles {
          |  floor(yr * 1000000.0 + 0.5) / 1000000.0 AS avg_y,
          |  floor(abs(pr - yr) * 1000000.0 + 0.5) / 1000000.0 AS gap
          |FROM cb ORDER BY bin""".stripMargin,
+    // q167's CTEs + the histogram-calibration bin join (p_cal = the bin's
+    // 6-decimal empirical positive rate) — replays Logit.calibratedPredict
+    "q169_logit_calibrated" ->
+      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |lp AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM (
+         |    SELECT lz.doc_id, lz.y,
+         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |    FROM lz CROSS JOIN v30)
+         |),
+         |cb AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |    floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS p_cal
+         |  FROM lp GROUP BY 1
+         |)
+         |SELECT s.doc_id, s.p, s.bin, cb.p_cal
+         |FROM (SELECT doc_id, p, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM lp) s
+         |JOIN cb USING (bin)
+         |ORDER BY doc_id""".stripMargin,
+    // ... + the hex60 keep-gate under floor(p_cal * 1e6): per bin the doc
+    // count, kept count, and the exact expected kept mass sum(p_cal)
+    "q170_calibrated_sample" ->
+      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |lp AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM (
+         |    SELECT lz.doc_id, lz.y,
+         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |    FROM lz CROSS JOIN v30)
+         |),
+         |cb AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |    floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS p_cal
+         |  FROM lp GROUP BY 1
+         |),
+         |cal AS (
+         |  SELECT s.doc_id, s.bin, cb.p_cal,
+         |    CASE WHEN ${hex60Sql("CAST(s.doc_id AS VARCHAR)")} % 1000000
+         |      < CAST(floor(cb.p_cal * 1000000.0) AS BIGINT) THEN 1 ELSE 0 END AS keep
+         |  FROM (SELECT doc_id, p, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM lp) s
+         |  JOIN cb USING (bin)
+         |)
+         |SELECT bin, count(*) AS n, CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(CAST(floor(p_cal * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |    AS expected_kept
+         |FROM cal GROUP BY bin ORDER BY bin""".stripMargin,
     "q140_pca_ann_recall" -> pcaRecallOracle(p = 16, iters = 6, k = 3),
     "q131_ann_pq_adc" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5),

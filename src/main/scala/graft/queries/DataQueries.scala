@@ -512,17 +512,49 @@ object DataQueries {
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
-      pred.select(least(floor(col("p") * 10), lit(9.0)).cast("int").as("bin"),
-          col("p"), col("y"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"),
-          (sum(floor(col("p") * 1e8).cast("long")).cast("double")
-            / count(lit(1)) / 1e8).as("pr"),
-          (sum(col("y").cast("long")).cast("double") / count(lit(1))).as("yr"))
-        .select(col("bin"), col("n"),
-          (floor(col("pr") * 1e6 + 0.5) / 1e6).as("avg_p"),
-          (floor(col("yr") * 1e6 + 0.5) / 1e6).as("avg_y"),
-          (floor(abs(col("pr") - col("yr")) * 1e6 + 0.5) / 1e6).as("gap"))
+      graft.operators.Logit.calibrationBins(pred).orderBy("bin")
+    }),
+
+    // Calibrated scoring (the operator q167's own table demands): every
+    // document's raw score joins its decile bin and takes the bin's
+    // empirical positive rate as p_cal — the histogram-calibrated
+    // probability a pipeline samples through instead of raw p. The bin
+    // table is <= 10 rows and broadcast; the oracle replays the bin join
+    // verbatim over q167's CTEs. Monotone but re-scaled: p_cal collapses
+    // each decile onto the measured positive rate, which is the contract.
+    "q169_logit_calibrated" -> ((s, d) => {
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Logit.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .localCheckpoint(true) // one fit; bins + join read the same scores
+      val bins = graft.operators.Logit.calibrationBins(pred)
+      graft.operators.Logit.calibratedPredict(pred, bins, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The sampling gate those calibrated probabilities exist FOR (the q80
+    // deterministic-hash treatment, weighted by p_cal): keep a document
+    // when hex60(doc_id) % 1e6 falls under floor(p_cal * 1e6), so the
+    // KEEP RATE of each calibration bin tracks its empirical quality rate
+    // — the learned-quality downsampling step of a training-data pipeline,
+    // exactly replayable in both engines because the threshold is an
+    // integer derived from the quantized p_cal and the hash is hex60.
+    "q170_calibrated_sample" -> ((s, d) => {
+      val f = logitFrame(s, d)
+      val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
+      val pred = graft.operators.Logit.predict(f, fit, "doc_id")
+        .join(f.select(col("doc_id"), col("y")), "doc_id")
+        .localCheckpoint(true)
+      val bins = graft.operators.Logit.calibrationBins(pred)
+      val cal = graft.operators.Logit.calibratedPredict(pred, bins, "doc_id")
+      val keep = Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
+        floor(col("p_cal") * 1e6).cast("long")
+      cal.select(col("bin"), col("p_cal"), keep.cast("long").as("keep"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("keep")).as("n_kept"),
+          (sum(floor(col("p_cal") * 1e6).cast("long")).cast("double") / 1e6)
+            .as("expected_kept"))
         .orderBy("bin")
     }),
 
@@ -533,10 +565,11 @@ object DataQueries {
     // count is an exact integer, and the single division + 6-decimal
     // quantization land both engines on the same double. The unpartitioned
     // window is SAFE at scale: it runs over the grouped score table, which
-    // quantization bounds at <= 1e6+1 rows no matter the corpus size.
-    // Measured 0.99995 at sf0.01 — near-perfect ranking from three features.
+    // quantization bounds at <= 1e6+1 rows no matter the corpus size; the
+    // pair-count products accumulate DECIMAL(38,0) inside
+    // Logit.aucFromGroupedCounts (they cross the LONG envelope at ~3e9
+    // docs per class). Measured 0.99995 at sf0.01.
     "q168_logit_auc" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val f = logitFrame(s, d)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
@@ -544,16 +577,7 @@ object DataQueries {
       val grp = pred.groupBy(col("p"))
         .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
           sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("nn"))
-      val w = Window.orderBy(col("p"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      grp.select(col("np"), col("nn"),
-          coalesce(sum(col("nn")).over(w), lit(0L)).as("neg_below"))
-        .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-          sum(col("neg_below") * col("np")).cast("double").as("full"),
-          sum(col("nn") * col("np")).cast("double").as("ties"))
-        .select(col("n_pos"), col("n_neg"),
-          (floor((col("full") + lit(0.5) * col("ties"))
-            / (col("n_pos") * col("n_neg")).cast("double") * 1e6 + 0.5) / 1e6).as("auc"))
+      graft.operators.Logit.aucFromGroupedCounts(grp)
     }),
 
     // IVF-PQ served from BOTH persisted stores — the production composed

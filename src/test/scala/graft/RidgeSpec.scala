@@ -67,6 +67,41 @@ class RidgeSpec extends SparkSpec {
       val p = r.getAs[Double]("p"); p >= 0.0 && p <= 1.0 })
   }
 
+  test("Mann-Whitney AUC survives pair-count sums past the LONG envelope") {
+    // Planted grouped counts (p, np, nn) whose concordant-pair credit
+    // totals 2.0e19 — past Long.MaxValue (~9.22e18), where the pre-r12
+    // LONG product-sum wrapped silently. The DECIMAL(38,0) accumulation
+    // must return the exact hand-computed AUC:
+    //   full = 4e9*4e9 + 4e9*1e9 = 2.0e19, ties = 1e9*1e9 = 1e18
+    //   auc  = (2.0e19 + 0.5*1e18) / (5e9 * 5e9) = 0.82
+    val grp = Seq(
+      (0.1, 0L, 4000000000L),
+      (0.2, 4000000000L, 0L),
+      (0.3, 1000000000L, 1000000000L)).toDF("p", "np", "nn")
+    val r = Logit.aucFromGroupedCounts(grp).head()
+    assert(r.getAs[Long]("n_pos") == 5000000000L)
+    assert(r.getAs[Long]("n_neg") == 5000000000L)
+    assert(r.getAs[Double]("auc") == 0.82, s"got ${r.getAs[Double]("auc")}")
+  }
+
+  test("calibration bins + calibrated predict: p_cal is the bin's empirical rate") {
+    val fit = Logit.fit(cls, Seq("x1", "x2", "x3"), "y")
+    val pred = Logit.predict(cls, fit, "id")
+      .join(cls.select($"id", $"y"), "id")
+    val bins = Logit.calibrationBins(pred)
+    val binRows = bins.collect().map(r =>
+      r.getAs[Int]("bin") -> (r.getAs[Long]("n"), r.getAs[Double]("avg_y"))).toMap
+    assert(binRows.values.map(_._1).sum == 400L, "bins partition the corpus")
+    val cal = Logit.calibratedPredict(pred, bins, "id").collect()
+    assert(cal.length == 400)
+    cal.foreach { r =>
+      val bin = math.min(math.floor(r.getAs[Double]("p") * 10).toInt, 9)
+      assert(r.getAs[Int]("bin") == bin)
+      assert(r.getAs[Double]("p_cal") == binRows(bin)._2,
+        s"p_cal must be bin $bin's empirical positive rate")
+    }
+  }
+
   test("logit store round-trip scores bit-identically to the in-memory fit") {
     val path = java.nio.file.Files.createTempDirectory("graft_logit").toString + "/m"
     val fit = Logit.fit(cls, Seq("x1", "x2", "x3"), "y")
