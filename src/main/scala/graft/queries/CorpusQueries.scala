@@ -442,59 +442,89 @@ object CorpusQueries {
         .repartition(8).write.mode("overwrite").parquet(s"$base/in_bench")
       // ONE streaming session: four maintainers run concurrently, each
       // with its own checkpoint and store — start all, then drain
-      val running = Seq(
-        StreamingPipeline.lmAppendStream(
-          StreamingPipeline.readDocStream(s, s"$base/in_all"),
-          s"$base/lm", s"$base/ck_lm").start(),
-        StreamingPipeline.minhashDedupStream(
-          StreamingPipeline.readDocStream(s, s"$base/in_all"),
-          s"$base/mh", s"$base/ck_mh").start(),
-        StreamingPipeline.histogramStream(
-          StreamingPipeline.readColumnsStream(s, s"$base/in_all",
-            "doc_id BIGINT, lang STRING, n_chars BIGINT"),
-          s"$base/hist", s"$base/ck_hist",
-          keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
-        StreamingPipeline.decontamAppendStream(
-          StreamingPipeline.readDocStream(s, s"$base/in_bench"),
-          s"$base/dc", s"$base/ck_dc").start())
+      val running = startFlagshipMaintainers(s, s"$base/in_all", s"$base/in_bench", base)
       running.foreach(_.awaitTermination())
-      // between-sessions maintenance over the grown stores
-      TextOps.compactLm(s, s"$base/lm")
-      StreamingPipeline.compactMinhashStore(s, s"$base/mh")
-      Dedup.compactDecontamStore(s, s"$base/dc")
+      compactFlagshipStores(s, base)
       // final batch read: one frame scoring the corpus slice from all four
-      val corpus = all.filter(bucket < 80)
-      val lm = TextOps.scoreWithLm(corpus.select(col("doc_id"), col("text")), s"$base/lm")
-        .select(col("doc_id"), col("n_unseen"), col("nll"))
-      val dc = Dedup.bloomContaminationAgainst(
-          Dedup.wordShingles(corpus, 3),
-          s.read.parquet(s"$base/dc/shingles"),
-          s.read.parquet(s"$base/dc/words"), k = 4, m = 1 << 20)
-        .select(col("doc_id"), col("n_present"), col("contaminated"))
-      val pairs = s.read.parquet(s"$base/mh/pairs")
-      val dup = pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id")))
-        .distinct().withColumn("__dup", lit(true))
-      val hist = s.read.parquet(s"$base/hist")
-        .select(col("lang"), col("bucket"), col("n").as("len_n"))
-      corpus
-        .select(col("doc_id"), col("lang"),
-          least(greatest(floor(col("n_chars") / 50.0), lit(0.0)), lit(19.0))
-            .cast("int").as("bucket"))
-        .join(lm, Seq("doc_id"), "left")
-        .join(dc, Seq("doc_id"), "left")
-        .join(broadcast(dup), Seq("doc_id"), "left")
-        .join(broadcast(hist), Seq("lang", "bucket"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nll"), lit(0.0)).as("nll"),
-          coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"),
-          coalesce(col("n_present"), lit(0L)).as("n_present"),
-          coalesce(col("__dup"), lit(false)).as("near_dup"),
-          col("len_n"))
-        .orderBy("doc_id")
+      flagshipScoreFrame(s, base, all.filter(bucket < 80))
     })
   )
+
+  /** q163's four concurrent store maintainers — ONE streaming session
+    * growing the trigram LM, the MinHash dedup store, the per-lang length
+    * histogram, and the decontamination store, each on its own checkpoint
+    * under `base`. Shared by the composed-session restart drill
+    * (StreamingFlagshipSpec), which kills and restarts exactly this set on
+    * the same checkpoints.
+    */
+  private[graft] def startFlagshipMaintainers(s: SparkSession, inAll: String,
+      inBench: String, base: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import graft.streaming.StreamingPipeline
+    Seq(
+      StreamingPipeline.lmAppendStream(
+        StreamingPipeline.readDocStream(s, inAll),
+        s"$base/lm", s"$base/ck_lm").start(),
+      StreamingPipeline.minhashDedupStream(
+        StreamingPipeline.readDocStream(s, inAll),
+        s"$base/mh", s"$base/ck_mh").start(),
+      StreamingPipeline.histogramStream(
+        StreamingPipeline.readColumnsStream(s, inAll,
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"),
+        s"$base/hist", s"$base/ck_hist",
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
+      StreamingPipeline.decontamAppendStream(
+        StreamingPipeline.readDocStream(s, inBench),
+        s"$base/dc", s"$base/ck_dc").start())
+  }
+
+  /** Between-sessions maintenance over the flagship's grown stores. */
+  private[graft] def compactFlagshipStores(s: SparkSession, base: String): Unit = {
+    TextOps.compactLm(s, s"$base/lm")
+    graft.streaming.StreamingPipeline.compactMinhashStore(s, s"$base/mh")
+    graft.dedup.Dedup.compactDecontamStore(s, s"$base/dc")
+    ()
+  }
+
+  /** The flagship's final batch read: one frame scoring every `corpus`
+    * document (doc_id, text, lang, n_chars) from ALL four grown stores —
+    * LM nll + unseen count, contamination verdict, near-dup membership,
+    * and the (lang, length-bucket) population. Store geometry (decontam
+    * k=4 / m=1<<20, histogram binWidth=50 x 20 bins) is pinned to the
+    * maintainers above.
+    */
+  private[graft] def flagshipScoreFrame(s: SparkSession, base: String,
+      corpus: DataFrame): DataFrame = {
+    import graft.dedup.Dedup
+    val lm = TextOps.scoreWithLm(corpus.select(col("doc_id"), col("text")), s"$base/lm")
+      .select(col("doc_id"), col("n_unseen"), col("nll"))
+    val dc = Dedup.bloomContaminationAgainst(
+        Dedup.wordShingles(corpus, 3),
+        s.read.parquet(s"$base/dc/shingles"),
+        s.read.parquet(s"$base/dc/words"), k = 4, m = 1 << 20)
+      .select(col("doc_id"), col("n_present"), col("contaminated"))
+    val pairs = s.read.parquet(s"$base/mh/pairs")
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("__dup", lit(true))
+    val hist = s.read.parquet(s"$base/hist")
+      .select(col("lang"), col("bucket"), col("n").as("len_n"))
+    corpus
+      .select(col("doc_id"), col("lang"),
+        least(greatest(floor(col("n_chars") / 50.0), lit(0.0)), lit(19.0))
+          .cast("int").as("bucket"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .join(broadcast(hist), Seq("lang", "bucket"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        coalesce(col("__dup"), lit(false)).as("near_dup"),
+        col("len_n"))
+      .orderBy("doc_id")
+  }
 
   /** The q115 stage CTEs (nw .. packstat), shared verbatim by the q160
     * pipeline-v2 oracle which appends profiler + ridge CTEs after them.

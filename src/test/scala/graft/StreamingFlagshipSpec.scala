@@ -1,0 +1,180 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.queries.CorpusQueries
+import graft.streaming.StreamingPipeline
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Composed-session restart drill for the q163 streaming flagship (the r11
+  * verdict's top ask): every maintainer family has a single-family
+  * restart/replay spec, but nothing killed ONE streaming session running
+  * FOUR maintainers mid-stream. Cross-maintainer interference after a crash
+  * — one family's ledger ahead of another's — is precisely what per-family
+  * specs cannot see, so the drill:
+  *
+  *  1. kills the composed session after it has processed only a prefix of
+  *     the input (both feeds mid-stream, multiple triggers in);
+  *  2. advances TWO of the four families a full delivery ahead (the crash
+  *     landed after the LM and histogram queries committed a trigger the
+  *     MinHash and decontam queries never saw — each query checkpoints
+  *     independently, so this skew is exactly what a real crash leaves);
+  *  3. compacts two stores while the session is down (maintenance runs
+  *     between sessions — it must not disturb the pending restart);
+  *  4. restarts all four maintainers on the SAME checkpoints, drains;
+  *  5. replays every family's already-committed first batch id through its
+  *     foreachBatch body (at-least-once redelivery after recovery);
+  *
+  * and asserts the composed q163 scoring frame is byte-identical to an
+  * uninterrupted one-session run over the same corpus. A dropped or
+  * double-counted micro-batch, a stale store half, or any cross-family
+  * divergence shifts some column of some document and fails the equality.
+  * (True mid-trigger kills are nondeterministic to schedule; the torn-state
+  * windows INSIDE each batch body are drilled per-family in
+  * StoreFaultDrillSpec — this drill owns the cross-family interleavings.)
+  */
+class StreamingFlagshipSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- corpus ------------------------------------------------------------
+
+  private val t1 = "the quick brown fox jumps over the lazy dog"
+  private val t2 = "pack my box with five dozen liquor jugs today"
+  private val t3 = "sphinx of black quartz judge my vow tonight"
+  // benchmark phrases: pPrefix lives in the PRE-BUILT store, pB1 arrives in
+  // the first streamed bench delivery, pB2 only in the LAST — a decontam
+  // store that stalls at any earlier point marks doc 17 clean and fails
+  private val pPrefix = "secret benchmark answer sequence one two three"
+  private val pB1 = "holdout prompt template foo bar baz qux quux"
+  private val pB2 = "late arriving benchmark suite with unique shingle content"
+
+  private def doc(id: Long, text: String): (Long, String, String, Long) =
+    (id, text, if (id % 2 == 0) "de" else "en", text.length.toLong)
+
+  private val a1 = Seq(
+    doc(1, t1),
+    doc(2, "a completely different document about spark streaming state stores"),
+    doc(3, t1), // same-delivery exact dup of 1
+    doc(4, t2),
+    doc(5, t1 + " again"), // near-dup of 1 (7 of 8 shingles)
+    doc(6, s"prefix words here $pPrefix trailing words"), // hits the PRE-BUILT store
+    doc(7, "unrelated corpus text carrying no shared content at all"),
+    doc(8, t3),
+    doc(9, "metrics dashboards aggregate daily values for every source"),
+    doc(10, "language models count trigrams across the corpus"))
+  private val a2 = Seq(
+    doc(11, t2), // cross-delivery exact dup of 4
+    doc(12, "streaming checkpoints recover exactly once after a crash"),
+    doc(13, s"leading text $pB1 and a tail"), // hits the B1-grown store
+    doc(14, t1), // cross-delivery exact dup of 1/3
+    doc(15, "fresh content about histogram buckets and language counts"),
+    doc(16, t3 + " extra"))
+  private val a3 = Seq(
+    doc(17, s"copied verbatim $pB2 into this document"), // needs the B2-grown store
+    doc(18, "the final tranche carries new trigram material for the model"),
+    doc(19, t1), // dup spanning first and last deliveries
+    doc(20, "spark partitions shuffle data between executors during joins"),
+    doc(21, t2),
+    doc(22, "short text row"),
+    doc(23, "histogram of characters by language needs two language values"),
+    doc(24, "closing document of the corpus with mixed vocabulary"))
+
+  private val benchPrefix = Seq(
+    (101L, pPrefix),
+    (102L, "evaluation suite question alpha beta gamma delta"))
+  private val b1 = Seq(
+    (104L, pB1),
+    (105L, "second benchmark phrase echo foxtrot golf hotel"))
+  private val b2 = Seq(
+    (106L, pB2),
+    (107L, "final eval set words november oscar papa quebec"))
+
+  private def allDf(rows: Seq[(Long, String, String, Long)]): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+  private def benchDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = allDf(a1 ++ a2 ++ a3)
+
+  private def deliverAll(dir: String, rows: Seq[(Long, String, String, Long)],
+                         parts: Int): Unit =
+    allDf(rows).repartition(parts).write.mode("append").parquet(dir)
+  private def deliverBench(dir: String, rows: Seq[(Long, String)]): Unit =
+    benchDf(rows).repartition(2).write.mode("append").parquet(dir)
+
+  private def drain(base: String): Unit =
+    CorpusQueries.startFlagshipMaintainers(
+      spark, s"$base/in_all", s"$base/in_bench", base).foreach(_.awaitTermination())
+
+  private def frame(base: String): Seq[String] =
+    CorpusQueries.flagshipScoreFrame(spark, base, corpus)
+      .collect().map(_.toString).toSeq
+
+  test("composed session: kill mid-stream, skewed ledgers, restart == uninterrupted run") {
+    // ---- baseline: one uninterrupted session over the full input ----------
+    val b0 = Files.createTempDirectory("graft_flag_base").toString
+    deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b0/in_bench", b1 ++ b2)
+    drain(b0)
+    CorpusQueries.compactFlagshipStores(spark, b0)
+    val baseline = frame(b0)
+    assert(baseline.size == 24, "baseline scores every corpus doc")
+    // the planted signals actually exercise all four stores
+    def field(rows: Seq[String], id: Long): String = rows(id.toInt - 1)
+    assert(field(baseline, 17).contains("true"), "doc 17 must be contaminated (pB2)")
+    assert(field(baseline, 19).contains("true"), "doc 19 must be a near-dup")
+
+    // ---- drill: same corpus through a crashed + skewed + replayed session --
+    val b = Files.createTempDirectory("graft_flag_drill").toString
+    // phase 1: a PREFIX of both feeds (two triggers' worth of files on the
+    // doc feed), then the session dies
+    deliverAll(s"$b/in_all", a1.take(5), parts = 10)
+    deliverAll(s"$b/in_all", a1.drop(5), parts = 10)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b/in_bench", b1)
+    drain(b)
+    assert(spark.read.parquet(s"$b/mh/sets").count() == 10L,
+      "the kill must land mid-input: only delivery A1 is in the dedup store")
+
+    // phase 2: the crash left the LM and histogram queries one committed
+    // trigger AHEAD of the other two — advance only those two families
+    deliverAll(s"$b/in_all", a2, parts = 3)
+    Seq(
+      StreamingPipeline.lmAppendStream(
+        StreamingPipeline.readDocStream(spark, s"$b/in_all"),
+        s"$b/lm", s"$b/ck_lm").start(),
+      StreamingPipeline.histogramStream(
+        StreamingPipeline.readColumnsStream(spark, s"$b/in_all",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"),
+        s"$b/hist", s"$b/ck_hist",
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start()
+    ).foreach(_.awaitTermination())
+
+    // phase 3: between-sessions maintenance on the two most file-heavy
+    // stores while the session is down and the ledgers disagree
+    TextOps.compactLm(spark, s"$b/lm")
+    StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
+
+    // phase 4: the rest of both feeds lands; restart ALL FOUR maintainers
+    // on the same checkpoints and drain — MinHash/decontam must catch up
+    // across their missed deliveries, LM/histogram must not double-apply
+    deliverAll(s"$b/in_all", a3, parts = 4)
+    deliverBench(s"$b/in_bench", b2)
+    drain(b)
+
+    // phase 5: at-least-once redelivery — replay every family's FIRST
+    // committed batch id straight through its foreachBatch body
+    StreamingPipeline.lmAppendBatch(s"$b/lm")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.minhashDedupBatch(s"$b/mh")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.histMergeBatch(s"$b/hist", Seq("lang"), "n_chars", 50.0, 20)(
+      allDf(a1).select(col("doc_id"), col("lang"), col("n_chars")), 0L)
+    StreamingPipeline.decontamAppendBatch(s"$b/dc")(benchDf(b1), 0L)
+
+    CorpusQueries.compactFlagshipStores(spark, b)
+    assert(frame(b) == baseline,
+      "restarted+skewed+replayed session must score byte-identically to the uninterrupted run")
+  }
+}
