@@ -229,7 +229,14 @@ object Bench {
         if (fileSf.exists(_ != sfDir)) (Map.empty[String, Double], false)
         else ("""\"(q[0-9]+[a-z]?)\"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap, true)
-      } catch { case _: Throwable => (Map.empty[String, Double], true) }
+      } catch {
+        // only a CONFIRMED-absent file is writable: a present-but-unreadable
+        // or unparsable prior must not be clobbered by whatever session hits
+        // the corruption first (it could be a smoke run at another sf — the
+        // exact overwrite the sf tag exists to prevent)
+        case _: java.nio.file.NoSuchFileException => (Map.empty[String, Double], true)
+        case _: Throwable => (Map.empty[String, Double], false)
+      }
     // like-for-like baseline anchor (BASELINE.md): the reference computes
     // reliability for ONE series in ~52.6 ms; this measures a warm run of
     // the same computation over ALL series and reports ms per series

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -234,7 +234,11 @@ object Pca {
     * per store generation. Beyond that, shard the store (the moments are
     * additive by construction, so per-shard tables merge in a wider type
     * at fit time); covariance()/Ridge, which have no persistence contract,
-    * already accumulate DECIMAL(38,0).
+    * already accumulate DECIMAL(38,0). The accumulation HERE also runs in
+    * DECIMAL(38,0) (the house rule) and lands as BIGINT only behind
+    * [[guardedQ]]'s envelope check, so a single oversized micro-batch
+    * raises loudly instead of handing the store or [[mergeMoments]] a
+    * silently-wrapped cell.
     */
   def momentSums(vectors: DataFrame, dim: Int = 64,
                  vecCol: String = "embedding"): DataFrame = {
@@ -248,14 +252,20 @@ object Pca {
         .otherwise(raise_error(concat(
           lit(s"momentSums: expected $dim-dim vector, got "),
           size(col(vecCol)).cast("string")))).as("v"))
+    // quantized terms accumulate in DECIMAL(38,0) (exact — a LONG sum here
+    // wraps silently within one large micro-batch under non-ANSI Spark) and
+    // land as BIGINT only BEHIND the envelope guard, so the per-batch
+    // sketch — including the first store generation ledgeredSumMerge writes
+    // verbatim — can never carry an under-guard wrapped value
     val ex = b.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
     val m2 = ex.select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(floor(col("xi") * col("xj") * Q).cast("long")).as("q"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("decimal(38,0)")).as("qm"))
+      .select(col("i"), col("j"), guardedQ(col("qm"), col("i"), col("j")).as("q"))
     val m1 = b.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(floor(col("x") * Q).cast("long")).as("q"))
-      .select(col("i"), lit(-1).as("j"), col("q"))
+      .agg(sum(floor(col("x") * Q).cast("decimal(38,0)")).as("qm"))
+      .select(col("i"), lit(-1).as("j"), guardedQ(col("qm"), col("i"), lit(-1)).as("q"))
     val cnt = b.agg(count(lit(1)).as("q"))
       .select(lit(-1).as("i"), lit(-1).as("j"), col("q"))
     m2.select(col("i"), col("j"), col("q")).unionByName(m1).unionByName(cnt)
@@ -267,6 +277,25 @@ object Pca {
     * silent wraparound is arithmetically possible.
     */
   private[graft] val momentGuardQ: Long = Long.MaxValue / 4
+
+  /** Envelope-guarded BIGINT landing for an exact DECIMAL(38,0) moment
+    * accumulation: a value under [[momentGuardQ]] passes through unchanged
+    * (decimal -> long is exact there, so store hashes are unaffected); at
+    * or above it the cell raises with the sharding remedy. Shared by
+    * [[momentSums]] (per-batch sketches and batch fits) and
+    * [[mergeMoments]] (store merges), so every path that lands a BIGINT
+    * moment cell is guarded — the accumulation itself can never wrap
+    * because it happens in decimal.
+    */
+  private def guardedQ(qm: Column, i: Column, j: Column): Column =
+    when(abs(qm) < lit(momentGuardQ), qm)
+      .otherwise(raise_error(concat(
+        lit("momentSums envelope exceeded at cell ("),
+        i.cast("string"), lit(","), j.cast("string"),
+        lit("): |q| >= Long.MaxValue/4 — shard the moment store and "
+          + "merge shards in a wider type at fit time (moments are "
+          + "additive by construction)"))).cast("decimal(38,0)"))
+      .cast("long")
 
   /** SUM-merge two moment tables (the streaming maintainer's combine).
     *
@@ -283,16 +312,12 @@ object Pca {
     */
   def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("i"), col("j"))
-      .agg(sum(col("q")).as("qm"))
-      .select(col("i"), col("j"),
-        when(abs(col("qm")) < lit(momentGuardQ), col("qm"))
-          .otherwise(raise_error(concat(
-            lit("momentSums envelope exceeded at cell ("),
-            col("i").cast("string"), lit(","), col("j").cast("string"),
-            lit("): |q| >= Long.MaxValue/4 — shard the moment store and "
-              + "merge shards in a wider type at fit time (moments are "
-              + "additive by construction)"))).cast("long"))
-          .as("q"))
+      // the merge sum itself runs in DECIMAL(38,0): with a LONG sum an
+      // input cell already past the envelope (possible only for a store
+      // written before the momentSums guard existed) could wrap before the
+      // guard evaluates — in decimal the guard always sees the true value
+      .agg(sum(col("q").cast("decimal(38,0)")).as("qm"))
+      .select(col("i"), col("j"), guardedQ(col("qm"), col("i"), col("j")).as("q"))
 
   /** Fit components FROM accumulated moments: mu_i = S1_i/n/1e8 and
     * cov_ij = M2_ij/n/1e8 - mu_i*mu_j — a different (but equally pinned)

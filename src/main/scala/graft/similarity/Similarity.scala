@@ -798,6 +798,19 @@ object Similarity {
     * heal around — so probes REFUSE while the journal exists
     * ([[requireNoMinorPending]], the [[withBuildMarker]] loud-refusal
     * discipline).
+    *
+    * READER COORDINATION CONTRACT: the journal refusal is CRASH detection
+    * (the journal persists after a died compactor, so any later probe
+    * refuses loudly), not concurrent-reader isolation — a probe that
+    * passes the journal check in the instant before the journal lands can
+    * still read the mid-rename tree. Probes must be externally coordinated
+    * with maintenance cycles, i.e. the store-wide single-maintainer
+    * contract every mutation path already assumes EXTENDS TO READERS
+    * during minor compaction. (A read-consistent staging order would have
+    * to land the merged tree beside the un-tombstoned sources, and the
+    * transient row duplication would require every probe to dedup its
+    * candidate set — a permanent hot-path cost for a window the
+    * maintenance contract already excludes.)
     */
   private[graft] def compactBatchStoreMinor(spark: SparkSession, dir: String,
                                             partitionCols: Seq[String]): Int = {
@@ -886,6 +899,13 @@ object Similarity {
     applyMinor(fs, dir, nums.head, nums.tail.toIndexedSeq)
   }
 
+  /** Probe-side refusal while a minor compaction is pending. This detects
+    * a CRASHED compactor (whose journal persists until maintenance heals
+    * it); it cannot close the check-then-read race against a compactor
+    * publishing concurrently — see [[compactBatchStoreMinor]]'s READER
+    * COORDINATION CONTRACT (probes are coordinated with maintenance
+    * cycles, the single-maintainer contract extended to readers).
+    */
   private[graft] def requireNoMinorPending(fs: org.apache.hadoop.fs.FileSystem,
                                            dir: String): Unit =
     require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_minor-pending")),

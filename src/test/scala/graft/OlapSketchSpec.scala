@@ -406,6 +406,17 @@ class OlapSketchSpec extends SparkSpec {
     val ok = Pca.mergeMoments(near, Seq((0, 0, -20L)).toDF("i", "j", "q"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(ok((0, 0)) == Pca.momentGuardQ - 25L)
+    // batch level: a SINGLE oversized micro-batch raises inside momentSums
+    // itself — the decimal(38,0) accumulation means the guard compares the
+    // TRUE total (3e18 here), never a long-wrapped one, and the per-batch
+    // sketch ledgeredSumMerge would write as a first store generation is
+    // already guarded
+    val ex1 = intercept[Exception] {
+      Pca.momentSums((0 until 3).map(i => (i.toLong, Seq(1.0e5, 1.0e5)))
+        .toDF("vec_id", "embedding"), dim = 2).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("envelope exceeded")),
+      s"expected envelope raise from momentSums, got: ${msgs(ex1).mkString(" | ")}")
     // maintainer level: a streamed store grown to near the envelope fails
     // LOUDLY on the batch that would cross it, and the staged-swap layout
     // leaves the pre-crossing store intact and readable
