@@ -822,6 +822,23 @@ object DataOracles {
        |v0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS bb)$loop""".stripMargin
   }
 
+  /** Shared by q164/q171: the fitted model table over [[logitCtes]]' 30
+    * gradient rounds (q171's stream-grown feature store and model store
+    * round-trips must be invisible, so both register it verbatim).
+    */
+  private lazy val logitFitOracle: String =
+    s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)}
+       |SELECT * FROM (
+       |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd, bb AS bias
+       |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+       |  UNION ALL
+       |  SELECT 1, 'avg_word_len', w1, m1, s1, bb
+       |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+       |  UNION ALL
+       |  SELECT 2, 'stopword_ratio', w2, m2, s2, bb
+       |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
+       |) ORDER BY i""".stripMargin
+
   /** Shared by q165/q166: quantized scores, thresholded verdicts, and the
     * 6-decimal accuracy over [[logitCtes]]' fit (the store round-trip must
     * be invisible, so both register it verbatim).
@@ -1313,18 +1330,10 @@ object DataOracles {
     "q148_ridge_predict" -> ridgePredictOracle,
     // the store round-trip must be invisible: q148's oracle verbatim
     "q150_ridge_store" -> ridgePredictOracle,
-    "q164_logit_fit" ->
-      s"""WITH ${logitCtes(iters = 30, lr = 0.5, lambda = 0.001)}
-         |SELECT * FROM (
-         |  SELECT 0 AS i, 'n_words' AS feature, w0 AS w, m0 AS mu, s0 AS sd, bb AS bias
-         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
-         |  UNION ALL
-         |  SELECT 1, 'avg_word_len', w1, m1, s1, bb
-         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
-         |  UNION ALL
-         |  SELECT 2, 'stopword_ratio', w2, m2, s2, bb
-         |  FROM v30 CROSS JOIN lmu CROSS JOIN lsd
-         |) ORDER BY i""".stripMargin,
+    "q164_logit_fit" -> logitFitOracle,
+    // the stream-grown feature store + model store round-trips must be
+    // invisible: q164's monolithic-fit oracle verbatim
+    "q171_logit_refit" -> logitFitOracle,
     "q165_logit_predict" -> logitPredictOracle,
     // the store round-trip must be invisible: q165's oracle verbatim
     "q166_logit_store" -> logitPredictOracle,

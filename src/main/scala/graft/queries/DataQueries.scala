@@ -100,7 +100,14 @@ object DataQueries {
     * so the labels are engine-identical.
     */
   private[queries] def logitFrame(s: SparkSession, d: String): DataFrame =
-    graft.text.TextOps.qualityFeatures(docs(s, d))
+    logitFeaturesOf(docs(s, d))
+
+  /** The row-wise feature+label transform behind [[logitFrame]] — also the
+    * `transform` the q171 streaming feature store applies per micro-batch
+    * (deterministic per row, so the grown store equals the batch frame).
+    */
+  private[queries] def logitFeaturesOf(df: DataFrame): DataFrame =
+    graft.text.TextOps.qualityFeatures(df)
       .select(col("doc_id"), col("n_words").cast("double").as("n_words"),
         col("avg_word_len"), col("stopword_ratio"),
         (col("quality_score") >= 0.3).cast("double").as("y"))
@@ -556,6 +563,45 @@ object DataQueries {
           (sum(floor(col("p_cal") * 1e6).cast("long")).cast("double") / 1e6)
             .as("expected_kept"))
         .orderBy("bin")
+    }),
+
+    // Streamed classifier REFIT lifecycle (the q119 build-prefix-then-
+    // append convention on the classifier): fit on a curated prefix and
+    // persist that model (the gate in service while the corpus grows),
+    // stream the REST of the documents through the exactly-once feature
+    // store (row-wise quality features + label per micro-batch), REFIT
+    // from the grown store, overwrite the model store, and emit the
+    // persisted refit weights. The stream, the feature store round-trip,
+    // and the model store round-trip must all be invisible: the oracle is
+    // q164's monolithic 30-round GD replay VERBATIM.
+    "q171_logit_refit" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = ivfIndexPath(d) + "_lrefit"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      // fresh run each call: the batch-dir ledgers make replays no-ops, so
+      // a stale store would short-circuit the growth under test
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val store = s"$base/features"; val model = s"$base/model"
+      val all = docs(s, d)
+      // prefix generation: the already-curated slice, landed as batch=0
+      StreamingPipeline.frameAppendBatch(store, logitFeaturesOf)(
+        all.filter(col("doc_id") % 3 === 0), 0L)
+      val fit0 = graft.operators.Logit.fit(
+        s.read.parquet(s"$store/batch=0"), ridgeFeatureCols, "y")
+      graft.operators.Logit.saveModel(s, fit0, model)
+      // the rest of the corpus arrives as a stream of raw documents
+      all.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.frameAppendStream(
+        StreamingPipeline.readDocStream(s, s"$base/in"),
+        store, s"$base/ck", logitFeaturesOf).start().awaitTermination()
+      // refit from the grown store == the monolithic corpus fit
+      val grown = s.read.parquet(store).select(col("doc_id"), col("n_words"),
+        col("avg_word_len"), col("stopword_ratio"), col("y"))
+      val refit = graft.operators.Logit.fit(grown, ridgeFeatureCols, "y")
+      graft.operators.Logit.saveModel(s, refit, model)
+      s.read.parquet(model).orderBy("i")
     }),
 
     // Exact AUC for the classifier (threshold-free ranking quality — the

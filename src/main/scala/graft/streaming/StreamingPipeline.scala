@@ -701,6 +701,46 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(minhashDedupBatch(storePath, n, numPerms, bands, threshold) _)
 
+  /** Exactly-once append-only FRAME store — the minimal member of the
+    * `batch=<id>` appender family: each micro-batch's transformed rows
+    * land as one staged-renamed `batch=<id>` directory whose existence is
+    * the ledger (foreachBatch replays are no-ops). `transform` must be a
+    * deterministic row-wise function of the batch (map-only — no
+    * cross-batch state), so the store's union over ANY prefix of batches,
+    * with any crash/replay interleaving, equals the batch transform over
+    * the rows delivered so far. This is the feature-store shape the
+    * classifier refit lifecycle grows (q171): documents stream in,
+    * quality features accumulate, and a refit from the grown store is
+    * indistinguishable from a monolithic fit.
+    */
+  def frameAppendBatch(storePath: String, transform: DataFrame => DataFrame)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$storePath/batch=$batchId")
+    if (fs.exists(dst)) return
+    val staging = new org.apache.hadoop.fs.Path(s"$storePath/.staging-$batchId")
+    fs.delete(staging, true)
+    transform(batch).write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging, dst), s"could not land $staging at $dst")
+  }
+
+  /** Streaming frame-store maintenance: doc stream -> per-micro-batch
+    * transformed appends via [[frameAppendBatch]] (stream batch ids land
+    * as `batch=<id+1>`, leaving `batch=0` for a caller-built prefix
+    * generation — the q119 build-prefix-then-append convention).
+    */
+  def frameAppendStream(docs: DataFrame, storePath: String, checkpoint: String,
+                        transform: DataFrame => DataFrame): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frameAppendBatch(storePath, transform)(batch, batchId + 1)
+      }
+
   /** Incremental LM maintenance — the `foreachBatch` body for a trigram
     * Stupid-Backoff model that keeps learning as the corpus arrives: each
     * micro-batch trains count DELTAS on its own documents only and appends

@@ -197,6 +197,41 @@ class IngestStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
+  test("streaming feature store: restart + replay keep the refit == monolithic fit") {
+    import graft.operators.Logit
+    val base = Files.createTempDirectory("graft_fstore").toString
+    val in = s"$base/in"; val store = s"$base/features"
+    // a deterministic row-wise transform (feature + label derivation)
+    val t: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select(col("id"), col("x1"), col("x2"),
+        (col("x1") * 2 - col("x2") > 10).cast("double").as("y"))
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, (i % 19).toDouble, ((i * 5) % 13).toDouble) }.toDF("id", "x1", "x2")
+    def stream() = StreamingPipeline.frameAppendStream(
+      StreamingPipeline.readColumnsStream(spark, in, "id BIGINT, x1 DOUBLE, x2 DOUBLE"),
+      store, s"$base/ck", t).start()
+    // prefix generation lands as batch=0; two streamed deliveries across a
+    // restart land as batch=1, batch=2
+    StreamingPipeline.frameAppendBatch(store, t)(mk(0, 100), 0L)
+    mk(100, 160).write.mode("overwrite").parquet(in)
+    stream().awaitTermination(60000)
+    mk(160, 220).write.mode("append").parquet(in)
+    stream().awaitTermination(60000)
+    val grown = spark.read.parquet(store).select("id", "x1", "x2", "y")
+    assert(grown.count() == 220)
+    val refit = Logit.fit(grown, Seq("x1", "x2"), "y")
+    val mono = Logit.fit(t(mk(0, 220)), Seq("x1", "x2"), "y")
+    assert(refit == mono, "refit from the grown store must equal the monolithic fit")
+    // replays of committed ids — the prefix build's and a stream batch's —
+    // are no-ops (directory existence is the ledger)
+    StreamingPipeline.frameAppendBatch(store, t)(mk(0, 100), 0L)
+    StreamingPipeline.frameAppendBatch(store, t)(mk(100, 160), 1L)
+    assert(spark.read.parquet(store).count() == 220,
+      "replayed batch ids must not duplicate feature rows")
+    assert(Logit.fit(spark.read.parquet(store).select("id", "x1", "x2", "y"),
+      Seq("x1", "x2"), "y") == mono)
+  }
+
   test("streaming LM maintainer: restart + replay score like the monolithic fit") {
     import graft.text.TextOps
     val base = Files.createTempDirectory("graft_lms").toString
