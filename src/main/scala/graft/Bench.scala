@@ -324,38 +324,44 @@ object Bench {
         // cycle), full compaction (rewrites the whole half — cost ∝ store),
         // and a re-index (refit + rewrite — cost ∝ payloads). The committed
         // gap between compact_minor and compact_full is the ∝-debris claim
-        // in numbers.
+        // in numbers. Each store runs TWO full debris-create + compact
+        // cycles and records the min: these operations mutate state, so
+        // min-of-2 needs fresh debris per cycle — cycle 1 also burns off
+        // first-touch JIT for the maintenance plans, without which the 1x
+        // twin below (which would otherwise run everything exactly once,
+        // cold) reads noise instead of cost (the first committed r12
+        // session recorded compact_minor_1x 1.54 s vs 10x 0.36 s — the
+        // inversion was warmth, not work).
         def inc(id: Int) = vecs.filter(col("vec_id") < nVec / 20)
           .select((col("vec_id") + 10000000L * id).as("vec_id"), col("embedding"))
-        val append = clock(graft.similarity.Similarity
-          .ivfAppendCells(inc(1), s"$annDir/index", appendId = 1))
-        graft.similarity.Similarity.ivfAppendCells(inc(2), s"$annDir/index", appendId = 2)
-        graft.similarity.Similarity.ivfAppendCells(inc(3), s"$annDir/index", appendId = 3)
-        val compactMinor = clock(graft.similarity.Similarity
-          .compactIvfIndexMinor(spark, s"$annDir/index"))
-        val compactFull = clock(graft.similarity.Similarity
-          .compactIvfIndex(spark, s"$annDir/index"))
+        def maintCycle(idx: String, base: Int): (Double, Double, Double) = {
+          val a = clock(graft.similarity.Similarity
+            .ivfAppendCells(inc(base), idx, appendId = base))
+          graft.similarity.Similarity.ivfAppendCells(inc(base + 1), idx, appendId = base + 1)
+          graft.similarity.Similarity.ivfAppendCells(inc(base + 2), idx, appendId = base + 2)
+          val m = clock(graft.similarity.Similarity.compactIvfIndexMinor(spark, idx))
+          val f = clock(graft.similarity.Similarity.compactIvfIndex(spark, idx))
+          (a, m, f)
+        }
+        def min2(c1: (Double, Double, Double), c2: (Double, Double, Double)) =
+          (math.min(c1._1, c2._1), math.min(c1._2, c2._2), math.min(c1._3, c2._3))
+        val (append, compactMinor, compactFull) = min2(
+          maintCycle(s"$annDir/index", 1), maintCycle(s"$annDir/index", 4))
         val reindex = clock(graft.similarity.Similarity
           .reindexIvf(spark, s"$annDir/index", numCentroids = 64, iters = 10))
         // MAINT10 (the r11 verdict's ask — the numbers behind "minor
         // compaction cost ∝ debris, NOT store size"): the SAME fixed debris
-        // — the identical three inc() increments — against a 1x base store
-        // (same geometry, 1/10th the vectors). If compactBatchStoreMinor's
-        // core claim holds, append and compact_minor barely move between
-        // the _1x row and the 10x row above, while compact_full pays the
-        // 10x base it rewrites. [1x, 10x] pairs, same artifact.
+        // — the identical inc() increments — against a 1x base store (same
+        // geometry, 1/10th the vectors). If compactBatchStoreMinor's core
+        // claim holds, append and compact_minor barely move between the
+        // _1x row and the 10x row above, while compact_full pays the 10x
+        // base it rewrites. [1x, 10x] pairs, same artifact.
         val vecs1 = graft.core.Tables(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         graft.similarity.Similarity
           .buildIvfIndex(vecs1, numCentroids = 64, iters = 10, s"$annDir/index1")
-        val append1 = clock(graft.similarity.Similarity
-          .ivfAppendCells(inc(1), s"$annDir/index1", appendId = 1))
-        graft.similarity.Similarity.ivfAppendCells(inc(2), s"$annDir/index1", appendId = 2)
-        graft.similarity.Similarity.ivfAppendCells(inc(3), s"$annDir/index1", appendId = 3)
-        val compactMinor1 = clock(graft.similarity.Similarity
-          .compactIvfIndexMinor(spark, s"$annDir/index1"))
-        val compactFull1 = clock(graft.similarity.Similarity
-          .compactIvfIndex(spark, s"$annDir/index1"))
+        val (append1, compactMinor1, compactFull1) = min2(
+          maintCycle(s"$annDir/index1", 1), maintCycle(s"$annDir/index1", 4))
         (nVec, build, probe, rebuild, append, compactMinor, compactFull, reindex,
           append1, compactMinor1, compactFull1)
       } finally rmTemp(annDir) // staged 10x vectors: don't accumulate per run

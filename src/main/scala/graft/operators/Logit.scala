@@ -202,7 +202,9 @@ object Logit {
         col("p"), col("y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("p") * 1e8).cast("long")).cast("double")
+        // score partials accumulate DECIMAL(38,0) (the q168 envelope rule:
+        // a LONG sum of 1e8-quantized scores wraps at ~9e10 docs per bin)
+        (sum(floor(col("p") * 1e8).cast("decimal(38,0)")).cast("double")
           / count(lit(1)) / 1e8).as("pr"),
         (sum(col("y").cast("long")).cast("double") / count(lit(1))).as("yr"))
       .select(col("bin"), col("n"),

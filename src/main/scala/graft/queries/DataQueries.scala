@@ -414,10 +414,12 @@ object DataQueries {
       val pred = graft.operators.Ridge.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
       def sq(c: org.apache.spark.sql.Column) = c * c
+      // residual partials accumulate DECIMAL(38,0) (the q168 envelope rule:
+      // a LONG sum of 1e8-quantized z^2 wraps at ~9e10 docs)
       val stats = pred.agg(
-        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("long"))
+        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("decimal(38,0)"))
           .cast("double").as("sseq"),
-        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("long"))
+        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("decimal(38,0)"))
           .cast("double").as("sstq"))
       pred.crossJoin(broadcast(stats))
         .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
@@ -438,10 +440,11 @@ object DataQueries {
       val pred = graft.operators.Ridge.predictFromStore(f, path, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
       def sq(c: org.apache.spark.sql.Column) = c * c
+      // DECIMAL(38,0) residual partials — q148's envelope treatment
       val stats = pred.agg(
-        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("long"))
+        sum(floor(sq((col("y") - col("yhat")) / fit.ySd) * 1e8).cast("decimal(38,0)"))
           .cast("double").as("sseq"),
-        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("long"))
+        sum(floor(sq((col("y") - fit.yMu) / fit.ySd) * 1e8).cast("decimal(38,0)"))
           .cast("double").as("sstq"))
       pred.crossJoin(broadcast(stats))
         .withColumn("r2", round(lit(1.0) - col("sseq") / col("sstq"), 6))
@@ -560,7 +563,9 @@ object DataQueries {
       cal.select(col("bin"), col("p_cal"), keep.cast("long").as("keep"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("keep")).as("n_kept"),
-          (sum(floor(col("p_cal") * 1e6).cast("long")).cast("double") / 1e6)
+          // DECIMAL(38,0) mass partials — the q168 envelope rule (a LONG
+          // sum of 1e6-quantized p_cal wraps at ~9e12 docs per bin)
+          (sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6)
             .as("expected_kept"))
         .orderBy("bin")
     }),

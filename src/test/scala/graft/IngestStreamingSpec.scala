@@ -230,6 +230,17 @@ class IngestStreamingSpec extends SparkSpec {
       "replayed batch ids must not duplicate feature rows")
     assert(Logit.fit(spark.read.parquet(store).select("id", "x1", "x2", "y"),
       Seq("x1", "x2"), "y") == mono)
+    // torn staging (crash after the staged write, before the rename): the
+    // leftover .staging dir is invisible to readers (dot-prefixed) and a
+    // replay of that id deletes it, rewrites, and lands the batch ONCE
+    val torn = new java.io.File(s"$store/.staging-3"); torn.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "junk.parquet").toPath, "not parquet")
+    assert(spark.read.parquet(store).count() == 220,
+      "a torn staging dir must be invisible to store readers")
+    StreamingPipeline.frameAppendBatch(store, t)(mk(220, 240), 3L)
+    assert(!torn.exists(), "the replay must clear the torn staging dir")
+    assert(spark.read.parquet(store).count() == 240)
   }
 
   test("streaming LM maintainer: restart + replay score like the monolithic fit") {
