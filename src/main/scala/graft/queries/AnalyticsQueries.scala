@@ -112,6 +112,27 @@ object AnalyticsQueries {
       connectedComponents(pairs).orderBy("doc_id")
     }),
 
+    // Cluster representative selection — the curation step the q46 map
+    // exists FOR: keep the highest-quality member of every near-dup
+    // cluster (ties -> smallest doc_id), singletons keep themselves.
+    // Runs the clusters through the ALTERNATING-STARS components (the
+    // O(log n) scale path, which q46's label-prop twin cross-checks) and
+    // ranks by the q31 quality score; both engines derive the score by
+    // identical IEEE ops, so the per-cluster argmax is exactly
+    // replayable. The output is the full curation verdict table.
+    "q172_cluster_reps" -> ((s, d) => {
+      val docsDf = Tables(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(Dedup.wordShingles(docsDf, 3),
+        threshold = 0.6, maxDf = 5)
+      val clusters = connectedComponentsAlternating(pairs)
+      val scored = graft.text.TextOps.qualityFeatures(docsDf)
+        .select(col("doc_id"), col("quality_score").as("q"))
+      Dedup.clusterRepresentatives(scored, clusters)
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          round(col("q"), 6).as("quality"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Exact interpolated percentiles per metric (Spark percentile ==
     // DuckDB quantile_cont: both linear interpolation over sorted values).
     "q47_value_percentiles" -> ((s, d) => {
@@ -136,6 +157,52 @@ object AnalyticsQueries {
     })
   )
 
+  /** The q46 near-dup cluster CTE chain (shingling -> rare-blocked pairs
+    * -> recursive reachability -> min-labeled components in `cl`), shared
+    * verbatim by the q172 representative-selection oracle. The enclosing
+    * query must open with WITH RECURSIVE (the `reach` CTE).
+    */
+  private lazy val clusterOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |),
+      |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+      |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 5),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2
+      |),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b
+      |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN sizes sa ON sa.doc_id = c.doc_a
+      |  JOIN sizes sb ON sb.doc_id = c.doc_b
+      |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |cl AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q45_label_centroids" ->
       """SELECT label, t.i AS dim,
@@ -144,43 +211,37 @@ object AnalyticsQueries {
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q46_dedup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+      s"""WITH RECURSIVE $clusterOracleCtes
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+    // q46's cluster CTEs + the q31 quality score + the per-cluster
+    // keep-best window (quality DESC, doc_id ASC; singletons via the
+    // LEFT JOIN coalesce) — replays Dedup.clusterRepresentatives.
+    "q172_cluster_reps" ->
+      s"""WITH RECURSIVE $clusterOracleCtes,
+         |qf AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt
+         |  FROM documents
          |),
-         |tri AS (
-         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-         |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |qs AS (
+         |  SELECT doc_id,
+         |    least(1.0, n_words / 100.0)
+         |      * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)) AS q
+         |  FROM qf
          |),
-         |df AS (SELECT shingle, count(*) AS df FROM tri GROUP BY 1),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |rare AS (SELECT t.doc_id, t.shingle FROM tri t JOIN df USING (shingle) WHERE df.df <= 5),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2
-         |),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.6
-         |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |lab AS (
+         |  SELECT qs.doc_id, coalesce(cl.cluster_id, qs.doc_id) AS cluster_id, qs.q
+         |  FROM qs LEFT JOIN cl ON cl.doc_id = qs.doc_id
          |)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |  round(q, 6) AS quality,
+         |  CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "q47_value_percentiles" ->
       """SELECT event_type AS metric,
         | round(quantile_cont(value, 0.5), 6) AS p50,

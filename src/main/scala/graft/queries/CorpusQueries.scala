@@ -388,6 +388,84 @@ object CorpusQueries {
         .orderBy("stage")
     }),
 
+    // PIPELINE V3 (the classifier family made load-bearing): q160's nine
+    // stages + '9_sample' — the LEARNED calibrated sampling gate run over
+    // the balanced survivors. The classifier trains on the full corpus
+    // (q164's fit), its scores pass through the q167 calibration map
+    // (q169's join), and the q170 hex60 gate under floor(p_cal*1e6)
+    // downsamples the curated corpus by learned quality. The stage row
+    // carries kept docs, kept tokens, and the exact expected-mass audit
+    // (sum of the integer micro-ppm p_cal over every survivor) — so a
+    // drifted upstream verdict moves the training set, the calibration
+    // bins, the per-doc p_cal, AND the sampled mass, and one hash gates
+    // the whole composition including all three models.
+    "q174_pipeline_v3" -> ((s, d) => {
+      val (raw, packed) = pipelineFlags(s, d)
+      val one = packed.agg(
+        count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
+        count(when(col("near"), 1)).as("d4"),
+        coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
+        count(when(col("qual"), 1)).as("d5"),
+        coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
+        count(when(col("bal"), 1)).as("d6"),
+        coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
+        countDistinct(col("__binkey")).as("nb"))
+      val pre = raw.agg(
+        count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+        count(when(col("n_words") >= 3, 1)).as("d2"),
+        coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
+      val prof = graft.operators.Profile
+        .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
+          sum(col("n_null")).as("p3"))
+      // one checkpoint feeds BOTH model stages (the q160 precedent: ridge
+      // makes four aggregation passes, the gate join a fifth — each would
+      // re-run the near-dup mine without it; the checkpoint is a few
+      // hundred (doc_id, n_words) rows)
+      val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
+        .localCheckpoint(true)
+      val fj = DataQueries.ridgeFrame(s, d).join(surv.select(col("doc_id")), "doc_id")
+      val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
+      val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
+        .agg(count(lit(1)).as("s1"),
+          coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
+      // stage 9: full-corpus classifier -> calibration map -> hex60 gate
+      val lf = DataQueries.logitFrame(s, d)
+      val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
+      val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
+        .join(lf.select(col("doc_id"), col("y")), "doc_id")
+        .localCheckpoint(true) // one fit; bins + the gate read the same scores
+      val bins = graft.operators.Logit.calibrationBins(lpred)
+      val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
+      val gate = surv.join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
+        .withColumn("__keep",
+          graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
+            floor(col("p_cal") * 1e6).cast("long"))
+      val samp = gate.agg(
+        count(when(col("__keep"), 1)).as("k1"),
+        coalesce(sum(when(col("__keep"), col("n_words"))), lit(0L)).as("k2"),
+        // exact expected-mass audit in integer micro-ppm units,
+        // DECIMAL(38,0) partials (the q168 envelope rule)
+        coalesce(sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")), lit(0))
+          .cast("long").as("k3"))
+      pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
+        .crossJoin(broadcast(samp))
+        .selectExpr(
+          """stack(10,
+            |  '0_profile', p1, p2, p3,
+            |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
+            |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
+            |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
+            |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
+            |  '5_quality', d5, t5, CAST(0 AS BIGINT),
+            |  '6_balance', d6, t6, CAST(0 AS BIGINT),
+            |  '7_pack',    d6, t6, nb,
+            |  '8_score',   s1, s2, CAST(0 AS BIGINT),
+            |  '9_sample',  k1, k2, k3
+            |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
+        .orderBy("stage")
+    }),
+
     // The persisted-vocabulary twin of q105: train the WordPiece vocab ONCE
     // into a parquet store (piece, weight, rank), then tokenize every
     // document with the LOADED vocabulary and assert it produces the exact
@@ -619,6 +697,59 @@ object CorpusQueries {
          |  FROM pb
          |)""".stripMargin
 
+  /** The full q160 WITH-list ([[pipelineOracleCtes]] + profiler + ridge
+    * fit + prediction mass), shared by the q174 pipeline-v3 oracle which
+    * appends the classifier/calibration/sampling CTEs after it.
+    */
+  private lazy val pipelineV2OracleCtes: String =
+    s"""$pipelineOracleCtes,
+       |prof AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS p1,
+       |    CAST(count(DISTINCT doc_id) + count(DISTINCT text) + count(DISTINCT lang)
+       |       + count(DISTINCT source) + count(DISTINCT n_chars) AS BIGINT) AS p2,
+       |    CAST((count(*) - count(doc_id)) + (count(*) - count(text))
+       |       + (count(*) - count(lang)) + (count(*) - count(source))
+       |       + (count(*) - count(n_chars)) AS BIGINT) AS p3
+       |  FROM documents
+       |),
+       |rsrc AS MATERIALIZED (
+       |  SELECT dd.doc_id, dd.text, dd.n_chars
+       |  FROM documents dd JOIN bal ON bal.doc_id = dd.doc_id
+       |),
+       |${DataOracles.ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001, src = "rsrc")},
+       |pred AS MATERIALIZED (
+       |  SELECT r.doc_id,
+       |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+       |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+       |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
+       |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
+       |),
+       |scoresum AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS s1,
+       |    CAST(coalesce(sum(CAST(floor(yhat) AS BIGINT)), 0) AS BIGINT) AS s2
+       |  FROM pred
+       |)""".stripMargin
+
+  /** The nine q160 stage rows (shared by q174, which appends '9_sample'
+    * and the final ORDER BY is supplied by the caller).
+    */
+  private lazy val pipelineV2StageRows: String =
+    """SELECT '0_profile' AS stage, p1 AS n_docs, p2 AS n_tokens, p3 AS n_bins FROM prof
+      |UNION ALL SELECT '1_raw', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM nw
+      |UNION ALL SELECT '2_clean', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM clean
+      |UNION ALL SELECT '3_exact', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
+      |UNION ALL SELECT '4_neardup', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
+      |UNION ALL SELECT '5_quality', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM qual
+      |UNION ALL SELECT '6_balance', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
+      |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
+      |UNION ALL SELECT '8_score', s1, s2, CAST(0 AS BIGINT) FROM scoresum""".stripMargin
+
   /** DuckDB replay of the trigram Stupid-Backoff scoring — shared by q109
     * (in-memory fit) and q120 (scores from the persisted LM artifact, which
     * must be bit-identical).
@@ -745,48 +876,53 @@ object CorpusQueries {
     // q115's stage CTEs + the profiler replay + the ridge fit (q147's
     // CTEs re-pointed at the balanced survivors) + the prediction mass.
     "q160_pipeline_v2" ->
-      s"""WITH $pipelineOracleCtes,
-         |prof AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS p1,
-         |    CAST(count(DISTINCT doc_id) + count(DISTINCT text) + count(DISTINCT lang)
-         |       + count(DISTINCT source) + count(DISTINCT n_chars) AS BIGINT) AS p2,
-         |    CAST((count(*) - count(doc_id)) + (count(*) - count(text))
-         |       + (count(*) - count(lang)) + (count(*) - count(source))
-         |       + (count(*) - count(n_chars)) AS BIGINT) AS p3
-         |  FROM documents
+      s"""WITH $pipelineV2OracleCtes
+         |$pipelineV2StageRows
+         |ORDER BY stage""".stripMargin,
+
+    // q160's oracle + the full-corpus classifier CTEs (q164's 30-round GD
+    // replay), the calibration-bin join (q169's), and the hex60 sampling
+    // gate under floor(p_cal*1e6) applied to the balanced survivors
+    // (q170's) — one more stage row carries the kept docs/tokens and the
+    // exact integer expected-mass audit.
+    "q174_pipeline_v3" ->
+      s"""WITH $pipelineV2OracleCtes,
+         |${DataOracles.logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |lp3 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p, y
+         |  FROM (
+         |    SELECT lz.doc_id, lz.y,
+         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+         |    FROM lz CROSS JOIN v30)
          |),
-         |rsrc AS MATERIALIZED (
-         |  SELECT dd.doc_id, dd.text, dd.n_chars
-         |  FROM documents dd JOIN bal ON bal.doc_id = dd.doc_id
+         |cb3 AS (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |    floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS p_cal
+         |  FROM lp3 GROUP BY 1
          |),
-         |${DataOracles.ridgeCtes(iters = 30, lr = 0.9, lambda = 0.001, src = "rsrc")},
-         |pred AS MATERIALIZED (
-         |  SELECT r.doc_id,
-         |    my + sy * ((CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
-         |      + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
-         |      + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0) AS yhat
-         |  FROM rz r CROSS JOIN w30 CROSS JOIN rmu CROSS JOIN rsd
+         |cal3 AS (
+         |  SELECT s.doc_id, cb3.p_cal
+         |  FROM (SELECT doc_id, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM lp3) s
+         |  JOIN cb3 USING (bin)
          |),
-         |scoresum AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS s1,
-         |    CAST(coalesce(sum(CAST(floor(yhat) AS BIGINT)), 0) AS BIGINT) AS s2
-         |  FROM pred
+         |sampv3 AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS k1,
+         |    CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS k2,
+         |    CAST(coalesce(sum(CAST(floor(p_cal * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS k3
+         |  FROM (
+         |    SELECT b.n_words, c.p_cal,
+         |      CASE WHEN ${hex60Sql("CAST(b.doc_id AS VARCHAR)")} % 1000000
+         |        < CAST(floor(c.p_cal * 1000000.0) AS BIGINT) THEN 1 ELSE 0 END AS keep
+         |    FROM bal b JOIN cal3 c ON c.doc_id = b.doc_id
+         |  )
          |)
-         |SELECT '0_profile' AS stage, p1 AS n_docs, p2 AS n_tokens, p3 AS n_bins FROM prof
-         |UNION ALL SELECT '1_raw', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM nw
-         |UNION ALL SELECT '2_clean', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM clean
-         |UNION ALL SELECT '3_exact', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
-         |UNION ALL SELECT '4_neardup', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
-         |UNION ALL SELECT '5_quality', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM qual
-         |UNION ALL SELECT '6_balance', CAST(count(*) AS BIGINT),
-         |  CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM bal
-         |UNION ALL SELECT '7_pack', n_docs, n_tokens, n_bins FROM packstat
-         |UNION ALL SELECT '8_score', s1, s2, CAST(0 AS BIGINT) FROM scoresum
+         |$pipelineV2StageRows
+         |UNION ALL SELECT '9_sample', k1, k2, k3 FROM sampv3
          |ORDER BY stage""".stripMargin,
 
     "q109_trigram_backoff" -> trigramBackoffOracle,

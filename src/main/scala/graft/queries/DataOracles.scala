@@ -1714,6 +1714,46 @@ object DataOracles {
          |SELECT event_type, count(*) AS n_kept, round(sum(value), 2) AS value_kept
          |FROM b
          |WHERE bucket < CASE event_type WHEN 'view' THEN 100 WHEN 'click' THEN 500 ELSE 1000 END
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // τ=0.5 tempered language shares from exact integer token sums (sqrt
+    // is IEEE-correctly-rounded on both engines; the rate expression runs
+    // in the same left-to-right order as TextOps.temperatureGate), then
+    // the hex60 keep gate under the quantized ppm threshold.
+    "q173_lang_mixture" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |  FROM documents
+         |),
+         |bl AS (
+         |  SELECT lang, count(*) AS n_docs, sum(n_words) AS tok
+         |  FROM nw GROUP BY 1
+         |),
+         |ls AS (
+         |  SELECT lang, n_docs, tok,
+         |    CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000000.0) AS BIGINT) AS s6
+         |  FROM bl
+         |),
+         |tot AS (SELECT sum(s6) AS s_tot, sum(tok) AS tok_all FROM ls),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      CAST(tok_all AS DOUBLE) * 0.5 * CAST(s6 AS DOUBLE)
+         |        / CAST(s_tot AS DOUBLE) / CAST(tok AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |      AS thr_ppm
+         |  FROM ls CROSS JOIN tot
+         |),
+         |g AS (
+         |  SELECT n.lang, n.n_words, r.thr_ppm,
+         |    CASE WHEN ${hex60Sql("CAST(n.doc_id AS VARCHAR)")} % 1000000 < r.thr_ppm
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM nw n JOIN rates r USING (lang)
+         |)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS tok_total,
+         |  max(thr_ppm) AS thr_ppm,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS tok_kept
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1033,6 +1033,16 @@ object DataQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_kept"), round(sum(col("value")), 2).as("value_kept"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Temperature-based language mixture sampling (τ = 0.5, budget = half
+    // the corpus tokens): high-resource languages downsample toward their
+    // sqrt-tempered share, low-resource ones keep everything (threshold
+    // capped at 1e6 ppm). The output is the per-language audit frame —
+    // exact token totals, the derived ppm threshold, and the kept
+    // docs/tokens under the deterministic hex60 gate.
+    "q173_lang_mixture" -> ((s, d) =>
+      TextOps.temperatureSampleByLang(docs(s, d), budgetPpm = 500000L)
+        .orderBy("lang"))
   )
 }

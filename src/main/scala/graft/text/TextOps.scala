@@ -841,4 +841,88 @@ object TextOps {
       .map { case ((term, df, cf), i) => (term, df, cf, i + 1) }
       .toDF("term", "df", "cf", "rank")
   }
+
+  /** Temperature-based language mixture sampling (τ = 0.5) — the static
+    * mixture-rebalancing step of a multilingual training-data pipeline
+    * (the p_l ∝ n_l^τ sampling rule of Conneau & Lample's XLM line,
+    * public): high-resource languages are downsampled toward their
+    * τ-tempered share of a token budget, low-resource languages keep
+    * everything (rate capped at 1), flattening the mixture without
+    * starving the head. τ is FIXED at 0.5 so the tempering is sqrt — the
+    * one power IEEE 754 requires correctly rounded on every engine
+    * (pow/exp are libm-dependent and banned from oracles, the q164
+    * sigmoid rule).
+    *
+    * `budgetPpm` is the token budget as parts-per-million of the corpus
+    * (500000 = half the corpus tokens). Token totals accumulate in
+    * DECIMAL(38,0) (the q168 envelope rule); every per-language rate
+    * derives from those exact integer sums through one fixed-order double
+    * expression, quantized to an integer ppm threshold; the per-doc keep
+    * decision is the deterministic hex60 gate (the q80/q97/q170
+    * convention), so the sample is exactly replayable on any engine.
+    *
+    * Returns the per-language audit frame (doc counts, token totals, the
+    * ppm threshold, kept docs/tokens). [[temperatureSampleDocs]] returns
+    * the kept documents themselves.
+    *
+    * Scale shape: one map-side-combined groupBy(lang) (|langs| rows), a
+    * 1-row totals broadcast onto that tiny frame, a ≤|langs|-row
+    * threshold broadcast back onto the corpus, then a map-only gate — the
+    * corpus itself is never shuffled.
+    */
+  def temperatureSampleByLang(docs: DataFrame, budgetPpm: Long = 500000L,
+                              textCol: String = "text", idCol: String = "doc_id",
+                              langCol: String = "lang"): DataFrame = {
+    val gated = temperatureGate(docs, budgetPpm, textCol, idCol, langCol)
+    gated.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("decimal(38,0)")).cast("long").as("tok_total"),
+        max(col("thr_ppm")).as("thr_ppm"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("n_words")).cast("decimal(38,0)")),
+          lit(0)).cast("long").as("tok_kept"))
+      .orderBy("lang")
+  }
+
+  /** The kept-documents side of [[temperatureSampleByLang]]: the same
+    * deterministic gate, returning (idCol, langCol, n_words) for every
+    * document under its language's tempered threshold.
+    */
+  def temperatureSampleDocs(docs: DataFrame, budgetPpm: Long = 500000L,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            langCol: String = "lang"): DataFrame =
+    temperatureGate(docs, budgetPpm, textCol, idCol, langCol)
+      .filter(col("keep"))
+      .select(col("doc_id").as(idCol), col("lang").as(langCol), col("n_words"))
+
+  /** Shared gate frame: every document with its language's tempered ppm
+    * threshold and the hex60 keep verdict. The τ-share arithmetic runs
+    * left-to-right as written so both engines execute the identical IEEE
+    * sequence: rate = min(1, ((budget · s_l) / S) / T_l) with
+    * s_l = floor(sqrt(T_l)·1e6) and S = Σ s_l, all from exact integer
+    * token sums. Token totals per language stay exact to 2^53 tokens as
+    * doubles under sqrt — beyond any per-language corpus.
+    */
+  private def temperatureGate(docs: DataFrame, budgetPpm: Long,
+                              textCol: String, idCol: String,
+                              langCol: String): DataFrame = {
+    val nw = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      size(words(col(textCol))).cast("long").as("n_words"))
+    val byLang = nw.groupBy(col("lang")).agg(
+      sum(col("n_words").cast("decimal(38,0)")).as("tok_dec"))
+    val langs = byLang.select(col("lang"), col("tok_dec"),
+      floor(sqrt(col("tok_dec").cast("double")) * 1e6).cast("long").as("s6"))
+    val tot = langs.agg(sum(col("s6")).as("s_tot"),
+      sum(col("tok_dec")).as("tok_all"))
+    val frac = budgetPpm.toDouble / 1e6
+    val rates = langs.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          col("tok_all").cast("double") * lit(frac) * col("s6").cast("double")
+            / col("s_tot").cast("double") / col("tok_dec").cast("double"))
+          * 1e6).cast("long").as("thr_ppm"))
+    nw.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep",
+        graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L < col("thr_ppm"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Behavioral units for the round-12 curation operators: cluster
+  * representative selection (keep-best per near-dup cluster) and
+  * temperature-based language mixture sampling (τ = 0.5).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- clusterRepresentatives -------------------------------------------
+
+  private def repsOf(scored: Seq[(Long, Double)], clusters: Seq[(Long, Long)]) =
+    Dedup.clusterRepresentatives(
+      scored.toDF("doc_id", "q"), clusters.toDF("doc_id", "cluster_id"))
+      .select("doc_id", "cluster_id", "n_members", "keep")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+  test("cluster reps: highest quality wins, singletons keep themselves") {
+    // cluster 1 = {1,2,3} with 2 the best; cluster 10 = {10,11} tied on
+    // quality -> smallest id wins; 20 is unclustered
+    val out = repsOf(
+      scored = Seq(1L -> 0.1, 2L -> 0.9, 3L -> 0.5, 10L -> 0.7, 11L -> 0.7, 20L -> 0.2),
+      clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(out === Seq(
+      (1L, 1L, 3L, 0L), (2L, 1L, 3L, 1L), (3L, 1L, 3L, 0L),
+      (10L, 10L, 2L, 1L), (11L, 10L, 2L, 0L),
+      (20L, 20L, 1L, 1L)))
+  }
+
+  test("cluster reps: exactly one keeper per cluster, any partitioning") {
+    val scored = (1L to 200L).map(i => (i, (i * 37 % 101) / 101.0))
+    val clusters = (1L to 150L).map(i => (i, i % 10)) // ten 15-member clusters
+    val out = Dedup.clusterRepresentatives(
+      scored.toDF("doc_id", "q").repartition(7),
+      clusters.toDF("doc_id", "cluster_id").repartition(3))
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum("keep").as("k"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perCluster.length === 10 + 50) // ten clusters + fifty singletons
+    assert(perCluster.forall(_._2 == 1L), "every cluster keeps exactly one")
+    // the keeper is the max-quality member (ties impossible here by construction)
+    val best = scored.take(150).groupBy(_._1 % 10).map { case (c, ms) =>
+      c -> ms.maxBy(m => (m._2, -m._1))._1
+    }
+    val kept = out.filter(col("keep") === 1 && col("n_members") > 1)
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(kept === best)
+  }
+
+  // ---- temperatureSampleByLang ------------------------------------------
+
+  private def mixDocs(perLang: Map[String, Int]) = {
+    val rows = perLang.toSeq.sortBy(_._1).flatMap { case (lang, n) =>
+      (1 to n).map(i => (lang, ("w " * (5 + i % 7)).trim))
+    }.zipWithIndex.map { case ((lang, text), id) => (id.toLong, lang, text) }
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  test("mixture sample: low-resource lang keeps everything, head downsamples") {
+    val docs = mixDocs(Map("en" -> 900, "fr" -> 60, "de" -> 40))
+    val out = TextOps.temperatureSampleByLang(docs, budgetPpm = 500000L)
+      .select("lang", "n_docs", "tok_total", "thr_ppm", "n_kept", "tok_kept")
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // τ=0.5 flattening: the rare languages' tempered share exceeds their
+    // natural share, so their rate caps at 1e6 ppm (keep everything);
+    // the dominant language must be cut below its raw mass
+    assert(out("fr")._4 === 1000000L && out("de")._4 === 1000000L)
+    assert(out("fr")._5 === out("fr")._2 && out("de")._5 === out("de")._2)
+    assert(out("en")._4 < 1000000L)
+    assert(out("en")._5 < out("en")._2)
+    // kept token mass stays within the budget's ballpark (hash gate is
+    // unbiased; wide tolerance keeps this deterministic-but-not-exact
+    // check robust)
+    val totalTok = out.values.map(_._3).sum
+    val keptTok = out.values.map(_._6).sum
+    assert(keptTok > totalTok * 3 / 10 && keptTok < totalTok * 8 / 10)
+  }
+
+  test("mixture sample: determinism and budget monotonicity") {
+    val docs = mixDocs(Map("en" -> 400, "es" -> 100))
+    val a = TextOps.temperatureSampleByLang(docs, budgetPpm = 500000L).collect()
+    val b = TextOps.temperatureSampleByLang(docs.repartition(13), budgetPpm = 500000L)
+      .collect()
+    assert(a.map(_.toString).sorted === b.map(_.toString).sorted,
+      "gate is a pure hash function of (doc_id, lang totals)")
+    val half = TextOps.temperatureSampleByLang(docs, budgetPpm = 500000L)
+      .agg(sum("n_kept")).as[Long].head()
+    val fifth = TextOps.temperatureSampleByLang(docs, budgetPpm = 200000L)
+      .agg(sum("n_kept")).as[Long].head()
+    assert(fifth < half, "smaller budget keeps fewer docs")
+  }
+
+  test("mixture sample: kept-docs frame agrees with the audit counts") {
+    val docs = mixDocs(Map("en" -> 300, "fr" -> 50))
+    val audit = TextOps.temperatureSampleByLang(docs, budgetPpm = 400000L)
+      .select("lang", "n_kept").as[(String, Long)].collect().toMap
+    val kept = TextOps.temperatureSampleDocs(docs, budgetPpm = 400000L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kept === audit.filter(_._2 > 0))
+  }
+}

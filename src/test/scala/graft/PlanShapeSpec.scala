@@ -64,7 +64,9 @@ class PlanShapeSpec extends SparkSpec {
     "q160_pipeline_v2", // q115's 1-row rates broadcast + its own 1-row profile/score frames
     "q163_streaming_flagship", // scoreWithLm's 1-row stored train-token-count broadcast (q120/q130's adjudicated shape)
     "q165_logit_predict", // 1-row accuracy-stats broadcast (the q148 shape)
-    "q166_logit_store") // same 1-row broadcast, scoring from the stored model
+    "q166_logit_store", // same 1-row broadcast, scoring from the stored model
+    "q173_lang_mixture", // 1-row tempered-share totals broadcast onto the <=|langs|-row frame
+    "q174_pipeline_v3") // q160's 1-row frames + its own 1-row sample-mass frame
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
