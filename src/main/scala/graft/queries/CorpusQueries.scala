@@ -466,6 +466,34 @@ object CorpusQueries {
         .orderBy("stage")
     }),
 
+    // Delta-driven LM store maintenance — the UN-learn path (q175's
+    // corpusDelta made load-bearing for the count-table family): the store
+    // is the fit over snapshot A; the crawl moves to snapshot B; instead of
+    // rebuilding, retireLm lands NEGATED counts for the removed/changed-old
+    // slice and appendLm lands positive counts for the added/changed-new
+    // slice — cost ∝ the delta, never the corpus. Counts are additive
+    // longs, so after compaction (which drops fully-retired grams) the
+    // store must score snapshot B exactly like a from-scratch monolithic
+    // fit over it — q109's oracle re-rooted at the derived snapshot. A
+    // lost retirement, a sign error, or a compaction keeping a zero-count
+    // gram shifts some document's backoff path and fails the hash.
+    "q177_lm_delta_maintenance" -> ((s, d) => {
+      import graft.dedup.Dedup
+      val path = vocabPath(d) + "_lmdelta"
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = DataQueries.snapshotB(a)
+      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
+      TextOps.saveLm(a, path)
+      val oldSlice = a.join(delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), "doc_id")
+      val newSlice = b.join(delta.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), "doc_id")
+      TextOps.retireLm(oldSlice, path, appendId = 1)
+      TextOps.appendLm(newSlice, path, appendId = 2)
+      TextOps.compactLm(s, path)
+      TextOps.scoreWithLm(b, path).orderBy("doc_id")
+    }),
+
     // The persisted-vocabulary twin of q105: train the WordPiece vocab ONCE
     // into a parquet store (piece, weight, rank), then tokenize every
     // document with the LOADED vocabulary and assert it produces the exact
@@ -754,9 +782,18 @@ object CorpusQueries {
     * (in-memory fit) and q120 (scores from the persisted LM artifact, which
     * must be bit-identical).
     */
-  private val trigramBackoffOracle: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+  private val trigramBackoffOracle: String = trigramBackoffOracleOver("documents")
+
+  /** The q109 scoring SQL parameterized over the corpus relation, so the
+    * delta-maintained-store gate (q177) can re-root the SAME monolithic-fit
+    * oracle at the derived snapshot B: the store after retire+append must
+    * score exactly like a from-scratch fit over the new corpus.
+    * `extraCtes` (comma-terminated) lets callers prepend the snapshot
+    * derivation.
+    */
+  private def trigramBackoffOracleOver(rel: String, extraCtes: String = ""): String =
+    s"""WITH ${extraCtes}base AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM $rel
        |),
        |train AS (
        |  SELECT * FROM base WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
@@ -821,7 +858,7 @@ object CorpusQueries {
        |  coalesce(p.n_backoff, 0) AS n_backoff,
        |  coalesce(p.n_unseen, 0) AS n_unseen,
        |  coalesce(p.nll, 0.0) AS nll
-       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |FROM $rel d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -926,6 +963,10 @@ object CorpusQueries {
          |ORDER BY stage""".stripMargin,
 
     "q109_trigram_backoff" -> trigramBackoffOracle,
+    // the monolithic-fit oracle re-rooted at snapshot B: the incrementally
+    // retired+appended store must be indistinguishable from a rebuild
+    "q177_lm_delta_maintenance" ->
+      trigramBackoffOracleOver("b", DataOracles.snapshotBSql + ",\n"),
     // The stored-LM scores must hash-match the in-memory fit — q109's
     // oracle verbatim.
     "q120_trigram_lm_store" -> trigramBackoffOracle,

@@ -9,6 +9,22 @@ package graft.queries
 object DataOracles {
   import graft.text.TextOps
 
+  /** The q175/q176/q177 derived second corpus snapshot, as a pre-stripped
+    * CTE body (`b AS (...)`) for interpolation into s-strings: one slice
+    * removed (doc_id % 13 = 3), one revised (% 7 = 2, text + ' rev2'), one
+    * added (% 17 = 5 re-keyed past the id space). Mirrors
+    * [[DataQueries.snapshotB]] exactly — deterministic, so both engines
+    * derive the identical snapshot.
+    */
+  private[queries] val snapshotBSql: String =
+    """b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 17 = 5
+      |)""".stripMargin
+
 
   /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
     * definition — [[OracleCte.triCte]] — shared with the sketch oracles).
@@ -1754,6 +1770,44 @@ object DataOracles {
          |  max(thr_ppm) AS thr_ppm,
          |  CAST(sum(keep) AS BIGINT) AS n_kept,
          |  CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS tok_kept
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Snapshot B derived in SQL (same slices), then the hash-compare
+    // full-outer join — replays Dedup.corpusDelta's verdict per id.
+    "q175_corpus_delta" ->
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+        |$snapshotBSql,
+        |j AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    md5(a.text) AS ha, md5(b.text) AS hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // The FULL recompute over snapshot B (q31's quality SQL re-rooted at
+    // the derived snapshot) — the incremental Spark path must land on it
+    // exactly, proving delta-reuse converges to from-scratch.
+    "q176_incremental_quality" ->
+      s"""WITH $snapshotBSql,
+        |f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |    length(regexp_replace(text, '\\s', '', 'g')) AS nsl,
+        |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig
+        |  FROM b
+        |)
+        |SELECT doc_id, n_words,
+        |  round(CAST(nsl AS DOUBLE) / n_words, 6) AS avg_word_len,
+        |  round(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |  round(CAST(dig AS DOUBLE) / greatest(nsl, 1), 6) AS digit_ratio,
+        |  round(least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)), 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

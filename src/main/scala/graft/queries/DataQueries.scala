@@ -1043,6 +1043,59 @@ object DataQueries {
     // docs/tokens under the deterministic hex60 gate.
     "q173_lang_mixture" -> ((s, d) =>
       TextOps.temperatureSampleByLang(docs(s, d), budgetPpm = 500000L)
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Corpus snapshot delta (the incremental-crawl primitive): snapshot B
+    // is derived deterministically from the documents table — one slice
+    // removed (doc_id % 13 = 3), one revised (% 7 = 2, text + ' rev2'),
+    // one added (% 17 = 5 re-keyed past the id space) — and every doc id
+    // gets its added/removed/changed/unchanged verdict from one
+    // hash-compare full-outer join. Downstream curation reruns on
+    // added+changed only; the oracle replays derivation, join, and
+    // verdict per id.
+    "q175_corpus_delta" -> ((s, d) => {
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.corpusDelta(a, snapshotB(a)).orderBy("doc_id")
+    }),
+
+    // INCREMENTAL re-curation through the delta (what q175's verdicts are
+    // FOR): quality features recompute ONLY for added+changed docs; the
+    // unchanged majority reuses the snapshot-A "store" untouched; removed
+    // docs retire. The oracle is the FULL recompute over snapshot B
+    // (q31's SQL re-rooted) — hash equality IS the proof that the
+    // incremental path converges to the from-scratch one. At 100 TB this
+    // is the operator that turns a full-crawl re-curation into a
+    // 0.1%-of-crawl touch.
+    "q176_incremental_quality" -> ((s, d) => {
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = snapshotB(a)
+      val delta = Dedup.corpusDelta(a, b)
+      val storedA = TextOps.qualityFeatures(a) // the already-curated store
+      val reused = storedA.join(
+        delta.filter(col("status") === "unchanged").select("doc_id"), "doc_id")
+      val fresh = TextOps.qualityFeatures(b.join(
+        delta.filter(col("status").isin("added", "changed")).select("doc_id"), "doc_id"))
+      reused.unionByName(fresh)
+        .select(col("doc_id"), col("n_words"),
+          round(col("avg_word_len"), 6).as("avg_word_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("digit_ratio"), 6).as("digit_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** The q175/q176 derived second snapshot: one slice removed
+    * (doc_id % 13 = 3), one revised (% 7 = 2, text + ' rev2'), one added
+    * (% 17 = 5 re-keyed past the id space). Deterministic, so both
+    * engines derive the identical snapshot.
+    */
+  private[queries] def snapshotB(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.filter(col("doc_id") % 17 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
 }

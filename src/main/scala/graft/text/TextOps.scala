@@ -471,17 +471,43 @@ object TextOps {
     * trigram counts with old context counts.
     */
   def appendLm(docs: DataFrame, path: String, appendId: Long,
-               textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+               textCol: String = "text", idCol: String = "doc_id"): Boolean =
+    landLmDelta(docs, path, appendId, negate = false, textCol, idCol)
+
+  /** Retirement half — the UN-learn path [[appendLm]]'s additivity makes
+    * free: land the NEGATED count tables of documents leaving the corpus
+    * (removed, or the OLD text of changed docs in a
+    * [[graft.dedup.Dedup.corpusDelta]] cycle) as an ordinary ledgered
+    * batch. Because n-gram counts are additive longs, store-sum-per-gram
+    * after retire(old)+append(new) equals the monolithic fit over the new
+    * snapshot EXACTLY — no rebuild, cost ∝ the delta slice, never the
+    * corpus. Grams whose summed count reaches zero are invisible to
+    * [[scoreWithLm]] (its per-gram sums keep only c > 0 — a fresh fit
+    * never has non-positive rows, so the filter is a no-op outside
+    * retirement) and are dropped outright by [[compactLm]]. Same
+    * exactly-once ledger + single-maintainer contract as [[appendLm]].
+    */
+  def retireLm(docs: DataFrame, path: String, appendId: Long,
+               textCol: String = "text", idCol: String = "doc_id"): Boolean =
+    landLmDelta(docs, path, appendId, negate = true, textCol, idCol)
+
+  private def landLmDelta(docs: DataFrame, path: String, appendId: Long,
+                          negate: Boolean, textCol: String, idCol: String): Boolean = {
     require(appendId != 0L, "appendId 0 is reserved for the initial build")
     val spark = docs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    graft.store.MaintenanceLock.withLock(fs, path, "lm-append") {
+    graft.store.MaintenanceLock.withLock(fs, path,
+      if (negate) "lm-retire" else "lm-append") {
       Seq("uni", "bi", "tri", "meta").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/uni/batch=$appendId"))) false
       else {
-        val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
+        val (uni0, bi0, tri0, nTrain0) = trainTrigramLm(docs, textCol, idCol)
+        def sgn(df: DataFrame, c: String) =
+          if (negate) df.withColumn(c, -col(c)) else df
+        val (uni, bi, tri, nTrain) =
+          (sgn(uni0, "c"), sgn(bi0, "c"), sgn(tri0, "c"), sgn(nTrain0, "n_train"))
         tri.write.mode("overwrite").parquet(s"$path/tri/batch=$appendId")
         bi.write.mode("overwrite").parquet(s"$path/bi/batch=$appendId")
         nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=$appendId")
@@ -519,7 +545,11 @@ object TextOps {
             if (h == "meta")
               spark.read.parquet(dir).agg(sum(col("n_train")).as("n_train")).coalesce(1)
             else
+              // c > 0 drops grams fully retired by [[retireLm]] deltas, so
+              // a compacted retire+append store is row-identical to a
+              // fresh build over the surviving corpus
               spark.read.parquet(dir).groupBy(col("g")).agg(sum(col("c")).as("c"))
+                .filter(col("c") > 0L)
           val staging = new org.apache.hadoop.fs.Path(s"$path/.$h-compact")
           fs.delete(staging, true)
           merged.write.mode("overwrite").parquet(s"$staging/batch=0")
@@ -548,10 +578,13 @@ object TextOps {
     val spark = docs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    // read-only .prev fallback covers the compactLm swap window
+    // read-only .prev fallback covers the compactLm swap window; c > 0
+    // drops grams fully retired by [[retireLm]] deltas (no-op otherwise:
+    // a fresh fit has no non-positive counts)
     def counts(h: String): DataFrame =
       spark.read.parquet(graft.similarity.Similarity.activeDir(fs, s"$path/$h"))
         .groupBy(col("g")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0L)
     val nTrain = spark.read
       .parquet(graft.similarity.Similarity.activeDir(fs, s"$path/meta"))
       .agg(sum(col("n_train")).as("n_train"))

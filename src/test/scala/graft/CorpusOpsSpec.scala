@@ -83,6 +83,47 @@ class CorpusOpsSpec extends SparkSpec {
       "store probe diverged from the refit-per-batch scorer")
   }
 
+  test("LM retirement: retire+append converges to the snapshot rebuild; zeroed grams invisible") {
+    val a = (0L until 30L).map(i => (i, s"the cat sat on the mat row$i end"))
+      .toDF("doc_id", "text")
+    // the next crawl: %5==1 removed, %4==2 revised, three docs added
+    val b = a.filter(col("doc_id") % 5 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName((100L until 103L).map(i => (i, s"a new dog ran fast x$i"))
+        .toDF("doc_id", "text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_ret").toString + "/lm"
+    TextOps.saveLm(a, path)
+    val delta = graft.dedup.Dedup.corpusDelta(a, b)
+    val oldSlice = a.join(delta.filter(col("status").isin("removed", "changed"))
+      .select("doc_id"), "doc_id")
+    val newSlice = b.join(delta.filter(col("status").isin("added", "changed"))
+      .select("doc_id"), "doc_id")
+    assert(TextOps.retireLm(oldSlice, path, appendId = 1))
+    assert(TextOps.appendLm(newSlice, path, appendId = 2))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val rebuild = canon(TextOps.trigramBackoffNll(b))
+    // PRE-compaction: fully-retired grams are still rows (summing to 0) —
+    // the scorer's c > 0 filter must make them indistinguishable from absent
+    assert(canon(TextOps.scoreWithLm(b, path)) == rebuild,
+      "pre-compaction retired store diverged from the snapshot-B rebuild")
+    assert(TextOps.compactLm(spark, path) == 4)
+    assert(canon(TextOps.scoreWithLm(b, path)) == rebuild,
+      "compacted retired store diverged from the snapshot-B rebuild")
+    // retire ledger is the append ledger: a replay stays refused
+    assert(!TextOps.retireLm(oldSlice, path, appendId = 1))
+    // compaction dropped fully-retired grams: the store's unigram table is
+    // ROW-identical to a fresh build over b (no c <= 0 residue)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_lm_ref").toString + "/lm"
+    TextOps.saveLm(b, fresh)
+    def uniRows(p: String): Seq[String] =
+      spark.read.parquet(s"$p/uni").collect().map(_.toString).sorted.toSeq
+    assert(uniRows(path) == uniRows(fresh),
+      "compacted unigram table is not row-identical to the fresh rebuild")
+  }
+
   test("trigramBackoffNll: train docs never back off; alien held-out docs are all-unseen") {
     import graft.dedup.Dedup
     // discover every candidate id's split bucket with ONE job

@@ -51,6 +51,33 @@ class CurationSpec extends SparkSpec {
     assert(kept === best)
   }
 
+  // ---- corpusDelta ------------------------------------------------------
+
+  test("corpus delta: all four verdicts, by content not by id presence alone") {
+    val a = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.corpusDelta(a.repartition(3), b.repartition(2))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Seq(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added"))
+  }
+
+  test("incremental re-curation through the delta == full recompute") {
+    val a = Seq((1L, "the cat sat"), (2L, "old words here"), (3L, "gone now"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "the cat sat"), (2L, "new words here now"), (4L, "a fresh doc"))
+      .toDF("doc_id", "text")
+    val delta = Dedup.corpusDelta(a, b)
+    val inc = TextOps.qualityFeatures(a)
+      .join(delta.filter(col("status") === "unchanged").select("doc_id"), "doc_id")
+      .unionByName(TextOps.qualityFeatures(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id")))
+    val full = TextOps.qualityFeatures(b)
+    assert(inc.collect().map(_.toString).sorted ===
+      full.collect().map(_.toString).sorted)
+  }
+
   // ---- temperatureSampleByLang ------------------------------------------
 
   private def mixDocs(perLang: Map[String, Int]) = {
