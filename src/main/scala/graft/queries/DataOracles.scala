@@ -69,8 +69,16 @@ object DataOracles {
     * shared verbatim by the q124 store-lifecycle gate (the increment-parity
     * contract: batched appends accumulate exactly the monolithic mine).
     */
-  private lazy val minhashOracle: String =
-    s"""WITH $triCte,
+  private lazy val minhashOracle: String = minhashOracleOver("documents")
+
+  /** The pair mine parameterized over the corpus relation (the
+    * trigramBackoffOracleOver treatment): q178 re-roots the SAME oracle at
+    * the derived snapshot B, so the delta-maintained store must reproduce a
+    * from-scratch mine over the moved corpus. `extraCtes` (comma-terminated)
+    * prepends the snapshot derivation.
+    */
+  private[queries] def minhashOracleOver(rel: String, extraCtes: String = ""): String =
+    s"""WITH $extraCtes${OracleCte.triCteOver(rel)},
        |tri2 AS (
        |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
        |),
@@ -1003,6 +1011,11 @@ object DataOracles {
     // batched store equal the uncapped batch miner over the whole corpus,
     // so the lifecycle gate shares q26's oracle verbatim.
     "q124_minhash_store_lifecycle" -> minhashOracle,
+    // the uncapped mine re-rooted at snapshot B: the retired+re-appended
+    // store must be indistinguishable from a from-scratch mine over the
+    // moved corpus
+    "q178_dedup_delta_maintenance" ->
+      minhashOracleOver("b", snapshotBSql + ",\n"),
     "q27_dedup_simhash" ->
       s"""WITH tok2 AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents

@@ -1066,6 +1066,39 @@ object DataQueries {
     // incremental path converges to the from-scratch one. At 100 TB this
     // is the operator that turns a full-crawl re-curation into a
     // 0.1%-of-crawl touch.
+    // Delta-driven dedup-store maintenance (retireLm's treatment for the
+    // ROW-store family): the MinHash store is built over snapshot A in two
+    // batches; the crawl moves to snapshot B; retireMinhashStore lands the
+    // removed/changed ids as a ledgered tombstone batch and the
+    // changed-new/added slice re-enters through the ordinary appender
+    // (the liveness rule r > k lets a retired id resurrect with its new
+    // text). After compaction applies retirements physically, the store's
+    // verified pairs must equal a from-scratch uncapped mine over snapshot
+    // B — q26's oracle re-rooted at the derived snapshot. A pair that
+    // survives with a dead endpoint, a tombstone that eats a re-mined
+    // pair, or a compaction that resurrects a retired row fails the hash.
+    "q178_dedup_delta_maintenance" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val path = ivfIndexPath(d) + "_mhdelta"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = snapshotB(a)
+      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
+      StreamingPipeline.minhashDedupBatch(path)(a.filter(col("doc_id") % 2 === 0), 0)
+      StreamingPipeline.minhashDedupBatch(path)(a.filter(col("doc_id") % 2 === 1), 1)
+      StreamingPipeline.retireMinhashStore(s, path,
+        delta.filter(col("status").isin("removed", "changed")).select("doc_id"), 2)
+      StreamingPipeline.minhashDedupBatch(path)(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id"), 3)
+      StreamingPipeline.compactMinhashStore(s, path)
+      StreamingPipeline.readDedupPairs(s, path)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q176_incremental_quality" -> ((s, d) => {
       val a = docs(s, d).select(col("doc_id"), col("text"))
       val b = snapshotB(a)

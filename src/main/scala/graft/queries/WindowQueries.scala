@@ -54,9 +54,15 @@ object OracleCte {
     * documents table — the ONE shingle definition the dedup/decontamination
     * oracles share (same drifted-copy argument as [[hex60Sql]]).
     */
-  val triCte: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  val triCte: String = triCteOver("documents")
+
+  /** [[triCte]] parameterized over the corpus relation, so delta-cycle
+    * oracles (q178) can root the SAME shingle definition at a derived
+    * snapshot CTE instead of the documents table.
+    */
+  def triCteOver(rel: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $rel
       |),
       |tri AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

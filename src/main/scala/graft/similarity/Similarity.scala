@@ -742,8 +742,19 @@ object Similarity {
     * land it with the two-rename `.prev` swap the sketch stores use.
     * Returns the number of data dirs compacted (0 = nothing to do).
     */
+  /** `transform` sees the store rows WITH their `batch` partition column
+    * (applied before the column is dropped) — the minhash retirement
+    * compaction filters through it. `baseId` is where the merged rows land:
+    * 0 for the index stores (the minor-compaction base contract), the MAX
+    * data id for the minhash store so the batch-vs-retirement ordering rule
+    * stays correct if blanking the applied retirement rows crashes midway
+    * (rows at maxId can never be re-killed by a retirement id <= maxId).
+    */
   private[graft] def compactBatchStore(spark: SparkSession, dir: String,
-                                partitionCols: Seq[String]): Int = {
+                                partitionCols: Seq[String],
+                                transform: DataFrame => DataFrame = identity,
+                                baseAtMaxId: Boolean = false,
+                                forceRewrite: Boolean = false): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
@@ -756,9 +767,11 @@ object Similarity {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
       .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
-    if (dataIds.length <= 1) return 0
+    // forceRewrite: a caller with a row-dropping transform (retirement
+    // application) must rewrite even a single-dir half
+    if (dataIds.isEmpty || (dataIds.length <= 1 && !forceRewrite)) return 0
     val allIds = batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
-    val data = spark.read.parquet(dir)
+    val data = transform(spark.read.parquet(dir))
     val staging = new org.apache.hadoop.fs.Path(s"${main.getParent}/.${main.getName}-compact")
     fs.delete(staging, true)
     val rows = data.select(data.columns.filterNot(_ == "batch").map(col): _*)
@@ -766,8 +779,9 @@ object Similarity {
       if (partitionCols.isEmpty) rows.write
       else rows.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
-    w.mode("overwrite").parquet(s"$staging/batch=0")
-    allIds.filter(_ != 0L).foreach(id =>
+    val baseId = if (baseAtMaxId) dataIds.max else 0L
+    w.mode("overwrite").parquet(s"$staging/batch=$baseId")
+    allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
     fs.delete(prev, true)

@@ -536,23 +536,21 @@ object StreamingPipeline {
     // without history, and strand the compacted corpus in the .prev dirs —
     // the same recoverDir treatment the IVF/LSH appenders apply
     graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-append") {
-    Seq("sets", "bands", "pairs").foreach(h =>
+    Seq("sets", "bands", "pairs", "retired").foreach(h =>
       graft.similarity.Similarity.recoverDir(fs, s"$storePath/$h"))
     val ledger = new org.apache.hadoop.fs.Path(s"$storePath/pairs/batch=$batchId")
     if (fs.exists(ledger)) return
     // stored state = every published batch dir EXCEPT this id's partial
     // leftovers (a crashed attempt's sets/bands land before the pairs
-    // ledger); tombstones and empty dirs carry no files and are skipped
-    def stored(half: String): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(s"$storePath/$half")
-      if (!fs.exists(p)) return None
-      val dirs = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filterNot(_.getPath.getName == s"batch=$batchId")
-        .filter(s => fs.listFiles(s.getPath, true).hasNext)
-        .map(_.getPath.toString)
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
-    }
+    // ledger), MINUS rows logically dead under a retirement ledger entry
+    // ([[retireMinhashStore]]); tombstones and empty dirs carry no files
+    // and are skipped. A retired-then-re-sent doc (the changed-doc delta
+    // cycle) passes the already-stored filter and re-enters with its new
+    // text, because its old rows are dead in this view.
+    val retired = minhashRetirements(spark, fs, storePath, exclude = None)
+    def stored(half: String): Option[DataFrame] =
+      readHalfWithBatch(spark, fs, s"$storePath/$half", exclude = Some(batchId))
+        .map(df => aliveRows(df, retired, Seq("doc_id")).drop("batch"))
     val storedSets = stored("sets")
     val storedBands = stored("bands")
     val (batchSets, batchBands) = graft.dedup.Dedup.minhashState(batch, n, numPerms, bands)
@@ -579,20 +577,150 @@ object StreamingPipeline {
     }
   }
 
+  /** Per-dir read of a store half that PRESERVES the batch id as a column
+    * (an explicit-dir-list read loses the partition column; the retirement
+    * ordering rule needs it). Tombstones and empty dirs are skipped; the
+    * dir count is bounded by appends since the last compaction.
+    */
+  private def readHalfWithBatch(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                root: String,
+                                exclude: Option[Long]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return None
+    // "has data" = a real part file, not just _SUCCESS — an all-retired
+    // compaction can leave a marker-only base dir
+    def hasData(d: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) return true
+      }
+      false
+    }
+    val ids = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => hasData(s.getPath))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(id => !exclude.contains(id))
+    if (ids.isEmpty) None
+    else Some(ids.map(id =>
+      spark.read.parquet(s"$root/batch=$id").withColumn("batch", lit(id)))
+      .reduce(_ unionByName _))
+  }
+
+  /** The retirement ledger view: (doc_id, rbatch) for every published
+    * retirement batch, or None when the store has none pending.
+    */
+  private def minhashRetirements(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 storePath: String,
+                                 exclude: Option[Long]): Option[DataFrame] =
+    readHalfWithBatch(spark, fs, s"$storePath/retired", exclude)
+      .map(_.select(col("doc_id").as("__rid"), col("batch").as("__rbatch")))
+
+  /** The liveness rule shared by every reader of a retire-capable store:
+    * a row published at batch k is dead iff some retirement batch r > k
+    * names its doc id (for pairs, EITHER endpoint). Strictly-greater is
+    * what lets a retired id re-enter at a later append (the changed-doc
+    * delta cycle) without the tombstone eating its new rows — and what
+    * keeps stale retirement rows harmless after compaction lands the
+    * merged base at the max data id.
+    */
+  private def aliveRows(df: DataFrame, retired: Option[DataFrame],
+                        idCols: Seq[String]): DataFrame =
+    retired.fold(df)(r => idCols.foldLeft(df)((d, c) =>
+      d.join(r, d(c) === r("__rid") && r("__rbatch") > d("batch"), "left_anti")))
+
+  /** Retirement half of the MinHash dedup store — [[graft.text.TextOps
+    * .retireLm]]'s treatment for a ROW store (signatures are per-doc rows,
+    * not additive counts, so retirement is a ledgered tombstone batch
+    * rather than a negated delta): land the departing doc ids under
+    * `retired/batch=<retireId>`; every reader and the appender's
+    * already-stored filter apply [[aliveRows]]' ordering rule, and
+    * [[compactMinhashStore]] applies retirements physically. `retireId`
+    * must exceed every published batch id, and re-appends of a changed doc
+    * must use a later id still — the natural monotone batch numbering of
+    * the delta cycle. Exactly-once via the same dir-existence ledger as
+    * the appenders; cost ∝ the retired slice (one small write; the corpus
+    * is never touched).
+    */
+  def retireMinhashStore(spark: SparkSession, storePath: String,
+                         retiredIds: DataFrame, retireId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-retire") {
+      graft.similarity.Similarity.recoverDir(fs, s"$storePath/retired")
+      val ledger = new org.apache.hadoop.fs.Path(s"$storePath/retired/batch=$retireId")
+      if (fs.exists(ledger)) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$storePath/retired/.staging-$retireId")
+        fs.delete(staging, true)
+        retiredIds.select(col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
+  }
+
+  /** The read surface for the store's verified pairs: applies the
+    * retirement liveness rule to BOTH endpoints, so between a retirement
+    * and the next compaction the dead pairs are invisible, and after a
+    * changed doc re-enters only its re-mined pairs show. With no pending
+    * retirements this is exactly the raw `pairs/` read every earlier
+    * caller did.
+    */
+  def readDedupPairs(spark: SparkSession, storePath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    val retired = minhashRetirements(spark, fs, storePath, exclude = None)
+    val pairs = readHalfWithBatch(spark, fs, s"$storePath/pairs", exclude = None)
+      .getOrElse(return spark.emptyDataFrame
+        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"), lit(0.0).as("jaccard"))
+        .limit(0))
+    aliveRows(aliveRows(pairs, retired, Seq("doc_a")), retired, Seq("doc_b"))
+      .drop("batch")
+  }
+
   /** [[graft.similarity.Similarity.compactIvfIndex]] for the MinHash dedup
     * store: collapse each half's accumulated `batch=` directories into one
     * (rows, pair parity, and the pairs-dir append ledger all preserved —
-    * tombstone dirs keep replays refused). Run it between triggers; the
-    * probe/append path needs no coordination beyond the single-maintainer
-    * assumption all the stores share.
+    * tombstone dirs keep replays refused), APPLYING any pending
+    * retirements physically on the way through. The merged base lands at
+    * the MAX data id (not 0) so that if blanking the applied retirement
+    * rows crashes midway, the leftover retirement ids (all <= maxId) can
+    * never re-kill the compacted rows — the [[aliveRows]] strictly-greater
+    * rule makes the replay idempotent. Retirement ledger dirs survive as
+    * empty tombstones, so retire replays stay refused. Run it between
+    * triggers; the probe/append path needs no coordination beyond the
+    * single-maintainer assumption all the stores share.
     */
   def compactMinhashStore(spark: SparkSession, storePath: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-compact") {
-      Seq("sets", "bands", "pairs")
-        .map(h => graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h", Seq.empty))
-        .sum
+      val retired = minhashRetirements(spark, fs, storePath, exclude = None)
+      def alive(idCols: Seq[String]): DataFrame => DataFrame =
+        df => idCols.foldLeft(df)((d, c) => aliveRows(d, retired, Seq(c)))
+      val n = Seq("sets" -> Seq("doc_id"), "bands" -> Seq("doc_id"),
+        "pairs" -> Seq("doc_a", "doc_b")).map { case (h, idCols) =>
+        graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h",
+          Seq.empty, alive(idCols), baseAtMaxId = retired.nonEmpty,
+          forceRewrite = retired.nonEmpty)
+      }.sum
+      // retirements are now applied (or there were none): blank the ledger
+      // dirs to empty tombstones. A crash mid-blank leaves rows that the
+      // max-id base makes harmless; the next compaction finishes the job.
+      val rp = new org.apache.hadoop.fs.Path(s"$storePath/retired")
+      if (retired.nonEmpty && fs.exists(rp)) {
+        fs.listStatus(rp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .foreach { d =>
+            fs.listStatus(d.getPath).foreach(f => fs.delete(f.getPath, false))
+          }
+      }
+      n
     }
   }
 

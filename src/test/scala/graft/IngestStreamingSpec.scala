@@ -197,6 +197,66 @@ class IngestStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
+  test("minhash store retirement: tombstone liveness, resurrection, physical compaction") {
+    import graft.dedup.Dedup
+    val base = Files.createTempDirectory("graft_mh_ret").toString
+    val store = s"$base/store"
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog every day")
+    val d2 = (2L, "the quick brown fox jumps over the lazy dog every day")
+    val d3 = (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val d4 = (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val d3new = (3L, "the quick brown fox jumps over the lazy dog every night")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .collect().map(_.toString).sorted.toSeq
+    def mine(rows: Seq[(Long, String)]): Seq[String] =
+      canon(Dedup.minhashLshPairs(Dedup.wordShingles(rows.toDF("doc_id", "text"), 3),
+        numPerms = 16, bands = 4, threshold = 0.8, maxBucket = Int.MaxValue))
+    val body = StreamingPipeline.minhashDedupBatch(store) _
+    body(Seq(d1, d2, d3, d4).toDF("doc_id", "text"), 0L)
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d2, d3, d4)), "baseline pairs before any retirement")
+    // doc 2 leaves the corpus, doc 3's text changes: retire both
+    assert(StreamingPipeline.retireMinhashStore(spark, store,
+      Seq(2L, 3L).toDF("doc_id"), 1L))
+    // PRE-compaction: tombstones are logical — pairs with a dead endpoint
+    // must be invisible while the raw store still carries them
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d4)), "retired endpoints must hide their pairs")
+    // resurrection: the changed doc re-enters with NEW text and must mine
+    // fresh pairs (strictly-greater rule: retirement at 1 cannot eat rows
+    // appended at 2)
+    body(Seq(d3new).toDF("doc_id", "text"), 2L)
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d4, d3new)), "re-entered doc must pair by its new text only")
+    // retire replay refused
+    assert(!StreamingPipeline.retireMinhashStore(spark, store,
+      Seq(99L).toDF("doc_id"), 1L))
+    // compaction applies retirements physically: the RAW pairs read now
+    // equals the view, and the dead sets rows are gone
+    assert(StreamingPipeline.compactMinhashStore(spark, store) > 0)
+    assert(canon(spark.read.parquet(s"$store/pairs")) == mine(Seq(d1, d4, d3new)),
+      "compacted raw pairs must equal the liveness view")
+    assert(spark.read.parquet(s"$store/sets").select("doc_id").distinct().count() == 3L,
+      "retired sets rows must be physically gone")
+    // mid-blank crash simulation: a leftover (already-applied) retirement
+    // row reappears — the max-id base makes it harmless
+    Seq(3L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$store/retired/batch=1")
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d4, d3new)),
+      "stale applied retirement must not re-kill compacted rows")
+    // and the next maintenance cycle finishes the blanking
+    StreamingPipeline.compactMinhashStore(spark, store)
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d4, d3new)))
+    // post-retirement append still dedups against the surviving history
+    body(Seq((5L, d3new._2)).toDF("doc_id", "text"), 4L)
+    assert(canon(StreamingPipeline.readDedupPairs(spark, store)) ==
+      mine(Seq(d1, d4, d3new, (5L, d3new._2))),
+      "appends after a retirement cycle must keep full parity")
+  }
+
   test("streaming feature store: restart + replay keep the refit == monolithic fit") {
     import graft.operators.Logit
     val base = Files.createTempDirectory("graft_fstore").toString
