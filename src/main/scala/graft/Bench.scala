@@ -297,7 +297,8 @@ object Bench {
       catch { case _: Throwable => () }
     val (annVectors, annBuild, annProbe, annRebuild,
          annAppend, annCompactMinor, annCompactFull, annReindex,
-         annAppend1x, annCompactMinor1x, annCompactFull1x) = try {
+         annAppend1x, annCompactMinor1x, annCompactFull1x,
+         annRetire, annProbeRetired, annRetire1x, annProbeRetired1x) = try {
       import org.apache.spark.sql.functions.col
       val annDir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
       try {
@@ -363,11 +364,37 @@ object Bench {
           .buildIvfIndex(vecs1, numCentroids = 64, iters = 10, s"$annDir/index1")
         val (append1, compactMinor1, compactFull1) = min2(
           maintCycle(s"$annDir/index1", 1), maintCycle(s"$annDir/index1", 4))
+        // RETIREMENT-PATH EVIDENCE (delta-driven maintenance, q179's path):
+        // the SAME fixed 1000-id retired slice lands on the 10x store and
+        // the 1x twin — a ledgered tombstone write whose cost must move
+        // with the delta, never the base (retire ~ retire_1x is the claim
+        // in numbers). probe_retired times the q107-shaped probe WITH the
+        // ledger pending: the liveness anti-join broadcasts the tiny rid
+        // table (PlanShapeSpec pins the shape), so probe_retired - probe
+        // is the logical-tombstone tax a reader pays between delta cycles.
+        // Retire mutates state (the ledger dir refuses replays), so
+        // min-of-2 uses fresh retireIds per cycle; the probe is read-only.
+        val rids = spark.range(1000).select(col("id").as("vec_id"))
+        def retireCycle(idx: String, rid: Long): Double =
+          clock(graft.similarity.Similarity
+            .retireIvfVectors(spark, idx, rids, retireId = rid))
+        def probeRetired(idx: String): Double = clock(graft.similarity.Similarity
+          .probeIvfIndex(vecs.filter(col("vec_id") < 100), idx, k = 3, nprobe = 2)
+          .queryExecution.toRdd.count())
+        val retire = math.min(
+          retireCycle(s"$annDir/index", 100), retireCycle(s"$annDir/index", 101))
+        val pRetired = math.min(probeRetired(s"$annDir/index"),
+          probeRetired(s"$annDir/index"))
+        val retire1 = math.min(
+          retireCycle(s"$annDir/index1", 100), retireCycle(s"$annDir/index1", 101))
+        val pRetired1 = math.min(probeRetired(s"$annDir/index1"),
+          probeRetired(s"$annDir/index1"))
         (nVec, build, probe, rebuild, append, compactMinor, compactFull, reindex,
-          append1, compactMinor1, compactFull1)
+          append1, compactMinor1, compactFull1, retire, pRetired, retire1, pRetired1)
       } finally rmTemp(annDir) // staged 10x vectors: don't accumulate per run
     } catch { case _: Throwable =>
-      (0L, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
+      (0L, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0,
+        -1.0, -1.0, -1.0, -1.0) }
     // same story for the LSH signature index (q114's tuned 16x5 config):
     // probe-from-store hashes only the 100 queries; the in-memory search
     // re-signs the whole corpus per call
@@ -529,7 +556,7 @@ object Bench {
         s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
       .mkString("{", ",", "}")
     val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
       .mkString("{", ",", "}")
     val totalMed = results.map { case (_, ts) => med(ts) }.sum

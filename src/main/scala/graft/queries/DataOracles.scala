@@ -147,7 +147,9 @@ object DataOracles {
     * stored centroid set.
     */
   private[queries] def kmeansAsgCtes(numCentroids: Int, iters: Int,
-                                     fitWhere: String = ""): String = {
+                                     fitWhere: String = "",
+                                     extraCtes: String = "",
+                                     finalSrc: String = "b"): String = {
     val fitSrc = if (fitWhere.isEmpty) "b" else "bf"
     val bfCte = if (fitWhere.isEmpty) ""
       else s""",
@@ -170,10 +172,27 @@ object DataOracles {
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
        |),
-       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)$bfCte,
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e)$bfCte$extraCtes,
        |c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $numCentroids)$loop,
-       |${assignCte(iters, s"c$iters", "b")}""".stripMargin
+       |${assignCte(iters, s"c$iters", finalSrc)}""".stripMargin
   }
+
+  /** The q179/q180 derived second embedding snapshot (DataQueries
+    * .embSnapshotB replayed): removed % 13 = 3, revised % 7 = 2 (vector
+    * reversed), added % 17 = 5 (re-keyed +1e6, vector negated) — every
+    * transform exact, so both engines derive the identical snapshot.
+    * Leading comma; defines `bb` = the prepped frame over snapshot B.
+    */
+  private val embSnapshotBCtes: String =
+    s""",
+       |eb2 AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 7 = 2 THEN list_reverse(v) ELSE v END AS v
+       |  FROM e WHERE vec_id % 13 <> 3
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, [-x FOR x IN v] AS v
+       |  FROM e WHERE vec_id % 17 = 5
+       |),
+       |bb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM eb2)""".stripMargin
 
   private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
     s"""${kmeansAsgCtes(numCentroids, iters)},
@@ -201,8 +220,10 @@ object DataOracles {
     * bit-for-bit.
     */
   private def pqAdcOracle(m: Int, k: Int, iters: Int, dim: Int,
-                          nQueries: Int, topK: Int, fitWhere: String = ""): String =
-    s"""${pqCtes(m, k, iters, dim, nQueries, fitWhere)}
+                          nQueries: Int, topK: Int, fitWhere: String = "",
+                          extraCtes: String = "", encodeSrc: String = "e",
+                          querySrc: String = "e"): String =
+    s"""${pqCtes(m, k, iters, dim, nQueries, fitWhere, extraCtes, encodeSrc, querySrc)}
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
@@ -248,14 +269,15 @@ object DataOracles {
     * `codes`/`lut`, and `ranked` = the full ADC ranking.
     */
   private def pqCtes(m: Int, k: Int, iters: Int, dim: Int, nQueries: Int,
-                     fitWhere: String = ""): String =
+                     fitWhere: String = "", extraCtes: String = "",
+                     encodeSrc: String = "e", querySrc: String = "e"): String =
     s"""WITH e AS (
        |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
-       |),
+       |)$extraCtes,
        |q AS (
        |  SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-       |  FROM e WHERE vec_id < $nQueries
-       |)${pqSubCtes(m, k, iters, dim, fitWhere)},
+       |  FROM $querySrc WHERE vec_id < $nQueries
+       |)${pqSubCtes(m, k, iters, dim, fitWhere, encodeSrc)},
        |scored AS (
        |  SELECT l.query_id, co.vec_id,
        |         sum(l.pdot) AS sdot, sum(l.pn2) AS sn2, max(l.qn) AS qn
@@ -277,8 +299,15 @@ object DataOracles {
     * reference an already-defined `e` (corpus) and `q` (queries), so they
     * compose after [[kmeansAsgCtes]] for the IVF-PQ oracle. Leading comma.
     */
+  /** `encodeSrc` (q181's delta-maintenance re-root): the Lloyd loops stay
+    * on `e`'s slices (the store's frozen codebook geometry), but the final
+    * encode (`af\$s` → `codes`) runs over this frame's slices instead —
+    * fit-on-A/encode-B, exactly what a retired + re-appended + compacted
+    * PQ store holds.
+    */
   private def pqSubCtes(m: Int, k: Int, iters: Int, dim: Int,
-                        fitWhere: String = ""): String = {
+                        fitWhere: String = "",
+                        encodeSrc: String = "e"): String = {
     val sub = dim / m
     // `fitWhere` restricts the Lloyd LOOP's fit set (the q134 lifecycle
     // shape: codebooks frozen from a corpus prefix, later arrivals encoded
@@ -315,17 +344,25 @@ object DataOracles {
            |  FROM (SELECT cid, list(m ORDER BY dim) AS cv FROM upd${s}_$t GROUP BY cid)
            |)""".stripMargin
       }.mkString
+      val encCte = if (encodeSrc == "e") ""
+        else s""",
+                |be$s AS (
+                |  SELECT vec_id, v[$lo:$hi] AS v,
+                |         sqrt(list_dot_product(v[$lo:$hi], v[$lo:$hi])) AS n
+                |  FROM $encodeSrc
+                |)""".stripMargin
+      val encFrame = if (encodeSrc == "e") s"b$s" else s"be$s"
       s""",
          |b$s AS (
          |  SELECT vec_id, v[$lo:$hi] AS v,
          |         sqrt(list_dot_product(v[$lo:$hi], v[$lo:$hi])) AS n
          |  FROM e
-         |)$bfCte,
+         |)$bfCte$encCte,
          |c${s}_0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM $fitSrc WHERE vec_id < $k)$loop,
          |af$s AS (
          |  SELECT b.vec_id, c.cid,
          |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
-         |  FROM b$s b CROSS JOIN c${s}_$iters c
+         |  FROM $encFrame b CROSS JOIN c${s}_$iters c
          |),
          |codes$s AS (
          |  SELECT vec_id, $s AS s, cid AS code
@@ -434,8 +471,13 @@ object DataOracles {
     * of the corpus, must be invisible to the search results). The kmeans
     * CTE prefix supplies `b`; DuckDB prunes the unreferenced Lloyd CTEs.
     */
-  private val lshStoreOracle: String =
-    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3)},
+  /** `src` is the prepped (vec_id, v, n) frame the signatures and rescore
+    * payloads read — `b` for the snapshot-A oracles, `bb` (via
+    * [[embSnapshotBCtes]] in `extraCtes`) for the q180 delta-maintenance
+    * re-root.
+    */
+  private def lshStoreOracleOver(src: String, extraCtes: String = ""): String =
+    s"""${kmeansAsgCtes(numCentroids = 8, iters = 3, extraCtes = extraCtes)},
        |comps AS (
        |  SELECT tt.t AS t, jj.j AS j, dd.d AS d,
        |    CAST(${hex60Sql("CAST(tt.t AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR) || ':' || CAST(dd.d AS VARCHAR)")} % 2001 - 1000 AS DOUBLE) / 1000.0 AS h
@@ -448,7 +490,7 @@ object DataOracles {
        |  SELECT b.vec_id, hp.t,
        |    sum(CASE WHEN list_dot_product(b.v, hp.harr) > 0
        |             THEN (CAST(1 AS BIGINT) << CAST(hp.j AS INT)) ELSE 0 END) AS bucket
-       |  FROM b CROSS JOIN hp
+       |  FROM $src b CROSS JOIN hp
        |  GROUP BY 1, 2
        |),
        |cand AS (
@@ -460,8 +502,8 @@ object DataOracles {
        |scored AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    round(list_dot_product(qb.v, cb.v) / (qb.n * cb.n), 6) AS sim
-       |  FROM cand JOIN b qb ON cand.query_id = qb.vec_id
-       |            JOIN b cb ON cand.neighbor_id = cb.vec_id
+       |  FROM cand JOIN $src qb ON cand.query_id = qb.vec_id
+       |            JOIN $src cb ON cand.neighbor_id = cb.vec_id
        |),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
@@ -469,6 +511,8 @@ object DataOracles {
        |)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val lshStoreOracle: String = lshStoreOracleOver("b")
 
   /** DuckDB twin of [[annRecallGate]]: `ivfTopkSql` must define the probe
     * side as rows (query_id, neighbor_id) named `ivf_topk`, on top of
@@ -1016,6 +1060,26 @@ object DataOracles {
     // moved corpus
     "q178_dedup_delta_maintenance" ->
       minhashOracleOver("b", snapshotBSql + ",\n"),
+    // q107's probe with the final assignment re-rooted at the derived
+    // embedding snapshot (fit stays on A — the store's frozen geometry):
+    // the retired+re-appended+compacted IVF store must answer exactly
+    // like a fit-on-A/assign-B search computed from scratch
+    "q179_ann_ivf_delta" ->
+      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3,
+             extraCtes = embSnapshotBCtes, finalSrc = "bb")},
+         |$nprobeOracleBody""".stripMargin,
+    // q117's search re-rooted at snapshot B: signatures are pure functions
+    // of the stored geometry, so the store after retire → re-append →
+    // compact must probe bit-identical to the monolithic search over the
+    // moved corpus
+    "q180_ann_lsh_delta" -> lshStoreOracleOver("bb", embSnapshotBCtes),
+    // q131's ADC ranking with codebooks fit on A (the store's frozen
+    // geometry) and the encode re-rooted at snapshot B: the retired +
+    // re-appended + compacted PQ store must answer exactly like a
+    // fit-on-A/encode-B search computed from scratch
+    "q181_ann_pq_delta" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
+      nQueries = 10, topK = 5, extraCtes = embSnapshotBCtes,
+      encodeSrc = "eb2", querySrc = "eb2"),
     "q27_dedup_simhash" ->
       s"""WITH tok2 AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents

@@ -1099,6 +1099,97 @@ object DataQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Delta-driven ANN store maintenance (q178's treatment for the IVF
+    // index — the store family that most directly follows a moving
+    // corpus): the index is built over embedding snapshot A, freezing the
+    // A-fit centroid geometry; the crawl moves to snapshot B (one vector
+    // slice removed, one revised in place, one added past the id space);
+    // retireIvfVectors lands the removed/changed ids as a ledgered
+    // tombstone batch (cost ∝ the delta) and the changed-new/added
+    // vectors re-enter through the ordinary frozen-centroid appender at a
+    // later batch id (the liveness rule r > k resurrects them). After
+    // compaction applies the retirements physically, probing with the
+    // snapshot-B queries must equal the fit-on-A/assign-B search computed
+    // from scratch — q107's oracle with the final assignment re-rooted at
+    // the derived snapshot. A dead vector that still answers, a tombstone
+    // that eats a revised vector's re-entry, or a compaction that
+    // resurrects a retired row fails the hash.
+    "q179_ann_ivf_delta" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_ivfdelta"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      Similarity.buildIvfIndex(a, numCentroids = 8, iters = 3, path)
+      val delta = embDelta(a, b).localCheckpoint(true)
+      Similarity.retireIvfVectors(s, path,
+        delta.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.ivfAppendCells(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactIvfIndex(s, path)
+      Similarity.probeIvfIndex(b, path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"),
+          col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The LSH twin of q179 (both halves of the store retire: candidate
+    // signatures AND rescore payloads — a dead sig row would resurrect a
+    // candidate, a dead payload row would rescore a ghost). Signatures are
+    // pure functions of the stored geometry, so unlike q179 there is no
+    // frozen-fit asymmetry: the store after retire → re-append → compact
+    // must probe BIT-IDENTICAL to q117's monolithic search re-rooted at
+    // snapshot B.
+    "q180_ann_lsh_delta" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lshdelta"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      Similarity.buildLshIndex(a, bits = 5, tables = 16, dim = 64, path)
+      val delta = embDelta(a, b).localCheckpoint(true)
+      Similarity.retireLshVectors(s, path,
+        delta.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.lshAppendVectors(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactLshIndex(s, path)
+      Similarity.probeLshIndex(b.filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // The PQ third of the delta-maintenance family (q179/q180's treatment
+    // for the compressed-code store): codebooks stay frozen from the A
+    // fit, the delta's departing ids retire the codes AND payload halves,
+    // the changed/added vectors re-encode against the frozen codebooks at
+    // a later id, and after compaction the ADC probe over snapshot B must
+    // hash-match q131's ranking with the encode re-rooted at B.
+    "q181_ann_pq_delta" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pqdelta"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      Similarity.buildPqIndex(a, m = 4, k = 8, iters = 2, path)
+      val delta = embDelta(a, b).localCheckpoint(true)
+      Similarity.retirePqVectors(s, path,
+        delta.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.pqAppendVectors(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactPqIndex(s, path)
+      Similarity.probePqIndex(b.filter(col("vec_id") < 10), path, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "q176_incremental_quality" -> ((s, d) => {
       val a = docs(s, d).select(col("doc_id"), col("text"))
       val b = snapshotB(a)
@@ -1123,6 +1214,34 @@ object DataQueries {
     * (% 17 = 5 re-keyed past the id space). Deterministic, so both
     * engines derive the identical snapshot.
     */
+  /** The q179/q180 derived second EMBEDDING snapshot — [[snapshotB]]'s
+    * modular rule applied to vectors: one slice removed (vec_id % 13 = 3),
+    * one revised in place (% 7 = 2, vector reversed — exact in both
+    * engines, and norm-preserving so the change is purely directional),
+    * one added (% 17 = 5 re-keyed past the id space, vector negated —
+    * exact sign flips). Deterministic, so both engines derive the
+    * identical snapshot.
+    */
+  private[queries] def embSnapshotB(a: DataFrame): DataFrame =
+    a.filter(col("vec_id") % 13 =!= 3)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(a.filter(col("vec_id") % 17 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+
+  /** [[graft.dedup.Dedup.corpusDelta]] over vectors: the hash-compare
+    * full-outer join runs on the stringified embedding (any deterministic
+    * equality marker works — the oracle never replays the delta, only the
+    * store state it drives).
+    */
+  private def embDelta(a: DataFrame, b: DataFrame): DataFrame = {
+    def keyed(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding").cast("string").as("vtxt"))
+    Dedup.corpusDelta(keyed(a), keyed(b), idCol = "vec_id", textCol = "vtxt")
+  }
+
   private[queries] def snapshotB(a: DataFrame): DataFrame =
     a.filter(col("doc_id") % 13 =!= 3)
       .select(col("doc_id"),

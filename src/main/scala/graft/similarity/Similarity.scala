@@ -292,26 +292,37 @@ object Similarity {
     * staging/swap/tombstone contract. Returns the number of data dirs
     * compacted across the two halves (0 = nothing to do).
     */
-  def compactLshIndex(spark: SparkSession, path: String): Int = {
+  def compactLshIndex(spark: SparkSession, path: String,
+                      idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lsh-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket")) +
-        compactBatchStore(spark, s"$path/vectors", Seq.empty)
+      // retirements apply physically to BOTH halves (compactIvfIndex note)
+      val retired = readStoreRetirements(spark, fs, path)
+      val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
+      val n = compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket"),
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty) +
+        compactBatchStore(spark, s"$path/vectors", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      if (retired.nonEmpty) blankRetirementLedger(fs, path)
+      n
     }
   }
 
   /** [[compactIvfIndexMinor]] for the LSH store: debris-only merge of both
     * halves' appended batch dirs, `batch=0` bases untouched.
     */
-  def compactLshIndexMinor(spark: SparkSession, path: String): Int = {
+  def compactLshIndexMinor(spark: SparkSession, path: String,
+                           idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lsh-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket")) +
-        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty)
+      val retired = readStoreRetirements(spark, fs, path)
+      val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
+      compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket"), alive) +
+        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive)
     }
   }
 
@@ -339,13 +350,18 @@ object Similarity {
     val (tables, bits, dim) = (cfg.getAs[Int]("tables"), cfg.getAs[Int]("bits"),
       cfg.getAs[Int]("dim"))
     // partition columns come back as directory-inferred ints; restore the
-    // build's longs so the join keys and output hash-match the in-memory path
+    // build's longs so the join keys and output hash-match the in-memory
+    // path. Pending retirements filter BOTH halves logically (candidates
+    // and rescore payloads) until full compaction applies them physically.
+    val retired = readStoreRetirements(spark, fs, path)
     val sigC = boundedBuckets(
-      spark.read.parquet(activeDir(fs, s"$path/sigs"))
+      aliveStoreRows(spark.read.parquet(activeDir(fs, s"$path/sigs")), retired, idCol)
         .select(col(idCol), col("t").cast("long").as("t"),
           col("bucket").cast("long").as("bucket")),
       maxBucket)
-    val cVec = spark.read.parquet(activeDir(fs, s"$path/vectors"))
+    val cVec = aliveStoreRows(
+        spark.read.parquet(activeDir(fs, s"$path/vectors")), retired, idCol)
+      .select(col(idCol), col("v"), col("n"))
     val q = lshPrepped(queries, dim, idCol, vecCol)
     val sigQ = lshSigs(q, lshPlanes(queries, tables, bits, dim), idCol)
     val cand = sigQ.as("q").join(sigC.as("c"),
@@ -826,8 +842,16 @@ object Similarity {
     * candidate set — a permanent hot-path cost for a window the
     * maintenance contract already excludes.)
     */
+  /** `transform` (retirement liveness) runs over the debris rows WITH
+    * their `batch` column, BEFORE the merge lands them at the max debris
+    * id — without it, a debris row already dead under a pending
+    * retirement (published at k < r) would re-land above r and
+    * resurrect. The ledger itself is preserved (minor never blanks it);
+    * only the full compaction applies-and-blanks.
+    */
   private[graft] def compactBatchStoreMinor(spark: SparkSession, dir: String,
-                                            partitionCols: Seq[String]): Int = {
+                                            partitionCols: Seq[String],
+                                            transform: DataFrame => DataFrame = identity): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
@@ -843,8 +867,8 @@ object Similarity {
     val target = dataIds.max
     val staged = new org.apache.hadoop.fs.Path(s"$dir/.minor-staged")
     fs.delete(staged, true)
-    val rows = spark.read.option("basePath", dir)
-      .parquet(dataIds.map(id => s"$dir/batch=$id").toIndexedSeq: _*)
+    val rows = transform(spark.read.option("basePath", dir)
+      .parquet(dataIds.map(id => s"$dir/batch=$id").toIndexedSeq: _*))
     val kept = rows.select(rows.columns.filterNot(_ == "batch").map(col): _*)
     val w =
       if (partitionCols.isEmpty) kept.write
@@ -974,6 +998,116 @@ object Similarity {
     fs.delete(prev, true)
   }
 
+  /** Retirement ledger of a row-store index family (IVF cells, LSH
+    * sigs/vectors, PQ codes/vectors) — [[graft.streaming.StreamingPipeline
+    * .retireMinhashStore]]'s treatment generalized to the ANN stores,
+    * which face the same moving-corpus problem: a crawl delta removes or
+    * revises documents whose vectors the store already holds. Rows are
+    * per-vector (not additive counts), so retirement is a ledgered
+    * tombstone batch: the departing ids land under
+    * `retired/batch=<retireId>` as a single `rid` column, and every
+    * reader applies [[aliveStoreRows]]' ordering rule. Nothing in the
+    * store's data halves is touched — cost ∝ the retired slice.
+    * `retireId` must exceed every published data batch id, and re-appends
+    * of a changed vector must use a later id still (the delta cycle's
+    * natural monotone numbering) — that strictly-greater rule is what
+    * lets a retired id resurrect with its new vector. Exactly-once via
+    * the same dir-existence ledger as the appenders (returns false on a
+    * replay). Only the family's FULL compaction applies retirements
+    * physically and blanks the ledger; minor compaction and reindex
+    * preserve it (their merged rows land at the max data id, which the
+    * strictly-greater rule makes immune to the still-pending ids).
+    */
+  private def retireStoreIds(spark: SparkSession, path: String,
+                             retiredIds: DataFrame, retireId: Long,
+                             idCol: String, lockTag: String): Boolean = {
+    require(retireId >= 1, "retireId 0 would predate the initial build")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, lockTag) {
+      requireNoPendingBuild(fs, path)
+      val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")
+      if (fs.exists(ledger)) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$path/retired/.staging-$retireId")
+        fs.delete(staging, true)
+        retiredIds.select(col(idCol).as("rid")).distinct()
+          .write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
+  }
+
+  def retireIvfVectors(spark: SparkSession, path: String, retiredIds: DataFrame,
+                       retireId: Long, idCol: String = "vec_id"): Boolean =
+    retireStoreIds(spark, path, retiredIds, retireId, idCol, "ivf-retire")
+
+  def retireLshVectors(spark: SparkSession, path: String, retiredIds: DataFrame,
+                       retireId: Long, idCol: String = "vec_id"): Boolean =
+    retireStoreIds(spark, path, retiredIds, retireId, idCol, "lsh-retire")
+
+  def retirePqVectors(spark: SparkSession, path: String, retiredIds: DataFrame,
+                      retireId: Long, idCol: String = "vec_id"): Boolean =
+    retireStoreIds(spark, path, retiredIds, retireId, idCol, "pq-retire")
+
+  /** The pending-retirement view: (`__rid`, `__rbatch`) for every
+    * data-bearing retirement batch, or None when the store has none.
+    * After a full compaction blanks the ledger the dirs survive as empty
+    * tombstones (retire replays stay refused) and this reads None.
+    */
+  private[graft] def readStoreRetirements(spark: SparkSession,
+                                          fs: org.apache.hadoop.fs.FileSystem,
+                                          path: String): Option[DataFrame] = {
+    val root = s"$path/retired"
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) None
+    else Some(ids.map(id =>
+        spark.read.parquet(s"$root/batch=$id")
+          .select(col("rid").as("__rid"), lit(id).as("__rbatch")))
+      .reduce(_ unionByName _))
+  }
+
+  /** The liveness rule shared by every reader of a retire-capable index
+    * store (the [[graft.streaming.StreamingPipeline]] minhash rule): a row
+    * published at data batch k is dead iff some retirement batch r > k
+    * names its id. `df` must still carry its `batch` partition column.
+    * Strictly-greater is what lets a changed vector re-enter at a later
+    * append, and what makes rows landed at the max data id (full
+    * compaction, minor merge, reindex) immune to every pending retirement
+    * id: a pending r can only exceed the max data id when the ids it
+    * names have no re-append after it — i.e. when every row it could
+    * kill is already gone.
+    */
+  private[graft] def aliveStoreRows(df: DataFrame, retired: Option[DataFrame],
+                                    idCol: String): DataFrame =
+    retired.fold(df)(r => df.join(r,
+      df(idCol) === r("__rid") && r("__rbatch") > df("batch").cast("long"),
+      "left_anti"))
+
+  /** Blank the applied retirement batches to empty tombstone dirs (retire
+    * replays stay refused). Only the family's full compaction calls this,
+    * AFTER the rewritten tree landed at the max data id — a crash mid-blank
+    * leaves rows the max-id base makes harmless, and the next compaction
+    * finishes the job.
+    */
+  private def blankRetirementLedger(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(s"$path/retired")
+    if (fs.exists(rp)) {
+      fs.listStatus(rp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .foreach { d =>
+          fs.listStatus(d.getPath).foreach(f => fs.delete(f.getPath, false))
+        }
+    }
+  }
+
   /** Batch re-index of a persisted IVF store — the documented drift answer
     * for [[ivfAppendCells]]' frozen-centroid appends: refit the k-means
     * structure FROM THE STORED PAYLOADS (no re-read of the source corpus —
@@ -998,18 +1132,27 @@ object Similarity {
       requireNoPendingBuild(fs, path)
     recoverDir(fs, s"$path/cells")
     recoverDir(fs, s"$path/centroids")
-    val stored = spark.read.parquet(s"$path/cells").select(col(idCol), col("v"))
+    // pending retirements: the refit reads LIVE rows only, and the
+    // reassigned corpus lands at the max data id so the preserved ledger
+    // (reindex never blanks it — that is full compaction's job) cannot
+    // kill the re-landed rows. With none pending this is the batch=0 base.
+    val retired = readStoreRetirements(spark, fs, path)
+    val stored = aliveStoreRows(spark.read.parquet(s"$path/cells"), retired, idCol)
+      .select(col(idCol), col("v"))
     val n = stored.count()
     val cent = kmeansCentroids(stored, numCentroids, iters, idCol, "v")
     val assigned = assignTo(prepped(stored, idCol, "v"), cent, idCol)
-    val allIds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells"))
+    val allStatus = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val allIds = allStatus.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val dataIds = allStatus.filter(s => fs.listFiles(s.getPath, true).hasNext)
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val baseId = if (retired.nonEmpty && dataIds.nonEmpty) dataIds.max else 0L
     val stagingCells = new org.apache.hadoop.fs.Path(s"$path/.cells-reindex")
     fs.delete(stagingCells, true)
     assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$stagingCells/batch=0")
-    allIds.filter(_ != 0L).foreach(id =>
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$stagingCells/batch=$baseId")
+    allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingCells/batch=$id")))
     val stagingCent = new org.apache.hadoop.fs.Path(s"$path/.centroids-reindex")
     fs.delete(stagingCent, true)
@@ -1052,19 +1195,27 @@ object Similarity {
     recoverDir(fs, s"$path/config")
     val dim = spark.read.parquet(s"$path/config").head().getAs[Int]("dim")
     // the stored payloads ARE the prepped (idCol, v, n) rows a fresh build
-    // would derive — re-sign them directly, no source-corpus re-read
-    val c = spark.read.parquet(s"$path/vectors")
+    // would derive — re-sign them directly, no source-corpus re-read.
+    // Pending retirements: only LIVE payloads re-sign, and the new sigs
+    // land at the max data id (reindexIvf's note — the vectors half keeps
+    // its dead rows + the ledger, so probes keep filtering them until a
+    // full compaction applies-and-blanks).
+    val retired = readStoreRetirements(spark, fs, path)
+    val c = aliveStoreRows(spark.read.parquet(s"$path/vectors"), retired, idCol)
       .select(col(idCol), col("v"), col("n"))
     val n = c.count()
-    val allIds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/sigs"))
+    val allStatus = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/sigs"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val allIds = allStatus.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val dataIds = allStatus.filter(s => fs.listFiles(s.getPath, true).hasNext)
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val baseId = if (retired.nonEmpty && dataIds.nonEmpty) dataIds.max else 0L
     val stagingSigs = new org.apache.hadoop.fs.Path(s"$path/.sigs-reindex")
     fs.delete(stagingSigs, true)
     lshSigs(c, lshPlanes(c, tables, bits, dim), idCol)
       .repartition(col("t"), col("bucket"))
-      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$stagingSigs/batch=0")
-    allIds.filter(_ != 0L).foreach(id =>
+      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$stagingSigs/batch=$baseId")
+    allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingSigs/batch=$id")))
     val stagingCfg = new org.apache.hadoop.fs.Path(s"$path/.config-reindex")
     fs.delete(stagingCfg, true)
@@ -1101,12 +1252,22 @@ object Similarity {
     * Returns the number of data-bearing batch directories compacted
     * (0 = nothing to do).
     */
-  def compactIvfIndex(spark: SparkSession, path: String): Int = {
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStore(spark, s"$path/cells", Seq("cell"))
+      // pending retirements apply physically here (and only here): dead
+      // rows drop, the merged base lands at the MAX data id so a crash
+      // mid-blank leaves the leftover retirement ids harmless, and the
+      // ledger blanks to tombstones — the compactMinhashStore contract
+      val retired = readStoreRetirements(spark, fs, path)
+      val n = compactBatchStore(spark, s"$path/cells", Seq("cell"),
+        aliveStoreRows(_, retired, idCol),
+        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      if (retired.nonEmpty) blankRetirementLedger(fs, path)
+      n
     }
   }
 
@@ -1117,12 +1278,15 @@ object Similarity {
     * row-identical before and after (rows are only re-grouped), and the
     * append ledger's tombstones keep replays refused.
     */
-  def compactIvfIndexMinor(spark: SparkSession, path: String): Int = {
+  def compactIvfIndexMinor(spark: SparkSession, path: String,
+                           idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "ivf-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStoreMinor(spark, s"$path/cells", Seq("cell"))
+      val retired = readStoreRetirements(spark, fs, path)
+      compactBatchStoreMinor(spark, s"$path/cells", Seq("cell"),
+        aliveStoreRows(_, retired, idCol))
     }
   }
 
@@ -1153,8 +1317,11 @@ object Similarity {
     // rows and a read-only probe cannot heal it — refuse loudly
     requireNoMinorPending(fs, cellsDir)
     // the partition column comes back as the inferred directory type (int);
-    // restore the build's long so q112 hash-matches q107's cell column
-    val idx = spark.read.parquet(cellsDir)
+    // restore the build's long so q112 hash-matches q107's cell column.
+    // Pending retirements (delta-driven maintenance) filter logically here
+    // until the next full compaction applies them physically.
+    val retired = readStoreRetirements(spark, fs, path)
+    val idx = aliveStoreRows(spark.read.parquet(cellsDir), retired, idCol)
       .select(col(idCol), col("v"), col("n"), col("cell").cast("long").as("cell"))
     val q = prepped(queries, idCol, vecCol)
     val topCells = q.join(broadcast(cent))
@@ -1454,26 +1621,37 @@ object Similarity {
   /** [[compactIvfIndex]] for the PQ store: collapse both halves' `batch=`
     * dirs (rows, probe results, and the append ledger preserved).
     */
-  def compactPqIndex(spark: SparkSession, path: String): Int = {
+  def compactPqIndex(spark: SparkSession, path: String,
+                     idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "pq-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStore(spark, s"$path/codes", Seq.empty) +
-        compactBatchStore(spark, s"$path/vectors", Seq.empty)
+      // retirements apply physically to BOTH halves (compactIvfIndex note)
+      val retired = readStoreRetirements(spark, fs, path)
+      val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
+      val n = compactBatchStore(spark, s"$path/codes", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty) +
+        compactBatchStore(spark, s"$path/vectors", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      if (retired.nonEmpty) blankRetirementLedger(fs, path)
+      n
     }
   }
 
   /** [[compactIvfIndexMinor]] for the PQ store: debris-only merge of both
     * halves' appended batch dirs, `batch=0` bases untouched.
     */
-  def compactPqIndexMinor(spark: SparkSession, path: String): Int = {
+  def compactPqIndexMinor(spark: SparkSession, path: String,
+                          idCol: String = "vec_id"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "pq-compact") {
       requireNoPendingBuild(fs, path)
-      compactBatchStoreMinor(spark, s"$path/codes", Seq.empty) +
-        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty)
+      val retired = readStoreRetirements(spark, fs, path)
+      val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
+      compactBatchStoreMinor(spark, s"$path/codes", Seq.empty, alive) +
+        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive)
     }
   }
 
@@ -1493,7 +1671,11 @@ object Similarity {
     val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
     val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
     val cb = spark.read.parquet(activeDir(fs, s"$path/codebooks"))
-    val codes = spark.read.parquet(activeDir(fs, s"$path/codes"))
+    // pending retirements filter the candidate codes logically until full
+    // compaction applies them (the vectors half is not read by ADC probes)
+    val retired = readStoreRetirements(spark, fs, path)
+    val codes = aliveStoreRows(
+        spark.read.parquet(activeDir(fs, s"$path/codes")), retired, idCol)
       .select(col(idCol), col("s"), col("code"))
     pqAdcTopK(codes, cb, queries, k, m, dim, idCol, vecCol)
   }
@@ -1587,12 +1769,17 @@ object Similarity {
     requireNoMinorPending(fsI, activeDir(fsI, s"$ivfPath/cells"))
     requireNoMinorPending(fsP, activeDir(fsP, s"$pqPath/codes"))
     val cent = spark.read.parquet(activeDir(fsI, s"$ivfPath/centroids"))
-    val assigned = spark.read.parquet(activeDir(fsI, s"$ivfPath/cells"))
+    // pending retirements on either store filter its rows logically
+    val retI = readStoreRetirements(spark, fsI, ivfPath)
+    val retP = readStoreRetirements(spark, fsP, pqPath)
+    val assigned = aliveStoreRows(
+        spark.read.parquet(activeDir(fsI, s"$ivfPath/cells")), retI, idCol)
       .select(col(idCol), col("cell"))
     val cfg = spark.read.parquet(activeDir(fsP, s"$pqPath/config")).head()
     val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))
     val cb = spark.read.parquet(activeDir(fsP, s"$pqPath/codebooks"))
-    val codes = spark.read.parquet(activeDir(fsP, s"$pqPath/codes"))
+    val codes = aliveStoreRows(
+        spark.read.parquet(activeDir(fsP, s"$pqPath/codes")), retP, idCol)
       .select(col(idCol), col("s"), col("code"))
     ivfPqSearchCore(cent, assigned, cb, codes, queries, k, nprobe, m, dim,
       idCol, vecCol)

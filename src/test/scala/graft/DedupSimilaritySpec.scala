@@ -357,6 +357,124 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon() == before)
   }
 
+  test("ivf store retirement: tombstones, resurrection, minor merge, stale-ledger immunity") {
+    def mk(ids: Seq[Long], salt: Int = 0) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7 + salt * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_retire").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.buildIvfIndex(mk(0L to 9L), numCentroids = 2, iters = 2, p)
+    assert(Similarity.ivfAppendCells(mk(10L to 14L), p, appendId = 1))
+    val queries = mk(0L to 14L)
+    def neighbors(): Set[Long] =
+      Similarity.probeIvfIndex(queries, p, k = 10, nprobe = 2)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    def canon(): Seq[String] =
+      Similarity.probeIvfIndex(queries, p, k = 10, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    // retire one base row and one appended row: logical tombstones only —
+    // nothing in the data halves moves, but neither id answers
+    assert(Similarity.retireIvfVectors(spark, p, Seq(5L, 12L).toDF("vec_id"),
+      retireId = 2))
+    assert(!Similarity.retireIvfVectors(spark, p, Seq(99L).toDF("vec_id"),
+      retireId = 2), "retire replay must be refused by the dir ledger")
+    val live1 = neighbors()
+    assert(!live1.contains(5L) && !live1.contains(12L), "retired ids still answer")
+    assert(live1.contains(4L) && live1.contains(11L), "liveness over-killed")
+    // resurrection: the changed vector re-enters at a LATER append id
+    assert(Similarity.ivfAppendCells(mk(Seq(12L), salt = 1), p, appendId = 3))
+    val live2 = neighbors()
+    assert(live2.contains(12L) && !live2.contains(5L), "r > k resurrection broke")
+    val before = canon()
+    // minor merge with the retirement pending: dead debris (12@1, killed by
+    // r=2) must NOT resurrect when the merge re-lands rows at max id 3
+    assert(Similarity.compactIvfIndexMinor(spark, p) == 2)
+    assert(canon() == before, "minor merge with pending retirement changed probes")
+    assert(fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/retired/batch=2"), true)
+      .hasNext, "minor compaction must preserve the retirement ledger")
+    // full compaction applies retirements physically and blanks the ledger
+    assert(Similarity.compactIvfIndex(spark, p) == 2)
+    assert(canon() == before, "retirement-applying compaction changed probes")
+    assert(!fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/retired/batch=2"), true)
+      .hasNext, "applied ledger must blank to a tombstone")
+    val stored = spark.read.parquet(s"$p/cells")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!stored.contains(5L) && stored.contains(12L),
+      "physical application: dead rows dropped, resurrected row kept")
+    // stale-ledger immunity (a crash mid-blank): re-plant the applied
+    // retirement rows — the base landed at the max data id, so the stale
+    // r=2 can kill nothing
+    Seq(5L, 12L).toDF("rid").write.mode("overwrite").parquet(s"$p/retired/batch=2")
+    assert(canon() == before, "stale retirement rows re-killed compacted rows")
+    // the next compaction finishes the blanking job
+    Similarity.compactIvfIndex(spark, p)
+    assert(!fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/retired/batch=2"), true)
+      .hasNext, "stale ledger must blank on the next cycle")
+    assert(canon() == before)
+  }
+
+  test("lsh/pq store retirement: both halves filter; lsh reindex keeps the ledger") {
+    def mk(ids: Seq[Long], salt: Int = 0) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7 + salt * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = mk(0L to 14L)
+    // LSH: retire → probe excludes; re-append resurrects; reindex to a new
+    // geometry with the retirement pending re-signs LIVE payloads only and
+    // PRESERVES the ledger; full compaction applies-and-blanks
+    val pl = java.nio.file.Files.createTempDirectory("graft_lsh_retire").toString
+    val fsL = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(pl),
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.buildLshIndex(mk(0L to 9L), bits = 3, tables = 4, dim = 8, pl)
+    assert(Similarity.lshAppendVectors(mk(10L to 14L), pl, appendId = 1))
+    def lshN(): Set[Long] =
+      Similarity.probeLshIndex(queries, pl, k = 10)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(Similarity.retireLshVectors(spark, pl, Seq(5L, 12L).toDF("vec_id"),
+      retireId = 2))
+    val l1 = lshN()
+    assert(!l1.contains(5L) && !l1.contains(12L), "retired ids still answer (lsh)")
+    assert(Similarity.lshAppendVectors(mk(Seq(12L), salt = 1), pl, appendId = 3))
+    assert(lshN().contains(12L), "lsh resurrection broke")
+    val beforeL = Similarity.probeLshIndex(queries, pl, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    // re-tune with the retirement pending: results identical (signatures
+    // are pure functions of geometry+payload), ledger still data-bearing
+    Similarity.reindexLsh(spark, pl, tables = 4, bits = 3)
+    assert(Similarity.probeLshIndex(queries, pl, k = 10)
+      .collect().map(_.toString).sorted.toSeq == beforeL,
+      "same-geometry reindex with pending retirement changed probes")
+    assert(fsL.listFiles(new org.apache.hadoop.fs.Path(s"$pl/retired/batch=2"), true)
+      .hasNext, "reindex must preserve the retirement ledger")
+    assert(Similarity.compactLshIndex(spark, pl) >= 1)
+    assert(!fsL.listFiles(new org.apache.hadoop.fs.Path(s"$pl/retired/batch=2"), true)
+      .hasNext, "lsh compaction must blank the applied ledger")
+    val storedL = spark.read.parquet(s"$pl/vectors")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!storedL.contains(5L) && storedL.contains(12L),
+      "lsh physical application broke")
+    // PQ: the codes half drives candidates — retire → probe excludes;
+    // compaction applies to both halves
+    val pp = java.nio.file.Files.createTempDirectory("graft_pq_retire").toString
+    Similarity.buildPqIndex(mk(0L to 9L), m = 2, k = 4, iters = 2, pp, dim = 8)
+    assert(Similarity.pqAppendVectors(mk(10L to 14L), pp, appendId = 1))
+    assert(Similarity.retirePqVectors(spark, pp, Seq(5L, 12L).toDF("vec_id"),
+      retireId = 2))
+    val pqN = Similarity.probePqIndex(queries, pp, k = 10)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(!pqN.contains(5L) && !pqN.contains(12L), "retired ids still answer (pq)")
+    val beforeP = Similarity.probePqIndex(queries, pp, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Similarity.compactPqIndex(spark, pp) >= 1)
+    assert(Similarity.probePqIndex(queries, pp, k = 10)
+      .collect().map(_.toString).sorted.toSeq == beforeP,
+      "pq retirement-applying compaction changed probes")
+    val storedP = spark.read.parquet(s"$pp/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!storedP.contains(5L) && !storedP.contains(12L),
+      "pq physical application broke")
+  }
+
   test("LSH and PQ stores: minor compaction merges debris only, bases untouched, probes identical") {
     val rng = new scala.util.Random(41)
     def mk(r: Range) = r.map { i =>

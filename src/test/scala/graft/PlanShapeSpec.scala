@@ -66,7 +66,11 @@ class PlanShapeSpec extends SparkSpec {
     "q165_logit_predict", // 1-row accuracy-stats broadcast (the q148 shape)
     "q166_logit_store", // same 1-row broadcast, scoring from the stored model
     "q173_lang_mixture", // 1-row tempered-share totals broadcast onto the <=|langs|-row frame
-    "q174_pipeline_v3") // q160's 1-row frames + its own 1-row sample-mass frame
+    "q174_pipeline_v3", // q160's 1-row frames + its own 1-row sample-mass frame
+    "q177_lm_delta_maintenance", // scoreWithLm's 1-row stored train-token-count broadcast (q120/q126/q130's adjudicated shape)
+    "q179_ann_ivf_delta", // q112's bounded stored-centroid broadcast, post retire/append/compact
+    "q180_ann_lsh_delta", // q117's bounded plane-table broadcast, post retire/append/compact
+    "q181_ann_pq_delta") // q134's bounded codebook/LUT broadcasts, post retire/append/compact
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
@@ -202,6 +206,25 @@ class PlanShapeSpec extends SparkSpec {
     val aggs = plan.collect { case a: Aggregate => a }
     assert(aggs.size == 1,
       s"probe should carry exactly the query-side centroid-scoring aggregate, found ${aggs.size}")
+  }
+
+  test("retired-store probe plan: the liveness anti-join broadcasts the ledger") {
+    // A pending retirement (delta-driven maintenance, q179) must cost a
+    // probe exactly one broadcast anti-join on the tiny rid ledger — NEVER
+    // a shuffle of the stored cells: at 100 TB the store side is the
+    // corpus, the ledger is the delta.
+    val path = java.nio.file.Files.createTempDirectory("graft_retire_guard").toString
+    val e = graft.core.Tables(spark, sf, "embeddings")
+    graft.similarity.Similarity.buildIvfIndex(e, numCentroids = 8, iters = 3, path)
+    graft.similarity.Similarity.retireIvfVectors(spark, path,
+      e.select(col("vec_id")).filter(col("vec_id") < 5), retireId = 1)
+    val p = graft.similarity.Similarity
+      .probeIvfIndex(e.filter(col("vec_id") < 5), path, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, "pending retirement vanished from the probe plan")
+    assert(anti.forall(_.contains("Broadcast")),
+      s"liveness anti-join shuffles the store side: ${anti.mkString(" | ")}")
   }
 
   test("bloom probe plan: the packed word table broadcasts; the probe stream never shuffles on bits") {
