@@ -194,6 +194,58 @@ object DataOracles {
        |),
        |bb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM eb2)""".stripMargin
 
+  /** Shared CTE prefix for the DSIR oracles (q182/q183): hashed uni+bigram
+    * instances (hex60 % 1024 — the [[graft.text.TextOps.hashedGramInstances]]
+    * bucket function), target = the `lang = 'en'` slice, raw = the whole
+    * corpus, add-one smoothed bucket models, per-bucket LLR quantized to
+    * integer micro-nats (the q95/q101 ln discipline), per-doc integer sums.
+    * Defines `scored` = (doc_id, n_grams, dsir6, avg_llr) over every doc.
+    */
+  private lazy val dsirCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, lang, ${hex60Sql("g")} % 1024 AS bucket FROM (
+       |    SELECT doc_id, lang, unnest(w) AS g FROM toks
+       |    UNION ALL
+       |    SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+       |    FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+       |  )
+       |),
+       |rc AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
+       |tc AS (SELECT bucket, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY 1),
+       |bj AS (
+       |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+       |         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+       |  FROM bj
+       |),
+       |llr AS (
+       |  SELECT bucket,
+       |    CAST(floor(ln(((ct + 1.0) / (nt + 1024.0)) / ((cr + 1.0) / (nr + 1024.0)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS llr6
+       |  FROM bj CROSS JOIN tot
+       |),
+       |inst AS (SELECT doc_id, bucket, count(*) AS c FROM grams GROUP BY 1, 2),
+       |per AS (
+       |  SELECT i.doc_id, CAST(sum(i.c) AS BIGINT) AS n_grams,
+       |         CAST(sum(i.c * l.llr6) AS BIGINT) AS dsir6
+       |  FROM inst i JOIN llr l USING (bucket) GROUP BY 1
+       |),
+       |scored AS (
+       |  SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       |    coalesce(p.dsir6, 0) AS dsir6,
+       |    CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+       |         ELSE round(CAST(p.dsir6 AS DOUBLE) / p.n_grams / 1000000.0, 6)
+       |    END AS avg_llr
+       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |)""".stripMargin
+
   private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
     s"""${kmeansAsgCtes(numCentroids, iters)},
        |scored AS (
@@ -1080,6 +1132,29 @@ object DataOracles {
     "q181_ann_pq_delta" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5, extraCtes = embSnapshotBCtes,
       encodeSrc = "eb2", querySrc = "eb2"),
+    // DSIR importance weights: target/raw hashed uni+bigram bucket models
+    // (add-one smoothing, m = 1024), per-bucket LLR quantized to integer
+    // micro-nats, per-doc integer sums — the full fit + scoring replayed
+    "q182_dsir_weights" ->
+      s"""$dsirCtes
+         |SELECT doc_id, n_grams, dsir6, avg_llr
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // the resampling gate: algebraic squash -> ppm floor -> hex60 draw
+    "q183_dsir_sample" ->
+      s"""$dsirCtes,
+         |gate AS (
+         |  SELECT *, CAST(dsir6 AS DOUBLE) / 1000000.0 AS xd
+         |  FROM scored
+         |),
+         |rated AS (
+         |  SELECT doc_id, n_grams, dsir6, avg_llr,
+         |    CAST(floor((1.0 + xd / (1.0 + abs(xd))) / 2.0 * 1000000.0 + 0.5)
+         |      AS BIGINT) AS rate_ppm
+         |  FROM gate
+         |)
+         |SELECT doc_id, n_grams, dsir6, avg_llr, rate_ppm,
+         |  ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm AS kept
+         |FROM rated ORDER BY doc_id""".stripMargin,
     "q27_dedup_simhash" ->
       s"""WITH tok2 AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents

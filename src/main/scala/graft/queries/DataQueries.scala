@@ -1190,6 +1190,35 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // DSIR importance weights (Xie et al. 2023, hashed-n-gram variant):
+    // the target distribution is the English slice, the raw corpus is
+    // everything; each document's integer micro-nat LLR sum says how
+    // target-typical its hashed uni+bigram profile is. The model tables
+    // are <= m rows (two bounded hash aggs + a 1-row totals broadcast);
+    // scoring is one (doc, bucket) agg + a broadcast join — the corpus
+    // never shuffles wider than m buckets.
+    "q182_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      val model = TextOps.dsirBucketLlr(all.filter(col("lang") === "en"), all)
+      TextOps.dsirScore(all, model).orderBy("doc_id")
+    }),
+
+    // The DSIR resampling gate over those weights: acceptance from the
+    // document's TOTAL LLR (the paper's importance weight in nats) through
+    // the bounded algebraic squash s = x/(1+|x|) (exp stays banned), drawn
+    // deterministically by hex60 — a consistently target-typical document
+    // saturates toward keep, a raw-typical one toward drop.
+    // Map-only over q182's frame; the oracle replays squash, ppm floor,
+    // and gate exactly.
+    "q183_dsir_sample" -> ((s, d) => {
+      val all = docs(s, d)
+      val model = TextOps.dsirBucketLlr(all.filter(col("lang") === "en"), all)
+      TextOps.dsirSample(TextOps.dsirScore(all, model))
+        .select(col("doc_id"), col("n_grams"), col("dsir6"), col("avg_llr"),
+          col("rate_ppm"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     "q176_incremental_quality" -> ((s, d) => {
       val a = docs(s, d).select(col("doc_id"), col("text"))
       val b = snapshotB(a)

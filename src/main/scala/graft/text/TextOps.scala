@@ -958,4 +958,114 @@ object TextOps {
       .withColumn("keep",
         graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L < col("thr_ppm"))
   }
+
+  /** Hashed n-gram instances for the DSIR family: lowercased whitespace
+    * unigrams AND bigrams, each hashed to one of `m` buckets with the
+    * house hex60 — the paper's hashed-feature trick, which bounds every
+    * model table at m rows regardless of corpus size. Output:
+    * (doc_id, bucket), one row per gram INSTANCE.
+    */
+  private def hashedGramInstances(docs: DataFrame, m: Int, textCol: String,
+                                  idCol: String): DataFrame = {
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val uni = docs.select(col(idCol).as("doc_id"), explode(w).as("g"))
+    val bi = docs
+      .select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
+      .select(col("doc_id"), explode(ngrams(2)).as("g"))
+    uni.unionByName(bi)
+      .select(col("doc_id"),
+        pmod(graft.dedup.Dedup.hex60(col("g")), lit(m.toLong)).as("bucket"))
+  }
+
+  /** DSIR importance model (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling" — the hashed-n-gram variant): fit
+    * add-one-smoothed bucket-frequency models over a TARGET corpus (the
+    * distribution to curate toward) and the RAW corpus, and emit the
+    * per-bucket log-likelihood ratio
+    *
+    *   llr6(b) = floor(ln( ((c_T(b)+1)/(N_T+m)) / ((c_R(b)+1)/(N_R+m)) )
+    *             * 1e6 + 0.5)
+    *
+    * as an integer micro-nat (the [[unigramNll]] quantization discipline,
+    * so downstream per-document sums are integer arithmetic and immune to
+    * FP summation order; every non-ln operation is IEEE-exact and runs in
+    * the written order on both engines).
+    *
+    * Scale shape: two map-side-combined groupBy(bucket) passes (each
+    * result ≤ m rows), one ≤ m-row full-outer merge, a 1-row totals
+    * broadcast — the corpus is read once per side and never shuffled
+    * wider than m buckets. Output: (bucket, llr6), ≤ m rows, meant to be
+    * broadcast by [[dsirScore]].
+    */
+  def dsirBucketLlr(target: DataFrame, raw: DataFrame, m: Int = 1024,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      hashedGramInstances(df, m, textCol, idCol)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val j = counts(raw, "cr").join(counts(target, "ct"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"), coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = j.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    j.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(((col("ct") + 1.0) / (col("nt") + m.toDouble))
+            / ((col("cr") + 1.0) / (col("nr") + m.toDouble))) * 1e6 + 0.5)
+          .cast("long").as("llr6"))
+  }
+
+  /** Score documents under a [[dsirBucketLlr]] model:
+    * dsir6(doc) = Σ_grams llr6(bucket(gram)) — an integer micro-nat sum —
+    * plus the per-gram average in nats. `m` must equal the model build's
+    * (the bucket function must match bit-for-bit), and documents must be
+    * drawn from (or gram-covered by) the corpora the model saw; the raw
+    * side of the fit guarantees that for the standard raw-corpus scoring
+    * call. Returns every input document, zero-gram docs scoring (0, 0, 0.0).
+    *
+    * Scale shape: one hash aggregation keyed (doc, bucket) — shuffle
+    * proportional to distinct pairs, never raw token count — then one
+    * BROADCAST join against the ≤ m-row model and a per-doc hash agg.
+    * Envelope: llr6 is bounded by ±ln(max(N_T,N_R)+m)·1e6 (< 7e7 at 1e23
+    * grams), so a per-document LONG sum wraps only past ~1e11 grams in
+    * ONE document — the [[unigramNll]] per-doc envelope, not a
+    * corpus-sized sum. Output: (doc_id, n_grams, dsir6, avg_llr).
+    */
+  def dsirScore(docs: DataFrame, bucketLlr: DataFrame, m: Int = 1024,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val inst = hashedGramInstances(docs, m, textCol, idCol)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val per = inst.join(broadcast(bucketLlr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("llr6")).as("dsir6"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir6"), lit(0L)).as("dsir6"))
+      .withColumn("avg_llr",
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(round(col("dsir6").cast("double") / col("n_grams") / 1e6, 6)))
+  }
+
+  /** The DSIR sampling gate: acceptance probability from the document's
+    * TOTAL log-likelihood ratio in nats (the paper's importance weight —
+    * a long consistently-target-typical document saturates toward keep,
+    * a raw-typical one toward drop) through the bounded algebraic squash
+    * s = x/(1+|x|) (the [[graft.operators.Logit]] no-libm treatment — exp
+    * stays banned), mapped to rate_ppm = floor((1+s)/2 · 1e6 + 0.5). The
+    * hex60(doc_id) draw makes the gate deterministic and
+    * engine-independent (the q80/q170 convention). Map-only over
+    * [[dsirScore]]'s output — no window, no shuffle; zero-gram docs land
+    * at x = 0 → p = 0.5 with no special case.
+    * Output: (doc_id, n_grams, dsir6, avg_llr, rate_ppm, kept).
+    */
+  def dsirSample(weights: DataFrame): DataFrame = {
+    val xd = col("dsir6").cast("double") / 1e6
+    val s = xd / (lit(1.0) + abs(xd))
+    weights
+      .withColumn("rate_ppm",
+        floor((lit(1.0) + s) / 2.0 * 1e6 + 0.5).cast("long"))
+      .withColumn("kept",
+        graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L
+          < col("rate_ppm"))
+  }
 }

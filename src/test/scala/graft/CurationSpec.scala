@@ -130,4 +130,49 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(kept === audit.filter(_._2 > 0))
   }
+
+  // ---- DSIR importance resampling ---------------------------------------
+
+  private def dsirCorpus: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // target-typical vocabulary {alpha..delta}, raw-typical {noise0..noise9};
+    // docs 0-9 speak pure target, 10-29 pure noise, 30-34 half-half
+    val tgt = Seq("alpha beta gamma delta", "beta gamma alpha alpha",
+      "delta delta beta gamma", "gamma alpha beta delta")
+    val docs = (0L until 35L).map { i =>
+      val text =
+        if (i < 10) tgt((i % 4).toInt)
+        else if (i < 30) s"noise${i % 10} noise${(i + 3) % 10} noise${(i + 7) % 10}"
+        else s"alpha beta noise${i % 10} noise${(i + 1) % 10}"
+      (i, text)
+    }.toDF("doc_id", "text")
+    (docs.filter(col("doc_id") < 10), docs)
+  }
+
+  test("dsir: target-typical docs score positive, raw-typical negative, mixed between") {
+    val (target, raw) = dsirCorpus
+    val model = TextOps.dsirBucketLlr(target, raw, m = 256)
+    val scored = TextOps.dsirSample(TextOps.dsirScore(raw, model, m = 256))
+      .select("doc_id", "dsir6", "rate_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = scored.map(r => r._1 -> r).toMap
+    assert((0L until 10L).forall(byId(_)._2 > 0), "pure-target docs must score positive")
+    assert((10L until 30L).forall(byId(_)._2 < 0), "pure-noise docs must score negative")
+    assert((0L until 10L).forall(byId(_)._3 > 500000L), "target docs must gate above p=0.5")
+    assert((10L until 30L).forall(byId(_)._3 < 500000L), "noise docs must gate below p=0.5")
+    val mixed = (30L until 35L).map(byId(_)._2)
+    assert(mixed.forall(d => d > byId(10L)._2 && d < byId(0L)._2),
+      "half-half docs must land between the pure poles")
+  }
+
+  test("dsir: partition-invariant and deterministic; every input doc returned") {
+    val (target, raw) = dsirCorpus
+    def run(t: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirSample(TextOps.dsirScore(r,
+          TextOps.dsirBucketLlr(t, r, m = 256), m = 256))
+        .collect().map(_.toString).sorted.toSeq
+    val a = run(target, raw)
+    val b = run(target.repartition(7), raw.repartition(5))
+    assert(a == b, "DSIR must be partition-invariant")
+    assert(a.size == 35, "every input document must come back")
+  }
 }
