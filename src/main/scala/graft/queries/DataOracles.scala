@@ -201,21 +201,22 @@ object DataOracles {
     * integer micro-nats (the q95/q101 ln discipline), per-doc integer sums.
     * Defines `scored` = (doc_id, n_grams, dsir6, avg_llr) over every doc.
     */
-  private lazy val dsirCtes: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
-       |  FROM documents
+  private def dsirCtesOver(src: String, targetWhere: String,
+                           prefix: String = ""): String =
+    s"""WITH ${prefix}toks AS (
+       |  SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM $src
        |),
        |grams AS (
-       |  SELECT doc_id, lang, ${hex60Sql("g")} % 1024 AS bucket FROM (
-       |    SELECT doc_id, lang, unnest(w) AS g FROM toks
+       |  SELECT doc_id, ${hex60Sql("g")} % 1024 AS bucket, tgt FROM (
+       |    SELECT doc_id, unnest(w) AS g, $targetWhere AS tgt FROM toks
        |    UNION ALL
-       |    SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+       |    SELECT doc_id, w[i] || ' ' || w[i+1] AS g, $targetWhere AS tgt
        |    FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
        |  )
        |),
        |rc AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
-       |tc AS (SELECT bucket, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY 1),
+       |tc AS (SELECT bucket, count(*) AS ct FROM grams WHERE tgt GROUP BY 1),
        |bj AS (
        |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
        |         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
@@ -243,8 +244,30 @@ object DataOracles {
        |    CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
        |         ELSE round(CAST(p.dsir6 AS DOUBLE) / p.n_grams / 1000000.0, 6)
        |    END AS avg_llr
-       |  FROM documents d LEFT JOIN per p USING (doc_id)
+       |  FROM $src d LEFT JOIN per p USING (doc_id)
        |)""".stripMargin
+
+  private lazy val dsirCtes: String = dsirCtesOver("documents", "lang = 'en'")
+
+  /** The q183 resampling-gate tail (squash -> ppm floor -> hex60 draw),
+    * shared by every DSIR oracle that emits [[graft.text.TextOps
+    * .dsirSample]]'s frame. Leading comma; closes the statement.
+    */
+  private lazy val dsirGateTail: String =
+    s""",
+       |gate AS (
+       |  SELECT *, CAST(dsir6 AS DOUBLE) / 1000000.0 AS xd
+       |  FROM scored
+       |),
+       |rated AS (
+       |  SELECT doc_id, n_grams, dsir6, avg_llr,
+       |    CAST(floor((1.0 + xd / (1.0 + abs(xd))) / 2.0 * 1000000.0 + 0.5)
+       |      AS BIGINT) AS rate_ppm
+       |  FROM gate
+       |)
+       |SELECT doc_id, n_grams, dsir6, avg_llr, rate_ppm,
+       |  ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm AS kept
+       |FROM rated ORDER BY doc_id""".stripMargin
 
   private def ivfKmeansOracle(numCentroids: Int, iters: Int, k: Int): String = {
     s"""${kmeansAsgCtes(numCentroids, iters)},
@@ -1140,21 +1163,17 @@ object DataOracles {
          |SELECT doc_id, n_grams, dsir6, avg_llr
          |FROM scored ORDER BY doc_id""".stripMargin,
     // the resampling gate: algebraic squash -> ppm floor -> hex60 draw
-    "q183_dsir_sample" ->
-      s"""$dsirCtes,
-         |gate AS (
-         |  SELECT *, CAST(dsir6 AS DOUBLE) / 1000000.0 AS xd
-         |  FROM scored
-         |),
-         |rated AS (
-         |  SELECT doc_id, n_grams, dsir6, avg_llr,
-         |    CAST(floor((1.0 + xd / (1.0 + abs(xd))) / 2.0 * 1000000.0 + 0.5)
-         |      AS BIGINT) AS rate_ppm
-         |  FROM gate
-         |)
-         |SELECT doc_id, n_grams, dsir6, avg_llr, rate_ppm,
-         |  ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm AS kept
-         |FROM rated ORDER BY doc_id""".stripMargin,
+    "q183_dsir_sample" -> (dsirCtes + dsirGateTail),
+    // the store round-trip must be invisible: build-on-prefix + two
+    // appends + compact == the monolithic fit, so q183's oracle VERBATIM
+    "q184_dsir_store" -> (dsirCtes + dsirGateTail),
+    // stream-grown store, same invisibility contract (q130's convention)
+    "q185_dsir_streamed" -> (dsirCtes + dsirGateTail),
+    // delta-maintained store scoring the moved corpus: q183's oracle
+    // re-rooted at the derived snapshot (the q177 treatment; the target
+    // rule is id-based so it survives text revisions)
+    "q186_dsir_delta" ->
+      (dsirCtesOver("b", "doc_id % 4 = 0", snapshotBSql + ",\n") + dsirGateTail),
     "q27_dedup_simhash" ->
       s"""WITH tok2 AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents

@@ -1219,6 +1219,80 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // The persisted DSIR model store (the q126 lifecycle convention on the
+    // importance-resampling counts): build on the doc_id % 3 == 0 prefix,
+    // append the other two thirds as ledgered count deltas, compact, score
+    // the whole corpus FROM the store. Counts are additive longs, so the
+    // grown store must equal the monolithic fit — q183's oracle VERBATIM;
+    // a lost append, a replay double-count, or a compaction that drops a
+    // bucket shifts some document's integer weight and fails the hash.
+    "q184_dsir_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_dsir"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val all = docs(s, d)
+      val isT = col("lang") === "en"
+      TextOps.saveDsir(all.filter(col("doc_id") % 3 === 0), isT, m = 1024, path)
+      TextOps.appendDsir(all.filter(col("doc_id") % 3 === 1), isT, path, appendId = 1)
+      TextOps.appendDsir(all.filter(col("doc_id") % 3 === 2), isT, path, appendId = 2)
+      TextOps.compactDsir(s, path)
+      TextOps.scoreWithDsir(all, path).orderBy("doc_id")
+    }),
+
+    // Stream-grown DSIR store (q130's convention): batch-build the curated
+    // prefix (appends need the store's pinned m — the decontam-appender
+    // asymmetry), stream the rest through the exactly-once count-delta
+    // maintainer, compact, score. The stream must be invisible: q183's
+    // oracle verbatim.
+    "q185_dsir_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = ivfIndexPath(d) + "_dsirst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val all = docs(s, d)
+      val isT = col("lang") === "en"
+      TextOps.saveDsir(all.filter(col("doc_id") % 3 === 0), isT, m = 1024,
+        s"$base/dsir")
+      all.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.dsirAppendStream(
+          StreamingPipeline.readColumnsStream(s, s"$base/in",
+            "doc_id LONG, text STRING, lang STRING"),
+          isT, s"$base/dsir", s"$base/ck")
+        .start().awaitTermination()
+      TextOps.compactDsir(s, s"$base/dsir")
+      TextOps.scoreWithDsir(all, s"$base/dsir").orderBy("doc_id")
+    }),
+
+    // Delta-maintained DSIR store following the moving corpus (q177's
+    // treatment on the importance model): fit on snapshot A, retire the
+    // NEGATED counts of the departing slice, append the arriving one,
+    // compact, score snapshot B — hash-equal to a from-scratch fit on B
+    // (q183's oracle re-rooted). The target rule is id-based (% 4) so it
+    // survives text revisions in both engines.
+    "q186_dsir_delta" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_dsirdelta"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = snapshotB(a)
+      val isT = col("doc_id") % 4 === 0
+      TextOps.saveDsir(a, isT, m = 1024, path)
+      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
+      TextOps.retireDsir(
+        a.join(delta.filter(col("status").isin("removed", "changed"))
+          .select("doc_id"), "doc_id"), isT, path, appendId = 1)
+      TextOps.appendDsir(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id"), isT, path, appendId = 2)
+      TextOps.compactDsir(s, path)
+      TextOps.scoreWithDsir(b, path).orderBy("doc_id")
+    }),
+
     "q176_incremental_quality" -> ((s, d) => {
       val a = docs(s, d).select(col("doc_id"), col("text"))
       val b = snapshotB(a)

@@ -901,6 +901,34 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(lmAppendBatch(storePath) _)
 
+  /** Incremental DSIR-model maintenance — [[lmAppendBatch]]'s contract for
+    * the importance-resampling count store: each micro-batch lands its own
+    * (bucket, ct, cr) deltas via [[graft.text.TextOps.appendDsir]]
+    * (additive longs, so after any prefix of batches the store scores
+    * exactly like the monolithic fit over the documents delivered so far;
+    * the `buckets/batch=<id+1>` commit marker makes replays no-ops). The
+    * store must be BUILT first ([[graft.text.TextOps.saveDsir]] on the
+    * curated prefix — the decontam-appender convention): appends read the
+    * store's pinned bucket count m.
+    */
+  def dsirAppendBatch(storePath: String, isTarget: org.apache.spark.sql.Column)(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.text.TextOps.appendDsir(batch, isTarget, storePath, batchId + 1)
+    ()
+  }
+
+  /** Streaming DSIR maintenance: document stream -> per-micro-batch count
+    * deltas via [[dsirAppendBatch]].
+    */
+  def dsirAppendStream(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                       storePath: String,
+                       checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(dsirAppendBatch(storePath, isTarget) _)
+
   /** Generic file-source stream with a caller-provided schema — the reader
     * the sketch maintainers use for arbitrary column subsets (HLL
     * key/item, CMS terms, histogram values) without a per-shape reader.

@@ -998,13 +998,32 @@ object TextOps {
     * broadcast by [[dsirScore]].
     */
   def dsirBucketLlr(target: DataFrame, raw: DataFrame, m: Int = 1024,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dsirLlrOf(dsirPairCounts(target, raw, m, textCol, idCol), m)
+
+  /** The (bucket, ct, cr) count frame of a target/raw corpus pair — the
+    * DSIR model as DATA (exact additive longs, the [[trainTrigramLm]]
+    * persistence argument: counting over a union is the sum of counts over
+    * its parts, so these rows append/retire/merge exactly).
+    */
+  private def dsirPairCounts(target: DataFrame, raw: DataFrame, m: Int,
+                             textCol: String, idCol: String): DataFrame = {
     def counts(df: DataFrame, as: String) =
       hashedGramInstances(df, m, textCol, idCol)
         .groupBy(col("bucket")).agg(count(lit(1)).as(as))
-    val j = counts(raw, "cr").join(counts(target, "ct"), Seq("bucket"), "full_outer")
+    counts(raw, "cr").join(counts(target, "ct"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"), coalesce(col("cr"), lit(0L)).as("cr"))
+  }
+
+  /** The llr table from a (bucket, ct, cr) count frame. The ct/cr > 0
+    * filter drops buckets fully retired by [[retireDsir]] deltas (a fresh
+    * fit never has a zero-zero row, so it is a no-op outside retirement);
+    * the totals are unchanged by the filter (dropped rows contribute 0),
+    * so the smoothed model equals a fresh fit over the surviving corpus.
+    */
+  private def dsirLlrOf(cnts: DataFrame, m: Int): DataFrame = {
+    val j = cnts.filter(col("ct") > 0L || col("cr") > 0L)
     val tot = j.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     j.crossJoin(broadcast(tot))
       .select(col("bucket"),
@@ -1067,5 +1086,135 @@ object TextOps {
       .withColumn("kept",
         graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L
           < col("rate_ppm"))
+  }
+
+  // ---- DSIR model store (the saveLm family: additive count deltas) -------
+
+  /** Persist the DSIR model as a count store (the [[saveLm]] treatment —
+    * bucket counts are additive longs, so the store appends, retires, and
+    * merges EXACTLY). Layout: `buckets/batch=<id>` rows (bucket, ct, cr)
+    * where ct counts the gram instances of documents matching `isTarget`
+    * and cr counts every document's — the target-is-a-slice-of-raw shape a
+    * curation pipeline runs (the q182 call is
+    * dsirBucketLlr(docs.filter(isTarget), docs), which this store
+    * reproduces bit-for-bit); `config` pins m, since the bucket hash must
+    * match across every append and scoring call. Build semantics: a
+    * rebuild replaces the whole store, appends and all.
+    */
+  def saveDsir(docs: DataFrame, isTarget: Column, m: Int, path: String,
+               textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    dsirPairCounts(docs.filter(isTarget), docs, m, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/buckets/batch=0")
+    spark.range(1).select(lit(m).as("m"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+  }
+
+  /** Incremental half ([[appendLm]]'s contract verbatim): train count
+    * DELTAS on the arriving batch only and land them under
+    * `buckets/batch=<id>` — the summed store equals the monolithic fit
+    * over the union for any disjoint batch partitioning. Exactly-once via
+    * the directory-existence ledger; single-maintainer between scoring
+    * jobs.
+    */
+  def appendDsir(docs: DataFrame, isTarget: Column, path: String,
+                 appendId: Long, textCol: String = "text",
+                 idCol: String = "doc_id"): Boolean =
+    landDsirDelta(docs, isTarget, path, appendId, negate = false, textCol, idCol)
+
+  /** Retirement half ([[retireLm]]'s un-learn path): land the NEGATED
+    * count deltas of documents leaving the corpus (removed, or the OLD
+    * text of changed docs in a [[graft.dedup.Dedup.corpusDelta]] cycle).
+    * Buckets whose summed counts reach zero on both sides are invisible to
+    * [[scoreWithDsir]] and dropped by [[compactDsir]], so the maintained
+    * store scores exactly like a fresh fit on the moved corpus — cost ∝
+    * the delta slice, never the corpus.
+    */
+  def retireDsir(docs: DataFrame, isTarget: Column, path: String,
+                 appendId: Long, textCol: String = "text",
+                 idCol: String = "doc_id"): Boolean =
+    landDsirDelta(docs, isTarget, path, appendId, negate = true, textCol, idCol)
+
+  private def landDsirDelta(docs: DataFrame, isTarget: Column, path: String,
+                            appendId: Long, negate: Boolean,
+                            textCol: String, idCol: String): Boolean = {
+    require(appendId != 0L, "appendId 0 is reserved for the initial build")
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path,
+      if (negate) "dsir-retire" else "dsir-append") {
+      graft.similarity.Similarity.recoverDir(fs, s"$path/buckets")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets/batch=$appendId"))) false
+      else {
+        val m = readDsirM(spark, path)
+        val d0 = dsirPairCounts(docs.filter(isTarget), docs, m, textCol, idCol)
+        val d = if (negate)
+          d0.select(col("bucket"), (-col("ct")).as("ct"), (-col("cr")).as("cr"))
+        else d0
+        d.write.mode("overwrite").parquet(s"$path/buckets/batch=$appendId")
+        true
+      }
+    }
+  }
+
+  private def readDsirM(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Int =
+    spark.read.parquet(s"$path/config").head().getAs[Int]("m")
+
+  /** Maintenance half ([[compactLm]]'s shape): sum-merge the per-batch
+    * count deltas into one `batch=0`, dropping zero-zero buckets (so a
+    * compacted retire+append store is row-identical to a fresh build over
+    * the surviving corpus); previously-published ids stay behind as empty
+    * tombstone dirs so the append ledger survives, and the table lands via
+    * the two-rename `.prev` swap [[scoreWithDsir]] reads around.
+    */
+  def compactDsir(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "dsir-compact") {
+      val dir = s"$path/buckets"
+      graft.similarity.Similarity.recoverDir(fs, dir)
+      val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
+      if (dataIds.length <= 1) 0
+      else {
+        val merged = spark.read.parquet(dir).groupBy(col("bucket"))
+          .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+          .filter(col("ct") > 0L || col("cr") > 0L)
+        val staging = new org.apache.hadoop.fs.Path(s"$path/.buckets-compact")
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(s"$staging/batch=0")
+        batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .filter(_ != 0L).foreach(id =>
+            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+        graft.similarity.Similarity.swapDir(fs, staging, dir)
+        1
+      }
+    }
+  }
+
+  /** Score-many half: [[dsirScore]] + [[dsirSample]] against the STORED
+    * count tables — no fitting pass; the only corpus-sized work is the
+    * documents being scored. Counts are summed per bucket on read, so the
+    * scorer is indifferent to whether [[compactDsir]] has merged yet
+    * (longs sum to the same longs in any order/grouping).
+    * Output: [[dsirSample]]'s frame.
+    */
+  def scoreWithDsir(docs: DataFrame, path: String,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val m = readDsirM(spark, path)
+    val cnts = spark.read
+      .parquet(graft.similarity.Similarity.activeDir(fs, s"$path/buckets"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+    dsirSample(dsirScore(docs, dsirLlrOf(cnts, m), m, textCol, idCol))
   }
 }

@@ -164,6 +164,41 @@ class CurationSpec extends SparkSpec {
       "half-half docs must land between the pure poles")
   }
 
+  test("dsir store: grown == monolithic, retire == fresh fit on survivors, replay refused") {
+    val (_, raw) = dsirCorpus
+    val isT = col("doc_id") < 10
+    def freshOver(corpus: org.apache.spark.sql.DataFrame) =
+      TextOps.dsirSample(TextOps.dsirScore(corpus,
+          TextOps.dsirBucketLlr(corpus.filter(isT), corpus, m = 256), m = 256))
+        .collect().map(_.toString).sorted.toSeq
+    val p = java.nio.file.Files.createTempDirectory("graft_dsir_store").toString
+    TextOps.saveDsir(raw.filter(col("doc_id") % 2 === 0), isT, m = 256, p)
+    assert(TextOps.appendDsir(raw.filter(col("doc_id") % 2 === 1), isT, p, appendId = 1))
+    assert(!TextOps.appendDsir(raw.filter(col("doc_id") % 2 === 1), isT, p, appendId = 1),
+      "append replay must be refused by the dir ledger")
+    def stored(corpus: org.apache.spark.sql.DataFrame) =
+      TextOps.scoreWithDsir(corpus, p).collect().map(_.toString).sorted.toSeq
+    assert(stored(raw) == freshOver(raw), "grown store must equal the monolithic fit")
+    assert(TextOps.compactDsir(spark, p) == 1)
+    assert(stored(raw) == freshOver(raw), "compaction changed scores")
+    // retirement: the mixed slice (30-34) leaves the corpus; the store must
+    // score the survivors exactly like a fresh fit that never saw it
+    val survivors = raw.filter(col("doc_id") < 30)
+    assert(TextOps.retireDsir(raw.filter(col("doc_id") >= 30), isT, p, appendId = 2))
+    assert(stored(survivors) == freshOver(survivors),
+      "retired store must equal a fresh fit on the survivors (pre-compaction)")
+    assert(TextOps.compactDsir(spark, p) == 1)
+    assert(stored(survivors) == freshOver(survivors),
+      "retirement-applying compaction changed scores")
+    // the compacted count table is row-identical to a fresh build's
+    val p2 = java.nio.file.Files.createTempDirectory("graft_dsir_fresh").toString
+    TextOps.saveDsir(survivors, isT, m = 256, p2)
+    def rows(path: String) = spark.read.parquet(s"$path/buckets/batch=0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(p) == rows(p2),
+      "compacted retire+append store must be row-identical to a fresh build")
+  }
+
   test("dsir: partition-invariant and deterministic; every input doc returned") {
     val (target, raw) = dsirCorpus
     def run(t: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =

@@ -72,7 +72,10 @@ class PlanShapeSpec extends SparkSpec {
     "q180_ann_lsh_delta", // q117's bounded plane-table broadcast, post retire/append/compact
     "q181_ann_pq_delta", // q134's bounded codebook/LUT broadcasts, post retire/append/compact
     "q182_dsir_weights", // 1-row gram-totals broadcast onto the <= m-row bucket frame (q95's shape)
-    "q183_dsir_sample") // same 1-row totals broadcast through the gate
+    "q183_dsir_sample", // same 1-row totals broadcast through the gate
+    "q184_dsir_store", // same 1-row totals broadcast, model read from the store
+    "q185_dsir_streamed", // same, stream-grown store
+    "q186_dsir_delta") // same, delta-maintained store scoring snapshot B
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
