@@ -197,6 +197,46 @@ class IngestStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store2/sets").count() == 7L)
   }
 
+  test("streaming dsir store: restart + replay keep scoring == the monolithic fit") {
+    import graft.text.TextOps
+    val base = Files.createTempDirectory("graft_dsirstream").toString
+    val in = s"$base/in"; val store = s"$base/dsir"
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "lang")
+    val prefix = df(Seq((0L, "alpha beta gamma", "en"), (1L, "noise one two", "de")))
+    val b1 = df(Seq((2L, "alpha alpha beta", "en"), (3L, "noise three four", "fr")))
+    val b2 = df(Seq((4L, "beta gamma gamma", "en"), (5L, "five noise six", "zh")))
+    val isT = col("lang") === "en"
+    TextOps.saveDsir(prefix, isT, m = 256, store)
+    def drain(): Unit = StreamingPipeline.dsirAppendStream(
+        StreamingPipeline.readColumnsStream(spark, in,
+          "doc_id LONG, text STRING, lang STRING"),
+        isT, store, s"$base/ck")
+      .start().awaitTermination(60000)
+    b1.write.mode("overwrite").parquet(in)
+    drain()
+    // restart on the same checkpoint with a second delivery: only the new
+    // files may land, under fresh batch ids
+    b2.write.mode("append").parquet(in)
+    drain()
+    val all = prefix.unionByName(b1).unionByName(b2)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val fresh = canon(TextOps.dsirSample(TextOps.dsirScore(all,
+      TextOps.dsirBucketLlr(all.filter(isT), all, m = 256), m = 256)))
+    assert(canon(TextOps.scoreWithDsir(all, store)) == fresh,
+      "stream-grown store must score like the monolithic fit")
+    // crash recovery: a foreachBatch replay of an already-committed batch
+    // id is a no-op (the buckets/batch=<id+1> commit marker)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(store),
+      spark.sparkContext.hadoopConfiguration)
+    val landed = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/buckets"))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).filter(_ >= 1L)
+    assert(landed.nonEmpty)
+    StreamingPipeline.dsirAppendBatch(store, isT)(b2, landed.max - 1)
+    assert(canon(TextOps.scoreWithDsir(all, store)) == fresh,
+      "replayed batch id must not double-count")
+  }
+
   test("minhash store retirement: tombstone liveness, resurrection, physical compaction") {
     import graft.dedup.Dedup
     val base = Files.createTempDirectory("graft_mh_ret").toString
