@@ -249,6 +249,69 @@ object DataOracles {
 
   private lazy val dsirCtes: String = dsirCtesOver("documents", "lang = 'en'")
 
+  /** Shared prefix for the q187/q188 filter-attribution oracles: the q31
+    * quality formula, the q66 repetition fractions, and the q96
+    * dup-shingle fraction (rounded as published there), composed into
+    * `att` = one row per document with the four rule verdicts at the
+    * established thresholds. Every comparison runs on IEEE-exact
+    * arithmetic identical to the Spark expressions.
+    */
+  private val filterAttCtes: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x))) AS stop_cnt
+      |  FROM documents
+      |),
+      |q AS (
+      |  SELECT doc_id, n_words,
+      |    least(1.0, n_words / 100.0)
+      |      * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)) AS qs
+      |  FROM f
+      |),
+      |wcounts AS (
+      |  SELECT doc_id, w AS word, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS twf,
+      |    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dwf
+      |  FROM wcounts GROUP BY 1
+      |),
+      |ftoks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |),
+      |finst AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM ftoks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |),
+      |fdfx AS (
+      |  SELECT shingle, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, shingle FROM finst) GROUP BY 1
+      |),
+      |fper AS (
+      |  SELECT i.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN x.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM finst i JOIN fdfx x USING (shingle) GROUP BY 1
+      |),
+      |dng AS (
+      |  SELECT d.doc_id,
+      |    coalesce(round(CAST(p.n_dup AS DOUBLE) / p.n_shingles, 6), 0.0) AS dup_frac
+      |  FROM documents d LEFT JOIN fper p USING (doc_id)
+      |),
+      |att AS (
+      |  SELECT q.doc_id, q.n_words, q.qs,
+      |    q.n_words >= 5 AS pass_length,
+      |    q.qs >= 0.3 AS pass_quality,
+      |    (r.twf <= 0.2 AND r.dwf <= 0.7) AS pass_repetition,
+      |    g.dup_frac <= 0.6 AS pass_dupngram
+      |  FROM q JOIN rep r USING (doc_id) JOIN dng g USING (doc_id)
+      |)""".stripMargin
+
   /** The q183 resampling-gate tail (squash -> ppm floor -> hex60 draw),
     * shared by every DSIR oracle that emits [[graft.text.TextOps
     * .dsirSample]]'s frame. Leading comma; closes the statement.
@@ -1155,6 +1218,52 @@ object DataOracles {
     "q181_ann_pq_delta" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5, extraCtes = embSnapshotBCtes,
       encodeSrc = "eb2", querySrc = "eb2"),
+    // per-doc kill matrix: all four rule verdicts recomputed from the
+    // q31/q66/q96 published formulas, first_fail in pipeline order
+    "q187_filter_attribution" ->
+      s"""$filterAttCtes
+         |SELECT doc_id, n_words, round(qs, 6) AS quality_score,
+         |  pass_length, pass_quality, pass_repetition, pass_dupngram,
+         |  CASE WHEN NOT pass_length THEN '0_length'
+         |       WHEN NOT pass_quality THEN '1_quality'
+         |       WHEN NOT pass_repetition THEN '2_repetition'
+         |       WHEN NOT pass_dupngram THEN '3_dupngram'
+         |       ELSE 'pass' END AS first_fail,
+         |  (pass_length AND pass_quality AND pass_repetition AND pass_dupngram)
+         |    AS kept
+         |FROM att ORDER BY doc_id""".stripMargin,
+    // the sequential-chain funnel over the same attribution frame
+    "q188_filter_funnel" ->
+      s"""$filterAttCtes,
+         |ff AS (
+         |  SELECT CASE WHEN NOT pass_length THEN '0_length'
+         |              WHEN NOT pass_quality THEN '1_quality'
+         |              WHEN NOT pass_repetition THEN '2_repetition'
+         |              WHEN NOT pass_dupngram THEN '3_dupngram'
+         |              ELSE 'pass' END AS stage
+         |  FROM att
+         |),
+         |stages AS (
+         |  SELECT * FROM (VALUES ('0_length'), ('1_quality'),
+         |    ('2_repetition'), ('3_dupngram')) v(stage)
+         |),
+         |kills AS (
+         |  SELECT stage, CAST(count(*) AS BIGINT) AS n_killed FROM ff
+         |  WHERE stage <> 'pass' GROUP BY 1
+         |),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ff),
+         |cum AS (
+         |  SELECT s.stage, coalesce(k.n_killed, 0) AS n_killed,
+         |    CAST(coalesce(sum(coalesce(k.n_killed, 0)) OVER (ORDER BY s.stage
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS killed_before
+         |  FROM stages s LEFT JOIN kills k USING (stage)
+         |)
+         |SELECT stage,
+         |  CAST(n_total - killed_before AS BIGINT) AS n_in,
+         |  CAST(n_killed AS BIGINT) AS n_killed,
+         |  CAST(n_total - killed_before - n_killed AS BIGINT) AS n_out
+         |FROM cum CROSS JOIN tot ORDER BY stage""".stripMargin,
     // DSIR importance weights: target/raw hashed uni+bigram bucket models
     // (add-one smoothing, m = 1024), per-bucket LLR quantized to integer
     // micro-nats, per-doc integer sums — the full fit + scoring replayed

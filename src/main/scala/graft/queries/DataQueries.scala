@@ -1293,6 +1293,25 @@ object DataQueries {
       TextOps.scoreWithDsir(b, path).orderBy("doc_id")
     }),
 
+    // Filter attribution — the per-document kill matrix of the standard
+    // curation rules (length, q31 quality, q66 repetition, q96 dup-shingle
+    // fraction, at their established thresholds), with first_fail charging
+    // each kill to the first failing rule in pipeline order. The oracle
+    // recomputes all four verdicts from the published formulas.
+    "q187_filter_attribution" -> ((s, d) =>
+      TextOps.filterAttribution(docs(s, d))
+        .select(col("doc_id"), col("n_words"),
+          round(col("quality_score"), 6).as("quality_score"),
+          col("pass_length"), col("pass_quality"), col("pass_repetition"),
+          col("pass_dupngram"), col("first_fail"), col("kept"))
+        .orderBy("doc_id")),
+
+    // The survival funnel over that frame: sequential-chain accounting
+    // (stage, n_in, n_killed, n_out), last stage's n_out == the kept
+    // count. Four rows by construction.
+    "q188_filter_funnel" -> ((s, d) =>
+      TextOps.filterFunnel(TextOps.filterAttribution(docs(s, d)))),
+
     "q176_incremental_quality" -> ((s, d) => {
       val a = docs(s, d).select(col("doc_id"), col("text"))
       val b = snapshotB(a)

@@ -1088,6 +1088,95 @@ object TextOps {
           < col("rate_ppm"))
   }
 
+  /** Filter attribution — the per-document KILL MATRIX of the standard
+    * curation rules. A pipeline that only reports survivors can't be
+    * debugged at 100 TB: when a crawl slice vanishes you need to know
+    * WHICH rule ate it. One frame answers that: every rule's verdict per
+    * document, plus `first_fail` (the first failing rule in pipeline
+    * order — what a sequential filter chain would have charged the kill
+    * to) and the composite `kept`. Rules are the repo's own oracle-green
+    * signals with their established thresholds: document length
+    * ([[qualityFeatures]].n_words >= minWords), quality score >=
+    * minQuality (the q31 formula, q115's 0.3 threshold), the q66
+    * repetition rule (top-word fraction and duplicate-word fraction), and
+    * the q96 duplicated-shingle fraction ([[dupNgramStats]], rounded as
+    * published there).
+    *
+    * Scale shape: three doc-keyed aggregates (quality is map-only; the
+    * repetition and shingle passes shuffle on (doc, token)-shaped keys
+    * with map-side combine) joined on doc_id — co-partitioned hash joins,
+    * no corpus-wide state beyond [[dupNgramStats]]' df table. All
+    * verdicts compare IEEE-exact arithmetic, so both engines agree at the
+    * thresholds. Output: (doc_id, n_words, quality_score, pass_length,
+    * pass_quality, pass_repetition, pass_dupngram, first_fail, kept).
+    */
+  def filterAttribution(docs: DataFrame,
+                        minWords: Long = 5L, minQuality: Double = 0.3,
+                        maxTopWordFrac: Double = 0.2,
+                        maxDupWordFrac: Double = 0.7,
+                        maxDupNgramFrac: Double = 0.6,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val q = qualityFeatures(docs, textCol, idCol)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val wc = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val rep = wc.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("rw"), count(lit(1)).as("rd"),
+        max(col("cnt")).as("rt"))
+      .select(col("doc_id"),
+        (col("rt") / col("rw")).as("top_word_frac"),
+        (lit(1.0) - col("rd") / col("rw")).as("dup_word_frac"))
+    val dng = dupNgramStats(docs, 3, textCol, idCol)
+      .select(col("doc_id"), col("dup_frac"))
+    q.join(rep, Seq("doc_id")).join(dng, Seq("doc_id"))
+      .withColumn("pass_length", col("n_words") >= minWords)
+      .withColumn("pass_quality", col("quality_score") >= minQuality)
+      .withColumn("pass_repetition",
+        col("top_word_frac") <= maxTopWordFrac
+          && col("dup_word_frac") <= maxDupWordFrac)
+      .withColumn("pass_dupngram", col("dup_frac") <= maxDupNgramFrac)
+      .withColumn("first_fail",
+        when(!col("pass_length"), lit("0_length"))
+          .when(!col("pass_quality"), lit("1_quality"))
+          .when(!col("pass_repetition"), lit("2_repetition"))
+          .when(!col("pass_dupngram"), lit("3_dupngram"))
+          .otherwise(lit("pass")))
+      .withColumn("kept", col("pass_length") && col("pass_quality")
+        && col("pass_repetition") && col("pass_dupngram"))
+      .drop("top_word_frac", "dup_word_frac", "dup_frac")
+  }
+
+  /** The survival funnel over a [[filterAttribution]] frame: one row per
+    * rule in pipeline order with (n_in, n_killed, n_out), where each
+    * stage's kills are the documents whose `first_fail` charges it — the
+    * sequential-chain accounting, so n_out of the last stage is exactly
+    * the kept count. The frame is four rows by construction (the window
+    * and the 1-row totals broadcast run on the stage list, never the
+    * corpus).
+    */
+  def filterFunnel(attribution: DataFrame): DataFrame = {
+    val spark = attribution.sparkSession
+    val stages = Seq("0_length", "1_quality", "2_repetition", "3_dupngram")
+    val stageDf = spark.range(1)
+      .select(explode(array(stages.map(lit): _*)).as("stage"))
+    val kills = attribution.filter(col("first_fail") =!= "pass")
+      .groupBy(col("first_fail").as("stage")).agg(count(lit(1)).as("n_killed"))
+    val total = attribution.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stageDf.join(kills, Seq("stage"), "left")
+      .select(col("stage"), coalesce(col("n_killed"), lit(0L)).as("n_killed"))
+      .crossJoin(broadcast(total))
+      .withColumn("killed_before", coalesce(sum(col("n_killed")).over(w), lit(0L)))
+      .select(col("stage"),
+        (col("n_total") - col("killed_before")).as("n_in"),
+        col("n_killed"),
+        (col("n_total") - col("killed_before") - col("n_killed")).as("n_out"))
+      .orderBy("stage")
+  }
+
   // ---- DSIR model store (the saveLm family: additive count deltas) -------
 
   /** Persist the DSIR model as a count store (the [[saveLm]] treatment —

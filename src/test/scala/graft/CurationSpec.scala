@@ -131,6 +131,31 @@ class CurationSpec extends SparkSpec {
     assert(kept === audit.filter(_._2 > 0))
   }
 
+  test("filter attribution: first_fail charges the first failing rule; funnel books to kept") {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val stopPart = (0 until 40).map(i => stop(i % 7))
+    def rich(prefix: String) =
+      (stopPart ++ (0 until 60).map(i => s"$prefix$i")).mkString(" ")
+    val corpus = Seq(
+      1L -> "x x", // 2 words -> length fail (also repetitive: charged to length)
+      2L -> "y y y y y y", // 6 words, no stopwords -> quality 0.036 -> quality fail
+      3L -> (("the " * 40) + (0 until 60).map(i => s"z$i").mkString(" ")).trim,
+      //      ^ quality 1.0 but top-word fraction 0.4 -> repetition fail
+      4L -> rich("w"), 5L -> rich("w"), // identical twins -> dup-shingle fail
+      6L -> rich("u") // shares only the stop-region shingles (~0.39) -> pass
+    ).toDF("doc_id", "text")
+    val att = TextOps.filterAttribution(corpus)
+    val ff = att.select("doc_id", "first_fail").as[(Long, String)].collect().toMap
+    assert(ff === Map(1L -> "0_length", 2L -> "1_quality", 3L -> "2_repetition",
+      4L -> "3_dupngram", 5L -> "3_dupngram", 6L -> "pass"))
+    assert(att.filter(col("kept")).select("doc_id").as[Long].collect().toSeq == Seq(6L))
+    val funnel = TextOps.filterFunnel(att)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(funnel === Seq(
+      ("0_length", 6L, 1L, 5L), ("1_quality", 5L, 1L, 4L),
+      ("2_repetition", 4L, 1L, 3L), ("3_dupngram", 3L, 2L, 1L)))
+  }
+
   // ---- DSIR importance resampling ---------------------------------------
 
   private def dsirCorpus: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
