@@ -75,6 +75,63 @@ object CorpusQueries {
     (raw, packed)
   }
 
+  /** The shared v3/v4 pipeline frames: (pre, one, prof, score, samp, gate)
+    * — the 1-row stage aggregates plus the stage-9 gate frame (q174 reads
+    * only the aggregates; q189 also filters the gate's survivors into its
+    * DSIR stage). One localCheckpoint feeds BOTH model stages (the q160
+    * precedent: ridge makes four aggregation passes, the gate join a
+    * fifth — each would re-run the near-dup mine without it; the
+    * checkpoint is a few hundred (doc_id, n_words) rows).
+    */
+  private def pipelineV3Parts(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (raw, packed) = pipelineFlags(s, d)
+    val one = packed.agg(
+      count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
+      count(when(col("near"), 1)).as("d4"),
+      coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
+      count(when(col("qual"), 1)).as("d5"),
+      coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
+      count(when(col("bal"), 1)).as("d6"),
+      coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
+      countDistinct(col("__binkey")).as("nb"))
+    val pre = raw.agg(
+      count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+      count(when(col("n_words") >= 3, 1)).as("d2"),
+      coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
+    val prof = graft.operators.Profile
+      .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
+        sum(col("n_null")).as("p3"))
+    val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
+      .localCheckpoint(true)
+    val fj = DataQueries.ridgeFrame(s, d).join(surv.select(col("doc_id")), "doc_id")
+    val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
+    val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
+      .agg(count(lit(1)).as("s1"),
+        coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
+    // stage 9: full-corpus classifier -> calibration map -> hex60 gate
+    val lf = DataQueries.logitFrame(s, d)
+    val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
+    val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
+      .join(lf.select(col("doc_id"), col("y")), "doc_id")
+      .localCheckpoint(true) // one fit; bins + the gate read the same scores
+    val bins = graft.operators.Logit.calibrationBins(lpred)
+    val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
+    val gate = surv.join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
+      .withColumn("__keep",
+        graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
+          floor(col("p_cal") * 1e6).cast("long"))
+    val samp = gate.agg(
+      count(when(col("__keep"), 1)).as("k1"),
+      coalesce(sum(when(col("__keep"), col("n_words"))), lit(0L)).as("k2"),
+      // exact expected-mass audit in integer micro-ppm units,
+      // DECIMAL(38,0) partials (the q168 envelope rule)
+      coalesce(sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")), lit(0))
+        .cast("long").as("k3"))
+    (pre, one, prof, score, samp, gate)
+  }
+
   val defs: Map[String, Q] = Map(
     // Unigram-LM quality score (add-one smoothing, corpus-fit).
     "q95_unigram_nll" -> ((s, d) =>
@@ -400,54 +457,7 @@ object CorpusQueries {
     // bins, the per-doc p_cal, AND the sampled mass, and one hash gates
     // the whole composition including all three models.
     "q174_pipeline_v3" -> ((s, d) => {
-      val (raw, packed) = pipelineFlags(s, d)
-      val one = packed.agg(
-        count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
-        count(when(col("near"), 1)).as("d4"),
-        coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
-        count(when(col("qual"), 1)).as("d5"),
-        coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
-        count(when(col("bal"), 1)).as("d6"),
-        coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
-        countDistinct(col("__binkey")).as("nb"))
-      val pre = raw.agg(
-        count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
-        count(when(col("n_words") >= 3, 1)).as("d2"),
-        coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
-      val prof = graft.operators.Profile
-        .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
-        .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
-          sum(col("n_null")).as("p3"))
-      // one checkpoint feeds BOTH model stages (the q160 precedent: ridge
-      // makes four aggregation passes, the gate join a fifth — each would
-      // re-run the near-dup mine without it; the checkpoint is a few
-      // hundred (doc_id, n_words) rows)
-      val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
-        .localCheckpoint(true)
-      val fj = DataQueries.ridgeFrame(s, d).join(surv.select(col("doc_id")), "doc_id")
-      val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
-      val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
-        .agg(count(lit(1)).as("s1"),
-          coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
-      // stage 9: full-corpus classifier -> calibration map -> hex60 gate
-      val lf = DataQueries.logitFrame(s, d)
-      val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
-      val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
-        .join(lf.select(col("doc_id"), col("y")), "doc_id")
-        .localCheckpoint(true) // one fit; bins + the gate read the same scores
-      val bins = graft.operators.Logit.calibrationBins(lpred)
-      val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
-      val gate = surv.join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
-        .withColumn("__keep",
-          graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
-            floor(col("p_cal") * 1e6).cast("long"))
-      val samp = gate.agg(
-        count(when(col("__keep"), 1)).as("k1"),
-        coalesce(sum(when(col("__keep"), col("n_words"))), lit(0L)).as("k2"),
-        // exact expected-mass audit in integer micro-ppm units,
-        // DECIMAL(38,0) partials (the q168 envelope rule)
-        coalesce(sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")), lit(0))
-          .cast("long").as("k3"))
+      val (pre, one, prof, score, samp, _) = pipelineV3Parts(s, d)
       pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
         .crossJoin(broadcast(samp))
         .selectExpr(
@@ -462,6 +472,50 @@ object CorpusQueries {
             |  '7_pack',    d6, t6, nb,
             |  '8_score',   s1, s2, CAST(0 AS BIGINT),
             |  '9_sample',  k1, k2, k3
+            |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
+        .orderBy("stage")
+    }),
+
+    // Pipeline v4 — the DSIR gate composed as stage 'a_dsir' over the v3
+    // sample survivors (FOUR models in one hash: profiler stats, the ridge
+    // scorer, the calibrated classifier gate, and the corpus-wide DSIR
+    // importance model). The dsir draw salts the doc_id (':dsir') so the
+    // two sequential hex60 gates are independent uniforms, not the same
+    // draw compared to two thresholds; the stage row carries kept docs,
+    // kept tokens, and the exact integer expected-mass audit (sum of
+    // rate_ppm over every stage-9 survivor).
+    "q189_pipeline_v4" -> ((s, d) => {
+      val (pre, one, prof, score, samp, gate) = pipelineV3Parts(s, d)
+      val allDocs = docs(s, d)
+      val rate = TextOps.dsirSample(TextOps.dsirScore(allDocs,
+          TextOps.dsirBucketLlr(allDocs.filter(col("lang") === "en"), allDocs)))
+        .select(col("doc_id"), col("rate_ppm"))
+      val dgate = gate.filter(col("__keep")).select(col("doc_id"), col("n_words"))
+        .join(rate, "doc_id")
+        .withColumn("__dk",
+          graft.dedup.Dedup.hex60(
+            concat(col("doc_id").cast("string"), lit(":dsir"))) % 1000000L
+            < col("rate_ppm"))
+      val dsamp = dgate.agg(
+        count(when(col("__dk"), 1)).as("x1"),
+        coalesce(sum(when(col("__dk"), col("n_words"))), lit(0L)).as("x2"),
+        coalesce(sum(col("rate_ppm").cast("decimal(38,0)")), lit(0))
+          .cast("long").as("x3"))
+      pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
+        .crossJoin(broadcast(samp)).crossJoin(broadcast(dsamp))
+        .selectExpr(
+          """stack(11,
+            |  '0_profile', p1, p2, p3,
+            |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
+            |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
+            |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
+            |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
+            |  '5_quality', d5, t5, CAST(0 AS BIGINT),
+            |  '6_balance', d6, t6, CAST(0 AS BIGINT),
+            |  '7_pack',    d6, t6, nb,
+            |  '8_score',   s1, s2, CAST(0 AS BIGINT),
+            |  '9_sample',  k1, k2, k3,
+            |  'a_dsir',    x1, x2, x3
             |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
         .orderBy("stage")
     }),
@@ -761,6 +815,45 @@ object CorpusQueries {
   /** The nine q160 stage rows (shared by q174, which appends '9_sample'
     * and the final ORDER BY is supplied by the caller).
     */
+  /** The v3 oracle's model CTEs (logit scores -> calibration bins ->
+    * per-doc p_cal -> the stage-9 sample row), shared verbatim by the
+    * q174 and q189 entries. No leading or trailing comma.
+    */
+  private lazy val pipelineV3OracleMid: String =
+    s"""lp3 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p, y
+       |  FROM (
+       |    SELECT lz.doc_id, lz.y,
+       |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
+       |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
+       |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
+       |    FROM lz CROSS JOIN v30)
+       |),
+       |cb3 AS (
+       |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+       |    floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS p_cal
+       |  FROM lp3 GROUP BY 1
+       |),
+       |cal3 AS (
+       |  SELECT s.doc_id, cb3.p_cal
+       |  FROM (SELECT doc_id, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM lp3) s
+       |  JOIN cb3 USING (bin)
+       |),
+       |sampv3 AS (
+       |  SELECT
+       |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS k1,
+       |    CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS k2,
+       |    CAST(coalesce(sum(CAST(floor(p_cal * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS k3
+       |  FROM (
+       |    SELECT b.n_words, c.p_cal,
+       |      CASE WHEN ${hex60Sql("CAST(b.doc_id AS VARCHAR)")} % 1000000
+       |        < CAST(floor(c.p_cal * 1000000.0) AS BIGINT) THEN 1 ELSE 0 END AS keep
+       |    FROM bal b JOIN cal3 c ON c.doc_id = b.doc_id
+       |  )
+       |)""".stripMargin
+
   private lazy val pipelineV2StageRows: String =
     """SELECT '0_profile' AS stage, p1 AS n_docs, p2 AS n_tokens, p3 AS n_bins FROM prof
       |UNION ALL SELECT '1_raw', CAST(count(*) AS BIGINT),
@@ -925,41 +1018,40 @@ object CorpusQueries {
     "q174_pipeline_v3" ->
       s"""WITH $pipelineV2OracleCtes,
          |${DataOracles.logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
-         |lp3 AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    floor((0.5 + 0.5 * tt / (1 + abs(tt))) * 1000000.0 + 0.5) / 1000000.0 AS p, y
-         |  FROM (
-         |    SELECT lz.doc_id, lz.y,
-         |      (CAST(floor(z0 * w0 * 100000000.0) AS BIGINT)
-         |       + CAST(floor(z1 * w1 * 100000000.0) AS BIGINT)
-         |       + CAST(floor(z2 * w2 * 100000000.0) AS BIGINT)) / 100000000.0 + bb AS tt
-         |    FROM lz CROSS JOIN v30)
+         |$pipelineV3OracleMid
+         |$pipelineV2StageRows
+         |UNION ALL SELECT '9_sample', k1, k2, k3 FROM sampv3
+         |ORDER BY stage""".stripMargin,
+
+    // v4 = v3 + the DSIR stage: the ds_-namespaced model CTEs replay the
+    // corpus-wide en-target fit, s9 re-derives the stage-9 survivors, and
+    // the salted (':dsir') hex60 draw gates them through rate_ppm
+    "q189_pipeline_v4" ->
+      s"""WITH $pipelineV2OracleCtes,
+         |${DataOracles.logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+         |$pipelineV3OracleMid,
+         |s9 AS (
+         |  SELECT b.doc_id, b.n_words
+         |  FROM bal b JOIN cal3 c ON c.doc_id = b.doc_id
+         |  WHERE ${hex60Sql("CAST(b.doc_id AS VARCHAR)")} % 1000000
+         |    < CAST(floor(c.p_cal * 1000000.0) AS BIGINT)
          |),
-         |cb3 AS (
-         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
-         |    floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
-         |      / 1000000.0 AS p_cal
-         |  FROM lp3 GROUP BY 1
-         |),
-         |cal3 AS (
-         |  SELECT s.doc_id, cb3.p_cal
-         |  FROM (SELECT doc_id, CAST(least(floor(p * 10), 9) AS INT) AS bin FROM lp3) s
-         |  JOIN cb3 USING (bin)
-         |),
-         |sampv3 AS (
+         |${DataOracles.dsirRatedBlock("ds")},
+         |dsirv4 AS (
          |  SELECT
-         |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS k1,
-         |    CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS k2,
-         |    CAST(coalesce(sum(CAST(floor(p_cal * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS k3
+         |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS x1,
+         |    CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS x2,
+         |    CAST(coalesce(sum(rate_ppm), 0) AS BIGINT) AS x3
          |  FROM (
-         |    SELECT b.n_words, c.p_cal,
-         |      CASE WHEN ${hex60Sql("CAST(b.doc_id AS VARCHAR)")} % 1000000
-         |        < CAST(floor(c.p_cal * 1000000.0) AS BIGINT) THEN 1 ELSE 0 END AS keep
-         |    FROM bal b JOIN cal3 c ON c.doc_id = b.doc_id
+         |    SELECT s9.n_words, r.rate_ppm,
+         |      CASE WHEN ${hex60Sql("CAST(s9.doc_id AS VARCHAR) || ':dsir'")} % 1000000
+         |        < r.rate_ppm THEN 1 ELSE 0 END AS keep
+         |    FROM s9 JOIN dsrated r ON r.doc_id = s9.doc_id
          |  )
          |)
          |$pipelineV2StageRows
          |UNION ALL SELECT '9_sample', k1, k2, k3 FROM sampv3
+         |UNION ALL SELECT 'a_dsir', x1, x2, x3 FROM dsirv4
          |ORDER BY stage""".stripMargin,
 
     "q109_trigram_backoff" -> trigramBackoffOracle,

@@ -201,50 +201,56 @@ object DataOracles {
     * integer micro-nats (the q95/q101 ln discipline), per-doc integer sums.
     * Defines `scored` = (doc_id, n_grams, dsir6, avg_llr) over every doc.
     */
+  /** `ns` prefixes every CTE name so the block composes into oracles that
+    * already define generic names (inst/per/scored — the q189 pipeline-v4
+    * composition); `lead` lets the caller splice it mid-WITH. ns = "" and
+    * lead = "WITH " reproduce the standalone q182-q186 text byte-for-byte.
+    */
   private def dsirCtesOver(src: String, targetWhere: String,
-                           prefix: String = ""): String =
-    s"""WITH ${prefix}toks AS (
+                           prefix: String = "", ns: String = "",
+                           lead: String = "WITH "): String =
+    s"""$lead${prefix}${ns}toks AS (
        |  SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM $src
        |),
-       |grams AS (
+       |${ns}grams AS (
        |  SELECT doc_id, ${hex60Sql("g")} % 1024 AS bucket, tgt FROM (
-       |    SELECT doc_id, unnest(w) AS g, $targetWhere AS tgt FROM toks
+       |    SELECT doc_id, unnest(w) AS g, $targetWhere AS tgt FROM ${ns}toks
        |    UNION ALL
        |    SELECT doc_id, w[i] || ' ' || w[i+1] AS g, $targetWhere AS tgt
-       |    FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)
+       |    FROM ${ns}toks, unnest(generate_series(1, len(w)-1)) AS t(i)
        |  )
        |),
-       |rc AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
-       |tc AS (SELECT bucket, count(*) AS ct FROM grams WHERE tgt GROUP BY 1),
-       |bj AS (
-       |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+       |${ns}rc AS (SELECT bucket, count(*) AS cr FROM ${ns}grams GROUP BY 1),
+       |${ns}tc AS (SELECT bucket, count(*) AS ct FROM ${ns}grams WHERE tgt GROUP BY 1),
+       |${ns}bj AS (
+       |  SELECT coalesce(${ns}rc.bucket, ${ns}tc.bucket) AS bucket,
        |         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
-       |  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+       |  FROM ${ns}rc FULL OUTER JOIN ${ns}tc ON ${ns}rc.bucket = ${ns}tc.bucket
        |),
-       |tot AS (
+       |${ns}tot AS (
        |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
-       |  FROM bj
+       |  FROM ${ns}bj
        |),
-       |llr AS (
+       |${ns}llr AS (
        |  SELECT bucket,
        |    CAST(floor(ln(((ct + 1.0) / (nt + 1024.0)) / ((cr + 1.0) / (nr + 1024.0)))
        |      * 1000000.0 + 0.5) AS BIGINT) AS llr6
-       |  FROM bj CROSS JOIN tot
+       |  FROM ${ns}bj CROSS JOIN ${ns}tot
        |),
-       |inst AS (SELECT doc_id, bucket, count(*) AS c FROM grams GROUP BY 1, 2),
-       |per AS (
+       |${ns}inst AS (SELECT doc_id, bucket, count(*) AS c FROM ${ns}grams GROUP BY 1, 2),
+       |${ns}per AS (
        |  SELECT i.doc_id, CAST(sum(i.c) AS BIGINT) AS n_grams,
        |         CAST(sum(i.c * l.llr6) AS BIGINT) AS dsir6
-       |  FROM inst i JOIN llr l USING (bucket) GROUP BY 1
+       |  FROM ${ns}inst i JOIN ${ns}llr l USING (bucket) GROUP BY 1
        |),
-       |scored AS (
+       |${ns}scored AS (
        |  SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
        |    coalesce(p.dsir6, 0) AS dsir6,
        |    CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
        |         ELSE round(CAST(p.dsir6 AS DOUBLE) / p.n_grams / 1000000.0, 6)
        |    END AS avg_llr
-       |  FROM $src d LEFT JOIN per p USING (doc_id)
+       |  FROM $src d LEFT JOIN ${ns}per p USING (doc_id)
        |)""".stripMargin
 
   private lazy val dsirCtes: String = dsirCtesOver("documents", "lang = 'en'")
@@ -312,22 +318,36 @@ object DataOracles {
       |  FROM q JOIN rep r USING (doc_id) JOIN dng g USING (doc_id)
       |)""".stripMargin
 
+  /** The squash -> ppm-floor CTEs yielding `<ns>rated` =
+    * (doc_id, n_grams, dsir6, avg_llr, rate_ppm). Leading comma.
+    */
+  private[queries] def dsirRatedCtes(ns: String = ""): String =
+    s""",
+       |${ns}gate AS (
+       |  SELECT *, CAST(dsir6 AS DOUBLE) / 1000000.0 AS xd
+       |  FROM ${ns}scored
+       |),
+       |${ns}rated AS (
+       |  SELECT doc_id, n_grams, dsir6, avg_llr,
+       |    CAST(floor((1.0 + xd / (1.0 + abs(xd))) / 2.0 * 1000000.0 + 0.5)
+       |      AS BIGINT) AS rate_ppm
+       |  FROM ${ns}gate
+       |)""".stripMargin
+
+  /** The full DSIR model + rate CTEs, composable mid-WITH under a
+    * namespace — the q189 pipeline-v4 splice: `<ns>rated` carries every
+    * document's acceptance rate for the corpus-wide en-target fit.
+    */
+  private[queries] def dsirRatedBlock(ns: String): String =
+    dsirCtesOver("documents", "lang = 'en'", ns = ns, lead = "") +
+      dsirRatedCtes(ns)
+
   /** The q183 resampling-gate tail (squash -> ppm floor -> hex60 draw),
     * shared by every DSIR oracle that emits [[graft.text.TextOps
     * .dsirSample]]'s frame. Leading comma; closes the statement.
     */
   private lazy val dsirGateTail: String =
-    s""",
-       |gate AS (
-       |  SELECT *, CAST(dsir6 AS DOUBLE) / 1000000.0 AS xd
-       |  FROM scored
-       |),
-       |rated AS (
-       |  SELECT doc_id, n_grams, dsir6, avg_llr,
-       |    CAST(floor((1.0 + xd / (1.0 + abs(xd))) / 2.0 * 1000000.0 + 0.5)
-       |      AS BIGINT) AS rate_ppm
-       |  FROM gate
-       |)
+    s"""${dsirRatedCtes()}
        |SELECT doc_id, n_grams, dsir6, avg_llr, rate_ppm,
        |  ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm AS kept
        |FROM rated ORDER BY doc_id""".stripMargin
