@@ -607,6 +607,58 @@ object CorpusQueries {
       compactFlagshipStores(s, base)
       // final batch read: one frame scoring the corpus slice from all four
       flagshipScoreFrame(s, base, all.filter(bucket < 80))
+    }),
+
+    // STREAMING FLAGSHIP v2 — q163's composed session plus the DSIR
+    // importance model as a FIFTH concurrently-growing store family: the
+    // model batch-builds on the doc_id % 3 == 0 prefix (appends need the
+    // store's pinned m — the decontam-appender convention), the rest of
+    // the corpus streams through the exactly-once count-delta maintainer
+    // on its own checkpoint, and the final batch frame scores every
+    // corpus-slice document from ALL FIVE stores (LM nll, contamination,
+    // near-dup membership, length-bucket population, AND the DSIR weight
+    // + acceptance rate). The oracle is q163's composed monolith joined
+    // with the ds_-namespaced DSIR replay — five concurrent maintainers,
+    // one hash, and the stream remains unobservable. (Restart coverage:
+    // the composed four-maintainer drill in StreamingFlagshipSpec + the
+    // per-family streamed-DSIR restart drill in IngestStreamingSpec.)
+    "q190_streaming_flagship_v2" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      import graft.dedup.Dedup
+      val base = vocabPath(d) + "_sflag2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val all = docs(s, d)
+      def bucket = Dedup.hex60(col("doc_id").cast("string")) % 100
+      all.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in_all")
+      val bench = all.filter(bucket >= 80)
+      Dedup.buildDecontamStore(bench.filter(col("doc_id") % 3 === 0),
+        s"$base/dc", n = 3, k = 4, m = 1 << 20)
+      bench.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in_bench")
+      val isT = col("lang") === "en"
+      TextOps.saveDsir(all.filter(col("doc_id") % 3 === 0), isT, m = 1024,
+        s"$base/dsir")
+      all.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in_rest")
+      val running = startFlagshipMaintainers(
+          s, s"$base/in_all", s"$base/in_bench", base) :+
+        StreamingPipeline.dsirAppendStream(
+          StreamingPipeline.readColumnsStream(s, s"$base/in_rest",
+            "doc_id LONG, text STRING, lang STRING"),
+          isT, s"$base/dsir", s"$base/ck_dsir").start()
+      running.foreach(_.awaitTermination())
+      compactFlagshipStores(s, base)
+      TextOps.compactDsir(s, s"$base/dsir")
+      val slice = all.filter(bucket < 80)
+      flagshipScoreFrame(s, base, slice)
+        .join(TextOps.scoreWithDsir(
+            slice.select(col("doc_id"), col("text")), s"$base/dsir")
+          .select(col("doc_id"), col("dsir6"), col("rate_ppm")), Seq("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -685,6 +737,188 @@ object CorpusQueries {
         col("len_n"))
       .orderBy("doc_id")
   }
+
+  /** The q163 composed-oracle CTEs (minhash pair mining, bloom decontam
+    * replay, streamed-LM replay, per-lang length histogram), shared by the
+    * q190 v2 entry which appends the ds_-namespaced DSIR replay after them.
+    * No trailing comma.
+    */
+  private lazy val flagshipOracleCtes: String =
+    s"""${OracleCte.triCte},
+         |bkt AS (
+         |  SELECT doc_id, ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents
+         |),
+         |tri2 AS (
+         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
+         |),
+         |mh AS (
+         |  SELECT doc_id, p.i AS i,
+         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
+         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
+         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
+         |  GROUP BY doc_id, p.i
+         |),
+         |bandkeys AS (
+         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 4
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tri a ON a.doc_id = c.doc_a
+         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1,2
+         |),
+         |mpairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
+         |),
+         |dupids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM mpairs
+         |    UNION ALL SELECT doc_b AS doc_id FROM mpairs)
+         |),
+         |b AS (
+         |  SELECT t.doc_id, t.shingle, k.bucket
+         |  FROM tri t JOIN bkt k ON k.doc_id = t.doc_id
+         |),
+         |bench AS (SELECT DISTINCT shingle FROM b WHERE bucket >= 80),
+         |words AS (
+         |  SELECT bit >> 5 AS word_idx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(bit & 31 AS INT)) AS word
+         |  FROM (
+         |    SELECT ${hex60Sql("s.seed || ':' || bench.shingle")} % 1048576 AS bit
+         |    FROM bench CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+         |  ) GROUP BY 1
+         |),
+         |probes AS (
+         |  SELECT c.doc_id, c.shingle,
+         |    ${hex60Sql("s.seed || ':' || c.shingle")} % 1048576 AS bit
+         |  FROM (SELECT DISTINCT doc_id, shingle FROM b WHERE bucket < 80) c
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
+         |),
+         |flags AS (
+         |  SELECT p.doc_id, p.shingle,
+         |    (count(*) FILTER (WHERE
+         |      (w.word & (CAST(1 AS BIGINT) << CAST(p.bit & 31 AS INT))) <> 0) = 4) AS might
+         |  FROM probes p LEFT JOIN words w ON w.word_idx = p.bit >> 5
+         |  GROUP BY 1, 2
+         |),
+         |pres AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_present
+         |  FROM flags f JOIN bench bn ON bn.shingle = f.shingle
+         |  WHERE f.might GROUP BY 1
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM flags GROUP BY 1
+         |),
+         |dcv AS (
+         |  SELECT a.doc_id,
+         |    coalesce(p.n_present, CAST(0 AS BIGINT)) AS n_present,
+         |    coalesce(p.n_present, 0) > 0 AS contaminated
+         |  FROM agg a LEFT JOIN pres p ON p.doc_id = a.doc_id
+         |),
+         |lm_base AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+         |),
+         |lm_train AS (
+         |  SELECT lb.* FROM lm_base lb JOIN bkt k ON k.doc_id = lb.doc_id
+         |  WHERE k.bucket < 80
+         |),
+         |lm_uni AS (
+         |  SELECT w[i] AS g, count(*) AS c
+         |  FROM lm_train, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1
+         |),
+         |lm_bi AS (
+         |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c
+         |  FROM lm_train, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY 1
+         |),
+         |lm_tri AS (
+         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g, count(*) AS c
+         |  FROM lm_train, unnest(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
+         |),
+         |lm_corpus AS (
+         |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_train FROM lm_train
+         |),
+         |lm_inst AS (
+         |  -- scored docs = the bucket < 80 corpus slice = lm_train exactly
+         |  -- (the store's internal hex60 80% train gate over ALL delivered
+         |  -- docs lands on the same slice)
+         |  SELECT doc_id,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg,
+         |    w[i] || ' ' || w[i+1] AS w12,
+         |    w[i+1] || ' ' || w[i+2] AS w23,
+         |    w[i+1] AS w2, w[i+2] AS w3,
+         |    count(*) AS k
+         |  FROM lm_train, unnest(generate_series(1, len(w)-2)) AS t(i)
+         |  GROUP BY 1, 2, 3, 4, 5, 6
+         |),
+         |lm_scored AS (
+         |  SELECT i.doc_id, i.k, t3.c AS c3,
+         |    CASE
+         |      WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b1.c
+         |      WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
+         |      WHEN u3.c IS NOT NULL THEN 0.16 * u3.c / lm_corpus.n_train
+         |    END AS s
+         |  FROM lm_inst i
+         |  LEFT JOIN lm_tri t3 ON i.tg = t3.g
+         |  LEFT JOIN lm_bi b1 ON i.w12 = b1.g
+         |  LEFT JOIN lm_bi b2 ON i.w23 = b2.g
+         |  LEFT JOIN lm_uni u2 ON i.w2 = u2.g
+         |  LEFT JOIN lm_uni u3 ON i.w3 = u3.g
+         |  CROSS JOIN lm_corpus
+         |),
+         |lm_q AS (
+         |  SELECT doc_id, k, c3, s,
+         |    CASE WHEN s IS NOT NULL
+         |         THEN CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT) END AS nll6
+         |  FROM lm_scored
+         |),
+         |lm_per AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
+         |    round(CAST(sum(CASE WHEN s IS NOT NULL THEN k * nll6 ELSE 0 END) AS DOUBLE)
+         |      / greatest(sum(CASE WHEN s IS NOT NULL THEN k ELSE 0 END), 1) / 1000000.0, 6) AS nll
+         |  FROM lm_q GROUP BY 1
+         |),
+         |hb AS (
+         |  SELECT lang,
+         |    CAST(least(greatest(floor(n_chars / 50.0), 0.0), 19.0) AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS len_n
+         |  FROM documents GROUP BY 1, 2
+         |)""".stripMargin
+
+  /** The flagship final SELECT, parameterized for v2's extra DSIR columns
+    * and join.
+    */
+  private def flagshipSelect(extraCols: String = "", extraJoin: String = ""): String =
+    s"""SELECT d.doc_id,
+         |  coalesce(p.nll, 0.0) AS nll,
+         |  coalesce(p.n_unseen, CAST(0 AS BIGINT)) AS n_unseen,
+         |  coalesce(v.contaminated, false) AS contaminated,
+         |  coalesce(v.n_present, CAST(0 AS BIGINT)) AS n_present,
+         |  (du.doc_id IS NOT NULL) AS near_dup,
+         |  hb.len_n AS len_n$extraCols
+         |FROM documents d
+         |JOIN bkt k ON k.doc_id = d.doc_id AND k.bucket < 80
+         |LEFT JOIN lm_per p ON p.doc_id = d.doc_id
+         |LEFT JOIN dcv v ON v.doc_id = d.doc_id
+         |LEFT JOIN dupids du ON du.doc_id = d.doc_id
+         |JOIN hb ON hb.lang = d.lang
+         |  AND hb.bucket = CAST(least(greatest(floor(d.n_chars / 50.0), 0.0), 19.0) AS INT)$extraJoin
+         |ORDER BY d.doc_id""".stripMargin
 
   /** The q115 stage CTEs (nw .. packstat), shared verbatim by the q160
     * pipeline-v2 oracle which appends profiler + ridge CTEs after them.
@@ -1252,176 +1486,16 @@ object CorpusQueries {
     // names), and the (lang, 50-char-bucket) histogram — joined per corpus
     // document. The stream side must be indistinguishable.
     "q163_streaming_flagship" ->
-      s"""WITH ${OracleCte.triCte},
-         |bkt AS (
-         |  SELECT doc_id, ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
-         |  FROM documents
-         |),
-         |tri2 AS (
-         |  SELECT doc_id, ${hex60Sql("shingle")} % 2147483647 AS base FROM tri
-         |),
-         |mh AS (
-         |  SELECT doc_id, p.i AS i,
-         |         min((((1103515245*(p.i+1) + 12345) % 2147483647 * 2 + 1) % 2147483647 * base
-         |              + (p.i+1) * 2654435761 % 2147483647) % 2147483647) AS minh
-         |  FROM tri2, unnest(generate_series(0, 15)) AS p(i)
-         |  GROUP BY doc_id, p.i
-         |),
-         |bandkeys AS (
-         |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
-         |         md5(CAST(i // 4 AS INT)::VARCHAR || ':' || string_agg(minh::VARCHAR, ',' ORDER BY i)) AS band_key
-         |  FROM mh GROUP BY doc_id, i // 4
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandkeys a JOIN bandkeys b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN tri a ON a.doc_id = c.doc_a
-         |  JOIN tri b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1,2
-         |),
-         |mpairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.8
-         |),
-         |dupids AS (
-         |  SELECT DISTINCT doc_id FROM (
-         |    SELECT doc_a AS doc_id FROM mpairs
-         |    UNION ALL SELECT doc_b AS doc_id FROM mpairs)
-         |),
-         |b AS (
-         |  SELECT t.doc_id, t.shingle, k.bucket
-         |  FROM tri t JOIN bkt k ON k.doc_id = t.doc_id
-         |),
-         |bench AS (SELECT DISTINCT shingle FROM b WHERE bucket >= 80),
-         |words AS (
-         |  SELECT bit >> 5 AS word_idx,
-         |    bit_or(CAST(1 AS BIGINT) << CAST(bit & 31 AS INT)) AS word
-         |  FROM (
-         |    SELECT ${hex60Sql("s.seed || ':' || bench.shingle")} % 1048576 AS bit
-         |    FROM bench CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
-         |  ) GROUP BY 1
-         |),
-         |probes AS (
-         |  SELECT c.doc_id, c.shingle,
-         |    ${hex60Sql("s.seed || ':' || c.shingle")} % 1048576 AS bit
-         |  FROM (SELECT DISTINCT doc_id, shingle FROM b WHERE bucket < 80) c
-         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS seed) s
-         |),
-         |flags AS (
-         |  SELECT p.doc_id, p.shingle,
-         |    (count(*) FILTER (WHERE
-         |      (w.word & (CAST(1 AS BIGINT) << CAST(p.bit & 31 AS INT))) <> 0) = 4) AS might
-         |  FROM probes p LEFT JOIN words w ON w.word_idx = p.bit >> 5
-         |  GROUP BY 1, 2
-         |),
-         |pres AS (
-         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_present
-         |  FROM flags f JOIN bench bn ON bn.shingle = f.shingle
-         |  WHERE f.might GROUP BY 1
-         |),
-         |agg AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
-         |  FROM flags GROUP BY 1
-         |),
-         |dcv AS (
-         |  SELECT a.doc_id,
-         |    coalesce(p.n_present, CAST(0 AS BIGINT)) AS n_present,
-         |    coalesce(p.n_present, 0) > 0 AS contaminated
-         |  FROM agg a LEFT JOIN pres p ON p.doc_id = a.doc_id
-         |),
-         |lm_base AS (
-         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
-         |),
-         |lm_train AS (
-         |  SELECT lb.* FROM lm_base lb JOIN bkt k ON k.doc_id = lb.doc_id
-         |  WHERE k.bucket < 80
-         |),
-         |lm_uni AS (
-         |  SELECT w[i] AS g, count(*) AS c
-         |  FROM lm_train, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1
-         |),
-         |lm_bi AS (
-         |  SELECT w[i] || ' ' || w[i+1] AS g, count(*) AS c
-         |  FROM lm_train, unnest(generate_series(1, len(w)-1)) AS t(i) GROUP BY 1
-         |),
-         |lm_tri AS (
-         |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g, count(*) AS c
-         |  FROM lm_train, unnest(generate_series(1, len(w)-2)) AS t(i) GROUP BY 1
-         |),
-         |lm_corpus AS (
-         |  SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_train FROM lm_train
-         |),
-         |lm_inst AS (
-         |  -- scored docs = the bucket < 80 corpus slice = lm_train exactly
-         |  -- (the store's internal hex60 80% train gate over ALL delivered
-         |  -- docs lands on the same slice)
-         |  SELECT doc_id,
-         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg,
-         |    w[i] || ' ' || w[i+1] AS w12,
-         |    w[i+1] || ' ' || w[i+2] AS w23,
-         |    w[i+1] AS w2, w[i+2] AS w3,
-         |    count(*) AS k
-         |  FROM lm_train, unnest(generate_series(1, len(w)-2)) AS t(i)
-         |  GROUP BY 1, 2, 3, 4, 5, 6
-         |),
-         |lm_scored AS (
-         |  SELECT i.doc_id, i.k, t3.c AS c3,
-         |    CASE
-         |      WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b1.c
-         |      WHEN b2.c IS NOT NULL THEN 0.4 * b2.c / u2.c
-         |      WHEN u3.c IS NOT NULL THEN 0.16 * u3.c / lm_corpus.n_train
-         |    END AS s
-         |  FROM lm_inst i
-         |  LEFT JOIN lm_tri t3 ON i.tg = t3.g
-         |  LEFT JOIN lm_bi b1 ON i.w12 = b1.g
-         |  LEFT JOIN lm_bi b2 ON i.w23 = b2.g
-         |  LEFT JOIN lm_uni u2 ON i.w2 = u2.g
-         |  LEFT JOIN lm_uni u3 ON i.w3 = u3.g
-         |  CROSS JOIN lm_corpus
-         |),
-         |lm_q AS (
-         |  SELECT doc_id, k, c3, s,
-         |    CASE WHEN s IS NOT NULL
-         |         THEN CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT) END AS nll6
-         |  FROM lm_scored
-         |),
-         |lm_per AS (
-         |  SELECT doc_id,
-         |    CAST(sum(CASE WHEN s IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
-         |    round(CAST(sum(CASE WHEN s IS NOT NULL THEN k * nll6 ELSE 0 END) AS DOUBLE)
-         |      / greatest(sum(CASE WHEN s IS NOT NULL THEN k ELSE 0 END), 1) / 1000000.0, 6) AS nll
-         |  FROM lm_q GROUP BY 1
-         |),
-         |hb AS (
-         |  SELECT lang,
-         |    CAST(least(greatest(floor(n_chars / 50.0), 0.0), 19.0) AS INT) AS bucket,
-         |    CAST(count(*) AS BIGINT) AS len_n
-         |  FROM documents GROUP BY 1, 2
-         |)
-         |SELECT d.doc_id,
-         |  coalesce(p.nll, 0.0) AS nll,
-         |  coalesce(p.n_unseen, CAST(0 AS BIGINT)) AS n_unseen,
-         |  coalesce(v.contaminated, false) AS contaminated,
-         |  coalesce(v.n_present, CAST(0 AS BIGINT)) AS n_present,
-         |  (du.doc_id IS NOT NULL) AS near_dup,
-         |  hb.len_n AS len_n
-         |FROM documents d
-         |JOIN bkt k ON k.doc_id = d.doc_id AND k.bucket < 80
-         |LEFT JOIN lm_per p ON p.doc_id = d.doc_id
-         |LEFT JOIN dcv v ON v.doc_id = d.doc_id
-         |LEFT JOIN dupids du ON du.doc_id = d.doc_id
-         |JOIN hb ON hb.lang = d.lang
-         |  AND hb.bucket = CAST(least(greatest(floor(d.n_chars / 50.0), 0.0), 19.0) AS INT)
-         |ORDER BY d.doc_id""".stripMargin
+      s"""WITH $flagshipOracleCtes
+         |${flagshipSelect()}""".stripMargin,
+    // five concurrent maintainers, one hash: q163's monolith + the
+    // ds_-namespaced DSIR replay joined per doc
+    "q190_streaming_flagship_v2" ->
+      s"""WITH $flagshipOracleCtes,
+         |${DataOracles.dsirRatedBlock("ds")}
+         |${flagshipSelect(
+             extraCols = ",\n  r.dsir6 AS dsir6,\n  r.rate_ppm AS rate_ppm",
+             extraJoin = "\nJOIN dsrated r ON r.doc_id = d.doc_id")}""".stripMargin
   )
 
   /** Span-removal oracle, parameterized on the span length — the same

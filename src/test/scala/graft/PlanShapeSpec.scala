@@ -77,7 +77,8 @@ class PlanShapeSpec extends SparkSpec {
     "q185_dsir_streamed", // same, stream-grown store
     "q186_dsir_delta", // same, delta-maintained store scoring snapshot B
     "q188_filter_funnel", // 1-row corpus-total broadcast onto the 4-row stage frame
-    "q189_pipeline_v4") // q174's 1-row frames + the DSIR model's 1-row totals broadcast
+    "q189_pipeline_v4", // q174's 1-row frames + the DSIR model's 1-row totals broadcast
+    "q190_streaming_flagship_v2") // q163's 1-row LM-stats broadcast + the DSIR 1-row totals
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
