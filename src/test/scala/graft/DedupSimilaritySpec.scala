@@ -475,6 +475,36 @@ class DedupSimilaritySpec extends SparkSpec {
       "pq physical application broke")
   }
 
+  test("composed ivf-pq store search: retirements on EITHER store filter the probe") {
+    // ivfPqProbeStores reads two independent retirement ledgers (the IVF
+    // cells drive candidates, the PQ codes drive scoring) — a dead row
+    // surviving on EITHER side resurrects a neighbor, which the per-family
+    // drills cannot see
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val vecs = mk(0L to 19L)
+    val queries = mk(0L to 4L)
+    val pi = java.nio.file.Files.createTempDirectory("graft_ivfpq_ri").toString
+    val pp = java.nio.file.Files.createTempDirectory("graft_ivfpq_rp").toString
+    Similarity.buildIvfIndex(vecs, numCentroids = 2, iters = 2, pi)
+    Similarity.buildPqIndex(vecs, m = 2, k = 4, iters = 2, pp, dim = 8)
+    def neighbors(): Set[Long] =
+      Similarity.ivfPqProbeStores(queries, pi, pp, k = 15, nprobe = 2)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val base = neighbors()
+    assert(base.contains(7L) && base.contains(9L), "baseline probe too sparse")
+    // retire 7 on the IVF side only and 9 on the PQ side only: both must
+    // vanish — a candidate without a code row, and a code row without a
+    // candidate, are each half-dead and must read as dead
+    assert(Similarity.retireIvfVectors(spark, pi, Seq(7L).toDF("vec_id"), retireId = 1))
+    assert(Similarity.retirePqVectors(spark, pp, Seq(9L).toDF("vec_id"), retireId = 1))
+    val live = neighbors()
+    assert(!live.contains(7L), "IVF-side retirement ignored by the composed search")
+    assert(!live.contains(9L), "PQ-side retirement ignored by the composed search")
+    assert(live.contains(8L), "liveness over-killed")
+  }
+
   test("LSH and PQ stores: minor compaction merges debris only, bases untouched, probes identical") {
     val rng = new scala.util.Random(41)
     def mk(r: Range) = r.map { i =>
