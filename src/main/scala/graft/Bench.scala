@@ -121,7 +121,7 @@ object Bench {
     "q128_span_removal", "q129_span_removal_wide", "q131_ann_pq_adc",
     "q133_ann_ivfpq", "q152_pca_moments", "q154_tfidf_ann", "q164_logit_fit",
     "q173_lang_mixture", "q174_pipeline_v3", "q182_dsir_weights",
-    "q187_filter_attribution")
+    "q186_dsir_delta", "q187_filter_attribution")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings
