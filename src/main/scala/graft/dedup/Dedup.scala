@@ -572,26 +572,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup cluster representative selection — the curation verdict the
-    * cluster map exists FOR: keep exactly ONE document per near-dup
-    * cluster, the highest-quality member (ties break to the smallest id);
-    * a document in no cluster is its own singleton representative. This
-    * upgrades the reference's keep-FIRST dedup convention
-    * (`backend/app/services/ingestion.py:214-227`, first-write-wins) to
-    * keep-BEST over a learned/heuristic quality column.
-    *
-    * `scored` carries (idCol, qCol) for every document; `clusters` is a
-    * (idCol, cluster_id) map such as [[graft.queries.AnalyticsQueries]]'
-    * connected components — it may cover only clustered docs. Output adds
-    * `cluster_id`, `n_members`, `keep` (1 for the representative).
-    *
-    * Scale shape: one left join keyed on the id, then one window pass
-    * keyed on cluster_id (count + row_number share the partitioning, so
-    * it is a single shuffle); no driver state, no cross-cluster traffic —
-    * corpus-sized cluster maps change nothing. Quality doubles compare
-    * engine-identically when derived by identical IEEE ops (the q31
-    * contract), so the argmax is exactly replayable.
-    */
   /** Corpus snapshot delta — the incremental-crawl primitive: classify
     * every document across two snapshots of the same corpus as `added`
     * (only in B), `removed` (only in A), `changed` (both, content hash
@@ -617,6 +597,26 @@ object Dedup {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Near-dup cluster representative selection — the curation verdict the
+    * cluster map exists FOR: keep exactly ONE document per near-dup
+    * cluster, the highest-quality member (ties break to the smallest id);
+    * a document in no cluster is its own singleton representative. This
+    * upgrades the reference's keep-FIRST dedup convention
+    * (`backend/app/services/ingestion.py:214-227`, first-write-wins) to
+    * keep-BEST over a learned/heuristic quality column.
+    *
+    * `scored` carries (idCol, qCol) for every document; `clusters` is a
+    * (idCol, cluster_id) map such as [[graft.queries.AnalyticsQueries]]'
+    * connected components — it may cover only clustered docs. Output adds
+    * `cluster_id`, `n_members`, `keep` (1 for the representative).
+    *
+    * Scale shape: one left join keyed on the id, then one window pass
+    * keyed on cluster_id (count + row_number share the partitioning, so
+    * it is a single shuffle); no driver state, no cross-cluster traffic —
+    * corpus-sized cluster maps change nothing. Quality doubles compare
+    * engine-identically when derived by identical IEEE ops (the q31
+    * contract), so the argmax is exactly replayable.
+    */
   def clusterRepresentatives(scored: DataFrame, clusters: DataFrame,
                              idCol: String = "doc_id", qCol: String = "q"): DataFrame = {
     val lab = scored.join(clusters, Seq(idCol), "left")

@@ -221,10 +221,18 @@ object Logit {
     * calibration — exact, engine-stable arithmetic: avg_y is already a
     * quantized 6-decimal multiple). The bin table is <= 10 rows and joins
     * broadcast; scoring stays map-shaped at any corpus size.
+    *
+    * Total over the scored frame: a bin ABSENT from `bins` (possible when
+    * new data is scored against training-time bins whose deciles it never
+    * populated) falls back to the raw p rather than silently dropping the
+    * document — calibration degrades, coverage never does. With bins
+    * derived from the same scored frame (every current caller) the left
+    * join matches every row and the fallback is inert.
     */
   def calibratedPredict(scored: DataFrame, bins: DataFrame, idCol: String): DataFrame =
     scored.select(col(idCol), col("p"),
         least(floor(col("p") * 10), lit(9.0)).cast("int").as("bin"))
-      .join(broadcast(bins.select(col("bin"), col("avg_y").as("p_cal"))), Seq("bin"))
-      .select(col(idCol), col("p"), col("bin"), col("p_cal"))
+      .join(broadcast(bins.select(col("bin"), col("avg_y").as("cal"))), Seq("bin"), "left")
+      .select(col(idCol), col("p"), col("bin"),
+        coalesce(col("cal"), col("p")).as("p_cal"))
 }

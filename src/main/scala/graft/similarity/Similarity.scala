@@ -759,12 +759,18 @@ object Similarity {
     * Returns the number of data dirs compacted (0 = nothing to do).
     */
   /** `transform` sees the store rows WITH their `batch` partition column
-    * (applied before the column is dropped) — the minhash retirement
-    * compaction filters through it. `baseId` is where the merged rows land:
-    * 0 for the index stores (the minor-compaction base contract), the MAX
-    * data id for the minhash store so the batch-vs-retirement ordering rule
-    * stays correct if blanking the applied retirement rows crashes midway
+    * (applied before the column is dropped) — the retirement compactions
+    * filter through it. `baseId` is where the merged rows land: 0 when no
+    * retirement is pending, the MAX data id when one is (every family —
+    * index stores and minhash alike — passes `baseAtMaxId =
+    * retired.nonEmpty`) so the batch-vs-retirement ordering rule stays
+    * correct if blanking the applied retirement rows crashes midway
     * (rows at maxId can never be re-killed by a retirement id <= maxId).
+    * A relocated (non-zero) base is recorded in a `_base` marker file at
+    * the half's root, staged WITH the tree so the two-rename swap keeps
+    * it crash-consistent — [[compactBatchStoreMinor]] reads it to keep
+    * excluding the base from the debris merge (absence means base 0; a
+    * full rebuild deletes the half, so no stale marker can survive).
     */
   private[graft] def compactBatchStore(spark: SparkSession, dir: String,
                                 partitionCols: Seq[String],
@@ -799,6 +805,7 @@ object Similarity {
     w.mode("overwrite").parquet(s"$staging/batch=$baseId")
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+    if (baseId != 0L) writeBaseMarker(fs, staging.toString, baseId)
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
     fs.delete(prev, true)
     require(fs.rename(main, prev), s"could not move $main aside to $prev")
@@ -807,11 +814,40 @@ object Similarity {
     dataIds.length
   }
 
+  /** Record where a full rewrite landed the merged base: a `_base` marker
+    * (one line, the base's batch id) at the half's root, written INTO the
+    * staged tree so it publishes atomically with the swap. Underscore
+    * prefix keeps it invisible to parquet listings, like `_minor-pending`.
+    */
+  private[graft] def writeBaseMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String, baseId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_base"), true)
+    try out.write(baseId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The half's current base batch id: the `_base` marker if a
+    * retirement-applying full rewrite relocated the base, else 0 (the
+    * builders' layout). [[compactBatchStoreMinor]] excludes this id from
+    * the debris merge — the 'cost ∝ debris, never store size' contract.
+    */
+  private[graft] def readBaseId(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String): Long = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_base")
+    if (!fs.exists(marker)) 0L
+    else {
+      val in = fs.open(marker)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      txt.trim.toLong
+    }
+  }
+
   /** MINOR (debris-only) compaction — the LSM analogue of
     * [[compactBatchStore]]'s full rewrite, and the append-heavy 100 TB
-    * answer: ONLY the appended `batch=<id != 0>` dirs merge (into the
-    * greatest data id), the base `batch=0` — the bulk of the store — is
-    * never read or rewritten, so the cost is proportional to the DEBRIS,
+    * answer: ONLY the appended debris dirs merge (into the greatest
+    * debris id), the base batch dir — `batch=0`, or the relocated base a
+    * `_base` marker records after a retirement-applying full rewrite —
+    * is never read or rewritten, so the cost is proportional to the DEBRIS,
     * not the store size. Fold the merged debris into the base with an
     * occasional full [[compactBatchStore]]; run this per maintenance
     * cycle. The append ledger survives: every previously-published id
@@ -860,9 +896,12 @@ object Similarity {
     if (!fs.exists(main)) return 0
     val batchDirs = fs.listStatus(main)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    // the base — 0, or wherever a retirement-applying full rewrite
+    // relocated it (the `_base` marker) — is never debris
+    val baseId = readBaseId(fs, dir)
     val dataIds = batchDirs.filter(s => fs.listFiles(s.getPath, true).hasNext)
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(_ != 0L).sorted
+      .filter(_ != baseId).sorted
     if (dataIds.length <= 1) return 0
     val target = dataIds.max
     val staged = new org.apache.hadoop.fs.Path(s"$dir/.minor-staged")
@@ -1154,6 +1193,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$stagingCells/batch=$baseId")
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingCells/batch=$id")))
+    if (baseId != 0L) writeBaseMarker(fs, stagingCells.toString, baseId)
     val stagingCent = new org.apache.hadoop.fs.Path(s"$path/.centroids-reindex")
     fs.delete(stagingCent, true)
     cent.write.mode("overwrite").parquet(stagingCent.toString)
@@ -1217,6 +1257,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$stagingSigs/batch=$baseId")
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingSigs/batch=$id")))
+    if (baseId != 0L) writeBaseMarker(fs, stagingSigs.toString, baseId)
     val stagingCfg = new org.apache.hadoop.fs.Path(s"$path/.config-reindex")
     fs.delete(stagingCfg, true)
     import spark.implicits._

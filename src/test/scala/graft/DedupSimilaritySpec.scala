@@ -414,6 +414,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(canon() == before)
   }
 
+  test("relocated base after retirement compaction: minor merge stays debris-only") {
+    def mk(ids: Seq[Long], salt: Int = 0) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7 + salt * 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_relobase").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.buildIvfIndex(mk(0L to 9L), numCentroids = 2, iters = 2, p)
+    assert(Similarity.ivfAppendCells(mk(10L to 14L), p, appendId = 1))
+    assert(Similarity.retireIvfVectors(spark, p, Seq(5L).toDF("vec_id"), retireId = 2))
+    // the retirement-applying full compaction re-lands the merged base at
+    // the MAX data id (1) and records the relocation in the _base marker
+    assert(Similarity.compactIvfIndex(spark, p) == 2)
+    assert(Similarity.readBaseId(fs, s"$p/cells") == 1L,
+      "_base marker must record the relocated base id")
+    assert(!fs.listFiles(hp(s"$p/cells/batch=0"), true).hasNext,
+      "batch=0 must be a file-less tombstone after relocation")
+    // fresh debris lands ABOVE the relocated base
+    assert(Similarity.ivfAppendCells(mk(15L to 19L), p, appendId = 3))
+    assert(Similarity.ivfAppendCells(mk(20L to 24L), p, appendId = 4))
+    val queries = mk(0L to 24L)
+    def canon(): Seq[String] =
+      Similarity.probeIvfIndex(queries, p, k = 3, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    def listing(dir: String): Seq[String] = {
+      val it = fs.listFiles(hp(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) { val f = it.next(); buf += s"${f.getPath}:${f.getLen}" }
+      buf.sorted.toSeq
+    }
+    val before = canon()
+    val baseFiles = listing(s"$p/cells/batch=1")
+    // exactly the two appended dirs merge; the relocated base — the bulk
+    // of the store — is byte-for-byte untouched (the ∝-debris contract)
+    assert(Similarity.compactIvfIndexMinor(spark, p) == 2,
+      "relocated base must be excluded from the debris merge")
+    assert(listing(s"$p/cells/batch=1") == baseFiles,
+      "minor compaction rewrote the RELOCATED base")
+    assert(canon() == before, "minor merge over a relocated base changed probes")
+    // a later full compaction (no retirement pending) folds everything
+    // back to batch=0; the marker disappears with the swapped tree
+    assert(Similarity.compactIvfIndex(spark, p) == 2)
+    assert(Similarity.readBaseId(fs, s"$p/cells") == 0L,
+      "marker must not survive a base-at-0 full rewrite")
+    assert(fs.listFiles(hp(s"$p/cells/batch=0"), true).hasNext)
+    assert(canon() == before)
+  }
+
   test("lsh/pq store retirement: both halves filter; lsh reindex keeps the ledger") {
     def mk(ids: Seq[Long], salt: Int = 0) = ids.map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7 + salt * 13).toFloat))
