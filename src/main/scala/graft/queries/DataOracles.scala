@@ -25,6 +25,23 @@ object DataOracles {
       |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 17 = 5
       |)""".stripMargin
 
+  /** [[snapshotBSql]] carrying the full document row — mirrors
+    * [[DataQueries.snapshotBFull]] exactly (metadata persists across a
+    * revision, n_chars tracks the edit: +5 for ' rev2', +4 for 'new ').
+    * The q191 oracle roots the ENTIRE monolithic pipeline-v4 replay here.
+    */
+  private[queries] val snapshotBFullSql: String =
+    """bsnap AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text,
+      |    lang, source,
+      |    CASE WHEN doc_id % 7 = 2 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 13 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new ' || text, lang, source, n_chars + 4
+      |  FROM documents WHERE doc_id % 17 = 5
+      |)""".stripMargin
+
 
   /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
     * definition — [[OracleCte.triCte]] — shared with the sketch oracles).
@@ -338,8 +355,9 @@ object DataOracles {
     * namespace — the q189 pipeline-v4 splice: `<ns>rated` carries every
     * document's acceptance rate for the corpus-wide en-target fit.
     */
-  private[queries] def dsirRatedBlock(ns: String): String =
-    dsirCtesOver("documents", "lang = 'en'", ns = ns, lead = "") +
+  private[queries] def dsirRatedBlock(ns: String,
+                                      src: String = "documents"): String =
+    dsirCtesOver(src, "lang = 'en'", ns = ns, lead = "") +
       dsirRatedCtes(ns)
 
   /** The q183 resampling-gate tail (squash -> ppm floor -> hex60 draw),

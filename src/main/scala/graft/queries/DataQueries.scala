@@ -1372,4 +1372,25 @@ object DataQueries {
       .unionByName(a.filter(col("doc_id") % 17 === 5)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("new "), col("text")).as("text")))
+
+  /** [[snapshotB]] carrying the FULL document row — the q191 incremental
+    * pipeline needs lang (the DSIR target), source (the balance stage),
+    * and n_chars (the profiler and the ridge label). Metadata persists
+    * across a revision; n_chars tracks the text edit exactly (+5 for
+    * ' rev2', +4 for the 'new ' prefix) so both engines derive the
+    * identical snapshot with integer arithmetic.
+    */
+  private[queries] def snapshotBFull(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"),
+        when(col("doc_id") % 7 === 2, col("n_chars") + 5)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(a.filter(col("doc_id") % 17 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + 4).as("n_chars")))
 }
