@@ -132,6 +132,65 @@ object CorpusQueries {
     (pre, one, prof, score, samp, gate)
   }
 
+  /** Per-document kill matrix of the FULL v4 pipeline — q187's treatment
+    * lifted from the standalone text rules to the pipeline's own stages.
+    * At 100 TB "why did my crawl slice vanish" is asked of the PIPELINE:
+    * this frame answers it with every stage's survival verdict per
+    * document plus `first_fail` (the stage a sequential run charges the
+    * kill to). Verdicts are CUMULATIVE by construction — the pipeline is
+    * a sequential funnel, so each stage's verdict is over its actual
+    * input population (contrast q187, whose rules are independent):
+    * length, exact-dup winner, near-dup, quality, balance draw, the
+    * calibrated-classifier draw, and the DSIR draw. The model columns
+    * (p_cal, rate_ppm) exist for EVERY document — the classifier and the
+    * DSIR fit are corpus-wide (q189's stages) — so the charge is exact
+    * even for docs killed upstream.
+    */
+  private def pipelineKillMatrix(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup
+    val (raw, packed) = pipelineFlags(s, d)
+    val lf = DataQueries.logitFrame(s, d)
+    val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
+    val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
+      .join(lf.select(col("doc_id"), col("y")), "doc_id")
+      .localCheckpoint(true) // one fit; bins + per-doc p_cal read the same scores
+    val bins = graft.operators.Logit.calibrationBins(lpred)
+    val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
+    val allDocs = docs(s, d)
+    val rate = TextOps.dsirSample(TextOps.dsirScore(allDocs,
+        TextOps.dsirBucketLlr(allDocs.filter(col("lang") === "en"), allDocs)))
+      .select(col("doc_id"), col("rate_ppm"))
+    raw.select(col("doc_id"), col("n_words"))
+      .join(packed.select(col("doc_id"), col("near"), col("qual"), col("bal")),
+        Seq("doc_id"), "left")
+      .join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
+      .join(rate, "doc_id")
+      .withColumn("pass_length", col("n_words") >= 3)
+      .withColumn("pass_exact", col("near").isNotNull) // a packed row == exact winner
+      .withColumn("pass_near", coalesce(col("near"), lit(false)))
+      .withColumn("pass_quality", coalesce(col("qual"), lit(false)))
+      .withColumn("pass_balance", coalesce(col("bal"), lit(false)))
+      .withColumn("pass_classifier", col("pass_balance") &&
+        Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
+          floor(col("p_cal") * 1e6).cast("long"))
+      .withColumn("pass_dsir", col("pass_classifier") &&
+        Dedup.hex60(concat(col("doc_id").cast("string"), lit(":dsir"))) % 1000000L
+          < col("rate_ppm"))
+      .withColumn("first_fail",
+        when(!col("pass_length"), "length")
+          .when(!col("pass_exact"), "exact_dup")
+          .when(!col("pass_near"), "near_dup")
+          .when(!col("pass_quality"), "quality")
+          .when(!col("pass_balance"), "balance")
+          .when(!col("pass_classifier"), "classifier")
+          .when(!col("pass_dsir"), "dsir")
+          .otherwise("none"))
+      .withColumn("kept", col("pass_dsir"))
+      .select(col("doc_id"), col("n_words"), col("pass_length"), col("pass_exact"),
+        col("pass_near"), col("pass_quality"), col("pass_balance"),
+        col("pass_classifier"), col("pass_dsir"), col("first_fail"), col("kept"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Unigram-LM quality score (add-one smoothing, corpus-fit).
     "q95_unigram_nll" -> ((s, d) =>
@@ -705,6 +764,40 @@ object CorpusQueries {
         .orderBy("stage")
     }),
 
+    // The v4 pipeline's per-document kill matrix (see
+    // [[pipelineKillMatrix]]) — every stage verdict + first-fail charging,
+    // reconciling with q189's stage counts by shared construction; the
+    // oracle replays the same monolithic CTEs per document.
+    "q192_pipeline_kill_matrix" -> ((s, d) =>
+      pipelineKillMatrix(s, d).orderBy("doc_id")),
+
+    // The survival funnel over that matrix: (stage, n_in, n_killed,
+    // n_out), sequential-chain accounting — each stage's n_out is q189's
+    // matching stage count (d2..d6, k1, x1) and the last n_out is the v4
+    // training set size.
+    "q193_pipeline_funnel" -> ((s, d) => {
+      val agg = pipelineKillMatrix(s, d).agg(
+        count(lit(1)).as("n0"),
+        count(when(col("pass_length"), 1)).as("n1"),
+        count(when(col("pass_exact"), 1)).as("n2"),
+        count(when(col("pass_near"), 1)).as("n3"),
+        count(when(col("pass_quality"), 1)).as("n4"),
+        count(when(col("pass_balance"), 1)).as("n5"),
+        count(when(col("pass_classifier"), 1)).as("n6"),
+        count(when(col("pass_dsir"), 1)).as("n7"))
+      agg.selectExpr(
+        """stack(7,
+          |  '1_length',     n0, n0 - n1, n1,
+          |  '2_exact_dup',  n1, n1 - n2, n2,
+          |  '3_near_dup',   n2, n2 - n3, n3,
+          |  '4_quality',    n3, n3 - n4, n4,
+          |  '5_balance',    n4, n4 - n5, n5,
+          |  '6_classifier', n5, n5 - n6, n6,
+          |  '7_dsir',       n6, n6 - n7, n7
+          |) AS (stage, n_in, n_killed, n_out)""".stripMargin)
+        .orderBy("stage")
+    }),
+
     // Delta-driven LM store maintenance — the UN-learn path (q175's
     // corpusDelta made load-bearing for the count-table family): the store
     // is the fit over snapshot A; the crawl moves to snapshot B; instead of
@@ -1212,6 +1305,41 @@ object CorpusQueries {
     */
   private lazy val pipelineV2OracleCtes: String = pipelineV2OracleCtesOver("documents")
 
+  /** The q192/q193 per-document matrix CTEs: the monolithic v4 stage
+    * CTEs (no ridge — the score stage kills nothing) re-joined back to
+    * every raw document, with the corpus-wide classifier calibration
+    * (cal3) and DSIR rates (dsrated) attached per doc. `mrow` carries the
+    * seven cumulative stage verdicts.
+    */
+  private lazy val pipelineMatrixCtes: String =
+    s"""$pipelineOracleCtes,
+       |${DataOracles.logitCtes(iters = 30, lr = 0.5, lambda = 0.001)},
+       |$pipelineV3OracleMid,
+       |${DataOracles.dsirRatedBlock("ds")},
+       |mrow AS (
+       |  SELECT nw.doc_id, nw.n_words,
+       |    nw.n_words >= 3 AS pass_length,
+       |    (e.doc_id IS NOT NULL) AS pass_exact,
+       |    (n2.doc_id IS NOT NULL) AS pass_near,
+       |    (q.doc_id IS NOT NULL) AS pass_quality,
+       |    (b.doc_id IS NOT NULL) AS pass_balance,
+       |    (b.doc_id IS NOT NULL
+       |     AND ${hex60Sql("CAST(nw.doc_id AS VARCHAR)")} % 1000000
+       |       < CAST(floor(c.p_cal * 1000000.0) AS BIGINT)) AS pass_classifier,
+       |    (b.doc_id IS NOT NULL
+       |     AND ${hex60Sql("CAST(nw.doc_id AS VARCHAR)")} % 1000000
+       |       < CAST(floor(c.p_cal * 1000000.0) AS BIGINT)
+       |     AND ${hex60Sql("CAST(nw.doc_id AS VARCHAR) || ':dsir'")} % 1000000
+       |       < r.rate_ppm) AS pass_dsir
+       |  FROM nw
+       |  LEFT JOIN exact e ON e.doc_id = nw.doc_id
+       |  LEFT JOIN near n2 ON n2.doc_id = nw.doc_id
+       |  LEFT JOIN qual q ON q.doc_id = nw.doc_id
+       |  LEFT JOIN bal b ON b.doc_id = nw.doc_id
+       |  JOIN cal3 c ON c.doc_id = nw.doc_id
+       |  JOIN dsrated r ON r.doc_id = nw.doc_id
+       |)""".stripMargin
+
   /** [[pipelineV2OracleCtes]] over a caller-chosen corpus relation — the
     * q191 re-rooting. rel = "documents" reproduces the committed
     * q160/q174/q189 oracle text byte-for-byte.
@@ -1518,6 +1646,49 @@ object CorpusQueries {
          |$pipelineV2StageRows
          |UNION ALL SELECT '9_sample', k1, k2, k3 FROM sampv3
          |UNION ALL SELECT 'a_dsir', x1, x2, x3 FROM dsirv4
+         |ORDER BY stage""".stripMargin,
+
+    // per-doc replay of the monolithic stage CTEs, left-joined back to
+    // every raw document, with the corpus-wide classifier + DSIR models
+    // supplying a p_cal / rate_ppm for EVERY doc (kills charged exactly
+    // even for docs dead upstream)
+    "q192_pipeline_kill_matrix" ->
+      s"""WITH $pipelineMatrixCtes
+         |SELECT doc_id, n_words, pass_length, pass_exact, pass_near,
+         |  pass_quality, pass_balance, pass_classifier, pass_dsir,
+         |  CASE WHEN NOT pass_length THEN 'length'
+         |       WHEN NOT pass_exact THEN 'exact_dup'
+         |       WHEN NOT pass_near THEN 'near_dup'
+         |       WHEN NOT pass_quality THEN 'quality'
+         |       WHEN NOT pass_balance THEN 'balance'
+         |       WHEN NOT pass_classifier THEN 'classifier'
+         |       WHEN NOT pass_dsir THEN 'dsir'
+         |       ELSE 'none' END AS first_fail,
+         |  pass_dsir AS kept
+         |FROM mrow ORDER BY doc_id""".stripMargin,
+
+    // the funnel over the same matrix: each n_out is q189's matching
+    // stage count, the last is the v4 training-set size
+    "q193_pipeline_funnel" ->
+      s"""WITH $pipelineMatrixCtes,
+         |f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(count(CASE WHEN pass_length THEN 1 END) AS BIGINT) AS n1,
+         |    CAST(count(CASE WHEN pass_exact THEN 1 END) AS BIGINT) AS n2,
+         |    CAST(count(CASE WHEN pass_near THEN 1 END) AS BIGINT) AS n3,
+         |    CAST(count(CASE WHEN pass_quality THEN 1 END) AS BIGINT) AS n4,
+         |    CAST(count(CASE WHEN pass_balance THEN 1 END) AS BIGINT) AS n5,
+         |    CAST(count(CASE WHEN pass_classifier THEN 1 END) AS BIGINT) AS n6,
+         |    CAST(count(CASE WHEN pass_dsir THEN 1 END) AS BIGINT) AS n7
+         |  FROM mrow
+         |)
+         |SELECT '1_length' AS stage, n0 AS n_in, n0 - n1 AS n_killed, n1 AS n_out FROM f
+         |UNION ALL SELECT '2_exact_dup', n1, n1 - n2, n2 FROM f
+         |UNION ALL SELECT '3_near_dup', n2, n2 - n3, n3 FROM f
+         |UNION ALL SELECT '4_quality', n3, n3 - n4, n4 FROM f
+         |UNION ALL SELECT '5_balance', n4, n4 - n5, n5 FROM f
+         |UNION ALL SELECT '6_classifier', n5, n5 - n6, n6 FROM f
+         |UNION ALL SELECT '7_dsir', n6, n6 - n7, n7 FROM f
          |ORDER BY stage""".stripMargin,
 
     "q109_trigram_backoff" -> trigramBackoffOracle,

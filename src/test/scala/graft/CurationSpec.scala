@@ -156,6 +156,32 @@ class CurationSpec extends SparkSpec {
       ("2_repetition", 4L, 1L, 3L), ("3_dupngram", 3L, 2L, 1L)))
   }
 
+  test("pipeline kill matrix: funnel reconciles exactly with q189's stage counts") {
+    val d = "/root/testdata/sf0.001"
+    val v4 = SparkEntry.queries("q189_pipeline_v4")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fun = SparkEntry.queries("q193_pipeline_funnel")(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    val nIn = fun.map(t => t._1 -> t._2).toMap
+    val nOut = fun.map(t => t._1 -> t._4).toMap
+    // each funnel stage's survivors are the matching q189 stage count
+    assert(nIn("1_length") == v4("1_raw"))
+    assert(nOut("1_length") == v4("2_clean"))
+    assert(nOut("2_exact_dup") == v4("3_exact"))
+    assert(nOut("3_near_dup") == v4("4_neardup"))
+    assert(nOut("4_quality") == v4("5_quality"))
+    assert(nOut("5_balance") == v4("6_balance"))
+    assert(nOut("6_classifier") == v4("9_sample"))
+    assert(nOut("7_dsir") == v4("a_dsir"))
+    // chain integrity: n_in chains from the previous n_out, kills book
+    fun.sliding(2).foreach { w => assert(w(1)._2 == w(0)._4) }
+    fun.foreach(t => assert(t._2 - t._3 == t._4))
+    // the per-doc matrix agrees with its own funnel tail
+    val kept = SparkEntry.queries("q192_pipeline_kill_matrix")(spark, d)
+      .filter(col("kept")).count()
+    assert(kept == nOut("7_dsir"))
+  }
+
   // ---- DSIR importance resampling ---------------------------------------
 
   private def dsirCorpus: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

@@ -79,7 +79,9 @@ class PlanShapeSpec extends SparkSpec {
     "q188_filter_funnel", // 1-row corpus-total broadcast onto the 4-row stage frame
     "q189_pipeline_v4", // q174's 1-row frames + the DSIR model's 1-row totals broadcast
     "q190_streaming_flagship_v2", // q163's 1-row LM-stats broadcast + the DSIR 1-row totals
-    "q191_pipeline_v4_incremental") // q189's 1-row frames, stores delta-maintained
+    "q191_pipeline_v4_incremental", // q189's 1-row frames, stores delta-maintained
+    "q192_pipeline_kill_matrix", // q189's DSIR 1-row totals broadcast, per-doc output
+    "q193_pipeline_funnel") // same matrix aggregated to the 7-row funnel
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
