@@ -466,11 +466,17 @@ object Dedup {
     * positives just reach the exact join and fail it), the
     * `shingles/batch=<id>` commit marker lands last; a crash in between
     * leaves a superset filter over the old shingle store, and the replay
-    * re-merges (OR is idempotent) and converges. New shingles are
-    * anti-joined against the stored set so the exact table stays
-    * duplicate-free for the contamination counts. Exactly-once via the
-    * marker; geometry is pinned by the stored config — an append can never
-    * hash with different (k, m) than the build.
+    * re-merges (OR is idempotent) and converges. Each batch stores its
+    * suite's COMPLETE distinct shingle set — shingles shared with already
+    * stored suites repeat across batches (readers dedup: the exact joins
+    * are leftsemi/distinct, and OR-ing a repeated shingle's bits is
+    * idempotent, so verdicts and the filter are bit-identical to a
+    * monolithic build). Per-batch completeness is what makes BATCH-level
+    * retirement exact ([[retireDecontamBench]]): rotating one suite out
+    * never loses a shingle a live suite also claims, because the live
+    * suite's batch carries its own copy. Exactly-once via the marker;
+    * geometry is pinned by the stored config — an append can never hash
+    * with different (k, m) than the build.
     */
   def appendDecontamBench(benchDocs: DataFrame, path: String, appendId: Long,
                           textCol: String = "text", idCol: String = "doc_id"): Boolean = {
@@ -479,19 +485,19 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "decontam-append") {
-      Seq("shingles", "words", "config").foreach(h =>
+      Seq("shingles", "words", "config", "retired").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId"))) false
       else {
+        require(!readDecontamRetirements(spark, fs, path).contains(appendId),
+          s"append id $appendId is named by a pending retirement — compact first")
         val cfg = spark.read.parquet(s"$path/config").head()
         val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
-        val stored = spark.read.parquet(s"$path/shingles").select(col("shingle"))
         // stage the delta once, then derive its bloom bits from the staged
         // parquet (one computation, durable across the two publishes)
         val staging = new org.apache.hadoop.fs.Path(s"$path/shingles/.staging-$appendId")
         fs.delete(staging, true)
         wordShingles(benchDocs, n, textCol, idCol).select(col("shingle")).distinct()
-          .join(stored, Seq("shingle"), "left_anti")
           .write.mode("overwrite").parquet(staging.toString)
         val mergedWords = graft.sketch.Sketches.bloomMergeWords(
           spark.read.parquet(s"$path/words"),
@@ -508,17 +514,148 @@ object Dedup {
     }
   }
 
+  /** Benchmark ROTATION — the un-learn path for the decontamination store
+    * (the last store family without one): eval suites rotate in practice,
+    * and a deprecated benchmark's shingles must stop poisoning
+    * contamination verdicts. The unit of retirement is the BATCH — each
+    * `shingles/batch=<id>` is one suite's complete shingle set (see
+    * [[appendDecontamBench]]), so rotating suite b out is exact even for
+    * shingles a live suite shares (the live batch carries its own copy).
+    * The ledger entry `retired/batch=<retireId>` holds the rotated batch
+    * ids; [[liveDecontamShingles]] prunes those batch DIRS from every
+    * read (partition-level — retired suites are never even scanned), and
+    * [[compactDecontamStore]] applies the rotation physically. Between
+    * retire and compact the Bloom words are a SUPERSET filter (bits
+    * cannot subtract): verdicts (`n_present`/`contaminated`) are already
+    * correct — the exact join runs against live shingles only — while
+    * `n_bloom_pos` carries the retired suites' false-positive tax until
+    * the compaction rebuild. Exactly-once via the ledger dir; replays of
+    * rotated batch ids stay refused by their tombstones, so a suite
+    * re-enters only under a fresh append id.
+    */
+  def retireDecontamBench(spark: org.apache.spark.sql.SparkSession, path: String,
+                          benchBatches: Seq[Long], retireId: Long): Boolean = {
+    require(benchBatches.nonEmpty, "nothing to retire")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "decontam-retire") {
+      Seq("shingles", "retired").foreach(h =>
+        graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+      val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")
+      if (fs.exists(ledger)) false
+      else {
+        benchBatches.foreach(b => require(
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$b")),
+          s"cannot retire unpublished bench batch $b"))
+        import spark.implicits._
+        val staging = new org.apache.hadoop.fs.Path(s"$path/retired/.staging-$retireId")
+        fs.delete(staging, true)
+        benchBatches.toDF("rbatch").coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        true
+      }
+    }
+  }
+
+  /** The pending rotation: every batch id named by a retirement ledger
+    * entry (tiny — a handful of longs; ledger dirs blanked by compaction
+    * read as empty).
+    */
+  private[graft] def readDecontamRetirements(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Set[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/retired")
+    if (!fs.exists(dir) || !fs.listFiles(dir, true).hasNext) Set.empty
+    else spark.read.parquet(dir.toString)
+      .select(col("rbatch")).collect().map(_.getLong(0)).toSet
+  }
+
+  /** The LIVE shingle half: every published batch except those named by a
+    * pending retirement ledger entry — pure partition pruning, the
+    * rotated suites' dirs are never read. Reads around a compaction swap
+    * window via the `.prev` fallback like every store probe.
+    */
+  def liveDecontamShingles(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = graft.similarity.Similarity.activeDir(fs, s"$path/shingles")
+    val retired = readDecontamRetirements(spark, fs, path)
+    if (retired.isEmpty) spark.read.parquet(dir).select(col("shingle"))
+    else {
+      val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.listFiles(s.getPath, true).hasNext) // skip tombstones
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filterNot(retired).sorted
+      if (live.isEmpty) Seq.empty[String].toDF("shingle")
+      else spark.read.parquet(live.map(b => s"$dir/batch=$b").toIndexedSeq: _*)
+        .select(col("shingle"))
+    }
+  }
+
   /** Maintenance half: collapse the shingle store's accumulated `batch=`
     * dirs into one (rows preserved, ledger tombstoned — the
     * [[graft.similarity.Similarity.compactBatchStore]] contract); the
     * words table is a fixed-size sketch rewritten whole on every append,
     * so only the shingle half accumulates files.
+    *
+    * With a rotation pending ([[retireDecontamBench]]) this is also the
+    * APPLY step, in crash-ordered stages: (1) the rotated batch dirs
+    * blank to file-less tombstones — the intended data loss, so a crash
+    * here just re-runs; (2) the survivors merge, landing at the max LIVE
+    * id (never a rotated id, so a stale not-yet-blanked ledger can kill
+    * nothing — the relocated-base `_base` marker records it); (3) the
+    * Bloom words REBUILD from the surviving shingles and swap — bits
+    * cannot subtract, so rebuild-from-survivors is the only way the
+    * filter sheds a rotated suite; benchmark sets are tiny relative to
+    * the corpus, so the rebuild is cheap; (4) the ledger blanks. A crash
+    * inside the words window (after 2, before 3 lands) leaves the old
+    * SUPERSET filter over the compacted store: verdicts stay correct (no
+    * false negatives are possible — the live shingle set only shrank),
+    * n_bloom_pos keeps the rotated suites' tax, and the re-run converges
+    * because the still-unblanked ledger forces the full sequence again.
     */
   def compactDecontamStore(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "decontam-compact") {
-      graft.similarity.Similarity.compactBatchStore(spark, s"$path/shingles", Seq.empty)
+      val retired = readDecontamRetirements(spark, fs, path)
+      // (1) apply: blank each rotated batch dir to a tombstone
+      retired.foreach { b =>
+        val d = new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$b")
+        if (fs.exists(d)) { fs.delete(d, true); fs.mkdirs(d) }
+      }
+      // (2) merge survivors; with a rotation pending, force the rewrite
+      // and land at the max live id (rotated ids are tombstones now, so
+      // dataIds can't name one)
+      val n = graft.similarity.Similarity.compactBatchStore(
+        spark, s"$path/shingles", Seq.empty,
+        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      if (retired.nonEmpty) {
+        // (3) Bloom rebuild from survivors
+        import spark.implicits._
+        val cfg = spark.read.parquet(s"$path/config").head()
+        val (k, m) = (cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
+        val shDir = new org.apache.hadoop.fs.Path(s"$path/shingles")
+        val survivors =
+          if (fs.listFiles(shDir, true).hasNext)
+            spark.read.parquet(shDir.toString).select(col("shingle"))
+          else Seq.empty[String].toDF("shingle") // every suite rotated out
+        val wordsStaging = new org.apache.hadoop.fs.Path(s"$path/.words-rebuild")
+        fs.delete(wordsStaging, true)
+        graft.sketch.Sketches.bloomWords(survivors, "shingle", k, m)
+          .write.mode("overwrite").parquet(wordsStaging.toString)
+        graft.similarity.Similarity.swapDir(fs, wordsStaging, s"$path/words")
+        // (4) blank the applied ledger (tombstones keep replays refused)
+        val rdir = new org.apache.hadoop.fs.Path(s"$path/retired")
+        if (fs.exists(rdir)) fs.listStatus(rdir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .foreach { s => fs.delete(s.getPath, true); fs.mkdirs(s.getPath) }
+      }
+      n
     }
   }
 

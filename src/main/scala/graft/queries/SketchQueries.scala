@@ -95,12 +95,45 @@ object SketchQueries {
     // benchmark slice arrives as three disjoint doc groups — build, then
     // two appendDecontamBench OR-merge increments — the shingle store
     // compacts, and the corpus slice is scored against the result. Bloom
-    // bits are a pure OR of per-item contributions, so the lifecycle store
-    // must reproduce the monolithic build BIT-FOR-BIT — including
-    // n_bloom_pos, the filter's own false-positive pattern — which is why
-    // the oracle is q118's verbatim: a lost delta, a double-stored
-    // shingle, or a words/shingles publish-order bug shifts a count and
-    // fails the hash.
+    // bits are a pure OR of per-item contributions (idempotent, so the
+    // cross-suite shingle repeats that per-batch completeness stores are
+    // invisible to the filter), and the exact joins are set-semantic — so
+    // the lifecycle store must reproduce the monolithic build BIT-FOR-BIT
+    // including n_bloom_pos, the filter's own false-positive pattern —
+    // which is why the oracle is q118's verbatim: a lost delta or a
+    // words/shingles publish-order bug shifts a count and fails the hash.
+    // Benchmark ROTATION (q127's lifecycle + the un-learn path): three
+    // suites enter the store, the middle one rotates out
+    // (retireDecontamBench ledger), compaction applies the rotation —
+    // rotated batch dirs blank, survivors merge, the Bloom REBUILDS from
+    // survivors (bits can't subtract) — and the corpus is scored against
+    // the result. The oracle is q118's replay with the rotated suite
+    // excluded from the bench side: a doc contaminated only by the
+    // rotated benchmark must flip clean, a shingle the live suites share
+    // with it must KEEP flagging (per-batch completeness), and
+    // n_bloom_pos must match the rebuilt filter bit-for-bit (a superset
+    // leftover from the retire window fails the hash).
+    "q194_decontam_rotation" -> ((s, d) => {
+      val base = CorpusQueries.vocabPath(d) + "_dcrot"
+      val all = Tables(s, d, "documents")
+        .withColumn("__b", Dedup.hex60(col("doc_id").cast("string")) % 100)
+      val bench = all.filter(col("__b") >= 80).drop("__b")
+      val store = s"$base/store"
+      Dedup.buildDecontamStore(bench.filter(col("doc_id") % 3 === 0), store,
+        n = 3, k = 4, m = 1 << 20)
+      Dedup.appendDecontamBench(bench.filter(col("doc_id") % 3 === 1), store,
+        appendId = 1)
+      Dedup.appendDecontamBench(bench.filter(col("doc_id") % 3 === 2), store,
+        appendId = 2)
+      Dedup.retireDecontamBench(s, store, Seq(1L), retireId = 3)
+      Dedup.compactDecontamStore(s, store)
+      Dedup.bloomContaminationAgainst(
+          Dedup.wordShingles(all.filter(col("__b") < 80).drop("__b"), 3),
+          Dedup.liveDecontamShingles(s, store),
+          s.read.parquet(s"$store/words"), k = 4, m = 1 << 20)
+        .orderBy("doc_id")
+    }),
+
     "q127_decontam_lifecycle" -> ((s, d) => {
       val base = CorpusQueries.vocabPath(d) + "_dclc"
       val all = Tables(s, d, "documents")
@@ -267,6 +300,9 @@ object SketchQueries {
     // The union of the router's published batches must equal the batch
     // computation over the same corpus — q118's oracle verbatim.
     "q121_decontam_routed" -> bloomDecontamOracle,
+    // q118's replay with the rotated suite excluded from the bench side
+    "q194_decontam_rotation" ->
+      bloomDecontamOracleOver("bucket >= 80 AND doc_id % 3 <> 1"),
     // Bloom bits OR-merge exactly, so the built-then-appended-then-
     // compacted store answers bit-for-bit like the monolithic build —
     // q118's oracle verbatim.
@@ -331,13 +367,21 @@ object SketchQueries {
 
   /** Shared by q118 (batch) and q121 (the streaming router's artifact). */
   private lazy val bloomDecontamOracle: String =
+    bloomDecontamOracleOver("bucket >= 80")
+
+  /** [[bloomDecontamOracle]] parameterized over the bench-side predicate,
+    * so the rotation gate (q194) can exclude the retired suite from the
+    * SAME monolithic replay. benchWhere = "bucket >= 80" reproduces the
+    * q118/q121/q127 oracle byte-for-byte.
+    */
+  private def bloomDecontamOracleOver(benchWhere: String): String =
       s"""WITH ${OracleCte.triCte},
          |b AS (
          |  SELECT doc_id, shingle,
          |    ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |  FROM tri
          |),
-         |bench AS (SELECT DISTINCT shingle FROM b WHERE bucket >= 80),
+         |bench AS (SELECT DISTINCT shingle FROM b WHERE $benchWhere),
          |words AS (
          |  SELECT bit >> 5 AS word_idx,
          |    bit_or(CAST(1 AS BIGINT) << CAST(bit & 31 AS INT)) AS word

@@ -1032,9 +1032,12 @@ object StreamingPipeline {
       graft.similarity.Similarity.activeDir(storeFs, s"$storePath/$h")
     val cfg = spark.read.parquet(active("config")).head()
     val (n, k, m) = (cfg.getAs[Int]("n"), cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
+    // the exact half reads LIVE shingles only, so a rotated benchmark
+    // ([[graft.dedup.Dedup.retireDecontamBench]]) stops flagging verdicts
+    // immediately — before the compaction applies it physically
     val verdicts = graft.dedup.Dedup.bloomContaminationAgainst(
       graft.dedup.Dedup.wordShingles(batch, n),
-      spark.read.parquet(active("shingles")),
+      graft.dedup.Dedup.liveDecontamShingles(spark, storePath),
       spark.read.parquet(active("words")), k, m)
     val staging = new org.apache.hadoop.fs.Path(s"$outPath/.staging-$batchId")
     fs.delete(staging, true)

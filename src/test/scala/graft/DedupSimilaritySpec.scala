@@ -720,13 +720,15 @@ class DedupSimilaritySpec extends SparkSpec {
       "lifecycle store verdicts diverged from the monolithic build")
     // replayed append ids are refused
     assert(!Dedup.appendDecontamBench(bench2, grown, appendId = 1))
-    // an append carrying only already-stored shingles adds no rows and
-    // flips no bits
+    // an append whose shingles are all already stored keeps its OWN
+    // complete copy (per-batch completeness is what makes batch-level
+    // rotation exact — see retireDecontamBench) and flips no bits
     val dupOnly = Seq((4L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     assert(Dedup.appendDecontamBench(dupOnly, grown, appendId = 2))
-    val sh = spark.read.parquet(s"$grown/shingles")
-    assert(sh.select("shingle").distinct().count() == sh.count(),
-      "shingle store must stay duplicate-free")
+    val b2 = spark.read.parquet(s"$grown/shingles/batch=2")
+    assert(b2.select("shingle").distinct().count() == b2.count(),
+      "each batch must be distinct within itself")
+    assert(b2.count() > 0, "a duplicate-only suite still stores its own copy")
     assert(words(grown) == words(fresh), "duplicate-only append changed the filter")
     // compaction preserves verdicts and keeps replays refused
     assert(Dedup.compactDecontamStore(spark, grown) > 0)

@@ -231,4 +231,58 @@ class StoreFaultDrillSpec extends SparkSpec {
       assert(rows(f.probe(drill)) == twinRows,
         s"${f.name}: healed store diverges from the never-crashed twin")
     }
+
+  test("decontam rotation: Bloom-rebuild crash window — superset filter stays correct, re-run converges") {
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    val p = root(families.last, "rot"); val want = root(families.last, "rotwant")
+    Seq(p, want).foreach(rm)
+    // suite0 stays, suite1 rotates; docsAll guarantees shared + exclusive shingles
+    Dedup.buildDecontamStore(docsA, p, n = 3, k = 4, m = 1 << 16)
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 1))
+    // the from-scratch truth after rotation: a store over suite0 alone
+    Dedup.buildDecontamStore(docsA, want, n = 3, k = 4, m = 1 << 16)
+    def probeAgainst(store: String, bench: DataFrame) = Dedup
+      .bloomContaminationAgainst(Dedup.wordShingles(docsAll, 3), bench,
+        spark.read.parquet(Similarity.activeDir(fs, s"$store/words")),
+        k = 4, m = 1 << 16)
+    def verdicts(store: String): Seq[String] = rows(
+      probeAgainst(store, Dedup.liveDecontamShingles(spark, store))
+        .select(col("doc_id"), col("n_present"), col("contaminated")))
+    def bloomPos(store: String): Long =
+      probeAgainst(store, Dedup.liveDecontamShingles(spark, store))
+        .agg(sum(col("n_bloom_pos"))).head().getLong(0)
+    val wantV = verdicts(want)
+    val wantPos = bloomPos(want)
+    assert(Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 2))
+    assert(!Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 2),
+      "retire replay must be refused by the ledger dir")
+    // retire window, pre-compaction: verdicts already correct (live
+    // shingles exclude the rotated batch); the Bloom is a SUPERSET
+    assert(verdicts(p) == wantV, "verdicts wrong in the retire window")
+    assert(bloomPos(p) > wantPos, "rotated suite's false-positive tax missing")
+    // crash INSIDE compactDecontamStore, between the shingle landing and
+    // the words rebuild: replay steps (1)+(2) manually and stop
+    val b1 = hpath(s"$p/shingles/batch=1")
+    fs.delete(b1, true); fs.mkdirs(b1)
+    Similarity.compactBatchStore(spark, s"$p/shingles", Seq.empty,
+      baseAtMaxId = true, forceRewrite = true)
+    assert(verdicts(p) == wantV, "superset-filter crash window broke verdicts")
+    assert(bloomPos(p) > wantPos, "crash window should still carry the superset tax")
+    // the re-run completes the sequence: filter == from-scratch bit-for-bit
+    Dedup.compactDecontamStore(spark, p)
+    def words(s0: String): Set[(Long, Long)] = spark.read.parquet(s"$s0/words")
+      .collect().map(r => (r.getAs[Long]("word_idx"), r.getAs[Long]("word"))).toSet
+    assert(verdicts(p) == wantV)
+    assert(bloomPos(p) == wantPos, "rebuilt filter kept retired bits")
+    assert(words(p) == words(want),
+      "rebuilt filter must equal the from-scratch build bit-for-bit")
+    // applied ledger blanked to a tombstone; rotated append id stays refused
+    assert(!fs.listFiles(hpath(s"$p/retired/batch=2"), true).hasNext,
+      "applied rotation ledger must blank")
+    assert(!Dedup.appendDecontamBench(docsB, p, appendId = 1),
+      "a rotated batch id must stay refused — suites re-enter under a fresh id")
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 3),
+      "the rotated suite must be able to re-enter under a fresh id")
+  }
 }
