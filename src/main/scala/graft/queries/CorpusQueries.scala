@@ -898,7 +898,9 @@ object CorpusQueries {
     // + acceptance rate). The oracle is q163's composed monolith joined
     // with the ds_-namespaced DSIR replay — five concurrent maintainers,
     // one hash, and the stream remains unobservable. (Restart coverage:
-    // the composed four-maintainer drill in StreamingFlagshipSpec + the
+    // StreamingFlagshipSpec drills exactly this five-maintainer set —
+    // kill mid-stream with the DSIR checkpoint among the skewed-ahead
+    // families, compact while down, restart, replay — plus the
     // per-family streamed-DSIR restart drill in IngestStreamingSpec.)
     "q190_streaming_flagship_v2" -> ((s, d) => {
       import graft.streaming.StreamingPipeline

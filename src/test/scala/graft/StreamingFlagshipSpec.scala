@@ -8,29 +8,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Composed-session restart drill for the q163 streaming flagship (the r11
-  * verdict's top ask): every maintainer family has a single-family
-  * restart/replay spec, but nothing killed ONE streaming session running
-  * FOUR maintainers mid-stream. Cross-maintainer interference after a crash
-  * — one family's ledger ahead of another's — is precisely what per-family
-  * specs cannot see, so the drill:
+/** Composed-session restart drill for the streaming flagship, at the q190
+  * v2 maintainer set (the r12 verdict's ask — r11's four-family drill plus
+  * the DSIR count-store maintainer): every family has a single-family
+  * restart/replay spec, but nothing kills ONE streaming session running
+  * FIVE maintainers mid-stream. Cross-maintainer interference after a
+  * crash — one family's ledger ahead of another's — is precisely what
+  * per-family specs cannot see, so the drill:
   *
   *  1. kills the composed session after it has processed only a prefix of
-  *     the input (both feeds mid-stream, multiple triggers in);
-  *  2. advances TWO of the four families a full delivery ahead (the crash
-  *     landed after the LM and histogram queries committed a trigger the
-  *     MinHash and decontam queries never saw — each query checkpoints
-  *     independently, so this skew is exactly what a real crash leaves);
-  *  3. compacts two stores while the session is down (maintenance runs
+  *     the input (all three feeds mid-stream, multiple triggers in);
+  *  2. advances THREE of the five families a full delivery ahead (the
+  *     crash landed after the LM, histogram, AND DSIR queries committed a
+  *     trigger the MinHash and decontam queries never saw — each query
+  *     checkpoints independently, so this skew is exactly what a real
+  *     crash leaves; DSIR among the skewed-ahead families is the r12
+  *     verdict's specific ask);
+  *  3. compacts three stores while the session is down (maintenance runs
   *     between sessions — it must not disturb the pending restart);
-  *  4. restarts all four maintainers on the SAME checkpoints, drains;
+  *  4. restarts all five maintainers on the SAME checkpoints, drains;
   *  5. replays every family's already-committed first batch id through its
   *     foreachBatch body (at-least-once redelivery after recovery);
   *
-  * and asserts the composed q163 scoring frame is byte-identical to an
-  * uninterrupted one-session run over the same corpus. A dropped or
-  * double-counted micro-batch, a stale store half, or any cross-family
-  * divergence shifts some column of some document and fails the equality.
+  * and asserts the composed q190 scoring frame — the q163 columns PLUS the
+  * DSIR weight and acceptance rate — is byte-identical to an uninterrupted
+  * one-session run over the same corpus. A dropped or double-counted
+  * micro-batch, a stale store half, or any cross-family divergence shifts
+  * some column of some document and fails the equality.
   * (True mid-trigger kills are nondeterministic to schedule; the torn-state
   * windows INSIDE each batch body are drilled per-family in
   * StoreFaultDrillSpec — this drill owns the cross-family interleavings.)
@@ -103,13 +107,33 @@ class StreamingFlagshipSpec extends SparkSpec {
     allDf(rows).repartition(parts).write.mode("append").parquet(dir)
   private def deliverBench(dir: String, rows: Seq[(Long, String)]): Unit =
     benchDf(rows).repartition(2).write.mode("append").parquet(dir)
+  // the DSIR maintainer's own feed (the q190 shape: the batch-built prefix
+  // never streams; the rest arrives as (doc_id, text, lang) deliveries)
+  private def deliverRest(dir: String, rows: Seq[(Long, String, String, Long)],
+                          parts: Int): Unit =
+    allDf(rows).select(col("doc_id"), col("text"), col("lang"))
+      .repartition(parts).write.mode("append").parquet(dir)
+
+  private val isT = col("lang") === "en"
+  private val dsirPrefix = a1.take(5) // batch-built; a1.drop(5) ++ a2 ++ a3 stream
+
+  private def dsirStream(base: String) =
+    StreamingPipeline.dsirAppendStream(
+      StreamingPipeline.readColumnsStream(spark, s"$base/in_rest",
+        "doc_id LONG, text STRING, lang STRING"),
+      isT, s"$base/dsir", s"$base/ck_dsir").start()
 
   private def drain(base: String): Unit =
-    CorpusQueries.startFlagshipMaintainers(
-      spark, s"$base/in_all", s"$base/in_bench", base).foreach(_.awaitTermination())
+    (CorpusQueries.startFlagshipMaintainers(
+      spark, s"$base/in_all", s"$base/in_bench", base) :+ dsirStream(base))
+      .foreach(_.awaitTermination())
 
   private def frame(base: String): Seq[String] =
     CorpusQueries.flagshipScoreFrame(spark, base, corpus)
+      .join(TextOps.scoreWithDsir(
+          corpus.select(col("doc_id"), col("text")), s"$base/dsir")
+        .select(col("doc_id"), col("dsir6"), col("rate_ppm")), Seq("doc_id"))
+      .orderBy("doc_id")
       .collect().map(_.toString).toSeq
 
   test("composed session: kill mid-stream, skewed ledgers, restart == uninterrupted run") {
@@ -118,30 +142,39 @@ class StreamingFlagshipSpec extends SparkSpec {
     deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
     Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
     deliverBench(s"$b0/in_bench", b1 ++ b2)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b0/dsir")
+    deliverRest(s"$b0/in_rest", a1.drop(5) ++ a2 ++ a3, parts = 6)
     drain(b0)
     CorpusQueries.compactFlagshipStores(spark, b0)
+    TextOps.compactDsir(spark, s"$b0/dsir")
     val baseline = frame(b0)
     assert(baseline.size == 24, "baseline scores every corpus doc")
-    // the planted signals actually exercise all four stores
+    // the planted signals actually exercise the stores
     def field(rows: Seq[String], id: Long): String = rows(id.toInt - 1)
     assert(field(baseline, 17).contains("true"), "doc 17 must be contaminated (pB2)")
     assert(field(baseline, 19).contains("true"), "doc 19 must be a near-dup")
+    // the DSIR model is live: corpus rates spread around the 0-score 500000
+    val rates = baseline.map(_.split(",").last.stripSuffix("]").toLong)
+    assert(rates.exists(_ != 500000L), "DSIR rates degenerate — model saw no grams")
 
     // ---- drill: same corpus through a crashed + skewed + replayed session --
     val b = Files.createTempDirectory("graft_flag_drill").toString
-    // phase 1: a PREFIX of both feeds (two triggers' worth of files on the
-    // doc feed), then the session dies
+    // phase 1: a PREFIX of all three feeds (two triggers' worth of files on
+    // the doc feed), then the session dies
     deliverAll(s"$b/in_all", a1.take(5), parts = 10)
     deliverAll(s"$b/in_all", a1.drop(5), parts = 10)
     Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
     deliverBench(s"$b/in_bench", b1)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b/dsir")
+    deliverRest(s"$b/in_rest", a1.drop(5), parts = 4)
     drain(b)
     assert(spark.read.parquet(s"$b/mh/sets").count() == 10L,
       "the kill must land mid-input: only delivery A1 is in the dedup store")
 
-    // phase 2: the crash left the LM and histogram queries one committed
-    // trigger AHEAD of the other two — advance only those two families
+    // phase 2: the crash left the LM, histogram, AND DSIR queries one
+    // committed trigger AHEAD of the other two — advance only those three
     deliverAll(s"$b/in_all", a2, parts = 3)
+    deliverRest(s"$b/in_rest", a2, parts = 3)
     Seq(
       StreamingPipeline.lmAppendStream(
         StreamingPipeline.readDocStream(spark, s"$b/in_all"),
@@ -150,18 +183,22 @@ class StreamingFlagshipSpec extends SparkSpec {
         StreamingPipeline.readColumnsStream(spark, s"$b/in_all",
           "doc_id BIGINT, lang STRING, n_chars BIGINT"),
         s"$b/hist", s"$b/ck_hist",
-        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start()
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
+      dsirStream(b)
     ).foreach(_.awaitTermination())
 
-    // phase 3: between-sessions maintenance on the two most file-heavy
+    // phase 3: between-sessions maintenance on the three most file-heavy
     // stores while the session is down and the ledgers disagree
     TextOps.compactLm(spark, s"$b/lm")
     StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
+    TextOps.compactDsir(spark, s"$b/dsir")
 
-    // phase 4: the rest of both feeds lands; restart ALL FOUR maintainers
+    // phase 4: the rest of all feeds lands; restart ALL FIVE maintainers
     // on the same checkpoints and drain — MinHash/decontam must catch up
-    // across their missed deliveries, LM/histogram must not double-apply
+    // across their missed deliveries, LM/histogram/DSIR must not
+    // double-apply theirs
     deliverAll(s"$b/in_all", a3, parts = 4)
+    deliverRest(s"$b/in_rest", a3, parts = 4)
     deliverBench(s"$b/in_bench", b2)
     drain(b)
 
@@ -172,8 +209,11 @@ class StreamingFlagshipSpec extends SparkSpec {
     StreamingPipeline.histMergeBatch(s"$b/hist", Seq("lang"), "n_chars", 50.0, 20)(
       allDf(a1).select(col("doc_id"), col("lang"), col("n_chars")), 0L)
     StreamingPipeline.decontamAppendBatch(s"$b/dc")(benchDf(b1), 0L)
+    StreamingPipeline.dsirAppendBatch(s"$b/dsir", isT)(
+      allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
 
     CorpusQueries.compactFlagshipStores(spark, b)
+    TextOps.compactDsir(spark, s"$b/dsir")
     assert(frame(b) == baseline,
       "restarted+skewed+replayed session must score byte-identically to the uninterrupted run")
   }
