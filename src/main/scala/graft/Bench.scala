@@ -298,6 +298,7 @@ object Bench {
       catch { case _: Throwable => () }
     val (annVectors, annBuild, annProbe, annRebuild,
          annAppend, annCompactMinor, annCompactFull, annReindex,
+         annAppendD1, annCompactMinorD1, annCompactFullD1,
          annAppend1x, annCompactMinor1x, annCompactFull1x,
          annRetire, annProbeRetired, annRetire1x, annProbeRetired1x) = try {
       import org.apache.spark.sql.functions.col
@@ -325,23 +326,23 @@ object Bench {
         // stretch ask): three ~1/20th-store appends create the debris, then
         // minor compaction (merges debris only — cost ∝ appends since last
         // cycle), full compaction (rewrites the whole half — cost ∝ store),
-        // and a re-index (refit + rewrite — cost ∝ payloads). The committed
-        // gap between compact_minor and compact_full is the ∝-debris claim
-        // in numbers. Each store runs TWO full debris-create + compact
-        // cycles and records the min: these operations mutate state, so
-        // min-of-2 needs fresh debris per cycle — cycle 1 also burns off
-        // first-touch JIT for the maintenance plans, without which the 1x
-        // twin below (which would otherwise run everything exactly once,
-        // cold) reads noise instead of cost (the first committed r12
-        // session recorded compact_minor_1x 1.54 s vs 10x 0.36 s — the
-        // inversion was warmth, not work).
-        def inc(id: Int) = vecs.filter(col("vec_id") < nVec / 20)
+        // and a re-index (refit + rewrite — cost ∝ payloads). Each store
+        // runs TWO full debris-create + compact cycles and records the
+        // min: these operations mutate state, so min-of-2 needs fresh
+        // debris per cycle (cycle 1 also burns off first-touch JIT for the
+        // maintenance plans). The ∝-debris demonstration lives in the
+        // DEBRIS-VARYING pair below (compact_minor vs compact_minor_deb1x
+        // at this fixed base), not in the base-varying _1x rows.
+        def incOf(id: Int, denom: Long) = vecs.filter(col("vec_id") < nVec / denom)
           .select((col("vec_id") + 10000000L * id).as("vec_id"), col("embedding"))
-        def maintCycle(idx: String, base: Int): (Double, Double, Double) = {
+        def inc(id: Int) = incOf(id, 20)
+        def maintCycle(idx: String, base: Int,
+                       mk: Int => org.apache.spark.sql.DataFrame = inc)
+            : (Double, Double, Double) = {
           val a = clock(graft.similarity.Similarity
-            .ivfAppendCells(inc(base), idx, appendId = base))
-          graft.similarity.Similarity.ivfAppendCells(inc(base + 1), idx, appendId = base + 1)
-          graft.similarity.Similarity.ivfAppendCells(inc(base + 2), idx, appendId = base + 2)
+            .ivfAppendCells(mk(base), idx, appendId = base))
+          graft.similarity.Similarity.ivfAppendCells(mk(base + 1), idx, appendId = base + 1)
+          graft.similarity.Similarity.ivfAppendCells(mk(base + 2), idx, appendId = base + 2)
           val m = clock(graft.similarity.Similarity.compactIvfIndexMinor(spark, idx))
           val f = clock(graft.similarity.Similarity.compactIvfIndex(spark, idx))
           (a, m, f)
@@ -350,15 +351,33 @@ object Bench {
           (math.min(c1._1, c2._1), math.min(c1._2, c2._2), math.min(c1._3, c2._3))
         val (append, compactMinor, compactFull) = min2(
           maintCycle(s"$annDir/index", 1), maintCycle(s"$annDir/index", 4))
+        // DEBRIS-VARYING pair at the FIXED 10x base (the r12 verdict's
+        // fix): vary the DEBRIS 10x down (3 appends of nVec/200 vs the
+        // nVec/20 cycles above — same dir count, 1/10th the rows) on the
+        // SAME store. This pair is the one that can decide ∝-debris:
+        // compact_minor's work term must shrink with the debris rows while
+        // compact_full's stays pinned to the base it rewrites either way.
+        // (The base-varying *_1x rows below are job-overhead-dominated at
+        // this store size — all six r12 recordings put the 1x-base rows
+        // ABOVE their 10x twins, so wall-clock there measures fixed
+        // scheduling cost, not row work; they stay committed as the
+        // honest record of that floor, annotated in the artifact.)
+        val (appendD1, compactMinorD1, compactFullD1) = min2(
+          maintCycle(s"$annDir/index", 7, incOf(_, 200)),
+          maintCycle(s"$annDir/index", 10, incOf(_, 200)))
         val reindex = clock(graft.similarity.Similarity
           .reindexIvf(spark, s"$annDir/index", numCentroids = 64, iters = 10))
-        // MAINT10 (the r11 verdict's ask — the numbers behind "minor
-        // compaction cost ∝ debris, NOT store size"): the SAME fixed debris
-        // — the identical inc() increments — against a 1x base store (same
-        // geometry, 1/10th the vectors). If compactBatchStoreMinor's core
-        // claim holds, append and compact_minor barely move between the
-        // _1x row and the 10x row above, while compact_full pays the 10x
-        // base it rewrites. [1x, 10x] pairs, same artifact.
+        // MAINT10: the SAME fixed debris — the identical inc() increments —
+        // against a 1x base store (same geometry, 1/10th the vectors).
+        // Structurally append/compact_minor touch only the debris and
+        // compact_full pays the base, but at THIS store size both
+        // compactions are fixed-overhead-dominated, so these [1x, 10x]
+        // pairs record the overhead floor rather than the cost model (the
+        // committed r12 recordings show the 1x rows consistently above
+        // the 10x ones). The decidable ∝-debris evidence is the
+        // debris-varying *_deb1x pair above; the structural proof is the
+        // relocated-base drill (batch=0 byte-identical across a minor
+        // cycle, DedupSimilaritySpec).
         val vecs1 = graft.core.Tables(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         graft.similarity.Similarity
@@ -391,11 +410,12 @@ object Bench {
         val pRetired1 = math.min(probeRetired(s"$annDir/index1"),
           probeRetired(s"$annDir/index1"))
         (nVec, build, probe, rebuild, append, compactMinor, compactFull, reindex,
+          appendD1, compactMinorD1, compactFullD1,
           append1, compactMinor1, compactFull1, retire, pRetired, retire1, pRetired1)
       } finally rmTemp(annDir) // staged 10x vectors: don't accumulate per run
     } catch { case _: Throwable =>
       (0L, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0,
-        -1.0, -1.0, -1.0, -1.0) }
+        -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
     // same story for the LSH signature index (q114's tuned 16x5 config):
     // probe-from-store hashes only the 100 queries; the in-memory search
     // re-signs the whole corpus per call
@@ -557,7 +577,7 @@ object Bench {
         s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
       .mkString("{", ",", "}")
     val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_deb1x":${f3(annAppendD1)},"compact_minor_deb1x":${f3(annCompactMinorD1)},"compact_full_deb1x":${f3(annCompactFullD1)},"deb_note":"compact_*_deb1x = the nVec/20 debris cycles re-run with nVec/200 debris at the SAME 10x base: the debris-varying pair that decides cost-proportional-to-debris","append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"maint1x_note":"the base-varying *_1x rows are fixed-job-overhead-dominated at this store size (all committed recordings place them above their 10x twins) — they record the scheduling floor, not the cost model; see *_deb1x","retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
       .mkString("{", ",", "}")
     val totalMed = results.map { case (_, ts) => med(ts) }.sum
