@@ -120,8 +120,9 @@ object Bench {
     "q101_bigram_nll", "q109_trigram_backoff", "q115_pipeline_e2e",
     "q128_span_removal", "q129_span_removal_wide", "q131_ann_pq_adc",
     "q133_ann_ivfpq", "q152_pca_moments", "q154_tfidf_ann", "q164_logit_fit",
-    "q173_lang_mixture", "q174_pipeline_v3", "q182_dsir_weights",
-    "q186_dsir_delta", "q187_filter_attribution")
+    "q173_lang_mixture", "q174_pipeline_v3", "q178_dedup_delta_maintenance",
+    "q182_dsir_weights", "q186_dsir_delta", "q187_filter_attribution",
+    "q191_pipeline_v4_incremental")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings
