@@ -211,6 +211,21 @@ object DataOracles {
        |),
        |bb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM eb2)""".stripMargin
 
+  /** The q195 third snapshot ([[DataQueries.embSnapshotC]] replayed over
+    * eb2): removed % 11 = 4, revised % 5 = 1 (negated), added % 19 = 7
+    * (re-keyed +2e6, reversed). Leading comma; defines `cc` over C.
+    */
+  private val embSnapshotCCtes: String =
+    s""",
+       |ec2 AS (
+       |  SELECT vec_id, CASE WHEN vec_id % 5 = 1 THEN [-x FOR x IN v] ELSE v END AS v
+       |  FROM eb2 WHERE vec_id % 11 <> 4
+       |  UNION ALL
+       |  SELECT vec_id + 2000000 AS vec_id, list_reverse(v) AS v
+       |  FROM eb2 WHERE vec_id % 19 = 7
+       |),
+       |cc AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ec2)""".stripMargin
+
   /** Shared CTE prefix for the DSIR oracles (q182/q183): hashed uni+bigram
     * instances (hex60 % 1024 — the [[graft.text.TextOps.hashedGramInstances]]
     * bucket function), target = the `lang = 'en'` slice, raw = the whole
@@ -1243,6 +1258,14 @@ object DataOracles {
     "q179_ann_ivf_delta" ->
       s"""${kmeansAsgCtes(numCentroids = 8, iters = 3,
              extraCtes = embSnapshotBCtes, finalSrc = "bb")},
+         |$nprobeOracleBody""".stripMargin,
+    // q107's probe with the fit frozen on A and the assignment re-rooted
+    // at the TWICE-derived snapshot C — the store after two full delta
+    // cycles (the second closed by a minor compaction with its retirement
+    // ledger pending) must answer as if rebuilt from scratch
+    "q195_ann_ivf_delta2" ->
+      s"""${kmeansAsgCtes(numCentroids = 8, iters = 3,
+             extraCtes = embSnapshotBCtes + embSnapshotCCtes, finalSrc = "cc")},
          |$nprobeOracleBody""".stripMargin,
     // q117's search re-rooted at snapshot B: signatures are pure functions
     // of the stored geometry, so the store after retire → re-append →

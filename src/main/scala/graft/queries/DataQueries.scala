@@ -1136,6 +1136,59 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SECOND delta cycle on the IVF store — maintenance must COMPOSE: the
+    // corpus moves A→B→C; cycle 1 is q179's (retire, append, FULL
+    // compaction — which applies the retirement and RELOCATES the merged
+    // base to the max data id); cycle 2 retires/appends the B→C delta and
+    // runs only a MINOR compaction, probing with cycle 2's retirement
+    // ledger still pending. This is the oracle-level guard for the
+    // relocated-base bug class the r12 advisor flagged: a minor compaction
+    // that mistakes the relocated base for debris re-lands its rows ABOVE
+    // the pending retirement id, resurrecting every dead C-removed row the
+    // base carries — r > k liveness silently inverted — and the hash
+    // fails. (The `_base` marker written by full compaction is what keeps
+    // the base out of the debris merge; the file-level drill is in
+    // DedupSimilaritySpec, this gates the RESULT.) Oracle: q107's probe
+    // with the Lloyd fit frozen on A and the assignment re-rooted at the
+    // twice-derived snapshot C.
+    "q195_ann_ivf_delta2" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_ivfdelta2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      val c = embSnapshotC(b)
+      Similarity.buildIvfIndex(a, numCentroids = 8, iters = 3, path)
+      // cycle 1 == q179: after this the merged base sits at batch=2 with
+      // the _base marker recording the relocation
+      val d1 = embDelta(a, b).localCheckpoint(true)
+      Similarity.retireIvfVectors(s, path,
+        d1.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.ivfAppendCells(
+        b.join(d1.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactIvfIndex(s, path)
+      // cycle 2: ledger pending at rid 3 (> the relocated base's id, < the
+      // new appends'), two appends so the minor merge has real debris
+      val d2 = embDelta(b, c).localCheckpoint(true)
+      Similarity.retireIvfVectors(s, path,
+        d2.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 3)
+      val arriving = c.join(d2.filter(col("status").isin("added", "changed"))
+        .select("vec_id"), "vec_id")
+      Similarity.ivfAppendCells(arriving.filter(col("vec_id") % 2 === 0),
+        path, appendId = 4)
+      Similarity.ivfAppendCells(arriving.filter(col("vec_id") % 2 =!= 0),
+        path, appendId = 5)
+      Similarity.compactIvfIndexMinor(s, path)
+      Similarity.probeIvfIndex(c, path, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cell"), col("rank"),
+          col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The LSH twin of q179 (both halves of the store retire: candidate
     // signatures AND rescore payloads — a dead sig row would resurrect a
     // candidate, a dead payload row would rescore a ghost). Signatures are
@@ -1352,6 +1405,21 @@ object DataQueries {
       .unionByName(a.filter(col("vec_id") % 17 === 5)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => -x).as("embedding")))
+
+  /** The THIRD embedding snapshot (q195's second crawl move): the same
+    * modular derivation pattern applied to B — removed % 11 = 4, revised
+    * % 5 = 1 (vector negated), added % 19 = 7 (re-keyed +2e6, past B's
+    * +1e6 id space, vector reversed). Exact transforms, deterministic in
+    * both engines.
+    */
+  private[queries] def embSnapshotC(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % 11 =!= 4)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 1, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(b.filter(col("vec_id") % 19 === 7)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
 
   /** [[graft.dedup.Dedup.corpusDelta]] over vectors: the hash-compare
     * full-outer join runs on the stringified embedding (any deterministic

@@ -81,7 +81,8 @@ class PlanShapeSpec extends SparkSpec {
     "q190_streaming_flagship_v2", // q163's 1-row LM-stats broadcast + the DSIR 1-row totals
     "q191_pipeline_v4_incremental", // q189's 1-row frames, stores delta-maintained
     "q192_pipeline_kill_matrix", // q189's DSIR 1-row totals broadcast, per-doc output
-    "q193_pipeline_funnel") // same matrix aggregated to the 7-row funnel
+    "q193_pipeline_funnel", // same matrix aggregated to the 7-row funnel
+    "q195_ann_ivf_delta2") // q179's bounded stored-centroid broadcast, two delta cycles
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
