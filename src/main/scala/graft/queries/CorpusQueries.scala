@@ -191,6 +191,203 @@ object CorpusQueries {
         col("pass_classifier"), col("pass_dsir"), col("first_fail"), col("kept"))
   }
 
+  // ---- the incremental-v4 cycle (q191/q196) ------------------------------
+
+  /** Per-doc feature-store row for the incremental v4 loop: every
+    * text-derived value the pipeline consumes downstream (same exprs as
+    * the monolithic stages, so reused rows are bit-identical to
+    * recomputed ones).
+    */
+  private def v4Features(df: DataFrame): DataFrame =
+    TextOps.qualityFeatures(df)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"), col("quality_score"))
+      .join(df.select(col("doc_id"), md5(lower(col("text"))).as("h"),
+        col("source"), col("n_chars")), "doc_id")
+
+  /** Exact-dup winners from STORED hashes (keep-min over clean rows). */
+  private def v4Winners(feat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    feat.filter(col("n_words") >= 3)
+      .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+  }
+
+  private val v4IsTarget = col("lang") === "en"
+
+  /** ONE incremental cycle: advance the v4 stores from `prev` to `next`
+    * and return the next feature store. The per-doc feature store reuses
+    * unchanged docs (added+changed pay the only text pass); the MinHash
+    * mine store retires/appends through the exact-WINNER-set diff (a store
+    * row survives only if its doc is still a winner with unchanged text —
+    * covers removal, revision, AND winner displacement); the DSIR model
+    * store retires departing counts and appends arriving ones (q186's
+    * path at q189's lang='en' target). Batch ids must be FRESH per cycle
+    * (the stores' exactly-once ledgers refuse replays).
+    */
+  private def v4AdvanceStores(s: SparkSession, prev: DataFrame, next: DataFrame,
+      featPrev: DataFrame, mh: String, dsirPath: String,
+      mhRetireId: Long, mhAppendId: Long,
+      dsirRetireId: Long, dsirAppendId: Long): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamingPipeline
+    val delta = Dedup.corpusDelta(
+      prev.select(col("doc_id"), col("text")),
+      next.select(col("doc_id"), col("text"))).localCheckpoint(true)
+    val unchangedIds = delta.filter(col("status") === "unchanged").select("doc_id")
+    val addedChangedIds =
+      delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val featNext = featPrev.join(unchangedIds, "doc_id")
+      .unionByName(v4Features(next.join(addedChangedIds, "doc_id")))
+      .localCheckpoint(true) // the new store: the delta paid one text pass
+    val keptPrev = v4Winners(featPrev).select(col("doc_id"))
+    val keptNext = v4Winners(featNext).select(col("doc_id"))
+    val stayIds = keptNext.join(unchangedIds, "doc_id")
+    StreamingPipeline.retireMinhashStore(s, mh,
+      keptPrev.join(stayIds, Seq("doc_id"), "left_anti"), mhRetireId)
+    StreamingPipeline.minhashDedupBatch(mh)(
+      next.select(col("doc_id"), col("text"))
+        .join(keptNext.join(stayIds, Seq("doc_id"), "left_anti"), "doc_id"),
+      mhAppendId)
+    StreamingPipeline.compactMinhashStore(s, mh)
+    TextOps.retireDsir(
+      prev.join(delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id"), "doc_id"), v4IsTarget, dsirPath, appendId = dsirRetireId)
+    TextOps.appendDsir(next.join(addedChangedIds, "doc_id"), v4IsTarget,
+      dsirPath, appendId = dsirAppendId)
+    TextOps.compactDsir(s, dsirPath)
+    featNext
+  }
+
+  /** The 11-row v4 stack frame over `corpus`, computed from the STORED
+    * features and the maintained stores — stage flags, the balance and
+    * packing windows, the ridge and calibrated-classifier fits, and all
+    * three hex60 gates read `feat`; the near-dup verdicts come from the
+    * MinHash store's verified pairs and the DSIR rates from the model
+    * store. No text pass outside the stores (the exact-distinct profiler
+    * aggregates full `corpus` by definition — its incremental twin is the
+    * sketch-store family, q156/q158).
+    */
+  private def v4FrameFromStores(s: SparkSession, corpus: DataFrame,
+      feat: DataFrame, mh: String, dsirPath: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamingPipeline
+    import org.apache.spark.sql.expressions.Window
+    val exactKept = v4Winners(feat)
+    val dropped = StreamingPipeline.readDedupPairs(s, mh)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(1L))
+    val flagged = exactKept.join(dropped, Seq("doc_id"), "left")
+      .withColumn("near", col("__dup").isNull)
+      .withColumn("qual", col("near") && col("quality_score") >= 0.3)
+    val domCounts = flagged.filter(col("qual"))
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
+      .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
+    val bal = flagged.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("bal", col("qual") &&
+        Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val packed = bal
+      .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
+      .withColumn("__binkey", when(col("bal"),
+        concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+    val one = packed.agg(
+      count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
+      count(when(col("near"), 1)).as("d4"),
+      coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
+      count(when(col("qual"), 1)).as("d5"),
+      coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
+      count(when(col("bal"), 1)).as("d6"),
+      coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
+      countDistinct(col("__binkey")).as("nb"))
+    val pre = feat.agg(
+      count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+      count(when(col("n_words") >= 3, 1)).as("d2"),
+      coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
+    val prof = graft.operators.Profile
+      .profile(corpus, Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
+        sum(col("n_null")).as("p3"))
+    val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
+      .localCheckpoint(true)
+    val fj = feat.select(col("doc_id"),
+        col("n_words").cast("double").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"),
+        col("n_chars").cast("double").as("y"))
+      .join(surv.select(col("doc_id")), "doc_id")
+    val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
+    val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
+      .agg(count(lit(1)).as("s1"),
+        coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
+    val lf = feat.select(col("doc_id"),
+      col("n_words").cast("double").as("n_words"),
+      col("avg_word_len"), col("stopword_ratio"),
+      (col("quality_score") >= 0.3).cast("double").as("y"))
+    val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
+    val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
+      .join(lf.select(col("doc_id"), col("y")), "doc_id")
+      .localCheckpoint(true)
+    val bins = graft.operators.Logit.calibrationBins(lpred)
+    val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
+    val gate = surv.join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
+      .withColumn("__keep",
+        Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
+          floor(col("p_cal") * 1e6).cast("long"))
+    val samp = gate.agg(
+      count(when(col("__keep"), 1)).as("k1"),
+      coalesce(sum(when(col("__keep"), col("n_words"))), lit(0L)).as("k2"),
+      coalesce(sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")), lit(0))
+        .cast("long").as("k3"))
+    val rate = TextOps.scoreWithDsir(corpus, dsirPath)
+      .select(col("doc_id"), col("rate_ppm"))
+    val dgate = gate.filter(col("__keep")).select(col("doc_id"), col("n_words"))
+      .join(rate, "doc_id")
+      .withColumn("__dk",
+        Dedup.hex60(concat(col("doc_id").cast("string"), lit(":dsir"))) % 1000000L
+          < col("rate_ppm"))
+    val dsamp = dgate.agg(
+      count(when(col("__dk"), 1)).as("x1"),
+      coalesce(sum(when(col("__dk"), col("n_words"))), lit(0L)).as("x2"),
+      coalesce(sum(col("rate_ppm").cast("decimal(38,0)")), lit(0))
+        .cast("long").as("x3"))
+    pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
+      .crossJoin(broadcast(samp)).crossJoin(broadcast(dsamp))
+      .selectExpr(
+        """stack(11,
+          |  '0_profile', p1, p2, p3,
+          |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
+          |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
+          |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
+          |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
+          |  '5_quality', d5, t5, CAST(0 AS BIGINT),
+          |  '6_balance', d6, t6, CAST(0 AS BIGINT),
+          |  '7_pack',    d6, t6, nb,
+          |  '8_score',   s1, s2, CAST(0 AS BIGINT),
+          |  '9_sample',  k1, k2, k3,
+          |  'a_dsir',    x1, x2, x3
+          |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
+      .orderBy("stage")
+  }
+
+  /** The previous-cycle state the incremental loop starts from: the
+    * snapshot-A feature store, the MinHash mine store built over A's
+    * exact winners (two batches — the q178 shape), and the DSIR model
+    * fit on A. Returns featA.
+    */
+  private def v4BuildStoresOnA(s: SparkSession, a: DataFrame,
+      mh: String, dsirPath: String): DataFrame = {
+    import graft.streaming.StreamingPipeline
+    val featA = v4Features(a).localCheckpoint(true)
+    val keptA = v4Winners(featA).select(col("doc_id"))
+    val aKept = a.select(col("doc_id"), col("text")).join(keptA, "doc_id")
+    StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 0), 0)
+    StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 1), 1)
+    TextOps.saveDsir(a, v4IsTarget, m = 1024, dsirPath)
+    featA
+  }
+
   val defs: Map[String, Q] = Map(
     // Unigram-LM quality score (add-one smoothing, corpus-fit).
     "q95_unigram_nll" -> ((s, d) =>
@@ -598,170 +795,50 @@ object CorpusQueries {
     // the proof that the incremental loop converges to from-scratch.
     // (The exact-distinct profiler stage aggregates full B by definition
     // — its incremental twin is the sketch-store family, q156/q158.)
-    // Cost ∝ delta, measured: see the scaladoc on the bench row.
+    // Cost ∝ delta, measured: the delta slice is ~26% of the corpus
+    // (removed %13 + changed %7 + added %17) and only it pays a text
+    // pass; end-to-end at sf0.1 the whole query — A-side store builds +
+    // the cycle + every B-side aggregation — runs ~22 s vs the monolithic
+    // q189's ~15 s, with the 10x scaling exponent in the bench's scale10
+    // block. Body factored into [[v4BuildStoresOnA]]/[[v4AdvanceStores]]/
+    // [[v4FrameFromStores]], shared with q196's second cycle.
     "q191_pipeline_v4_incremental" -> ((s, d) => {
-      import graft.dedup.Dedup
-      import graft.streaming.StreamingPipeline
-      import org.apache.spark.sql.expressions.Window
       val base = DataQueries.ivfIndexPath(d) + "_v4inc"
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val a = docs(s, d)
       val b = DataQueries.snapshotBFull(a)
-      val delta = Dedup.corpusDelta(
-        a.select(col("doc_id"), col("text")),
-        b.select(col("doc_id"), col("text"))).localCheckpoint(true)
-      val unchangedIds = delta.filter(col("status") === "unchanged").select("doc_id")
-      val addedChangedIds =
-        delta.filter(col("status").isin("added", "changed")).select("doc_id")
-      // per-doc feature store: one row per doc, every text-derived value
-      // the pipeline consumes downstream (same exprs as the monolithic
-      // stages, so reused rows are bit-identical to recomputed ones)
-      def features(df: DataFrame): DataFrame =
-        TextOps.qualityFeatures(df)
-          .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
-            col("avg_word_len"), col("stopword_ratio"), col("quality_score"))
-          .join(df.select(col("doc_id"), md5(lower(col("text"))).as("h"),
-            col("source"), col("n_chars")), "doc_id")
-      val featA = features(a).localCheckpoint(true) // "last cycle's store"
-      val featB = featA.join(unchangedIds, "doc_id")
-        .unionByName(features(b.join(addedChangedIds, "doc_id")))
-        .localCheckpoint(true) // this cycle's store: the delta paid one text pass
-      // exact-dup winners from STORED hashes (keep-min over clean rows)
-      def winners(feat: DataFrame): DataFrame =
-        feat.filter(col("n_words") >= 3)
-          .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-          .filter(col("doc_id") === col("__keep")).drop("__keep")
-      val exactKeptB = winners(featB)
-      val keptA = winners(featA).select(col("doc_id"))
-      val keptBIds = exactKeptB.select(col("doc_id"))
-      // MinHash mine-store membership delta: a store row survives only if
-      // its doc is STILL a winner with UNCHANGED text; everything else in
-      // keptA retires, everything else in keptB (re-)enters — this covers
-      // removal, revision, AND winner displacement (a revised doc joining
-      // a smaller-id hash group dethrones an unchanged doc, which must
-      // leave the mine; the group's new winner enters with its old text)
-      val stayIds = keptBIds.join(unchangedIds, "doc_id")
-      val mineRetire = keptA.join(stayIds, Seq("doc_id"), "left_anti")
-      val mineAppend = keptBIds.join(stayIds, Seq("doc_id"), "left_anti")
-      val mh = s"$base/mh"
-      val aKept = a.select(col("doc_id"), col("text")).join(keptA, "doc_id")
-      StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 0), 0)
-      StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 1), 1)
-      StreamingPipeline.retireMinhashStore(s, mh, mineRetire, 2)
-      StreamingPipeline.minhashDedupBatch(mh)(
-        b.select(col("doc_id"), col("text")).join(mineAppend, "doc_id"), 3)
-      StreamingPipeline.compactMinhashStore(s, mh)
-      val dropped = StreamingPipeline.readDedupPairs(s, mh)
-        .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("__dup", lit(1L))
-      // stage flags over the store — the monolithic pipelineFlags exprs
-      // with every text-derived value read from featB
-      val flagged = exactKeptB.join(dropped, Seq("doc_id"), "left")
-        .withColumn("near", col("__dup").isNull)
-        .withColumn("qual", col("near") && col("quality_score") >= 0.3)
-      val domCounts = flagged.filter(col("qual"))
-        .groupBy(col("source")).agg(count(lit(1)).as("nd"))
-      val rates = domCounts.crossJoin(broadcast(domCounts.agg(min(col("nd")).as("min_nd"))))
-        .select(col("source"), expr("min_nd * 1000000 div nd").as("rate_ppm"))
-      val bal = flagged.join(broadcast(rates), Seq("source"), "left")
-        .withColumn("bal", col("qual") &&
-          Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
-      val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
-        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-      val packed = bal
-        .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
-        .withColumn("__binkey", when(col("bal"),
-          concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
-      val one = packed.agg(
-        count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
-        count(when(col("near"), 1)).as("d4"),
-        coalesce(sum(when(col("near"), col("n_words"))), lit(0L)).as("t4"),
-        count(when(col("qual"), 1)).as("d5"),
-        coalesce(sum(when(col("qual"), col("n_words"))), lit(0L)).as("t5"),
-        count(when(col("bal"), 1)).as("d6"),
-        coalesce(sum(when(col("bal"), col("n_words"))), lit(0L)).as("t6"),
-        countDistinct(col("__binkey")).as("nb"))
-      val pre = featB.agg(
-        count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
-        count(when(col("n_words") >= 3, 1)).as("d2"),
-        coalesce(sum(when(col("n_words") >= 3, col("n_words"))), lit(0L)).as("t2"))
-      // the exact-distinct profiler aggregates full B (by definition)
-      val prof = graft.operators.Profile
-        .profile(b, Seq("doc_id", "text", "lang", "source", "n_chars"))
-        .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
-          sum(col("n_null")).as("p3"))
-      // model stages over STORED features only
-      val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
-        .localCheckpoint(true)
-      val fj = featB.select(col("doc_id"),
-          col("n_words").cast("double").as("n_words"),
-          col("avg_word_len"), col("stopword_ratio"),
-          col("n_chars").cast("double").as("y"))
-        .join(surv.select(col("doc_id")), "doc_id")
-      val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
-      val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
-        .agg(count(lit(1)).as("s1"),
-          coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
-      val lf = featB.select(col("doc_id"),
-        col("n_words").cast("double").as("n_words"),
-        col("avg_word_len"), col("stopword_ratio"),
-        (col("quality_score") >= 0.3).cast("double").as("y"))
-      val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
-      val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
-        .join(lf.select(col("doc_id"), col("y")), "doc_id")
-        .localCheckpoint(true)
-      val bins = graft.operators.Logit.calibrationBins(lpred)
-      val cal = graft.operators.Logit.calibratedPredict(lpred, bins, "doc_id")
-      val gate = surv.join(cal.select(col("doc_id"), col("p_cal")), "doc_id")
-        .withColumn("__keep",
-          Dedup.hex60(col("doc_id").cast("string")) % 1000000L <
-            floor(col("p_cal") * 1e6).cast("long"))
-      val samp = gate.agg(
-        count(when(col("__keep"), 1)).as("k1"),
-        coalesce(sum(when(col("__keep"), col("n_words"))), lit(0L)).as("k2"),
-        coalesce(sum(floor(col("p_cal") * 1e6).cast("decimal(38,0)")), lit(0))
-          .cast("long").as("k3"))
-      // DSIR model store follows the corpus: retire departing counts,
-      // append arriving ones (q186's path at q189's lang='en' target)
-      val dsirPath = s"$base/dsir"
-      val isT = col("lang") === "en"
-      TextOps.saveDsir(a, isT, m = 1024, dsirPath)
-      TextOps.retireDsir(
-        a.join(delta.filter(col("status").isin("removed", "changed"))
-          .select("doc_id"), "doc_id"), isT, dsirPath, appendId = 1)
-      TextOps.appendDsir(b.join(addedChangedIds, "doc_id"), isT, dsirPath, appendId = 2)
-      TextOps.compactDsir(s, dsirPath)
-      val rate = TextOps.scoreWithDsir(b, dsirPath)
-        .select(col("doc_id"), col("rate_ppm"))
-      val dgate = gate.filter(col("__keep")).select(col("doc_id"), col("n_words"))
-        .join(rate, "doc_id")
-        .withColumn("__dk",
-          Dedup.hex60(concat(col("doc_id").cast("string"), lit(":dsir"))) % 1000000L
-            < col("rate_ppm"))
-      val dsamp = dgate.agg(
-        count(when(col("__dk"), 1)).as("x1"),
-        coalesce(sum(when(col("__dk"), col("n_words"))), lit(0L)).as("x2"),
-        coalesce(sum(col("rate_ppm").cast("decimal(38,0)")), lit(0))
-          .cast("long").as("x3"))
-      pre.crossJoin(one).crossJoin(broadcast(prof)).crossJoin(broadcast(score))
-        .crossJoin(broadcast(samp)).crossJoin(broadcast(dsamp))
-        .selectExpr(
-          """stack(11,
-            |  '0_profile', p1, p2, p3,
-            |  '1_raw',     d1, t1, CAST(0 AS BIGINT),
-            |  '2_clean',   d2, t2, CAST(0 AS BIGINT),
-            |  '3_exact',   d3, t3, CAST(0 AS BIGINT),
-            |  '4_neardup', d4, t4, CAST(0 AS BIGINT),
-            |  '5_quality', d5, t5, CAST(0 AS BIGINT),
-            |  '6_balance', d6, t6, CAST(0 AS BIGINT),
-            |  '7_pack',    d6, t6, nb,
-            |  '8_score',   s1, s2, CAST(0 AS BIGINT),
-            |  '9_sample',  k1, k2, k3,
-            |  'a_dsir',    x1, x2, x3
-            |) AS (stage, n_docs, n_tokens, n_bins)""".stripMargin)
-        .orderBy("stage")
+      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
+      v4FrameFromStores(s, b, featB, s"$base/mh", s"$base/dsir")
+    }),
+
+    // SECOND incremental cycle — the loop is a FIXED POINT, not a
+    // one-shot: the corpus moves A→B→C and the SAME stores advance
+    // through both deltas (the feature store twice-reused, the MinHash
+    // store through two retire/append/compact cycles — the second over a
+    // base its first retirement compaction already relocated — and the
+    // DSIR count store through two signed-delta cycles). The frame over C
+    // must hash-match the monolithic q189 recomputed over the
+    // twice-derived snapshot: any state the first cycle leaves behind
+    // that the second mis-reads (a stale ledger, a resurrected row, a
+    // mis-merged base) shifts a stage count and fails.
+    "q196_pipeline_v4_cycle2" -> ((s, d) => {
+      val base = DataQueries.ivfIndexPath(d) + "_v4inc2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val a = docs(s, d)
+      val b = DataQueries.snapshotBFull(a)
+      val c = DataQueries.snapshotCFull(b)
+      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
+      val featC = v4AdvanceStores(s, b, c, featB, s"$base/mh", s"$base/dsir",
+        mhRetireId = 4, mhAppendId = 5, dsirRetireId = 3, dsirAppendId = 4)
+      v4FrameFromStores(s, c, featC, s"$base/mh", s"$base/dsir")
     }),
 
     // The v4 pipeline's per-document kill matrix (see
@@ -1633,6 +1710,39 @@ object CorpusQueries {
          |    < CAST(floor(c.p_cal * 1000000.0) AS BIGINT)
          |),
          |${DataOracles.dsirRatedBlock("ds", src = "bsnap")},
+         |dsirv4 AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS x1,
+         |    CAST(coalesce(sum(CASE WHEN keep = 1 THEN n_words END), 0) AS BIGINT) AS x2,
+         |    CAST(coalesce(sum(rate_ppm), 0) AS BIGINT) AS x3
+         |  FROM (
+         |    SELECT s9.n_words, r.rate_ppm,
+         |      CASE WHEN ${hex60Sql("CAST(s9.doc_id AS VARCHAR) || ':dsir'")} % 1000000
+         |        < r.rate_ppm THEN 1 ELSE 0 END AS keep
+         |    FROM s9 JOIN dsrated r ON r.doc_id = s9.doc_id
+         |  )
+         |)
+         |$pipelineV2StageRows
+         |UNION ALL SELECT '9_sample', k1, k2, k3 FROM sampv3
+         |UNION ALL SELECT 'a_dsir', x1, x2, x3 FROM dsirv4
+         |ORDER BY stage""".stripMargin,
+
+    // the monolithic v4 replay re-rooted at the TWICE-derived snapshot C:
+    // the stores carried through two delta cycles must be
+    // indistinguishable from a from-scratch recompute over the end state
+    "q196_pipeline_v4_cycle2" ->
+      s"""WITH ${DataOracles.snapshotBFullSql},
+         |${DataOracles.snapshotCFullSql},
+         |${pipelineV2OracleCtesOver("csnap")},
+         |${DataOracles.logitCtes(iters = 30, lr = 0.5, lambda = 0.001, src = "csnap")},
+         |$pipelineV3OracleMid,
+         |s9 AS (
+         |  SELECT b.doc_id, b.n_words
+         |  FROM bal b JOIN cal3 c ON c.doc_id = b.doc_id
+         |  WHERE ${hex60Sql("CAST(b.doc_id AS VARCHAR)")} % 1000000
+         |    < CAST(floor(c.p_cal * 1000000.0) AS BIGINT)
+         |),
+         |${DataOracles.dsirRatedBlock("ds", src = "csnap")},
          |dsirv4 AS (
          |  SELECT
          |    CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS x1,

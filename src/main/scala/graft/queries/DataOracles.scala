@@ -42,6 +42,22 @@ object DataOracles {
       |  FROM documents WHERE doc_id % 17 = 5
       |)""".stripMargin
 
+  /** The q196 third snapshot — [[DataQueries.snapshotCFull]] mirrored over
+    * `bsnap`: removed % 11 = 4, revised % 5 = 1 (' rev3'), added % 19 = 7
+    * (re-keyed +2e6, 'new2 ' prefix).
+    */
+  private[queries] val snapshotCFullSql: String =
+    """csnap AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN text || ' rev3' ELSE text END AS text,
+      |    lang, source,
+      |    CASE WHEN doc_id % 5 = 1 THEN n_chars + 5 ELSE n_chars END AS n_chars
+      |  FROM bsnap WHERE doc_id % 11 <> 4
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'new2 ' || text, lang, source, n_chars + 5
+      |  FROM bsnap WHERE doc_id % 19 = 7
+      |)""".stripMargin
+
 
   /** Shared oracle CTEs: tokens and distinct word-trigram shingles (the ONE
     * definition — [[OracleCte.triCte]] — shared with the sketch oracles).

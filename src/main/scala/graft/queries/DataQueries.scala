@@ -1461,4 +1461,24 @@ object DataQueries {
           concat(lit("new "), col("text")).as("text"),
           col("lang"), col("source"),
           (col("n_chars") + 4).as("n_chars")))
+
+  /** The THIRD corpus snapshot (q196's second crawl move) — the
+    * [[snapshotBFull]] derivation pattern applied to B with fresh moduli:
+    * removed % 11 = 4, revised % 5 = 1 (' rev3', n_chars + 5), added
+    * % 19 = 7 (re-keyed +2e6 past B's id space, 'new2 ' prefix,
+    * n_chars + 5). Deterministic and integer-exact in both engines.
+    */
+  private[queries] def snapshotCFull(b: DataFrame): DataFrame =
+    b.filter(col("doc_id") % 11 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 1, concat(col("text"), lit(" rev3")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"),
+        when(col("doc_id") % 5 === 1, col("n_chars") + 5)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(b.filter(col("doc_id") % 19 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("new2 "), col("text")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + 5).as("n_chars")))
 }

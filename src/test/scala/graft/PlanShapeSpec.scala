@@ -82,7 +82,8 @@ class PlanShapeSpec extends SparkSpec {
     "q191_pipeline_v4_incremental", // q189's 1-row frames, stores delta-maintained
     "q192_pipeline_kill_matrix", // q189's DSIR 1-row totals broadcast, per-doc output
     "q193_pipeline_funnel", // same matrix aggregated to the 7-row funnel
-    "q195_ann_ivf_delta2") // q179's bounded stored-centroid broadcast, two delta cycles
+    "q195_ann_ivf_delta2", // q179's bounded stored-centroid broadcast, two delta cycles
+    "q196_pipeline_v4_cycle2") // q191's 1-row frames, second cycle over the same stores
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
