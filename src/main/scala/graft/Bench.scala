@@ -355,14 +355,20 @@ object Bench {
         // DEBRIS-VARYING pair at the FIXED 10x base (the r12 verdict's
         // fix): vary the DEBRIS 10x down (3 appends of nVec/200 vs the
         // nVec/20 cycles above — same dir count, 1/10th the rows) on the
-        // SAME store. This pair is the one that can decide ∝-debris:
-        // compact_minor's work term must shrink with the debris rows while
-        // compact_full's stays pinned to the base it rewrites either way.
-        // (The base-varying *_1x rows below are job-overhead-dominated at
-        // this store size — all six r12 recordings put the 1x-base rows
-        // ABOVE their 10x twins, so wall-clock there measures fixed
-        // scheduling cost, not row work; they stay committed as the
-        // honest record of that floor, annotated in the artifact.)
+        // SAME store. This is the decidable DESIGN for ∝-debris (minor's
+        // work term tracks the debris rows, full's the base) — but the
+        // committed sf0.1 numbers show BOTH arms at the ~0.3 s scheduling
+        // floor, and full ≈ minor despite rewriting ~8x the rows: at a
+        // 20k-vector store EVERY compaction's row work is sub-floor, so
+        // no wall-clock pair at this scale can resolve the cost model
+        // (the r13 session: minor 0.28 / minor_deb1x 0.31 / full 0.27 /
+        // full_deb1x 0.28). The pairs stay committed as the record of
+        // that floor; the ∝-debris property is carried by the structural
+        // drill (the base's file listing byte-identical across a minor
+        // cycle — the data-proportional term is the debris by
+        // construction). The base-varying *_1x rows below sit at the same
+        // floor (consistently ABOVE their 10x twins — cold-path cost on
+        // the smaller store, annotated in the artifact).
         val (appendD1, compactMinorD1, compactFullD1) = min2(
           maintCycle(s"$annDir/index", 7, incOf(_, 200)),
           maintCycle(s"$annDir/index", 10, incOf(_, 200)))
@@ -578,7 +584,7 @@ object Bench {
         s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
       .mkString("{", ",", "}")
     val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_deb1x":${f3(annAppendD1)},"compact_minor_deb1x":${f3(annCompactMinorD1)},"compact_full_deb1x":${f3(annCompactFullD1)},"deb_note":"compact_*_deb1x = the nVec/20 debris cycles re-run with nVec/200 debris at the SAME 10x base: the debris-varying pair that decides cost-proportional-to-debris","append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"maint1x_note":"the base-varying *_1x rows are fixed-job-overhead-dominated at this store size (all committed recordings place them above their 10x twins) — they record the scheduling floor, not the cost model; see *_deb1x","retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_deb1x":${f3(annAppendD1)},"compact_minor_deb1x":${f3(annCompactMinorD1)},"compact_full_deb1x":${f3(annCompactFullD1)},"deb_note":"compact_*_deb1x = the nVec/20 debris cycles re-run with nVec/200 debris at the SAME 10x base — the decidable design for cost-proportional-to-debris; at this store size both arms (and full vs minor) sit at the ~0.3s scheduling floor, so these rows pin the floor and the structural drill (base files byte-identical across a minor cycle) carries the property","append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"maint1x_note":"the base-varying *_1x rows are fixed-job-overhead-dominated at this store size (all committed recordings place them above their 10x twins) — they record the scheduling floor, not the cost model; see *_deb1x","retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
     val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
       .mkString("{", ",", "}")
     val totalMed = results.map { case (_, ts) => med(ts) }.sum

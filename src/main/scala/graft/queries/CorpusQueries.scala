@@ -798,10 +798,13 @@ object CorpusQueries {
     // Cost ∝ delta, measured: the delta slice is ~26% of the corpus
     // (removed %13 + changed %7 + added %17) and only it pays a text
     // pass; end-to-end at sf0.1 the whole query — A-side store builds +
-    // the cycle + every B-side aggregation — runs ~22 s vs the monolithic
-    // q189's ~15 s, with the 10x scaling exponent in the bench's scale10
-    // block. Body factored into [[v4BuildStoresOnA]]/[[v4AdvanceStores]]/
-    // [[v4FrameFromStores]], shared with q196's second cycle.
+    // the cycle + every B-side aggregation — committed at 20.6 s vs the
+    // monolithic q189's 14.7 s (r13 session), with a measured 10x scaling
+    // exponent of 0.39 in the bench's scale10 block (sub-linear: the
+    // delta-proportional maintenance dilutes the corpus-proportional
+    // aggregations). Body factored into [[v4BuildStoresOnA]]/
+    // [[v4AdvanceStores]]/[[v4FrameFromStores]], shared with q196's
+    // second cycle.
     "q191_pipeline_v4_incremental" -> ((s, d) => {
       val base = DataQueries.ivfIndexPath(d) + "_v4inc"
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
