@@ -122,7 +122,12 @@ object Bench {
     "q133_ann_ivfpq", "q152_pca_moments", "q154_tfidf_ann", "q164_logit_fit",
     "q173_lang_mixture", "q174_pipeline_v3", "q178_dedup_delta_maintenance",
     "q182_dsir_weights", "q186_dsir_delta", "q187_filter_attribution",
-    "q191_pipeline_v4_incremental")
+    "q191_pipeline_v4_incremental",
+    // the rotation/second-cycle maintenance paths: q194's store is
+    // benchmark-sized BY DESIGN, so its exponent measures the probe-side
+    // asymmetry (cost ∝ corpus, store ∝ eval suites); q195's measures the
+    // composed two-cycle ANN maintenance
+    "q194_decontam_rotation", "q195_ann_ivf_delta2")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings
