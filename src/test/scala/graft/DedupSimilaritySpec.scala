@@ -609,6 +609,74 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH and PQ stores: relocated bases after retirement compaction, minor stays debris-only") {
+    // the IVF relocated-base drill's family twins: BOTH halves of each
+    // store relocate under a retirement-applying full compaction (each
+    // writes its own _base marker), and a later minor merge must exclude
+    // both relocated bases from the debris
+    val rng = new scala.util.Random(43)
+    def mk(r: Range) = r.map { i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val b1 = mk(0 to 59); val b2 = mk(60 to 69)
+    val b3 = mk(70 to 79); val b4 = mk(80 to 89)
+    val qs = mk(100 to 104)
+    val fams = Seq(
+      ("lsh",
+        (df: org.apache.spark.sql.DataFrame, p: String) =>
+          Similarity.buildLshIndex(df, bits = 4, tables = 4, dim = 64, p),
+        (df: org.apache.spark.sql.DataFrame, p: String, id: Long) =>
+          Similarity.lshAppendVectors(df, p, id),
+        (p: String, rid: Long) =>
+          Similarity.retireLshVectors(spark, p, Seq(5L, 62L).toDF("vec_id"), rid),
+        (p: String) => Similarity.compactLshIndexMinor(spark, p),
+        (p: String) => Similarity.compactLshIndex(spark, p),
+        (p: String) => Similarity.probeLshIndex(qs, p, k = 3),
+        Seq("sigs", "vectors")),
+      ("pq",
+        (df: org.apache.spark.sql.DataFrame, p: String) =>
+          Similarity.buildPqIndex(df, m = 4, k = 4, iters = 1, p),
+        (df: org.apache.spark.sql.DataFrame, p: String, id: Long) =>
+          Similarity.pqAppendVectors(df, p, id),
+        (p: String, rid: Long) =>
+          Similarity.retirePqVectors(spark, p, Seq(5L, 62L).toDF("vec_id"), rid),
+        (p: String) => Similarity.compactPqIndexMinor(spark, p),
+        (p: String) => Similarity.compactPqIndex(spark, p),
+        (p: String) => Similarity.probePqIndex(qs, p, k = 3),
+        Seq("codes", "vectors")))
+    for ((name, build, append, retire, minor, full, probe, halves) <- fams) {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${name}_relo").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+        spark.sparkContext.hadoopConfiguration)
+      build(b1, p)
+      assert(append(b2, p, 1L))
+      assert(retire(p, 2L))
+      assert(full(p) >= 1, s"$name: retirement-applying full compaction ran")
+      halves.foreach { h =>
+        assert(Similarity.readBaseId(fs, s"$p/$h") == 1L,
+          s"$name/$h: _base marker must record the relocated base")
+        assert(!fs.listFiles(new org.apache.hadoop.fs.Path(s"$p/$h/batch=0"), true).hasNext,
+          s"$name/$h: batch=0 must be a tombstone after relocation")
+      }
+      assert(append(b3, p, 3L)); assert(append(b4, p, 4L))
+      def canon(): Seq[String] =
+        probe(p).collect().map(_.toString).sorted.toSeq
+      def listing(dir: String): Seq[String] = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) { val f = it.next(); buf += s"${f.getPath}:${f.getLen}" }
+        buf.sorted.toSeq
+      }
+      val before = canon()
+      val bases = halves.map(h => h -> listing(s"$p/$h/batch=1")).toMap
+      assert(minor(p) == 4,
+        s"$name: relocated bases must be excluded from the debris merge")
+      assert(canon() == before, s"$name: minor over relocated bases changed probes")
+      halves.foreach(h => assert(listing(s"$p/$h/batch=1") == bases(h),
+        s"$name/$h: minor compaction rewrote the RELOCATED base"))
+    }
+  }
+
   test("persisted IVF index: minor-compaction crash windows roll forward; probes refuse meanwhile") {
     def mk(r: Range) = r.map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))

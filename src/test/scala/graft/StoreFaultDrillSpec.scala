@@ -261,6 +261,14 @@ class StoreFaultDrillSpec extends SparkSpec {
     // shingles exclude the rotated batch); the Bloom is a SUPERSET
     assert(verdicts(p) == wantV, "verdicts wrong in the retire window")
     assert(bloomPos(p) > wantPos, "rotated suite's false-positive tax missing")
+    // the STREAMING router reads live shingles too — a routed batch's
+    // verdicts honor the rotation before compaction applies it
+    val outDir = root(families.last, "rotout")
+    rm(outDir)
+    graft.streaming.StreamingPipeline.decontamRouteBatch(p, outDir)(docsAll, 0L)
+    val routed = rows(spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_present"), col("contaminated")))
+    assert(routed == wantV, "the streaming router must honor a pending rotation")
     // crash INSIDE compactDecontamStore, between the shingle landing and
     // the words rebuild: replay steps (1)+(2) manually and stop
     val b1 = hpath(s"$p/shingles/batch=1")
