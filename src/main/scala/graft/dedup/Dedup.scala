@@ -623,10 +623,15 @@ object Dedup {
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "decontam-compact") {
       val retired = readDecontamRetirements(spark, fs, path)
-      // (1) apply: blank each rotated batch dir to a tombstone
+      // (1) apply: blank each rotated batch dir to a tombstone. mkdirs
+      // runs UNCONDITIONALLY — a crash between delete and mkdirs leaves
+      // the dir missing, and compactBatchStore only re-tombstones ids it
+      // can see, so without the heal a rotated id would become reusable
+      // after the ledger blanks
       retired.foreach { b =>
         val d = new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$b")
-        if (fs.exists(d)) { fs.delete(d, true); fs.mkdirs(d) }
+        if (fs.exists(d)) fs.delete(d, true)
+        fs.mkdirs(d)
       }
       // (2) merge survivors; with a rotation pending, force the rewrite
       // and land at the max live id (rotated ids are tombstones now, so
@@ -649,7 +654,11 @@ object Dedup {
         graft.sketch.Sketches.bloomWords(survivors, "shingle", k, m)
           .write.mode("overwrite").parquet(wordsStaging.toString)
         graft.similarity.Similarity.swapDir(fs, wordsStaging, s"$path/words")
-        // (4) blank the applied ledger (tombstones keep replays refused)
+        // (4) blank the applied ledger. A crash between a delete and its
+        // mkdirs here is BENIGN (unlike step 1's): the lost ledger
+        // tombstone at worst lets the same rid re-land naming
+        // already-blanked batches — readers exclude tombstones (empty
+        // either way) and the next compaction re-blanks.
         val rdir = new org.apache.hadoop.fs.Path(s"$path/retired")
         if (fs.exists(rdir)) fs.listStatus(rdir)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))

@@ -292,5 +292,19 @@ class StoreFaultDrillSpec extends SparkSpec {
       "a rotated batch id must stay refused — suites re-enter under a fresh id")
     assert(Dedup.appendDecontamBench(docsB, p, appendId = 3),
       "the rotated suite must be able to re-enter under a fresh id")
+
+    // crash INSIDE the apply step's delete-then-mkdirs (the rotated dir
+    // is MISSING, not a tombstone) — the unconditional-mkdirs heal must
+    // restore it, or after the ledger blanks the rotated id becomes
+    // reusable and a replay silently re-enters the dead suite
+    assert(Dedup.retireDecontamBench(spark, p, Seq(3L), retireId = 4))
+    rm(s"$p/shingles/batch=3") // the torn state: dir gone, ledger pending
+    Dedup.compactDecontamStore(spark, p)
+    assert(fs.exists(hpath(s"$p/shingles/batch=3")) &&
+      !fs.listFiles(hpath(s"$p/shingles/batch=3"), true).hasNext,
+      "the apply step must heal a missing rotated dir back to a tombstone")
+    assert(!Dedup.appendDecontamBench(docsB, p, appendId = 3),
+      "the healed tombstone must keep the rotated id refused")
+    assert(verdicts(p) == wantV, "post-heal verdicts diverged")
   }
 }
