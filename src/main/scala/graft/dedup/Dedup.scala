@@ -566,8 +566,17 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String): Set[Long] = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/retired")
-    if (!fs.exists(dir) || !fs.listFiles(dir, true).hasNext) Set.empty
-    else spark.read.parquet(dir.toString)
+    if (!fs.exists(dir)) return Set.empty
+    // list PUBLISHED entries only: a crashed retire's `.staging-<rid>`
+    // leftover is invisible to Spark's reader but not to a recursive
+    // file listing, so an existence check alone would send the read at a
+    // dir with zero visible files (schema-inference failure on every
+    // PROBE); blanked tombstones are file-less and skipped the same way
+    val published = fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.listFiles(s.getPath, true).hasNext)
+    if (published.isEmpty) Set.empty
+    else spark.read.parquet(published.map(_.getPath.toString).toIndexedSeq: _*)
       .select(col("rbatch")).collect().map(_.getLong(0)).toSet
   }
 

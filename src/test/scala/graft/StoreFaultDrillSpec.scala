@@ -306,5 +306,12 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(!Dedup.appendDecontamBench(docsB, p, appendId = 3),
       "the healed tombstone must keep the rotated id refused")
     assert(verdicts(p) == wantV, "post-heal verdicts diverged")
+
+    // a crashed retire PUBLISH (orphan .staging under retired/, no ledger
+    // dir) must be invisible to readers — the retirement read lists
+    // published batch dirs only, never the staging leftovers
+    fs.mkdirs(hpath(s"$p/retired/.staging-9"))
+    fs.create(hpath(s"$p/retired/.staging-9/junk"), true).close()
+    assert(verdicts(p) == wantV, "an orphan retire staging broke probes")
   }
 }
