@@ -225,7 +225,7 @@ object CorpusQueries {
     * path at q189's lang='en' target). Batch ids must be FRESH per cycle
     * (the stores' exactly-once ledgers refuse replays).
     */
-  private def v4AdvanceStores(s: SparkSession, prev: DataFrame, next: DataFrame,
+  private[graft] def v4AdvanceStores(s: SparkSession, prev: DataFrame, next: DataFrame,
       featPrev: DataFrame, mh: String, dsirPath: String,
       mhRetireId: Long, mhAppendId: Long,
       dsirRetireId: Long, dsirAppendId: Long): DataFrame = {
@@ -243,11 +243,18 @@ object CorpusQueries {
     val keptPrev = v4Winners(featPrev).select(col("doc_id"))
     val keptNext = v4Winners(featNext).select(col("doc_id"))
     val stayIds = keptNext.join(unchangedIds, "doc_id")
+    // A store row SURVIVES only if its doc is in the store (a prev-cycle
+    // winner) AND still a winner with unchanged text. stayIds alone is not
+    // the survivor set: an UNCHANGED doc newly PROMOTED to winner (its
+    // group's previous winner removed or revised) is in stayIds but was
+    // never appended — anti-joining the append set against stayIds would
+    // silently leave it out of the store and its near-dup pairs unminable.
+    val survive = keptPrev.join(stayIds, Seq("doc_id"), "leftsemi")
     StreamingPipeline.retireMinhashStore(s, mh,
-      keptPrev.join(stayIds, Seq("doc_id"), "left_anti"), mhRetireId)
+      keptPrev.join(survive, Seq("doc_id"), "left_anti"), mhRetireId)
     StreamingPipeline.minhashDedupBatch(mh)(
       next.select(col("doc_id"), col("text"))
-        .join(keptNext.join(stayIds, Seq("doc_id"), "left_anti"), "doc_id"),
+        .join(keptNext.join(survive, Seq("doc_id"), "left_anti"), "doc_id"),
       mhAppendId)
     StreamingPipeline.compactMinhashStore(s, mh)
     TextOps.retireDsir(
@@ -268,7 +275,7 @@ object CorpusQueries {
     * aggregates full `corpus` by definition — its incremental twin is the
     * sketch-store family, q156/q158).
     */
-  private def v4FrameFromStores(s: SparkSession, corpus: DataFrame,
+  private[graft] def v4FrameFromStores(s: SparkSession, corpus: DataFrame,
       feat: DataFrame, mh: String, dsirPath: String): DataFrame = {
     import graft.dedup.Dedup
     import graft.streaming.StreamingPipeline
@@ -376,7 +383,7 @@ object CorpusQueries {
     * exact winners (two batches — the q178 shape), and the DSIR model
     * fit on A. Returns featA.
     */
-  private def v4BuildStoresOnA(s: SparkSession, a: DataFrame,
+  private[graft] def v4BuildStoresOnA(s: SparkSession, a: DataFrame,
       mh: String, dsirPath: String): DataFrame = {
     import graft.streaming.StreamingPipeline
     val featA = v4Features(a).localCheckpoint(true)

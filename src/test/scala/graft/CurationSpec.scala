@@ -261,4 +261,60 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "DSIR must be partition-invariant")
     assert(a.size == 35, "every input document must come back")
   }
+
+  // ---- v4 incremental advance: winner PROMOTION --------------------------
+  // Regression for the r13 advisor's high finding: anti-joining the append
+  // set against stayIds (winners-in-B ∩ unchanged) instead of the actual
+  // surviving store rows (keptPrev ∩ stayIds) silently skips an UNCHANGED
+  // doc newly promoted to exact-winner — it was never appended (it was a
+  // dup loser in A), so the store cannot mine its near-dup pairs and the
+  // incremental frame diverges from the monolithic rebuild. sf0.001/sf0.01
+  // contain zero exact-dup groups, so the scenario is planted here.
+
+  test("v4 advance: unchanged doc promoted to exact-winner re-enters the minhash store") {
+    import graft.queries.CorpusQueries
+    val sfDocs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dupT = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch quietly from the warm sandy riverbank nearby"
+    val nearT = dupT.replace("riverbank nearby", "riverbank today")
+    def crafted(id: Long, text: String) =
+      Seq((id, text, "en", "crafted", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // A: 9000001/9000002 are an exact-dup group (winner = 9000001);
+    // 9000000 is a near-dup of that text (one word differs → word-trigram
+    // jaccard 17/19 ≈ 0.895 ≥ the 0.8 mine threshold)
+    val a = sfDocs.unionByName(crafted(9000000L, nearT))
+      .unionByName(crafted(9000001L, dupT))
+      .unionByName(crafted(9000002L, dupT))
+    // B: the group's winner 9000001 is REVISED → the UNCHANGED 9000002 is
+    // promoted to winner; it must be appended (it was never stored) or its
+    // near-dup pair with 9000000 is unminable
+    val revised = "a completely different replacement text about quantum " +
+      "harvesting machines and nine silver owls"
+    val b = a.filter(col("doc_id") =!= 9000001L)
+      .unionByName(crafted(9000001L, revised))
+    val root = java.nio.file.Files.createTempDirectory("graft_v4_promote").toString
+    val featA = CorpusQueries.v4BuildStoresOnA(spark, a, s"$root/inc/mh", s"$root/inc/dsir")
+    val featB = CorpusQueries.v4AdvanceStores(spark, a, b, featA,
+      s"$root/inc/mh", s"$root/inc/dsir",
+      mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
+    val pairs = graft.streaming.StreamingPipeline
+      .readDedupPairs(spark, s"$root/inc/mh")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9000000L, 9000002L)),
+      "the promoted winner's near-dup pair must be minable from the store")
+    assert(!pairs.exists(p => p._1 == 9000001L || p._2 == 9000001L),
+      "the revised doc's old pairs must be dead after its retirement")
+    val frameInc = CorpusQueries
+      .v4FrameFromStores(spark, b, featB, s"$root/inc/mh", s"$root/inc/dsir")
+      .collect().map(_.toString).toSeq
+    // reference = the same stores built from scratch on B (the q191
+    // convergence convention: incremental must equal the monolithic rebuild)
+    val featBfs = CorpusQueries.v4BuildStoresOnA(spark, b, s"$root/fs/mh", s"$root/fs/dsir")
+    val frameFs = CorpusQueries
+      .v4FrameFromStores(spark, b, featBfs, s"$root/fs/mh", s"$root/fs/dsir")
+      .collect().map(_.toString).toSeq
+    assert(frameInc == frameFs,
+      "incremental frame diverges from from-scratch after winner promotion")
+  }
 }
