@@ -580,10 +580,41 @@ object Dedup {
       .select(col("rbatch")).collect().map(_.getLong(0)).toSet
   }
 
+  /** True iff the dir holds at least one DATA file — underscore/dot
+    * markers (`_SUCCESS`, the relocated-base `_base`, staging leftovers)
+    * don't count. The raw has-any-file check is wrong for store dirs: a
+    * marker-only dir passes it, and `spark.read.parquet` then finds zero
+    * data files and throws on schema inference.
+    */
+  private def dataBearing(fs: org.apache.hadoop.fs.FileSystem,
+                          d: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(d, true)
+    while (it.hasNext) {
+      val nm = it.next().getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** The data-bearing `batch=` dirs of the live shingle half (tombstones,
+    * marker-only dirs, and batches named by a pending retirement skipped).
+    */
+  private def liveDecontamBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, retired: Set[Long]): Seq[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => dataBearing(fs, s.getPath))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filterNot(retired).sorted
+      .map(b => s"$dir/batch=$b").toIndexedSeq
+
   /** The LIVE shingle half: every published batch except those named by a
     * pending retirement ledger entry — pure partition pruning, the
     * rotated suites' dirs are never read. Reads around a compaction swap
-    * window via the `.prev` fallback like every store probe.
+    * window via the `.prev` fallback like every store probe. Listing
+    * data-bearing dirs (never the half's root) keeps an all-rotated store
+    * probeable: after every suite rotates out, the root holds only
+    * tombstones and markers and a root read would fail schema inference.
     */
   def liveDecontamShingles(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame = {
@@ -592,17 +623,9 @@ object Dedup {
       spark.sparkContext.hadoopConfiguration)
     val dir = graft.similarity.Similarity.activeDir(fs, s"$path/shingles")
     val retired = readDecontamRetirements(spark, fs, path)
-    if (retired.isEmpty) spark.read.parquet(dir).select(col("shingle"))
-    else {
-      val live = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filter(s => fs.listFiles(s.getPath, true).hasNext) // skip tombstones
-        .map(_.getPath.getName.stripPrefix("batch=").toLong)
-        .filterNot(retired).sorted
-      if (live.isEmpty) Seq.empty[String].toDF("shingle")
-      else spark.read.parquet(live.map(b => s"$dir/batch=$b").toIndexedSeq: _*)
-        .select(col("shingle"))
-    }
+    val live = liveDecontamBatchDirs(fs, dir, retired)
+    if (live.isEmpty) Seq.empty[String].toDF("shingle")
+    else spark.read.parquet(live: _*).select(col("shingle"))
   }
 
   /** Maintenance half: collapse the shingle store's accumulated `batch=`
@@ -649,14 +672,21 @@ object Dedup {
         spark, s"$path/shingles", Seq.empty,
         baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
       if (retired.nonEmpty) {
-        // (3) Bloom rebuild from survivors
+        // (3) Bloom rebuild from survivors. Survivors = the DATA-BEARING
+        // batch dirs only (step 1 already tombstoned the rotated ids): a
+        // raw recursive has-any-file check is satisfied by underscore
+        // markers alone — e.g. the `_base` marker a prior rotation's
+        // relocated-base compaction left — so after every remaining suite
+        // rotates out of such a store, reading the dir root would find no
+        // data files, throw on schema inference, and (since the ledger
+        // blanks only after the rebuild) wedge every re-run permanently.
         import spark.implicits._
         val cfg = spark.read.parquet(s"$path/config").head()
         val (k, m) = (cfg.getAs[Int]("k"), cfg.getAs[Int]("m"))
-        val shDir = new org.apache.hadoop.fs.Path(s"$path/shingles")
+        val liveDirs = liveDecontamBatchDirs(fs, s"$path/shingles", Set.empty)
         val survivors =
-          if (fs.listFiles(shDir, true).hasNext)
-            spark.read.parquet(shDir.toString).select(col("shingle"))
+          if (liveDirs.nonEmpty)
+            spark.read.parquet(liveDirs: _*).select(col("shingle"))
           else Seq.empty[String].toDF("shingle") // every suite rotated out
         val wordsStaging = new org.apache.hadoop.fs.Path(s"$path/.words-rebuild")
         fs.delete(wordsStaging, true)

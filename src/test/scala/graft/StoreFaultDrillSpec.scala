@@ -314,4 +314,51 @@ class StoreFaultDrillSpec extends SparkSpec {
     fs.create(hpath(s"$p/retired/.staging-9/junk"), true).close()
     assert(verdicts(p) == wantV, "an orphan retire staging broke probes")
   }
+
+  test("decontam rotation: all suites rotated out of a relocated base — rebuild serves empty, never wedges") {
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    val p = root(families.last, "rotall")
+    rm(p)
+    Dedup.buildDecontamStore(docsA, p, n = 3, k = 4, m = 1 << 16)
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 1))
+    assert(Dedup.appendDecontamBench(docsAll, p, appendId = 2))
+    // relocate the base: rotate batch 1 while 0 and 2 survive — the
+    // survivor merge lands at batch=2 and writes the `_base` marker
+    assert(Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 3))
+    Dedup.compactDecontamStore(spark, p)
+    assert(Similarity.readBaseId(fs, s"$p/shingles") == 2L,
+      "precondition: the base must have been relocated (marker present)")
+    // now rotate EVERYTHING that remains (the merged base batch). The
+    // rebuild's survivor read must skip the marker-only root: a raw
+    // has-any-file check sees `_base`, reads the root, throws on schema
+    // inference — and since the ledger blanks only after the rebuild,
+    // every re-run would fail the same way (a permanent wedge).
+    assert(Dedup.retireDecontamBench(spark, p, Seq(2L), retireId = 4))
+    Dedup.compactDecontamStore(spark, p)
+    assert(Dedup.liveDecontamShingles(spark, p).count() == 0,
+      "an all-rotated store must serve an empty live shingle set")
+    val probe = Dedup.bloomContaminationAgainst(
+      Dedup.wordShingles(docsAll, 3), Dedup.liveDecontamShingles(spark, p),
+      spark.read.parquet(Similarity.activeDir(fs, s"$p/words")),
+      k = 4, m = 1 << 16)
+    assert(probe.agg(sum(col("n_bloom_pos"))).head().getLong(0) == 0L,
+      "the rebuilt filter must be all-zero bits")
+    assert(probe.filter(col("contaminated")).count() == 0)
+    assert(!fs.listFiles(hpath(s"$p/retired/batch=4"), true).hasNext,
+      "applied rotation ledger must blank")
+    // the store stays maintainable: a suite re-enters under a fresh id
+    // and probes like a from-scratch build over it
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 5))
+    val fresh = root(families.last, "rotallwant")
+    rm(fresh)
+    Dedup.buildDecontamStore(docsB, fresh, n = 3, k = 4, m = 1 << 16)
+    def v(store: String): Seq[String] = rows(Dedup.bloomContaminationAgainst(
+      Dedup.wordShingles(docsAll, 3), Dedup.liveDecontamShingles(spark, store),
+      spark.read.parquet(Similarity.activeDir(fs, s"$store/words")),
+      k = 4, m = 1 << 16)
+      .select(col("doc_id"), col("n_present"), col("contaminated")))
+    assert(v(p) == v(fresh),
+      "the re-entered store must probe like a from-scratch build")
+  }
 }
