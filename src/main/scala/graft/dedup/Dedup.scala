@@ -452,7 +452,26 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/words")
     Seq((n, k, m)).toDF("n", "k", "m")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
+    // format stamp — see [[decontamFormatMarker]]
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, decontamFormatMarker), true)
+    try out.write("shingles=complete-sets\n".getBytes("UTF-8")) finally out.close()
   }
+
+  /** Store-format stamp for the decontamination store. Appends originally
+    * landed each batch as an ANTI-JOINED delta (new shingles only); the
+    * format changed to per-batch COMPLETE shingle sets — the invariant
+    * batch-level retirement depends on (a live suite's batch carries its
+    * own copy of every shingle it claims, so rotating another batch out
+    * can never lose a shared shingle). A store persisted under the delta
+    * format carries no per-batch completeness, and retiring from it would
+    * silently drop shared shingles (false negatives after compaction) —
+    * so builds stamp the root with this marker and
+    * [[retireDecontamBench]] refuses stores without it. Unmarked stores
+    * (delta-era, or complete-set-era from before the stamp existed, which
+    * cannot be told apart) have one remedy: rebuild.
+    */
+  private[graft] val decontamFormatMarker = "_format-complete-sets"
 
   /** Incremental half of the decontamination store — benchmark suites GROW
     * (a new eval ships; its prompts must start blocking immediately,
@@ -539,6 +558,11 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "decontam-retire") {
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, decontamFormatMarker)),
+        s"$path has no '$decontamFormatMarker' stamp: it was written under the " +
+        "delta-append format (or predates the stamp), so its batches are not " +
+        "complete per-suite shingle sets and batch-level retirement would " +
+        "silently drop shingles shared with live suites — rebuild the store first")
       Seq("shingles", "retired").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
       val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")

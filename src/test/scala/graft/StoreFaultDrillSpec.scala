@@ -361,4 +361,30 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(v(p) == v(fresh),
       "the re-entered store must probe like a from-scratch build")
   }
+
+  test("decontam rotation: a store without the complete-set format stamp is refused") {
+    import graft.dedup.Dedup
+    val p = root(families.last, "fmt")
+    rm(p)
+    Dedup.buildDecontamStore(docsA, p, n = 3, k = 4, m = 1 << 16)
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 1))
+    // simulate a store persisted under the old delta-append format (no
+    // stamp — batches are not complete per-suite sets, so batch-level
+    // retirement would silently drop shingles shared with live suites)
+    fs.delete(hpath(s"$p/_format-complete-sets"), false)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 2)
+    }
+    assert(e.getMessage.contains("rebuild"),
+      "the refusal must name the remedy")
+    // probes and appends still work on a legacy store — only retirement
+    // needs per-batch completeness
+    assert(Dedup.liveDecontamShingles(spark, p).count() > 0)
+    assert(Dedup.appendDecontamBench(docsAll, p, appendId = 3))
+    // the documented remedy: a rebuild stamps the store and retirement works
+    Dedup.buildDecontamStore(docsA, p, n = 3, k = 4, m = 1 << 16)
+    assert(Dedup.appendDecontamBench(docsB, p, appendId = 1))
+    assert(Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 2))
+    Dedup.compactDecontamStore(spark, p)
+  }
 }
