@@ -1449,14 +1449,24 @@ object DataQueries {
     * identical snapshot with integer arithmetic.
     */
   private[queries] def snapshotBFull(a: DataFrame): DataFrame =
-    a.filter(col("doc_id") % 13 =!= 3)
+    snapshotBWith(a, rmMod = 13, revMod = 7, addMod = 17)
+
+  /** [[snapshotBFull]] with the delta moduli as parameters — the bench's
+    * delta-axis pair derives a ~26% delta (13/7/17, the oracle-pinned
+    * snapshot) and a ~2.6% one (130/70/170) from the SAME corpus, so the
+    * incremental cycle's cost can be measured on the axis its claim lives
+    * on (delta size at fixed corpus size).
+    */
+  private[graft] def snapshotBWith(a: DataFrame, rmMod: Int, revMod: Int,
+                                   addMod: Int): DataFrame =
+    a.filter(col("doc_id") % rmMod =!= 3)
       .select(col("doc_id"),
-        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+        when(col("doc_id") % revMod === 2, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"),
         col("lang"), col("source"),
-        when(col("doc_id") % 7 === 2, col("n_chars") + 5)
+        when(col("doc_id") % revMod === 2, col("n_chars") + 5)
           .otherwise(col("n_chars")).as("n_chars"))
-      .unionByName(a.filter(col("doc_id") % 17 === 5)
+      .unionByName(a.filter(col("doc_id") % addMod === 5)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("new "), col("text")).as("text"),
           col("lang"), col("source"),

@@ -14,21 +14,35 @@ class BenchPriorSpec extends AnyFunSuite {
   private val good =
     """{"sf":"/root/testdata/sf0.1","medians":{"q01":0.35,"q94":2.14,"q163":12.80}}"""
 
+  private val withScale10 =
+    """{"sf":"/root/testdata/sf0.1","medians":{"q01":0.35,"q109":1.82},""" +
+      """"scale10":{"q109":7.26,"q42c":2.10}}"""
+
   test("sf-tagged prior at the session's sf parses and stays writable") {
-    val (m, w) = Bench.parsePriorText(good, "/root/testdata/sf0.1")
+    val (m, s10, w) = Bench.parsePriorText(good, "/root/testdata/sf0.1")
     assert(w, "matching sf must keep the prior writable")
     assert(m == Map("q01" -> 0.35, "q94" -> 2.14, "q163" -> 12.80))
+    assert(s10.isEmpty, "a legacy prior without a scale10 section parses clean")
+  }
+
+  test("scale10 section parses separately — the qNN key spaces overlap") {
+    val (m, s10, w) = Bench.parsePriorText(withScale10, "/root/testdata/sf0.1")
+    assert(w)
+    assert(m == Map("q01" -> 0.35, "q109" -> 1.82),
+      "the medians half must not absorb scale10's t10 for the same key")
+    assert(s10 == Map("q109" -> 7.26, "q42c" -> 2.10),
+      "the scale10 half must not absorb the medians")
   }
 
   test("prior from a DIFFERENT sf is ignored AND protected from overwrite") {
-    val (m, w) = Bench.parsePriorText(good, "/root/testdata/sf0.001")
-    assert(m.isEmpty, "cross-sf medians are not comparable")
+    val (m, s10, w) = Bench.parsePriorText(withScale10, "/root/testdata/sf0.001")
+    assert(m.isEmpty && s10.isEmpty, "cross-sf priors are not comparable")
     assert(!w, "a smoke run at another sf must not clobber the committed reference")
   }
 
   test("file level: absent -> writable; unreadable -> protected") {
     val dir = Files.createTempDirectory("graft_prior").toString
-    val (mAbsent, wAbsent) = Bench.readPrior(s"$dir/nope.json", "/x")
+    val (mAbsent, _, wAbsent) = Bench.readPrior(s"$dir/nope.json", "/x")
     assert(mAbsent.isEmpty && wAbsent, "only a confirmed-absent file is writable")
     // a PRESENT path that cannot be read as a file (a directory here — the
     // stand-in for any IO failure) must stay protected: before the r12 fix
@@ -36,11 +50,11 @@ class BenchPriorSpec extends AnyFunSuite {
     // committed reference
     val unreadable = s"$dir/as_dir"
     Files.createDirectory(java.nio.file.Paths.get(unreadable))
-    val (mu, wu) = Bench.readPrior(unreadable, "/x")
+    val (mu, _, wu) = Bench.readPrior(unreadable, "/x")
     assert(mu.isEmpty && !wu,
       "present-but-unreadable prior must not be overwritten")
     // disabled entirely:
-    val (md, wd) = Bench.readPrior("0", "/x")
+    val (md, _, wd) = Bench.readPrior("0", "/x")
     assert(md.isEmpty && !wd)
   }
 
@@ -53,6 +67,31 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(!Bench.priorFlag(0.5, 0.5), "equal is quiet")
   }
 
+  test("median second flag: 1.5x prior median catches sustained 1.3-2x bursts") {
+    // the r13 blind spot: q179 drifted to 2.05x its prior with min-based
+    // flagging silent (the burst covered every pass, min inflated too)
+    assert(Bench.priorMedianFlag(8.28, 4.05), "q179's r13 drift must fire")
+    assert(!Bench.priorMedianFlag(4.1, 4.05), "flat sessions stay quiet")
+    assert(!Bench.priorMedianFlag(0.5, 0.4),
+      "1.25x under the ratio gate stays quiet")
+    assert(!Bench.priorMedianFlag(0.42, 0.2),
+      "2.1x but only 0.22 s over is sub-second jitter, not evidence")
+    assert(Bench.priorMedianFlag(1.0, 0.6), "1.67x and 0.4 s over fires")
+  }
+
+  test("scale10 flag: t10 above 2x prior t10 (+0.3 s floor) forces the retime") {
+    // the r13 defect this closes: q109 t10 26.60 against prior ~7.26 —
+    // both back-to-back runs sat inside one sustained burst and min-of-2
+    // never saw a clean run
+    assert(Bench.scale10Flag(26.60, 7.26), "the r13 q109 row must fire")
+    assert(!Bench.scale10Flag(7.5, 7.26), "flat t10 stays quiet")
+    assert(!Bench.scale10Flag(0.5, 0.3),
+      "1.67x under the ratio gate stays quiet")
+    assert(!Bench.scale10Flag(0.52, 0.24),
+      "2.2x but only 0.28 s over is sub-second jitter, not evidence")
+    assert(Bench.scale10Flag(1.2, 0.5), "2.4x and 0.7 s over fires")
+  }
+
   test("self-heal: retime wins only when valid and lower than the median") {
     assert(Bench.adjudicatedMedian(3.0, Some(0.4)) == 0.4,
       "a phantom re-times near the min and must not poison the next prior")
@@ -61,5 +100,16 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.adjudicatedMedian(3.0, Some(-1.0)) == 3.0,
       "a failed retime (sentinel) never replaces the median")
     assert(Bench.adjudicatedMedian(3.0, None) == 3.0)
+  }
+
+  test("prior write round-trips through the parser (medians + scale10)") {
+    // the live session writes this exact shape; the next session's reader
+    // must split it losslessly
+    val written =
+      """{"sf":"/s","medians":{"q01":0.350,"q109":1.820},"scale10":{"q109":7.260,"q192":4.100}}"""
+    val (m, s10, w) = Bench.parsePriorText(written, "/s")
+    assert(w)
+    assert(m == Map("q01" -> 0.35, "q109" -> 1.82))
+    assert(s10 == Map("q109" -> 7.26, "q192" -> 4.10))
   }
 }
