@@ -258,6 +258,124 @@ object SketchQueries {
         .orderBy("event_type")
     }),
 
+    // SKETCH-STORE RETIREMENT — the last store family's un-learn path
+    // (the r13 verdict's item 2; every other family got one in r11-r13):
+    // a departed corpus slice's cardinality / frequency / quantile /
+    // heavy-hitter contributions must leave the persisted sketches, by
+    // the mechanism each merge algebra admits. The OR/max half (HLL here;
+    // Bloom and MG share the machinery) REBUILDS from surviving per-batch
+    // slices — bits can't subtract, but the maintainers record each
+    // batch's own sketch, and the mergeable-state property makes the
+    // survivor re-merge bit-identical to a from-scratch stream over the
+    // survivors. The oracle is q88/q156's replay re-rooted at the
+    // surviving slice: a leftover register from the departed slice
+    // inflates a group's estimate and fails the hash.
+    "q197_hll_retired" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_hllret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables(s, d, "events")
+      val store = s"$base/store"
+      (0 to 2).foreach(i => StreamingPipeline
+        .hllMergeBatch(store, Seq("event_type"), "user_id", b = 8)(
+          ev.filter(col("user_id") % 3 === i)
+            .select(col("event_type"), col("user_id")), i.toLong))
+      StreamingPipeline.retireHllBatches(s, store, Seq("event_type"), Seq(1L))
+      val surv = ev.filter(col("user_id") % 3 =!= 1)
+      val hll = Sketches.hllEstimate(
+        s.read.parquet(store), Seq("event_type"), b = 8)
+      val exact = surv.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      hll.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("nonempty"),
+          OracleCte.qround6(col("estimate")).as("estimate"), col("exact_distinct"))
+        .orderBy("event_type")
+    }),
+
+    // The additive half: count-min cells SUBTRACT exactly (retireLm's
+    // negated-counts pattern), so un-learning is one more ledgered
+    // SUM-merge with the departing slice's cells negated; zero cells
+    // drop, making the store ROW-identical to a from-scratch sketch over
+    // the survivors. Oracle = q89/q158's replay re-rooted at the
+    // surviving docs — a leftover count shifts an estimate (or a phantom
+    // zero-row shifts the top-k) and fails the hash.
+    "q198_cms_retired" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_cmsret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val terms = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val store = s"$base/store"
+      (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(store, "term")(
+        terms.filter(col("doc_id") % 2 === i).select(col("term")), i.toLong))
+      StreamingPipeline.retireCmsSlice(store, "term")(
+        terms.filter(col("doc_id") % 3 === 1).select(col("term")), retireId = 5L)
+      Sketches.cmsTopKFromCells(
+        terms.filter(col("doc_id") % 3 =!= 1).select(col("term")),
+        s.read.parquet(store), termCol = "term", d = 3, w = 1024, k = 20)
+    }),
+
+    // Histogram buckets — the other additive family, same signed-delta
+    // path; oracle = q103/q159's replay over the survivors.
+    "q199_hist_retired" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_histret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = Tables(s, d, "events")
+      val store = s"$base/store"
+      (0 to 2).foreach(i => StreamingPipeline
+        .histMergeBatch(store, Seq("event_type"), "value",
+          binWidth = 50.0, numBins = 20)(
+          ev.filter(col("user_id") % 3 === i), i.toLong))
+      StreamingPipeline.retireHistSlice(store, Seq("event_type"), "value")(
+        ev.filter(col("user_id") % 3 === 1), retireId = 7L)
+      val surv = ev.filter(col("user_id") % 3 =!= 1)
+      val approx = Sketches.histogramQuantiles(
+        s.read.parquet(store), Seq("event_type"), binWidth = 50.0)
+      val exact = surv.withColumn("__v", floor(col("value") * 100.0 + 0.5) / 100.0)
+        .groupBy(col("event_type"))
+        .agg(OracleCte.qround6(expr("percentile(__v, 0.5D)")).as("exact_p50"),
+          OracleCte.qround6(expr("percentile(__v, 0.9D)")).as("exact_p90"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"), col("p50"), col("p90"), col("p99"),
+          col("exact_p50"), col("exact_p90"))
+        .orderBy("event_type")
+    }),
+
+    // Misra-Gries — the cut-merged family: the rebuilt summary is the
+    // ascending-id left fold of the surviving slice summaries (the same
+    // fold a from-scratch stream applies), and the mergeable-summaries
+    // bound transfers to the surviving total — so q144's invariant gate
+    // holds against the SURVIVORS: every survivor-side heavy hitter
+    // present, never overcounted, undercount ≤ n/k. Oracle = q144's
+    // replay re-rooted at the surviving slice.
+    "q200_mg_retired" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = CorpusQueries.vocabPath(d) + "_mgret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val items = Tables(s, d, "events")
+        .select(col("user_id"), floor(col("value")).cast("int").cast("string").as("item"))
+      val store = s"$base/store"
+      (0 to 2).foreach(i => StreamingPipeline.mgMergeBatch(store, "item", k = 64)(
+        items.filter(col("user_id") % 3 === i).select(col("item")), i.toLong))
+      StreamingPipeline.retireMgBatches(s, store, k = 64, Seq(1L))
+      Sketches.heavyHittersGateFrom(
+          items.filter(col("user_id") % 3 =!= 1).select(col("item")),
+          "item", s.read.parquet(store), k = 64)
+        .select(col("item").cast("int").as("item"), col("exact_cnt"),
+          col("found_viol"), col("under_viol"), col("err_viol"))
+        .orderBy("item")
+    }),
+
     "q103_hist_quantiles" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val sk = Sketches.histogramSketch(ev, Seq("event_type"), col("value"),
@@ -313,15 +431,42 @@ object SketchQueries {
     // the SUM-merged families are exactly-once via the _batches ledger).
     "q156_hll_streamed" -> hllOracle,
     "q158_cms_streamed" -> cmsOracle,
-    "q159_hist_streamed" -> histQuantilesOracle)
+    "q159_hist_streamed" -> histQuantilesOracle,
+    // Sketch-store retirement gates: the batch oracles re-rooted at the
+    // surviving slice — the retired slice's contributions must be GONE
+    // (rebuild-from-survivors for max/OR-merged state, signed deltas for
+    // the additive families), bit-for-bit.
+    "q197_hll_retired" -> hllOracleOver("user_id % 3 <> 1"),
+    "q198_cms_retired" -> cmsOracleOver("doc_id % 3 <> 1"),
+    "q199_hist_retired" -> histQuantilesOracleOver("user_id % 3 <> 1"),
+    "q200_mg_retired" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(value) AS INT) AS item, count(*) AS exact_cnt
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id % 3 <> 1
+        |  GROUP BY 1
+        |),
+        |n AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n FROM c)
+        |SELECT item, exact_cnt,
+        |  0 AS found_viol, 0 AS under_viol, 0 AS err_viol
+        |FROM c CROSS JOIN n
+        |WHERE exact_cnt > n / 64.0
+        |ORDER BY item""".stripMargin)
 
   /** Shared by q88 (batch sketch) and q156 (the stream-grown register
     * store): the bit-exact HLL replay — md5-derived hash, integer shifts,
     * dyadic denominators — over the same events.
     */
-  private lazy val hllOracle: String =
+  private lazy val hllOracle: String = hllOracleOver("1=1")
+
+  /** [[hllOracle]] parameterized over the event predicate, so the
+    * retirement gate (q197) replays the SAME sketch over the surviving
+    * slice only. where = "1=1" reproduces the q88/q156 oracle.
+    */
+  private def hllOracleOver(where: String): String =
       s"""WITH h AS (
-         |  SELECT event_type, ${hex60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+         |  SELECT event_type, ${hex60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE $where
          |),
          |r AS (
          |  SELECT event_type, h >> 52 AS reg,
@@ -334,7 +479,8 @@ object SketchQueries {
          |    sum(CAST(1.0 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << rank AS DOUBLE)) AS sum_pow
          |  FROM regs GROUP BY 1
          |),
-         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |       FROM events WHERE $where GROUP BY 1)
          |SELECT a.event_type, a.nonempty,
          |  ${OracleCte.qround6Sql(
              "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))" +
@@ -344,9 +490,16 @@ object SketchQueries {
          |ORDER BY 1""".stripMargin
 
   /** Shared by q89 (batch sketch) and q158 (the stream-grown cell store). */
-  private lazy val cmsOracle: String =
+  private lazy val cmsOracle: String = cmsOracleOver("1=1")
+
+  /** [[cmsOracle]] parameterized over the document predicate — the
+    * signed-delta retirement gate (q198) replays the SAME sketch over the
+    * surviving docs. where = "1=1" reproduces the q89/q158 oracle.
+    */
+  private def cmsOracleOver(where: String): String =
       s"""WITH tok AS (
-         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents
+         |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents WHERE $where
          |),
          |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
          |seeded AS (
@@ -419,12 +572,18 @@ object SketchQueries {
          |FROM agg a LEFT JOIN pres p ON p.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin
 
-  private lazy val histQuantilesOracle: String =
+  private lazy val histQuantilesOracle: String = histQuantilesOracleOver("1=1")
+
+  /** [[histQuantilesOracle]] parameterized over the event predicate — the
+    * signed-delta retirement gate (q199) replays the SAME sketch over the
+    * surviving events. where = "1=1" reproduces the q103/q159 oracle.
+    */
+  private def histQuantilesOracleOver(where: String): String =
       s"""WITH sk AS (
          |  SELECT event_type,
          |    CAST(least(greatest(floor(value / 50.0), 0.0), 19.0) AS INT) AS bucket,
          |    count(*) AS n
-         |  FROM events GROUP BY 1, 2
+         |  FROM events WHERE $where GROUP BY 1, 2
          |),
          |cum AS (
          |  SELECT event_type, bucket, n,
@@ -443,7 +602,7 @@ object SketchQueries {
          |  SELECT event_type,
          |    ${OracleCte.qround6Sql("quantile_cont(floor(value*100.0 + 0.5)/100.0, 0.5)")} AS exact_p50,
          |    ${OracleCte.qround6Sql("quantile_cont(floor(value*100.0 + 0.5)/100.0, 0.9)")} AS exact_p90
-         |  FROM events GROUP BY 1
+         |  FROM events WHERE $where GROUP BY 1
          |)
          |SELECT a.event_type, a.n_rows, a.p50, a.p90, a.p99, ex.exact_p50, ex.exact_p90
          |FROM approx a JOIN ex ON ex.event_type = a.event_type

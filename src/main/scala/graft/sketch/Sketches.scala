@@ -369,7 +369,19 @@ object Sketches {
   def heavyHittersGate(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val mgDf = mgSummary(items, itemCol, k).toSeq.toDF("item", "__est")
+    heavyHittersGateFrom(items, itemCol,
+      mgSummary(items, itemCol, k).toSeq.toDF("item", "__est"), k)
+  }
+
+  /** [[heavyHittersGate]] with the MG summary supplied externally — the
+    * stream-grown / retirement-rebuilt summary store's gate (q200): the
+    * mergeable-summaries bound holds over whatever total the summary
+    * covers, so `items` must be exactly the rows the summary merged
+    * (post-retirement: the surviving slices).
+    */
+  def heavyHittersGateFrom(items: DataFrame, itemCol: String,
+                           summary: DataFrame, k: Int): DataFrame = {
+    val mgDf = summary.toDF("item", "__est") // positional: (item, count)
     val exact = items.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull) // mirror mgSummary's null-drop
       .groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))

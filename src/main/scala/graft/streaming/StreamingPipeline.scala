@@ -394,17 +394,10 @@ object StreamingPipeline {
     * re-merges idempotently.
     */
   def hllMergeBatch(storePath: String, keys: Seq[String], itemCol: String, b: Int = 8)
-                   (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val regs = graft.sketch.Sketches.hllRegisters(batch, keys, col(itemCol), b)
-    val merged = readSketchStore(spark, storePath) match {
-      case Some(prev) => graft.sketch.Sketches.hllMergeRegisters(prev, regs, keys)
-      case None       => regs
-    }
-    val staging = s"$storePath.staging-$batchId"
-    merged.write.mode("overwrite").parquet(staging)
-    swapInStore(spark, staging, storePath)
-  }
+                   (batch: DataFrame, batchId: Long): Unit =
+    idempotentSliceMerge(batch.sparkSession, storePath, batchId)(
+      graft.sketch.Sketches.hllRegisters(batch, keys, col(itemCol), b),
+      graft.sketch.Sketches.hllMergeRegisters(_, _, keys))
 
   /** Shared transactional core for SUM-merged (non-idempotent) sketch
     * stores — count-min cells and histogram buckets. These merge with SUM,
@@ -467,6 +460,211 @@ object StreamingPipeline {
     writeLedger(fs, staging, seen + batchId)
     swapInStore(spark, staging, storePath)
   }
+
+  /** Shared core for the IDEMPOTENT-merge sketch stores (HLL register max,
+    * Bloom word OR) — and the per-batch SLICE record that gives every
+    * sketch family an un-learn path ([[retireSketchBatches]]): the batch's
+    * OWN sketch lands durably at `<store>.slices/batch=<id>` FIRST (a
+    * replay overwrites it identically — per-batch sketches are
+    * deterministic functions of the batch), then merges into the active
+    * store from the STAGED parquet (one computation, the
+    * appendDecontamBench treatment). Idempotent merges never needed a
+    * `_batches` ledger for exactly-once, but retirement bookkeeping does:
+    * the ledger (carried in the same staged swap as the rows) is what lets
+    * [[retireSketchBatches]] check the slice record is COMPLETE before
+    * rebuilding — a store whose history predates slice recording gets a
+    * `_preledger` marker and retirement refuses it (the remedy is a
+    * rebuild), because rebuilding from a partial slice set would silently
+    * drop the unrecorded contributions.
+    */
+  private def idempotentSliceMerge(spark: SparkSession, storePath: String,
+                                   batchId: Long)
+                                  (sketch: => DataFrame,
+                                   merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val active = activeStoreDir(fs, storePath)
+    val seen: Set[Long] = active.map(readLedger(fs, _)).getOrElse(Set.empty)
+    val sliceDir = s"$storePath.slices/batch=$batchId"
+    sketch.write.mode("overwrite").parquet(sliceDir)
+    val slice = spark.read.parquet(sliceDir)
+    val merged = active.map(spark.read.parquet(_)) match {
+      case Some(prev) => merge(prev, slice)
+      case None       => slice
+    }
+    val staging = s"$storePath.staging-$batchId"
+    merged.write.mode("overwrite").parquet(staging)
+    writeLedger(fs, staging, seen + batchId)
+    // appending to a pre-existing store that has NO ledger means history
+    // was merged before slice recording existed — stamp it, so retirement
+    // refuses instead of silently dropping the unrecorded contributions
+    if (active.nonEmpty && seen.isEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_preledger"), true)
+      try out.write("history precedes slice recording\n".getBytes("UTF-8"))
+      finally out.close()
+    } else if (active.exists(a => fs.exists(
+        new org.apache.hadoop.fs.Path(a, "_preledger")))) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_preledger"), true)
+      try out.write("history precedes slice recording\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+    swapInStore(spark, staging, storePath)
+  }
+
+  /** True iff the dir holds at least one data file (underscore/dot markers
+    * don't count — `_SUCCESS` alone is a tombstone, not data).
+    */
+  private def sliceHasData(fs: org.apache.hadoop.fs.FileSystem,
+                           d: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(d, true)
+    while (it.hasNext) {
+      val nm = it.next().getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Batch-level retirement for the OR/max-merged sketch stores — the
+    * q194 decontamination treatment applied to the last store family
+    * without an un-learn path: register maxes and Bloom bits cannot
+    * subtract, so a departed slice's contributions can only leave by
+    * REBUILDING the merged store from the surviving per-batch slices
+    * ([[idempotentSliceMerge]] records one per merged batch; slices are
+    * exact sketches of their slice, and the mergeable-state property
+    * makes the survivor merge bit-identical to a from-scratch stream over
+    * the survivors). Crash-ordered like the decontam rotation: (1) the
+    * retired slice dirs blank to file-less tombstones — the intended data
+    * loss, a re-run re-blanks; (2) the survivors re-merge (in ascending
+    * batch-id order — the same left-fold a from-scratch stream applies,
+    * which matters for the order-sensitive MG cut) and swap in with the
+    * FULL ledger (retired ids stay refused — a slice re-enters only under
+    * a fresh id). A crash between (1) and (2) leaves the old SUPERSET
+    * store serving (estimates still include the departed slice until the
+    * re-run — same window contract as the decontam retire-to-compact
+    * gap); the re-run converges because blanking is idempotent.
+    * Refuses stores whose history predates slice recording (`_preledger`
+    * marker, or a ledgered id with no slice dir) — rebuilding from a
+    * partial slice record would silently drop contributions; the remedy
+    * is a from-scratch rebuild.
+    */
+  private def retireSketchBatches(spark: SparkSession, storePath: String,
+                                  batchIds: Seq[Long],
+                                  rebuild: Seq[DataFrame] => DataFrame): Unit = {
+    require(batchIds.nonEmpty, "nothing to retire")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val active = activeStoreDir(fs, storePath).getOrElse(
+      throw new IllegalArgumentException(s"no sketch store at $storePath"))
+    require(!fs.exists(new org.apache.hadoop.fs.Path(active, "_preledger")),
+      s"$storePath history precedes slice recording — rebuild the store " +
+      "before retiring (a partial slice record cannot prove completeness)")
+    val seen = readLedger(fs, active)
+    require(seen.nonEmpty,
+      s"$storePath has no _batches ledger: grown before slice recording — " +
+      "rebuild the store before retiring")
+    batchIds.foreach(id => require(seen.contains(id),
+      s"batch $id was never merged into $storePath"))
+    seen.foreach(id => require(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id")),
+      s"merged batch $id has no slice record — store partially predates " +
+      "slice recording; rebuild before retiring"))
+    // (1) blank the retired slices (idempotent — a replay re-blanks)
+    batchIds.foreach { id =>
+      val d = new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id")
+      fs.delete(d, true)
+      fs.mkdirs(d)
+    }
+    // (2) rebuild from the data-bearing survivors, ascending id order
+    val survivors = seen.toSeq.sorted
+      .map(id => new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id"))
+      .filter(sliceHasData(fs, _))
+      .map(p => spark.read.parquet(p.toString))
+    val merged =
+      if (survivors.nonEmpty) rebuild(survivors)
+      else spark.read.parquet(active).limit(0) // all slices retired
+    val staging = s"$storePath.staging-retire"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    merged.write.mode("overwrite").parquet(staging)
+    writeLedger(fs, staging, seen)
+    swapInStore(spark, staging, storePath)
+  }
+
+  /** [[retireSketchBatches]] for the HLL register store: survivor slices
+    * re-max-merge — bit-identical to [[graft.sketch.Sketches
+    * .hllRegisters]] over the surviving rows (mergeable-state exactness),
+    * so [[graft.sketch.Sketches.hllEstimate]] answers as if the departed
+    * slice never streamed.
+    */
+  def retireHllBatches(spark: SparkSession, storePath: String,
+                       keys: Seq[String], batchIds: Seq[Long]): Unit =
+    retireSketchBatches(spark, storePath, batchIds,
+      _.reduce(graft.sketch.Sketches.hllMergeRegisters(_, _, keys)))
+
+  /** [[retireSketchBatches]] for the Bloom word store: survivor slices
+    * re-OR — the rebuilt filter sheds every bit only the departed slice
+    * set (the q194 rebuild-from-survivors treatment, without the exact
+    * shingle half this standalone store doesn't keep).
+    */
+  def retireBloomBatches(spark: SparkSession, storePath: String,
+                         batchIds: Seq[Long]): Unit =
+    retireSketchBatches(spark, storePath, batchIds,
+      _.reduce(graft.sketch.Sketches.bloomMergeWords))
+
+  /** [[retireSketchBatches]] for the Misra-Gries summary store: survivor
+    * slice summaries re-fold through [[graft.sketch.Sketches.mgMerge]]'s
+    * deterministic cut in ascending batch-id order — the same left fold a
+    * from-scratch stream over the survivors applies, so the rebuilt
+    * summary keeps the mergeable-summaries bound over the surviving total
+    * (every survivor-side heavy hitter present, undercount ≤ n/k).
+    */
+  def retireMgBatches(spark: SparkSession, storePath: String, k: Int,
+                      batchIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    retireSketchBatches(spark, storePath, batchIds, slices => {
+      val folded = slices
+        .map(df => df.collect()
+          .map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap)
+        .foldLeft(Map.empty[String, Long])(
+          (acc, p) => graft.sketch.Sketches.mgMerge(acc, p, k))
+      val rows = folded.toSeq.sortBy(_._1)
+      if (rows.isEmpty) Seq.empty[(String, Long)].toDF("item", "cnt")
+      else rows.toDF("item", "cnt")
+    })
+  }
+
+  /** Signed-delta retirement for the SUM-merged sketch stores — count-min
+    * cells here ([[retireHistSlice]] is the histogram twin): counters
+    * subtract EXACTLY ([[graft.text.TextOps.retireLm]]'s negated-counts
+    * pattern), so un-learning a departed corpus slice is one more
+    * [[ledgeredSumMerge]] whose increment is the slice's own cells
+    * negated. Cells that reach zero are dropped, so the retired store is
+    * ROW-identical to a from-scratch sketch over the survivors (a fresh
+    * build never materializes untouched cells). Exactly-once via the same
+    * `_batches` ledger as the appends — `retireId` must be fresh (the
+    * monotone id discipline every delta cycle already follows), and the
+    * departing rows must be exactly what once streamed in (counts go
+    * negative otherwise, which the zero-drop would surface as a phantom
+    * row — the caller owns slice fidelity, as with retireLm).
+    */
+  def retireCmsSlice(storePath: String, termCol: String,
+                     d: Int = 3, w: Int = 1024)
+                    (departing: DataFrame, retireId: Long): Unit =
+    ledgeredSumMerge(departing.sparkSession, storePath, retireId)(
+      graft.sketch.Sketches.cmsCells(departing, termCol, d, w)
+        .withColumn("cell_total", -col("cell_total")),
+      (prev, neg) => graft.sketch.Sketches.cmsMergeCells(prev, neg)
+        .filter(col("cell_total") =!= 0L))
+
+  /** [[retireCmsSlice]] for the histogram bucket store. */
+  def retireHistSlice(storePath: String, keys: Seq[String], valueCol: String,
+                      binWidth: Double = 50.0, numBins: Int = 20)
+                     (departing: DataFrame, retireId: Long): Unit =
+    ledgeredSumMerge(departing.sparkSession, storePath, retireId)(
+      graft.sketch.Sketches.histogramSketch(departing, keys, col(valueCol),
+          binWidth, numBins)
+        .withColumn("n", -col("n")),
+      (prev, neg) => graft.sketch.Sketches.histogramMerge(prev, neg, keys)
+        .filter(col("n") =!= 0L))
 
   /** Incremental count-min maintenance — the `foreachBatch` body for a
     * streaming frequency sketch ([[ledgeredSumMerge]] carries the
@@ -976,17 +1174,10 @@ object StreamingPipeline {
     */
   def bloomMergeBatch(storePath: String, itemCol: String,
                       k: Int = 4, m: Int = 1 << 21)
-                     (batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val words = graft.sketch.Sketches.bloomWords(batch, itemCol, k, m)
-    val merged = readSketchStore(spark, storePath) match {
-      case Some(prev) => graft.sketch.Sketches.bloomMergeWords(prev, words)
-      case None       => words
-    }
-    val staging = s"$storePath.staging-$batchId"
-    merged.write.mode("overwrite").parquet(staging)
-    swapInStore(spark, staging, storePath)
-  }
+                     (batch: DataFrame, batchId: Long): Unit =
+    idempotentSliceMerge(batch.sparkSession, storePath, batchId)(
+      graft.sketch.Sketches.bloomWords(batch, itemCol, k, m),
+      graft.sketch.Sketches.bloomMergeWords)
 
   /** Streaming membership filter: document stream -> trigram shingles ->
     * incremental Bloom word store via [[bloomMergeBatch]]. Probe at any time
@@ -1123,8 +1314,16 @@ object StreamingPipeline {
     }
     def toMap(df: DataFrame): Map[String, Long] =
       df.collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
-    ledgeredSumMerge(spark, storePath, batchId)(
-      summaryDf(graft.sketch.Sketches.mgSummary(batch, itemCol, k)),
+    ledgeredSumMerge(spark, storePath, batchId)({
+      // the batch's OWN summary lands durably as the slice record FIRST
+      // (then reads back — one computation), giving the cut-merged family
+      // the same rebuild-from-survivors un-learn path as HLL/Bloom
+      // ([[retireMgBatches]]); evaluated lazily, so a ledgered replay
+      // never rewrites a slice
+      val slice = summaryDf(graft.sketch.Sketches.mgSummary(batch, itemCol, k))
+      slice.write.mode("overwrite").parquet(s"$storePath.slices/batch=$batchId")
+      spark.read.parquet(s"$storePath.slices/batch=$batchId")
+    },
       (prev, next) => summaryDf(
         graft.sketch.Sketches.mgMerge(toMap(prev), toMap(next), k)))
   }

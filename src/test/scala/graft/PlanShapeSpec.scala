@@ -83,7 +83,8 @@ class PlanShapeSpec extends SparkSpec {
     "q192_pipeline_kill_matrix", // q189's DSIR 1-row totals broadcast, per-doc output
     "q193_pipeline_funnel", // same matrix aggregated to the 7-row funnel
     "q195_ann_ivf_delta2", // q179's bounded stored-centroid broadcast, two delta cycles
-    "q196_pipeline_v4_cycle2") // q191's 1-row frames, second cycle over the same stores
+    "q196_pipeline_v4_cycle2", // q191's 1-row frames, second cycle over the same stores
+    "q200_mg_retired") // q144's 1-row total-count broadcast, summary from the retired store
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"

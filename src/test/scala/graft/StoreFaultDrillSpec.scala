@@ -362,6 +362,94 @@ class StoreFaultDrillSpec extends SparkSpec {
       "the re-entered store must probe like a from-scratch build")
   }
 
+  test("sketch-store retirement: rebuild-window crash, replay convergence, legacy refusal") {
+    import graft.streaming.StreamingPipeline
+    import graft.sketch.Sketches
+    val items = (1L to 600L).map(u => (u, s"g${u % 4}", s"i${u * 37 % 101}"))
+      .toDF("u", "g", "item")
+    def grow(store: String): Unit = (0 to 2).foreach(i =>
+      StreamingPipeline.hllMergeBatch(store, Seq("g"), "item", b = 8)(
+        items.filter(col("u") % 3 === i), i.toLong))
+    val p = root(families.last, "skret"); val twin = root(families.last, "skrettwin")
+    Seq(p, twin).foreach(rm)
+    grow(s"$p/hll"); grow(s"$twin/hll")
+    val fullRows = rows(spark.read.parquet(s"$p/hll"))
+    StreamingPipeline.retireHllBatches(spark, s"$twin/hll", Seq("g"), Seq(1L))
+    val twinRows = rows(spark.read.parquet(s"$twin/hll"))
+    assert(twinRows != fullRows, "precondition: retirement must change state")
+    // the retired store == a from-scratch stream over the survivors
+    // (mergeable-state exactness — the un-learn contract)
+    val fresh = root(families.last, "skretfresh"); rm(fresh)
+    (Seq(0, 2)).foreach(i =>
+      StreamingPipeline.hllMergeBatch(s"$fresh/hll", Seq("g"), "item", b = 8)(
+        items.filter(col("u") % 3 === i), i.toLong))
+    assert(rows(spark.read.parquet(s"$fresh/hll")) == twinRows,
+      "retired store must equal a never-saw-the-slice stream")
+    // CRASH WINDOW: step (1) applied (slice blanked), rebuild never ran —
+    // the merged store still serves the old SUPERSET state (estimates
+    // include the departed slice until the re-run; never a throw)
+    val b1 = hpath(s"$p/hll.slices/batch=1")
+    fs.delete(b1, true); fs.mkdirs(b1)
+    assert(rows(spark.read.parquet(s"$p/hll")) == fullRows,
+      "crash window must serve the old superset state")
+    // the re-run converges (blanking is idempotent), and a replay is a no-op
+    StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(1L))
+    assert(rows(spark.read.parquet(s"$p/hll")) == twinRows)
+    StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(1L))
+    assert(rows(spark.read.parquet(s"$p/hll")) == twinRows)
+    // retiring every remaining slice serves an EMPTY sketch, not a throw
+    StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(0L, 2L))
+    assert(spark.read.parquet(s"$p/hll").count() == 0,
+      "an all-retired store must serve empty")
+    // LEGACY REFUSALS — rebuilding from a partial slice record would
+    // silently drop contributions, so retirement must refuse:
+    // (a) a ledgered id whose slice dir is gone entirely
+    val noSlice = root(families.last, "skretnoslice"); rm(noSlice)
+    grow(s"$noSlice/hll")
+    rm(s"$noSlice/hll.slices/batch=2")
+    val eA = intercept[IllegalArgumentException] {
+      StreamingPipeline.retireHllBatches(spark, s"$noSlice/hll", Seq("g"), Seq(1L))
+    }
+    assert(eA.getMessage.contains("slice record"))
+    // (b) a store with no _batches ledger at all (pre-slice-era growth)
+    val noLedger = root(families.last, "skretnoledger"); rm(noLedger)
+    grow(s"$noLedger/hll")
+    fs.delete(hpath(s"$noLedger/hll/_batches"), false)
+    val eB = intercept[IllegalArgumentException] {
+      StreamingPipeline.retireHllBatches(spark, s"$noLedger/hll", Seq("g"), Seq(1L))
+    }
+    assert(eB.getMessage.contains("rebuild"))
+    // (c) a pre-ledger store EXTENDED by the new maintainer: the append
+    // stamps _preledger, and retirement refuses the mixed history
+    StreamingPipeline.hllMergeBatch(s"$noLedger/hll", Seq("g"), "item", b = 8)(
+      items.filter(col("u") % 3 === 0), 7L)
+    assert(fs.exists(hpath(s"$noLedger/hll/_preledger")),
+      "appending to a ledger-less store must stamp _preledger")
+    val eC = intercept[IllegalArgumentException] {
+      StreamingPipeline.retireHllBatches(spark, s"$noLedger/hll", Seq("g"), Seq(7L))
+    }
+    assert(eC.getMessage.contains("precedes slice recording"))
+    // SIGNED-DELTA half (count-min): the retired store is ROW-identical
+    // to a fresh sketch over the survivors — zero cells dropped, so even
+    // a surviving term colliding into a fully-retired cell reads the
+    // same absent row a fresh build has
+    val terms = items.select(col("u"), col("item").as("term"))
+    val cms = root(families.last, "skretcms"); rm(cms)
+    (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$cms/store", "term")(
+      terms.filter(col("u") % 2 === i).select(col("term")), i.toLong))
+    StreamingPipeline.retireCmsSlice(s"$cms/store", "term")(
+      terms.filter(col("u") % 3 === 1).select(col("term")), retireId = 5L)
+    val freshCells = rows(Sketches.cmsCells(
+      terms.filter(col("u") % 3 =!= 1).select(col("term")), "term"))
+    assert(rows(spark.read.parquet(s"$cms/store")) == freshCells,
+      "signed-delta retired cells must equal a fresh build over survivors")
+    // retire replay refused by the ledger (exactly-once)
+    StreamingPipeline.retireCmsSlice(s"$cms/store", "term")(
+      terms.filter(col("u") % 3 === 1).select(col("term")), retireId = 5L)
+    assert(rows(spark.read.parquet(s"$cms/store")) == freshCells,
+      "a replayed retire id must be a ledgered no-op")
+  }
+
   test("decontam rotation: a store without the complete-set format stamp is refused") {
     import graft.dedup.Dedup
     val p = root(families.last, "fmt")
