@@ -217,4 +217,97 @@ class StreamingFlagshipSpec extends SparkSpec {
     assert(frame(b) == baseline,
       "restarted+skewed+replayed session must score byte-identically to the uninterrupted run")
   }
+
+  /** The r13 verdict's item 4: the rotation drill runs SOLO in
+    * StoreFaultDrillSpec, but the composed five-maintainer session never
+    * rotates a suite while it is DOWN — the cross-family checkpoint-skew
+    * argument applies to the decontam maintainer too. Here the b1 bench
+    * suite rotates out (retire + compaction) inside the kill window, with
+    * three families' ledgers a delivery ahead; the restarted session must
+    * append b2 under a fresh id past the tombstone, the at-least-once
+    * REDELIVERY of the rotated suite (phase 5) must stay refused by its
+    * tombstone rather than resurrect it, and the frame must be
+    * byte-identical to an uninterrupted run that applied the same
+    * rotation after draining.
+    */
+  test("composed session: decontam rotation in the kill window — replayed frame byte-identical") {
+    def field(rows: Seq[String], id: Long): String = rows(id.toInt - 1)
+    def contaminatedOf(row: String): String = row.split(",")(3)
+    // ---- baseline: uninterrupted run, b1/b2 as SEPARATE triggers (the
+    // rotation unit is the batch, so the two suites must land as two
+    // batch dirs), then the same rotation applied post-drain ------------
+    val b0 = Files.createTempDirectory("graft_flagrot_base").toString
+    deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b0/dsir")
+    deliverRest(s"$b0/in_rest", a1.drop(5) ++ a2 ++ a3, parts = 6)
+    deliverBench(s"$b0/in_bench", b1)
+    drain(b0) // b1 = bench stream batch 0 -> shingles/batch=1
+    deliverBench(s"$b0/in_bench", b2)
+    drain(b0) // b2 = bench stream batch 1 -> shingles/batch=2
+    assert(Dedup.retireDecontamBench(spark, s"$b0/dc", Seq(1L), retireId = 9L))
+    Dedup.compactDecontamStore(spark, s"$b0/dc")
+    CorpusQueries.compactFlagshipStores(spark, b0)
+    TextOps.compactDsir(spark, s"$b0/dsir")
+    val baseline = frame(b0)
+    assert(baseline.size == 24)
+    // the rotation actually moved a verdict: doc 13 (pB1) flips clean,
+    // docs 6 (pre-built suite) and 17 (pB2) keep flagging
+    assert(contaminatedOf(field(baseline, 13)) == "false",
+      "doc 13 must flip clean once the b1 suite rotates out")
+    assert(contaminatedOf(field(baseline, 6)) == "true")
+    assert(contaminatedOf(field(baseline, 17)) == "true")
+
+    // ---- drill: the same rotation inside the kill window ---------------
+    val b = Files.createTempDirectory("graft_flagrot_drill").toString
+    deliverAll(s"$b/in_all", a1.take(5), parts = 10)
+    deliverAll(s"$b/in_all", a1.drop(5), parts = 10)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b/in_bench", b1)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b/dsir")
+    deliverRest(s"$b/in_rest", a1.drop(5), parts = 4)
+    drain(b) // session dies here; b1 is in the store as batch=1
+    // skew: LM, histogram, DSIR commit a2 while MinHash/decontam are down
+    deliverAll(s"$b/in_all", a2, parts = 3)
+    deliverRest(s"$b/in_rest", a2, parts = 3)
+    Seq(
+      StreamingPipeline.lmAppendStream(
+        StreamingPipeline.readDocStream(spark, s"$b/in_all"),
+        s"$b/lm", s"$b/ck_lm").start(),
+      StreamingPipeline.histogramStream(
+        StreamingPipeline.readColumnsStream(spark, s"$b/in_all",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"),
+        s"$b/hist", s"$b/ck_hist",
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
+      dsirStream(b)
+    ).foreach(_.awaitTermination())
+    // kill-window maintenance INCLUDING the rotation: the b1 suite
+    // retires and compaction applies it while the ledgers disagree
+    assert(Dedup.retireDecontamBench(spark, s"$b/dc", Seq(1L), retireId = 9L))
+    Dedup.compactDecontamStore(spark, s"$b/dc")
+    TextOps.compactLm(spark, s"$b/lm")
+    StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
+    TextOps.compactDsir(spark, s"$b/dsir")
+    // restart all five: decontam must append b2 under the fresh id 2
+    // (stream batch 1), past the rotated tombstone at batch=1
+    deliverAll(s"$b/in_all", a3, parts = 4)
+    deliverRest(s"$b/in_rest", a3, parts = 4)
+    deliverBench(s"$b/in_bench", b2)
+    drain(b)
+    // at-least-once redelivery of every family's first committed id —
+    // including the ROTATED b1 suite, whose tombstone must refuse the
+    // replay (a resurrected suite re-contaminates doc 13 and fails the
+    // frame equality below)
+    StreamingPipeline.lmAppendBatch(s"$b/lm")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.minhashDedupBatch(s"$b/mh")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.histMergeBatch(s"$b/hist", Seq("lang"), "n_chars", 50.0, 20)(
+      allDf(a1).select(col("doc_id"), col("lang"), col("n_chars")), 0L)
+    StreamingPipeline.decontamAppendBatch(s"$b/dc")(benchDf(b1), 0L)
+    StreamingPipeline.dsirAppendBatch(s"$b/dsir", isT)(
+      allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
+    CorpusQueries.compactFlagshipStores(spark, b)
+    TextOps.compactDsir(spark, s"$b/dsir")
+    assert(frame(b) == baseline,
+      "kill-window rotation must replay to the uninterrupted-run frame")
+  }
 }
