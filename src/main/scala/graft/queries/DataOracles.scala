@@ -1288,6 +1288,12 @@ object DataOracles {
     // compact must probe bit-identical to the monolithic search over the
     // moved corpus
     "q180_ann_lsh_delta" -> lshStoreOracleOver("bb", embSnapshotBCtes),
+    // q117's search re-rooted at the TWICE-derived snapshot C — the LSH
+    // store after two full delta cycles (the second closed by a minor
+    // compaction with its retirement ledger pending, over bases cycle 1's
+    // full compaction relocated) must probe as if rebuilt from scratch
+    "q201_ann_lsh_delta2" ->
+      lshStoreOracleOver("cc", embSnapshotBCtes + embSnapshotCCtes),
     // q131's ADC ranking with codebooks fit on A (the store's frozen
     // geometry) and the encode re-rooted at snapshot B: the retired +
     // re-appended + compacted PQ store must answer exactly like a

@@ -1217,6 +1217,53 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // q195's A→B→C shape over the LSH store (the r13 verdict's item 5:
+    // q195 gates the relocated-base class for IVF at the HASH level;
+    // LSH/PQ relied on file-level drills, and the r12 advisor class showed
+    // results-level gates catch what file drills frame). Cycle 1 is
+    // q180's (retire, append, FULL compaction — applies the retirement
+    // and relocates both halves' merged bases to the max data id, writing
+    // the `_base` markers); cycle 2 retires/appends the B→C delta in TWO
+    // appends and closes with a MINOR compaction, probing with cycle 2's
+    // retirement ledger still pending. A minor merge that mistakes a
+    // relocated base (sigs OR vectors half) for debris re-lands its rows
+    // above the pending rid and resurrects every dead C-removed row —
+    // the hash fails. Signatures are pure functions of the stored
+    // geometry, so the probe over C must be BIT-IDENTICAL to q117's
+    // monolithic search re-rooted at the twice-derived snapshot.
+    "q201_ann_lsh_delta2" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lshdelta2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      val c = embSnapshotC(b)
+      Similarity.buildLshIndex(a, bits = 5, tables = 16, dim = 64, path)
+      val d1 = embDelta(a, b).localCheckpoint(true)
+      Similarity.retireLshVectors(s, path,
+        d1.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.lshAppendVectors(
+        b.join(d1.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactLshIndex(s, path)
+      val d2 = embDelta(b, c).localCheckpoint(true)
+      Similarity.retireLshVectors(s, path,
+        d2.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 3)
+      val arriving = c.join(d2.filter(col("status").isin("added", "changed"))
+        .select("vec_id"), "vec_id")
+      Similarity.lshAppendVectors(arriving.filter(col("vec_id") % 2 === 0),
+        path, appendId = 4)
+      Similarity.lshAppendVectors(arriving.filter(col("vec_id") % 2 =!= 0),
+        path, appendId = 5)
+      Similarity.compactLshIndexMinor(s, path)
+      Similarity.probeLshIndex(c.filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // The PQ third of the delta-maintenance family (q179/q180's treatment
     // for the compressed-code store): codebooks stay frozen from the A
     // fit, the delta's departing ids retire the codes AND payload halves,

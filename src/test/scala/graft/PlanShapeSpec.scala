@@ -70,6 +70,7 @@ class PlanShapeSpec extends SparkSpec {
     "q177_lm_delta_maintenance", // scoreWithLm's 1-row stored train-token-count broadcast (q120/q126/q130's adjudicated shape)
     "q179_ann_ivf_delta", // q112's bounded stored-centroid broadcast, post retire/append/compact
     "q180_ann_lsh_delta", // q117's bounded plane-table broadcast, post retire/append/compact
+    "q201_ann_lsh_delta2", // same bounded plane-table broadcast, two delta cycles
     "q181_ann_pq_delta", // q134's bounded codebook/LUT broadcasts, post retire/append/compact
     "q182_dsir_weights", // 1-row gram-totals broadcast onto the <= m-row bucket frame (q95's shape)
     "q183_dsir_sample", // same 1-row totals broadcast through the gate
