@@ -1301,6 +1301,13 @@ object DataOracles {
     "q181_ann_pq_delta" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
       nQueries = 10, topK = 5, extraCtes = embSnapshotBCtes,
       encodeSrc = "eb2", querySrc = "eb2"),
+    // q131's ADC ranking with codebooks fit on A and the encode re-rooted
+    // at the TWICE-derived snapshot C — the PQ store after two delta
+    // cycles (the second closed by a minor compaction with its ledger
+    // pending, over bases cycle 1's full compaction relocated)
+    "q202_ann_pq_delta2" -> pqAdcOracle(m = 4, k = 8, iters = 2, dim = 64,
+      nQueries = 10, topK = 5, extraCtes = embSnapshotBCtes + embSnapshotCCtes,
+      encodeSrc = "ec2", querySrc = "ec2"),
     // per-doc kill matrix: all four rule verdicts recomputed from the
     // q31/q66/q96 published formulas, first_fail in pipeline order
     "q187_filter_attribution" ->

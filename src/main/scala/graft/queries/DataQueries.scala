@@ -1290,6 +1290,46 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // q201's A→B→C shape over the PQ store — the third family's
+    // results-level relocated-base gate: codebooks stay frozen from the A
+    // fit (the store's geometry), both cycles retire the codes AND
+    // payload halves and re-encode arrivals against the frozen codebooks,
+    // cycle 1 closes with the FULL compaction (base relocation + _base),
+    // cycle 2 with a MINOR one under a pending retirement ledger. The ADC
+    // probe over C must hash-match q131's ranking with the encode
+    // re-rooted at the twice-derived snapshot.
+    "q202_ann_pq_delta2" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pqdelta2"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      val c = embSnapshotC(b)
+      Similarity.buildPqIndex(a, m = 4, k = 8, iters = 2, path)
+      val d1 = embDelta(a, b).localCheckpoint(true)
+      Similarity.retirePqVectors(s, path,
+        d1.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.pqAppendVectors(
+        b.join(d1.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactPqIndex(s, path)
+      val d2 = embDelta(b, c).localCheckpoint(true)
+      Similarity.retirePqVectors(s, path,
+        d2.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 3)
+      val arriving = c.join(d2.filter(col("status").isin("added", "changed"))
+        .select("vec_id"), "vec_id")
+      Similarity.pqAppendVectors(arriving.filter(col("vec_id") % 2 === 0),
+        path, appendId = 4)
+      Similarity.pqAppendVectors(arriving.filter(col("vec_id") % 2 =!= 0),
+        path, appendId = 5)
+      Similarity.compactPqIndexMinor(s, path)
+      Similarity.probePqIndex(c.filter(col("vec_id") < 10), path, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // DSIR importance weights (Xie et al. 2023, hashed-n-gram variant):
     // the target distribution is the English slice, the raw corpus is
     // everything; each document's integer micro-nat LLR sum says how

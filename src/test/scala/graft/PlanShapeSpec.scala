@@ -72,6 +72,7 @@ class PlanShapeSpec extends SparkSpec {
     "q180_ann_lsh_delta", // q117's bounded plane-table broadcast, post retire/append/compact
     "q201_ann_lsh_delta2", // same bounded plane-table broadcast, two delta cycles
     "q181_ann_pq_delta", // q134's bounded codebook/LUT broadcasts, post retire/append/compact
+    "q202_ann_pq_delta2", // same bounded codebook/LUT broadcasts, two delta cycles
     "q182_dsir_weights", // 1-row gram-totals broadcast onto the <= m-row bucket frame (q95's shape)
     "q183_dsir_sample", // same 1-row totals broadcast through the gate
     "q184_dsir_store", // same 1-row totals broadcast, model read from the store
