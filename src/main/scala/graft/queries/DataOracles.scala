@@ -852,9 +852,11 @@ object DataOracles {
     * identical store (the LM-counts additivity argument) — which is what
     * makes the q153 stream-grown fit hash-equal to this batch fit.
     */
-  private def pcaMomentsCtes(p: Int, iters: Int, dim: Int = 64): String =
+  private def pcaMomentsCtes(p: Int, iters: Int, dim: Int = 64,
+                             where: String = "1=1"): String =
     s"""WITH pe AS MATERIALIZED (
-       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |  FROM embeddings WHERE $where
        |),
        |pnn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pe),
        |pex AS MATERIALIZED (
@@ -884,8 +886,11 @@ object DataOracles {
        |  FROM g0 WHERE i = j
        |)${pcaLoopCtes(p, iters, dim)}""".stripMargin
 
-  private def pcaMomentsOracle(p: Int, iters: Int): String =
-    s"""${pcaMomentsCtes(p, iters)}
+  /** `where` re-roots the raw-moments replay at a vector predicate — the
+    * q203 retirement gate; "1=1" reproduces the q152/q153 oracle.
+    */
+  private def pcaMomentsOracle(p: Int, iters: Int, where: String = "1=1"): String =
+    s"""${pcaMomentsCtes(p, iters, where = where)}
        |SELECT CAST(comp AS INT) AS comp, CAST(dim AS INT) AS dim, w,
        |  round(eigval, 6) AS eigval,
        |  round(eigval / (SELECT tr FROM ptrace), 6) AS var_ratio
@@ -1698,6 +1703,10 @@ object DataOracles {
     "q152_pca_moments" -> pcaMomentsOracle(p = 4, iters = 8),
     // the stream-grown moments store must fit identically: q152 verbatim
     "q153_pca_moments_stream" -> pcaMomentsOracle(p = 4, iters = 8),
+    // q152's raw-moments replay re-rooted at the surviving vectors — the
+    // signed-delta retired store must fit as if the slice never streamed
+    "q203_pca_moments_retired" ->
+      pcaMomentsOracle(p = 4, iters = 8, where = "vec_id % 3 <> 1"),
     "q146_ann_pca_pq" -> pcaPqOracle(p = 16, pIters = 6, m = 4, k = 8,
       pqIters = 2, nQueries = 10, topK = 5),
     "q147_ridge_fit" ->

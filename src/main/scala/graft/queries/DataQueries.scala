@@ -679,6 +679,31 @@ object DataQueries {
         .orderBy("comp", "dim")
     }),
 
+    // Moments-store RETIREMENT (q197-q200's treatment for the one
+    // additive stream-grown family they didn't cover): a departed vector
+    // slice's count/first/second-moment contributions leave by one more
+    // ledgered SUM-merge with the slice's own moment table negated — the
+    // quantized floor terms sum exactly, so the retired store's fit must
+    // hash-match q152's batch fit over the SURVIVORS (oracle re-rooted).
+    // No zero-drop: fitFromMoments requires full cell coverage, and both
+    // the retired store and a fresh build carry the complete d²+d+1 set.
+    "q203_pca_moments_retired" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_pcamomret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".prev"), true)
+      val e = emb(s, d)
+      val up = graft.streaming.StreamingPipeline.pcaMomentsBatch(path) _
+      up(e.filter(col("vec_id") % 3 === 0), 0L)
+      up(e.filter(col("vec_id") % 3 === 1), 1L)
+      up(e.filter(col("vec_id") % 3 === 2), 2L)
+      graft.streaming.StreamingPipeline.retirePcaMoments(path)(
+        e.filter(col("vec_id") % 3 === 1), retireId = 7L)
+      graft.similarity.Pca.fitFromMoments(s, s.read.parquet(path), p = 4, iters = 8)
+        .orderBy("comp", "dim")
+    }),
+
     // Multi-probe IVF (nprobe=2 over q52's build): the recall/cost knob —
     // each query searches its 2 nearest cells while the corpus-side
     // partitioning is unchanged. Row-level oracle like q52's.

@@ -1353,6 +1353,24 @@ object StreamingPipeline {
       graft.similarity.Pca.momentSums(batch, dim),
       graft.similarity.Pca.mergeMoments)
 
+  /** Signed-delta retirement for the PCA moments store — the same
+    * negated-increment treatment as [[retireCmsSlice]]: the quantized
+    * per-row floor terms sum exactly, so subtracting the departing
+    * vectors' own moment table leaves every (i,j) cell (and the count
+    * row) bit-equal to a fresh [[graft.similarity.Pca.momentSums]] over
+    * the survivors. NO zero-drop here — [[graft.similarity.Pca
+    * .fitFromMoments]] requires full d²+d+1 cell coverage and a zero is a
+    * legitimate moment value; both the retired store and a fresh build
+    * carry the complete cell set, so row identity holds without it.
+    * Retiring everything leaves n = 0 and the fit raises loudly.
+    */
+  def retirePcaMoments(storePath: String, dim: Int = 64)
+                      (departing: DataFrame, retireId: Long): Unit =
+    ledgeredSumMerge(departing.sparkSession, storePath, retireId)(
+      graft.similarity.Pca.momentSums(departing, dim)
+        .withColumn("q", -col("q")),
+      graft.similarity.Pca.mergeMoments)
+
   /** Streaming wrapper: embedding feed -> incremental moments store. */
   def pcaMomentsStream(embeddings: DataFrame, storePath: String,
                        checkpoint: String, dim: Int = 64): DataStreamWriter[Row] =
