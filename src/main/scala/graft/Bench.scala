@@ -596,7 +596,7 @@ object Bench {
       (a1, f1a, b1, a10, f10, b10)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
     val v4Json =
-      s"""{"adv_deb1x":${f3(v4AdvD1)},"frame_deb1x":${f3(v4FrameD1)},"build_deb1x":${f3(v4BuildD1)},"adv_deb10x":${f3(v4AdvD10)},"frame_deb10x":${f3(v4FrameD10)},"build_deb10x":${f3(v4BuildD10)},"note":"adv = the delta-proportional store advance at ~2.6% vs ~26% delta on the SAME corpus (q191's claim measured on its own axis); frame = the corpus-proportional scoring stack (~equal across arms by construction); build = the from-scratch store build the advance replaces — the incremental cycle beats the monolithic rebuild iff adv < build"}"""
+      s"""{"adv_deb1x":${f3(v4AdvD1)},"frame_deb1x":${f3(v4FrameD1)},"build_deb1x":${f3(v4BuildD1)},"adv_deb10x":${f3(v4AdvD10)},"frame_deb10x":${f3(v4FrameD10)},"build_deb10x":${f3(v4BuildD10)},"note":"adv = the store advance at ~2.6% vs ~26% delta on the SAME corpus (q191's claim measured on its own axis). adv is NOT purely delta-proportional: it includes the corpusDelta hash-compare and the winner-set recomputation, both corpus-proportional by design — the delta-proportional term (text pass + store maintenance) is the PAIR'S DIFFERENCE. frame = the corpus-proportional scoring stack (~equal across arms by construction, recorded to prove that); build = the from-scratch store build the advance replaces. Crossover: the cycle beats the rebuild iff adv < build — the committed sf0.1 pair shows both sides (adv_deb1x < build_deb1x, adv_deb10x > build_deb10x), matching q191's honest at-this-scale note"}"""
     // SCALING-CURVE EVIDENCE (the r9 verdict's top ask): every 100x-scale
     // argument in the repo was measured only at sf0.1 — this block re-runs
     // the heaviest scale-argued queries against a staged 10x corpus
