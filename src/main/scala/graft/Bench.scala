@@ -130,7 +130,12 @@ object Bench {
     // benchmark-sized BY DESIGN, so its exponent measures the probe-side
     // asymmetry (cost ∝ corpus, store ∝ eval suites); q195's measures the
     // composed two-cycle ANN maintenance
-    "q194_decontam_rotation", "q195_ann_ivf_delta2")
+    "q194_decontam_rotation", "q195_ann_ivf_delta2",
+    // the sketch/moments retirement paths whose INPUTS the 10x dir scales
+    // (q198 reads documents, q203 embeddings; q197/q199/q200 read events,
+    // which scale10Dir symlinks unscaled — a t10 there would measure
+    // nothing)
+    "q198_cms_retired", "q203_pca_moments_retired")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings
