@@ -524,6 +524,126 @@ object StreamingPipeline {
     false
   }
 
+  /** Roll a pending slice-epoch journal forward ([[compactSketchSlices]]'
+    * crash discipline, the `_minor-pending` treatment): the journal lands
+    * only AFTER the staged epoch is complete, so healing always completes
+    * the idempotent apply sequence — blank each merged source to a
+    * tombstone carrying its `_merged-into-<target>` marker, swap the
+    * staged epoch into the target dir (skipped if a prior attempt already
+    * swapped it), drop the journal. Run by every slice-record entry point
+    * before reading state.
+    */
+  private def recoverSliceEpoch(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                storePath: String): Unit = {
+    val root = s"$storePath.slices"
+    val journal = new org.apache.hadoop.fs.Path(root, "_epoch-pending")
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    val ids = txt.trim.split(",").map(_.toLong)
+    val target = ids.head
+    ids.tail.filter(_ != target).foreach { id =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/batch=$id")
+      fs.delete(d, true)
+      fs.mkdirs(d)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(d, s"_merged-into-$target"), true)
+      try out.write(target.toString.getBytes("UTF-8")) finally out.close()
+    }
+    val staging = new org.apache.hadoop.fs.Path(root, ".epoch-staged")
+    if (fs.exists(staging))
+      graft.similarity.Similarity.swapDir(fs, staging, s"$root/batch=$target")
+    fs.delete(journal, false)
+  }
+
+  /** EPOCH compaction for the slice record — the small-files answer for
+    * the rebuild-from-survivors families: [[idempotentSliceMerge]] (and
+    * the MG maintainer) land one slice dir per trigger forever, so a
+    * long-running stream accumulates unbounded tiny dirs and the
+    * retirement rebuild's listing cost grows with trigger count. This
+    * merges every data-bearing slice with id <= `upTo` into ONE epoch
+    * slice at the max merged id, using the SAME ascending-id fold the
+    * rebuild applies — exact for max/OR state (associative + commutative)
+    * and exact for the order-sensitive MG cut too, because the epoch is
+    * precisely the rebuild's PREFIX fold (fold(epoch, later...) ==
+    * fold-left over all in order). The merged store is untouched.
+    *
+    * GRANULARITY CONTRACT: merged sources blank to tombstones carrying a
+    * `_merged-into-<target>` marker; retiring an id inside an epoch is
+    * REFUSED (its rows are no longer separable — [[retireSketchBatches]]
+    * names the remedy: retire the epoch id, which retires the whole
+    * epoch). Choose `upTo` as the age horizon below which slice-level
+    * retirement is no longer needed. Crash-ordered via a roll-forward
+    * journal landed AFTER the staged epoch ([[recoverSliceEpoch]]); the
+    * single-maintainer contract every store mutation already assumes
+    * covers the apply window. Returns the number of slices merged (0 =
+    * nothing to do).
+    */
+  private def compactSketchSlices(spark: SparkSession, storePath: String,
+                                  upTo: Long,
+                                  rebuild: Seq[DataFrame] => DataFrame): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    val root = new org.apache.hadoop.fs.Path(s"$storePath.slices")
+    if (!fs.exists(root)) return 0
+    recoverSliceEpoch(spark, fs, storePath)
+    val cands = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ <= upTo).sorted
+      .filter(id => sliceHasData(fs,
+        new org.apache.hadoop.fs.Path(s"$root/batch=$id")))
+    if (cands.length <= 1) return 0
+    val target = cands.max
+    val epoch = rebuild(cands.map(id =>
+      spark.read.parquet(s"$root/batch=$id")).toIndexedSeq)
+    val staging = new org.apache.hadoop.fs.Path(root, ".epoch-staged")
+    fs.delete(staging, true)
+    epoch.write.mode("overwrite").parquet(staging.toString)
+    // journal AFTER staging (existence == staged epoch complete, heal
+    // rolls forward); published atomically via temp + rename
+    val tmp = new org.apache.hadoop.fs.Path(root, ".epoch-journal-tmp")
+    val out = fs.create(tmp, true)
+    try out.write((target +: cands.filter(_ != target))
+      .mkString(",").getBytes("UTF-8")) finally out.close()
+    val journal = new org.apache.hadoop.fs.Path(root, "_epoch-pending")
+    fs.delete(journal, false)
+    require(fs.rename(tmp, journal), s"could not publish $journal")
+    recoverSliceEpoch(spark, fs, storePath)
+    cands.length
+  }
+
+  /** [[compactSketchSlices]] for the HLL register slices. */
+  def compactHllSlices(spark: SparkSession, storePath: String,
+                       keys: Seq[String], upTo: Long): Int =
+    compactSketchSlices(spark, storePath, upTo,
+      _.reduce(graft.sketch.Sketches.hllMergeRegisters(_, _, keys)))
+
+  /** [[compactSketchSlices]] for the Bloom word slices. */
+  def compactBloomSlices(spark: SparkSession, storePath: String, upTo: Long): Int =
+    compactSketchSlices(spark, storePath, upTo,
+      _.reduce(graft.sketch.Sketches.bloomMergeWords))
+
+  /** [[compactSketchSlices]] for the MG summary slices — the epoch is the
+    * rebuild's prefix fold, so order-sensitivity is preserved exactly.
+    */
+  def compactMgSlices(spark: SparkSession, storePath: String, k: Int,
+                      upTo: Long): Int = {
+    import spark.implicits._
+    compactSketchSlices(spark, storePath, upTo, slices => {
+      val folded = slices
+        .map(df => df.collect()
+          .map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap)
+        .foldLeft(Map.empty[String, Long])(
+          (acc, p) => graft.sketch.Sketches.mgMerge(acc, p, k))
+      val rows = folded.toSeq.sortBy(_._1)
+      if (rows.isEmpty) Seq.empty[(String, Long)].toDF("item", "cnt")
+      else rows.toDF("item", "cnt")
+    })
+  }
+
   /** Batch-level retirement for the OR/max-merged sketch stores — the
     * q194 decontamination treatment applied to the last store family
     * without an un-learn path: register maxes and Bloom bits cannot
@@ -553,6 +673,7 @@ object StreamingPipeline {
     require(batchIds.nonEmpty, "nothing to retire")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
+    recoverSliceEpoch(spark, fs, storePath) // heal a torn epoch compaction first
     val active = activeStoreDir(fs, storePath).getOrElse(
       throw new IllegalArgumentException(s"no sketch store at $storePath"))
     require(!fs.exists(new org.apache.hadoop.fs.Path(active, "_preledger")),
@@ -568,6 +689,19 @@ object StreamingPipeline {
       fs.exists(new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id")),
       s"merged batch $id has no slice record — store partially predates " +
       "slice recording; rebuild before retiring"))
+    // an id whose slice was folded into an epoch ([[compactSketchSlices]])
+    // is no longer separable — the granularity coarsened deliberately;
+    // retiring the EPOCH id retires the whole epoch
+    batchIds.foreach { id =>
+      val d = new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id")
+      val merged = fs.listStatus(d)
+        .find(_.getPath.getName.startsWith("_merged-into-"))
+      require(merged.isEmpty,
+        s"batch $id was epoch-merged into batch " +
+        merged.map(_.getPath.getName.stripPrefix("_merged-into-")).getOrElse("?") +
+        " — slice-level retirement below the epoch is gone; retire the " +
+        "epoch id to retire the whole epoch")
+    }
     // (1) blank the retired slices (idempotent — a replay re-blanks)
     batchIds.foreach { id =>
       val d = new org.apache.hadoop.fs.Path(s"$storePath.slices/batch=$id")

@@ -450,6 +450,74 @@ class StoreFaultDrillSpec extends SparkSpec {
       "a replayed retire id must be a ledgered no-op")
   }
 
+  test("sketch-slice epoch compaction: exact fold, granularity contract, torn-journal heal") {
+    import graft.streaming.StreamingPipeline
+    val items = (1L to 800L).map(u => (u, s"g${u % 4}", s"i${u * 53 % 131}"))
+      .toDF("u", "g", "item")
+    def grow(store: String, slices: Int): Unit = (0 until slices).foreach(i =>
+      StreamingPipeline.hllMergeBatch(store, Seq("g"), "item", b = 8)(
+        items.filter(col("u") % 4 === i), i.toLong))
+    val p = root(families.last, "skep"); val twin = root(families.last, "skeptwin")
+    Seq(p, twin).foreach(rm)
+    grow(s"$p/hll", 4); grow(s"$twin/hll", 4)
+    val fullRows = rows(spark.read.parquet(s"$p/hll"))
+    // epoch-merge slices 0..2 into batch=2; the merged STORE is untouched
+    assert(StreamingPipeline.compactHllSlices(spark, s"$p/hll", Seq("g"), upTo = 2L) == 3)
+    assert(rows(spark.read.parquet(s"$p/hll")) == fullRows,
+      "epoch compaction must not touch the merged store")
+    assert(!fs.listFiles(hpath(s"$p/hll.slices/batch=0"), true).hasNext ||
+      fs.listStatus(hpath(s"$p/hll.slices/batch=0"))
+        .exists(_.getPath.getName.startsWith("_merged-into-")),
+      "merged sources must carry the epoch marker")
+    // a second call is a no-op (one data-bearing slice <= upTo)
+    assert(StreamingPipeline.compactHllSlices(spark, s"$p/hll", Seq("g"), upTo = 2L) == 0)
+    // retiring INSIDE the epoch is refused with the remedy
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(1L))
+    }
+    assert(e.getMessage.contains("epoch"))
+    // retiring a post-epoch slice still works and equals the never-compacted twin
+    StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(3L))
+    StreamingPipeline.retireHllBatches(spark, s"$twin/hll", Seq("g"), Seq(3L))
+    assert(rows(spark.read.parquet(s"$p/hll")) ==
+      rows(spark.read.parquet(s"$twin/hll")),
+      "epoch-compacted slice record must rebuild identically to the uncompacted one")
+    // retiring the EPOCH id retires the whole epoch — equals a fresh
+    // stream that only ever saw the post-epoch slices (here: none left
+    // after 3 retired... re-grow a tail slice first)
+    StreamingPipeline.hllMergeBatch(s"$p/hll", Seq("g"), "item", b = 8)(
+      items.filter(col("u") % 4 === 3), 9L)
+    StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(2L))
+    val fresh = root(families.last, "skepfresh"); rm(fresh)
+    StreamingPipeline.hllMergeBatch(s"$fresh/hll", Seq("g"), "item", b = 8)(
+      items.filter(col("u") % 4 === 3), 9L)
+    assert(rows(spark.read.parquet(s"$p/hll")) ==
+      rows(spark.read.parquet(s"$fresh/hll")),
+      "retiring the epoch id must drop the whole epoch's contributions")
+    // TORN JOURNAL: stage an epoch + journal by hand, crash before apply —
+    // the next retirement heals (rolls forward) and converges
+    val q = root(families.last, "skeptorn"); rm(q)
+    grow(s"$q/hll", 4)
+    val sl = s"$q/hll.slices"
+    val epoch = spark.read.parquet(s"$sl/batch=0")
+      .unionByName(spark.read.parquet(s"$sl/batch=1"))
+      .groupBy(col("g"), col("reg")).agg(max(col("rank")).as("rank"))
+    epoch.write.mode("overwrite").parquet(s"$sl/.epoch-staged")
+    val out = fs.create(hpath(s"$sl/_epoch-pending"), true)
+    out.write("1,0".getBytes("UTF-8")); out.close()
+    // heal happens inside the next maintenance entry; retirement of the
+    // healed epoch id must then equal the never-torn path
+    StreamingPipeline.retireHllBatches(spark, s"$q/hll", Seq("g"), Seq(1L))
+    val wantTorn = root(families.last, "skeptornwant"); rm(wantTorn)
+    (2 to 3).foreach(i => StreamingPipeline.hllMergeBatch(
+      s"$wantTorn/hll", Seq("g"), "item", b = 8)(
+      items.filter(col("u") % 4 === i), i.toLong))
+    assert(rows(spark.read.parquet(s"$q/hll")) ==
+      rows(spark.read.parquet(s"$wantTorn/hll")),
+      "torn epoch journal must roll forward and the epoch retire cleanly")
+    assert(!fs.exists(hpath(s"$sl/_epoch-pending")), "journal must clear")
+  }
+
   test("decontam rotation: a store without the complete-set format stamp is refused") {
     import graft.dedup.Dedup
     val p = root(families.last, "fmt")
