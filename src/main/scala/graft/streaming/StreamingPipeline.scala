@@ -485,6 +485,13 @@ object StreamingPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath), conf)
     val active = activeStoreDir(fs, storePath)
     val seen: Set[Long] = active.map(readLedger(fs, _)).getOrElse(Set.empty)
+    // a LEDGERED batch id is an exact no-op, even though the merge itself
+    // is idempotent: re-writing the slice would clobber an epoch tombstone
+    // ([[compactSketchSlices]]' `_merged-into` marker) and resurrect data
+    // already folded into the epoch — the replayed rows would then count
+    // once in the epoch slice and once in their own, and a later
+    // retirement of the resurrected id would silently miss the epoch copy
+    if (seen.contains(batchId)) return
     val sliceDir = s"$storePath.slices/batch=$batchId"
     sketch.write.mode("overwrite").parquet(sliceDir)
     val slice = spark.read.parquet(sliceDir)

@@ -471,6 +471,16 @@ class StoreFaultDrillSpec extends SparkSpec {
       "merged sources must carry the epoch marker")
     // a second call is a no-op (one data-bearing slice <= upTo)
     assert(StreamingPipeline.compactHllSlices(spark, s"$p/hll", Seq("g"), upTo = 2L) == 0)
+    // an at-least-once REPLAY of an epoch-merged batch id must be a
+    // ledgered no-op — re-writing the slice would clobber the marker and
+    // resurrect data already folded into the epoch
+    StreamingPipeline.hllMergeBatch(s"$p/hll", Seq("g"), "item", b = 8)(
+      items.filter(col("u") % 4 === 0), 0L)
+    assert(fs.listStatus(hpath(s"$p/hll.slices/batch=0"))
+      .exists(_.getPath.getName.startsWith("_merged-into-")),
+      "a ledgered replay must not clobber the epoch marker")
+    assert(rows(spark.read.parquet(s"$p/hll")) == fullRows,
+      "a ledgered replay must not change the merged store")
     // retiring INSIDE the epoch is refused with the remedy
     val e = intercept[IllegalArgumentException] {
       StreamingPipeline.retireHllBatches(spark, s"$p/hll", Seq("g"), Seq(1L))
