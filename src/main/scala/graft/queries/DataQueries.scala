@@ -1256,6 +1256,13 @@ object DataQueries {
     // the hash fails. Signatures are pure functions of the stored
     // geometry, so the probe over C must be BIT-IDENTICAL to q117's
     // monolithic search re-rooted at the twice-derived snapshot.
+    // COST NOTE (the q122 adjudication class): this deliberately pays
+    // build + TWO retire/re-sign/append cycles + a full AND a minor
+    // compaction on the 16x5 signature store inside ONE plan so the
+    // oracle can hash the whole two-cycle loop (~37 s at sf0.1 — the
+    // registry's most expensive row, ~2x the one-cycle q180, exactly the
+    // added cycle). The production path is the measured ~1.6 s probe;
+    // every maintenance step is delta- or store-proportional on its own.
     "q201_ann_lsh_delta2" -> ((s, d) => {
       val path = ivfIndexPath(d) + "_lshdelta2"
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
