@@ -205,6 +205,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MG epoch prefix-fold: folding any prefix into one summary first changes nothing") {
+    // the epoch-compaction exactness claim (compactMgSlices): the merge is
+    // NOT associative in general (each cut loses information), but an
+    // epoch built as the rebuild's PREFIX fold composes exactly —
+    // fold(fold(s0..si), si+1..) == fold(s0..sn) for every cut point,
+    // because the left fold factors through any of its own prefixes.
+    val itemGen = Gen.frequency(
+      (6, Gen.choose(0, 2)), (3, Gen.choose(3, 12)), (1, Gen.choose(13, 300)))
+    for (seed <- 0 until 6) {
+      val k = 8
+      val slices = (0 until 7).map(i =>
+        draws(Gen.listOfN(80, itemGen), 1).head.map(_.toString))
+      val summaries = slices.map(s =>
+        graft.sketch.Sketches.mgReduce(s.iterator, k).toMap: collection.Map[String, Long])
+      def fold(ss: Seq[collection.Map[String, Long]]) =
+        ss.foldLeft(Map.empty[String, Long])(
+          (acc, p) => graft.sketch.Sketches.mgMerge(acc, p, k))
+      val direct = fold(summaries)
+      for (cut <- 1 until summaries.length) {
+        val epoch = fold(summaries.take(cut))
+        assert(fold(epoch +: summaries.drop(cut)) == direct,
+          s"epoch at prefix $cut diverges from the direct fold")
+      }
+    }
+  }
+
   test("as-of join matches a brute-force per-row reference on random data") {
     val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 40L))
     for ((ls, rs) <- draws(Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(15, rowGen)), 8)) {
