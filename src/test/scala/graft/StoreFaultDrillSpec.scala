@@ -450,6 +450,34 @@ class StoreFaultDrillSpec extends SparkSpec {
       "a replayed retire id must be a ledgered no-op")
   }
 
+  test("bloom-store retirement: rebuilt words bit-identical to a never-saw-the-slice stream") {
+    import graft.streaming.StreamingPipeline
+    // per-u unique tokens: each residue slice owns bits no other slice
+    // sets, so the retirement visibly sheds state (a small shared space
+    // would make all three slices' bit sets identical)
+    val items = (1L to 500L).map(u => (u, s"tok$u")).toDF("u", "item")
+    def grow(store: String, slices: Seq[Int]): Unit = slices.foreach(i =>
+      StreamingPipeline.bloomMergeBatch(store, "item", k = 4, m = 1 << 16)(
+        items.filter(col("u") % 3 === i), i.toLong))
+    val p = root(families.last, "bloomret"); val fresh = root(families.last, "bloomretw")
+    Seq(p, fresh).foreach(rm)
+    grow(s"$p/bloom", Seq(0, 1, 2))
+    val full = rows(spark.read.parquet(s"$p/bloom"))
+    StreamingPipeline.retireBloomBatches(spark, s"$p/bloom", Seq(1L))
+    grow(s"$fresh/bloom", Seq(0, 2))
+    val want = rows(spark.read.parquet(s"$fresh/bloom"))
+    assert(want != full, "precondition: the retired slice must own some bits")
+    assert(rows(spark.read.parquet(s"$p/bloom")) == want,
+      "retired filter must be bit-identical to a stream that never saw the slice")
+    // the rebuilt filter still probes correctly: retired-slice-only tokens
+    // may go bloom-negative, surviving tokens never do (no false negatives)
+    val probe = graft.sketch.Sketches.bloomMightContain(
+      items.select(col("u"), col("item")), spark.read.parquet(s"$p/bloom"),
+      "item", k = 4, m = 1 << 16)
+    assert(probe.filter(col("u") % 3 =!= 1 && !col("might_contain")).count() == 0,
+      "a surviving slice's token must never probe negative")
+  }
+
   test("sketch-slice epoch compaction: exact fold, granularity contract, torn-journal heal") {
     import graft.streaming.StreamingPipeline
     val items = (1L to 800L).map(u => (u, s"g${u % 4}", s"i${u * 53 % 131}"))
