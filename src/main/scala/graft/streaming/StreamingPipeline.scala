@@ -559,9 +559,18 @@ object StreamingPipeline {
         new org.apache.hadoop.fs.Path(d, s"_merged-into-$target"), true)
       try out.write(target.toString.getBytes("UTF-8")) finally out.close()
     }
+    // the target swap has its own crash windows: between swapDir's two
+    // renames the target dir is MISSING with its old content at
+    // `batch=<t>.prev` (recoverDir restores it so the swap can re-run —
+    // swapDir requires the target to exist), and after the staging rename
+    // the `.prev` leftover must go (a `batch=N.prev` dir would crash the
+    // slice listing's id parse)
+    val targetDir = s"$root/batch=$target"
+    graft.similarity.Similarity.recoverDir(fs, targetDir)
     val staging = new org.apache.hadoop.fs.Path(root, ".epoch-staged")
     if (fs.exists(staging))
-      graft.similarity.Similarity.swapDir(fs, staging, s"$root/batch=$target")
+      graft.similarity.Similarity.swapDir(fs, staging, targetDir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir.prev"), true)
     fs.delete(journal, false)
   }
 

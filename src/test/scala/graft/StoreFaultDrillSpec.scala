@@ -554,6 +554,34 @@ class StoreFaultDrillSpec extends SparkSpec {
       rows(spark.read.parquet(s"$wantTorn/hll")),
       "torn epoch journal must roll forward and the epoch retire cleanly")
     assert(!fs.exists(hpath(s"$sl/_epoch-pending")), "journal must clear")
+
+    // TORN TARGET SWAP: crash between swapDir's two renames leaves the
+    // target dir MISSING with its old slice at batch=<t>.prev — the heal
+    // must restore it (swapDir requires the target to exist) and clear
+    // the .prev leftover (a batch=N.prev dir would crash the listing's
+    // id parse on every later compaction)
+    val r2 = root(families.last, "skeptorn2"); rm(r2)
+    grow(s"$r2/hll", 4)
+    val sl2 = s"$r2/hll.slices"
+    val epoch2 = spark.read.parquet(s"$sl2/batch=0")
+      .unionByName(spark.read.parquet(s"$sl2/batch=1"))
+      .groupBy(col("g"), col("reg")).agg(max(col("rank")).as("rank"))
+    epoch2.write.mode("overwrite").parquet(s"$sl2/.epoch-staged")
+    val out2 = fs.create(hpath(s"$sl2/_epoch-pending"), true)
+    out2.write("1,0".getBytes("UTF-8")); out2.close()
+    // simulate the mid-swap crash state: sources blanked, target moved
+    // aside, staging not yet landed
+    fs.delete(hpath(s"$sl2/batch=0"), true); fs.mkdirs(hpath(s"$sl2/batch=0"))
+    assert(fs.rename(hpath(s"$sl2/batch=1"), hpath(s"$sl2/batch=1.prev")))
+    // the next maintenance entry heals (roll-forward), then retires the
+    // healed epoch — equal to the never-torn path
+    StreamingPipeline.retireHllBatches(spark, s"$r2/hll", Seq("g"), Seq(1L))
+    assert(!fs.exists(hpath(s"$sl2/batch=1.prev")),
+      "the heal must clear the .prev leftover")
+    assert(!fs.exists(hpath(s"$sl2/_epoch-pending")))
+    assert(rows(spark.read.parquet(s"$r2/hll")) ==
+      rows(spark.read.parquet(s"$wantTorn/hll")),
+      "mid-swap crash must heal to the never-torn state")
   }
 
   test("decontam rotation: a store without the complete-set format stamp is refused") {
