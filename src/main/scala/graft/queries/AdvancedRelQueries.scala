@@ -351,6 +351,65 @@ object AdvancedRelQueries {
         .orderBy("event_id")
     }),
 
+    // SCD2 entity RETIREMENT — GDPR-style hard delete from the one store
+    // family that lacked an un-learn path: the q145 build (three
+    // out-of-time-order batches), then every user with user_id % 7 == 3
+    // retires (ledgered tombstone at retireId 3 > every data batch, the
+    // ANN stores' r > k rule with composite keys). The read-back dimension
+    // must hash-match the monolithic Type-2 build over the SURVIVING
+    // change log — serving hides the entities the moment retire returns,
+    // BEFORE any compaction: a stale dim bucket, a missed bucket delete
+    // (a bucket whose only keys retired must vanish, not linger), or a
+    // liveness rule off by one at the ledger boundary shifts an interval
+    // and fails the hash.
+    "q204_scd2_retired" -> ((s, d) => {
+      val path = scdStorePath(d) + "_ret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ch = scdChanges(s, d)
+      val up = graft.streaming.StreamingPipeline.scdUpsertBatch(
+        path, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+      up(ch.filter(col("ts_us") % 3 === 0), 0L)
+      up(ch.filter(col("ts_us") % 3 === 1), 1L)
+      up(ch.filter(col("ts_us") % 3 === 2), 2L)
+      graft.streaming.StreamingPipeline.retireScdEntities(s, path,
+        ch.filter(col("user_id") % 7 === 3).select("user_id"), 3L,
+        Seq("user_id"), "ts_us", Seq("plan_tier"))
+      graft.streaming.StreamingPipeline.readScdDim(s, path)
+        .orderBy("user_id", "version")
+    }),
+
+    // The retirement's FULL lifecycle incl. physical erasure and
+    // RE-ONBOARDING: build, retire user_id % 7 == 3, compact (the rewrite
+    // drops the dead rows, lands survivors at the max data id, blanks the
+    // ledger — the hard-delete point), then the retired users COME BACK
+    // at batch 4 > retireId 3 with only their even-ts changes (consent
+    // re-granted is a fresh start: the strictly-greater rule admits the
+    // new history, the erased odd-ts rows stay gone). The dimension must
+    // hash-match the monolithic build over exactly that surviving set —
+    // a compaction that misses the retirement transform resurrects erased
+    // rows, one that over-applies kills the re-onboarded history.
+    "q205_scd2_retire_cycle" -> ((s, d) => {
+      val path = scdStorePath(d) + "_cyc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ch = scdChanges(s, d)
+      val up = graft.streaming.StreamingPipeline.scdUpsertBatch(
+        path, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+      up(ch.filter(col("ts_us") % 3 === 0), 0L)
+      up(ch.filter(col("ts_us") % 3 === 1), 1L)
+      up(ch.filter(col("ts_us") % 3 === 2), 2L)
+      graft.streaming.StreamingPipeline.retireScdEntities(s, path,
+        ch.filter(col("user_id") % 7 === 3).select("user_id"), 3L,
+        Seq("user_id"), "ts_us", Seq("plan_tier"))
+      graft.streaming.StreamingPipeline.compactScdChanges(s, path, Seq("user_id"))
+      up(ch.filter(col("user_id") % 7 === 3 && col("ts_us") % 2 === 0), 4L)
+      graft.streaming.StreamingPipeline.readScdDim(s, path)
+        .orderBy("user_id", "version")
+    }),
+
     // Explicit GROUPING SETS (vs q51's full CUBE): only the named
     // combinations aggregate — per-metric, per-bucket, and grand total.
     "q72_grouping_sets" -> ((s, d) => {
@@ -391,16 +450,19 @@ object AdvancedRelQueries {
       ProcessHandle.current().pid() + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** WITH-prefix shared by the q135/q136 oracles: the deduped change log,
-    * collapse of no-op changes, and the versioned dimension.
+    * collapse of no-op changes, and the versioned dimension. `pred` (over
+    * `user_id`/`ts_us`) filters the change log — the retirement gates
+    * (q204/q205) re-root the SAME dimension derivation on the surviving
+    * changes.
     */
-  private val scdDimCtes: String =
-    """WITH ev AS (
+  private def scdDimCtes(pred: String = "1=1"): String =
+    s"""WITH ev AS (
       |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type, value FROM events
       |),
       |sign0 AS (
       |  SELECT event_id, user_id, ts_us,
       |         CAST(CAST(floor(value) AS INT) % 3 AS INT) AS plan_tier
-      |  FROM ev WHERE event_type = 'signup'
+      |  FROM ev WHERE event_type = 'signup' AND ($pred)
       |),
       |changes AS (
       |  SELECT user_id, ts_us, plan_tier FROM (
@@ -421,19 +483,34 @@ object AdvancedRelQueries {
 
   val oracles: Map[String, String] = Map(
     "q135_scd2_build" ->
-      s"""$scdDimCtes
+      s"""${scdDimCtes()}
          |SELECT user_id, plan_tier, effective_from, effective_to,
          |  effective_to IS NULL AS is_current, version
          |FROM dim ORDER BY user_id, version""".stripMargin,
     // the streamed/compacted store must be invisible: q135's oracle verbatim
     "q145_scd2_lifecycle" ->
-      s"""$scdDimCtes
+      s"""${scdDimCtes()}
+         |SELECT user_id, plan_tier, effective_from, effective_to,
+         |  effective_to IS NULL AS is_current, version
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    // the dim served right after retire = the monolithic build over the
+    // surviving change log (erasure is immediate, pre-compaction)
+    "q204_scd2_retired" ->
+      s"""${scdDimCtes("user_id % 7 <> 3")}
+         |SELECT user_id, plan_tier, effective_from, effective_to,
+         |  effective_to IS NULL AS is_current, version
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    // retire -> compact (physical erasure) -> re-onboard: survivors =
+    // everyone else's full history plus the retired users' even-ts
+    // changes only (the batch-4 re-entry above the retirement id)
+    "q205_scd2_retire_cycle" ->
+      s"""${scdDimCtes("user_id % 7 <> 3 OR ts_us % 2 = 0")}
          |SELECT user_id, plan_tier, effective_from, effective_to,
          |  effective_to IS NULL AS is_current, version
          |FROM dim ORDER BY user_id, version""".stripMargin,
     // the stored dim must serve lookups exactly: q136's oracle verbatim
     "q149_scd2_pit_store" ->
-      s"""$scdDimCtes
+      s"""${scdDimCtes()}
          |SELECT f.event_id, f.user_id, f.ts_us, f.value, d.plan_tier, d.version
          |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
          |      FROM events WHERE event_type = 'purchase') f
@@ -441,7 +518,7 @@ object AdvancedRelQueries {
          |  ON f.user_id = d.user_id AND f.ts_us >= d.effective_from
          |ORDER BY f.event_id""".stripMargin,
     "q136_scd2_pit" ->
-      s"""$scdDimCtes
+      s"""${scdDimCtes()}
          |SELECT f.event_id, f.user_id, f.ts_us, f.value, d.plan_tier, d.version
          |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
          |      FROM events WHERE event_type = 'purchase') f

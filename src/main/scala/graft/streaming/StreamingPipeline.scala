@@ -1548,6 +1548,10 @@ object StreamingPipeline {
     *    dimension — bounded incremental maintenance with late-arrival
     *    correctness for free, because touched keys re-derive from their
     *    FULL change history.
+    *  - `retired/batch=<retireId>/` — pending entity retirements
+    *    ([[retireScdEntities]]): keys erased under the r > k liveness
+    *    rule until [[compactScdChanges]] rewrites the log and blanks
+    *    the ledger.
     *
     * Crash windows: the dim overwrite runs BEFORE the changes ledger lands,
     * under a `dim/_pending-<id>` marker naming the touched buckets. A crash
@@ -1572,7 +1576,7 @@ object StreamingPipeline {
       healScdPending(spark, fs, storePath, keyCols, tsCol, attrCols, buckets)
       val ledger = new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$batchId")
       if (fs.exists(ledger)) return
-      val stored = storedScdChanges(spark, fs, storePath, batchId)
+      val stored = storedScdChanges(spark, fs, storePath, keyCols, batchId)
       val cols = keyCols ++ Seq(tsCol) ++ attrCols
       // in-batch dedup: greatest attr struct per (key, ts) wins; then
       // first-write-wins against the ledgered history
@@ -1622,12 +1626,112 @@ object StreamingPipeline {
 
   /** Collapse the change log's batch directories ([[compactMinhashStore]]'s
     * treatment): rows preserved, ledger tombstones keep replays refused.
+    * With `keyCols` given and retirements pending, this is also the
+    * PHYSICAL erasure point ([[retireScdEntities]]' contract): the rewrite
+    * drops every dead row (the r > k rule, applied through the `batch`
+    * partition column compactBatchStore hands the transform), lands the
+    * merged survivors at the MAX data id — so a crash mid-blank leaves
+    * ledger rows the strictly-greater rule makes harmless — and then
+    * blanks the retirement ledger to empty tombstone dirs.
     */
-  def compactScdChanges(spark: SparkSession, storePath: String): Int = {
+  def compactScdChanges(spark: SparkSession, storePath: String,
+                        keyCols: Seq[String] = Seq.empty): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, storePath, "scd-compact") {
-      graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/changes", Seq.empty)
+      val retired =
+        if (keyCols.isEmpty) None else readScdRetirements(spark, fs, storePath)
+      val n = graft.similarity.Similarity.compactBatchStore(
+        spark, s"$storePath/changes", Seq.empty,
+        transform = df => aliveScdChanges(df, retired, keyCols),
+        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      if (retired.nonEmpty) blankScdRetirements(fs, storePath)
+      n
+    }
+  }
+
+  /** GDPR-style entity hard-delete from the SCD2 store — the ANN stores'
+    * ledgered-tombstone retirement ([[graft.similarity.Similarity
+    * .retireIvfVectors]]) applied to the one dimension family that lacked
+    * an un-learn path. The departing keys land under
+    * `retired/batch=<retireId>` (exactly-once via the dir ledger; returns
+    * false on a replay), every change-history read applies the r > k
+    * liveness rule from that moment on, and the dim buckets the keys
+    * touch recompute IMMEDIATELY from the surviving history — serving
+    * hides the entity as soon as this returns, while the physical rewrite
+    * of the change log defers to [[compactScdChanges]] (which applies
+    * pending retirements and blanks the ledger). Cost ∝ the retired
+    * slice: the ledger write is O(|keys|) and the recompute touches only
+    * the ≤ |keys| buckets they hash into, never the whole dimension.
+    *
+    * `retireId` must exceed every published changes batch id (checked);
+    * a later append ABOVE the retirement id re-onboards a key with only
+    * its new history — the strictly-greater rule, so consent re-granted
+    * is a fresh start, not a resurrection of erased rows.
+    *
+    * Crash discipline: the `dim/_pending-retire-<id>` marker (named
+    * buckets) lands BEFORE the ledger and drops only after the recompute,
+    * so [[healScdPending]] rolls any torn window forward — marker without
+    * ledger heals as an identity rewrite, marker with ledger re-runs the
+    * recompute from the now-alive-filtered history.
+    */
+  def retireScdEntities(spark: SparkSession, storePath: String,
+                        retiredKeys: DataFrame, retireId: Long,
+                        keyCols: Seq[String], tsCol: String,
+                        attrCols: Seq[String], buckets: Int = 32): Boolean = {
+    require(retireId >= 1, "retireId 0 would predate the initial build")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "scd-retire") {
+      graft.similarity.Similarity.recoverDir(fs, s"$storePath/changes")
+      healScdPending(spark, fs, storePath, keyCols, tsCol, attrCols, buckets)
+      val changesRoot = new org.apache.hadoop.fs.Path(s"$storePath/changes")
+      if (fs.exists(changesRoot)) {
+        val maxData = fs.listStatus(changesRoot)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .foldLeft(-1L)(math.max)
+        require(retireId > maxData,
+          s"retireId $retireId must exceed every published changes batch id (max $maxData)")
+      }
+      val ledger = new org.apache.hadoop.fs.Path(s"$storePath/retired/batch=$retireId")
+      if (fs.exists(ledger)) false
+      else {
+        val keys = retiredKeys.select(keyCols.map(col): _*).distinct()
+          .localCheckpoint(true) // consumed thrice: bucket collect, ledger, recompute
+        val touched = keys
+          .select(pmod(hash(keyCols.map(col): _*), lit(buckets)).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).sorted // bounded: <= `buckets`
+        val pending = new org.apache.hadoop.fs.Path(
+          s"$storePath/dim/_pending-retire-$retireId")
+        writeLines(fs, pending, touched.map(_.toString))
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$storePath/retired/.staging-$retireId")
+        fs.delete(staging, true)
+        keys.write.mode("overwrite").parquet(staging.toString)
+        require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
+        recomputeScdBuckets(spark, fs, storePath, keyCols, tsCol, attrCols,
+          buckets, touched)
+        fs.delete(pending, false)
+        true
+      }
+    }
+  }
+
+  /** Blank the applied retirement batches to empty tombstone dirs after
+    * [[compactScdChanges]] rewrote the survivors (replays stay refused) —
+    * the erased keys themselves leave the store here, completing the
+    * hard delete.
+    */
+  private def blankScdRetirements(fs: org.apache.hadoop.fs.FileSystem,
+                                  storePath: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(s"$storePath/retired")
+    if (fs.exists(rp)) {
+      fs.listStatus(rp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .foreach { d =>
+          fs.listStatus(d.getPath).foreach(f => fs.delete(f.getPath, false))
+        }
     }
   }
 
@@ -1641,17 +1745,72 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(scdUpsertBatch(storePath, keyCols, tsCol, attrCols) _)
 
+  /** The ledgered change history, ALIVE rows only: each data-bearing
+    * `batch=<k>` dir reads with its id as a partition column (basePath
+    * discovery), and rows dead under a pending retirement — some
+    * `retired/batch=<r>` with r > k naming their key — are anti-joined
+    * away ([[graft.similarity.Similarity.aliveStoreRows]]' strictly-
+    * greater rule, composite-key variant). Callers see the bare change
+    * schema; the batch id is internal.
+    */
   private def storedScdChanges(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                               storePath: String, excludeId: Long): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$storePath/changes")
+                               storePath: String, keyCols: Seq[String],
+                               excludeId: Long): Option[DataFrame] = {
+    val root = s"$storePath/changes"
+    val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) return None
     val dirs = fs.listStatus(p)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .filterNot(_.getPath.getName == s"batch=$excludeId")
       .filter(s => fs.listFiles(s.getPath, true).hasNext)
       .map(_.getPath.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    if (dirs.isEmpty) None
+    else {
+      val df = spark.read.option("basePath", root).parquet(dirs.toIndexedSeq: _*)
+      Some(aliveScdChanges(df, readScdRetirements(spark, fs, storePath), keyCols)
+        .drop("batch"))
+    }
   }
+
+  /** Pending (un-applied) entity retirements: the key columns of every
+    * data-bearing `retired/batch=<r>` dir plus `__rbatch` = r, or None.
+    * After [[compactScdChanges]] applies and blanks the ledger the dirs
+    * survive as empty tombstones (retire replays stay refused) and this
+    * reads None — [[graft.similarity.Similarity.readStoreRetirements]]'
+    * treatment with composite keys.
+    */
+  private def readScdRetirements(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 storePath: String): Option[DataFrame] = {
+    val root = s"$storePath/retired"
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.listFiles(s.getPath, true).hasNext)
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) None
+    else Some(ids.map(id =>
+        spark.read.parquet(s"$root/batch=$id").withColumn("__rbatch", lit(id)))
+      .reduce(_ unionByName _))
+  }
+
+  /** The liveness rule ([[graft.similarity.Similarity.aliveStoreRows]],
+    * composite-key form): a change row published at data batch k is dead
+    * iff some retirement batch r > k names its key. Strictly-greater is
+    * what lets a retired entity RE-ONBOARD — changes appended at a batch
+    * id above the retirement resurrect the key with only its new history.
+    * `df` must still carry its `batch` partition column; the retirement
+    * frame is broadcast (a GDPR erasure set is tiny next to the log).
+    */
+  private def aliveScdChanges(df: DataFrame, retired: Option[DataFrame],
+                              keyCols: Seq[String]): DataFrame =
+    retired.fold(df) { r =>
+      val rr = r.select(keyCols.map(c => col(c).as(s"__r_$c")) :+ col("__rbatch"): _*)
+      val cond = keyCols.map(c => df(c) === rr(s"__r_$c")).reduce(_ && _) &&
+        rr("__rbatch") > df("batch").cast("long")
+      df.join(broadcast(rr), cond, "left_anti")
+    }
 
   /** Recompute + dynamically overwrite the named buckets' dim partitions
     * from the given change set (already bucket-filtered, `bucket` column
@@ -1676,10 +1835,17 @@ object StreamingPipeline {
     }
   }
 
-  /** Heal the [[scdUpsertBatch]] crash window: a `dim/_pending-<id>` marker
-    * without its changes ledger means the dim buckets it names may carry
-    * un-ledgered data — recompute them from ledgered changes only. With the
-    * ledger present the write completed; just drop the marker.
+  /** Heal the [[scdUpsertBatch]] and [[retireScdEntities]] crash windows.
+    * Append markers (`dim/_pending-<batchId>`): a marker WITHOUT its
+    * changes ledger means the dim buckets it names may carry un-ledgered
+    * data — recompute them from ledgered changes only; with the ledger
+    * present the write completed and the marker just drops. Retire markers
+    * (`dim/_pending-retire-<retireId>`): the marker lands BEFORE the
+    * retirement ledger and drops only after the bucket recompute, so its
+    * presence always means the recompute may be unfinished — recompute the
+    * named buckets from the ALIVE history unconditionally (idempotent; if
+    * the crash predated the ledger rename the recompute is a harmless
+    * identity rewrite).
     */
   private def healScdPending(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                              storePath: String, keyCols: Seq[String], tsCol: String,
@@ -1690,35 +1856,49 @@ object StreamingPipeline {
       .filter(s => !s.isDirectory && s.getPath.getName.startsWith("_pending-"))
       .foreach { m =>
         val id = m.getPath.getName.stripPrefix("_pending-")
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$id"))) {
+        val isRetire = id.startsWith("retire-")
+        if (isRetire ||
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$id"))) {
           val touched = readLines(fs, m.getPath).map(_.trim.toInt).sorted
-          storedScdChanges(spark, fs, storePath, excludeId = -1L) match {
-            case Some(stored) =>
-              val filtered = stored
-                .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
-                .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-                .localCheckpoint(true)
-              // a touched bucket with NO ledgered history must be DROPPED,
-              // not left alone: dynamic partition overwrite only replaces
-              // partitions present in the recompute, so without the delete
-              // the bucket would keep serving the crashed batch's
-              // un-ledgered versions forever
-              val present = filtered.select(col("bucket")).distinct()
-                .collect().map(_.getInt(0)).toSet
-              (touched.toSet -- present).foreach(b => fs.delete(
-                new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
-              if (present.nonEmpty)
-                rewriteScdBuckets(spark, filtered, storePath, keyCols, tsCol, attrCols,
-                  present.size, buckets)
-            case None =>
-              // crash on the very first batch: no ledgered history at all —
-              // the touched buckets' data is entirely un-ledgered, drop them
-              touched.foreach(b => fs.delete(
-                new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
-          }
+          recomputeScdBuckets(spark, fs, storePath, keyCols, tsCol, attrCols,
+            buckets, touched)
         }
         fs.delete(m.getPath, false)
       }
+  }
+
+  /** Recompute the named dim buckets from the ALIVE ledgered history —
+    * the shared core of the crash heals and [[retireScdEntities]]. A
+    * touched bucket with NO surviving history must be DROPPED, not left
+    * alone: dynamic partition overwrite only replaces partitions present
+    * in the recompute, so without the delete the bucket would keep
+    * serving stale (un-ledgered or retired) versions forever.
+    */
+  private def recomputeScdBuckets(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  storePath: String, keyCols: Seq[String],
+                                  tsCol: String, attrCols: Seq[String],
+                                  buckets: Int, touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    storedScdChanges(spark, fs, storePath, keyCols, excludeId = -1L) match {
+      case Some(stored) =>
+        val filtered = stored
+          .withColumn("bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+          .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+          .localCheckpoint(true)
+        val present = filtered.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        (touched.toSet -- present).foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
+        if (present.nonEmpty)
+          rewriteScdBuckets(spark, filtered, storePath, keyCols, tsCol, attrCols,
+            present.size, buckets)
+      case None =>
+        // no surviving ledgered history at all — the touched buckets'
+        // data is entirely un-ledgered (or fully retired), drop them
+        touched.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$storePath/dim/bucket=$b"), true))
+    }
   }
 
   private def writeLines(fs: org.apache.hadoop.fs.FileSystem,

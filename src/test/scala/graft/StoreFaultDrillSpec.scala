@@ -609,4 +609,103 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(Dedup.retireDecontamBench(spark, p, Seq(1L), retireId = 2))
     Dedup.compactDecontamStore(spark, p)
   }
+
+  // ---- SCD2 entity retirement (GDPR hard delete) ---------------------------
+
+  /** Deterministic multi-version change log: each user gets 1 + u%4
+    * versions with a tier that changes every step (no no-op collapse), at
+    * strictly increasing per-user timestamps.
+    */
+  private lazy val scdLog: DataFrame =
+    (1L to 300L).flatMap { u =>
+      (0 until (1 + (u % 4)).toInt).map(v =>
+        (u, 1000L * (v + 1) + u % 7, ((u + v) % 3).toInt))
+    }.toDF("user_id", "ts_us", "plan_tier")
+
+  private def scdDimOf(changes: DataFrame): Seq[String] =
+    rows(graft.operators.Scd.type2(changes, Seq("user_id"), "ts_us",
+      Seq("plan_tier")))
+
+  test("scd2 retirement: immediate hide, physical erasure at compaction, replay no-op, re-onboard, second cycle") {
+    import graft.streaming.StreamingPipeline
+    val p = sys.props("java.io.tmpdir") + "/graft_fault_scdret_p" +
+      ProcessHandle.current().pid()
+    rm(p)
+    val up = StreamingPipeline.scdUpsertBatch(
+      p, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+    up(scdLog.filter(col("ts_us") % 2 === 0), 0L)
+    up(scdLog.filter(col("ts_us") % 2 === 1), 1L)
+    val survivors = scdLog.filter(col("user_id") % 5 =!= 2)
+    val retired = scdLog.filter(col("user_id") % 5 === 2).select("user_id")
+    // retire: the dim hides the entities IMMEDIATELY (pre-compaction)
+    assert(StreamingPipeline.retireScdEntities(spark, p, retired, 2L,
+      Seq("user_id"), "ts_us", Seq("plan_tier")))
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == scdDimOf(survivors),
+      "served dim right after retire must equal the build over survivors")
+    // replayed retire id: ledgered no-op (returns false, dim untouched)
+    assert(!StreamingPipeline.retireScdEntities(spark, p, retired, 2L,
+      Seq("user_id"), "ts_us", Seq("plan_tier")))
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == scdDimOf(survivors))
+    // compaction = the physical erasure point: no retired key in any
+    // changes parquet row, ledger blanked to a tombstone
+    StreamingPipeline.compactScdChanges(spark, p, Seq("user_id"))
+    assert(spark.read.parquet(s"$p/changes")
+      .filter(col("user_id") % 5 === 2).count() == 0,
+      "compaction must physically drop every erased row from the log")
+    assert(fs.exists(hpath(s"$p/retired/batch=2")), "tombstone dir survives")
+    assert(!fs.listFiles(hpath(s"$p/retired/batch=2"), true).hasNext,
+      "ledger rows are blanked after the rewrite")
+    // re-onboarding ABOVE the retirement id: only the new history serves
+    val back = (2L to 300L by 5).map(u => (u, 9000L, (u % 3).toInt))
+      .toDF("user_id", "ts_us", "plan_tier")
+    up(back, 3L)
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) ==
+      scdDimOf(survivors.unionByName(back)),
+      "re-onboarded keys must serve exactly their post-retirement history")
+    // a SECOND retirement cycle kills the re-onboarded rows too (4 > 3)
+    assert(StreamingPipeline.retireScdEntities(spark, p, retired, 4L,
+      Seq("user_id"), "ts_us", Seq("plan_tier")))
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == scdDimOf(survivors),
+      "second cycle must erase the re-onboarded history")
+  }
+
+  test("scd2 retirement: torn windows heal — marker alone, marker+ledger, bucket left empty") {
+    import graft.streaming.StreamingPipeline
+    val p = sys.props("java.io.tmpdir") + "/graft_fault_scdtorn_p" +
+      ProcessHandle.current().pid()
+    rm(p)
+    // tiny store at 4 buckets so a retirement can empty whole buckets
+    val mini = scdLog.filter(col("user_id") <= 8)
+    val up = StreamingPipeline.scdUpsertBatch(
+      p, Seq("user_id"), "ts_us", Seq("plan_tier"), buckets = 4) _
+    up(mini, 0L)
+    val full = rows(StreamingPipeline.readScdDim(spark, p))
+    def bucketsOf(keys: DataFrame): Seq[Int] = keys
+      .select(pmod(hash(col("user_id")), lit(4)).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    def marker(id: String, bs: Seq[Int]): Unit = {
+      val out = fs.create(hpath(s"$p/dim/_pending-retire-$id"), true)
+      try out.write((bs.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    // window A: marker landed, crash BEFORE the ledger rename — the heal
+    // (any maintenance entry) recomputes as an identity rewrite
+    marker("1", bucketsOf(mini.select("user_id")))
+    up(mini.limit(0), 5L) // a no-op batch whose entry runs the heals
+    assert(!fs.exists(hpath(s"$p/dim/_pending-retire-1")), "marker dropped")
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == full,
+      "marker-without-ledger heals to the unchanged dim")
+    // window B: marker + ledger landed, crash BEFORE the bucket recompute —
+    // the heal must finish the erasure, emptying buckets with no survivors
+    val retired = mini.filter(col("user_id") =!= 1).select("user_id").distinct()
+    marker("6", bucketsOf(retired))
+    val staging = s"$p/retired/.staging-6"
+    retired.write.mode("overwrite").parquet(staging)
+    require(fs.rename(hpath(staging), hpath(s"$p/retired/batch=6")))
+    up(mini.limit(0), 7L) // heal runs first
+    assert(!fs.exists(hpath(s"$p/dim/_pending-retire-6")), "marker dropped")
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) ==
+      scdDimOf(mini.filter(col("user_id") === 1)),
+      "healed dim = survivors only; buckets whose keys all retired vanish")
+  }
 }
