@@ -926,6 +926,37 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // VOCAB LIFECYCLE under the moving corpus — the one artifact family
+    // where delta-maintenance is impossible by construction (the fit is a
+    // global greedy ranking, not a sum), so the un-learn path is
+    // fingerprint-gated retrain ([[graft.text.VocabStore]]): train on
+    // snapshot A, prove the unmoved corpus is an EXACT NO-OP (the require
+    // fails the query if a second refresh retrains), move the corpus to
+    // snapshot B (doc removed / revised / added — the q175 delta), refresh,
+    // and tokenize B through the STORED vocabulary. The gate counters must
+    // all be zero against an in-memory vocab trained fresh on B — a
+    // refresh that no-opped on the moved corpus (stale fingerprint), a
+    // torn swap, or a stamp that ignored the revision serves A's vocab
+    // and trips tok_viol/vocab_viol; oracle = q113's row shape over the
+    // snapshot-B CTE.
+    "q206_vocab_refresh" -> ((s, d) => {
+      import graft.text.VocabStore
+      val path = vocabPath(d) + "_refresh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = docs(s, d).select(col("doc_id"), col("text"))
+      val b = DataQueries.snapshotB(a)
+      require(VocabStore.refreshSubword(a, size = 256, maxPieceLen = 6, path),
+        "first refresh must train the store")
+      require(!VocabStore.refreshSubword(a, size = 256, maxPieceLen = 6, path),
+        "an unmoved corpus must be an exact no-op")
+      require(VocabStore.refreshSubword(b, size = 256, maxPieceLen = 6, path),
+        "a moved corpus must retrain")
+      graft.text.Subword.storedVocabGate(b, size = 256, maxPieceLen = 6, path)
+        .orderBy("doc_id")
+    }),
+
     // STREAMING FLAGSHIP (the r10 verdict's last capability gap): every
     // streaming maintainer is gated per-family, but production runs them
     // TOGETHER — the reference's own ingest-triggers-recompute loop
@@ -1616,6 +1647,13 @@ object CorpusQueries {
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,
         |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q113's row shape re-rooted at the moved corpus (snapshot B)
+    "q206_vocab_refresh" ->
+      s"""WITH ${DataOracles.snapshotBSql}
+         |SELECT doc_id,
+         |  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+         |  0 AS vocab_viol, 0 AS tok_viol, 0 AS oov_viol
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q141_unigram_invariants" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_words,

@@ -182,7 +182,7 @@ object Bpe {
     * numMerges rows by construction).
     */
   def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy(col("rank"))
+    spark.read.parquet(Subword.activeVocabDir(spark, path)).orderBy(col("rank"))
       .select(col("left"), col("right")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 

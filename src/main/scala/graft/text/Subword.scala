@@ -221,8 +221,17 @@ object Subword {
     * side-channel config has to survive alongside the artifact.
     */
   def loadPieces(spark: SparkSession, path: String): Array[String] =
-    spark.read.parquet(path).orderBy(col("rank"))
+    spark.read.parquet(activeVocabDir(spark, path)).orderBy(col("rank"))
       .select(col("piece")).collect().map(_.getString(0))
+
+  /** Swap-window fallback for the refresh-managed stores
+    * ([[VocabStore.refresh]]'s two-rename publish): serve `.prev` while
+    * the main dir is mid-rename.
+    */
+  private[text] def activeVocabDir(spark: SparkSession, path: String): String =
+    graft.similarity.Similarity.activeDir(
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration), path)
 
   /** q113 gate: the store round-trip must be invisible to tokenization.
     * Saves nothing itself — callers [[savePieces]] first — it loads the

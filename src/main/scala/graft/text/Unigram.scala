@@ -251,7 +251,7 @@ object Unigram {
 
   /** Read the stored vocabulary back in rank order (bounded collect). */
   def loadVocab(spark: SparkSession, path: String): Seq[(String, Double)] =
-    spark.read.parquet(path).orderBy(col("rank"))
+    spark.read.parquet(Subword.activeVocabDir(spark, path)).orderBy(col("rank"))
       .select(col("piece"), col("logp")).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
