@@ -1594,12 +1594,21 @@ object StreamingPipeline {
           keyCols :+ tsCol, "left_anti")
         case None => deduped
       }).localCheckpoint(true)
-      val touched = fresh.select(bucketExpr.as("bucket")).distinct()
+      // the batch's own rows obey the liveness rule at THEIR id: a live
+      // stream always lands above every retirement (no-op), but a REPLAY
+      // of a pre-retirement batch whose ledger the crash ate must not
+      // resurrect erased entities into the dim it recomputes — the rows
+      // still ledger (below, for replay refusal), they just never serve
+      val freshAlive = aliveScdChanges(
+          fresh.withColumn("batch", lit(batchId)),
+          readScdRetirements(spark, fs, storePath), keyCols)
+        .drop("batch")
+      val touched = freshAlive.select(bucketExpr.as("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded: <= `buckets` values
       if (touched.nonEmpty) {
         val pending = new org.apache.hadoop.fs.Path(s"$storePath/dim/_pending-$batchId")
         writeLines(fs, pending, touched.map(_.toString))
-        val all = stored.map(_.unionByName(fresh)).getOrElse(fresh)
+        val all = stored.map(_.unionByName(freshAlive)).getOrElse(freshAlive)
           .withColumn("bucket", bucketExpr)
           .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
         rewriteScdBuckets(spark, all, storePath, keyCols, tsCol, attrCols,

@@ -669,6 +669,42 @@ class StoreFaultDrillSpec extends SparkSpec {
       "second cycle must erase the re-onboarded history")
   }
 
+  test("scd2 retirement: erasure survives a crash-window replay of a pre-retirement batch") {
+    import graft.streaming.StreamingPipeline
+    val p = sys.props("java.io.tmpdir") + "/graft_fault_scdreplay_p" +
+      ProcessHandle.current().pid()
+    rm(p)
+    val up = StreamingPipeline.scdUpsertBatch(
+      p, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+    up(scdLog.filter(col("ts_us") % 2 === 0), 0L)
+    up(scdLog.filter(col("ts_us") % 2 === 1), 1L)
+    // the W1 crash: batch 1's dim writes landed but the ledger rename was
+    // eaten — marker back in place, ledger dir gone (streaming will replay)
+    rm(s"$p/changes/batch=1")
+    val touched1 = scdLog.filter(col("ts_us") % 2 === 1)
+      .select(pmod(hash(col("user_id")), lit(32)).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val out = fs.create(hpath(s"$p/dim/_pending-1"), true)
+    try out.write((touched1.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // the erasure request arrives BEFORE the replay (retireId 2 > the
+    // replayed batch's id 1, so the replayed rows are dead on arrival)
+    val retired = scdLog.filter(col("user_id") % 5 === 2).select("user_id")
+    assert(StreamingPipeline.retireScdEntities(spark, p, retired, 2L,
+      Seq("user_id"), "ts_us", Seq("plan_tier")))
+    // streaming replay re-delivers batch 1 under its original id: the rows
+    // re-ledger (replays stay refused afterwards) but must NOT resurrect
+    // the erased entities into the served dimension
+    up(scdLog.filter(col("ts_us") % 2 === 1), 1L)
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) ==
+      scdDimOf(scdLog.filter(col("user_id") % 5 =!= 2)),
+      "a replayed pre-retirement batch must serve survivors only")
+    // and compaction erases the dead replayed rows physically too
+    StreamingPipeline.compactScdChanges(spark, p, Seq("user_id"))
+    assert(spark.read.parquet(s"$p/changes")
+      .filter(col("user_id") % 5 === 2).count() == 0)
+  }
+
   test("scd2 retirement: torn windows heal — marker alone, marker+ledger, bucket left empty") {
     import graft.streaming.StreamingPipeline
     val p = sys.props("java.io.tmpdir") + "/graft_fault_scdtorn_p" +
