@@ -134,8 +134,12 @@ object Bench {
     // the sketch/moments retirement paths whose INPUTS the 10x dir scales
     // (q198 reads documents, q203 embeddings; q197/q199/q200 read events,
     // which scale10Dir symlinks unscaled — a t10 there would measure
-    // nothing)
-    "q198_cms_retired", "q203_pca_moments_retired")
+    // nothing; q204/q205 SCD retirement reads events too, same exclusion)
+    "q198_cms_retired", "q203_pca_moments_retired",
+    // vocab lifecycle: two retrains + one fingerprint no-op per run — the
+    // exponent measures the retrain's corpus-linear histogram pass (the
+    // no-op gate is a map-side agg over (id, hash) pairs, the cheap path)
+    "q206_vocab_refresh")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings

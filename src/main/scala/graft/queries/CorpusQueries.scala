@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.text.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries — the quality/balance stages of a pretraining
@@ -849,6 +849,93 @@ object CorpusQueries {
       val featC = v4AdvanceStores(s, b, c, featB, s"$base/mh", s"$base/dsir",
         mhRetireId = 4, mhAppendId = 5, dsirRetireId = 3, dsirAppendId = 4)
       v4FrameFromStores(s, c, featC, s"$base/mh", s"$base/dsir")
+    }),
+
+    // THE WHOLE-WAREHOUSE CYCLE — every document-driven store family
+    // advances through ONE corpus move in ONE maintenance cycle, then B
+    // serves from all of them in one frame. The A-state warehouse holds
+    // the v4 trio (per-doc feature store, MinHash mine store, DSIR model
+    // store), the trigram-backoff LM count tables, the CMS term sketch,
+    // and the refresh-managed WordPiece vocabulary; the crawl moves A→B
+    // and each family takes its own un-learn path in the same pass —
+    // winner-set diff (MinHash), signed count deltas (DSIR/LM/CMS),
+    // fingerprint-gated retrain (vocab). One row per family, integer
+    // aggregates only; the oracle recomputes every family FROM SCRATCH
+    // over the snapshot-B CTE, so a cross-family id collision, a
+    // maintenance pass that read a sibling store's half-advanced state,
+    // or any single family's stale/leaked rows shifts its row and fails
+    // the hash. (Embedding-driven families — ANN indexes, PCA moments —
+    // advance on the embeddings delta, gated by q195/q201-q203; the
+    // decontam store rotates on the eval-suite schedule, q194 — neither
+    // moves with THIS table's delta, so they are correctly absent here.)
+    "q207_warehouse_cycle" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      import graft.text.{TextOps, VocabStore}
+      val base = DataQueries.ivfIndexPath(d) + "_wh"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val a = docs(s, d)
+      val b = DataQueries.snapshotBFull(a)
+      val aTxt = a.select(col("doc_id"), col("text"))
+      val bTxt = b.select(col("doc_id"), col("text"))
+      def terms(df: DataFrame) = df.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      // ---- the A-state warehouse (the previous cycle's artifacts)
+      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+      TextOps.saveLm(aTxt, s"$base/lm")
+      (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+        terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
+      require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
+        s"$base/vocab"))
+      // ---- the crawl moves: one shared delta, every family advances
+      val delta = graft.dedup.Dedup.corpusDelta(aTxt, bTxt).localCheckpoint(true)
+      val oldIds = delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      val newIds = delta.filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
+      TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
+      TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
+      TextOps.compactLm(s, s"$base/lm")
+      StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
+        terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
+      StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+        terms(bTxt.join(newIds, "doc_id")), 6L)
+      require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
+        s"$base/vocab"), "the moved corpus must retrain the vocab")
+      // ---- one gate frame: B served from every advanced store
+      def row(fam: String, df: DataFrame, m1: Column, m2: Column, m3: Column) =
+        df.agg(m1.cast("long").as("m1"), m2.cast("long").as("m2"),
+            m3.cast("long").as("m3"))
+          .select(lit(fam).as("family"), col("m1"), col("m2"), col("m3"))
+      val exactKept = v4Winners(featB).localCheckpoint(true)
+      val dropped = StreamingPipeline.readDedupPairs(s, s"$base/mh")
+        .select(col("doc_b").as("doc_id")).distinct()
+      row("1_feat", featB,
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L))
+        .unionByName(row("2_exact", exactKept,
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L)))
+        .unionByName(row("3_near", exactKept.join(dropped, Seq("doc_id"), "left_anti"),
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L)))
+        .unionByName(row("4_lm", TextOps.scoreWithLm(bTxt, s"$base/lm"),
+          count(lit(1)), coalesce(sum(col("n_backoff")), lit(0L)),
+          coalesce(sum(col("n_unseen")), lit(0L))))
+        .unionByName(row("5_cms", graft.sketch.Sketches.cmsTopKFromCells(
+            terms(bTxt), s.read.parquet(s"$base/cms"),
+            termCol = "term", d = 3, w = 1024, k = 20),
+          count(lit(1)), coalesce(sum(col("est")), lit(0L)),
+          coalesce(sum(col("cnt")), lit(0L))))
+        .unionByName(row("6_dsir", TextOps.scoreWithDsir(bTxt, s"$base/dsir"),
+          count(lit(1)), coalesce(sum(col("dsir6")), lit(0L)),
+          coalesce(sum(col("rate_ppm")), lit(0L))))
+        .unionByName(row("7_vocab", graft.text.Subword.storedVocabGate(
+            bTxt, size = 256, maxPieceLen = 6, s"$base/vocab"),
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)),
+          coalesce(sum(col("vocab_viol") + col("tok_viol") + col("oov_viol")),
+            lit(0L))))
+        .orderBy("family")
     }),
 
     // The v4 pipeline's per-document kill matrix (see
@@ -1746,6 +1833,39 @@ object CorpusQueries {
     // incremental cycle (feature-store reuse + minhash/DSIR store
     // maintenance) must be indistinguishable from recomputing everything
     // from scratch over the moved corpus
+    // one row per family, every family recomputed FROM SCRATCH over the
+    // snapshot-B CTE — the warehouse cycle's convergence proof (the lm and
+    // cms families ride as WITH-subqueries so their oracle text stays the
+    // single source the standalone gates q109/q177/q89/q198 already use)
+    "q207_warehouse_cycle" ->
+      s"""WITH ${DataOracles.snapshotBFullSql},
+         |${pipelineOracleCtesOver("bsnap")},
+         |${DataOracles.dsirRatedBlock("ds", src = "bsnap")}
+         |SELECT family, m1, m2, m3 FROM (
+         |  SELECT '1_feat' AS family, CAST(count(*) AS BIGINT) AS m1,
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT) AS m2,
+         |    CAST(0 AS BIGINT) AS m3 FROM nw
+         |  UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
+         |  UNION ALL SELECT '3_near', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
+         |  UNION ALL SELECT '4_lm', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_backoff), 0) AS BIGINT),
+         |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT)
+         |  FROM (${trigramBackoffOracleOver("bsnap")}) lmq
+         |  UNION ALL SELECT '5_cms', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(est), 0) AS BIGINT),
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT)
+         |  FROM (${SketchQueries.cmsOracleOver("1=1", src = "bsnap")}) cmsq
+         |  UNION ALL SELECT '6_dsir', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(dsir6), 0) AS BIGINT),
+         |    CAST(coalesce(sum(rate_ppm), 0) AS BIGINT) FROM dsrated
+         |  UNION ALL SELECT '7_vocab', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(len(string_split_regex(trim(lower(text)), '\\s+'))), 0)
+         |      AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM bsnap
+         |) ORDER BY family""".stripMargin,
+
     "q191_pipeline_v4_incremental" ->
       s"""WITH ${DataOracles.snapshotBFullSql},
          |${pipelineV2OracleCtesOver("bsnap")},

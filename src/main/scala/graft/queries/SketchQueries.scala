@@ -494,12 +494,15 @@ object SketchQueries {
 
   /** [[cmsOracle]] parameterized over the document predicate — the
     * signed-delta retirement gate (q198) replays the SAME sketch over the
-    * surviving docs. where = "1=1" reproduces the q89/q158 oracle.
+    * surviving docs. where = "1=1" reproduces the q89/q158 oracle. `src`
+    * re-roots the replay at a derived snapshot CTE (the q207 warehouse
+    * cycle; exposed private[queries] for that composition).
     */
-  private def cmsOracleOver(where: String): String =
+  private[queries] def cmsOracleOver(where: String,
+                                     src: String = "documents"): String =
       s"""WITH tok AS (
          |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-         |  FROM documents WHERE $where
+         |  FROM $src WHERE $where
          |),
          |counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
          |seeded AS (
