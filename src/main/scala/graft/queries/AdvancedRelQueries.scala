@@ -410,6 +410,35 @@ object AdvancedRelQueries {
         .orderBy("user_id", "version")
     }),
 
+    // The SERVING path after retirement — q136's point-in-time lookup
+    // against the retired store (q149's read shape): purchases by erased
+    // users must resolve to NO dimension version (NULL plan/version, the
+    // ASOF LEFT JOIN's miss), not to a lingering one; everyone else's
+    // lookups are untouched. Oracle = q136's ASOF JOIN with the dimension
+    // rebuilt over survivors only.
+    "q208_scd2_pit_retired" -> ((s, d) => {
+      val path = scdStorePath(d) + "_pitret"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ch = scdChanges(s, d)
+      val up = graft.streaming.StreamingPipeline.scdUpsertBatch(
+        path, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+      up(ch.filter(col("ts_us") % 2 === 0), 0L)
+      up(ch.filter(col("ts_us") % 2 === 1), 1L)
+      graft.streaming.StreamingPipeline.retireScdEntities(s, path,
+        ch.filter(col("user_id") % 7 === 3).select("user_id"), 2L,
+        Seq("user_id"), "ts_us", Seq("plan_tier"))
+      val dim = graft.streaming.StreamingPipeline.readScdDim(s, path)
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      graft.operators.Scd.pointInTime(facts, dim, Seq("user_id"), "ts_us",
+          Seq("plan_tier", "version"))
+        .orderBy("event_id")
+    }),
+
     // Explicit GROUPING SETS (vs q51's full CUBE): only the named
     // combinations aggregate — per-metric, per-bucket, and grand total.
     "q72_grouping_sets" -> ((s, d) => {
@@ -508,6 +537,15 @@ object AdvancedRelQueries {
          |SELECT user_id, plan_tier, effective_from, effective_to,
          |  effective_to IS NULL AS is_current, version
          |FROM dim ORDER BY user_id, version""".stripMargin,
+    // erased users' purchases resolve to NO version (ASOF miss -> NULLs)
+    "q208_scd2_pit_retired" ->
+      s"""${scdDimCtes("user_id % 7 <> 3")}
+         |SELECT f.event_id, f.user_id, f.ts_us, f.value, d.plan_tier, d.version
+         |FROM (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, value
+         |      FROM events WHERE event_type = 'purchase') f
+         |ASOF LEFT JOIN dim d
+         |  ON f.user_id = d.user_id AND f.ts_us >= d.effective_from
+         |ORDER BY f.event_id""".stripMargin,
     // the stored dim must serve lookups exactly: q136's oracle verbatim
     "q149_scd2_pit_store" ->
       s"""${scdDimCtes()}
