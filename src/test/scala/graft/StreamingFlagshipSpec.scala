@@ -310,4 +310,135 @@ class StreamingFlagshipSpec extends SparkSpec {
     assert(frame(b) == baseline,
       "kill-window rotation must replay to the uninterrupted-run frame")
   }
+
+  // ---- SIX maintainers: SCD2 joins, with entity retirement in the kill
+  // window — the r13-item-4 / r14-rotation treatment applied to the round's
+  // new un-learn path. The SCD change feed runs beside the five corpus
+  // maintainers in ONE session; the session dies mid-feed, the GDPR
+  // erasure (retire + physical compaction) lands while three families'
+  // ledgers sit a delivery ahead and the SCD/MinHash/decontam checkpoints
+  // are behind, the session restarts on the same checkpoints, and phase-5
+  // at-least-once redelivery replays the PRE-retirement change batch
+  // straight through the foreachBatch body. The served dimension must be
+  // byte-identical to an uninterrupted six-maintainer run that applied the
+  // same erasure after draining — a resurrected change row, a skew-crossed
+  // batch id, or a dim bucket the kill-window compaction left stale all
+  // break the equality; the five-family score frame must be untouched.
+
+  private val s1 = Seq((1L, 1000L, 0), (1L, 2000L, 1), (2L, 1000L, 2),
+    (3L, 1500L, 0), (9L, 1000L, 1), (9L, 3000L, 2))
+  private val s2 = Seq((2L, 5000L, 0), (3L, 6000L, 1), (4L, 5000L, 2))
+  private val s3 = Seq((4L, 9000L, 0), (5L, 9000L, 1), (2L, 11000L, 1))
+  private def scdDf(rows: Seq[(Long, Long, Int)]): DataFrame =
+    rows.toDF("user_id", "ts_us", "plan_tier")
+  private def deliverScd(dir: String, rows: Seq[(Long, Long, Int)]): Unit =
+    scdDf(rows).repartition(2).write.mode("append").parquet(dir)
+  private def scdStream(base: String) =
+    StreamingPipeline.scdUpsertStream(
+      StreamingPipeline.readColumnsStream(spark, s"$base/in_scd",
+        "user_id BIGINT, ts_us BIGINT, plan_tier INT"),
+      s"$base/scd", s"$base/ck_scd",
+      Seq("user_id"), "ts_us", Seq("plan_tier")).start()
+  private def drain6(base: String): Unit =
+    (CorpusQueries.startFlagshipMaintainers(
+      spark, s"$base/in_all", s"$base/in_bench", base)
+      :+ dsirStream(base) :+ scdStream(base)).foreach(_.awaitTermination())
+  private def scdRetire(base: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    val maxId = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/scd/changes"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max)
+    assert(StreamingPipeline.retireScdEntities(spark, s"$base/scd",
+      Seq(1L, 9L).toDF("user_id"), maxId + 1,
+      Seq("user_id"), "ts_us", Seq("plan_tier")))
+    StreamingPipeline.compactScdChanges(spark, s"$base/scd", Seq("user_id"))
+  }
+  private def dimRows(base: String): Seq[String] =
+    StreamingPipeline.readScdDim(spark, s"$base/scd")
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+
+  test("composed session x6: SCD2 erasure in the kill window — dim and frame byte-identical") {
+    // ---- baseline: uninterrupted six-maintainer run, erasure post-drain
+    val b0 = Files.createTempDirectory("graft_flagscd_base").toString
+    deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b0/in_bench", b1 ++ b2)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b0/dsir")
+    deliverRest(s"$b0/in_rest", a1.drop(5) ++ a2 ++ a3, parts = 6)
+    deliverScd(s"$b0/in_scd", s1 ++ s2 ++ s3)
+    drain6(b0)
+    scdRetire(b0)
+    CorpusQueries.compactFlagshipStores(spark, b0)
+    TextOps.compactDsir(spark, s"$b0/dsir")
+    val baseline = frame(b0)
+    val dim0 = dimRows(b0)
+    // the erasure is real and scoped: users 1/9 gone, user 2's three
+    // versions (spanning all three deliveries) survive intact
+    assert(!dim0.exists(r => r.startsWith("[1,") || r.startsWith("[9,")))
+    assert(dim0.count(_.startsWith("[2,")) == 3)
+    // independent oracle: the dim IS the Type-2 build over survivors
+    assert(dim0 == graft.operators.Scd.type2(
+        scdDf((s1 ++ s2 ++ s3).filterNot(r => r._1 == 1L || r._1 == 9L)),
+        Seq("user_id"), "ts_us", Seq("plan_tier"))
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq)
+
+    // ---- drill: kill, skew three families ahead, erase in the window ----
+    val b = Files.createTempDirectory("graft_flagscd_drill").toString
+    deliverAll(s"$b/in_all", a1.take(5), parts = 10)
+    deliverAll(s"$b/in_all", a1.drop(5), parts = 10)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b/in_bench", b1)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b/dsir")
+    deliverRest(s"$b/in_rest", a1.drop(5), parts = 4)
+    deliverScd(s"$b/in_scd", s1)
+    drain6(b) // the session dies here; only s1 is in the SCD change log
+    // skew: LM, histogram, DSIR commit a2 while SCD/MinHash/decontam are down
+    deliverAll(s"$b/in_all", a2, parts = 3)
+    deliverRest(s"$b/in_rest", a2, parts = 3)
+    Seq(
+      StreamingPipeline.lmAppendStream(
+        StreamingPipeline.readDocStream(spark, s"$b/in_all"),
+        s"$b/lm", s"$b/ck_lm").start(),
+      StreamingPipeline.histogramStream(
+        StreamingPipeline.readColumnsStream(spark, s"$b/in_all",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"),
+        s"$b/hist", s"$b/ck_hist",
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
+      dsirStream(b)
+    ).foreach(_.awaitTermination())
+    // kill-window maintenance INCLUDING the erasure: users 1/9 retire and
+    // the change log compacts (physical delete) while the ledgers disagree
+    scdRetire(b)
+    TextOps.compactLm(spark, s"$b/lm")
+    StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
+    TextOps.compactDsir(spark, s"$b/dsir")
+    // restart all six on the same checkpoints; the SCD stream's next batch
+    // ids land AT/ABOVE the retirement id, so post-erasure changes live
+    deliverAll(s"$b/in_all", a3, parts = 4)
+    deliverRest(s"$b/in_rest", a3, parts = 4)
+    deliverBench(s"$b/in_bench", b2)
+    deliverScd(s"$b/in_scd", s2)
+    drain6(b)
+    deliverScd(s"$b/in_scd", s3)
+    drain6(b)
+    // phase 5: at-least-once redelivery of every family's first committed
+    // id — including the PRE-erasure change batch, which the ledger must
+    // refuse (a resurrected row brings users 1/9 back and breaks the dim)
+    StreamingPipeline.lmAppendBatch(s"$b/lm")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.minhashDedupBatch(s"$b/mh")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.histMergeBatch(s"$b/hist", Seq("lang"), "n_chars", 50.0, 20)(
+      allDf(a1).select(col("doc_id"), col("lang"), col("n_chars")), 0L)
+    StreamingPipeline.decontamAppendBatch(s"$b/dc")(benchDf(b1), 0L)
+    StreamingPipeline.dsirAppendBatch(s"$b/dsir", isT)(
+      allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
+    StreamingPipeline.scdUpsertBatch(s"$b/scd",
+      Seq("user_id"), "ts_us", Seq("plan_tier"))(scdDf(s1), 0L)
+    CorpusQueries.compactFlagshipStores(spark, b)
+    TextOps.compactDsir(spark, s"$b/dsir")
+    assert(dimRows(b) == dim0,
+      "kill-window erasure must replay to the uninterrupted run's dimension")
+    assert(frame(b) == baseline,
+      "the five corpus families must be untouched by the sixth maintainer")
+  }
 }
