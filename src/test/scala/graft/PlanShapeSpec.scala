@@ -86,7 +86,12 @@ class PlanShapeSpec extends SparkSpec {
     "q193_pipeline_funnel", // same matrix aggregated to the 7-row funnel
     "q195_ann_ivf_delta2", // q179's bounded stored-centroid broadcast, two delta cycles
     "q196_pipeline_v4_cycle2", // q191's 1-row frames, second cycle over the same stores
-    "q200_mg_retired") // q144's 1-row total-count broadcast, summary from the retired store
+    "q200_mg_retired", // q144's 1-row total-count broadcast, summary from the retired store
+    // composes q177's scoreWithLm (1-row stored train-token-count
+    // broadcast) and q186's scoreWithDsir (1-row totals broadcast) —
+    // both individually adjudicated above; its own family rows are
+    // 1-row aggregates unioned, no join
+    "q207_warehouse_cycle")
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
