@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard manifest: route every document to a shard
+  * by a content-independent hash of its id, and summarize each shard with
+  * counts, bounds, and an order-insensitive content checksum — the ledger a
+  * 1000-executor export job writes FIRST, so every shard file it produces
+  * can be verified against the manifest (and re-verified after any replay,
+  * compaction, or object-store migration) without re-reading neighbors.
+  *
+  * The reference exports a single CSV stream (`backend/app/api/export.py`,
+  * SURVEY.md §2.8 S8) — adequate at its scale, unverifiable at 100 TB where
+  * an export is thousands of files written by fallible tasks. The manifest
+  * is the missing integrity layer: n_docs/sum_chars catch truncation,
+  * min/max id catch mis-routing, and the XOR-of-row-fingerprints checksum
+  * catches any single-row corruption regardless of row order (XOR is
+  * commutative, so a verifier streams each shard file in ANY order and
+  * folds — no sort, no buffering).
+  *
+  * Routing is [[Dedup.hex60]] of the id string, mod nShards: uniform
+  * whatever the id distribution (sequential crawl ids would make range
+  * sharding skew with crawl order), and stable across snapshots so an
+  * UNCHANGED document lands in the same shard forever — the property
+  * [[manifestDelta]] turns into incremental export.
+  *
+  * Scale shape: one map-side projection (hashes are per-row), one hash
+  * aggregate keyed on the shard id with map-side partial combine — the
+  * shuffle carries at most nShards rows per task. No sort, no window, no
+  * driver state; output is nShards rows however large the corpus.
+  */
+object Shards {
+
+  /** Per-shard manifest over `docs`: (shard, n_docs, sum_chars, min_id,
+    * max_id, checksum). The row fingerprint hashes `id:text`, so the
+    * checksum moves if any document's text OR id changes, while XOR keeps
+    * it independent of row order and partitioning.
+    */
+  def manifest(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    docs.select(
+        pmod(Dedup.hex60(col(idCol).cast("string")), lit(nShards.toLong)).as("shard"),
+        col(idCol).as("__id"),
+        length(col(textCol)).cast("long").as("__len"),
+        Dedup.hex60(concat(col(idCol).cast("string"), lit(":"), col(textCol))).as("__fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("__len").as("sum_chars"),
+           min("__id").as("min_id"),
+           max("__id").as("max_id"),
+           expr("bit_xor(__fp)").as("checksum"))
+  }
+
+  /** Shard-level delta between two manifests of the SAME nShards: which
+    * shard files an incremental export must rewrite. A shard whose
+    * checksum AND counts match across snapshots is byte-equivalent as a
+    * set of rows (up to 60-bit XOR collision) and its file is reused; the
+    * rest are rewritten from the new snapshot. This is [[Dedup.corpusDelta]]
+    * lifted to the export unit — at a 2-3% crawl delta the job rewrites a
+    * few hundred of thousands of shard files instead of all of them.
+    *
+    * Output: (shard, status ∈ added|removed|changed|unchanged, n_docs_a,
+    * n_docs_b). Join is on the shard id — manifest-sized inputs, so any
+    * join strategy is trivially cheap.
+    */
+  def manifestDelta(ma: DataFrame, mb: DataFrame): DataFrame = {
+    val a = ma.select(col("shard"), col("n_docs").as("n_docs_a"),
+      col("sum_chars").as("ch_a"), col("checksum").as("ck_a"))
+    val b = mb.select(col("shard"), col("n_docs").as("n_docs_b"),
+      col("sum_chars").as("ch_b"), col("checksum").as("ck_b"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("n_docs_b").isNull, "removed")
+          .when(col("n_docs_a").isNull, "added")
+          .when(col("ck_a") =!= col("ck_b") || col("n_docs_a") =!= col("n_docs_b")
+            || col("ch_a") =!= col("ch_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"))
+  }
+}

@@ -418,6 +418,77 @@ object DataOracles {
 
   private val hex60Sql: String => String = OracleCte.hex60Sql
 
+  /** The q209/q212 PSI block over a snapshot pair, namespaced for
+    * composition: per-feature bucket counts over the UNION of observed
+    * buckets, add-one smoothing, ln(pB/pA) quantized to integer micro-nats
+    * (the q95/q101 discipline), the (pB−pA) factor carried as an exact
+    * HUGEINT numerator, one final double division. Mirrors
+    * [[graft.operators.Drift.psiReport]] over the q209 feature set
+    * ([[DataQueries]] driftFeatures) term for term. Ends with `${ns}rep`
+    * = (feature, n_buckets, n_a, n_b, psi); both relations must carry
+    * (text, lang, source, n_chars).
+    */
+  private def psiCtesOver(aRel: String, bRel: String, ns: String): String =
+    s"""${ns}u AS (
+       |  SELECT 'a' AS side, text, lang, source, n_chars FROM $aRel
+       |  UNION ALL
+       |  SELECT 'b', text, lang, source, n_chars FROM $bRel
+       |),
+       |${ns}ex AS (
+       |  SELECT side, 'lang' AS feature, coalesce(lang, ' null') AS bucket FROM ${ns}u
+       |  UNION ALL
+       |  SELECT side, 'source', coalesce(source, ' null') FROM ${ns}u
+       |  UNION ALL
+       |  SELECT side, 'len_b', CAST(CAST(floor(n_chars / 50) AS BIGINT) AS VARCHAR) FROM ${ns}u
+       |  UNION ALL
+       |  SELECT side, 'words_b',
+       |    CAST(CAST(floor(len(string_split_regex(trim(text), '\\s+')) / 10) AS BIGINT) AS VARCHAR)
+       |  FROM ${ns}u
+       |),
+       |${ns}cnt AS (
+       |  SELECT feature, bucket,
+       |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM ${ns}ex GROUP BY 1, 2
+       |),
+       |${ns}tot AS (
+       |  SELECT feature, count(*) AS k,
+       |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+       |  FROM ${ns}cnt GROUP BY 1
+       |),
+       |${ns}term AS (
+       |  SELECT c.feature, t.k, t.na, t.nb,
+       |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
+       |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
+       |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS l6
+       |  FROM ${ns}cnt c JOIN ${ns}tot t USING (feature)
+       |),
+       |${ns}rep AS (
+       |  SELECT feature, k AS n_buckets, na AS n_a, nb AS n_b,
+       |    floor(CAST(sum(dnum * l6) AS DOUBLE)
+       |      / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi
+       |  FROM ${ns}term GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  /** Verdict thresholds shared by the q209/q212 oracles (the conventional
+    * PSI bands), applied to the ALREADY-quantized psi so both engines
+    * compare the identical double.
+    */
+  private val psiVerdictSql: String =
+    "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.2 THEN 'moderate' " +
+      "ELSE 'drifted' END AS verdict"
+
+  /** The q210/q211 per-shard manifest rows over a corpus relation:
+    * hex60(id) mod nShards routing + the per-row `id:text` fingerprint —
+    * mirrors [[graft.operators.Shards.manifest]]'s projection exactly.
+    */
+  private def shardRowsOver(rel: String, nShards: Int): String =
+    s"""SELECT ${hex60Sql("CAST(doc_id AS VARCHAR)")} % $nShards AS shard, doc_id,
+       |    length(text) AS len,
+       |    ${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || text")} AS fp
+       |  FROM $rel""".stripMargin
+
   /** q131 oracle: replay [[Similarity.pqCodebooks]]' m independent
     * per-subspace spherical Lloyd fits (each the kmeansAsgCtes loop over a
     * `v[lo:hi]` slice), [[Similarity.pqEncode]]'s assignment argmax, and
@@ -2187,6 +2258,64 @@ object DataOracles {
         |  round(CAST(stop_cnt AS DOUBLE) / n_words, 6) AS stopword_ratio,
         |  round(CAST(dig AS DOUBLE) / greatest(nsl, 1), 6) AS digit_ratio,
         |  round(least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)), 6) AS quality_score
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q209_drift_psi" ->
+      s"""WITH $snapshotBFullSql,
+        |${psiCtesOver("documents", "bsnap", "")}
+        |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |FROM rep ORDER BY feature""".stripMargin,
+
+    "q210_shard_manifest" ->
+      s"""WITH m AS (
+        |  ${shardRowsOver("documents", 64)}
+        |)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(fp) AS checksum
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Snapshot B at the deb1x moduli (130/70/170 — ~2.6% delta), both
+    // manifests at 256 shards, then the shard-status full-outer join.
+    "q211_manifest_delta" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 70 = 2 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 130 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 170 = 5
+        |),
+        |ra AS (
+        |  ${shardRowsOver("documents", 256)}
+        |),
+        |rb AS (
+        |  ${shardRowsOver("b", 256)}
+        |),
+        |ma AS (SELECT shard, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_chars,
+        |       bit_xor(fp) AS ck FROM ra GROUP BY 1),
+        |mb AS (SELECT shard, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_chars,
+        |       bit_xor(fp) AS ck FROM rb GROUP BY 1)
+        |SELECT coalesce(ma.shard, mb.shard) AS shard,
+        |  CASE WHEN mb.shard IS NULL THEN 'removed'
+        |       WHEN ma.shard IS NULL THEN 'added'
+        |       WHEN ma.ck <> mb.ck OR ma.n_docs <> mb.n_docs
+        |         OR ma.sum_chars <> mb.sum_chars THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(ma.n_docs, 0) AS n_docs_a, coalesce(mb.n_docs, 0) AS n_docs_b
+        |FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
+        |ORDER BY 1""".stripMargin,
+
+    "q212_drift_cycles" ->
+      s"""WITH $snapshotBFullSql,
+        |$snapshotCFullSql,
+        |${psiCtesOver("documents", "bsnap", "ab")},
+        |${psiCtesOver("bsnap", "csnap", "bc")}
+        |SELECT * FROM (
+        |  SELECT 'a_b' AS cycle, feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |  FROM abrep
+        |  UNION ALL
+        |  SELECT 'b_c', feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |  FROM bcrep
+        |) ORDER BY cycle, feature""".stripMargin
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.operators.{Drift, Shards}
 import graft.similarity.Similarity
 import graft.streaming.StreamingPipeline
 import graft.text.TextOps
@@ -1500,8 +1501,66 @@ object DataQueries {
           round(col("digit_ratio"), 6).as("digit_ratio"),
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    // PSI drift report between two crawl snapshots (Drift.psiReport): the
+    // distribution monitor a pipeline runs BEFORE retraining — language
+    // mix, source mix, length and word-count profiles, each as a smoothed
+    // Population Stability Index with the conventional 0.1/0.2 verdict
+    // thresholds. Integer micro-nat quantization (the q95/q101 ln
+    // discipline) + exact 128-bit numerators make the oracle replay
+    // bit-identical; the corpus is touched by exactly one map-side
+    // explode + one hash aggregate.
+    "q209_drift_psi" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      Drift.psiReport(a, b, driftFeatures).orderBy("feature")
+    }),
+
+    // Deterministic training-shard manifest (Shards.manifest): hex60(id)
+    // routing, per-shard counts/bounds + an order-insensitive XOR content
+    // checksum — the integrity ledger a 1000-executor export verifies its
+    // shard files against. One projection + one 64-row hash aggregate.
+    "q210_shard_manifest" -> ((s, d) =>
+      Shards.manifest(docs(s, d), nShards = 64).orderBy("shard")),
+
+    // Shard-level incremental export (Shards.manifestDelta): a ~2.6% crawl
+    // delta (the deb1x moduli 130/70/170) against 256 shards — the
+    // manifest diff says which shard files must be rewritten and which are
+    // byte-equivalent and reused. The export-unit lift of corpusDelta.
+    "q211_manifest_delta" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBWith(a, rmMod = 130, revMod = 70, addMod = 170)
+      Shards.manifestDelta(Shards.manifest(a, 256), Shards.manifest(b, 256))
+        .orderBy("shard")
+    }),
+
+    // The drift monitor as a per-crawl LOOP, not a one-shot: PSI over both
+    // consecutive moves of the q196 three-snapshot chain (A→B, then B→C),
+    // one report row per (cycle, feature). Each cycle's baseline is the
+    // previous snapshot — exactly how a production monitor trails the
+    // moving corpus.
+    "q212_drift_cycles" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      val c = snapshotCFull(b)
+      Drift.psiReport(a, b, driftFeatures).withColumn("cycle", lit("a_b"))
+        .unionByName(
+          Drift.psiReport(b, c, driftFeatures).withColumn("cycle", lit("b_c")))
+        .orderBy("cycle", "feature")
     })
   )
+
+  /** The q209/q212 drift feature set: the two categorical metadata axes
+    * plus bucketed length and word-count profiles — re-built per call
+    * because Columns close over nothing, but ONE definition so the two
+    * queries and their oracles can never skew.
+    */
+  private def driftFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "lang" -> col("lang"),
+    "source" -> col("source"),
+    "len_b" -> floor(col("n_chars") / lit(50)),
+    "words_b" -> floor(size(TextOps.words(col("text"))) / lit(10)))
 
   /** The q175/q176 derived second snapshot: one slice removed
     * (doc_id % 13 = 3), one revised (% 7 = 2, text + ' rev2'), one added

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Drift, Shards}
+import org.apache.spark.sql.functions._
+
+class DriftShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "cat")
+
+  private val feats = Seq("cat" -> col("cat"))
+
+  test("psi of identical snapshots is exactly zero and stable") {
+    val a = corpus((1L, "aa", "x"), (2L, "bb", "y"), (3L, "cc", "x"))
+    val r = Drift.psiReport(a, a, feats).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("psi") == 0.0)
+    assert(row.getAs[String]("verdict") == "stable")
+    assert(row.getAs[Long]("n_buckets") == 2L)
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 3L)
+  }
+
+  test("psi matches the hand-computed two-bucket value and flags hard drift") {
+    // A: 90 x / 10 y; B: 10 x / 90 y. K=2, N=100 both sides.
+    // pA(x)=91/102, pB(x)=11/102; pA(y)=11/102, pB(y)=91/102.
+    // psi = 2 * (80/102) * ln(91/11) ≈ 1.6568 -> far past the 0.2 band.
+    val a = corpus((1L to 100L).map(i => (i, "t", if (i <= 90) "x" else "y")): _*)
+    val b = corpus((1L to 100L).map(i => (i, "t", if (i <= 10) "x" else "y")): _*)
+    val row = Drift.psiReport(a, b, feats).collect().head
+    // replay the operator's quantization by hand: per bucket,
+    // dnum = (cb+1)(na+k) − (ca+1)(nb+k), l6 = floor(ln(ratio)·1e6 + 0.5),
+    // psi = floor(Σ dnum·l6 / ((na+k)(nb+k)) + 0.5) / 1e6
+    def term(ca: Long, cb: Long): Double = {
+      val dnum = (cb + 1.0) * 102 - (ca + 1.0) * 102
+      val l6 = math.floor(math.log(((cb + 1.0) * 102) / ((ca + 1.0) * 102)) * 1e6 + 0.5)
+      dnum * l6
+    }
+    val psi = math.floor((term(90, 10) + term(10, 90)) / (102.0 * 102.0) + 0.5) / 1e6
+    assert(row.getAs[Double]("psi") == psi)
+    assert(psi > 1.0) // 2·(80/102)·ln(91/11) ≈ 1.66 — far past the 0.2 band
+    assert(row.getAs[String]("verdict") == "drifted")
+  }
+
+  test("a bucket present on one side only is smoothed, not infinite") {
+    val a = corpus((1L, "t", "x"), (2L, "t", "x"))
+    val b = corpus((1L, "t", "z"), (2L, "t", "z"))
+    val row = Drift.psiReport(a, b, feats).collect().head
+    assert(row.getAs[Long]("n_buckets") == 2L)
+    assert(!row.getAs[Double]("psi").isInfinite && row.getAs[Double]("psi") > 0)
+  }
+
+  test("null feature values count as their own bucket population") {
+    val a = Seq((1L, "t", Option("x")), (2L, "t", None))
+      .toDF("doc_id", "text", "cat")
+    val b = Seq((1L, "t", Option("x")), (2L, "t", Option("x")))
+      .toDF("doc_id", "text", "cat")
+    val row = Drift.psiReport(a, b, feats).collect().head
+    assert(row.getAs[Long]("n_buckets") == 2L) // "x" and the null bucket
+    assert(row.getAs[Long]("n_a") == 2L && row.getAs[Long]("n_b") == 2L)
+  }
+
+  test("manifest partitions the corpus and checksums move on a 1-char edit") {
+    val docs = corpus((1L to 200L).map(i => (i, s"text $i", "c")): _*)
+    val m = Shards.manifest(docs, nShards = 8).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(m.forall(r => r.getAs[Long]("min_id") <= r.getAs[Long]("max_id")))
+
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 57L, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val d = Shards.manifestDelta(
+        Shards.manifest(docs, 8), Shards.manifest(edited, 8))
+      .collect()
+    assert(d.count(_.getAs[String]("status") == "changed") == 1)
+    assert(d.count(_.getAs[String]("status") == "unchanged") == 7)
+    // n_docs unchanged everywhere — only the checksum caught the edit
+    assert(d.forall(r => r.getAs[Long]("n_docs_a") == r.getAs[Long]("n_docs_b")))
+  }
+
+  test("manifest delta classifies emptied and newborn shards") {
+    val a = corpus((1L to 50L).map(i => (i, s"t$i", "c")): _*)
+    val b = corpus((51L to 90L).map(i => (i, s"t$i", "c")): _*)
+    val d = Shards.manifestDelta(Shards.manifest(a, 4), Shards.manifest(b, 4))
+      .collect()
+    // disjoint id ranges at 4 shards: every shard present both sides changes;
+    // a shard missing on one side must come back added/removed, never null
+    assert(d.forall(r => Set("added", "removed", "changed")(r.getAs[String]("status"))))
+    assert(d.map(_.getAs[Long]("n_docs_a")).sum == 50L)
+    assert(d.map(_.getAs[Long]("n_docs_b")).sum == 40L)
+  }
+
+  test("unchanged docs route to the same shard across snapshots") {
+    val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
+    // remove 20, keep 80 unchanged — the kept docs' shards must not move,
+    // so every pair-difference comes only from the removed docs
+    val b = a.filter($"doc_id" % 5 =!= 0L)
+    val d = Shards.manifestDelta(Shards.manifest(a, 16), Shards.manifest(b, 16))
+    val changedOrRemoved = d.filter($"status" =!= "unchanged").count()
+    // shards holding none of the 20 removed docs stay byte-identical
+    assert(changedOrRemoved < 16L)
+    assert(d.filter($"status" === "added").count() == 0L)
+  }
+}
