@@ -139,7 +139,13 @@ object Bench {
     // vocab lifecycle: two retrains + one fingerprint no-op per run — the
     // exponent measures the retrain's corpus-linear histogram pass (the
     // no-op gate is a map-side agg over (id, hash) pairs, the cheap path)
-    "q206_vocab_refresh")
+    "q206_vocab_refresh",
+    // the monitoring/export layer: q209 is one explode + one hash agg over
+    // documents x2 snapshots, q210 one projection + a 64-row agg — both
+    // claim corpus-linear single-pass shapes, so their exponents are the
+    // direct evidence (q211/q212 compose the same kernels; q213's scaling
+    // is the q42 kmeans family's, already measured)
+    "q209_drift_psi", "q210_shard_manifest")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings

@@ -154,16 +154,17 @@ object DataOracles {
     * side collects centroids to the driver per iteration, but computes the
     * exact same quantized means, so the unrolled SQL stays hash-identical.
     */
-  private def assignCte(t: Int, centName: String, src: String = "b"): String =
-    s"""a$t AS (
+  private def assignCte(t: Int, centName: String, src: String = "b",
+                        tag: String = ""): String =
+    s"""a$t$tag AS (
        |  SELECT b.vec_id, b.v, b.n, c.cid,
        |    round(list_dot_product(b.v, c.cv) / (b.n * c.cn), 6) AS csim
        |  FROM $src b CROSS JOIN $centName c
        |),
-       |asg$t AS (
+       |asg$t$tag AS (
        |  SELECT vec_id, v, n, cid AS cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crn
-       |        FROM a$t)
+       |        FROM a$t$tag)
        |  WHERE crn = 1
        |)""".stripMargin
 
@@ -2316,6 +2317,45 @@ object DataOracles {
         |  UNION ALL
         |  SELECT 'b_c', feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
         |  FROM bcrep
-        |) ORDER BY cycle, feature""".stripMargin
+        |) ORDER BY cycle, feature""".stripMargin,
+
+    // Cell-population drift against FROZEN centroids: the q52 Lloyd fit
+    // over snapshot A (asg2), snapshot B assigned to the same c2 set
+    // (asg2x), then the q209 PSI arithmetic over the per-cell counts —
+    // same micro-nat / HUGEINT-numerator discipline as psiCtesOver,
+    // inlined because the populations come from assignments, not feature
+    // buckets.
+    "q213_ivf_cell_drift" ->
+      s"""${kmeansAsgCtes(8, 2, extraCtes = embSnapshotBCtes)},
+        |${assignCte(2, "c2", "bb", "x")},
+        |cca AS (SELECT cell, count(*) AS ca FROM asg2 GROUP BY 1),
+        |ccb AS (SELECT cell, count(*) AS cb FROM asg2x GROUP BY 1),
+        |cnt AS (
+        |  SELECT coalesce(cca.cell, ccb.cell) AS cell,
+        |    CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+        |    CAST(coalesce(cb, 0) AS BIGINT) AS cb
+        |  FROM cca FULL OUTER JOIN ccb ON cca.cell = ccb.cell
+        |),
+        |tot AS (
+        |  SELECT count(*) AS k, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM cnt
+        |),
+        |term AS (
+        |  SELECT t.k, t.na, t.nb,
+        |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
+        |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
+        |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS l6
+        |  FROM cnt c CROSS JOIN tot t
+        |),
+        |rep AS (
+        |  SELECT 'ivf_cell' AS feature, k AS n_buckets, na AS n_a, nb AS n_b,
+        |    floor(CAST(sum(dnum * l6) AS DOUBLE)
+        |      / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi
+        |  FROM term GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |FROM rep ORDER BY feature""".stripMargin
   )
 }

@@ -1548,6 +1548,23 @@ object DataQueries {
         .unionByName(
           Drift.psiReport(b, c, driftFeatures).withColumn("cycle", lit("b_c")))
         .orderBy("cycle", "feature")
+    }),
+
+    // The vector-side drift monitor: PSI over IVF cell populations, both
+    // snapshots assigned to the SAME frozen centroid set (fit once on A),
+    // so the index-staleness question — "has the corpus moved enough that
+    // the ANN index needs a re-fit?" — is a report row. Population shift
+    // here is pure corpus movement; a re-fit per snapshot would fold
+    // retraining noise into the signal.
+    "q213_ivf_cell_drift" -> ((s, d) => {
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      val cents = Similarity.kmeansCentroids(a, numCentroids = 8, iters = 2)
+      Drift.psiReport(
+          Similarity.assignToCentroids(a, cents),
+          Similarity.assignToCentroids(b, cents),
+          Seq("ivf_cell" -> col("cell")))
+        .orderBy("feature")
     })
   )
 

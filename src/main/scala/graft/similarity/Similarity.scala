@@ -567,6 +567,18 @@ object Similarity {
     assignTo(prepped(vectors, idCol, vecCol),
       kmeansCentroids(vectors, numCentroids, iters, idCol, vecCol), idCol)
 
+  /** Nearest-centroid assignment against a FROZEN centroid set — the
+    * monitoring/serving half of [[kmeansAssign]] without the re-fit: the
+    * q213 cell-drift monitor assigns two corpus snapshots to the SAME
+    * centroids so population shift measures corpus movement, never
+    * retraining noise. Same argmax, rounding, and tie order as the fit
+    * path. Returns (idCol, v, n, cell).
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    assignTo(prepped(vectors, idCol, vecCol), centroids, idCol)
+
   /** Widened-input prep shared by the IVF family: (idCol, v: array<double>, n). */
   private def prepped(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol), asDouble(col(vecCol)).as("v"))

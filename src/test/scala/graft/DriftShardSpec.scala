@@ -91,6 +91,34 @@ class DriftShardSpec extends SparkSpec {
     assert(d.map(_.getAs[Long]("n_docs_b")).sum == 40L)
   }
 
+  test("a torn shard-file rewrite is caught by the ledger manifest") {
+    val docs = corpus((1L to 200L).map(i => (i, s"text $i", "c")): _*)
+      .localCheckpoint(true)
+    val ledger = Shards.manifest(docs, 8).localCheckpoint(true)
+
+    // the export a 1000-executor job would run: route rows by the same
+    // hex60 mod, one directory per shard
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_export").toString
+    docs.withColumn("shard",
+        pmod(graft.dedup.Dedup.hex60(col("doc_id").cast("string")), lit(8L)))
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+
+    // silent corruption: shard 3's file loses its last row (a torn task
+    // rewrite that still left a well-formed parquet footer behind)
+    val part = spark.read.parquet(s"$dir/shard=3").localCheckpoint(true)
+    val maxId = part.agg(max("doc_id")).head().getLong(0)
+    part.filter(col("doc_id") =!= maxId)
+      .write.mode("overwrite").parquet(s"$dir/shard=3")
+
+    // verification = recompute the manifest from the files and diff it
+    val readBack = spark.read.parquet(dir).select("doc_id", "text", "cat")
+    val d = Shards.manifestDelta(ledger, Shards.manifest(readBack, 8)).collect()
+    assert(d.count(_.getAs[String]("status") == "changed") == 1)
+    assert(d.count(_.getAs[String]("status") == "unchanged") == 7)
+    val bad = d.find(_.getAs[String]("status") == "changed").get
+    assert(bad.getAs[Long]("n_docs_a") == bad.getAs[Long]("n_docs_b") + 1)
+  }
+
   test("unchanged docs route to the same shard across snapshots") {
     val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
     // remove 20, keep 80 unchanged — the kept docs' shards must not move,

@@ -91,7 +91,8 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast) and q186's scoreWithDsir (1-row totals broadcast) —
     // both individually adjudicated above; its own family rows are
     // 1-row aggregates unioned, no join
-    "q207_warehouse_cycle")
+    "q207_warehouse_cycle",
+    "q213_ivf_cell_drift") // q52's bounded centroid-assignment broadcast, run twice against one frozen set
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
     val sfDir = "/root/testdata/sf0.001"
