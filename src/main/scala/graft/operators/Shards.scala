@@ -66,19 +66,47 @@ object Shards {
     * n_docs_b). Join is on the shard id — manifest-sized inputs, so any
     * join strategy is trivially cheap.
     */
-  def manifestDelta(ma: DataFrame, mb: DataFrame): DataFrame = {
-    val a = ma.select(col("shard"), col("n_docs").as("n_docs_a"),
-      col("sum_chars").as("ch_a"), col("checksum").as("ck_a"))
-    val b = mb.select(col("shard"), col("n_docs").as("n_docs_b"),
-      col("sum_chars").as("ch_b"), col("checksum").as("ck_b"))
-    a.join(b, Seq("shard"), "full_outer")
-      .select(col("shard"),
-        when(col("n_docs_b").isNull, "removed")
-          .when(col("n_docs_a").isNull, "added")
-          .when(col("ck_a") =!= col("ck_b") || col("n_docs_a") =!= col("n_docs_b")
-            || col("ch_a") =!= col("ch_b"), "changed")
-          .otherwise("unchanged").as("status"),
-        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
-        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"))
+  def manifestDelta(ma: DataFrame, mb: DataFrame): DataFrame =
+    ledgerDelta(ma, mb, Seq("shard"), Seq("n_docs", "sum_chars", "checksum"))
+
+  /** [[manifestDelta]] generalized to any export-unit ledger: full-outer
+    * join on `keyCols`, a unit is `changed` when ANY of `cmpCols` differs,
+    * `added`/`removed` when one side is missing. Output: keyCols, status,
+    * n_docs_a, n_docs_b (zero-coalesced) — both ledgers must carry n_docs.
+    * Ledger-sized inputs; any join strategy is trivially cheap.
+    */
+  def ledgerDelta(ma: DataFrame, mb: DataFrame, keyCols: Seq[String],
+                  cmpCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select((keyCols.map(col) ++ (cmpCols :+ "n_docs").distinct
+        .map(c => col(c).as(s"${c}_$tag"))): _*)
+    val j = side(ma, "a").join(side(mb, "b"), keyCols, "full_outer")
+    val anyDiff = cmpCols.map(c => col(s"${c}_a") =!= col(s"${c}_b"))
+      .reduce(_ || _)
+    j.select(keyCols.map(col) ++ Seq(
+      when(col("n_docs_b").isNull, "removed")
+        .when(col("n_docs_a").isNull, "added")
+        .when(anyDiff, "changed")
+        .otherwise("unchanged").as("status"),
+      coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+      coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b")): _*)
   }
+
+  /** Ledger over PACKED training files ([[graft.text.TextOps.packSequences]]
+    * output): one row per (shard, bin) = one physical training file, with
+    * the doc count, the token payload, and a checksum binding member
+    * identity AND position (`id:bin_offset`) — a training file's bytes
+    * depend on concatenation order, so the fingerprint must too, while XOR
+    * keeps verification order-free. Same one-aggregate scale shape as
+    * [[manifest]].
+    */
+  def packedLedger(packed: DataFrame): DataFrame =
+    packed.select(col("shard"), col("bin"), col("doc_id"), col("n_tokens"),
+        Dedup.hex60(concat(col("doc_id").cast("string"), lit(":"),
+          col("bin_offset").cast("string"))).as("__fp"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("n_tokens"),
+           min("doc_id").as("first_doc"),
+           expr("bit_xor(__fp)").as("checksum"))
 }

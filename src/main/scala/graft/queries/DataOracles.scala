@@ -2356,6 +2356,72 @@ object DataOracles {
         |  FROM term GROUP BY 1, 2, 3, 4
         |)
         |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
-        |FROM rep ORDER BY feature""".stripMargin
+        |FROM rep ORDER BY feature""".stripMargin,
+
+    "q214_packed_ledger" ->
+      s"""WITH ${packedCteOver("documents", "")}
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q215_packed_ledger_delta" ->
+      s"""WITH bsn AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 70 = 2 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 130 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 170 = 5
+        |),
+        |${packedCteOver("documents", "a")},
+        |${packedCteOver("bsn", "b")},
+        |la AS (
+        |  SELECT shard, bin, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc,
+        |    bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS ck
+        |  FROM ap GROUP BY 1, 2
+        |),
+        |lb AS (
+        |  SELECT shard, bin, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc,
+        |    bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS ck
+        |  FROM bp GROUP BY 1, 2
+        |)
+        |SELECT coalesce(la.shard, lb.shard) AS shard,
+        |  coalesce(la.bin, lb.bin) AS bin,
+        |  CASE WHEN lb.n_docs IS NULL THEN 'removed'
+        |       WHEN la.n_docs IS NULL THEN 'added'
+        |       WHEN la.ck <> lb.ck OR la.n_docs <> lb.n_docs
+        |         OR la.n_tokens <> lb.n_tokens
+        |         OR la.first_doc <> lb.first_doc THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(la.n_docs, 0) AS n_docs_a, coalesce(lb.n_docs, 0) AS n_docs_b
+        |FROM la FULL OUTER JOIN lb ON la.shard = lb.shard AND la.bin = lb.bin
+        |ORDER BY 1, 2""".stripMargin
   )
+
+  /** The q76 packing replay over any corpus relation, CTE-namespaced:
+    * defines `${ns}p` = (doc_id, n_tokens, shard, bin, bin_offset) at the
+    * 512-token / 32-shard config — one definition shared by the q214/q215
+    * ledger oracles so the packing text can never skew from q76's.
+    */
+  private def packedCteOver(rel: String, ns: String): String =
+    s"""${ns}t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    doc_id % 32 AS shard
+       |  FROM $rel
+       |),
+       |${ns}c AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+       |  FROM ${ns}t
+       |),
+       |${ns}p AS (
+       |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+       |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
+       |  FROM ${ns}c
+       |)""".stripMargin
 }

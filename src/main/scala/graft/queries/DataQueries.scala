@@ -1565,6 +1565,30 @@ object DataQueries {
           Similarity.assignToCentroids(b, cents),
           Seq("ivf_cell" -> col("cell")))
         .orderBy("feature")
+    }),
+
+    // The packed training-file ledger: q76's shard-local packing grouped
+    // to one row per (shard, bin) = one physical training file, checksum
+    // binding member identity AND position (files are order-sensitive
+    // bytes). The artifact a pretraining export ships alongside the files.
+    "q214_packed_ledger" -> ((s, d) =>
+      Shards.packedLedger(TextOps.packSequences(docs(s, d), budget = 512, shards = 32))
+        .orderBy("shard", "bin")),
+
+    // The ledger delta across a ~2.6% crawl change (deb1x moduli): packing
+    // is id-ordered within a shard, so one removed doc shifts every later
+    // bin_offset in its shard — the delta shows the rewrite RIPPLE
+    // honestly (bins before the first change reuse; bins after rewrite),
+    // which is exactly the evidence for cutting training files at shard
+    // granularity rather than corpus granularity.
+    "q215_packed_ledger_delta" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBWith(a, rmMod = 130, revMod = 70, addMod = 170)
+      def ledger(df: DataFrame) =
+        Shards.packedLedger(TextOps.packSequences(df, budget = 512, shards = 32))
+      Shards.ledgerDelta(ledger(a), ledger(b), Seq("shard", "bin"),
+          Seq("n_docs", "n_tokens", "first_doc", "checksum"))
+        .orderBy("shard", "bin")
     })
   )
 

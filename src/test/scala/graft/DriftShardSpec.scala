@@ -119,6 +119,25 @@ class DriftShardSpec extends SparkSpec {
     assert(bad.getAs[Long]("n_docs_a") == bad.getAs[Long]("n_docs_b") + 1)
   }
 
+  test("packed ledger: removal ripples only from the victim's bin onward") {
+    // one shard, 10 docs x 100 tokens, 250-token bins:
+    //   bin0 = docs 1-3, bin1 = 4-5, bin2 = 6-8, bin3 = 9-10
+    val tokens = ("w " * 99).trim + " w" // exactly 100 whitespace tokens
+    val a = corpus((1L to 10L).map(i => (i, tokens, "c")): _*)
+    val b = a.filter($"doc_id" =!= 5L) // doc 5 leaves the crawl
+    def ledger(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Shards.packedLedger(
+        graft.text.TextOps.packSequences(df, budget = 250, shards = 1))
+    val d = graft.operators.Shards.ledgerDelta(ledger(a), ledger(b),
+        Seq("shard", "bin"), Seq("n_docs", "n_tokens", "first_doc", "checksum"))
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[String]("status"))
+      .toMap
+    // everything packed before the victim is byte-identical and reused;
+    // every bin from the victim's onward shifts (offsets moved by 100)
+    assert(d == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "changed", 3L -> "changed"))
+  }
+
   test("unchanged docs route to the same shard across snapshots") {
     val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
     // remove 20, keep 80 unchanged — the kept docs' shards must not move,
