@@ -472,6 +472,16 @@ object DataOracles {
        |  FROM ${ns}term GROUP BY 1, 2, 3, 4
        |)""".stripMargin
 
+  /** The monolithic A→B drift report (q209) — also q216's oracle, where
+    * the Spark side serves the identical report from the delta-maintained
+    * store.
+    */
+  private lazy val psiMonolithicSql: String =
+    s"""WITH $snapshotBFullSql,
+       |${psiCtesOver("documents", "bsnap", "")}
+       |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+       |FROM rep ORDER BY feature""".stripMargin
+
   /** Verdict thresholds shared by the q209/q212 oracles (the conventional
     * PSI bands), applied to the ALREADY-quantized psi so both engines
     * compare the identical double.
@@ -2261,11 +2271,13 @@ object DataOracles {
         |  round(least(1.0, n_words / 100.0) * (1.0 - abs(CAST(stop_cnt AS DOUBLE) / n_words - 0.4)), 6) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
 
-    "q209_drift_psi" ->
-      s"""WITH $snapshotBFullSql,
-        |${psiCtesOver("documents", "bsnap", "")}
-        |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
-        |FROM rep ORDER BY feature""".stripMargin,
+    "q209_drift_psi" -> psiMonolithicSql,
+
+    // The store-served report must equal the monolithic A->B one exactly
+    // (bucket populations are additive longs: retire(old)+append(new)
+    // sums to the fresh snapshot-B counts per bucket) — q209's oracle
+    // text VERBATIM is the convergence proof.
+    "q216_drift_store" -> psiMonolithicSql,
 
     "q210_shard_manifest" ->
       s"""WITH m AS (

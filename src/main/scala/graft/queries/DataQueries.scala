@@ -1589,6 +1589,29 @@ object DataQueries {
       Shards.ledgerDelta(ledger(a), ledger(b), Seq("shard", "bin"),
           Seq("n_docs", "n_tokens", "first_doc", "checksum"))
         .orderBy("shard", "bin")
+    }),
+
+    // The drift monitor as a MAINTAINED store (the q126/q186 lifecycle
+    // convention on bucket populations): baseline frozen at A, live
+    // counts advanced to B through the corpusDelta cycle (retire the
+    // leaving rows' counts, append the arriving rows'), compacted, then
+    // the report SERVED from the store with no corpus pass. Bucket
+    // populations are additive longs, so the served report must equal
+    // the monolithic A->B one — q209's oracle VERBATIM is the gate.
+    "q216_drift_store" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_drift"
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      Drift.buildDriftStore(a, driftFeatures, path)
+      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
+      Drift.retireDriftCounts(
+        a.join(delta.filter(col("status").isin("removed", "changed"))
+          .select("doc_id"), "doc_id"), driftFeatures, path, appendId = 1)
+      Drift.appendDriftCounts(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), "doc_id"), driftFeatures, path, appendId = 2)
+      Drift.compactDriftStore(s, path)
+      Drift.psiFromStore(s, path).orderBy("feature")
     })
   )
 

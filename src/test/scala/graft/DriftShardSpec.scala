@@ -138,6 +138,39 @@ class DriftShardSpec extends SparkSpec {
       2L -> "changed", 3L -> "changed"))
   }
 
+  test("drift store: delta-maintained counts serve the monolithic report") {
+    import graft.operators.Drift
+    val a = corpus((1L to 60L).map(i => (i, s"body $i", if (i % 3 == 0) "x" else "y")): _*)
+    // B: drop %5==0, flip %7==0 to category z, add 10 fresh docs
+    val b = a.filter($"doc_id" % 5 =!= 0L)
+      .withColumn("cat", when($"doc_id" % 7 === 0L, "z").otherwise($"cat"))
+      .unionByName(corpus((61L to 70L).map(i => (i, s"body $i", "z")): _*))
+    val path = sys.props("java.io.tmpdir") + "/graft_drift_spec_p" +
+      ProcessHandle.current().pid()
+    Drift.buildDriftStore(a, feats, path)
+    // leaving = removed + changed-old; arriving = added + changed-new
+    val delta = graft.dedup.Dedup.corpusDelta(
+      a.select($"doc_id", concat($"text", lit("|"), $"cat").as("text")),
+      b.select($"doc_id", concat($"text", lit("|"), $"cat").as("text")))
+      .localCheckpoint(true)
+    val leaving = delta.filter($"status".isin("removed", "changed")).select("doc_id")
+    val arriving = delta.filter($"status".isin("added", "changed")).select("doc_id")
+    assert(Drift.retireDriftCounts(a.join(leaving, "doc_id"), feats, path, 1L))
+    assert(Drift.appendDriftCounts(b.join(arriving, "doc_id"), feats, path, 2L))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val monolithic = rows(Drift.psiReport(a, b, feats))
+    assert(rows(Drift.psiFromStore(spark, path)) == monolithic)
+    // replays are ledgered no-ops
+    assert(!Drift.retireDriftCounts(a.join(leaving, "doc_id"), feats, path, 1L))
+    assert(!Drift.appendDriftCounts(b.join(arriving, "doc_id"), feats, path, 2L))
+    // compaction folds the batches and changes nothing served
+    assert(Drift.compactDriftStore(spark, path))
+    assert(rows(Drift.psiFromStore(spark, path)) == monolithic)
+    assert(!Drift.compactDriftStore(spark, path)) // single batch left: no-op
+  }
+
   test("unchanged docs route to the same shard across snapshots") {
     val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
     // remove 20, keep 80 unchanged — the kept docs' shards must not move,

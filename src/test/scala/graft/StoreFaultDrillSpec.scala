@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   *     the W3 cases).
   *
   * Families: IVF cells, LSH sigs+vectors, PQ codes+vectors, LM count
-  * tables, decontamination shingles+words. (The sketch stores' equivalent
-  * windows are exercised by the streaming specs' replay cases; SCD2 has
-  * its own heal test in ScdProfileSpec.)
+  * tables, decontamination shingles+words, drift bucket counts. (The
+  * sketch stores' equivalent windows are exercised by the streaming
+  * specs' replay cases; SCD2 has its own heal test in ScdProfileSpec.)
   */
 class StoreFaultDrillSpec extends SparkSpec {
   import spark.implicits._
@@ -78,6 +78,12 @@ class StoreFaultDrillSpec extends SparkSpec {
   private lazy val docsA = docsAll.filter(col("doc_id") < 40)
   private lazy val docsB = docsAll.filter(col("doc_id") >= 40)
 
+  // drift-store drill features: text-derived only (docsAll carries no
+  // metadata columns)
+  private lazy val driftFeats: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("len_b" -> floor(length(col("text")) / lit(20)),
+        "head" -> substring(col("text"), 1, 2))
+
   private def rm(p: String): Unit = fs.delete(hpath(p), true)
 
   private def rows(df: DataFrame): Seq[String] =
@@ -118,6 +124,13 @@ class StoreFaultDrillSpec extends SparkSpec {
         Seq("uni", "bi", "tri", "meta"),
         p => TextOps.scoreWithLm(docsAll, p),
         w1ServesBase = false),
+      Family("drift",
+        (df, p) => graft.operators.Drift.buildDriftStore(df, driftFeats, p),
+        (df, p, id) => graft.operators.Drift.appendDriftCounts(df, driftFeats, p, id),
+        p => rm(s"$p/cur/batch=1"), // the single count table IS the marker
+        Seq("cur"),
+        p => graft.operators.Drift.psiFromStore(spark, p),
+        w1ServesBase = true),
       Family("decontam",
         (df, p) => Dedup.buildDecontamStore(df, p, n = 3, k = 4, m = 1 << 16),
         (df, p, id) => Dedup.appendDecontamBench(df, p, id),
@@ -132,7 +145,8 @@ class StoreFaultDrillSpec extends SparkSpec {
   }
 
   private def data(f: Family): (DataFrame, DataFrame) =
-    if (f.name == "lm" || f.name == "decontam") (docsA, docsB) else (sliceA, sliceB)
+    if (Set("lm", "decontam", "drift")(f.name)) (docsA, docsB)
+    else (sliceA, sliceB)
 
   private def root(f: Family, tag: String): String =
     sys.props("java.io.tmpdir") + s"/graft_fault_${f.name}_${tag}_p" +
@@ -213,6 +227,7 @@ class StoreFaultDrillSpec extends SparkSpec {
         fs.create(hpath(s"$drill/_build-pending"), true).close()
         rm(s"$drill/${f.halves.head}")
       } else if (f.name == "lm") rm(s"$drill/uni")
+      else if (f.name == "drift") rm(s"$drill/base") // base is written last
       else rm(s"$drill/words")
       val ex = intercept[Exception] { rows(f.probe(drill)) }
       if (markered) {
