@@ -1249,6 +1249,32 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch(lmAppendBatch(storePath) _)
 
+  /** Streaming drift-monitor maintenance — [[lmAppendBatch]]'s contract
+    * for the bucket-count store: each micro-batch lands its own (feature,
+    * bucket, c) deltas via [[graft.operators.Drift.appendDriftCounts]]
+    * (additive longs; the `cur/batch=<id+1>` dir is the commit marker, so
+    * replays are no-ops). The store must be BUILT first
+    * ([[graft.operators.Drift.buildDriftStore]] on the baseline snapshot);
+    * after any drained prefix, [[graft.operators.Drift.psiFromStore]]
+    * reports baseline vs (baseline + everything delivered so far).
+    */
+  def driftAppendBatch(storePath: String,
+                       features: Seq[(String, org.apache.spark.sql.Column)])(
+      batch: DataFrame, batchId: Long): Unit = {
+    graft.operators.Drift.appendDriftCounts(batch, features, storePath, batchId + 1)
+    ()
+  }
+
+  def driftAppendStream(docs: DataFrame,
+                        features: Seq[(String, org.apache.spark.sql.Column)],
+                        storePath: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(driftAppendBatch(storePath, features) _)
+
   /** Incremental DSIR-model maintenance — [[lmAppendBatch]]'s contract for
     * the importance-resampling count store: each micro-batch lands its own
     * (bucket, ct, cr) deltas via [[graft.text.TextOps.appendDsir]]

@@ -171,6 +171,36 @@ class DriftShardSpec extends SparkSpec {
     assert(!Drift.compactDriftStore(spark, path)) // single batch left: no-op
   }
 
+  test("drift store: stream-grown counts survive kill/restart and replay") {
+    import graft.operators.Drift
+    import graft.streaming.StreamingPipeline
+    val prefix = corpus((1L to 10L).map(i => (i, s"base doc $i", if (i % 2 == 0) "x" else "y")): _*)
+    val d2 = corpus((11L to 16L).map(i => (i, s"mid doc $i", "y")): _*)
+    val d3 = corpus((17L to 24L).map(i => (i, s"late doc $i", "z")): _*)
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    Drift.buildDriftStore(prefix, feats, s"$base/store")
+
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartition(2).write.mode("append").parquet(s"$base/in")
+    def drain(): Unit =
+      StreamingPipeline.driftAppendStream(
+        spark.readStream.schema("doc_id LONG, text STRING, cat STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+        feats, s"$base/store", s"$base/ck").start().awaitTermination()
+
+    deliver(d2); drain() // session 1 dies after the mid tranche
+    deliver(d3); drain() // restart on the same checkpoint
+    // at-least-once redelivery of the first committed batch: ledgered no-op
+    StreamingPipeline.driftAppendBatch(s"$base/store", feats)(d2, 0L)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val monolithic = rows(Drift.psiReport(
+      prefix, prefix.unionByName(d2).unionByName(d3), feats))
+    assert(rows(Drift.psiFromStore(spark, s"$base/store")) == monolithic,
+      "stream-grown drift report diverges from the monolithic one")
+  }
+
   test("unchanged docs route to the same shard across snapshots") {
     val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
     // remove 20, keep 80 unchanged — the kept docs' shards must not move,

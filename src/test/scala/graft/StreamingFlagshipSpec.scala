@@ -339,10 +339,24 @@ class StreamingFlagshipSpec extends SparkSpec {
         "user_id BIGINT, ts_us BIGINT, plan_tier INT"),
       s"$base/scd", s"$base/ck_scd",
       Seq("user_id"), "ts_us", Seq("plan_tier")).start()
-  private def drain6(base: String): Unit =
+  // the drift maintainer shares the DSIR feed (baseline = the batch-built
+  // prefix, deliveries stream in as (doc_id, text, lang))
+  private val flagDriftFeats: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("lang" -> col("lang"), "len_b" -> floor(length(col("text")) / lit(20)))
+  private def driftStream(base: String) =
+    StreamingPipeline.driftAppendStream(
+      StreamingPipeline.readColumnsStream(spark, s"$base/in_rest",
+        "doc_id LONG, text STRING, lang STRING"),
+      flagDriftFeats, s"$base/drift", s"$base/ck_drift").start()
+  private def driftRows(base: String): Seq[String] =
+    graft.operators.Drift.psiFromStore(spark, s"$base/drift")
+      .orderBy("feature").collect().map(_.toString).toSeq
+
+  private def drain7(base: String): Unit =
     (CorpusQueries.startFlagshipMaintainers(
       spark, s"$base/in_all", s"$base/in_bench", base)
-      :+ dsirStream(base) :+ scdStream(base)).foreach(_.awaitTermination())
+      :+ dsirStream(base) :+ scdStream(base) :+ driftStream(base))
+      .foreach(_.awaitTermination())
   private def scdRetire(base: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
       spark.sparkContext.hadoopConfiguration)
@@ -358,21 +372,31 @@ class StreamingFlagshipSpec extends SparkSpec {
     StreamingPipeline.readScdDim(spark, s"$base/scd")
       .orderBy("user_id", "version").collect().map(_.toString).toSeq
 
-  test("composed session x6: SCD2 erasure in the kill window — dim and frame byte-identical") {
+  test("composed session x7: SCD2 erasure + drift compaction in the kill window") {
     // ---- baseline: uninterrupted six-maintainer run, erasure post-drain
     val b0 = Files.createTempDirectory("graft_flagscd_base").toString
     deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
     Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
     deliverBench(s"$b0/in_bench", b1 ++ b2)
     TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b0/dsir")
+    graft.operators.Drift.buildDriftStore(
+      allDf(dsirPrefix).select(col("doc_id"), col("text"), col("lang")),
+      flagDriftFeats, s"$b0/drift")
     deliverRest(s"$b0/in_rest", a1.drop(5) ++ a2 ++ a3, parts = 6)
     deliverScd(s"$b0/in_scd", s1 ++ s2 ++ s3)
-    drain6(b0)
+    drain7(b0)
     scdRetire(b0)
     CorpusQueries.compactFlagshipStores(spark, b0)
     TextOps.compactDsir(spark, s"$b0/dsir")
     val baseline = frame(b0)
     val dim0 = dimRows(b0)
+    val drift0 = driftRows(b0)
+    // the monitor is live: both features report, and the streamed
+    // deliveries actually grew the live population past the baseline
+    assert(drift0.size == 2, s"expected 2 feature rows, got $drift0")
+    assert(drift0.forall(_.split(",")(2).toLong == dsirPrefix.size.toLong)
+      && drift0.forall(_.split(",")(3).toLong == corpus.count()),
+      s"baseline/live populations wrong: $drift0")
     // the erasure is real and scoped: users 1/9 gone, user 2's three
     // versions (spanning all three deliveries) survive intact
     assert(!dim0.exists(r => r.startsWith("[1,") || r.startsWith("[9,")))
@@ -390,9 +414,12 @@ class StreamingFlagshipSpec extends SparkSpec {
     Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
     deliverBench(s"$b/in_bench", b1)
     TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b/dsir")
+    graft.operators.Drift.buildDriftStore(
+      allDf(dsirPrefix).select(col("doc_id"), col("text"), col("lang")),
+      flagDriftFeats, s"$b/drift")
     deliverRest(s"$b/in_rest", a1.drop(5), parts = 4)
     deliverScd(s"$b/in_scd", s1)
-    drain6(b) // the session dies here; only s1 is in the SCD change log
+    drain7(b) // the session dies here; only s1 is in the SCD change log
     // skew: LM, histogram, DSIR commit a2 while SCD/MinHash/decontam are down
     deliverAll(s"$b/in_all", a2, parts = 3)
     deliverRest(s"$b/in_rest", a2, parts = 3)
@@ -405,7 +432,8 @@ class StreamingFlagshipSpec extends SparkSpec {
           "doc_id BIGINT, lang STRING, n_chars BIGINT"),
         s"$b/hist", s"$b/ck_hist",
         keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
-      dsirStream(b)
+      dsirStream(b),
+      driftStream(b)
     ).foreach(_.awaitTermination())
     // kill-window maintenance INCLUDING the erasure: users 1/9 retire and
     // the change log compacts (physical delete) while the ledgers disagree
@@ -413,15 +441,17 @@ class StreamingFlagshipSpec extends SparkSpec {
     TextOps.compactLm(spark, s"$b/lm")
     StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
     TextOps.compactDsir(spark, s"$b/dsir")
-    // restart all six on the same checkpoints; the SCD stream's next batch
+    assert(graft.operators.Drift.compactDriftStore(spark, s"$b/drift"),
+      "the skewed-ahead drift store must have batches to fold")
+    // restart all seven on the same checkpoints; the SCD stream's next batch
     // ids land AT/ABOVE the retirement id, so post-erasure changes live
     deliverAll(s"$b/in_all", a3, parts = 4)
     deliverRest(s"$b/in_rest", a3, parts = 4)
     deliverBench(s"$b/in_bench", b2)
     deliverScd(s"$b/in_scd", s2)
-    drain6(b)
+    drain7(b)
     deliverScd(s"$b/in_scd", s3)
-    drain6(b)
+    drain7(b)
     // phase 5: at-least-once redelivery of every family's first committed
     // id — including the PRE-erasure change batch, which the ledger must
     // refuse (a resurrected row brings users 1/9 back and breaks the dim)
@@ -434,11 +464,15 @@ class StreamingFlagshipSpec extends SparkSpec {
       allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
     StreamingPipeline.scdUpsertBatch(s"$b/scd",
       Seq("user_id"), "ts_us", Seq("plan_tier"))(scdDf(s1), 0L)
+    StreamingPipeline.driftAppendBatch(s"$b/drift", flagDriftFeats)(
+      allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
     CorpusQueries.compactFlagshipStores(spark, b)
     TextOps.compactDsir(spark, s"$b/dsir")
     assert(dimRows(b) == dim0,
       "kill-window erasure must replay to the uninterrupted run's dimension")
     assert(frame(b) == baseline,
-      "the five corpus families must be untouched by the sixth maintainer")
+      "the five corpus families must be untouched by the dim and drift maintainers")
+    assert(driftRows(b) == drift0,
+      "kill-window-compacted drift store must report identically to the uninterrupted run")
   }
 }
