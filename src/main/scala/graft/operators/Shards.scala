@@ -92,6 +92,34 @@ object Shards {
       coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b")): _*)
   }
 
+  /** The incremental export itself — what [[manifestDelta]] exists FOR:
+    * assemble snapshot B's export by REUSING snapshot A's rows for every
+    * shard whose manifest entry is unchanged (in production: the already
+    * written file is left in place) and rewriting only the changed/added
+    * shards from B. Removed shards appear in neither side and drop out.
+    * An unchanged manifest row means identical (count, chars, checksum) —
+    * identical row content up to 60-bit XOR collision — so the assembly
+    * equals a full export of B; q217 proves that at the hash level.
+    *
+    * Output: B's columns plus `shard`. Scale shape: two manifests (one
+    * aggregate each), a manifest-sized delta, and two semi-join-shaped
+    * broadcast joins routing corpus rows by shard — the corpus itself is
+    * never shuffled, only scanned.
+    */
+  def incrementalExport(a: DataFrame, b: DataFrame, nShards: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val delta = manifestDelta(manifest(a, nShards, idCol, textCol),
+      manifest(b, nShards, idCol, textCol))
+    def routed(df: DataFrame) = df.withColumn("shard",
+      pmod(Dedup.hex60(col(idCol).cast("string")), lit(nShards.toLong)))
+    val reuse = broadcast(delta.filter(col("status") === "unchanged").select("shard"))
+    val rewrite = broadcast(
+      delta.filter(col("status").isin("changed", "added")).select("shard"))
+    routed(a).join(reuse, "shard")
+      .unionByName(routed(b).join(rewrite, "shard"))
+  }
+
   /** Ledger over PACKED training files ([[graft.text.TextOps.packSequences]]
     * output): one row per (shard, bin) = one physical training file, with
     * the doc count, the token payload, and a checksum binding member

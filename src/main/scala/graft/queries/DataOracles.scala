@@ -2318,6 +2318,24 @@ object DataOracles {
         |FROM ma FULL OUTER JOIN mb ON ma.shard = mb.shard
         |ORDER BY 1""".stripMargin,
 
+    // A FULL export of the small-delta snapshot B, manifested — the
+    // convergence target the reuse+rewrite assembly must hash-match.
+    "q217_incremental_export" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 70 = 2 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 130 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 170 = 5
+        |),
+        |m AS (
+        |  ${shardRowsOver("b", 256)}
+        |)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(fp) AS checksum
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q212_drift_cycles" ->
       s"""WITH $snapshotBFullSql,
         |$snapshotCFullSql,

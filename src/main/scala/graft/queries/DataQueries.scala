@@ -1612,6 +1612,20 @@ object DataQueries {
           .select("doc_id"), "doc_id"), driftFeatures, path, appendId = 2)
       Drift.compactDriftStore(s, path)
       Drift.psiFromStore(s, path).orderBy("feature")
+    }),
+
+    // The incremental export CONVERGES: assemble snapshot B's export by
+    // reusing snapshot-A rows for unchanged shards and rewriting only the
+    // changed/added ones (q211's delta made load-bearing), then manifest
+    // the assembly. Oracle = the manifest of a FULL export of B — hash
+    // equality proves reuse+rewrite reconstructs the corpus exactly.
+    "q217_incremental_export" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBWith(a, rmMod = 130, revMod = 70, addMod = 170)
+      Shards.manifest(
+          Shards.incrementalExport(a, b, nShards = 256).select("doc_id", "text"),
+          nShards = 256)
+        .orderBy("shard")
     })
   )
 

@@ -201,6 +201,22 @@ class DriftShardSpec extends SparkSpec {
       "stream-grown drift report diverges from the monolithic one")
   }
 
+  test("incremental export reassembles snapshot B exactly, dropping emptied shards") {
+    val a = corpus((1L to 120L).map(i => (i, s"doc $i", "c")): _*)
+    // B: a removed slice, a revised slice, a few additions
+    val b = a.filter($"doc_id" % 11 =!= 0L)
+      .withColumn("text",
+        when($"doc_id" % 13 === 0L, concat($"text", lit(" v2"))).otherwise($"text"))
+      .unionByName(corpus((121L to 130L).map(i => (i, s"doc $i", "c")): _*))
+    val assembled = graft.operators.Shards
+      .incrementalExport(a, b, nShards = 32)
+      .select("doc_id", "text", "cat")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(assembled) == rows(b),
+      "reuse+rewrite must reconstruct snapshot B row-for-row")
+  }
+
   test("unchanged docs route to the same shard across snapshots") {
     val a = corpus((1L to 100L).map(i => (i, s"body $i", "c")): _*)
     // remove 20, keep 80 unchanged — the kept docs' shards must not move,
