@@ -225,6 +225,40 @@ object Drift {
     }
   }
 
+  /** Accept the drift: the monitor's loop step. After the pipeline
+    * retrains on the live snapshot, that snapshot becomes the new
+    * reference — the summed live counts replace the baseline (written
+    * through the same `.prev` swap every store half uses), and the live
+    * half is compacted to the identical single batch, so the next cycle
+    * starts from PSI exactly 0 and measures only movement SINCE the
+    * retrain. Count-frame-sized work only.
+    */
+  def rebaseDriftBaseline(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "drift-rebase") {
+      Seq("base", "cur").foreach(h =>
+        graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
+      val live = spark.read.parquet(s"$path/cur")
+        .groupBy("feature", "bucket").agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0L).localCheckpoint(true)
+      val curBatches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cur"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      for (half <- Seq("base", "cur")) {
+        val staging = new org.apache.hadoop.fs.Path(s"$path/.$half-rebase")
+        fs.delete(staging, true)
+        live.write.mode("overwrite").parquet(s"$staging/batch=0")
+        // the live half keeps its append ledger (tombstones) so a replay
+        // of a pre-rebase batch stays a no-op
+        if (half == "cur") curBatches.filter(_ != 0L).foreach(id =>
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+        graft.similarity.Similarity.swapDir(fs, staging, s"$path/$half")
+      }
+    }
+  }
+
   /** Serve the report FROM the store: baseline vs the summed live counts —
     * no corpus pass at all, and indifferent to whether compaction has
     * merged the batches yet (longs sum to the same longs in any grouping).

@@ -2336,6 +2336,15 @@ object DataOracles {
         |  bit_xor(fp) AS checksum
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The rebased second cycle must equal a from-scratch B-vs-C
+    // comparison — exactly q212's b_c block, standalone.
+    "q218_drift_cycle2" ->
+      s"""WITH $snapshotBFullSql,
+        |$snapshotCFullSql,
+        |${psiCtesOver("bsnap", "csnap", "bc")}
+        |SELECT feature, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |FROM bcrep ORDER BY feature""".stripMargin,
+
     "q212_drift_cycles" ->
       s"""WITH $snapshotBFullSql,
         |$snapshotCFullSql,

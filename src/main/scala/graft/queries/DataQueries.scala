@@ -1626,6 +1626,35 @@ object DataQueries {
           Shards.incrementalExport(a, b, nShards = 256).select("doc_id", "text"),
           nShards = 256)
         .orderBy("shard")
+    }),
+
+    // The monitor's full LOOP, second cycle included: advance to B,
+    // ACCEPT the drift (retrain happened — rebase makes B the new
+    // reference, PSI restarts from 0), advance to C, serve. The report
+    // must equal a from-scratch B-vs-C comparison — q212's b_c block —
+    // proving the rebase is exact and the second cycle measures only
+    // movement since the retrain.
+    "q218_drift_cycle2" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_drift2"
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      val c = snapshotCFull(b)
+      Drift.buildDriftStore(a, driftFeatures, path)
+      def advance(from: DataFrame, to: DataFrame, rid: Long, aid: Long): Unit = {
+        val delta = Dedup.corpusDelta(from, to).localCheckpoint(true)
+        Drift.retireDriftCounts(
+          from.join(delta.filter(col("status").isin("removed", "changed"))
+            .select("doc_id"), "doc_id"), driftFeatures, path, rid)
+        Drift.appendDriftCounts(
+          to.join(delta.filter(col("status").isin("added", "changed"))
+            .select("doc_id"), "doc_id"), driftFeatures, path, aid)
+        ()
+      }
+      advance(a, b, rid = 1, aid = 2)
+      Drift.rebaseDriftBaseline(s, path)
+      advance(b, c, rid = 3, aid = 4)
+      Drift.compactDriftStore(s, path)
+      Drift.psiFromStore(s, path).orderBy("feature")
     })
   )
 

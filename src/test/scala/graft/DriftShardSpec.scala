@@ -201,6 +201,42 @@ class DriftShardSpec extends SparkSpec {
       "stream-grown drift report diverges from the monolithic one")
   }
 
+  test("drift rebase: next cycle starts from zero; torn swap serves and heals") {
+    import graft.operators.Drift
+    val a = corpus((1L to 40L).map(i => (i, s"t $i", if (i % 2 == 0) "x" else "y")): _*)
+    val b = a.filter($"doc_id" % 5 =!= 0L) // 8 docs leave
+    val path = sys.props("java.io.tmpdir") + "/graft_drift_rebase_p" +
+      ProcessHandle.current().pid()
+    Drift.buildDriftStore(a, feats, path)
+    assert(Drift.retireDriftCounts(a.filter($"doc_id" % 5 === 0L), feats, path, 1L))
+    val atB = Drift.psiFromStore(spark, path).collect().head
+    assert(atB.getAs[Long]("n_b") == 32L)
+
+    Drift.rebaseDriftBaseline(spark, path)
+    val rebased = Drift.psiFromStore(spark, path).collect().head
+    assert(rebased.getAs[Double]("psi") == 0.0 && rebased.getAs[Long]("n_a") == 32L,
+      "after the retrain is accepted, the monitor restarts from zero")
+    // a replay of the pre-rebase batch must stay refused by the kept ledger
+    assert(!Drift.retireDriftCounts(a.filter($"doc_id" % 5 === 0L), feats, path, 1L))
+
+    // torn rebase: crash between the live half's two renames — the .prev
+    // fallback must serve the SAME zero report, and a re-run heals
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cur"),
+      new org.apache.hadoop.fs.Path(s"$path/cur.prev")))
+    assert(Drift.psiFromStore(spark, path).collect().head.getAs[Double]("psi") == 0.0)
+    Drift.rebaseDriftBaseline(spark, path) // recoverDir heals, rebase completes
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/cur"))
+      && !fs.exists(new org.apache.hadoop.fs.Path(s"$path/cur.prev")))
+    // the next cycle measures only movement since the retrain
+    assert(Drift.appendDriftCounts(corpus((100L to 109L).map(i => (i, s"n $i", "z")): _*),
+      feats, path, 5L))
+    val cyc2 = Drift.psiFromStore(spark, path).collect().head
+    assert(cyc2.getAs[Long]("n_a") == 32L && cyc2.getAs[Long]("n_b") == 42L)
+    assert(cyc2.getAs[Double]("psi") > 0.0)
+  }
+
   test("incremental export reassembles snapshot B exactly, dropping emptied shards") {
     val a = corpus((1L to 120L).map(i => (i, s"doc $i", "c")): _*)
     // B: a removed slice, a revised slice, a few additions
