@@ -905,6 +905,16 @@ object CorpusQueries {
         terms(bTxt.join(newIds, "doc_id")), 6L)
       require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
         s"$base/vocab"), "the moved corpus must retrain the vocab")
+      // the drift monitor advances through the same shared delta: its
+      // live counts move to B while the frozen baseline keeps A, so the
+      // gate row carries the cycle's OWN drift report
+      graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
+        s"$base/drift")
+      graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
+        DataQueries.driftFeatures, s"$base/drift", appendId = 1)
+      graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
+        DataQueries.driftFeatures, s"$base/drift", appendId = 2)
+      graft.operators.Drift.compactDriftStore(s, s"$base/drift")
       // ---- one gate frame: B served from every advanced store
       def row(fam: String, df: DataFrame, m1: Column, m2: Column, m3: Column) =
         df.agg(m1.cast("long").as("m1"), m2.cast("long").as("m2"),
@@ -935,6 +945,10 @@ object CorpusQueries {
           count(lit(1)), coalesce(sum(col("n_words")), lit(0L)),
           coalesce(sum(col("vocab_viol") + col("tok_viol") + col("oov_viol")),
             lit(0L))))
+        .unionByName(row("8_drift",
+          graft.operators.Drift.psiFromStore(s, s"$base/drift"),
+          count(lit(1)), coalesce(sum(col("n_b")), lit(0L)),
+          coalesce(sum(floor(col("psi") * 1e6 + 0.5)), lit(0L))))
         .orderBy("family")
     }),
 
@@ -1840,7 +1854,8 @@ object CorpusQueries {
     "q207_warehouse_cycle" ->
       s"""WITH ${DataOracles.snapshotBFullSql},
          |${pipelineOracleCtesOver("bsnap")},
-         |${DataOracles.dsirRatedBlock("ds", src = "bsnap")}
+         |${DataOracles.dsirRatedBlock("ds", src = "bsnap")},
+         |${DataOracles.psiCtesOver("documents", "bsnap", "dr")}
          |SELECT family, m1, m2, m3 FROM (
          |  SELECT '1_feat' AS family, CAST(count(*) AS BIGINT) AS m1,
          |    CAST(coalesce(sum(n_words), 0) AS BIGINT) AS m2,
@@ -1864,6 +1879,10 @@ object CorpusQueries {
          |    CAST(coalesce(sum(len(string_split_regex(trim(lower(text)), '\\s+'))), 0)
          |      AS BIGINT),
          |    CAST(0 AS BIGINT) FROM bsnap
+         |  UNION ALL SELECT '8_drift', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_b), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CAST(floor(psi * 1000000.0 + 0.5) AS BIGINT)), 0)
+         |      AS BIGINT) FROM drrep
          |) ORDER BY family""".stripMargin,
 
     "q191_pipeline_v4_incremental" ->

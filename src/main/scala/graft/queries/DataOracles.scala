@@ -429,7 +429,7 @@ object DataOracles {
     * = (feature, n_buckets, n_a, n_b, psi); both relations must carry
     * (text, lang, source, n_chars).
     */
-  private def psiCtesOver(aRel: String, bRel: String, ns: String): String =
+  private[queries] def psiCtesOver(aRel: String, bRel: String, ns: String): String =
     s"""${ns}u AS (
        |  SELECT 'a' AS side, text, lang, source, n_chars FROM $aRel
        |  UNION ALL

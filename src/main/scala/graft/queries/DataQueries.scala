@@ -1663,7 +1663,7 @@ object DataQueries {
     * because Columns close over nothing, but ONE definition so the two
     * queries and their oracles can never skew.
     */
-  private def driftFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+  private[queries] def driftFeatures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "lang" -> col("lang"),
     "source" -> col("source"),
     "len_b" -> floor(col("n_chars") / lit(50)),
