@@ -2336,6 +2336,46 @@ object DataOracles {
         |  bit_xor(fp) AS checksum
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Each day's event-type mix vs the previous day's — the q209 psi
+    // arithmetic with the shifted day as the feature key (one row per
+    // day that has a populated predecessor).
+    "q220_daily_drift" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events
+        |),
+        |cnt0 AS (SELECT day, metric AS bucket, count(*) AS c FROM ev GROUP BY 1, 2),
+        |ac AS (SELECT CAST(day + 1 AS VARCHAR) AS feature, bucket, c FROM cnt0),
+        |bc AS (SELECT CAST(day AS VARCHAR) AS feature, bucket, c FROM cnt0),
+        |jo AS (
+        |  SELECT coalesce(a.feature, b.feature) AS feature,
+        |    coalesce(a.bucket, b.bucket) AS bucket,
+        |    CAST(coalesce(a.c, 0) AS BIGINT) AS ca,
+        |    CAST(coalesce(b.c, 0) AS BIGINT) AS cb
+        |  FROM ac a FULL OUTER JOIN bc b
+        |    ON a.feature = b.feature AND a.bucket = b.bucket
+        |),
+        |tot AS (
+        |  SELECT feature, count(*) AS k,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM jo GROUP BY 1
+        |),
+        |term AS (
+        |  SELECT c.feature, t.k, t.na, t.nb,
+        |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
+        |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
+        |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS l6
+        |  FROM jo c JOIN tot t USING (feature)
+        |),
+        |rep AS (
+        |  SELECT feature, k AS n_buckets, na AS n_a, nb AS n_b,
+        |    floor(CAST(sum(dnum * l6) AS DOUBLE)
+        |      / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi
+        |  FROM term GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT feature AS day, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |FROM rep WHERE n_a > 0 AND n_b > 0 ORDER BY day""".stripMargin,
+
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
     "q218_drift_cycle2" ->

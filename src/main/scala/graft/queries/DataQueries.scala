@@ -1655,6 +1655,29 @@ object DataQueries {
       advance(b, c, rid = 3, aid = 4)
       Drift.compactDriftStore(s, path)
       Drift.psiFromStore(s, path).orderBy("feature")
+    }),
+
+    // Drift on the TIME axis: each day's event-type mix vs the previous
+    // day's, one PSI row per day — the monitor run as a daily job over
+    // the event stream instead of crawl snapshots. Pure reuse: label the
+    // shifted day as the 'feature' and psiFromCounts computes every
+    // day-pair in one count-frame pass (the corpus is touched by ONE
+    // (day, type) aggregate; the shift is a projection of that tiny
+    // frame). Days without a populated predecessor carry no baseline and
+    // are excluded on both engines.
+    "q220_daily_drift" -> ((s, d) => {
+      val counts = Tables.cleanEvents(s, d)
+        .select(to_date(col("ts")).as("day"), col("metric"))
+        .groupBy("day", "metric").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val bc = counts.select(col("day").cast("string").as("feature"),
+        col("metric").as("bucket"), col("c"))
+      val ac = counts.select(date_add(col("day"), 1).cast("string").as("feature"),
+        col("metric").as("bucket"), col("c"))
+      Drift.psiFromCounts(ac, bc)
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumnRenamed("feature", "day")
+        .orderBy("day")
     })
   )
 

@@ -32,6 +32,24 @@ object OlapQueries {
         .orderBy("gid", "l_returnflag", "l_linestatus")
     }),
 
+    // CUBE — rollup's full-lattice sibling: all four grouping sets of
+    // (returnflag, linestatus) in ONE Expand pass (no union of scans).
+    // Same exact-cents decimal sums as q84, so every subtotal row —
+    // including the two cross-cuts rollup cannot express — is
+    // order-independent.
+    "q219_cube" -> ((s, d) => {
+      Tables(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("gid"), col("sum_price"), col("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
     // Month × event-type count matrix via pivot. The value list is pinned
     // (the generator's five event types) so the output schema is static —
     // at scale an unpinned pivot would first run a distinct over the fact
@@ -128,6 +146,15 @@ object OlapQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    "q219_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 3, 1, 2""".stripMargin,
     "q85_pivot" ->
       """SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
