@@ -145,7 +145,12 @@ object Bench {
     // claim corpus-linear single-pass shapes, so their exponents are the
     // direct evidence (q211/q212 compose the same kernels; q213's scaling
     // is the q42 kmeans family's, already measured)
-    "q209_drift_psi", "q210_shard_manifest")
+    "q209_drift_psi", "q210_shard_manifest",
+    // the lifecycle/export paths on the same layer: q216's cycle is a
+    // build pass + delta-sized count batches, q217's reuse+rewrite scans
+    // the corpus but shuffles only manifests — sub-linear exponents are
+    // the claims' evidence
+    "q216_drift_store", "q217_incremental_export")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings

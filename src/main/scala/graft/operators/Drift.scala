@@ -124,6 +124,40 @@ object Drift {
           .otherwise("drifted").as("verdict"))
   }
 
+  /** The report's drill-down: per-(feature, bucket) populations and the
+    * bucket's own PSI contribution (`psi_part`, quantized at 1e-6 by the
+    * report's exact arithmetic) — the row an operator acts on: WHICH
+    * language/source/length band moved, and by how much of the feature's
+    * PSI. Same count-frame-sized math as [[psiFromCounts]], just not
+    * summed over buckets.
+    */
+  def psiContributions(a: DataFrame, b: DataFrame,
+                       features: Seq[(String, Column)]): DataFrame = {
+    val counts = bucketCounts(a, features)
+      .select(col("feature"), col("bucket"), col("c").as("ca"))
+      .join(bucketCounts(b, features)
+          .select(col("feature"), col("bucket"), col("c").as("cb")),
+        Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = counts.groupBy("feature")
+      .agg(count(lit(1)).as("k"), sum("ca").as("na"), sum("cb").as("nb"))
+    val dec = "decimal(38,0)"
+    counts.join(broadcast(tot), Seq("feature"))
+      .withColumn("dnum",
+        (col("cb") + lit(1L)).cast(dec) * (col("na") + col("k")).cast(dec)
+          - (col("ca") + lit(1L)).cast(dec) * (col("nb") + col("k")).cast(dec))
+      .withColumn("l6",
+        floor(log(((col("cb") + lit(1.0)) * (col("na") + col("k")))
+            / ((col("ca") + lit(1.0)) * (col("nb") + col("k")))) * 1e6 + 0.5)
+          .cast("long"))
+      .select(col("feature"), col("bucket"), col("ca"), col("cb"),
+        (floor((col("dnum") * col("l6").cast(dec)).cast("double")
+            / ((col("na") + col("k")).cast("double")
+               * (col("nb") + col("k")).cast("double")) + 0.5) / 1e6).as("psi_part"))
+  }
+
   // ---------------------------------------------------------------------
   // The drift STORE: the monitor as a maintained artifact. `base/batch=0`
   // freezes the reference snapshot's bucket counts; `cur/batch=<id>` grows

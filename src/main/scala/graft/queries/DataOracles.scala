@@ -458,7 +458,7 @@ object DataOracles {
        |  FROM ${ns}cnt GROUP BY 1
        |),
        |${ns}term AS (
-       |  SELECT c.feature, t.k, t.na, t.nb,
+       |  SELECT c.feature, c.bucket, c.ca, c.cb, t.k, t.na, t.nb,
        |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
        |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
        |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
@@ -2272,6 +2272,16 @@ object DataOracles {
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q209_drift_psi" -> psiMonolithicSql,
+
+    // The drill-down: every (feature, bucket)'s own quantized PSI part —
+    // the report row an operator acts on.
+    "q221_drift_buckets" ->
+      s"""WITH $snapshotBFullSql,
+        |${psiCtesOver("documents", "bsnap", "")}
+        |SELECT feature, bucket, ca, cb,
+        |  floor(CAST(dnum * l6 AS DOUBLE)
+        |    / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi_part
+        |FROM term ORDER BY feature, bucket""".stripMargin,
 
     // The store-served report must equal the monolithic A->B one exactly
     // (bucket populations are additive longs: retire(old)+append(new)

@@ -1678,6 +1678,15 @@ object DataQueries {
         .filter(col("n_a") > 0 && col("n_b") > 0)
         .withColumnRenamed("feature", "day")
         .orderBy("day")
+    }),
+
+    // The report's drill-down: WHICH bucket moved — every (feature,
+    // bucket)'s own quantized PSI contribution with both populations,
+    // the row an operator acts on when q209 says 'drifted'.
+    "q221_drift_buckets" -> ((s, d) => {
+      val a = docs(s, d)
+      Drift.psiContributions(a, snapshotBFull(a), driftFeatures)
+        .orderBy("feature", "bucket")
     })
   )
 
