@@ -109,8 +109,10 @@ object Shards {
   def incrementalExport(a: DataFrame, b: DataFrame, nShards: Int,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // materialize the (≤ nShards)-row delta once: it feeds two broadcast
+    // sides, and recomputing it lazily would cost two extra corpus passes
     val delta = manifestDelta(manifest(a, nShards, idCol, textCol),
-      manifest(b, nShards, idCol, textCol))
+      manifest(b, nShards, idCol, textCol)).localCheckpoint(true)
     def routed(df: DataFrame) = df.withColumn("shard",
       pmod(Dedup.hex60(col(idCol).cast("string")), lit(nShards.toLong)))
     val reuse = broadcast(delta.filter(col("status") === "unchanged").select("shard"))
