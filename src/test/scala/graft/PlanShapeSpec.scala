@@ -162,6 +162,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of must not plan a join operator at all")
   }
 
+  test("shard manifest costs exactly one exchange; bucket counts exactly one") {
+    val docs = Seq((1L, "text a"), (2L, "text b")).toDF("doc_id", "text")
+    val pm = graft.operators.Shards.manifest(docs, 16)
+      .queryExecution.executedPlan.toString
+    val em = "Exchange hashpartitioning".r.findAllIn(pm).length
+    assert(em == 1, s"manifest: expected 1 exchange, plan has $em:\n$pm")
+
+    val pc = graft.operators.Drift.bucketCounts(docs,
+        Seq("len" -> org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+      .queryExecution.executedPlan.toString
+    val ec = "Exchange hashpartitioning".r.findAllIn(pc).length
+    assert(ec == 1, s"bucketCounts: expected 1 exchange, plan has $ec:\n$pc")
+    assert(pc.contains("Generate explode"),
+      "the feature fan-out must be a map-side generator, not a shuffle")
+  }
+
   test("forward as-of join also costs exactly one exchange and no join operator") {
     val l = Seq((1L, "a", 10L)).toDF("id", "key", "ts")
     val r = Seq(("a", 15L, "p")).toDF("key", "ts", "payload")
