@@ -2386,6 +2386,20 @@ object DataOracles {
         |SELECT feature AS day, n_buckets, n_a, n_b, psi, $psiVerdictSql
         |FROM rep WHERE n_a > 0 AND n_b > 0 ORDER BY day""".stripMargin,
 
+    "q222_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, w, s.st AS start
+        |  FROM t, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+        |)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len(w[start + 1 : start + 64]) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
     "q218_drift_cycle2" ->

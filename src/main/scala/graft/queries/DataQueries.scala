@@ -1687,7 +1687,15 @@ object DataQueries {
       val a = docs(s, d)
       Drift.psiContributions(a, snapshotBFull(a), driftFeatures)
         .orderBy("feature", "bucket")
-    })
+    }),
+
+    // Sliding-window chunking at a 64-token context with a 48-token
+    // stride (25% overlap) — the context-window prep between curation
+    // and packing. Map-only; the md5 stands in for the chunk text so
+    // both engines verify fixed-width rows.
+    "q222_chunking" -> ((s, d) =>
+      TextOps.chunkDocs(docs(s, d), size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** The q209/q212 drift feature set: the two categorical metadata axes

@@ -284,6 +284,42 @@ object TextOps {
       .drop("cum_excl")
   }
 
+  /** Sliding-window document chunking — the context-window prep step
+    * between curation and packing: long documents split into `size`-token
+    * chunks whose starts step by `stride` (stride < size = overlapping
+    * context, the standard pretraining treatment so no span is only ever
+    * seen cut in half). Start offsets are 0, stride, 2·stride, … while
+    * they land inside the document, so every token appears in at least
+    * one chunk and tail chunks may run short; an empty document yields
+    * one empty chunk (chunk accounting stays total). Output: (idCol,
+    * chunk_idx, start_tok, n_tok, chunk_md5) — the hash stands in for
+    * the chunk text so downstream verification is fixed-width however
+    * long the spans.
+    *
+    * Scale shape: map-only — one tokenizer pass, one generator for the
+    * start offsets (`explode(sequence(...))`), per-row slices; no
+    * shuffle, no window, no driver state. The [[graft.core.Eval]]
+    * barrier pins the split to one evaluation per row under the two
+    * generator consumers.
+    */
+  def chunkDocs(docs: DataFrame, size: Int, stride: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    docs
+      .select(col(idCol), graft.core.Eval.materialized(words(col(textCol))).as("__w"))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__w")) - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col(idCol),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("__w"), col("start_tok") + 1, lit(size)).as("__c"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("__c")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_md5"))
+  }
+
   /** Corpus unigram LM quality score: per-document mean negative
     * log-likelihood under an add-one-smoothed unigram model fit on the whole
     * corpus — the cheap end of the KenLM-style perplexity filters training

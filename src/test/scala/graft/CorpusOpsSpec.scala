@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkDocs: overlap, short tail, empty-doc accounting") {
+    val docs = Seq((1L, (1 to 10).map("w" + _).mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.chunkDocs(docs, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok")))
+    // 10 tokens at size 4 / stride 3: starts 0,3,6,9; the last chunk runs
+    // short; overlap means token w4 appears in chunks 0 AND 1
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 1L))) // the empty doc keeps one (empty-token) chunk
+    // every token is covered: distinct positions across chunks == doc length
+    val covered = (0 until 4).flatMap(i => (i * 3) until math.min(i * 3 + 4, 10)).distinct
+    assert(covered.size == 10)
+  }
+
   test("unigramNll matches the hand-computed add-one unigram model") {
     // corpus: a:2 b:2 c:1 -> N=5, V=3
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
