@@ -2400,6 +2400,36 @@ object DataOracles {
         |  md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // chunk (q222's CTE, md5-free) -> pack by exact chunk token counts
+    // (q76's window over the synthetic chunk id) -> ledger (q214's
+    // grouping with the id:bin_offset fingerprint).
+    "q223_chunk_pack_ledger" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        |),
+        |ch AS (
+        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
+        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
+        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+        |),
+        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
+        |  FROM c
+        |)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
     "q218_drift_cycle2" ->

@@ -1696,6 +1696,22 @@ object DataQueries {
     "q222_chunking" -> ((s, d) =>
       TextOps.chunkDocs(docs(s, d), size = 64, stride = 48)
         .orderBy("doc_id", "chunk_idx"))
+    ,
+
+    // The REAL export chain composed end-to-end: chunk the corpus into
+    // overlapping contexts (q222), pack the CHUNKS into 512-token
+    // training files by their exact token counts (q76's packing over a
+    // synthetic chunk id), and ledger every file (q214). Each stage is
+    // the already-gated operator; the composition is what a pretraining
+    // job actually ships.
+    "q223_chunk_pack_ledger" -> ((s, d) => {
+      val chunks = TextOps.chunkDocs(docs(s, d), size = 64, stride = 48)
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+          col("n_tok"))
+      Shards.packedLedger(TextOps.packSequences(chunks, budget = 512,
+          shards = 32, tokenCount = Some(col("n_tok"))))
+        .orderBy("shard", "bin")
+    })
   )
 
   /** The q209/q212 drift feature set: the two categorical metadata axes
