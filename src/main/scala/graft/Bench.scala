@@ -3,7 +3,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query wall times.
+  * SPARK_GRAFT_SF_DIR and emits a compact JSON summary line plus a full
+  * BENCH_SUMMARY.json on disk.
+  *
+  * EMISSION PROTOCOL (r15 — the r14 driver artifact was rc=124 with
+  * nothing parseable): the summary is emitted INCREMENTALLY — after the
+  * query passes, after the ann_index evidence block, after the v4 cycle,
+  * and finally after scale10 + retimes. Each emission (a) prints the
+  * compact [[driverLine]] (< 1.8 KB — the consumer keeps only the last
+  * ~2 KB of stdout, which is also why the old full-per-query line parsed
+  * as null every round) and (b) atomically publishes the COMPLETE state
+  * to BENCH_SUMMARY.json via [[atomicWrite]] (write + rename — a reader
+  * never sees a torn file). A timeout kill at any point therefore leaves
+  * the latest complete line in the tail AND a parseable summary on disk.
+  *
+  * TIME BUDGET (SPARK_GRAFT_TIME_BUDGET, seconds; default 2100; 0 =
+  * unlimited): under a budget the session DEGRADES instead of dying —
+  * [[gateTier]] queries (lifecycle/composed oracle gates whose production
+  * cost is measured elsewhere) run once while the core tier keeps its
+  * interleaved passes, later passes run only if the clock affords them
+  * plus the reserved evidence sections, and sections are skipped in
+  * reverse priority (queries > ann_index > scale10 subset > v4 >
+  * scale10 full), each skip recorded in the artifact's `skipped` list.
+  * The builder's own full-matrix sessions set SPARK_GRAFT_TIME_BUDGET=0;
+  * SPARK_GRAFT_TIER=0 keeps a budget but disables the tier split.
   *
   * Queries run in sorted name order after a warmup pass (one lightweight
   * count per input table) so JVM/JIT/scan warmup is not attributed to
@@ -198,6 +221,97 @@ object Bench {
     dir
   }
 
+  /** Lifecycle-gate tier (the r14 verdict's item 5): composed multi-cycle /
+    * store-lifecycle GATES whose cost is oracle-composition, not a
+    * production path — each one's production-shaped cost is measured
+    * elsewhere (the ann_index/v4_cycle blocks or a cheaper registry twin).
+    * Under a time budget ([[main]]) these run ONCE (pass 1 only) while the
+    * core tier keeps its interleaved `runs` passes; with no budget
+    * (`SPARK_GRAFT_TIME_BUDGET=0`, the builder's own sessions) the full
+    * matrix runs as before. Membership is SEMANTIC (lifecycle/composed
+    * gates), not a cost threshold — a slow core query must keep its three
+    * passes, and a cheap gate stays a gate.
+    */
+  private[graft] val gateTier: Set[String] = Set(
+    "q117_ann_lsh_store", "q119_ann_ivf_lifecycle", "q121_decontam_routed",
+    "q122_ann_lsh_lifecycle", "q123_ann_ivf_reindex",
+    "q124_minhash_store_lifecycle", "q125_ann_lsh_reindex",
+    "q126_trigram_lm_lifecycle", "q127_decontam_lifecycle",
+    "q130_trigram_lm_streamed", "q151_ann_ivfpq_stores", "q160_pipeline_v2",
+    "q163_streaming_flagship", "q166_logit_store", "q171_logit_refit",
+    "q174_pipeline_v3", "q177_lm_delta_maintenance",
+    "q178_dedup_delta_maintenance", "q179_ann_ivf_delta", "q180_ann_lsh_delta",
+    "q181_ann_pq_delta", "q186_dsir_delta", "q189_pipeline_v4",
+    "q190_streaming_flagship_v2", "q191_pipeline_v4_incremental",
+    "q192_pipeline_kill_matrix", "q193_pipeline_funnel",
+    "q194_decontam_rotation", "q195_ann_ivf_delta2", "q196_pipeline_v4_cycle2",
+    "q201_ann_lsh_delta2", "q202_ann_pq_delta2", "q204_scd2_retired",
+    "q205_scd2_retire_cycle", "q206_vocab_refresh", "q207_warehouse_cycle",
+    "q208_scd2_pit_retired", "q213_ivf_cell_drift", "q215_packed_ledger_delta",
+    "q216_drift_store", "q217_incremental_export", "q218_drift_cycle2",
+    "q221_drift_buckets", "q224_incr_chunk_export", "q225_daily_drift_served")
+
+  /** scale10 SUBSET for budgeted sessions: one anchor per scale-argued
+    * family (pair mining, clustering, LM, pipeline e2e, IVF-PQ, PCA
+    * moments, GD fit, the v4 incremental cycle, and the r14
+    * monitoring/export layer — q209/q210/q216/q217 are here because the
+    * r14 ADVICE flagged their exponents as registered-but-unmeasured when
+    * the full session timed out). A budgeted driver session measures these
+    * ~12 instead of dying at rc=124 with none of the 30.
+    */
+  private[graft] val scale10Core: Seq[String] = Seq(
+    "q26_dedup_minhash", "q46_dedup_clusters", "q109_trigram_backoff",
+    "q115_pipeline_e2e", "q133_ann_ivfpq", "q152_pca_moments",
+    "q164_logit_fit", "q191_pipeline_v4_incremental", "q209_drift_psi",
+    "q210_shard_manifest", "q216_drift_store", "q217_incremental_export")
+
+  /** Atomic publish: write to `<path>.tmp`, then rename over `path`. A
+    * reader (the driver, the judge) never sees a torn half-written summary
+    * — either the previous complete emission or this one.
+    */
+  private[graft] def atomicWrite(path: String, text: String): Unit =
+    try {
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
+      java.nio.file.Files.write(tmp, (text + "\n").getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: Throwable => () }
+
+  /** The COMPACT driver line (r14 finding 1): the consumer keeps only the
+    * last ~2 KB of stdout and head-truncates, and the old line's full
+    * 223-entry per-query map alone was ~2.7 KB — which is why `parsed` has
+    * been null even on rc=0 rounds. This line carries the headline numbers
+    * plus the TOP-k slowest medians and worst scaling exponents and points
+    * at BENCH_SUMMARY.json for everything else; [[main]] prints it after
+    * EVERY section (queries → ann_index → v4 → scale10), so a timeout kill
+    * still leaves the latest complete line in the tail. MUST stay well
+    * under 1.8 KB — BenchPriorSpec pins that with a 300-query registry.
+    */
+  private[graft] def driverLine(runs: Int, sf: String, nQueries: Int,
+      sections: Seq[String], skipped: Seq[String],
+      medians: Map[String, Double], noisyJson: String,
+      scale10: Seq[(String, Double, Double)], expOf: (Double, Double) => Double,
+      relMs: Double, relSeries: Long, totalMin: Double, totalMed: Double,
+      totalMax: Double, budget: Double, elapsedSec: Double): String = {
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val top = medians.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val s10Top = scale10.filter(_._3 > 0)
+      .map { case (n, t1, t10) => (n.takeWhile(_ != '_'), expOf(t1, t10), t10) }
+      .sortBy(-_._2).take(6)
+      .map { case (k, e, t10) => "\"" + k + "\":[" + f2(e) + "," + f2(t10) + "]" }
+      .mkString("{", ",", "}")
+    val secs = sections.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skip = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sf","n_queries":$nQueries,"sections":$secs,"skipped":$skip,"budget_sec":${f2(budget)},"elapsed_sec":${f2(elapsedSec)},"queries_top":$top,"scale10_top":$s10Top,"rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"noisy":$noisyJson,"detail":"BENCH_SUMMARY.json","total_max":${f3(totalMax)},"total_min":${f3(totalMin)},"value":${f3(totalMed)}}"""
+  }
+
   // ---- cross-session prior guard, as unit-testable pieces (BenchPriorSpec
   // pins these the way PlanShapeSpec pins plans — the logic otherwise runs
   // only in live bench sessions) -------------------------------------------
@@ -297,6 +411,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the adjudicated bounded windows WARN once per execution — the flood
+    // that buried the r14 driver tail (see Graft.quietNoisyLogs)
+    graft.core.Graft.quietNoisyLogs()
+    // TIME BUDGET (the r14 verdict's top item): the driver's r14 session was
+    // killed at rc=124 with no parseable output because the full matrix
+    // (223 queries x 3 passes + every evidence block) outgrew the driver's
+    // wall-clock allowance. Under a budget (seconds; default 2100 — safely
+    // inside the allowance that r12/r13's ~45 min sessions cleared; 0 =
+    // unlimited, the builder's own full-matrix sessions) the session
+    // degrades instead of dying: gate-tier queries ([[gateTier]]) run once,
+    // extra passes / sections are skipped when the remaining time can't
+    // cover their estimated cost (priority queries > ann_index > scale10
+    // subset > v4 > scale10 full), and the summary is re-emitted after
+    // every section so a kill at ANY point leaves the latest complete line
+    // in the stdout tail and a parseable BENCH_SUMMARY.json on disk.
+    val wall0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2100").toDouble
+    val budgetActive = budget > 0
+    def remainingSec: Double = if (budgetActive) budget - elapsedSec else 1e18
+    val tiered = budgetActive && !sys.env.get("SPARK_GRAFT_TIER").contains("0")
+    // conservative section cost estimates at sf0.1 (from committed
+    // BENCH_RECORDS sessions), used only for skip decisions — every actual
+    // decision point re-reads the real clock
+    val EstAnn = 300.0; val EstV4 = 220.0
+    val EstS10Full = 950.0; val EstS10Sub = 330.0; val EstTail = 90.0
     // warmup: touch every table once so scan/codegen init is off the clock
     graft.core.Tables.all.foreach { t =>
       try graft.core.Tables(spark, sfDir, t).count()
@@ -306,21 +446,39 @@ object Bench {
     // INTERLEAVED PASSES (see scaladoc): the pass loop is OUTSIDE the query
     // loop, so each query's `runs` samples are spread across the whole
     // session (~100 s apart at sf0.1) instead of packed into one window a
-    // single co-tenant burst can cover
+    // single co-tenant burst can cover. Pass 1 always covers the FULL
+    // registry (every query needs at least one sample); under the tiered
+    // budget, passes 2..runs cover only the core tier and each later pass
+    // runs only if the clock can afford it plus the reserved sections.
     val order = SparkEntry.queries.toSeq.sortBy(_._1)
     val raw = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    (1 to runs).foreach { _ =>
-      order.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // toRdd fixes the optimized plan BEFORE counting, so every output
-        // column is really computed — a plain .count() lets Catalyst prune
-        // aggregate values/projections that don't affect row counts and
-        // under-measures aggregation-heavy queries by ~2x
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        raw(name) = raw.getOrElse(name, Vector.empty) :+ t
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // toRdd fixes the optimized plan BEFORE counting, so every output
+      // column is really computed — a plain .count() lets Catalyst prune
+      // aggregate values/projections that don't affect row counts and
+      // under-measures aggregation-heavy queries by ~2x
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      raw(name) = raw.getOrElse(name, Vector.empty) :+ t
+    }
+    order.foreach { case (name, fn) => timeOne(name, fn) }
+    var passesDone = 1
+    val coreOrder = if (tiered) order.filterNot { case (n, _) => gateTier(n) } else order
+    while (passesDone < runs && {
+      val corePassCost = coreOrder.map { case (n, _) => raw(n).min }.sum
+      !budgetActive ||
+        remainingSec > corePassCost * 1.15 + EstAnn + EstS10Sub + EstTail
+    }) {
+      // mid-pass deadline check: a co-tenant burst can double a pass, so
+      // later passes also bail between queries once the section reserve is
+      // at risk (ragged sample vectors are fine — med() is per-query)
+      coreOrder.takeWhile { case (name, fn) =>
+        timeOne(name, fn)
+        !budgetActive || remainingSec > EstAnn + EstS10Sub + EstTail
       }
+      passesDone += 1
     }
     // name -> sorted per-run seconds
     val results: Seq[(String, Seq[Double])] =
@@ -346,6 +504,81 @@ object Bench {
     val relMs = (System.nanoTime() - relT0) / 1e6 / math.max(1L, relSeries)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // ---- incremental emission state (r14 finding 1): after each completed
+    // section the CURRENT summary is (a) printed as the compact driver line
+    // and (b) atomically published to BENCH_SUMMARY.json — a timeout kill
+    // at any later point leaves both artifacts complete as-of the last
+    // section instead of empty -------------------------------------------
+    val resultsByName0 = results.toMap
+    def expOf(t1: Double, t10: Double): Double =
+      if (t10 <= 0.0 || t1 <= 0.001) -9.99 else math.log10(t10 / t1)
+    var sectionsDone: Vector[String] = Vector("queries")
+    var sectionsSkipped: Vector[String] = Vector.empty
+    var emAnnJson: String = "{}"
+    var emV4Json: String = "{}"
+    var emScale10: Seq[(String, Double, Double)] = Seq.empty
+    var emRetimed: Map[String, Double] = Map.empty
+    var emPriorFlagged: Seq[String] = Seq.empty
+    var emS10Flagged: Seq[String] = Seq.empty
+    var emS10Retimed: Map[String, Double] = Map.empty
+    // spike selection, shared by every emission (the final one adds the
+    // retime tails once they exist): mandatory = median > 2x min, plus the
+    // prior-flagged set; budget fills with top deltas/ratios (see scaladoc)
+    def spikePick(): (Seq[String], Seq[String]) = {
+      val cand = results
+        .map { case (k, ts) => (k, ts.max / math.max(ts.min, 1e-3), ts.max - ts.min, ts) }
+        .filter(_._2 > 1.5)
+      val mandatory = cand
+        .filter { case (_, _, _, ts) => med(ts) > 2 * math.max(ts.min, 1e-3) }
+        .sortBy(-_._3).map(_._1)
+      val pf = results.collect { case (k, ts)
+        if prior.get(short(k)).exists(p =>
+          priorFlag(ts.min, p) || priorMedianFlag(med(ts), p)) => k }
+      val mandatoryAll = (mandatory ++ pf).distinct
+      val byDelta = cand.sortBy(-_._3).map(_._1)
+      val byRatio = cand.sortBy(-_._2).map(_._1)
+      val picked = (mandatoryAll ++ byDelta.take(3) ++ byRatio.take(3) ++ byDelta)
+        .distinct.take(math.max(6, math.min(mandatoryAll.size, 12)))
+      (mandatoryAll, picked)
+    }
+    def noisyJsonOf(picked: Seq[String], retimed: Map[String, Double]): String =
+      picked.map { k => val ts = resultsByName0(k)
+        val tail = retimed.get(k).map("," + f2(_)).getOrElse("")
+        "\"" + short(k) + "\":[" + f2(ts.min) + "," + f2(med(ts)) + "," + f2(ts.max) + tail + "]"
+      }.mkString("{", ",", "}")
+    def emit(): Unit = {
+      val medians = results.map { case (k, ts) => short(k) -> med(ts) }.toMap
+      val totalMed = results.map { case (_, ts) => med(ts) }.sum
+      val totalMin = results.map(_._2.min).sum
+      val totalMax = results.map(_._2.max).sum
+      val (_, picked) = spikePick()
+      val noisy = noisyJsonOf(picked, emRetimed)
+      println(driverLine(runs, sfDir, results.size, sectionsDone,
+        sectionsSkipped, medians, noisy, emScale10, expOf, relMs, relSeries,
+        totalMin, totalMed, totalMax, budget, elapsedSec))
+      val qsFull = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
+        .mkString("{", ",", "}")
+      val matrix = results.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
+      val s10 = emScale10.map { case (n, t1, t10) =>
+        s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
+        .mkString("{", ",", "}")
+      val rt = emRetimed.toSeq.sortBy(_._1).map { case (k, t) =>
+        "\"" + k + "\":" + f3(t) }.mkString("{", ",", "}")
+      val s10rt = emS10Retimed.toSeq.sortBy(_._1).map { case (k, t) =>
+        "\"" + k + "\":" + f3(t) }.mkString("{", ",", "}")
+      val secs = sectionsDone.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val skip = sectionsSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val pfj = emPriorFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val s10fj = emS10Flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+      atomicWrite("BENCH_SUMMARY.json",
+        s"""{"ts":"${java.time.Instant.now()}","runs":$runs,"passes_done":$passesDone,"tiered":$tiered,"budget_sec":${f2(budget)},"elapsed_sec":${f2(elapsedSec)},"sf":"$sfDir","sections":$secs,"skipped":$skip,"total_min":${f3(totalMin)},"total_median":${f3(totalMed)},"total_max":${f3(totalMax)},"rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"noisy":$noisy,"retimed":$rt,"prior_flagged":$pfj,"scale10_flagged":$s10fj,"scale10_retimed":$s10rt,"ann_index":$emAnnJson,"v4_cycle":$emV4Json,"scale10":$s10,"queries_median":$qsFull,"queries":$matrix}""")
+    }
+    emit()
+    // section skip decisions (priority per the r15 plan: queries >
+    // ann_index > scale10 subset > v4 > scale10 full) — each consults the
+    // real clock against the conservative estimates above
+    val runAnnSection = !budgetActive || remainingSec > EstAnn + EstTail
     // ANN index build-once/probe-many evidence at ~10x the scale dir's
     // embedding count: answering a 100-query workload by PROBING the
     // persisted IVF index (no Lloyd refit) vs the in-memory path that
@@ -363,7 +596,11 @@ object Bench {
          annAppend, annCompactMinor, annCompactFull, annReindex,
          annAppendD1, annCompactMinorD1, annCompactFullD1,
          annAppend1x, annCompactMinor1x, annCompactFull1x,
-         annRetire, annProbeRetired, annRetire1x, annProbeRetired1x) = try {
+         annRetire, annProbeRetired, annRetire1x, annProbeRetired1x) =
+      if (!runAnnSection)
+        (0L, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0,
+          -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+      else try {
       import org.apache.spark.sql.functions.col
       val annDir = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
       try {
@@ -488,7 +725,9 @@ object Bench {
     // same story for the LSH signature index (q114's tuned 16x5 config):
     // probe-from-store hashes only the 100 queries; the in-memory search
     // re-signs the whole corpus per call
-    val (lshBuild, lshProbe, lshSearch) = try {
+    val (lshBuild, lshProbe, lshSearch) =
+      if (!runAnnSection) (-1.0, -1.0, -1.0)
+      else try {
       import org.apache.spark.sql.functions.col
       val lshDir = java.nio.file.Files.createTempDirectory("graft_bench_lsh").toString
       try {
@@ -514,7 +753,9 @@ object Bench {
     // persisted count tables vs the in-memory path that refits the trigram
     // model per call (q109's shape) — the gap is the training pass the
     // frozen-LM store amortizes away
-    val (lmBuild, lmScore, lmRefit) = try {
+    val (lmBuild, lmScore, lmRefit) =
+      if (!runAnnSection) (-1.0, -1.0, -1.0)
+      else try {
       val docs = graft.core.Tables(spark, sfDir, "documents")
       val lmParent = java.nio.file.Files.createTempDirectory("graft_bench_lm").toString
       try {
@@ -541,7 +782,9 @@ object Bench {
     // shape, scoring one 1x batch of fresh docs: probe-from-store pays only
     // the batch, refit-per-batch re-pays the 10x training pass per call —
     // the gap that grows with corpus size while the probe stays O(batch).
-    val (lm10Build, lm10Score, lm10Refit, lm10Probe, lm10ProbeRefit) = try {
+    val (lm10Build, lm10Score, lm10Refit, lm10Probe, lm10ProbeRefit) =
+      if (!runAnnSection) (-1.0, -1.0, -1.0, -1.0, -1.0)
+      else try {
       import org.apache.spark.sql.functions.col
       val (docs10, lmDir) = lm10Corpus(spark, sfDir)
       try {
@@ -566,6 +809,12 @@ object Bench {
         catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0) }
+    val annJson =
+      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_deb1x":${f3(annAppendD1)},"compact_minor_deb1x":${f3(annCompactMinorD1)},"compact_full_deb1x":${f3(annCompactFullD1)},"deb_note":"compact_*_deb1x = the nVec/20 debris cycles re-run with nVec/200 debris at the SAME 10x base — the decidable design for cost-proportional-to-debris; at this store size both arms (and full vs minor) sit at the ~0.3s scheduling floor, so these rows pin the floor and the structural drill (base files byte-identical across a minor cycle) carries the property","append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"maint1x_note":"the base-varying *_1x rows are fixed-job-overhead-dominated at this store size (all committed recordings place them above their 10x twins) — they record the scheduling floor, not the cost model; see *_deb1x","retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
+    emAnnJson = annJson
+    if (runAnnSection) sectionsDone :+= "ann_index"
+    else sectionsSkipped :+= "ann_index"
+    emit()
     // V4 INCREMENTAL CYCLE — DELTA-AXIS EVIDENCE (the r13 verdict's item
     // 3): q191's committed scale10 exponent (0.37-0.39) is a CORPUS-axis
     // measurement, but the incremental pipeline's claim is
@@ -585,7 +834,12 @@ object Bench {
     // the delta's advance undercuts the full rebuild — at a 26% delta it
     // may not (the honest q191 note), at 2.6% it must. min-of-2 with
     // fresh stores per rep (the ledgers refuse replays on a used store).
-    val (v4AdvD1, v4FrameD1, v4BuildD1, v4AdvD10, v4FrameD10, v4BuildD10) = try {
+    // v4 runs only when the clock can still afford it PLUS the scale10
+    // subset that outranks it (queries > ann_index > scale10 sub > v4)
+    val runV4Section = !budgetActive || remainingSec > EstV4 + EstS10Sub + EstTail
+    val (v4AdvD1, v4FrameD1, v4BuildD1, v4AdvD10, v4FrameD10, v4BuildD10) =
+      if (!runV4Section) (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+      else try {
       import org.apache.spark.sql.functions.col
       val aDocs = graft.core.Tables(spark, sfDir, "documents")
       def clock(f: => Unit): Double = {
@@ -617,6 +871,10 @@ object Bench {
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
     val v4Json =
       s"""{"adv_deb1x":${f3(v4AdvD1)},"frame_deb1x":${f3(v4FrameD1)},"build_deb1x":${f3(v4BuildD1)},"adv_deb10x":${f3(v4AdvD10)},"frame_deb10x":${f3(v4FrameD10)},"build_deb10x":${f3(v4BuildD10)},"note":"adv = the store advance at ~2.6% vs ~26% delta on the SAME corpus (q191's claim measured on its own axis). adv is NOT purely delta-proportional: it includes the corpusDelta hash-compare and the winner-set recomputation, both corpus-proportional by design — the delta-proportional term (text pass + store maintenance) is the PAIR'S DIFFERENCE. frame = the corpus-proportional scoring stack (~equal across arms by construction, recorded to prove that); build = the from-scratch store build the advance replaces. Crossover: the cycle beats the rebuild iff adv < build — the committed sf0.1 pair shows both sides (adv_deb1x < build_deb1x, adv_deb10x > build_deb10x), matching q191's honest at-this-scale note"}"""
+    emV4Json = v4Json
+    if (runV4Section) sectionsDone :+= "v4_cycle"
+    else sectionsSkipped :+= "v4_cycle"
+    emit()
     // SCALING-CURVE EVIDENCE (the r9 verdict's top ask): every 100x-scale
     // argument in the repo was measured only at sf0.1 — this block re-runs
     // the heaviest scale-argued queries against a staged 10x corpus
@@ -639,9 +897,21 @@ object Bench {
       }.filter(_ > 0)
       if (ts.isEmpty) -1.0 else ts.min
     }
+    // scale10 mode under the budget: full matrix when the clock affords it,
+    // else the [[scale10Core]] subset (one anchor per scale-argued family —
+    // the r14 ADVICE's "registered but unmeasured" fix), else skip with the
+    // section recorded as skipped (never a silent empty map)
+    val s10Mode: String =
+      if (sys.env.get("SPARK_GRAFT_SCALE10").contains("0")) "off"
+      else if (!budgetActive || remainingSec > EstS10Full + EstTail) "full"
+      else if (remainingSec > EstS10Sub + EstTail) "subset"
+      else "skip"
+    val s10Names: Seq[String] =
+      if (s10Mode == "subset") scale10Names.filter(scale10Core.contains)
+      else scale10Names
     val (scale10: Seq[(String, Double, Double)],
          s10Flagged: Seq[String], s10Retimed: Map[String, Double]) =
-      if (sys.env.get("SPARK_GRAFT_SCALE10").contains("0"))
+      if (s10Mode == "off" || s10Mode == "skip")
         (Seq.empty[(String, Double, Double)], Seq.empty[String], Map.empty[String, Double])
       else try {
         val dir = scale10Dir(spark, sfDir)
@@ -651,7 +921,7 @@ object Bench {
           // each entry carries its re-run thunk so the prior guard below
           // can retime ANY entry (incl. the special-cased q42c)
           val std: Seq[(String, Double, () => Unit)] =
-            scale10Names.filter(resultsByName.contains).map { n =>
+            s10Names.filter(resultsByName.contains).map { n =>
               (n, med(resultsByName(n)),
                 () => SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count(): Unit)
             }
@@ -666,7 +936,7 @@ object Bench {
           // the near-linear regime. ("q42c" short key keeps the line's
           // scale10 map collision-free.)
           val scaled: Seq[(String, Double, () => Unit)] =
-            if (!resultsByName.contains("q42_ann_ivf")) Seq.empty
+            if (s10Mode != "full" || !resultsByName.contains("q42_ann_ivf")) Seq.empty
             else Seq(("q42c_ann_ivf_cscaled", med(resultsByName("q42_ann_ivf")),
               () => graft.similarity.Similarity
                 .ivfTopK(graft.core.Tables(spark, dir, "embeddings"),
@@ -701,27 +971,22 @@ object Bench {
         case _: Throwable =>
           (Seq(("scale10_failed", -1.0, -1.0)), Seq.empty[String], Map.empty[String, Double])
       }
+    emScale10 = scale10
+    emS10Flagged = s10Flagged
+    emS10Retimed = s10Retimed
+    if (s10Mode == "full" || s10Mode == "subset")
+      sectionsDone :+= s"scale10_$s10Mode"
+    else sectionsSkipped :+= s"scale10_$s10Mode"
     // no lower clamp on t1: a clamp silently DEFLATES exponents for fast
     // queries (the exact super-linear outliers the block exists to catch);
     // tiny-t1 noise inflating an exponent is the safe failure direction.
     // Sub-millisecond medians are sentinel'd rather than divided by ~0.
-    def expOf(t1: Double, t10: Double): Double =
-      if (t10 <= 0.0 || t1 <= 0.001) -9.99
-      else math.log10(t10 / t1)
     // [exp, t10] per entry — the exponent alone hides which side moved
     // (r10: a phantom looked identical to a real super-linear operator
     // until the judge hand-re-timed t10)
-    val scale10Line = scale10
-      .map { case (n, t1, t10) =>
-        "\"" + n.takeWhile(_ != '_') + "\":[" + f2(expOf(t1, t10)) + "," + f2(t10) + "]" }
-      .mkString("{", ",", "}")
     val scale10Detail = scale10
       .map { case (n, t1, t10) =>
         s""""$n":{"t1":${f3(t1)},"t10":${f3(t10)},"exp":${f2(expOf(t1, t10))}}""" }
-      .mkString("{", ",", "}")
-    val annJson =
-      s"""{"vectors":$annVectors,"build":${f3(annBuild)},"probe":${f3(annProbe)},"rebuild":${f3(annRebuild)},"append":${f3(annAppend)},"compact_minor":${f3(annCompactMinor)},"compact_full":${f3(annCompactFull)},"reindex":${f3(annReindex)},"append_deb1x":${f3(annAppendD1)},"compact_minor_deb1x":${f3(annCompactMinorD1)},"compact_full_deb1x":${f3(annCompactFullD1)},"deb_note":"compact_*_deb1x = the nVec/20 debris cycles re-run with nVec/200 debris at the SAME 10x base — the decidable design for cost-proportional-to-debris; at this store size both arms (and full vs minor) sit at the ~0.3s scheduling floor, so these rows pin the floor and the structural drill (base files byte-identical across a minor cycle) carries the property","append_1x":${f3(annAppend1x)},"compact_minor_1x":${f3(annCompactMinor1x)},"compact_full_1x":${f3(annCompactFull1x)},"maint1x_note":"the base-varying *_1x rows are fixed-job-overhead-dominated at this store size (all committed recordings place them above their 10x twins) — they record the scheduling floor, not the cost model; see *_deb1x","retire":${f3(annRetire)},"probe_retired":${f3(annProbeRetired)},"retire_1x":${f3(annRetire1x)},"probe_retired_1x":${f3(annProbeRetired1x)},"lsh_build":${f3(lshBuild)},"lsh_probe":${f3(lshProbe)},"lsh_search":${f3(lshSearch)},"lm_build":${f3(lmBuild)},"lm_score":${f3(lmScore)},"lm_refit":${f3(lmRefit)},"lm10_build":${f3(lm10Build)},"lm10_score":${f3(lm10Score)},"lm10_refit":${f3(lm10Refit)},"lm10_probe":${f3(lm10Probe)},"lm10_probe_refit":${f3(lm10ProbeRefit)}}"""
-    val qs = results.map { case (k, ts) => "\"" + short(k) + "\":" + f2(med(ts)) }
       .mkString("{", ",", "}")
     val totalMed = results.map { case (_, ts) => med(ts) }.sum
     val totalMin = results.map(_._2.min).sum
@@ -736,54 +1001,36 @@ object Bench {
     // contract), then the budget fills with the top wall-clock deltas and
     // top ratios. Budget stretches past 6 only if the mandatory set alone
     // needs it (a session that noisy is its own headline).
-    val cand = results
-      .map { case (k, ts) => (k, ts.max / math.max(ts.min, 1e-3), ts.max - ts.min, ts) }
-      .filter(_._2 > 1.5)
-    val mandatory = cand.filter { case (_, _, _, ts) => med(ts) > 2 * math.max(ts.min, 1e-3) }
-      .sortBy(-_._3).map(_._1)
-    // cross-session guard (see scaladoc): a burst covering ALL passes of a
-    // query defeats the within-session rule — min and median inflate
-    // together — so any query whose session MIN exceeds 2.5x its prior
-    // adjudicated median (+0.3 s floor) is mandatory-retimed too, and so
-    // (the r13 lesson — q179 drifted 2.05x with this list empty) is any
-    // whose MEDIAN exceeds 1.5x the prior: sustained 1.3-2x bursts clear
-    // the min rule but never escape adjudication
+    // PHANTOM SELF-ADJUDICATION (selection logic in [[spikePick]], shared
+    // with every incremental emission): every mandatory spike (median > 2x
+    // min — the ones that distort total_median — plus the prior-flagged
+    // set) is re-run ONCE here, warm, at the end of the session, minutes
+    // after its recorded triple. A phantom (co-tenant burst during the
+    // recorded runs) re-times near the min; a real regression re-times
+    // near the median. The fourth number rides in the noisy entry
+    // ([min, med, max, retime]) and in BENCH_DETAIL's `retimed` map, so
+    // the artifact settles noise-vs-regression by itself — three straight
+    // rounds of judges hand-re-timing recorded spikes is the cost this
+    // ends. Under the time budget, retimes stop once the clock runs dry
+    // (an absent entry — distinguishable from the failed-run -1 sentinel).
+    val (mandatoryAll, picked) = spikePick()
     val priorFlagged = results.collect { case (k, ts)
       if prior.get(short(k)).exists(p =>
         priorFlag(ts.min, p) || priorMedianFlag(med(ts), p)) => k }
-    val mandatoryAll = (mandatory ++ priorFlagged).distinct
-    // PHANTOM SELF-ADJUDICATION: every mandatory spike (median > 2x min —
-    // the ones that distort total_median — plus the prior-flagged set) is
-    // re-run ONCE here, warm, at the
-    // end of the session, minutes after its recorded triple. A phantom
-    // (co-tenant burst during the recorded runs) re-times near the min; a
-    // real regression re-times near the median. The fourth number rides in
-    // the noisy entry ([min, med, max, retime]) and in BENCH_DETAIL's
-    // `retimed` map, so the artifact settles noise-vs-regression by itself
-    // — three straight rounds of judges hand-re-timing recorded spikes is
-    // the cost this ends.
-    val retimed: Map[String, Double] = mandatoryAll.map { k =>
-      val fn = SparkEntry.queries(k)
-      val t0 = System.nanoTime()
-      // a FAILED re-run records the -1 sentinel, never its elapsed time —
-      // a fast failure must not read as "re-timed near the min = phantom"
-      val t = try { fn(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-      k -> t
+    val retimed: Map[String, Double] = mandatoryAll.flatMap { k =>
+      if (budgetActive && remainingSec < 10) None
+      else Some {
+        val fn = SparkEntry.queries(k)
+        val t0 = System.nanoTime()
+        // a FAILED re-run records the -1 sentinel, never its elapsed time —
+        // a fast failure must not read as "re-timed near the min = phantom"
+        val t = try { fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        k -> t
+      }
     }.toMap
-    val byDelta = cand.sortBy(-_._3).map(_._1)
-    val byRatio = cand.sortBy(-_._2).map(_._1)
-    val picked = (mandatoryAll ++ byDelta.take(3) ++ byRatio.take(3) ++ byDelta)
-      .distinct.take(math.max(6, math.min(mandatoryAll.size, 12)))
-    // prior-flagged queries may have a FLAT triple (burst covered every
-    // pass), so render noisy from the full results map, not the spike
-    // candidate list
-    val noisy = picked
-      .map { k => val ts = resultsByName(k)
-        val tail = retimed.get(k).map("," + f2(_)).getOrElse("")
-        "\"" + short(k) + "\":[" + f2(ts.min) + "," + f2(med(ts)) + "," + f2(ts.max) + tail + "]" }
-      .mkString("{", ",", "}")
+    val noisy = noisyJsonOf(picked, retimed)
     // the complete per-run matrix, for anything the size-capped line omits
     val detail = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
@@ -810,17 +1057,25 @@ object Bench {
     // medians: a valid retime below the median wins (phantom must not
     // poison next round's guard); a real regression re-times near its
     // median, so the prior adopts the new cost and stops flagging it
+    // Tiered sessions leave gate queries with a SINGLE sample — a worse
+    // reference than the full-matrix median already in the prior — so a
+    // 1-sample query RETAINS its existing prior entry (the builder's
+    // full sessions refresh it); queries with >= 2 samples (and queries
+    // with no prior at all) write their adjudicated session value.
     val priorMedians = results.map { case (k, tsv) =>
-      "\"" + short(k) + "\":" + f3(adjudicatedMedian(med(tsv), retimed.get(k)))
+      val fresh = adjudicatedMedian(med(tsv), retimed.get(k))
+      val v = if (tsv.length >= 2) fresh else prior.getOrElse(short(k), fresh)
+      "\"" + short(k) + "\":" + f3(v)
     }.mkString("{", ",", "}")
     // scale10 prior section: this session's adjudicated t10s (sentinels
     // excluded — a failed run must not become a ~0 reference that
-    // mass-flags the next session). A skipped or crashed scale10 block
-    // PRESERVES the existing prior entries instead of blanking the guard.
+    // mass-flags the next session), MERGED over the existing entries — a
+    // subset session must not blank the full-matrix guard for the queries
+    // it didn't run, and a skipped or crashed block preserves everything.
     val s10ForPrior: Seq[(String, Double)] = {
       val fresh = scale10.collect { case (n, _, t10)
         if n != "scale10_failed" && t10 > 0 => n.takeWhile(_ != '_') -> t10 }
-      if (fresh.nonEmpty) fresh else prior10.toSeq.sortBy(_._1)
+      (prior10 ++ fresh).toSeq.sortBy(_._1)
     }
     val priorOut = s10ForPrior.map { case (k, t) => "\"" + k + "\":" + f3(t) }
       .mkString(s"""{"sf":"$sfDir","medians":$priorMedians,"scale10":{""", ",", "}}")
@@ -828,12 +1083,15 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
         (priorOut + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
-    // line carries the numbers only; the note rides in BENCH_DETAIL (the
-    // consumer truncates the line HEAD, so every byte here costs headline
-    // headroom)
-    val v4Line =
-      s"""{"adv_deb1x":${f2(v4AdvD1)},"adv_deb10x":${f2(v4AdvD10)},"frame_deb1x":${f2(v4FrameD1)},"frame_deb10x":${f2(v4FrameD10)},"build_deb1x":${f2(v4BuildD1)},"build_deb10x":${f2(v4BuildD10)}}"""
-    println(s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","queries":$qs,"ann_index":$annJson,"v4_cycle":$v4Line,"scale10":$scale10Line,"rel_ms_per_series":${f3(relMs)},"rel_series":$relSeries,"noisy":$noisy,"total_max":${f3(totalMax)},"total_min":${f3(totalMin)},"value":${f3(totalMed)}}""")
+    // FINAL emission: retimes + prior flags now exist, so publish them and
+    // print the compact line one last time — the LAST stdout line is the
+    // one the driver's 2 KB tail parses, and BENCH_SUMMARY.json carries
+    // everything the line can't fit (suppress logging first so no late
+    // executor-shutdown WARN lands after it)
+    emRetimed = retimed
+    emPriorFlagged = priorFlagged
+    spark.sparkContext.setLogLevel("ERROR")
+    emit()
     spark.stop()
   }
 }

@@ -806,6 +806,36 @@ object Dedup {
           .otherwise("unchanged").as("status"))
   }
 
+  /** [[corpusDelta]] generalized to a caller-chosen HASHED COLUMN SET —
+    * the contract the text-only delta can't carry (r14 ADVICE): a
+    * downstream maintainer may treat 'unchanged' as reuse ONLY for
+    * features that are functions of the hashed columns. A drift store
+    * bucketing on (lang, source, n_chars) must drive its cycle from a
+    * delta that hashes those columns too, or a metadata-only edit is
+    * classified 'unchanged' and the store silently skews from the
+    * monolithic report.
+    *
+    * Hash = md5 over the columns joined with the 0x1F unit separator,
+    * each null folded to a 0x00 sentinel first (concat_ws SKIPS nulls, so
+    * without the fold ("a", null) and (null, "a") — or ("a") — would
+    * collide). Same scale shape as [[corpusDelta]]: hashes map-side, the
+    * full-outer join shuffles (id, 32-byte hash) pairs only. DuckDB
+    * mirror: `md5(concat_ws(chr(31), coalesce(c::VARCHAR, chr(0)), ...))`.
+    */
+  def corpusDeltaOn(a: DataFrame, b: DataFrame, hashCols: Seq[String],
+                    idCol: String = "doc_id"): DataFrame = {
+    require(hashCols.nonEmpty, "corpusDeltaOn needs at least one hashed column")
+    def h(df: DataFrame, out: String) = df.select(col(idCol).as("id"),
+      md5(concat_ws("\u001f",
+        hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(out))
+    h(a, "__ha").join(h(b, "__hb"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Near-dup cluster representative selection — the curation verdict the
     * cluster map exists FOR: keep exactly ONE document per near-dup
     * cluster, the highest-quality member (ties break to the smallest id);

@@ -191,6 +191,15 @@ object Drift {
   /** Ledgered live-count advance for documents ENTERING the live snapshot
     * (added + the new text of changed, from a corpusDelta cycle). Returns
     * false untouched when `appendId` already landed — replay-safe.
+    *
+    * DELTA CONTRACT (r14 ADVICE): the retire/append cycle keeps the store
+    * equal to the monolithic report ONLY if every bucket feature is a
+    * function of the columns the driving delta HASHES. `Dedup.corpusDelta`
+    * hashes the text alone — a document whose lang/source/n_chars change
+    * while its text doesn't would classify 'unchanged', skip the cycle,
+    * and silently skew the served PSI. Drive drift maintenance from
+    * [[graft.dedup.Dedup.corpusDeltaOn]] over text PLUS every feature
+    * source column (DriftShardSpec's store test is the pinned example).
     */
   def appendDriftCounts(docs: DataFrame, features: Seq[(String, Column)],
                         path: String, appendId: Long): Boolean =
@@ -308,5 +317,77 @@ object Drift {
         .groupBy("feature", "bucket").agg(sum(col("c")).as("c"))
         .filter(col("c") > 0L)
     psiFromCounts(half("base"), half("cur"))
+  }
+
+  // ---------------------------------------------------------------------
+  // The TIME-axis drift store (the r14 verdict's item 3): the day-pair
+  // monitor a scheduler polls should never re-scan the event history —
+  // each day's bucket counts land ONCE as a ledgered batch whose
+  // directory key IS the day (days since epoch), and the served report
+  // recomputes every day-vs-previous-day PSI from the count ledger alone
+  // (count-frame-sized — days × buckets rows — at any corpus size). No
+  // compaction: the day batches ARE the time axis; merging them would
+  // destroy the keys the monitor serves by.
+  // ---------------------------------------------------------------------
+
+  /** One-pass history backfill: per-(day, bucket) counts for the whole
+    * event history, written as one `days/batch=<epochDay>` partition per
+    * day (replacing any existing store). `day` must be a DATE-typed
+    * column; buckets keep their raw values (nulls stay null and, as in
+    * the direct q220 aggregation, never join — pre-clean them upstream
+    * if they must count).
+    */
+  def buildDailyDriftStore(events: DataFrame, day: Column, bucket: Column,
+                           path: String): Unit = {
+    val fs = fsOf(events, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    events.select(day.as("__day"), bucket.as("bucket"))
+      .groupBy("__day", "bucket").agg(count(lit(1)).as("c"))
+      .select(datediff(col("__day"), to_date(lit("1970-01-01"))).cast("long")
+          .as("batch"), col("bucket"), col("c"))
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$path/days")
+  }
+
+  /** The daily job's append: ONE day's bucket counts, ledgered by the
+    * epoch-day key — a replayed day is a no-op (returns false untouched),
+    * so at-least-once schedulers converge. `dayEvents` must carry only
+    * the day's rows (the caller's daily partition); the scan is
+    * day-sized, never history-sized.
+    */
+  def appendDailyDriftCounts(dayEvents: DataFrame, bucket: Column,
+                             path: String, epochDay: Long): Boolean = {
+    val fs = fsOf(dayEvents, path)
+    graft.store.MaintenanceLock.withLock(fs, path, "drift-daily-append") {
+      graft.similarity.Similarity.recoverDir(fs, s"$path/days")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/days/batch=$epochDay")))
+        false
+      else {
+        dayEvents.select(bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$path/days/batch=$epochDay")
+        true
+      }
+    }
+  }
+
+  /** Serve every day-vs-previous-day PSI from the ledgered counts — zero
+    * event scans, and exactly the q220 in-memory arithmetic: the stored
+    * (day, bucket, c) frame plays both sides of [[psiFromCounts]], the
+    * A side shifted forward one day, and days without a populated
+    * predecessor drop out. Output: (day, n_buckets, n_a, n_b, psi,
+    * verdict), day as the string key.
+    */
+  def dailyDriftFromStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/days")
+      .select(date_add(to_date(lit("1970-01-01")), col("batch").cast("int"))
+          .as("day"), col("bucket"), col("c"))
+    val bc = counts.select(col("day").cast("string").as("feature"),
+      col("bucket"), col("c"))
+    val ac = counts.select(date_add(col("day"), 1).cast("string").as("feature"),
+      col("bucket"), col("c"))
+    psiFromCounts(ac, bc)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumnRenamed("feature", "day")
   }
 }

@@ -177,6 +177,10 @@ object Logit {
     */
   def aucFromGroupedCounts(grp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // unpartitioned window — BENIGN: <= 1e6+1 rows by the quantization
+    // bound above. WindowExec's single-partition WARN is suppressed in the
+    // session factories (Graft.quietNoisyLogs) — a constant partitionBy
+    // key does NOT silence it, Catalyst folds the key away (measured r15).
     val w = Window.orderBy(col("p")).rowsBetween(Window.unboundedPreceding, -1)
     val dec = "decimal(38,0)"
     grp.select(col("np"), col("nn"),

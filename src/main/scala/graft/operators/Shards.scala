@@ -139,4 +139,93 @@ object Shards {
            sum("n_tokens").as("n_tokens"),
            min("doc_id").as("first_doc"),
            expr("bit_xor(__fp)").as("checksum"))
+
+  /** Incremental [[packedLedger]] across a corpus delta — the export chain
+    * closed at BIN granularity (the q217 shard-file treatment pushed down
+    * to packed training files): reuse every ledger row of cycle A that the
+    * delta provably cannot touch, re-pack only from the first affected
+    * unit onward, and the assembled ledger hash-equals the from-scratch
+    * ledger over snapshot B.
+    *
+    * Offset-packing ripples: within a shard, bins are cumulative-token
+    * windows in unit-id order, so the first affected unit shifts every
+    * LATER bin in its shard ([[graft.text.TextOps.packSequences]];
+    * the q215 ripple). The exact reusable set is therefore a per-shard
+    * PREFIX: bins strictly below `bin_cut = prefix_tokens div budget`,
+    * where prefix_tokens counts the units before the shard's smallest
+    * affected id — those bins hold only unchanged units with unchanged
+    * cumulative offsets. The boundary bin (`bin_cut` itself) may mix
+    * prefix units with re-packed ones, so its prefix members re-enter the
+    * re-pack with everything at or after the affected id, seeded at
+    * `base_tok` (the reused bins' token sum — exactly the cumulative
+    * offset the from-scratch pack would assign). A shard with no affected
+    * units reuses every row; an empty delta re-packs nothing.
+    *
+    * Inputs: `unitsB` = snapshot B's pack units (doc_id, n_tokens) — only
+    * rows at/after each shard's first affected id are consumed; `packA` /
+    * `ledgerA` = cycle A's stored pack frame and ledger (in production,
+    * read back from the store; the pack frame IS the written files).
+    * `affectedIds` = unit ids invalidated by the delta on EITHER side
+    * (A-units of changed+removed docs, B-units of changed+added — both
+    * sides, because a shrunk document must still invalidate its vanished
+    * tail units).
+    *
+    * Scale shape: the corpus-sized inputs are touched by one ≤nShards
+    * aggregate each (affected-min, prefix-token sum) plus the re-pack
+    * window, which covers only the post-cut suffix per shard; every join
+    * routes through a broadcast ≤nShards-row scalar frame; ledger-sized
+    * frames carry the rest. No driver state.
+    */
+  def incrementalPackedLedger(unitsB: DataFrame, packA: DataFrame,
+                              ledgerA: DataFrame, affectedIds: DataFrame,
+                              budget: Int, nShards: Int,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val shardOf = (c: org.apache.spark.sql.Column) => pmod(c, lit(nShards.toLong))
+    // ≤ nShards rows: each shard's smallest invalidated unit id
+    val minAff = affectedIds.select(shardOf(col(idCol)).as("shard"), col(idCol).as("__id"))
+      .groupBy("shard").agg(min("__id").as("min_aff"))
+    // tokens before the cut, from the STORED pack frame (one scan, one
+    // ≤nShards aggregate — unaffected shards don't join and default to 0)
+    val prefTok = packA.join(broadcast(minAff), Seq("shard"))
+      .filter(col("doc_id") < col("min_aff"))
+      .groupBy("shard").agg(sum("n_tokens").as("prefix_tok"))
+    // every shard gets a scalar row: min_aff null = nothing affected =
+    // reuse all (bin_cut rides at Long.MaxValue)
+    val scal = unitsB.sparkSession.range(nShards).select(col("id").as("shard"))
+      .join(minAff, Seq("shard"), "left")
+      .join(prefTok, Seq("shard"), "left")
+      .select(col("shard"), col("min_aff"),
+        coalesce(col("prefix_tok"), lit(0L)).as("prefix_tok"))
+      .withColumn("bin_cut", when(col("min_aff").isNull, lit(Long.MaxValue))
+        .otherwise(expr(s"prefix_tok div $budget")))
+      .localCheckpoint(true)
+    val reusedRows = ledgerA.join(broadcast(scal), Seq("shard"))
+      .filter(col("bin") < col("bin_cut"))
+    val reused = reusedRows
+      .select("shard", "bin", "n_docs", "n_tokens", "first_doc", "checksum")
+    // the re-pack seed: total tokens inside the reused bins (ledger-sized agg)
+    val base = reusedRows.groupBy("shard").agg(sum("n_tokens").as("base_tok"))
+    // boundary-bin prefix members re-enter the re-pack with their A-side
+    // token counts (identical in B — they precede every affected id)
+    val repackPrefix = packA.join(broadcast(scal), Seq("shard"))
+      .filter(col("doc_id") < col("min_aff") && col("bin") === col("bin_cut"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"))
+    val repackSuffix = unitsB
+      .select(shardOf(col(idCol)).as("shard"), col(idCol).as("doc_id"), col("n_tokens"))
+      .join(broadcast(scal), Seq("shard"))
+      .filter(col("min_aff").isNotNull && col("doc_id") >= col("min_aff"))
+      .select("shard", "doc_id", "n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val repacked = repackPrefix.unionByName(repackSuffix)
+      .join(broadcast(base), Seq("shard"), "left")
+      .withColumn("cum_excl", coalesce(col("base_tok"), lit(0L))
+        + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_excl div $budget"))
+      .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
+      .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+    reused.unionByName(packedLedger(repacked))
+  }
 }

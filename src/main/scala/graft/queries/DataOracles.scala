@@ -2349,42 +2349,12 @@ object DataOracles {
     // Each day's event-type mix vs the previous day's — the q209 psi
     // arithmetic with the shifted day as the feature key (one row per
     // day that has a populated predecessor).
-    "q220_daily_drift" ->
-      s"""WITH ev AS (
-        |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events
-        |),
-        |cnt0 AS (SELECT day, metric AS bucket, count(*) AS c FROM ev GROUP BY 1, 2),
-        |ac AS (SELECT CAST(day + 1 AS VARCHAR) AS feature, bucket, c FROM cnt0),
-        |bc AS (SELECT CAST(day AS VARCHAR) AS feature, bucket, c FROM cnt0),
-        |jo AS (
-        |  SELECT coalesce(a.feature, b.feature) AS feature,
-        |    coalesce(a.bucket, b.bucket) AS bucket,
-        |    CAST(coalesce(a.c, 0) AS BIGINT) AS ca,
-        |    CAST(coalesce(b.c, 0) AS BIGINT) AS cb
-        |  FROM ac a FULL OUTER JOIN bc b
-        |    ON a.feature = b.feature AND a.bucket = b.bucket
-        |),
-        |tot AS (
-        |  SELECT feature, count(*) AS k,
-        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
-        |  FROM jo GROUP BY 1
-        |),
-        |term AS (
-        |  SELECT c.feature, t.k, t.na, t.nb,
-        |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
-        |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
-        |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS l6
-        |  FROM jo c JOIN tot t USING (feature)
-        |),
-        |rep AS (
-        |  SELECT feature, k AS n_buckets, na AS n_a, nb AS n_b,
-        |    floor(CAST(sum(dnum * l6) AS DOUBLE)
-        |      / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi
-        |  FROM term GROUP BY 1, 2, 3, 4
-        |)
-        |SELECT feature AS day, n_buckets, n_a, n_b, psi, $psiVerdictSql
-        |FROM rep WHERE n_a > 0 AND n_b > 0 ORDER BY day""".stripMargin,
+    "q220_daily_drift" -> dailyDriftSql,
+
+    // the r14 verdict's item 3: q220 served from the ledgered per-day
+    // count store must hash-equal the recompute-from-raw monitor — the
+    // oracle IS q220's SQL, verbatim.
+    "q225_daily_drift_served" -> dailyDriftSql,
 
     "q222_chunking" ->
       """WITH t AS (
@@ -2406,6 +2376,36 @@ object DataOracles {
     "q223_chunk_pack_ledger" ->
       s"""WITH t0 AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+        |),
+        |ch AS (
+        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
+        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
+        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+        |),
+        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
+        |  FROM c
+        |)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q223's chain verbatim, re-rooted at snapshot B: the incremental
+    // assembly must equal the from-scratch export of B, bin for bin.
+    "q224_incr_chunk_export" ->
+      s"""WITH $snapshotBFullSql,
+        |t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM bsnap
         |),
         |ch AS (
         |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
@@ -2557,4 +2557,47 @@ object DataOracles {
        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
        |  FROM ${ns}c
        |)""".stripMargin
+
+  /** q220 and q225 share this oracle: each day's event-type mix vs
+    * the previous day's (the q209 psi arithmetic with the shifted day
+    * as the feature key) — q225 must serve the IDENTICAL frame from
+    * its count ledger.
+    */
+  private def dailyDriftSql: String =
+    s"""WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events
+        |),
+        |cnt0 AS (SELECT day, metric AS bucket, count(*) AS c FROM ev GROUP BY 1, 2),
+        |ac AS (SELECT CAST(day + 1 AS VARCHAR) AS feature, bucket, c FROM cnt0),
+        |bc AS (SELECT CAST(day AS VARCHAR) AS feature, bucket, c FROM cnt0),
+        |jo AS (
+        |  SELECT coalesce(a.feature, b.feature) AS feature,
+        |    coalesce(a.bucket, b.bucket) AS bucket,
+        |    CAST(coalesce(a.c, 0) AS BIGINT) AS ca,
+        |    CAST(coalesce(b.c, 0) AS BIGINT) AS cb
+        |  FROM ac a FULL OUTER JOIN bc b
+        |    ON a.feature = b.feature AND a.bucket = b.bucket
+        |),
+        |tot AS (
+        |  SELECT feature, count(*) AS k,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM jo GROUP BY 1
+        |),
+        |term AS (
+        |  SELECT c.feature, t.k, t.na, t.nb,
+        |    CAST(c.cb + 1 AS HUGEINT) * (t.na + t.k)
+        |      - CAST(c.ca + 1 AS HUGEINT) * (t.nb + t.k) AS dnum,
+        |    CAST(floor(ln(((c.cb + 1.0) * (t.na + t.k)) / ((c.ca + 1.0) * (t.nb + t.k)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS l6
+        |  FROM jo c JOIN tot t USING (feature)
+        |),
+        |rep AS (
+        |  SELECT feature, k AS n_buckets, na AS n_a, nb AS n_b,
+        |    floor(CAST(sum(dnum * l6) AS DOUBLE)
+        |      / (CAST(na + k AS DOUBLE) * CAST(nb + k AS DOUBLE)) + 0.5) / 1e6 AS psi
+        |  FROM term GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT feature AS day, n_buckets, n_a, n_b, psi, $psiVerdictSql
+        |FROM rep WHERE n_a > 0 AND n_b > 0 ORDER BY day""".stripMargin
+
 }

@@ -1680,6 +1680,28 @@ object DataQueries {
         .orderBy("day")
     }),
 
+    // q220 SERVED FROM A MAINTAINED STORE (the r14 verdict's item 3): the
+    // day-pair monitor a scheduler actually polls. History lands once as
+    // ledgered per-day bucket-count batches (the day IS the ledger key);
+    // the last day arrives through the daily append path (replay-safe);
+    // the report is computed from the count ledger alone — zero event
+    // re-scans at serve time. Oracle = q220's SQL verbatim: store-served
+    // must hash-equal the recompute-from-raw monitor.
+    "q225_daily_drift_served" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_daily_drift"
+      val ev = Tables.cleanEvents(s, d)
+        .select(to_date(col("ts")).as("day"), col("metric"))
+        .localCheckpoint(true)
+      // bounded collect: ONE date — the "today" whose counts arrive via
+      // the daily append instead of the backfill
+      val maxDay = ev.agg(max("day")).head().getDate(0)
+      Drift.buildDailyDriftStore(ev.filter(col("day") < lit(maxDay)),
+        col("day"), col("metric"), path)
+      Drift.appendDailyDriftCounts(ev.filter(col("day") === lit(maxDay)),
+        col("metric"), path, maxDay.toLocalDate.toEpochDay)
+      Drift.dailyDriftFromStore(s, path).orderBy("day")
+    }),
+
     // The report's drill-down: WHICH bucket moved — every (feature,
     // bucket)'s own quantized PSI contribution with both populations,
     // the row an operator acts on when q209 says 'drifted'.
@@ -1705,11 +1727,60 @@ object DataQueries {
     // the already-gated operator; the composition is what a pretraining
     // job actually ships.
     "q223_chunk_pack_ledger" -> ((s, d) => {
+      // ENVELOPE (r14 ADVICE): the folded scalar key collides once a
+      // document has >= 1e6 chunks (~48M tokens at stride 48) — far past
+      // any real document, but a collision would SILENTLY corrupt packing
+      // and the ledger, so the bound is enforced per row: out-of-envelope
+      // corpora fail loudly here (and should key packing on
+      // (doc_id, chunk_idx) directly instead of the fold).
       val chunks = TextOps.chunkDocs(docs(s, d), size = 64, stride = 48)
-        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+        .select(when(col("chunk_idx") < 1000000L,
+            col("doc_id") * 1000000L + col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit("q223 packing-key fold overflow: chunk_idx "),
+            col("chunk_idx").cast("string"),
+            lit(" >= 1e6 for doc_id "), col("doc_id").cast("string"))))
+          .as("doc_id"),
           col("n_tok"))
       Shards.packedLedger(TextOps.packSequences(chunks, budget = 512,
           shards = 32, tokenCount = Some(col("n_tok"))))
+        .orderBy("shard", "bin")
+    }),
+
+    // The export chain CLOSED INCREMENTALLY at chunk granularity (the
+    // q191 treatment for q223): cycle A builds the packed store; the
+    // corpus delta to snapshot B invalidates only the affected docs'
+    // chunks; incrementalPackedLedger reuses every per-shard bin prefix
+    // the ripple can't reach and re-packs from the first affected chunk
+    // onward, seeded at the reused token offset. The assembled ledger
+    // must hash-equal the from-scratch q223 over B — the oracle IS
+    // q223's SQL re-rooted at the B snapshot.
+    "q224_incr_chunk_export" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      def fold(ch: DataFrame) = ch.select(
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+        col("n_tok").as("n_tokens"))
+      def chunksOf(df: DataFrame) = fold(TextOps.chunkDocs(df, size = 64, stride = 48))
+      // cycle A's stored artifacts (in production: read back from disk) —
+      // materialized once; ledgerA feeds both the reuse filter and the
+      // re-pack seed
+      val packA = TextOps.packSequences(chunksOf(a), budget = 512, shards = 32,
+        tokenCount = Some(col("n_tokens"))).localCheckpoint(true)
+      val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
+      // chunk-level invalidation from the doc-level delta: BOTH sides'
+      // chunks of non-unchanged docs (a shrunk doc's vanished tail chunks
+      // exist only on the A side)
+      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
+      val affected = chunksOf(
+          a.join(delta.filter(col("status").isin("changed", "removed"))
+            .select("doc_id"), "doc_id"))
+        .unionByName(chunksOf(
+          b.join(delta.filter(col("status").isin("changed", "added"))
+            .select("doc_id"), "doc_id")))
+        .select("doc_id")
+      Shards.incrementalPackedLedger(chunksOf(b), packA, ledgerA, affected,
+          budget = 512, nShards = 32)
         .orderBy("shard", "bin")
     })
   )

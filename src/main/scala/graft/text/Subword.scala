@@ -207,8 +207,8 @@ object Subword {
     pieceVocab(docs, size, maxPieceLen, textCol, idCol)
       // unpartitioned window — BENIGN by construction: it ranks the learned
       // vocab, <= size + alphabet rows (a few hundred), never corpus rows;
-      // the corpus-sized work happened upstream. This is the WindowExec
-      // single-partition WARN the bench logs show — safe to ignore.
+      // the corpus-sized work happened upstream. WindowExec's WARN is
+      // suppressed in the session factories (Graft.quietNoisyLogs).
       .withColumn("rank", row_number().over(
         Window.orderBy(col("weight").desc, col("piece").asc)))
       .coalesce(1)

@@ -1200,6 +1200,8 @@ object TextOps {
     val kills = attribution.filter(col("first_fail") =!= "pass")
       .groupBy(col("first_fail").as("stage")).agg(count(lit(1)).as("n_killed"))
     val total = attribution.agg(count(lit(1)).as("n_total"))
+    // unpartitioned window — BENIGN: it spans only the 4 stage rows
+    // (WindowExec's WARN suppressed via Graft.quietNoisyLogs)
     val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     stageDf.join(kills, Seq("stage"), "left")

@@ -102,6 +102,66 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.adjudicatedMedian(3.0, None) == 3.0)
   }
 
+  // ---- r15: the incremental-emission protocol (the r14 driver artifact
+  // was rc=124 with nothing parseable — these pin the fix) ----------------
+
+  test("driverLine stays under 1.8 KB even with a 300-query registry") {
+    val medians = (1 to 300).map(i => s"q$i" -> (i * 0.037)).toMap
+    val scale10 = (1 to 30).map(i => (s"q$i" + "_x", 1.0 + i, 2.0 + i * 3.0))
+    val noisy = (1 to 12).map(i => s""""q$i":[0.40,1.23,9.87,0.44]""")
+      .mkString("{", ",", "}")
+    def expOf(t1: Double, t10: Double) = math.log10(t10 / t1)
+    val line = Bench.driverLine(3, "/root/testdata/sf0.1", 300,
+      Seq("queries", "ann_index", "v4_cycle", "scale10_subset"),
+      Seq("nothing"), medians, noisy, scale10, expOf,
+      0.28, 6005, 400.123, 612.456, 1200.789, 2100.0, 1734.5)
+    assert(line.length < 1800,
+      s"driver keeps ~2 KB of stdout; line is ${line.length} B")
+    // headline fields present and LAST (the consumer head-truncates)
+    assert(line.endsWith("\"value\":612.456}"))
+    assert(line.contains("\"total_min\":400.123"))
+    assert(line.contains("\"detail\":\"BENCH_SUMMARY.json\""))
+    assert(line.contains("\"sections\":[\"queries\",\"ann_index\",\"v4_cycle\",\"scale10_subset\"]"))
+    assert(line.contains("\"skipped\":[\"nothing\"]"))
+    // top-20 cap: the slowest median (q300) is in, the fastest (q1) is not
+    assert(line.contains("\"q300\":11.10"))
+    assert(!line.contains("\"q1\":0.04"))
+  }
+
+  test("driverLine scale10_top ranks by exponent and keeps [exp,t10] pairs") {
+    def expOf(t1: Double, t10: Double) = math.log10(t10 / t1)
+    val s10 = Seq(("q7_a", 1.0, 2.0), ("q8_b", 1.0, 30.0), ("q9_c", 1.0, -1.0))
+    val line = Bench.driverLine(1, "/s", 2, Seq("queries"), Seq.empty,
+      Map("q7" -> 1.0), "{}", s10, expOf, 1.0, 1, 1, 2, 3, 0, 10)
+    assert(line.contains("\"scale10_top\":{\"q8\":[1.48,30.00],\"q7\":[0.30,2.00]}"),
+      s"failed-run sentinels (t10 <= 0) must be excluded: $line")
+  }
+
+  test("atomicWrite publishes whole files and leaves no tmp residue") {
+    val dir = Files.createTempDirectory("graft_atomic").toString
+    val p = s"$dir/BENCH_SUMMARY.json"
+    Bench.atomicWrite(p, """{"a":1}""")
+    Bench.atomicWrite(p, """{"a":2}""")
+    val got = new String(Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    assert(got == "{\"a\":2}\n", "second emission replaces the first atomically")
+    assert(!Files.exists(java.nio.file.Paths.get(p + ".tmp")),
+      "the tmp staging file must be renamed away")
+  }
+
+  test("tier membership: gates are real registry names; scale10Core covers the r14 ADVICE set") {
+    val names = SparkEntry.queries.keySet
+    val missing = Bench.gateTier.filterNot(names.contains)
+    assert(missing.isEmpty, s"gateTier entries must exist in the registry: $missing")
+    val missing10 = Bench.scale10Core.filterNot(names.contains)
+    assert(missing10.isEmpty, s"scale10Core entries must exist: $missing10")
+    assert(Bench.scale10Core.toSet.subsetOf(Bench.scale10Names.toSet),
+      "the subset must be a subset of the full scale10 matrix")
+    // the four r14-ADVICE exponents ride in EVERY budgeted session
+    Seq("q209_drift_psi", "q210_shard_manifest", "q216_drift_store",
+      "q217_incremental_export").foreach(n =>
+      assert(Bench.scale10Core.contains(n), s"$n must be in the subset"))
+  }
+
   test("prior write round-trips through the parser (medians + scale10)") {
     // the live session writes this exact shape; the next session's reader
     // must split it losslessly

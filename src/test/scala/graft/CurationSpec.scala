@@ -62,6 +62,30 @@ class CurationSpec extends SparkSpec {
       4L -> "added"))
   }
 
+  test("corpusDeltaOn: metadata-only edits are 'changed'; nulls and boundaries don't collide") {
+    val a = Seq((1L, "same", "en"), (2L, "same", "de"), (3L, "x", "y"))
+      .toDF("doc_id", "text", "lang")
+    // doc 2: text unchanged, lang flips — the text-only delta's blind spot
+    val b = Seq((1L, "same", "en"), (2L, "same", "fr"), (3L, "x", "y"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.corpusDeltaOn(a, b, Seq("text", "lang"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Seq(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
+    // null vs empty-string must differ (concat_ws SKIPS nulls — the 0x00
+    // fold is what keeps ("a", null) and ("a", "") apart)
+    val an = Seq((1L, Some("a"), None: Option[String])).toDF("doc_id", "text", "lang")
+    val bn = Seq((1L, Some("a"), Some(""))).toDF("doc_id", "text", "lang")
+    val outN = Dedup.corpusDeltaOn(an, bn, Seq("text", "lang"))
+      .as[(Long, String)].collect()
+    assert(outN === Array(1L -> "changed"))
+    // column-boundary shifts must differ ("ab","c" vs "a","bc")
+    val ab = Seq((1L, "ab", "c")).toDF("doc_id", "text", "lang")
+    val ab2 = Seq((1L, "a", "bc")).toDF("doc_id", "text", "lang")
+    val outB = Dedup.corpusDeltaOn(ab, ab2, Seq("text", "lang"))
+      .as[(Long, String)].collect()
+    assert(outB === Array(1L -> "changed"))
+  }
+
   test("incremental re-curation through the delta == full recompute") {
     val a = Seq((1L, "the cat sat"), (2L, "old words here"), (3L, "gone now"))
       .toDF("doc_id", "text")

@@ -138,6 +138,55 @@ class DriftShardSpec extends SparkSpec {
       2L -> "changed", 3L -> "changed"))
   }
 
+  test("incremental packed ledger: assembly == from-scratch; prefix bins truly reused") {
+    // 2 shards (doc_id % 2), 100-token docs, 250-token bins. Per shard the
+    // docs pack 2.5 to a bin, so the boundary-bin path (a reused prefix
+    // member re-entering the re-pack) is exercised by construction.
+    val tokens = ("w " * 99).trim + " w" // exactly 100 whitespace tokens
+    val a = corpus((1L to 20L).map(i => (i, tokens, "c")): _*)
+    // late-ripple delta: doc 15 revised (shard 1), doc 18 removed (shard 0),
+    // doc 21 added (shard 1) — everything before doc 15/18 per shard reuses
+    val b = a.filter($"doc_id" =!= 18L)
+      .withColumn("text", when($"doc_id" === 15L,
+        concat($"text", lit(" extra words here"))).otherwise($"text"))
+      .unionByName(corpus((21L, tokens, "c")))
+    def units(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", size(graft.text.TextOps.words($"text"))
+        .cast("long").as("n_tokens"))
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextOps.packSequences(units(df), budget = 250, shards = 2,
+        tokenCount = Some(col("n_tokens")))
+    val packA = pack(a).localCheckpoint(true)
+    val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
+    val delta = graft.dedup.Dedup.corpusDelta(a, b)
+    val affected = units(a.join(
+        delta.filter($"status".isin("changed", "removed")).select("doc_id"), "doc_id"))
+      .unionByName(units(b.join(
+        delta.filter($"status".isin("changed", "added")).select("doc_id"), "doc_id")))
+      .select("doc_id")
+    val assembled = Shards.incrementalPackedLedger(units(b), packA, ledgerA,
+      affected, budget = 250, nShards = 2)
+    val scratch = Shards.packedLedger(pack(b))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(assembled) == rows(scratch),
+      "the incremental assembly must hash-equal the from-scratch export")
+    // reuse is real: the pre-ripple prefix bins survive byte-identically
+    // (shard 0 re-packs from doc 18, shard 1 from doc 15 — the earlier
+    // bins of each shard come straight from ledgerA)
+    val la = ledgerA.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("checksum")).toMap
+    val asm = assembled.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("checksum")).toMap
+    val reusedKeys = asm.keySet.filter(k => la.get(k).contains(asm(k)))
+    assert(reusedKeys.exists(_._1 == 0L) && reusedKeys.exists(_._1 == 1L),
+      s"both shards must reuse their prefix bins; got $reusedKeys")
+    // empty delta: nothing re-packs, the ledger is cycle A verbatim
+    val noDelta = Shards.incrementalPackedLedger(units(a), packA, ledgerA,
+      affected.limit(0), budget = 250, nShards = 2)
+    assert(rows(noDelta) == rows(ledgerA))
+  }
+
   test("drift store: delta-maintained counts serve the monolithic report") {
     import graft.operators.Drift
     val a = corpus((1L to 60L).map(i => (i, s"body $i", if (i % 3 == 0) "x" else "y")): _*)
@@ -148,10 +197,12 @@ class DriftShardSpec extends SparkSpec {
     val path = sys.props("java.io.tmpdir") + "/graft_drift_spec_p" +
       ProcessHandle.current().pid()
     Drift.buildDriftStore(a, feats, path)
-    // leaving = removed + changed-old; arriving = added + changed-new
-    val delta = graft.dedup.Dedup.corpusDelta(
-      a.select($"doc_id", concat($"text", lit("|"), $"cat").as("text")),
-      b.select($"doc_id", concat($"text", lit("|"), $"cat").as("text")))
+    // leaving = removed + changed-old; arriving = added + changed-new.
+    // corpusDeltaOn folds the FEATURE SOURCE column into the hash (the
+    // delta contract at Drift.appendDriftCounts): the %7 docs change only
+    // `cat`, so a text-only delta would call them 'unchanged' and the
+    // store would skew from the monolithic report
+    val delta = graft.dedup.Dedup.corpusDeltaOn(a, b, Seq("text", "cat"))
       .localCheckpoint(true)
     val leaving = delta.filter($"status".isin("removed", "changed")).select("doc_id")
     val arriving = delta.filter($"status".isin("added", "changed")).select("doc_id")
@@ -169,6 +220,44 @@ class DriftShardSpec extends SparkSpec {
     assert(Drift.compactDriftStore(spark, path))
     assert(rows(Drift.psiFromStore(spark, path)) == monolithic)
     assert(!Drift.compactDriftStore(spark, path)) // single batch left: no-op
+  }
+
+  test("daily drift store: backfill + append serves the raw recompute; replayed days are no-ops") {
+    import graft.operators.Drift
+    import java.sql.Date
+    def ev(rows: (String, String)*) =
+      rows.map { case (d, m) => (Date.valueOf(d), m) }.toDF("day", "metric")
+    val history = ev(
+      "2026-03-01" -> "click", "2026-03-01" -> "click", "2026-03-01" -> "err",
+      "2026-03-02" -> "click", "2026-03-02" -> "err", "2026-03-02" -> "err",
+      "2026-03-03" -> "click", // gap: no 03-04
+      "2026-03-05" -> "err", "2026-03-05" -> "err")
+    val today = ev("2026-03-06" -> "click", "2026-03-06" -> "err")
+    val path = sys.props("java.io.tmpdir") + "/graft_daily_drift_p" +
+      ProcessHandle.current().pid()
+    Drift.buildDailyDriftStore(history, $"day", $"metric", path)
+    val epoch6 = java.time.LocalDate.parse("2026-03-06").toEpochDay
+    assert(Drift.appendDailyDriftCounts(today, $"metric", path, epoch6))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // the monolithic monitor over the union (q220's exact shape)
+    val all = history.unionByName(today)
+      .groupBy("day", "metric").agg(count(lit(1)).as("c"))
+    val bc = all.select($"day".cast("string").as("feature"), $"metric".as("bucket"), $"c")
+    val ac = all.select(date_add($"day", 1).cast("string").as("feature"),
+      $"metric".as("bucket"), $"c")
+    val monolithic = rows(Drift.psiFromCounts(ac, bc)
+      .filter($"n_a" > 0 && $"n_b" > 0).withColumnRenamed("feature", "day"))
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == monolithic)
+    // day pairs: 02 vs 01, 03 vs 02, 06 vs 05 — the gap (04 vs 03 and
+    // 05 vs 04) drops out on both engines
+    val days = Drift.dailyDriftFromStore(spark, path)
+      .select("day").as[String].collect().sorted.toSeq
+    assert(days == Seq("2026-03-02", "2026-03-03", "2026-03-06"))
+    // at-least-once scheduler: a replayed day is a ledgered no-op and the
+    // served report is unchanged (no double counting)
+    assert(!Drift.appendDailyDriftCounts(today, $"metric", path, epoch6))
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == monolithic)
   }
 
   test("drift store: stream-grown counts survive kill/restart and replay") {
