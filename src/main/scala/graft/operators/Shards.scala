@@ -180,52 +180,89 @@ object Shards {
                               ledgerA: DataFrame, affectedIds: DataFrame,
                               budget: Int, nShards: Int,
                               idCol: String = "doc_id"): DataFrame = {
+    val (scal, repacked) =
+      incrementalPackParts(unitsB, packA, affectedIds, budget, nShards, idCol)
+    val reused = ledgerA.join(broadcast(scal), Seq("shard"))
+      .filter(col("bin") < col("bin_cut"))
+      .select("shard", "bin", "n_docs", "n_tokens", "first_doc", "checksum")
+    reused.unionByName(packedLedger(repacked))
+  }
+
+  /** The incremental PACK FRAME itself — what cycle N+1's maintenance
+    * reads: cycle A's stored rows for every bin below the cut plus the
+    * re-packed rows, together bit-equal to a from-scratch
+    * `packSequences` over snapshot B. This is how the incremental export
+    * CHAINS: q226 drives A→B→C with cycle 2's `packA` being cycle 1's
+    * assembled frame, no from-scratch rebuild in between.
+    */
+  def incrementalPackFrame(unitsB: DataFrame, packA: DataFrame,
+                           affectedIds: DataFrame, budget: Int, nShards: Int,
+                           idCol: String = "doc_id"): DataFrame = {
+    val (scal, repacked) =
+      incrementalPackParts(unitsB, packA, affectedIds, budget, nShards, idCol)
+    packA.join(broadcast(scal), Seq("shard"))
+      .filter(col("bin") < col("bin_cut"))
+      .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+      .unionByName(repacked)
+  }
+
+  /** Shared core of the incremental pack: the ≤nShards scalar frame
+    * (min affected id, prefix tokens, bin cut) and the re-packed rows
+    * (boundary-bin prefix members + everything at/after the cut, seeded
+    * at the reused token offset). See [[incrementalPackedLedger]] for the
+    * reuse-boundary argument.
+    */
+  private def incrementalPackParts(unitsB: DataFrame, packA: DataFrame,
+                                   affectedIds: DataFrame, budget: Int,
+                                   nShards: Int, idCol: String)
+      : (DataFrame, DataFrame) = {
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
     val shardOf = (c: org.apache.spark.sql.Column) => pmod(c, lit(nShards.toLong))
     // ≤ nShards rows: each shard's smallest invalidated unit id
     val minAff = affectedIds.select(shardOf(col(idCol)).as("shard"), col(idCol).as("__id"))
       .groupBy("shard").agg(min("__id").as("min_aff"))
-    // tokens before the cut, from the STORED pack frame (one scan, one
-    // ≤nShards aggregate — unaffected shards don't join and default to 0)
+    // prefix/reused token sums from the STORED pack frame (one scan, one
+    // ≤nShards aggregate — unaffected shards don't join and default to 0).
+    // base_tok (the re-pack seed) = tokens in bins BELOW the cut, i.e. the
+    // cumulative offset the from-scratch pack would hand the first
+    // re-packed unit.
     val prefTok = packA.join(broadcast(minAff), Seq("shard"))
       .filter(col("doc_id") < col("min_aff"))
       .groupBy("shard").agg(sum("n_tokens").as("prefix_tok"))
     // every shard gets a scalar row: min_aff null = nothing affected =
     // reuse all (bin_cut rides at Long.MaxValue)
-    val scal = unitsB.sparkSession.range(nShards).select(col("id").as("shard"))
+    val scal0 = unitsB.sparkSession.range(nShards).select(col("id").as("shard"))
       .join(minAff, Seq("shard"), "left")
       .join(prefTok, Seq("shard"), "left")
       .select(col("shard"), col("min_aff"),
         coalesce(col("prefix_tok"), lit(0L)).as("prefix_tok"))
       .withColumn("bin_cut", when(col("min_aff").isNull, lit(Long.MaxValue))
         .otherwise(expr(s"prefix_tok div $budget")))
-      .localCheckpoint(true)
-    val reusedRows = ledgerA.join(broadcast(scal), Seq("shard"))
+    val baseTok = packA.join(broadcast(scal0), Seq("shard"))
       .filter(col("bin") < col("bin_cut"))
-    val reused = reusedRows
-      .select("shard", "bin", "n_docs", "n_tokens", "first_doc", "checksum")
-    // the re-pack seed: total tokens inside the reused bins (ledger-sized agg)
-    val base = reusedRows.groupBy("shard").agg(sum("n_tokens").as("base_tok"))
+      .groupBy("shard").agg(sum("n_tokens").as("base_tok"))
+    val scal = scal0.join(baseTok, Seq("shard"), "left")
+      .withColumn("base_tok", coalesce(col("base_tok"), lit(0L)))
+      .localCheckpoint(true)
     // boundary-bin prefix members re-enter the re-pack with their A-side
     // token counts (identical in B — they precede every affected id)
     val repackPrefix = packA.join(broadcast(scal), Seq("shard"))
       .filter(col("doc_id") < col("min_aff") && col("bin") === col("bin_cut"))
-      .select(col("shard"), col("doc_id"), col("n_tokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("base_tok"))
     val repackSuffix = unitsB
       .select(shardOf(col(idCol)).as("shard"), col(idCol).as("doc_id"), col("n_tokens"))
       .join(broadcast(scal), Seq("shard"))
       .filter(col("min_aff").isNotNull && col("doc_id") >= col("min_aff"))
-      .select("shard", "doc_id", "n_tokens")
+      .select("shard", "doc_id", "n_tokens", "base_tok")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val repacked = repackPrefix.unionByName(repackSuffix)
-      .join(broadcast(base), Seq("shard"), "left")
-      .withColumn("cum_excl", coalesce(col("base_tok"), lit(0L))
-        + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("cum_excl",
+        col("base_tok") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_excl div $budget"))
       .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
       .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
-    reused.unionByName(packedLedger(repacked))
+    (scal, repacked)
   }
 }

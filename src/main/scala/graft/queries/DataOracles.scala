@@ -2430,6 +2430,37 @@ object DataOracles {
         |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the two-cycle chain: q223's SQL re-rooted at snapshot C — the
+    // incremental artifacts must carry across generations exactly.
+    "q226_incr_chunk_export2" ->
+      s"""WITH $snapshotBFullSql,
+        |$snapshotCFullSql,
+        |t0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM csnap
+        |),
+        |ch AS (
+        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
+        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
+        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+        |),
+        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
+        |  FROM c
+        |)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
     "q218_drift_cycle2" ->

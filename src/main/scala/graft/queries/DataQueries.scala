@@ -1758,32 +1758,64 @@ object DataQueries {
     "q224_incr_chunk_export" -> ((s, d) => {
       val a = docs(s, d)
       val b = snapshotBFull(a)
-      def fold(ch: DataFrame) = ch.select(
-        (col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
-        col("n_tok").as("n_tokens"))
-      def chunksOf(df: DataFrame) = fold(TextOps.chunkDocs(df, size = 64, stride = 48))
       // cycle A's stored artifacts (in production: read back from disk) —
-      // materialized once; ledgerA feeds both the reuse filter and the
-      // re-pack seed
-      val packA = TextOps.packSequences(chunksOf(a), budget = 512, shards = 32,
+      // materialized once; ledgerA feeds the bin-reuse half
+      val packA = TextOps.packSequences(chunkUnits(a), budget = 512, shards = 32,
         tokenCount = Some(col("n_tokens"))).localCheckpoint(true)
       val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
-      // chunk-level invalidation from the doc-level delta: BOTH sides'
-      // chunks of non-unchanged docs (a shrunk doc's vanished tail chunks
-      // exist only on the A side)
-      val delta = Dedup.corpusDelta(a, b).localCheckpoint(true)
-      val affected = chunksOf(
-          a.join(delta.filter(col("status").isin("changed", "removed"))
-            .select("doc_id"), "doc_id"))
-        .unionByName(chunksOf(
-          b.join(delta.filter(col("status").isin("changed", "added"))
-            .select("doc_id"), "doc_id")))
-        .select("doc_id")
-      Shards.incrementalPackedLedger(chunksOf(b), packA, ledgerA, affected,
-          budget = 512, nShards = 32)
+      Shards.incrementalPackedLedger(chunkUnits(b), packA, ledgerA,
+          chunkAffected(a, b), budget = 512, nShards = 32)
+        .orderBy("shard", "bin")
+    }),
+
+    // The chain CHAINS (the q196 treatment for q224): two corpus moves,
+    // A→B→C, with cycle 2 maintained ENTIRELY from cycle 1's incremental
+    // artifacts — packB is the assembled incremental pack frame (reused
+    // packA rows + re-packed rows, never a from-scratch rebuild), and the
+    // ledger rows cycle 2 reuses came through cycle 1's assembly, so a
+    // surviving bin's checksum may be two generations old. The final
+    // ledger must still hash-equal a from-scratch export of C.
+    "q226_incr_chunk_export2" -> ((s, d) => {
+      val a = docs(s, d)
+      val b = snapshotBFull(a)
+      val c = snapshotCFull(b)
+      val packA = TextOps.packSequences(chunkUnits(a), budget = 512, shards = 32,
+        tokenCount = Some(col("n_tokens"))).localCheckpoint(true)
+      val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
+      val aff1 = chunkAffected(a, b)
+      val packB = Shards.incrementalPackFrame(chunkUnits(b), packA, aff1,
+        budget = 512, nShards = 32).localCheckpoint(true)
+      val ledgerB = Shards.incrementalPackedLedger(chunkUnits(b), packA,
+        ledgerA, aff1, budget = 512, nShards = 32).localCheckpoint(true)
+      Shards.incrementalPackedLedger(chunkUnits(c), packB, ledgerB,
+          chunkAffected(b, c), budget = 512, nShards = 32)
         .orderBy("shard", "bin")
     })
   )
+
+  /** The q223/q224/q226 chunk-export unit: sliding-window chunks folded to
+    * the scalar packing key (collision-guarded in q223 itself; these
+    * derived snapshots stay far inside the 1e6-chunks-per-doc envelope).
+    */
+  private def chunkUnits(df: DataFrame): DataFrame =
+    TextOps.chunkDocs(df, size = 64, stride = 48).select(
+      (col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+      col("n_tok").as("n_tokens"))
+
+  /** Chunk-level invalidation from the doc-level corpus delta: BOTH sides'
+    * chunks of non-unchanged docs (a shrunk doc's vanished tail chunks
+    * exist only on the old side). Chunking runs over the affected docs
+    * only — delta-sized, not corpus-sized.
+    */
+  private def chunkAffected(x: DataFrame, y: DataFrame): DataFrame = {
+    val delta = Dedup.corpusDelta(x, y).localCheckpoint(true)
+    chunkUnits(x.join(delta.filter(col("status").isin("changed", "removed"))
+        .select("doc_id"), "doc_id"))
+      .unionByName(chunkUnits(y.join(
+        delta.filter(col("status").isin("changed", "added"))
+          .select("doc_id"), "doc_id")))
+      .select("doc_id")
+  }
 
   /** The q209/q212 drift feature set: the two categorical metadata axes
     * plus bucketed length and word-count profiles — re-built per call

@@ -185,6 +185,13 @@ class DriftShardSpec extends SparkSpec {
     val noDelta = Shards.incrementalPackedLedger(units(a), packA, ledgerA,
       affected.limit(0), budget = 250, nShards = 2)
     assert(rows(noDelta) == rows(ledgerA))
+    // the incremental PACK FRAME (what cycle 2 reads) is bit-equal to a
+    // from-scratch pack of B — the chaining contract q226 rests on
+    val frameB = Shards.incrementalPackFrame(units(b), packA, affected,
+      budget = 250, nShards = 2)
+    val cols = Seq("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+    assert(rows(frameB.select(cols.map(col): _*)) ==
+      rows(pack(b).select(cols.map(col): _*)))
   }
 
   test("drift store: delta-maintained counts serve the monolithic report") {

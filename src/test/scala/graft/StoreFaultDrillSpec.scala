@@ -759,4 +759,56 @@ class StoreFaultDrillSpec extends SparkSpec {
       scdDimOf(mini.filter(col("user_id") === 1)),
       "healed dim = survivors only; buckets whose keys all retired vanish")
   }
+  test("incremental export: torn between reuse and rewrite — manifest catches it, re-run converges") {
+    // the q217 path made physical (the r14 verdict's item 6): cycle A's
+    // export is on disk as one file-set per shard; the incremental job
+    // reuses unchanged shards in place and rewrites the changed/added set
+    // from B. The drill kills the job BETWEEN the halves (some rewrite
+    // shards still carry A's bytes) and also leaves one rewritten shard
+    // TORN (a row short). The manifest check — recompute from the files,
+    // diff against B's expected manifest — must flag exactly the stale +
+    // torn shards, and completing the rewrite for the flagged set must
+    // converge to a full export of B.
+    import graft.operators.Shards
+    val n = 8
+    val a = (1L to 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val b = a.filter(col("doc_id") % 13 =!= 3L)
+      .withColumn("text", when(col("doc_id") % 31 === 5L,
+        concat(col("text"), lit(" rev"))).otherwise(col("text")))
+      .unionByName(Seq((501L, "fresh doc"), (502L, "another fresh"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_export").toString
+    def routed(df: DataFrame) = df.withColumn("shard",
+      pmod(graft.dedup.Dedup.hex60(col("doc_id").cast("string")), lit(n.toLong)))
+    routed(a).write.partitionBy("shard").mode("overwrite").parquet(dir)
+    val mB = Shards.manifest(b, n).localCheckpoint(true)
+    val rewriteShards = Shards.manifestDelta(Shards.manifest(a, n), mB)
+      .filter(col("status").isin("changed", "added"))
+      .select("shard").as[Long].collect().sorted.toSeq
+    assert(rewriteShards.size >= 3, s"fixture must move several shards: $rewriteShards")
+    def writeShard(s0: Long, rows: DataFrame): Unit =
+      rows.filter(col("shard") === s0).drop("shard")
+        .write.mode("overwrite").parquet(s"$dir/shard=$s0")
+    // the job dies mid-rewrite: first rewrite shard lands complete, the
+    // second lands TORN (its max id lost), the rest never start
+    writeShard(rewriteShards.head, routed(b))
+    val torn = rewriteShards(1)
+    val tornRows = routed(b).filter(col("shard") === torn).localCheckpoint(true)
+    val lostId = tornRows.agg(max("doc_id")).head().getLong(0)
+    tornRows.filter(col("doc_id") =!= lostId).drop("shard")
+      .write.mode("overwrite").parquet(s"$dir/shard=$torn")
+    // verification = the manifest check over the files
+    def readBack() = spark.read.parquet(dir).select("doc_id", "text")
+    def badShards() = Shards.manifestDelta(mB, Shards.manifest(readBack(), n))
+      .filter(col("status") =!= "unchanged").select("shard").as[Long]
+      .collect().sorted.toSeq
+    assert(badShards() == (rewriteShards.drop(1)).sorted,
+      "the check must flag exactly the torn shard and the never-started ones")
+    // re-run: rewrite every still-flagged shard from B; the check goes
+    // quiet and the assembly IS a full export of B
+    badShards().foreach(writeShard(_, routed(b)))
+    assert(badShards().isEmpty, "second pass converges")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(readBack()) == rows(b))
+  }
 }
