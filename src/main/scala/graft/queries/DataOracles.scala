@@ -2373,93 +2373,21 @@ object DataOracles {
     // chunk (q222's CTE, md5-free) -> pack by exact chunk token counts
     // (q76's window over the synthetic chunk id) -> ledger (q214's
     // grouping with the id:bin_offset fingerprint).
-    "q223_chunk_pack_ledger" ->
-      s"""WITH t0 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
-        |),
-        |ch AS (
-        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
-        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
-        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
-        |),
-        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
-        |c AS (
-        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-        |    PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-        |  FROM t
-        |),
-        |p AS (
-        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
-        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
-        |  FROM c
-        |)
-        |SELECT shard, bin, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  min(doc_id) AS first_doc,
-        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q223_chunk_pack_ledger" -> chunkExportLedgerSql("documents"),
 
     // q223's chain verbatim, re-rooted at snapshot B: the incremental
     // assembly must equal the from-scratch export of B, bin for bin.
     "q224_incr_chunk_export" ->
-      s"""WITH $snapshotBFullSql,
-        |t0 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM bsnap
-        |),
-        |ch AS (
-        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
-        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
-        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
-        |),
-        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
-        |c AS (
-        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-        |    PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-        |  FROM t
-        |),
-        |p AS (
-        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
-        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
-        |  FROM c
-        |)
-        |SELECT shard, bin, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  min(doc_id) AS first_doc,
-        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      chunkExportLedgerSql("bsnap", s"$snapshotBFullSql,\n"),
 
     // the two-cycle chain: q223's SQL re-rooted at snapshot C — the
     // incremental artifacts must carry across generations exactly.
     "q226_incr_chunk_export2" ->
-      s"""WITH $snapshotBFullSql,
-        |$snapshotCFullSql,
-        |t0 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM csnap
-        |),
-        |ch AS (
-        |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
-        |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
-        |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
-        |),
-        |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
-        |c AS (
-        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
-        |    PARTITION BY shard ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-        |  FROM t
-        |),
-        |p AS (
-        |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
-        |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
-        |  FROM c
-        |)
-        |SELECT shard, bin, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  min(doc_id) AS first_doc,
-        |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      chunkExportLedgerSql("csnap", s"$snapshotBFullSql,\n$snapshotCFullSql,\n"),
+
+    // the streamed tail-grower must serve the IDENTICAL ledger the
+    // monolithic chain computes over everything delivered
+    "q227_packed_export_streamed" -> chunkExportLedgerSql("documents"),
 
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
@@ -2594,6 +2522,38 @@ object DataOracles {
     * as the feature key) — q225 must serve the IDENTICAL frame from
     * its count ledger.
     */
+  /** The chunk -> pack -> ledger chain (q222's chunk CTE md5-free, q76's
+    * packing window over the synthetic chunk id, q214's grouping with the
+    * id:bin_offset fingerprint), parameterized on the source snapshot:
+    * q223/q227 root it at `documents`, q224 at `bsnap`, q226 at `csnap`.
+    */
+  private def chunkExportLedgerSql(source: String, withCtes: String = ""): String =
+    s"""WITH ${withCtes}t0 AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source
+      |),
+      |ch AS (
+      |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
+      |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
+      |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+      |),
+      |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
+      |c AS (
+      |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+      |    PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+      |  FROM t
+      |),
+      |p AS (
+      |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
+      |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
+      |  FROM c
+      |)
+      |SELECT shard, bin, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_doc,
+      |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def dailyDriftSql: String =
     s"""WITH ev AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events

@@ -1790,6 +1790,38 @@ object DataQueries {
       Shards.incrementalPackedLedger(chunkUnits(c), packB, ledgerB,
           chunkAffected(b, c), budget = 512, nShards = 32)
         .orderBy("shard", "bin")
+    }),
+
+    // The export chain as a STREAMING store (the tail-grower): documents
+    // arrive in three crawl-ordered tranches through three stream
+    // sessions on one checkpoint (a restart drill by construction); each
+    // micro-batch's chunks pack onto the per-shard tails of the landed
+    // export — the stored corpus is never re-read — and the served
+    // ledger must hash-equal the monolithic q223 chain over everything
+    // delivered. Oracle = q223's SQL verbatim.
+    "q227_packed_export_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = ivfIndexPath(d) + "_packst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      // fresh run each call: the pack ledger makes replays no-ops, so a
+      // stale store would short-circuit the maintenance under test
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val dd = docs(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+      // bounded collect: two cut points — the monotone-ingest tranches
+      val maxId = dd.agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def deliver(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(s"$base/in")
+      def drain(): Unit = StreamingPipeline.packedExportStream(
+          StreamingPipeline.readDocStream(s, s"$base/in"),
+          s"$base/store", s"$base/ck", budget = 512, nShards = 32)
+        .start().awaitTermination()
+      deliver(dd.filter(col("doc_id") <= c1)); drain()
+      deliver(dd.filter(col("doc_id") > c1 && col("doc_id") <= c2)); drain()
+      deliver(dd.filter(col("doc_id") > c2)); drain()
+      StreamingPipeline.packedExportLedger(s, s"$base/store")
+        .orderBy("shard", "bin")
     })
   )
 

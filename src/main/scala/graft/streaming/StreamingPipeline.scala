@@ -1217,6 +1217,130 @@ object StreamingPipeline {
         frameAppendBatch(storePath, transform)(batch, batchId + 1)
       }
 
+  /** Streaming PACKED-EXPORT maintenance — the training-file tail-grower:
+    * documents stream in (crawl order: every batch's doc ids exceed all
+    * stored ids — enforced loudly, the contract a monotone ingest id
+    * gives for free), each micro-batch's chunks pack onto the per-shard
+    * TAILS of the existing export (offset-packing appends cleanly at the
+    * tail because new folded chunk ids sort after every stored id in
+    * every shard), and the served ledger equals the from-scratch q223
+    * chain over every document delivered so far.
+    *
+    * Layout: `pack/batch=<id>` holds the batch's pack rows
+    * (staged-renamed — the dir is the ledger, replays are no-ops);
+    * `tails/batch=<id>` holds the ≤nShards-row cumulative per-shard state
+    * AFTER the batch (max folded id for the monotonicity gate, token
+    * total for the next batch's packing seed, landed after the pack
+    * rows). CRASH WINDOW: dying between the two writes leaves a pack
+    * batch without its tails — every maintenance entry heals first by
+    * re-deriving the missing tails from the landed pack rows (a
+    * ≤nShards-row aggregate per missing batch), so the window costs
+    * nothing but that aggregate and replays converge.
+    *
+    * Scale shape: per batch, one chunking pass over the BATCH only, one
+    * batch-sized window partitioned by shard, two ≤nShards-row frames;
+    * the stored corpus is never re-read. Serving
+    * ([[packedExportLedger]]) is one grouped aggregate over the pack
+    * store — bins that straddle batch boundaries merge there, because
+    * the group key is (shard, bin), not the batch.
+    */
+  def packedExportAppendBatch(storePath: String, budget: Int, nShards: Int,
+                              chunkSize: Int = 64, chunkStride: Int = 48)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "pack-append") {
+      def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+      def batchIds(dir: String): Seq[Long] =
+        if (!fs.exists(hp(dir))) Seq.empty
+        else fs.listStatus(hp(dir)).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).map(_.drop(6).toLong).sorted
+      def tailsOf(df: DataFrame) = df.groupBy("shard")
+        .agg(max("doc_id").as("max_id"), sum("n_tokens").as("tok_total"))
+      def mergeTails(a: DataFrame, b: DataFrame) = a.unionByName(b)
+        .groupBy("shard")
+        .agg(max("max_id").as("max_id"), sum("tok_total").as("tok_total"))
+      def land(df: DataFrame, dir: String, id: Long): Unit = {
+        val staging = s"$dir/.staging-$id"
+        fs.delete(hp(staging), true)
+        df.write.mode("overwrite").parquet(staging)
+        require(fs.rename(hp(staging), hp(s"$dir/batch=$id")),
+          s"could not land $staging")
+      }
+      val packDir = s"$storePath/pack"; val tailsDir = s"$storePath/tails"
+      // HEAL: any landed pack batch missing its tails snapshot (the crash
+      // window) gets it re-derived before anything else reads the tails
+      val haveTails = batchIds(tailsDir).toSet
+      batchIds(packDir).filterNot(haveTails).foreach { id =>
+        val prev = (haveTails ++ batchIds(tailsDir)).filter(_ < id)
+        val prevTails =
+          if (prev.isEmpty) spark.emptyDataFrame
+          else spark.read.parquet(s"$tailsDir/batch=${prev.max}")
+        val own = tailsOf(spark.read.parquet(s"$packDir/batch=$id"))
+        land(if (prev.isEmpty) own else mergeTails(prevTails, own), tailsDir, id)
+      }
+      if (!fs.exists(hp(s"$packDir/batch=$batchId"))) {
+        val tailIds = batchIds(tailsDir)
+        val tails =
+          if (tailIds.isEmpty)
+            spark.range(0).select(col("id").as("shard"),
+              lit(Long.MinValue).as("max_id"), lit(0L).as("tok_total"))
+          else spark.read.parquet(s"$tailsDir/batch=${tailIds.max}")
+        // the batch's pack units: sliding-window chunks folded to the
+        // scalar packing key (q223's unit, q223's envelope guard applies
+        // upstream; shard = pmod(id, nShards) as in packSequences)
+        val units = graft.text.TextOps
+          .chunkDocs(batch, size = chunkSize, stride = chunkStride)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("n_tok").as("n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+        val joined = units.join(broadcast(tails), Seq("shard"), "left")
+          .localCheckpoint(true) // chunked once: the gate and the pack both read it
+        // the monotone-ingest contract, enforced: a batch reaching behind
+        // a stored id would silently corrupt every later bin of its shard
+        val behind = joined.filter(col("doc_id") <= col("max_id")).count()
+        require(behind == 0L,
+          s"packed-export contract violated: $behind chunk ids at/behind a stored tail")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val packed = joined
+          .withColumn("cum_excl", coalesce(col("tok_total"), lit(0L))
+            + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_excl div $budget"))
+          .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
+          .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+        land(packed, packDir, batchId)
+        land(mergeTails(
+          tails.select(col("shard"), col("max_id"), col("tok_total")),
+          tailsOf(packed)), tailsDir, batchId)
+      }
+    }
+  }
+
+  /** Serve the export ledger from the pack store: one grouped aggregate
+    * over every landed batch — equal to [[graft.operators.Shards
+    * .packedLedger]] over a monolithic pack of all documents delivered
+    * so far.
+    */
+  def packedExportLedger(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Shards.packedLedger(
+      spark.read.parquet(s"$storePath/pack"))
+
+  /** Streaming packed-export maintenance: doc stream -> per-micro-batch
+    * tail appends via [[packedExportAppendBatch]].
+    */
+  def packedExportStream(docs: DataFrame, storePath: String, checkpoint: String,
+                         budget: Int, nShards: Int): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packedExportAppendBatch(storePath, budget, nShards)(batch, batchId + 1)
+      }
+
   /** Incremental LM maintenance — the `foreachBatch` body for a trigram
     * Stupid-Backoff model that keeps learning as the corpus arrives: each
     * micro-batch trains count DELTAS on its own documents only and appends

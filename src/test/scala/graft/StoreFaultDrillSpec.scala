@@ -811,4 +811,42 @@ class StoreFaultDrillSpec extends SparkSpec {
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
     assert(rows(readBack()) == rows(b))
   }
+  test("packed-export store: tails-missing crash heals, replay no-op, out-of-order refused") {
+    import graft.streaming.StreamingPipeline
+    val p = java.nio.file.Files.createTempDirectory("graft_packst_drill").toString
+    def tranche(ids: Range) = ids.map(i => (i.toLong, s"some words for doc $i body"))
+      .toDF("doc_id", "text")
+    def append(df: DataFrame, id: Long): Unit =
+      StreamingPipeline.packedExportAppendBatch(p, budget = 50, nShards = 2)(df, id)
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    append(tranche(1 to 30), 1L)
+    append(tranche(31 to 60), 2L)
+    // CRASH WINDOW: batch 2's pack rows landed, its tails snapshot did not
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$p/tails/batch=2"), true))
+    // next maintenance entry heals first (re-derives tails 2 from the
+    // landed pack rows), then lands batch 3 seeded correctly
+    append(tranche(61 to 90), 3L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/tails/batch=2")),
+      "the heal must re-derive the missing tails snapshot")
+    // the served ledger equals the monolithic chain over everything
+    def monolithic(df: DataFrame) = graft.operators.Shards.packedLedger(
+      graft.text.TextOps.packSequences(
+        graft.text.TextOps.chunkDocs(df, size = 64, stride = 48)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("n_tok").as("n_tokens")),
+        budget = 50, shards = 2, tokenCount = Some(col("n_tokens"))))
+    val served = rows(StreamingPipeline.packedExportLedger(spark, p))
+    assert(served == rows(monolithic(tranche(1 to 90))))
+    // foreachBatch replay of a landed batch: ledgered no-op
+    append(tranche(31 to 60), 2L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
+    // the monotone-ingest contract: a batch reaching behind a stored tail
+    // would corrupt every later bin of its shard — refused loudly
+    val ex = intercept[IllegalArgumentException](append(tranche(10 to 20), 9L))
+    assert(ex.getMessage.contains("packed-export contract violated"))
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served,
+      "a refused batch must leave the store untouched")
+  }
 }
