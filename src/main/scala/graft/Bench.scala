@@ -173,7 +173,18 @@ object Bench {
     // build pass + delta-sized count batches, q217's reuse+rewrite scans
     // the corpus but shuffles only manifests — sub-linear exponents are
     // the claims' evidence
-    "q216_drift_store", "q217_incremental_export")
+    "q216_drift_store", "q217_incremental_export",
+    // the chunk-granularity incremental export. The re-pack's ROW work is
+    // corpus-proportional here by design — the oracle-pinned snapshot-B
+    // delta scatters mid-corpus edits, and offset-packing's ripple makes
+    // the suffix corpus-sized for any early-id edit (the q215 ripple;
+    // scaladoc at Shards.incrementalPackedLedger) — but the measured
+    // exponent is ~0.2 at bench scale (r15: t1 2.05 s, t10 3.2 s): the
+    // windowed re-pack is cheap enough that fixed job overheads dominate
+    // both sides. The reuse the operator exists for is tail-heavy deltas
+    // (crawl appends, q227's contract); this row records the
+    // scattered-delta side of the story.
+    "q224_incr_chunk_export")
 
   /** Stage a 10x corpus that is SHAPED like a scale-factor dir (so every
     * registered query runs against it unchanged): documents and embeddings
@@ -484,7 +495,12 @@ object Bench {
     // name -> sorted per-run seconds
     val results: Seq[(String, Seq[Double])] =
       order.map { case (name, _) => name -> raw(name).sorted }
-    def med(ts: Seq[Double]): Double = ts(ts.length / 2)
+    // LOWER-middle for even sample counts (same index for odd): a
+    // budget-degraded 2-pass session must not headline every query at its
+    // WORST of 2 — the r15 rehearsal did exactly that when one co-tenant
+    // burst covered pass 2, inflating total_median 1.4x and prior-flagging
+    // 72 queries whose retimes all landed at the min (all phantom)
+    def med(ts: Seq[Double]): Double = ts((ts.length - 1) / 2)
     // bare qNN keys (unique by construction; full names in CORRECTNESS_r*.json)
     def short(name: String): String = name.takeWhile(_ != '_')
     // prior session's adjudicated medians, short-keyed (see scaladoc). The
@@ -1042,8 +1058,11 @@ object Bench {
     val s10RetimedJson = s10Retimed.toSeq.sortBy(_._1).map { case (k, t) =>
       "\"" + k + "\":" + f3(t) }.mkString("{", ",", "}")
     val ts = java.time.Instant.now().toString
+    // passes_done/tiered/budget ride in the archive line too: a tiered
+    // 2-pass session's totals are NOT like-for-like with a full-matrix
+    // one, and the committed record must say so on its face
     val detailJson =
-      s"""{"ts":"$ts","runs":$runs,"sf":"$sfDir","total_min":${f3(totalMin)},"total_median":${f3(totalMed)},"total_max":${f3(totalMax)},"retimed":$retimedJson,"prior_flagged":$priorFlaggedJson,"scale10_flagged":$s10FlaggedJson,"scale10_retimed":$s10RetimedJson,"ann_index":$annJson,"v4_cycle":$v4Json,"scale10":$scale10Detail,"queries":$detail}"""
+      s"""{"ts":"$ts","runs":$runs,"passes_done":$passesDone,"tiered":$tiered,"budget_sec":${f2(budget)},"sf":"$sfDir","total_min":${f3(totalMin)},"total_median":${f3(totalMed)},"total_max":${f3(totalMax)},"retimed":$retimedJson,"prior_flagged":$priorFlaggedJson,"scale10_flagged":$s10FlaggedJson,"scale10_retimed":$s10RetimedJson,"ann_index":$annJson,"v4_cycle":$v4Json,"scale10":$scale10Detail,"queries":$detail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
