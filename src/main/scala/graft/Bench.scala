@@ -261,7 +261,8 @@ object Bench {
     "q208_scd2_pit_retired", "q213_ivf_cell_drift", "q215_packed_ledger_delta",
     "q216_drift_store", "q217_incremental_export", "q218_drift_cycle2",
     "q221_drift_buckets", "q224_incr_chunk_export", "q225_daily_drift_served",
-    "q226_incr_chunk_export2", "q227_packed_export_streamed")
+    "q226_incr_chunk_export2", "q227_packed_export_streamed",
+    "q228_daily_drift_streamed")
 
   /** scale10 SUBSET for budgeted sessions: one anchor per scale-argued
     * family (pair mining, clustering, LM, pipeline e2e, IVF-PQ, PCA

@@ -378,10 +378,18 @@ object Drift {
     * verdict), day as the string key.
     */
   def dailyDriftFromStore(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame = {
-    val counts = spark.read.parquet(s"$path/days")
+                          path: String): DataFrame =
+    dayPairPsi(spark.read.parquet(s"$path/days")
       .select(date_add(to_date(lit("1970-01-01")), col("batch").cast("int"))
-          .as("day"), col("bucket"), col("c"))
+          .as("day"), col("bucket"), col("c")))
+
+  /** The day-pair monitor over ANY (day DATE, bucket, c) count frame —
+    * the q220 arithmetic, shared by the day-keyed ledger
+    * ([[dailyDriftFromStore]]) and the stream-grown delta store
+    * ([[dailyDriftFromCountDeltas]]) so the three serving paths can
+    * never skew. Days without a populated predecessor drop out.
+    */
+  def dayPairPsi(counts: DataFrame): DataFrame = {
     val bc = counts.select(col("day").cast("string").as("feature"),
       col("bucket"), col("c"))
     val ac = counts.select(date_add(col("day"), 1).cast("string").as("feature"),
@@ -390,4 +398,19 @@ object Drift {
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumnRenamed("feature", "day")
   }
+
+  /** Serve the day-pair monitor from a STREAM-grown count-delta store (a
+    * [[graft.streaming.StreamingPipeline.frameAppendBatch]] store whose
+    * per-batch rows are (day, bucket, c) counts of that micro-batch
+    * alone): micro-batches may split a day arbitrarily — counts are
+    * additive longs, so summing across batches recovers the exact
+    * per-day populations however the stream chopped them. This is the
+    * ingestion-mode complement of the day-keyed ledger
+    * ([[appendDailyDriftCounts]]), whose one-batch-per-day contract a
+    * stream cannot honor.
+    */
+  def dailyDriftFromCountDeltas(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame =
+    dayPairPsi(spark.read.parquet(path)
+      .groupBy("day", "bucket").agg(sum(col("c")).as("c")))
 }

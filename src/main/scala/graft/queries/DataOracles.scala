@@ -2356,6 +2356,9 @@ object DataOracles {
     // oracle IS q220's SQL, verbatim.
     "q225_daily_drift_served" -> dailyDriftSql,
 
+    // the stream-grown count-delta store serves the same monitor
+    "q228_daily_drift_streamed" -> dailyDriftSql,
+
     "q222_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents

@@ -1702,6 +1702,31 @@ object DataQueries {
       Drift.dailyDriftFromStore(s, path).orderBy("day")
     }),
 
+    // q220/q225's monitor grown by a STREAM (the ingestion mode the
+    // day-keyed ledger cannot honor — a micro-batch splits days
+    // arbitrarily): each batch lands its own (day, bucket, c) counts as
+    // an exactly-once frame-store append, sums recover the exact per-day
+    // populations, and the served report must hash-equal the
+    // recompute-from-raw monitor. Oracle = q220's SQL verbatim.
+    "q228_daily_drift_streamed" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = ivfIndexPath(d) + "_dailyst"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Tables.cleanEvents(s, d)
+        .select(to_date(col("ts")).as("day"), col("metric"))
+        .repartition(24).write.mode("overwrite").parquet(s"$base/in")
+      StreamingPipeline.frameAppendStream(
+          s.readStream.schema("day DATE, metric STRING")
+            .option("maxFilesPerTrigger", "4").parquet(s"$base/in"),
+          s"$base/store", s"$base/ck",
+          b => b.groupBy(col("day"), col("metric").as("bucket"))
+            .agg(count(lit(1)).as("c")))
+        .start().awaitTermination()
+      Drift.dailyDriftFromCountDeltas(s, s"$base/store").orderBy("day")
+    }),
+
     // The report's drill-down: WHICH bucket moved — every (feature,
     // bucket)'s own quantized PSI contribution with both populations,
     // the row an operator acts on when q209 says 'drifted'.
@@ -1820,6 +1845,9 @@ object DataQueries {
       deliver(dd.filter(col("doc_id") <= c1)); drain()
       deliver(dd.filter(col("doc_id") > c1 && col("doc_id") <= c2)); drain()
       deliver(dd.filter(col("doc_id") > c2)); drain()
+      // small-file compaction between sessions: the served ledger is
+      // invariant (bins never move), so the oracle hashes right across it
+      StreamingPipeline.compactPackedExport(s, s"$base/store")
       StreamingPipeline.packedExportLedger(s, s"$base/store")
         .orderBy("shard", "bin")
     })

@@ -1252,10 +1252,18 @@ object StreamingPipeline {
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, storePath, "pack-append") {
       def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+      val packDir = s"$storePath/pack"; val tailsDir = s"$storePath/tails"
+      // heal a compaction that died inside its swap window first
+      Seq(packDir, tailsDir).foreach(d =>
+        graft.similarity.Similarity.recoverDir(fs, d))
       def batchIds(dir: String): Seq[Long] =
         if (!fs.exists(hp(dir))) Seq.empty
         else fs.listStatus(hp(dir)).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("batch=")).map(_.drop(6).toLong).sorted
+      // compaction leaves published ids as EMPTY tombstone dirs (the
+      // replay ledger must survive it) — reads must target live dirs only
+      def liveIds(dir: String): Seq[Long] = batchIds(dir)
+        .filter(id => fs.listFiles(hp(s"$dir/batch=$id"), true).hasNext)
       def tailsOf(df: DataFrame) = df.groupBy("shard")
         .agg(max("doc_id").as("max_id"), sum("n_tokens").as("tok_total"))
       def mergeTails(a: DataFrame, b: DataFrame) = a.unionByName(b)
@@ -1268,12 +1276,11 @@ object StreamingPipeline {
         require(fs.rename(hp(staging), hp(s"$dir/batch=$id")),
           s"could not land $staging")
       }
-      val packDir = s"$storePath/pack"; val tailsDir = s"$storePath/tails"
-      // HEAL: any landed pack batch missing its tails snapshot (the crash
+      // HEAL: any LIVE pack batch missing its tails snapshot (the crash
       // window) gets it re-derived before anything else reads the tails
       val haveTails = batchIds(tailsDir).toSet
-      batchIds(packDir).filterNot(haveTails).foreach { id =>
-        val prev = (haveTails ++ batchIds(tailsDir)).filter(_ < id)
+      liveIds(packDir).filterNot(haveTails).foreach { id =>
+        val prev = liveIds(tailsDir).filter(_ < id)
         val prevTails =
           if (prev.isEmpty) spark.emptyDataFrame
           else spark.read.parquet(s"$tailsDir/batch=${prev.max}")
@@ -1281,7 +1288,7 @@ object StreamingPipeline {
         land(if (prev.isEmpty) own else mergeTails(prevTails, own), tailsDir, id)
       }
       if (!fs.exists(hp(s"$packDir/batch=$batchId"))) {
-        val tailIds = batchIds(tailsDir)
+        val tailIds = liveIds(tailsDir)
         val tails =
           if (tailIds.isEmpty)
             spark.range(0).select(col("id").as("shard"),
@@ -1319,14 +1326,69 @@ object StreamingPipeline {
     }
   }
 
+  /** Small-file compaction for the packed-export store: the per-batch
+    * pack dirs merge into one `batch=0` (a pure row-set rewrite — bins
+    * never change, so the served ledger is invariant), published batch
+    * ids stay as empty tombstone dirs so replays remain no-ops, and the
+    * tails ledger collapses to its latest cumulative snapshot at
+    * `batch=0` (plus matching tombstones). Both halves swap through the
+    * standard two-rename `.prev` window; a crash BETWEEN the swaps is
+    * harmless by construction — the tails content is cumulative state,
+    * invariant under pack compaction, so either generation pairs
+    * correctly with either. Returns true when anything merged.
+    */
+  def compactPackedExport(spark: SparkSession, storePath: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "pack-compact") {
+      def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+      val packDir = s"$storePath/pack"; val tailsDir = s"$storePath/tails"
+      Seq(packDir, tailsDir).foreach(d =>
+        graft.similarity.Similarity.recoverDir(fs, d))
+      if (!fs.exists(hp(packDir))) false
+      else {
+        def ids(dir: String) = fs.listStatus(hp(dir)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .map(_.drop(6).toLong)
+        def live(dir: String) =
+          ids(dir).filter(id => fs.listFiles(hp(s"$dir/batch=$id"), true).hasNext)
+        if (live(packDir).size <= 1) false
+        else {
+          val merged = spark.read.parquet(packDir)
+            .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+            .localCheckpoint(true)
+          val latestTails = spark.read
+            .parquet(s"$tailsDir/batch=${live(tailsDir).max}")
+            .localCheckpoint(true)
+          val packStaging = s"$storePath/.pack-compact"
+          fs.delete(hp(packStaging), true)
+          merged.write.mode("overwrite").parquet(s"$packStaging/batch=0")
+          ids(packDir).filter(_ != 0L).foreach(id =>
+            fs.mkdirs(hp(s"$packStaging/batch=$id")))
+          val tailsStaging = s"$storePath/.tails-compact"
+          fs.delete(hp(tailsStaging), true)
+          latestTails.write.mode("overwrite").parquet(s"$tailsStaging/batch=0")
+          ids(tailsDir).filter(_ != 0L).foreach(id =>
+            fs.mkdirs(hp(s"$tailsStaging/batch=$id")))
+          graft.similarity.Similarity.swapDir(fs, hp(packStaging), packDir)
+          graft.similarity.Similarity.swapDir(fs, hp(tailsStaging), tailsDir)
+          true
+        }
+      }
+    }
+  }
+
   /** Serve the export ledger from the pack store: one grouped aggregate
     * over every landed batch — equal to [[graft.operators.Shards
     * .packedLedger]] over a monolithic pack of all documents delivered
-    * so far.
+    * so far, and invariant under [[compactPackedExport]] (the group key
+    * is (shard, bin), which compaction never touches).
     */
   def packedExportLedger(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Shards.packedLedger(
-      spark.read.parquet(s"$storePath/pack"))
+      spark.read.parquet(graft.similarity.Similarity.activeDir(
+        org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+          spark.sparkContext.hadoopConfiguration), s"$storePath/pack")))
 
   /** Streaming packed-export maintenance: doc stream -> per-micro-batch
     * tail appends via [[packedExportAppendBatch]].

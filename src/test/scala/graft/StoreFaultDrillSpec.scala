@@ -848,5 +848,27 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(ex.getMessage.contains("packed-export contract violated"))
     assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served,
       "a refused batch must leave the store untouched")
+    // COMPACTION: the served ledger is invariant (bins never move), a
+    // replayed pre-compaction batch stays a ledgered no-op (tombstones),
+    // and the next append seeds from the collapsed tails correctly
+    assert(StreamingPipeline.compactPackedExport(spark, p))
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
+    append(tranche(31 to 60), 2L) // replay against a tombstone: no-op
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
+    append(tranche(91 to 110), 4L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(tranche(1 to 110))),
+      "post-compaction appends must seed from the collapsed tails")
+    assert(!StreamingPipeline.compactPackedExport(spark, p) ||
+      rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+        rows(monolithic(tranche(1 to 110))))
+    // swap-window crash: pack half sits at .prev with no main — the next
+    // maintenance entry recovers it and the store serves unchanged
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$p/pack"),
+      new org.apache.hadoop.fs.Path(s"$p/pack.prev")))
+    append(tranche(111 to 120), 5L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(tranche(1 to 120))),
+      "recoverDir must heal the torn swap before the append lands")
   }
 }
