@@ -383,6 +383,35 @@ object Drift {
       .select(date_add(to_date(lit("1970-01-01")), col("batch").cast("int"))
           .as("day"), col("bucket"), col("c")))
 
+  /** Retention — the daily store's un-learn path: truncate every day
+    * batch strictly BEFORE `beforeEpochDay` to an empty TOMBSTONE dir
+    * (never a delete: the dir is the append ledger, and deleting it
+    * would let an at-least-once scheduler re-land a retired day). The
+    * served report simply loses the retired days — and the first
+    * surviving day too if its predecessor retired, exactly as if history
+    * started at the horizon. Returns the number of days truncated.
+    */
+  def retireDailyDriftDays(spark: org.apache.spark.sql.SparkSession,
+                           path: String, beforeEpochDay: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, path, "drift-daily-retire") {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/days")
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(_.getPath.getName.drop(6).toLong < beforeEpochDay)
+        .count { st =>
+          val had = fs.listFiles(st.getPath, true).hasNext
+          if (had) { // truncate to tombstone: delete + recreate empty
+            fs.delete(st.getPath, true)
+            fs.mkdirs(st.getPath)
+          }
+          had
+        }
+    }
+  }
+
   /** The day-pair monitor over ANY (day DATE, bucket, c) count frame —
     * the q220 arithmetic, shared by the day-keyed ledger
     * ([[dailyDriftFromStore]]) and the stream-grown delta store

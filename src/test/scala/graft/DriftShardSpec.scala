@@ -265,6 +265,22 @@ class DriftShardSpec extends SparkSpec {
     // served report is unchanged (no double counting)
     assert(!Drift.appendDailyDriftCounts(today, $"metric", path, epoch6))
     assert(rows(Drift.dailyDriftFromStore(spark, path)) == monolithic)
+    // RETENTION (the un-learn path): retire everything before 03-03 —
+    // the 03-02 pair loses its subject, 03-03 loses its baseline, and
+    // only the 06-vs-05 pair survives, exactly as if history started at
+    // the horizon. Tombstones keep the ledger: a replay of a retired day
+    // is STILL a no-op, never a resurrection.
+    val horizon = java.time.LocalDate.parse("2026-03-03").toEpochDay
+    assert(Drift.retireDailyDriftDays(spark, path, horizon) == 2) // 03-01, 03-02
+    val daysAfter = Drift.dailyDriftFromStore(spark, path)
+      .select("day").as[String].collect().sorted.toSeq
+    assert(daysAfter == Seq("2026-03-06"))
+    assert(!Drift.appendDailyDriftCounts(
+      ev("2026-03-01" -> "click"), $"metric", path,
+      java.time.LocalDate.parse("2026-03-01").toEpochDay),
+      "a retired day must not resurrect through the append path")
+    assert(Drift.retireDailyDriftDays(spark, path, horizon) == 0,
+      "retiring an already-retired range is a counted no-op")
   }
 
   test("drift store: stream-grown counts survive kill/restart and replay") {
