@@ -506,7 +506,7 @@ object Dedup {
     graft.store.MaintenanceLock.withLock(fs, path, "decontam-append") {
       Seq("shingles", "words", "config", "retired").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$appendId"))) false
+      if (graft.store.Ledger.landed(fs, s"$path/shingles", appendId)) false
       else {
         require(!readDecontamRetirements(spark, fs, path).contains(appendId),
           s"append id $appendId is named by a pending retirement — compact first")
@@ -566,7 +566,7 @@ object Dedup {
       Seq("shingles", "retired").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
       val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$path/retired", retireId)) false
       else {
         benchBatches.foreach(b => require(
           fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$b")),
@@ -815,19 +815,24 @@ object Dedup {
     * classified 'unchanged' and the store silently skews from the
     * monolithic report.
     *
-    * Hash = md5 over the columns joined with the 0x1F unit separator,
-    * each null folded to a 0x00 sentinel first (concat_ws SKIPS nulls, so
-    * without the fold ("a", null) and (null, "a") — or ("a") — would
-    * collide). Same scale shape as [[corpusDelta]]: hashes map-side, the
-    * full-outer join shuffles (id, 32-byte hash) pairs only. DuckDB
-    * mirror: `md5(concat_ws(chr(31), coalesce(c::VARCHAR, chr(0)), ...))`.
+    * Hash = md5 over the CONCATENATED PER-COLUMN md5s, each null folded
+    * to the single char `-` (r15 ADVICE: a separator/sentinel encoding
+    * reserves bytes — a value that IS the sentinel, or that contains the
+    * separator, would alias a different column split). Here every token
+    * is either exactly 32 hex chars (a value's md5) or exactly `-` (not
+    * a hex char), so the token sequence parses unambiguously left-to-
+    * right: no value can impersonate null and no column boundary can
+    * shift, for ANY input bytes. Same scale shape as [[corpusDelta]]:
+    * hashes map-side, the full-outer join shuffles (id, 32-byte hash)
+    * pairs only. DuckDB mirror:
+    * `md5(concat(coalesce(md5(c::VARCHAR), '-'), ...))`.
     */
   def corpusDeltaOn(a: DataFrame, b: DataFrame, hashCols: Seq[String],
                     idCol: String = "doc_id"): DataFrame = {
     require(hashCols.nonEmpty, "corpusDeltaOn needs at least one hashed column")
     def h(df: DataFrame, out: String) = df.select(col(idCol).as("id"),
-      md5(concat_ws("\u001f",
-        hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(out))
+      md5(concat(
+        hashCols.map(c => coalesce(md5(col(c).cast("string")), lit("-"))): _*)).as(out))
     h(a, "__ha").join(h(b, "__hb"), Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("__ha").isNull, "added")

@@ -222,7 +222,7 @@ object Drift {
     graft.store.MaintenanceLock.withLock(fs, path,
       if (negate) "drift-retire" else "drift-append") {
       graft.similarity.Similarity.recoverDir(fs, s"$path/cur")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cur/batch=$appendId"))) false
+      if (graft.store.Ledger.landed(fs, s"$path/cur", appendId)) false
       else {
         val d = bucketCounts(docs, features)
         val delta = if (negate) d.withColumn("c", -col("c")) else d
@@ -261,6 +261,7 @@ object Drift {
           batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
             .filter(_ != 0L).foreach(id =>
               fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+          graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
           graft.similarity.Similarity.swapDir(fs, staging, dir)
           true
         }
@@ -295,8 +296,11 @@ object Drift {
         live.write.mode("overwrite").parquet(s"$staging/batch=0")
         // the live half keeps its append ledger (tombstones) so a replay
         // of a pre-rebase batch stays a no-op
-        if (half == "cur") curBatches.filter(_ != 0L).foreach(id =>
-          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+        if (half == "cur") {
+          curBatches.filter(_ != 0L).foreach(id =>
+            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+          graft.store.Ledger.copyWatermark(fs, s"$path/cur", staging.toString)
+        }
         graft.similarity.Similarity.swapDir(fs, staging, s"$path/$half")
       }
     }
@@ -359,7 +363,7 @@ object Drift {
     val fs = fsOf(dayEvents, path)
     graft.store.MaintenanceLock.withLock(fs, path, "drift-daily-append") {
       graft.similarity.Similarity.recoverDir(fs, s"$path/days")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/days/batch=$epochDay")))
+      if (graft.store.Ledger.landed(fs, s"$path/days", epochDay))
         false
       else {
         dayEvents.select(bucket.as("bucket"))
@@ -378,10 +382,25 @@ object Drift {
     * verdict), day as the string key.
     */
   def dailyDriftFromStore(spark: org.apache.spark.sql.SparkSession,
-                          path: String): DataFrame =
-    dayPairPsi(spark.read.parquet(s"$path/days")
-      .select(date_add(to_date(lit("1970-01-01")), col("batch").cast("int"))
-          .as("day"), col("bucket"), col("c")))
+                          path: String): DataFrame = {
+    // a fully-retired store (every day truncated to a tombstone) has no
+    // parquet files left — schema inference would throw, but the correct
+    // report is simply empty (r15 ADVICE 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/days")
+    val hasLive = fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        fs.listFiles(st.getPath, true).hasNext)
+    val counts =
+      if (!hasLive)
+        spark.range(0).select(to_date(lit("1970-01-01")).as("day"),
+          lit("").as("bucket"), lit(0L).as("c"))
+      else spark.read.parquet(s"$path/days")
+        .select(date_add(to_date(lit("1970-01-01")), col("batch").cast("int"))
+            .as("day"), col("bucket"), col("c"))
+    dayPairPsi(counts)
+  }
 
   /** Retention — the daily store's un-learn path: truncate every day
     * batch strictly BEFORE `beforeEpochDay` to an empty TOMBSTONE dir
@@ -400,13 +419,20 @@ object Drift {
       if (!fs.exists(dir)) 0
       else fs.listStatus(dir).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        // skip non-numeric partition dirs (e.g. __HIVE_DEFAULT_PARTITION__
+        // from a null event day) instead of throwing on toLong
+        .filter(_.getPath.getName.drop(6).matches("-?\\d+"))
         .filter(_.getPath.getName.drop(6).toLong < beforeEpochDay)
         .count { st =>
+          // truncate IN PLACE by deleting the children, never the dir
+          // itself: the dir is the append ledger, and the old
+          // delete+mkdirs pair had an instant with no ledger entry — a
+          // crash there let an at-least-once scheduler resurrect the
+          // retired day (r15 verdict finding 1). A crash mid-children
+          // leaves a partially-truncated day; re-running retire (it is
+          // idempotent) completes the truncation.
           val had = fs.listFiles(st.getPath, true).hasNext
-          if (had) { // truncate to tombstone: delete + recreate empty
-            fs.delete(st.getPath, true)
-            fs.mkdirs(st.getPath)
-          }
+          if (had) fs.listStatus(st.getPath).foreach(f => fs.delete(f.getPath, true))
           had
         }
     }

@@ -2359,6 +2359,12 @@ object DataOracles {
     // the stream-grown count-delta store serves the same monitor
     "q228_daily_drift_streamed" -> dailyDriftSql,
 
+    // retention + vacuum: the served report over a horizon-cut store
+    // equals the monitor over events from the horizon on — and the
+    // query's own in-flight replay of a vacuumed day must NOT land, or
+    // a pre-horizon pair appears and this hash breaks.
+    "q229_daily_drift_vacuum" -> dailyDriftSqlFrom(horizonDays = 10),
+
     "q222_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -2391,6 +2397,23 @@ object DataOracles {
     // the streamed tail-grower must serve the IDENTICAL ledger the
     // monolithic chain computes over everything delivered
     "q227_packed_export_streamed" -> chunkExportLedgerSql("documents"),
+
+    // the streamed export through a corpus move: q223's chain re-rooted
+    // at the FINAL snapshot — tranche 1 revised (%7==2) and cut
+    // (%13==3), tranche 2 verbatim. The store got there by stream +
+    // in-place repack + stream; the oracle packs it from scratch.
+    "q231_packed_export_moved" -> chunkExportLedgerSql("fsnap",
+      """fsnap AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id <= 2 * (SELECT max(doc_id) FROM documents) // 3
+        |    AND doc_id % 13 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id > 2 * (SELECT max(doc_id) FROM documents) // 3
+        |),
+        |""".stripMargin),
 
     // The rebased second cycle must equal a from-scratch B-vs-C
     // comparison — exactly q212's b_c block, standalone.
@@ -2557,9 +2580,21 @@ object DataOracles {
       |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  private def dailyDriftSql: String =
+  private def dailyDriftSql: String = dailyDriftSqlFrom(horizonDays = -1)
+
+  /** [[dailyDriftSql]] with an optional retention horizon: events from
+    * `max(day) - horizonDays` on (a negative horizon keeps everything).
+    * q229 serves from a horizon-cut, vacuumed store; the oracle simply
+    * never sees the retired days.
+    */
+  private def dailyDriftSqlFrom(horizonDays: Int): String = {
+    val where =
+      if (horizonDays < 0) ""
+      else s"""
+        |  WHERE CAST(ts AS DATE) >=
+        |    (SELECT max(CAST(ts AS DATE)) - $horizonDays FROM events)""".stripMargin
     s"""WITH ev AS (
-        |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events
+        |  SELECT CAST(ts AS DATE) AS day, event_type AS metric FROM events$where
         |),
         |cnt0 AS (SELECT day, metric AS bucket, count(*) AS c FROM ev GROUP BY 1, 2),
         |ac AS (SELECT CAST(day + 1 AS VARCHAR) AS feature, bucket, c FROM cnt0),
@@ -2593,5 +2628,6 @@ object DataOracles {
         |)
         |SELECT feature AS day, n_buckets, n_a, n_b, psi, $psiVerdictSql
         |FROM rep WHERE n_a > 0 AND n_b > 0 ORDER BY day""".stripMargin
+  }
 
 }

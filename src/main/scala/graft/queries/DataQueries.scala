@@ -1850,6 +1850,83 @@ object DataQueries {
       StreamingPipeline.compactPackedExport(s, s"$base/store")
       StreamingPipeline.packedExportLedger(s, s"$base/store")
         .orderBy("shard", "bin")
+    }),
+
+    // RETENTION + VACUUM on the day-keyed monitor (the r15 verdict's top
+    // ask, landed): retire every day before the horizon (max day - 10),
+    // then VACUUM the tombstone dirs into the `_vacuumed_below` watermark
+    // ([[graft.store.Ledger]]) — ZERO ledger dirs kept below the horizon,
+    // the metadata-growth reset the dir-per-batch pattern needs at one
+    // batch a minute. The replay-no-op contract must survive the dirs'
+    // deletion: a retired+vacuumed day is re-offered through the append
+    // path inside the query — if it landed, the served report would grow
+    // a pre-horizon pair and the hash would break. Oracle = the day-pair
+    // monitor over events from the horizon on (the retired days simply
+    // never existed).
+    "q229_daily_drift_vacuum" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_daily_vac"
+      val ev = Tables.cleanEvents(s, d)
+        .select(to_date(col("ts")).as("day"), col("metric"))
+        .localCheckpoint(true)
+      // bounded collect: ONE date — the horizon anchor
+      val maxDay = ev.agg(max("day")).head().getDate(0)
+      val horizon = maxDay.toLocalDate.toEpochDay - 10
+      Drift.buildDailyDriftStore(ev, col("day"), col("metric"), path)
+      Drift.retireDailyDriftDays(s, path, horizon)
+      graft.store.Ledger.vacuumStore(s, path, horizon, Seq("days"))
+      // at-least-once replay of a retired day against the vacuumed
+      // ledger: a no-op BY RULE (the dir is gone; the watermark holds)
+      Drift.appendDailyDriftCounts(
+        ev.filter(col("day") === date_add(to_date(lit("1970-01-01")),
+          (horizon - 1).toInt)), col("metric"), path, horizon - 1)
+      Drift.dailyDriftFromStore(s, path).orderBy("day")
+    }),
+
+    // The streamed export THROUGH A CORPUS MOVE (the r15 verdict's item
+    // 6): tranche 1 streams into the packed store (q227's grower); a
+    // re-crawl then revises/removes documents ALREADY PACKED;
+    // repackPackedExport applies the delta in place — incremental re-pack
+    // from each shard's first affected unit (q224's reuse boundary), the
+    // repaired pack landing as one batch=0 generation with the ledger
+    // VACUUMED to a watermark; tranche 2 then streams onto the REPAIRED
+    // tails through the same checkpoint. The served ledger must
+    // hash-equal the from-scratch q223 chain over the FINAL snapshot
+    // (revised tranche 1 + tranche 2) — the proof that delta repair and
+    // stream growth compose on one store.
+    "q231_packed_export_moved" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      val base = ivfIndexPath(d) + "_packmv"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val dd = docs(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+      // bounded collect: the tranche cut
+      val maxId = dd.agg(max("doc_id")).head().getLong(0)
+      val cut = 2L * maxId / 3L
+      val t1 = dd.filter(col("doc_id") <= cut)
+      def deliver(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(s"$base/in")
+      def drain(): Unit = StreamingPipeline.packedExportStream(
+          StreamingPipeline.readDocStream(s, s"$base/in"),
+          s"$base/store", s"$base/ck", budget = 512, nShards = 32)
+        .start().awaitTermination()
+      deliver(t1); drain()
+      // the re-crawl of the stored range: revise %7==2, remove %13==3
+      // (the snapshot-B moduli, additions excluded — new ids arrive
+      // through the stream, which is the point of the composition)
+      val b1 = t1.filter(col("doc_id") % 13 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      val affected = chunkUnits(
+          t1.filter(col("doc_id") % 13 === 3 || col("doc_id") % 7 === 2))
+        .unionByName(chunkUnits(b1.filter(col("doc_id") % 7 === 2)))
+        .select("doc_id")
+      StreamingPipeline.repackPackedExport(s, s"$base/store", budget = 512,
+        nShards = 32, newDocs = b1, affectedUnitIds = affected)
+      deliver(dd.filter(col("doc_id") > cut)); drain()
+      StreamingPipeline.packedExportLedger(s, s"$base/store")
+        .orderBy("shard", "bin")
     })
   )
 

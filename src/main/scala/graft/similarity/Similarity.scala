@@ -265,7 +265,7 @@ object Similarity {
       recoverMinor(fs, s"$path/sigs")
       recoverMinor(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/sigs/batch=$appendId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$path/sigs", appendId)) false
       else {
         // .prev fallback covers reindexLsh's config swap window
         val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
@@ -735,7 +735,7 @@ object Similarity {
       recoverDir(fs, s"$path/cells")
       recoverMinor(fs, s"$path/cells")
       val dst = new org.apache.hadoop.fs.Path(s"$path/cells/batch=$appendId")
-      if (fs.exists(dst)) false
+      if (graft.store.Ledger.landed(fs, s"$path/cells", appendId)) false
       else {
         val cent = spark.read.parquet(s"$path/centroids")
         val staging = new org.apache.hadoop.fs.Path(s"$path/cells/.staging-$appendId")
@@ -818,6 +818,8 @@ object Similarity {
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
     if (baseId != 0L) writeBaseMarker(fs, staging.toString, baseId)
+    // a vacuumed ledger's by-rule tombstones must survive the swap
+    graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
     fs.delete(prev, true)
     require(fs.rename(main, prev), s"could not move $main aside to $prev")
@@ -1078,7 +1080,7 @@ object Similarity {
     graft.store.MaintenanceLock.withLock(fs, path, lockTag) {
       requireNoPendingBuild(fs, path)
       val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$path/retired", retireId)) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$path/retired/.staging-$retireId")
         fs.delete(staging, true)
@@ -1654,7 +1656,7 @@ object Similarity {
       recoverMinor(fs, s"$path/codes")
       recoverMinor(fs, s"$path/vectors")
       val ledger = new org.apache.hadoop.fs.Path(s"$path/codes/batch=$appendId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$path/codes", appendId)) false
       else {
         val cfg = spark.read.parquet(activeDir(fs, s"$path/config")).head()
         val (m, dim) = (cfg.getAs[Int]("m"), cfg.getAs[Int]("dim"))

@@ -887,7 +887,7 @@ object StreamingPipeline {
     Seq("sets", "bands", "pairs", "retired").foreach(h =>
       graft.similarity.Similarity.recoverDir(fs, s"$storePath/$h"))
     val ledger = new org.apache.hadoop.fs.Path(s"$storePath/pairs/batch=$batchId")
-    if (fs.exists(ledger)) return
+    if (graft.store.Ledger.landed(fs, s"$storePath/pairs", batchId)) return
     // stored state = every published batch dir EXCEPT this id's partial
     // leftovers (a crashed attempt's sets/bands land before the pairs
     // ledger), MINUS rows logically dead under a retirement ledger entry
@@ -1000,7 +1000,7 @@ object StreamingPipeline {
     graft.store.MaintenanceLock.withLock(fs, storePath, "minhash-retire") {
       graft.similarity.Similarity.recoverDir(fs, s"$storePath/retired")
       val ledger = new org.apache.hadoop.fs.Path(s"$storePath/retired/batch=$retireId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$storePath/retired", retireId)) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$storePath/retired/.staging-$retireId")
         fs.delete(staging, true)
@@ -1195,7 +1195,7 @@ object StreamingPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$storePath/batch=$batchId")
-    if (fs.exists(dst)) return
+    if (graft.store.Ledger.landed(fs, storePath, batchId)) return
     val staging = new org.apache.hadoop.fs.Path(s"$storePath/.staging-$batchId")
     fs.delete(staging, true)
     transform(batch).write.mode("overwrite").parquet(staging.toString)
@@ -1287,7 +1287,7 @@ object StreamingPipeline {
         val own = tailsOf(spark.read.parquet(s"$packDir/batch=$id"))
         land(if (prev.isEmpty) own else mergeTails(prevTails, own), tailsDir, id)
       }
-      if (!fs.exists(hp(s"$packDir/batch=$batchId"))) {
+      if (!graft.store.Ledger.landed(fs, packDir, batchId)) {
         val tailIds = liveIds(tailsDir)
         val tails =
           if (tailIds.isEmpty)
@@ -1330,8 +1330,10 @@ object StreamingPipeline {
     * pack dirs merge into one `batch=0` (a pure row-set rewrite — bins
     * never change, so the served ledger is invariant), published batch
     * ids stay as empty tombstone dirs so replays remain no-ops, and the
-    * tails ledger collapses to its latest cumulative snapshot at
-    * `batch=0` (plus matching tombstones). Both halves swap through the
+    * tails ledger collapses to the cumulative state RE-DERIVED from the
+    * merged pack rows at `batch=0` (plus matching tombstones) — exact by
+    * construction, and immune to a stale latest-tails snapshot left by
+    * the torn-append window. Both halves swap through the
     * standard two-rename `.prev` window; a crash BETWEEN the swaps is
     * harmless by construction — the tails content is cumulative state,
     * invariant under pack compaction, so either generation pairs
@@ -1347,9 +1349,11 @@ object StreamingPipeline {
         graft.similarity.Similarity.recoverDir(fs, d))
       if (!fs.exists(hp(packDir))) false
       else {
-        def ids(dir: String) = fs.listStatus(hp(dir)).toSeq
-          .map(_.getPath.getName).filter(_.startsWith("batch="))
-          .map(_.drop(6).toLong)
+        def ids(dir: String) =
+          if (!fs.exists(hp(dir))) Seq.empty[Long]
+          else fs.listStatus(hp(dir)).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("batch="))
+            .map(_.drop(6).toLong)
         def live(dir: String) =
           ids(dir).filter(id => fs.listFiles(hp(s"$dir/batch=$id"), true).hasNext)
         if (live(packDir).size <= 1) false
@@ -1357,8 +1361,19 @@ object StreamingPipeline {
           val merged = spark.read.parquet(packDir)
             .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
             .localCheckpoint(true)
-          val latestTails = spark.read
-            .parquet(s"$tailsDir/batch=${live(tailsDir).max}")
+          // Collapse the tails FROM the merged pack rows, not from the
+          // latest tails snapshot (r15 ADVICE 1): if the newest pack
+          // batch landed without its tails (the torn-append window),
+          // the latest snapshot is STALE — collapsing it to batch=0
+          // would seed every later append's cum_excl from a too-small
+          // tok_total, and post-compaction the heal could never detect
+          // it (pack batch=0 has a matching tails batch=0). The pack
+          // rows carry every chunk's folded id and token count, so
+          // groupBy(shard).agg(max, sum) IS the exact cumulative state
+          // by construction — and it also covers the no-tails-at-all
+          // case that made live(tailsDir).max throw on empty.
+          val latestTails = merged.groupBy("shard")
+            .agg(max("doc_id").as("max_id"), sum("n_tokens").as("tok_total"))
             .localCheckpoint(true)
           val packStaging = s"$storePath/.pack-compact"
           fs.delete(hp(packStaging), true)
@@ -1368,12 +1383,104 @@ object StreamingPipeline {
           val tailsStaging = s"$storePath/.tails-compact"
           fs.delete(hp(tailsStaging), true)
           latestTails.write.mode("overwrite").parquet(s"$tailsStaging/batch=0")
-          ids(tailsDir).filter(_ != 0L).foreach(id =>
+          // tails tombstones mirror the pack ledger too: a tails id can
+          // trail its pack id through the torn-append window, and the
+          // union keeps the two halves' ledgers aligned after the swap
+          (ids(packDir) ++ ids(tailsDir)).distinct.filter(_ != 0L).foreach(id =>
             fs.mkdirs(hp(s"$tailsStaging/batch=$id")))
+          graft.store.Ledger.copyWatermark(fs, packDir, packStaging)
+          graft.store.Ledger.copyWatermark(fs, tailsDir, tailsStaging)
           graft.similarity.Similarity.swapDir(fs, hp(packStaging), packDir)
+          // a store whose every tails snapshot was lost to crashes has no
+          // tails dir to move aside — seed one so the swap's ledger
+          // contract (main always exists around the window) holds
+          if (!fs.exists(hp(tailsDir))) fs.mkdirs(hp(tailsDir))
           graft.similarity.Similarity.swapDir(fs, hp(tailsStaging), tailsDir)
           true
         }
+      }
+    }
+  }
+
+  /** Apply a CORPUS DELTA to a stream-grown packed export in place — the
+    * maintenance step between stream sessions when a re-crawl revises or
+    * removes documents the store already packed (the r15 verdict's item
+    * 6: q227 grows the export, q224/q226 close the batch delta, this op
+    * closes the loop ON the store so the next tranche streams onto
+    * repaired tails).
+    *
+    * `newDocs` is the complete post-delta snapshot of the STORED id range
+    * (its chunks re-pack from each shard's first affected unit onward —
+    * [[graft.operators.Shards.incrementalPackFrame]], so the reuse is
+    * bin-prefix-exact); `affectedUnitIds` carries the invalidated FOLDED
+    * unit ids from BOTH sides of the delta (A-units of changed+removed,
+    * B-units of changed+added — a shrunk document must invalidate its
+    * vanished tail units). The repaired pack lands as one `batch=0`
+    * generation and the ledger is VACUUMED: a `_vacuumed_below` watermark
+    * ([[graft.store.Ledger]]) replaces every historical batch dir, so a
+    * replayed pre-repack stream batch stays a no-op with ZERO tombstone
+    * dirs kept — this is the maintenance moment metadata growth resets.
+    * Tails re-derive from the repaired pack rows (exact by construction,
+    * the compaction treatment), so the next stream batch seeds its
+    * cum_excl correctly; the monotone-ingest gate keeps holding because
+    * a delta never raises a shard's max folded id past what the next
+    * tranche exceeds (re-keyed additions must exceed the stored range,
+    * exactly [[packedExportAppendBatch]]'s contract).
+    *
+    * Scale shape: the stored pack is touched by one read + the
+    * ≤nShards-aggregate/suffix-window pair of the incremental pack; the
+    * new snapshot pays one map-only chunking pass; nothing else is
+    * corpus-sized. Crash-safe via the same staged two-rename swaps as
+    * compaction (tails content is derivable state — either generation
+    * pairs correctly with either pack half, and the next maintenance
+    * entry heals a torn window from the pack rows).
+    */
+  def repackPackedExport(spark: SparkSession, storePath: String, budget: Int,
+                         nShards: Int, newDocs: DataFrame,
+                         affectedUnitIds: DataFrame,
+                         chunkSize: Int = 64, chunkStride: Int = 48): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.store.MaintenanceLock.withLock(fs, storePath, "pack-repack") {
+      def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+      val packDir = s"$storePath/pack"; val tailsDir = s"$storePath/tails"
+      Seq(packDir, tailsDir).foreach(d =>
+        graft.similarity.Similarity.recoverDir(fs, d))
+      def ids(dir: String): Seq[Long] =
+        if (!fs.exists(hp(dir))) Seq.empty
+        else fs.listStatus(hp(dir)).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).map(_.drop(6).toLong)
+      require(ids(packDir).exists(id =>
+        fs.listFiles(hp(s"$packDir/batch=$id"), true).hasNext),
+        s"repackPackedExport: $packDir holds no packed data to repair")
+      val unitsB = graft.text.TextOps
+        .chunkDocs(newDocs, size = chunkSize, stride = chunkStride)
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+          col("n_tok").as("n_tokens"))
+      val packA = spark.read.parquet(packDir)
+        .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+      val packB = graft.operators.Shards
+        .incrementalPackFrame(unitsB, packA, affectedUnitIds, budget, nShards)
+        .localCheckpoint(true)
+      val tailsB = packB.groupBy("shard")
+        .agg(max("doc_id").as("max_id"), sum("n_tokens").as("tok_total"))
+        .localCheckpoint(true)
+      // the new watermark: strictly above every ledgered id (and never
+      // below an already-stamped one) — all pre-repack batch ids become
+      // by-rule tombstones; the next stream batch id on the same
+      // checkpoint is exactly this value and passes the landed() check
+      val w = math.max(
+        (ids(packDir) ++ ids(tailsDir)).foldLeft(0L)(math.max) + 1L,
+        math.max(graft.store.Ledger.watermark(fs, packDir),
+          graft.store.Ledger.watermark(fs, tailsDir)))
+      for ((dir, df, tag) <- Seq((packDir, packB, "pack"),
+                                 (tailsDir, tailsB, "tails"))) {
+        val staging = s"$storePath/.$tag-repack"
+        fs.delete(hp(staging), true)
+        df.write.mode("overwrite").parquet(s"$staging/batch=0")
+        graft.store.Ledger.vacuum(fs, staging, w) // stamps the watermark
+        if (!fs.exists(hp(dir))) fs.mkdirs(hp(dir))
+        graft.similarity.Similarity.swapDir(fs, hp(staging), dir)
       }
     }
   }
@@ -1576,7 +1683,7 @@ object StreamingPipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outPath),
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$outPath/batch=$batchId")
-    if (fs.exists(dst)) return
+    if (graft.store.Ledger.landed(fs, outPath, batchId)) return
     // read-only .prev fallbacks cover appendDecontamBench's words swap and
     // compactDecontamStore's shingle swap windows
     val storeFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storePath),
@@ -1787,7 +1894,7 @@ object StreamingPipeline {
       graft.similarity.Similarity.recoverDir(fs, s"$storePath/changes")
       healScdPending(spark, fs, storePath, keyCols, tsCol, attrCols, buckets)
       val ledger = new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$batchId")
-      if (fs.exists(ledger)) return
+      if (graft.store.Ledger.landed(fs, s"$storePath/changes", batchId)) return
       val stored = storedScdChanges(spark, fs, storePath, keyCols, batchId)
       val cols = keyCols ++ Seq(tsCol) ++ attrCols
       // in-batch dedup: greatest attr struct per (key, ts) wins; then
@@ -1916,7 +2023,7 @@ object StreamingPipeline {
           s"retireId $retireId must exceed every published changes batch id (max $maxData)")
       }
       val ledger = new org.apache.hadoop.fs.Path(s"$storePath/retired/batch=$retireId")
-      if (fs.exists(ledger)) false
+      if (graft.store.Ledger.landed(fs, s"$storePath/retired", retireId)) false
       else {
         val keys = retiredKeys.select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true) // consumed thrice: bucket collect, ledger, recompute

@@ -537,7 +537,7 @@ object TextOps {
       if (negate) "lm-retire" else "lm-append") {
       Seq("uni", "bi", "tri", "meta").foreach(h =>
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/uni/batch=$appendId"))) false
+      if (graft.store.Ledger.landed(fs, s"$path/uni", appendId)) false
       else {
         val (uni0, bi0, tri0, nTrain0) = trainTrigramLm(docs, textCol, idCol)
         def sgn(df: DataFrame, c: String) =
@@ -1275,7 +1275,7 @@ object TextOps {
     graft.store.MaintenanceLock.withLock(fs, path,
       if (negate) "dsir-retire" else "dsir-append") {
       graft.similarity.Similarity.recoverDir(fs, s"$path/buckets")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets/batch=$appendId"))) false
+      if (graft.store.Ledger.landed(fs, s"$path/buckets", appendId)) false
       else {
         val m = readDsirM(spark, path)
         val d0 = dsirPairCounts(docs.filter(isTarget), docs, m, textCol, idCol)

@@ -84,6 +84,19 @@ class CurationSpec extends SparkSpec {
     val outB = Dedup.corpusDeltaOn(ab, ab2, Seq("text", "lang"))
       .as[(Long, String)].collect()
     assert(outB === Array(1L -> "changed"))
+    // ADVERSARIAL bytes (r15 ADVICE 3): a value that IS a would-be null
+    // sentinel must differ from an actual null — the per-column-md5
+    // encoding reserves no byte, so "\u0000" is just another value
+    val az = Seq((1L, "a", "\u0000")).toDF("doc_id", "text", "lang")
+    val an2 = Seq((1L, Some("a"), None: Option[String])).toDF("doc_id", "text", "lang")
+    assert(Dedup.corpusDeltaOn(az, an2, Seq("text", "lang"))
+      .as[(Long, String)].collect() === Array(1L -> "changed"))
+    // and a value CONTAINING a would-be separator cannot shift a column
+    // boundary: ("a\u001fb", "c") vs ("a", "b\u001fc")
+    val sepA = Seq((1L, "a\u001fb", "c")).toDF("doc_id", "text", "lang")
+    val sepB = Seq((1L, "a", "b\u001fc")).toDF("doc_id", "text", "lang")
+    assert(Dedup.corpusDeltaOn(sepA, sepB, Seq("text", "lang"))
+      .as[(Long, String)].collect() === Array(1L -> "changed"))
   }
 
   test("incremental re-curation through the delta == full recompute") {

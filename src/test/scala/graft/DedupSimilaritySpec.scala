@@ -502,6 +502,38 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(!storedL.contains(5L) && storedL.contains(12L),
       "lsh physical application broke")
+    // VACUUM (r15 verdict items 1+7): the compacted store's tombstone
+    // dirs — append ids on both halves, the blanked retire ledger —
+    // collapse into the watermark; probes serve identically, replays of
+    // vacuumed ids stay refused BY RULE, and later maintenance still lands
+    val probePreVac = Similarity.probeLshIndex(queries, pl, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(graft.store.Ledger.vacuumStore(spark, pl, 4L,
+      Seq("sigs", "vectors", "retired")) >= 3,
+      "vacuum must collapse the append + retire tombstones")
+    def liveDirs(half: String) = fsL.listStatus(
+        new org.apache.hadoop.fs.Path(s"$pl/$half"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(liveDirs("retired").isEmpty,
+      "the blanked retire ledger must vacuum to zero dirs")
+    assert(Similarity.probeLshIndex(queries, pl, k = 10)
+      .collect().map(_.toString).sorted.toSeq == probePreVac,
+      "vacuum must not change a single probe row")
+    assert(!Similarity.lshAppendVectors(mk(10L to 14L), pl, appendId = 1),
+      "a vacuumed append id must stay a ledgered no-op via the watermark")
+    assert(!Similarity.retireLshVectors(spark, pl, Seq(9L).toDF("vec_id"),
+      retireId = 2), "a vacuumed retire id must stay a ledgered no-op")
+    assert(Similarity.lshAppendVectors(mk(Seq(20L)), pl, appendId = 4),
+      "post-watermark appends must land")
+    assert(lshN().contains(20L))
+    // the next full compaction must carry the watermark through its swap
+    assert(Similarity.retireLshVectors(spark, pl, Seq(20L).toDF("vec_id"),
+      retireId = 5))
+    assert(Similarity.compactLshIndex(spark, pl) >= 1)
+    assert(graft.store.Ledger.watermark(fsL, s"$pl/sigs") == 4L,
+      "compaction swap must preserve the vacuum watermark")
+    assert(!Similarity.lshAppendVectors(mk(10L to 14L), pl, appendId = 1),
+      "watermark lost in compaction: vacuumed replay resurrected")
     // PQ: the codes half drives candidates — retire → probe excludes;
     // compaction applies to both halves
     val pp = java.nio.file.Files.createTempDirectory("graft_pq_retire").toString

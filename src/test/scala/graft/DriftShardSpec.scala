@@ -283,6 +283,45 @@ class DriftShardSpec extends SparkSpec {
       "retiring an already-retired range is a counted no-op")
   }
 
+  test("daily drift retention: full retirement serves empty, truncation never unledgers, junk partitions skipped") {
+    import graft.operators.Drift
+    import java.sql.Date
+    def ev(rows: (String, String)*) =
+      rows.map { case (d, m) => (Date.valueOf(d), m) }.toDF("day", "metric")
+    val path = java.nio.file.Files.createTempDirectory("graft_daily_ret").toString
+    Drift.buildDailyDriftStore(
+      ev("2026-04-01" -> "a", "2026-04-01" -> "b", "2026-04-02" -> "a"),
+      $"day", $"metric", path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    // a null event day writes a __HIVE_DEFAULT_PARTITION__ dir — retention
+    // must skip it (r15 ADVICE 2), not throw on `.drop(6).toLong`
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$path/days/batch=__HIVE_DEFAULT_PARTITION__"))
+    val d1 = java.time.LocalDate.parse("2026-04-01").toEpochDay
+    // retire EVERYTHING — the store becomes all-tombstones
+    assert(Drift.retireDailyDriftDays(spark, path, d1 + 100) == 2)
+    // the in-place truncation: at no instant is the ledger dir absent —
+    // post-retire it still exists (empty), so a replayed day stays a no-op
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/days/batch=$d1")),
+      "truncation must keep the ledger dir")
+    assert(!Drift.appendDailyDriftCounts(ev("2026-04-01" -> "a"), $"metric", path, d1),
+      "a retired day must stay a ledgered no-op")
+    // a fully-retired store has zero parquet files: the report is EMPTY,
+    // not an AnalysisException (r15 ADVICE 2)
+    val empty = Drift.dailyDriftFromStore(spark, path)
+    assert(empty.columns.toSeq ==
+      Seq("day", "n_buckets", "n_a", "n_b", "psi", "verdict"))
+    assert(empty.count() == 0L)
+    // WHY in-place matters — simulate the OLD delete+mkdirs crash window
+    // by removing the ledger dir outright: the replay now RE-LANDS the
+    // retired day. That resurrection is exactly what the fixed truncation
+    // makes impossible.
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/days/batch=$d1"), true))
+    assert(Drift.appendDailyDriftCounts(ev("2026-04-01" -> "a"), $"metric", path, d1),
+      "without the ledger dir the day resurrects — the window the fix closes")
+  }
+
   test("drift store: stream-grown counts survive kill/restart and replay") {
     import graft.operators.Drift
     import graft.streaming.StreamingPipeline

@@ -871,4 +871,212 @@ class StoreFaultDrillSpec extends SparkSpec {
       rows(monolithic(tranche(1 to 120))),
       "recoverDir must heal the torn swap before the append lands")
   }
+
+  test("packed-export store: compaction INSIDE the tails-missing window collapses exact state") {
+    import graft.streaming.StreamingPipeline
+    def tranche(ids: Range) = ids.map(i => (i.toLong, s"some words for doc $i body"))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def monolithic(df: DataFrame) = graft.operators.Shards.packedLedger(
+      graft.text.TextOps.packSequences(
+        graft.text.TextOps.chunkDocs(df, size = 64, stride = 48)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("n_tok").as("n_tokens")),
+        budget = 50, shards = 2, tokenCount = Some(col("n_tokens"))))
+
+    // r15 ADVICE 1: the torn-append window (pack batch landed, tails
+    // snapshot missing) followed by COMPACTION instead of an append. The
+    // old compaction collapsed the LATEST TAILS SNAPSHOT — stale here, so
+    // every later append seeded cum_excl from a too-small tok_total and
+    // the served ledger silently diverged; post-compaction the heal could
+    // never detect it (pack batch=0 pairs with tails batch=0). The fix
+    // derives the collapsed tails from the merged pack rows themselves.
+    val p = java.nio.file.Files.createTempDirectory("graft_packst_cmpwin").toString
+    def append(df: DataFrame, id: Long): Unit =
+      StreamingPipeline.packedExportAppendBatch(p, budget = 50, nShards = 2)(df, id)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    append(tranche(1 to 30), 1L)
+    append(tranche(31 to 60), 2L)
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$p/tails/batch=2"), true))
+    assert(StreamingPipeline.compactPackedExport(spark, p))
+    append(tranche(61 to 90), 3L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(tranche(1 to 90))),
+      "compaction in the torn window must collapse the EXACT cumulative tails")
+
+    // the degenerate half of the same finding: no tails snapshot exists at
+    // all (both batches' tails lost) — the old live(tailsDir).max threw on
+    // an empty sequence; the fix never reads the tails dir's content
+    val p2 = java.nio.file.Files.createTempDirectory("graft_packst_notails").toString
+    def append2(df: DataFrame, id: Long): Unit =
+      StreamingPipeline.packedExportAppendBatch(p2, budget = 50, nShards = 2)(df, id)
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p2),
+      spark.sparkContext.hadoopConfiguration)
+    append2(tranche(1 to 30), 1L)
+    append2(tranche(31 to 60), 2L)
+    require(fs2.delete(new org.apache.hadoop.fs.Path(s"$p2/tails"), true))
+    assert(StreamingPipeline.compactPackedExport(spark, p2))
+    append2(tranche(61 to 90), 3L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p2)) ==
+      rows(monolithic(tranche(1 to 90))),
+      "compaction with no tails ledger at all must rebuild it from the pack rows")
+  }
+
+  test("ledger vacuum: watermark replaces tombstones, replays stay no-ops, kill-anywhere converges") {
+    import graft.operators.Drift
+    import graft.store.Ledger
+    import java.sql.Date
+    def ev(rows: (String, String)*) =
+      rows.map { case (d, m) => (Date.valueOf(d), m) }.toDF("day", "metric")
+    val path = java.nio.file.Files.createTempDirectory("graft_vacuum_daily").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    Drift.buildDailyDriftStore(ev(
+      "2026-05-01" -> "a", "2026-05-01" -> "b", "2026-05-02" -> "a",
+      "2026-05-03" -> "a", "2026-05-03" -> "b", "2026-05-04" -> "b"),
+      $"day", $"metric", path)
+    def day(d: String) = java.time.LocalDate.parse(d).toEpochDay
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def batchDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/days"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+
+    // retention truncates 05-01/05-02 to tombstones; the vacuum collapses
+    // them into the watermark — ZERO dirs kept below the horizon
+    val horizon = day("2026-05-03")
+    assert(Drift.retireDailyDriftDays(spark, path, horizon) == 2)
+    val servedPre = rows(Drift.dailyDriftFromStore(spark, path))
+    assert(batchDirs().size == 4)
+    assert(Ledger.vacuumStore(spark, path, horizon, Seq("days")) == 2)
+    assert(batchDirs() == Seq(s"batch=${day("2026-05-03")}", s"batch=${day("2026-05-04")}"),
+      "vacuum must delete exactly the tombstone dirs below the watermark")
+    assert(Ledger.watermark(fs, s"$path/days") == horizon)
+    // serving is invariant (vacuum touches metadata only)
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == servedPre)
+    // the replay-no-op contract now rests on the RULE, not the dir
+    assert(!Drift.appendDailyDriftCounts(ev("2026-05-01" -> "a"), $"metric",
+      path, day("2026-05-01")),
+      "a vacuumed day must stay a ledgered no-op via the watermark rule")
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == servedPre)
+    // post-watermark appends are unaffected
+    assert(Drift.appendDailyDriftCounts(ev("2026-05-05" -> "a"), $"metric",
+      path, day("2026-05-05")))
+    // idempotent + never lowers
+    assert(Ledger.vacuumStore(spark, path, horizon - 1, Seq("days")) == 0)
+    assert(Ledger.watermark(fs, s"$path/days") == horizon)
+
+    // KILL DRILL mid-vacuum: the crash point is between the marker stamp
+    // (step 1) and the tombstone deletion (step 3). Simulate it by
+    // retiring 05-03 and stamping the marker by hand without deleting —
+    // the replay must ALREADY be a no-op (rule + dir both say landed),
+    // and re-running the vacuum converges to the clean state.
+    val horizon2 = day("2026-05-04")
+    assert(Drift.retireDailyDriftDays(spark, path, horizon2) == 1) // 05-03
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/days/_vacuumed_below=$horizon2"))
+    assert(!Drift.appendDailyDriftCounts(ev("2026-05-03" -> "a"), $"metric",
+      path, day("2026-05-03")),
+      "mid-vacuum crash window: replay must stay a no-op")
+    assert(Ledger.vacuumStore(spark, path, horizon2, Seq("days")) == 1,
+      "re-running the vacuum must finish the interrupted deletion")
+    assert(Ledger.watermark(fs, s"$path/days") == horizon2)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/days"))
+      .map(_.getPath.getName).count(_.startsWith("_vacuumed_below=")) == 1,
+      "re-vacuum must leave exactly one marker")
+  }
+
+  test("packed-export vacuum: compaction tombstones collapse; replay, append, and serving hold") {
+    import graft.streaming.StreamingPipeline
+    import graft.store.Ledger
+    def tranche(ids: Range) = ids.map(i => (i.toLong, s"some words for doc $i body"))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def monolithic(df: DataFrame) = graft.operators.Shards.packedLedger(
+      graft.text.TextOps.packSequences(
+        graft.text.TextOps.chunkDocs(df, size = 64, stride = 48)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("n_tok").as("n_tokens")),
+        budget = 50, shards = 2, tokenCount = Some(col("n_tokens"))))
+    val p = java.nio.file.Files.createTempDirectory("graft_vacuum_pack").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    def append(df: DataFrame, id: Long): Unit =
+      StreamingPipeline.packedExportAppendBatch(p, budget = 50, nShards = 2)(df, id)
+    append(tranche(1 to 30), 1L)
+    append(tranche(31 to 60), 2L)
+    append(tranche(61 to 90), 3L)
+    assert(StreamingPipeline.compactPackedExport(spark, p))
+    val served = rows(StreamingPipeline.packedExportLedger(spark, p))
+    // compaction left batch=0 live + 3 tombstones per half; the vacuum
+    // collapses the tombstones (the metadata-growth reset)
+    assert(Ledger.vacuumStore(spark, p, 4L, Seq("pack", "tails")) == 6)
+    def dirs(half: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/$half"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs("pack") == Seq("batch=0") && dirs("tails") == Seq("batch=0"))
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
+    // a replayed pre-watermark batch is a no-op BY RULE (dir long gone)
+    append(tranche(31 to 60), 2L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
+    // the next real append both lands and seeds correctly
+    append(tranche(91 to 110), 4L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(tranche(1 to 110))))
+    // a SECOND compaction must carry the watermark through its swap —
+    // without copyWatermark the vacuumed replays would resurrect
+    assert(StreamingPipeline.compactPackedExport(spark, p))
+    assert(Ledger.watermark(fs, s"$p/pack") == 4L)
+    append(tranche(31 to 60), 2L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(tranche(1 to 110))),
+      "watermark lost in compaction swap: vacuumed batch resurrected")
+  }
+
+  test("packed-export repack: a corpus delta repairs the stream-grown store in place") {
+    import graft.streaming.StreamingPipeline
+    import graft.store.Ledger
+    def tranche(ids: Range) = ids.map(i => (i.toLong, s"some words for doc $i body"))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def units(df: DataFrame) = graft.text.TextOps.chunkDocs(df, size = 64, stride = 48)
+      .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+        col("n_tok").as("n_tokens"))
+    def monolithic(df: DataFrame) = graft.operators.Shards.packedLedger(
+      graft.text.TextOps.packSequences(units(df),
+        budget = 50, shards = 2, tokenCount = Some(col("n_tokens"))))
+    val p = java.nio.file.Files.createTempDirectory("graft_repack").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+    def append(df: DataFrame, id: Long): Unit =
+      StreamingPipeline.packedExportAppendBatch(p, budget = 50, nShards = 2)(df, id)
+    // the stored stream: two tranches
+    val t1 = tranche(1 to 60)
+    append(tranche(1 to 30), 1L)
+    append(tranche(31 to 60), 2L)
+    // the re-crawl: revise doc_id % 7 == 2, remove doc_id % 13 == 3
+    val b1 = t1.filter(col("doc_id") % 13 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val affected = units(t1.filter(col("doc_id") % 13 === 3 || col("doc_id") % 7 === 2))
+      .unionByName(units(b1.filter(col("doc_id") % 7 === 2)))
+      .select("doc_id")
+    StreamingPipeline.repackPackedExport(spark, p, budget = 50, nShards = 2,
+      newDocs = b1, affectedUnitIds = affected)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(b1)),
+      "repacked store must serve the from-scratch export of the new snapshot")
+    // the repack vacuumed the ledger: one live batch=0 per half, watermark
+    // covers the pre-repack ids, replays stay no-ops
+    def dirs(half: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/$half"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs("pack") == Seq("batch=0") && dirs("tails") == Seq("batch=0"))
+    assert(Ledger.watermark(fs, s"$p/pack") == 3L)
+    append(tranche(31 to 60), 2L) // pre-repack replay: by-rule no-op
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == rows(monolithic(b1)))
+    // the next tranche streams onto the REPAIRED tails (manual append with
+    // the continuing id, exactly what the shared checkpoint would deliver)
+    append(tranche(61 to 90), 3L)
+    assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
+      rows(monolithic(b1.unionByName(tranche(61 to 90)))),
+      "post-repack appends must seed from the repaired tails")
+  }
 }
