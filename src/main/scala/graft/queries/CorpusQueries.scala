@@ -952,6 +952,136 @@ object CorpusQueries {
         .orderBy("family")
     }),
 
+    // THE 10-FAMILY WAREHOUSE CYCLE (the r15 verdict's item 5): q207's
+    // eight document-driven families PLUS the two store families round 15
+    // left maintained outside the cycle — the chunk-packed EXPORT ledger
+    // (q224's incremental path, advancing through the SAME shared delta:
+    // reuse every bin the ripple can't reach, re-pack from the first
+    // affected chunk) and the TIME-AXIS daily drift monitor (q225's
+    // day-keyed ledger on the events table: history backfilled once, the
+    // last day arriving through the daily append). One maintenance pass,
+    // ten families, one gate frame; the oracle recomputes every family
+    // FROM SCRATCH over the post-move state (snapshot B for the nine
+    // document families, the raw event history for the daily monitor), so
+    // any family serving half-advanced or stale state shifts its row and
+    // fails the hash.
+    "q230_warehouse_cycle10" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      import graft.text.{TextOps, VocabStore}
+      import graft.operators.Shards
+      val base = DataQueries.ivfIndexPath(d) + "_wh10"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val a = docs(s, d)
+      val b = DataQueries.snapshotBFull(a)
+      val aTxt = a.select(col("doc_id"), col("text"))
+      val bTxt = b.select(col("doc_id"), col("text"))
+      def terms(df: DataFrame) = df.select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      // ---- the A-state warehouse (the previous cycle's artifacts)
+      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+      TextOps.saveLm(aTxt, s"$base/lm")
+      (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+        terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
+      require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
+        s"$base/vocab"))
+      // the export family's A-state: the packed chunks + their ledger
+      val packA = TextOps.packSequences(DataQueries.chunkUnits(aTxt),
+        budget = 512, shards = 32, tokenCount = Some(col("n_tokens")))
+        .localCheckpoint(true)
+      val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
+      // the daily monitor's A-state: the day-keyed count ledger over the
+      // event history (its axis is the event table, not the crawl — the
+      // cycle maintains it in the same pass, via its own daily append)
+      val ev = Tables.cleanEvents(s, d)
+        .select(to_date(col("ts")).as("day"), col("metric")).localCheckpoint(true)
+      // bounded collect: ONE date — the "today" the daily job appends
+      val maxDay = ev.agg(max("day")).head().getDate(0)
+      graft.operators.Drift.buildDailyDriftStore(
+        ev.filter(col("day") < lit(maxDay)), col("day"), col("metric"),
+        s"$base/daily")
+      // ---- the crawl moves: one shared delta, every family advances
+      val delta = graft.dedup.Dedup.corpusDelta(aTxt, bTxt).localCheckpoint(true)
+      val oldIds = delta.filter(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      val newIds = delta.filter(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
+      TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
+      TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
+      TextOps.compactLm(s, s"$base/lm")
+      StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
+        terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
+      StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+        terms(bTxt.join(newIds, "doc_id")), 6L)
+      require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
+        s"$base/vocab"), "the moved corpus must retrain the vocab")
+      graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
+        s"$base/drift")
+      graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
+        DataQueries.driftFeatures, s"$base/drift", appendId = 1)
+      graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
+        DataQueries.driftFeatures, s"$base/drift", appendId = 2)
+      graft.operators.Drift.compactDriftStore(s, s"$base/drift")
+      // the export family advances through the SAME delta: both sides'
+      // chunks of the non-unchanged docs invalidate, prefix bins reuse
+      val affected = DataQueries.chunkUnits(aTxt.join(oldIds, "doc_id"))
+        .unionByName(DataQueries.chunkUnits(bTxt.join(newIds, "doc_id")))
+        .select("doc_id")
+      val ledgerB = Shards.incrementalPackedLedger(
+        DataQueries.chunkUnits(bTxt), packA, ledgerA, affected,
+        budget = 512, nShards = 32).localCheckpoint(true)
+      // the daily monitor advances through ITS OWN axis: today's counts
+      // land once, replay-safe, through the daily append path
+      graft.operators.Drift.appendDailyDriftCounts(
+        ev.filter(col("day") === lit(maxDay)), col("metric"),
+        s"$base/daily", maxDay.toLocalDate.toEpochDay)
+      // ---- one gate frame: B served from every advanced store
+      def row(fam: String, df: DataFrame, m1: Column, m2: Column, m3: Column) =
+        df.agg(m1.cast("long").as("m1"), m2.cast("long").as("m2"),
+            m3.cast("long").as("m3"))
+          .select(lit(fam).as("family"), col("m1"), col("m2"), col("m3"))
+      val exactKept = v4Winners(featB).localCheckpoint(true)
+      val dropped = StreamingPipeline.readDedupPairs(s, s"$base/mh")
+        .select(col("doc_b").as("doc_id")).distinct()
+      row("1_feat", featB,
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L))
+        .unionByName(row("2_exact", exactKept,
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L)))
+        .unionByName(row("3_near", exactKept.join(dropped, Seq("doc_id"), "left_anti"),
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)), lit(0L)))
+        .unionByName(row("4_lm", TextOps.scoreWithLm(bTxt, s"$base/lm"),
+          count(lit(1)), coalesce(sum(col("n_backoff")), lit(0L)),
+          coalesce(sum(col("n_unseen")), lit(0L))))
+        .unionByName(row("5_cms", graft.sketch.Sketches.cmsTopKFromCells(
+            terms(bTxt), s.read.parquet(s"$base/cms"),
+            termCol = "term", d = 3, w = 1024, k = 20),
+          count(lit(1)), coalesce(sum(col("est")), lit(0L)),
+          coalesce(sum(col("cnt")), lit(0L))))
+        .unionByName(row("6_dsir", TextOps.scoreWithDsir(bTxt, s"$base/dsir"),
+          count(lit(1)), coalesce(sum(col("dsir6")), lit(0L)),
+          coalesce(sum(col("rate_ppm")), lit(0L))))
+        .unionByName(row("7_vocab", graft.text.Subword.storedVocabGate(
+            bTxt, size = 256, maxPieceLen = 6, s"$base/vocab"),
+          count(lit(1)), coalesce(sum(col("n_words")), lit(0L)),
+          coalesce(sum(col("vocab_viol") + col("tok_viol") + col("oov_viol")),
+            lit(0L))))
+        .unionByName(row("8_drift",
+          graft.operators.Drift.psiFromStore(s, s"$base/drift"),
+          count(lit(1)), coalesce(sum(col("n_b")), lit(0L)),
+          coalesce(sum(floor(col("psi") * 1e6 + 0.5)), lit(0L))))
+        .unionByName(row("9_pack", ledgerB,
+          count(lit(1)), coalesce(sum(col("n_tokens")), lit(0L)),
+          coalesce(expr("bit_xor(checksum)"), lit(0L))))
+        .unionByName(row("a_daily",
+          graft.operators.Drift.dailyDriftFromStore(s, s"$base/daily"),
+          count(lit(1)), coalesce(sum(col("n_b")), lit(0L)),
+          coalesce(sum(floor(col("psi") * 1e6 + 0.5)), lit(0L))))
+        .orderBy("family")
+    }),
+
     // The v4 pipeline's per-document kill matrix (see
     // [[pipelineKillMatrix]]) — every stage verdict + first-fail charging,
     // reconciling with q189's stage counts by shared construction; the
@@ -1883,6 +2013,54 @@ object CorpusQueries {
          |    CAST(coalesce(sum(n_b), 0) AS BIGINT),
          |    CAST(coalesce(sum(CAST(floor(psi * 1000000.0 + 0.5) AS BIGINT)), 0)
          |      AS BIGINT) FROM drrep
+         |) ORDER BY family""".stripMargin,
+
+    // q207's oracle extended by the two r15 store families, each
+    // recomputed from scratch: '9_pack' aggregates the chunk-pack ledger
+    // of snapshot B (q224's oracle as a subquery — the inner bsnap
+    // shadows the outer, same text), 'a_daily' aggregates the day-pair
+    // drift monitor over raw events (q220's oracle as a subquery).
+    "q230_warehouse_cycle10" ->
+      s"""WITH ${DataOracles.snapshotBFullSql},
+         |${pipelineOracleCtesOver("bsnap")},
+         |${DataOracles.dsirRatedBlock("ds", src = "bsnap")},
+         |${DataOracles.psiCtesOver("documents", "bsnap", "dr")}
+         |SELECT family, m1, m2, m3 FROM (
+         |  SELECT '1_feat' AS family, CAST(count(*) AS BIGINT) AS m1,
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT) AS m2,
+         |    CAST(0 AS BIGINT) AS m3 FROM nw
+         |  UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM exact
+         |  UNION ALL SELECT '3_near', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_words), 0) AS BIGINT), CAST(0 AS BIGINT) FROM near
+         |  UNION ALL SELECT '4_lm', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_backoff), 0) AS BIGINT),
+         |    CAST(coalesce(sum(n_unseen), 0) AS BIGINT)
+         |  FROM (${trigramBackoffOracleOver("bsnap")}) lmq
+         |  UNION ALL SELECT '5_cms', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(est), 0) AS BIGINT),
+         |    CAST(coalesce(sum(cnt), 0) AS BIGINT)
+         |  FROM (${SketchQueries.cmsOracleOver("1=1", src = "bsnap")}) cmsq
+         |  UNION ALL SELECT '6_dsir', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(dsir6), 0) AS BIGINT),
+         |    CAST(coalesce(sum(rate_ppm), 0) AS BIGINT) FROM dsrated
+         |  UNION ALL SELECT '7_vocab', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(len(string_split_regex(trim(lower(text)), '\\s+'))), 0)
+         |      AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM bsnap
+         |  UNION ALL SELECT '8_drift', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_b), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CAST(floor(psi * 1000000.0 + 0.5) AS BIGINT)), 0)
+         |      AS BIGINT) FROM drrep
+         |  UNION ALL SELECT '9_pack', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+         |    CAST(coalesce(bit_xor(checksum), 0) AS BIGINT)
+         |  FROM (${DataOracles.chunkExportLedgerSql("bsnap")}) pk
+         |  UNION ALL SELECT 'a_daily', CAST(count(*) AS BIGINT),
+         |    CAST(coalesce(sum(n_b), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CAST(floor(psi * 1000000.0 + 0.5) AS BIGINT)), 0)
+         |      AS BIGINT)
+         |  FROM (${DataOracles.dailyDriftSql}) dd
          |) ORDER BY family""".stripMargin,
 
     "q191_pipeline_v4_incremental" ->

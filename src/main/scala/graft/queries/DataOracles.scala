@@ -2553,7 +2553,7 @@ object DataOracles {
     * id:bin_offset fingerprint), parameterized on the source snapshot:
     * q223/q227 root it at `documents`, q224 at `bsnap`, q226 at `csnap`.
     */
-  private def chunkExportLedgerSql(source: String, withCtes: String = ""): String =
+  private[queries] def chunkExportLedgerSql(source: String, withCtes: String = ""): String =
     s"""WITH ${withCtes}t0 AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source
       |),
@@ -2580,7 +2580,7 @@ object DataOracles {
       |  bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS checksum
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  private def dailyDriftSql: String = dailyDriftSqlFrom(horizonDays = -1)
+  private[queries] def dailyDriftSql: String = dailyDriftSqlFrom(horizonDays = -1)
 
   /** [[dailyDriftSql]] with an optional retention horizon: events from
     * `max(day) - horizonDays` on (a negative horizon keeps everything).

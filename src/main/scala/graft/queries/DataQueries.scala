@@ -1934,7 +1934,7 @@ object DataQueries {
     * the scalar packing key (collision-guarded in q223 itself; these
     * derived snapshots stay far inside the 1e6-chunks-per-doc envelope).
     */
-  private def chunkUnits(df: DataFrame): DataFrame =
+  private[queries] def chunkUnits(df: DataFrame): DataFrame =
     TextOps.chunkDocs(df, size = 64, stride = 48).select(
       (col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
       col("n_tok").as("n_tokens"))

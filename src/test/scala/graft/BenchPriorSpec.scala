@@ -114,7 +114,7 @@ class BenchPriorSpec extends AnyFunSuite {
     val line = Bench.driverLine(3, "/root/testdata/sf0.1", 300,
       Seq("queries", "ann_index", "v4_cycle", "scale10_subset"),
       Seq("nothing"), medians, noisy, scale10, expOf,
-      0.28, 6005, 400.123, 612.456, 1200.789, 2100.0, 1734.5)
+      0.28, 6005, 400.123, 612.456, 1200.789, 2100.0, 1734.5, 1.02)
     assert(line.length < 1800,
       s"driver keeps ~2 KB of stdout; line is ${line.length} B")
     // headline fields present and LAST (the consumer head-truncates)
@@ -132,7 +132,10 @@ class BenchPriorSpec extends AnyFunSuite {
     def expOf(t1: Double, t10: Double) = math.log10(t10 / t1)
     val s10 = Seq(("q7_a", 1.0, 2.0), ("q8_b", 1.0, 30.0), ("q9_c", 1.0, -1.0))
     val line = Bench.driverLine(1, "/s", 2, Seq("queries"), Seq.empty,
-      Map("q7" -> 1.0), "{}", s10, expOf, 1.0, 1, 1, 2, 3, 0, 10)
+      Map("q7" -> 1.0), "{}", s10, expOf, 1.0, 1, 1, 2, 3, 0, 10, 2.3)
+    assert(line.contains("\"contention_index\":2.30") &&
+      line.contains("\"contended\":true"),
+      s"a contended session must be stamped on the line's face: $line")
     assert(line.contains("\"scale10_top\":{\"q8\":[1.48,30.00],\"q7\":[0.30,2.00]}"),
       s"failed-run sentinels (t10 <= 0) must be excluded: $line")
   }
@@ -160,6 +163,28 @@ class BenchPriorSpec extends AnyFunSuite {
     Seq("q209_drift_psi", "q210_shard_manifest", "q216_drift_store",
       "q217_incremental_export").foreach(n =>
       assert(Bench.scale10Core.contains(n), s"$n must be in the subset"))
+  }
+
+  test("contention index: median ratio vs prior, floor-filtered, insufficient-signal safe") {
+    // 5 comparable queries, one genuinely regressed 4x: the MEDIAN ratio
+    // stays ~1 — one real regression must not stamp the session contended
+    val prior = Map("q01" -> 1.0, "q02" -> 2.0, "q03" -> 4.0, "q04" -> 1.0,
+      "q05" -> 1.0, "q06" -> 0.1)
+    val clean = Map("q01" -> 1.05, "q02" -> 2.1, "q03" -> 3.9, "q04" -> 4.0,
+      "q05" -> 0.95)
+    assert(Bench.contentionIndex(clean, prior) < Bench.ContendedAt)
+    // a co-tenant burst inflates EVERYTHING ~2x: the index says so
+    val burst = clean.map { case (k, v) => k -> v * 2.1 }
+    assert(Bench.contentionIndex(burst, prior) > Bench.ContendedAt)
+    // sub-floor priors are excluded: q06's 10x "ratio" on a 0.1 s prior is
+    // scheduling noise, not contention signal
+    val noise = clean + ("q06" -> 1.0)
+    assert(Bench.contentionIndex(noise, prior) < Bench.ContendedAt)
+    // fewer than 4 comparable queries -> no signal -> 1.0, never a stamp
+    assert(Bench.contentionIndex(Map("q01" -> 9.0), prior) == 1.0)
+    assert(Bench.contentionIndex(Map.empty, prior) == 1.0)
+    // and no prior at all (fresh checkout) -> 1.0
+    assert(Bench.contentionIndex(clean, Map.empty) == 1.0)
   }
 
   test("prior write round-trips through the parser (medians + scale10)") {
