@@ -1375,6 +1375,9 @@ object DataOracles {
     // compact must probe bit-identical to the monolithic search over the
     // moved corpus
     "q180_ann_lsh_delta" -> lshStoreOracleOver("bb", embSnapshotBCtes),
+
+    // the vacuumed store must probe bit-identically: q180's oracle verbatim
+    "q232_ann_lsh_vacuum" -> lshStoreOracleOver("bb", embSnapshotBCtes),
     // q117's search re-rooted at the TWICE-derived snapshot C — the LSH
     // store after two full delta cycles (the second closed by a minor
     // compaction with its retirement ledger pending, over bases cycle 1's

@@ -1243,6 +1243,39 @@ object DataQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // q180's lifecycle DRIVEN THROUGH THE VACUUM (the r15 verdict's item
+    // 7, ANN edition): after the full compaction applies the retirement
+    // and blanks the ledger, every historical batch dir on all three
+    // ledger halves (sigs, vectors, the blanked retire ledger) collapses
+    // into the `_vacuumed_below` watermark — the store the probes serve
+    // carries ZERO tombstone dirs. The probe must stay BIT-IDENTICAL to
+    // the monolithic search (q180's oracle verbatim): the vacuum touches
+    // ledger metadata only, never rows. The replay contract is drilled in
+    // DedupSimilaritySpec (vacuumed append/retire ids stay refused);
+    // this row gates the serving side at the hash level.
+    "q232_ann_lsh_vacuum" -> ((s, d) => {
+      val path = ivfIndexPath(d) + "_lshvac"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val a = emb(s, d)
+      val b = embSnapshotB(a)
+      Similarity.buildLshIndex(a, bits = 5, tables = 16, dim = 64, path)
+      val delta = embDelta(a, b).localCheckpoint(true)
+      Similarity.retireLshVectors(s, path,
+        delta.filter(col("status").isin("removed", "changed")).select("vec_id"),
+        retireId = 1)
+      Similarity.lshAppendVectors(
+        b.join(delta.filter(col("status").isin("added", "changed"))
+          .select("vec_id"), "vec_id"), path, appendId = 2)
+      Similarity.compactLshIndex(s, path)
+      graft.store.Ledger.vacuumStore(s, path, upTo = 3,
+        Seq("sigs", "vectors", "retired"))
+      Similarity.probeLshIndex(b.filter(col("vec_id") < 100), path, k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q195's A→B→C shape over the LSH store (the r13 verdict's item 5:
     // q195 gates the relocated-base class for IVF at the HASH level;
     // LSH/PQ relied on file-level drills, and the r12 advisor class showed
