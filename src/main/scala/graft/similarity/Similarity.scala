@@ -1208,6 +1208,7 @@ object Similarity {
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingCells/batch=$id")))
     if (baseId != 0L) writeBaseMarker(fs, stagingCells.toString, baseId)
+    graft.store.Ledger.copyWatermark(fs, s"$path/cells", stagingCells.toString)
     val stagingCent = new org.apache.hadoop.fs.Path(s"$path/.centroids-reindex")
     fs.delete(stagingCent, true)
     cent.write.mode("overwrite").parquet(stagingCent.toString)
@@ -1272,6 +1273,7 @@ object Similarity {
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingSigs/batch=$id")))
     if (baseId != 0L) writeBaseMarker(fs, stagingSigs.toString, baseId)
+    graft.store.Ledger.copyWatermark(fs, s"$path/sigs", stagingSigs.toString)
     val stagingCfg = new org.apache.hadoop.fs.Path(s"$path/.config-reindex")
     fs.delete(stagingCfg, true)
     import spark.implicits._

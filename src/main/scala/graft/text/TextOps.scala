@@ -592,6 +592,7 @@ object TextOps {
           batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
             .filter(_ != 0L).foreach(id =>
               fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+          graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
           graft.similarity.Similarity.swapDir(fs, staging, dir)
           compacted += 1
         }
@@ -1319,6 +1320,7 @@ object TextOps {
         batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
           .filter(_ != 0L).foreach(id =>
             fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+        graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
         graft.similarity.Similarity.swapDir(fs, staging, dir)
         1
       }

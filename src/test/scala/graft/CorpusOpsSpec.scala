@@ -98,6 +98,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(canon(TextOps.scoreWithLm(batch, path)) ==
       canon(TextOps.trigramBackoffNllAgainst(batch, docs.unionByName(extra))),
       "store probe diverged from the refit-per-batch scorer")
+    // VACUUM: the compaction tombstones + the id-3 append dir's siblings
+    // collapse into the watermark on all four tables; scoring is
+    // invariant, vacuumed replays stay refused, and the NEXT compaction
+    // must carry the watermark through its swap (the copyWatermark
+    // propagation this drill pins)
+    import graft.store.Ledger
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val scorePre = canon(TextOps.scoreWithLm(docs, path))
+    assert(Ledger.vacuumStore(spark, path, 4L,
+      Seq("uni", "bi", "tri", "meta")) >= 8,
+      "vacuum must collapse the merged batches' tombstones on every table")
+    assert(canon(TextOps.scoreWithLm(docs, path)) == scorePre,
+      "vacuum changed LM scores")
+    assert(!TextOps.appendLm(docs.filter(col("doc_id") % 3 === 1), path, appendId = 1),
+      "a vacuumed append id must stay refused by the watermark rule")
+    assert(TextOps.compactLm(spark, path) == 4) // batch 0 + the id-3 delta
+    assert(Ledger.watermark(fs, s"$path/uni") == 4L,
+      "compactLm must carry the vacuum watermark through its swap")
+    assert(!TextOps.appendLm(docs.filter(col("doc_id") % 3 === 2), path, appendId = 2),
+      "watermark lost in LM compaction: vacuumed replay resurrected")
+    assert(canon(TextOps.scoreWithLm(docs, path)) == scorePre)
   }
 
   test("LM retirement: retire+append converges to the snapshot rebuild; zeroed grams invisible") {
