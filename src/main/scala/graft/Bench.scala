@@ -262,7 +262,9 @@ object Bench {
     "q216_drift_store", "q217_incremental_export", "q218_drift_cycle2",
     "q221_drift_buckets", "q224_incr_chunk_export", "q225_daily_drift_served",
     "q226_incr_chunk_export2", "q227_packed_export_streamed",
-    "q228_daily_drift_streamed")
+    "q228_daily_drift_streamed", "q229_daily_drift_vacuum",
+    "q230_warehouse_cycle10", "q231_packed_export_moved",
+    "q232_ann_lsh_vacuum")
 
   /** scale10 SUBSET for budgeted sessions: one anchor per scale-argued
     * family (pair mining, clustering, LM, pipeline e2e, IVF-PQ, PCA

@@ -71,8 +71,8 @@ class CurationSpec extends SparkSpec {
     val out = Dedup.corpusDeltaOn(a, b, Seq("text", "lang"))
       .as[(Long, String)].collect().sortBy(_._1)
     assert(out === Seq(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged"))
-    // null vs empty-string must differ (concat_ws SKIPS nulls — the 0x00
-    // fold is what keeps ("a", null) and ("a", "") apart)
+    // null vs empty-string must differ (the per-column fold's `-` token
+    // vs md5("") is what keeps ("a", null) and ("a", "") apart)
     val an = Seq((1L, Some("a"), None: Option[String])).toDF("doc_id", "text", "lang")
     val bn = Seq((1L, Some("a"), Some(""))).toDF("doc_id", "text", "lang")
     val outN = Dedup.corpusDeltaOn(an, bn, Seq("text", "lang"))

@@ -92,6 +92,15 @@ class PlanShapeSpec extends SparkSpec {
     // both individually adjudicated above; its own family rows are
     // 1-row aggregates unioned, no join
     "q207_warehouse_cycle",
+    // q207's composition plus the pack/daily families — the BNLJs are the
+    // SAME adjudicated 1-row broadcasts (scoreWithLm's train-token count,
+    // scoreWithDsir's totals); the two new families join only through
+    // bounded equi-joins (<= nShards scalar frame, <= days x buckets
+    // count frame) which plan as hash joins
+    "q230_warehouse_cycle10",
+    // q180's bounded plane-table broadcast — the vacuum touches ledger
+    // metadata only, the probe plan is q117's shape unchanged
+    "q232_ann_lsh_vacuum",
     "q213_ivf_cell_drift") // q52's bounded centroid-assignment broadcast, run twice against one frozen set
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
