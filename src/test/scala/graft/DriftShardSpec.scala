@@ -322,6 +322,63 @@ class DriftShardSpec extends SparkSpec {
       "without the ledger dir the day resurrects — the window the fix closes")
   }
 
+  test("daily drift lifecycle: random append/replay/retire/vacuum interleavings serve the horizon-cut monolith") {
+    import graft.operators.Drift
+    import graft.store.Ledger
+    // deterministic seed: the same three scenarios replay in every CI run
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_daily_rand$trial").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      val day0 = 20000L + rnd.nextInt(100)
+      val nDays = 8 + rnd.nextInt(5)
+      val buckets = Seq("a", "b", "c")
+      // per-day event rows (a day may be empty — a gap on both engines)
+      val byDay: Map[Long, Seq[(java.sql.Date, String)]] =
+        (0 until nDays).map { i =>
+          val d = day0 + i
+          val date = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+          d -> buckets.flatMap(b => Seq.fill(rnd.nextInt(4))((date, b)))
+        }.toMap
+      def ev(rows: Seq[(java.sql.Date, String)]) = rows.toDF("day", "metric")
+      // appends land in a SHUFFLED order, some days delivered twice (the
+      // at-least-once scheduler) — the ledger must keep replays no-ops
+      val order = rnd.shuffle(byDay.keys.toSeq)
+      order.foreach { d =>
+        val landed = Drift.appendDailyDriftCounts(ev(byDay(d)), $"metric", path, d)
+        assert(landed, s"first delivery of day $d must land")
+        if (rnd.nextBoolean())
+          assert(!Drift.appendDailyDriftCounts(ev(byDay(d)), $"metric", path, d),
+            s"replayed day $d must be a no-op")
+      }
+      // retention horizon somewhere inside the range, then the vacuum
+      val horizon = day0 + 1 + rnd.nextInt(nDays - 2)
+      Drift.retireDailyDriftDays(spark, path, horizon)
+      Ledger.vacuumStore(spark, path, horizon, Seq("days"))
+      // a retired+vacuumed day re-offered: refused by the watermark rule
+      val retiredDay = day0 + rnd.nextInt((horizon - day0).toInt)
+      assert(!Drift.appendDailyDriftCounts(ev(byDay(retiredDay)), $"metric",
+        path, retiredDay), s"vacuumed day $retiredDay resurrected (trial $trial)")
+      // idempotent re-retire and a second (lower) vacuum are both no-ops
+      assert(Drift.retireDailyDriftDays(spark, path, horizon) == 0)
+      assert(Ledger.vacuumStore(spark, path, horizon - 1, Seq("days")) == 0)
+      // the monolith over surviving history: every pre-horizon day simply
+      // never existed
+      val surviving = byDay.filter(_._1 >= horizon).values.flatten.toSeq
+      val expected = Drift.dayPairPsi(ev(surviving)
+          .groupBy("day").pivot("metric", buckets).count()
+          .select($"day", explode(map(buckets.flatMap(b =>
+            Seq(lit(b), coalesce(col(b), lit(0L)))): _*)).as(Seq("bucket", "c")))
+          .filter($"c" > 0))
+        .collect().map(_.toString).sorted.toSeq
+      val served = Drift.dailyDriftFromStore(spark, path)
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == expected, s"trial $trial: store diverged from the monolith")
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+  }
+
   test("drift store: stream-grown counts survive kill/restart and replay") {
     import graft.operators.Drift
     import graft.streaming.StreamingPipeline
