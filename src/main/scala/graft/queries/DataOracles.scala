@@ -2401,6 +2401,15 @@ object DataOracles {
     // monolithic chain computes over everything delivered
     "q227_packed_export_streamed" -> chunkExportLedgerSql("documents"),
 
+    // per-shard training-file utilization off the chunk-pack ledger:
+    // integer fill_ppm so the division is exact on both engines
+    "q233_pack_efficiency" ->
+      s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(1000000 * sum(n_tokens) AS BIGINT) // (count(*) * 512) AS fill_ppm
+        |FROM (${chunkExportLedgerSql("documents")}) pk
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+
     // the streamed export through a corpus move: q223's chain re-rooted
     // at the FINAL snapshot — tranche 1 revised (%7==2) and cut
     // (%13==3), tranche 2 verbatim. The store got there by stream +

@@ -1960,6 +1960,33 @@ object DataQueries {
       deliver(dd.filter(col("doc_id") > cut)); drain()
       StreamingPipeline.packedExportLedger(s, s"$base/store")
         .orderBy("shard", "bin")
+    }),
+
+    // Packing-efficiency report — the utilization metric a packed export
+    // is tuned BY: per shard, how full its 512-token training files run
+    // (the last bin of each shard is partial by construction).
+    // fill_ppm = (1e6 * tokens) div (bins * budget), integer division on
+    // integer sums — exact on both engines. Ledger-sized input (one
+    // grouped aggregate over the (shard, bin) ledger); the corpus is
+    // touched only by the chunk+pack chain q223 already pays. The report
+    // also SURFACES the family's shard-balance geometry: the folded key
+    // is doc_id*1e6 + chunk_idx and 1e6 ≡ 0 (mod 32), so shard ==
+    // chunk_idx mod 32 — a corpus of short documents populates only the
+    // first max-chunks shards (3 at sf0.01), while long documents
+    // round-robin their chunks across all 32. An operator tuning a real
+    // export reads exactly this row set to decide whether the shard
+    // count fits the document-length profile (the geometry is
+    // oracle-pinned across q223-q231; rebalancing means hashing the
+    // folded key, which preserves the per-shard monotone-id contract).
+    "q233_pack_efficiency" -> ((s, d) => {
+      val ledger = Shards.packedLedger(TextOps.packSequences(
+        chunkUnits(docs(s, d)), budget = 512, shards = 32,
+        tokenCount = Some(col("n_tokens"))))
+      ledger.groupBy("shard")
+        .agg(count(lit(1)).as("n_bins"), sum("n_tokens").as("n_tokens"))
+        .withColumn("fill_ppm",
+          expr("(1000000 * n_tokens) div (n_bins * 512)"))
+        .orderBy("shard")
     })
   )
 
