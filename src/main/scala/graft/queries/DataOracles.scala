@@ -2401,6 +2401,12 @@ object DataOracles {
     // monolithic chain computes over everything delivered
     "q227_packed_export_streamed" -> chunkExportLedgerSql("documents"),
 
+    // the hash-balanced export: identical chain, shard = hex60(id) % 32
+    // instead of id % 32 — every shard populated whatever the
+    // document-length profile, per-shard ids still monotone
+    "q234_chunk_pack_balanced" -> chunkExportLedgerSql("documents",
+      shardSql = s"${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32"),
+
     // per-shard training-file utilization off the chunk-pack ledger:
     // integer fill_ppm so the division is exact on both engines
     "q233_pack_efficiency" ->
@@ -2565,7 +2571,8 @@ object DataOracles {
     * id:bin_offset fingerprint), parameterized on the source snapshot:
     * q223/q227 root it at `documents`, q224 at `bsnap`, q226 at `csnap`.
     */
-  private[queries] def chunkExportLedgerSql(source: String, withCtes: String = ""): String =
+  private[queries] def chunkExportLedgerSql(source: String, withCtes: String = "",
+                                            shardSql: String = "doc_id % 32"): String =
     s"""WITH ${withCtes}t0 AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source
       |),
@@ -2574,7 +2581,7 @@ object DataOracles {
       |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
       |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
       |),
-      |t AS (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM ch),
+      |t AS (SELECT doc_id, n_tokens, $shardSql AS shard FROM ch),
       |c AS (
       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
       |    PARTITION BY shard ORDER BY doc_id

@@ -1962,6 +1962,23 @@ object DataQueries {
         .orderBy("shard", "bin")
     }),
 
+    // The hash-balanced export chain — the rebalancing the q233 report
+    // points at, proven at the hash level: the identical chunk->pack->
+    // ledger composition with shard = hex60(folded id) % 32, so EVERY
+    // shard carries load whatever the document-length profile (the
+    // default folded-id modulo collapses to chunk_idx mod 32). The
+    // per-shard monotone-id contract survives by construction (a hash
+    // selects a subset of a monotone sequence). Oracle = q223's SQL with
+    // the hashed shard key.
+    "q234_chunk_pack_balanced" -> ((s, d) => {
+      val chunks = chunkUnits(docs(s, d))
+      Shards.packedLedger(TextOps.packSequences(chunks, budget = 512,
+          shards = 32, tokenCount = Some(col("n_tokens")),
+          shardBy = Some(pmod(
+            graft.dedup.Dedup.hex60(col("doc_id").cast("string")), lit(32L)))))
+        .orderBy("shard", "bin")
+    }),
+
     // Packing-efficiency report — the utilization metric a packed export
     // is tuned BY: per shard, how full its 512-token training files run
     // (the last bin of each shard is partial by construction).

@@ -271,13 +271,21 @@ object TextOps {
     */
   def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
                     textCol: String = "text", idCol: String = "doc_id",
-                    tokenCount: Option[Column] = None): DataFrame = {
+                    tokenCount: Option[Column] = None,
+                    shardBy: Option[Column] = None): DataFrame = {
+    // shardBy overrides the default id-modulo routing — e.g. a hash of
+    // the id for LOAD BALANCE when ids carry structure (the q233 report's
+    // geometry note: folded chunk keys mod 32 collapse to chunk_idx mod
+    // 32, concentrating short-doc corpora in the low shards). Any
+    // deterministic function of the id preserves the per-shard
+    // monotone-id packing contract: a subset of a monotone id sequence
+    // is monotone.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("doc_id"),
         tokenCount.getOrElse(size(words(col(textCol)))).cast("long").as("n_tokens"),
-        pmod(col(idCol), lit(shards)).as("shard"))
+        shardBy.getOrElse(pmod(col(idCol), lit(shards))).as("shard"))
       .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_excl div $budget"))
       .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
