@@ -568,8 +568,10 @@ object Dedup {
       val ledger = new org.apache.hadoop.fs.Path(s"$path/retired/batch=$retireId")
       if (graft.store.Ledger.landed(fs, s"$path/retired", retireId)) false
       else {
+        // landed-by-rule counts as published: a compaction-vacuumed
+        // suite id has no dir but its shingles live on in the base
         benchBatches.foreach(b => require(
-          fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles/batch=$b")),
+          graft.store.Ledger.landed(fs, s"$path/shingles", b),
           s"cannot retire unpublished bench batch $b"))
         import spark.implicits._
         val staging = new org.apache.hadoop.fs.Path(s"$path/retired/.staging-$retireId")
@@ -694,7 +696,8 @@ object Dedup {
       // dataIds can't name one)
       val n = graft.similarity.Similarity.compactBatchStore(
         spark, s"$path/shingles", Seq.empty,
-        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty,
+        vacuumLedger = true)
       if (retired.nonEmpty) {
         // (3) Bloom rebuild from survivors. Survivors = the DATA-BEARING
         // batch dirs only (step 1 already tombstoned the rotated ids): a

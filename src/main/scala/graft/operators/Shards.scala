@@ -217,7 +217,10 @@ object Shards {
                                    nShards: Int, idCol: String)
       : (DataFrame, DataFrame) = {
     require(budget > 0 && nShards > 0, "budget and nShards must be positive")
-    val shardOf = (c: org.apache.spark.sql.Column) => pmod(c, lit(nShards.toLong))
+    // the same hash-balanced routing as packSequences' default — the two
+    // MUST agree or the reuse boundary reads the wrong shard's prefix
+    val shardOf = (c: org.apache.spark.sql.Column) =>
+      pmod(Dedup.hex60(c.cast("string")), lit(nShards.toLong))
     // ≤ nShards rows: each shard's smallest invalidated unit id
     val minAff = affectedIds.select(shardOf(col(idCol)).as("shard"), col(idCol).as("__id"))
       .groupBy("shard").agg(min("__id").as("min_aff"))

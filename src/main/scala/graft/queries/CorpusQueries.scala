@@ -66,12 +66,13 @@ object CorpusQueries {
     // shard-local packing over ONLY the balanced docs: the conditional
     // running sum skips unbalanced rows, so each balanced doc's exclusive
     // prefix counts exactly its prior balanced shard-mates (q76 semantics)
-    val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+    val shard32 = pmod(Dedup.hex60(col("doc_id").cast("string")), lit(32L))
+    val w = Window.partitionBy(shard32)
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     val packed = bal
       .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
       .withColumn("__binkey", when(col("bal"),
-        concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+        concat_ws(":", shard32, expr("__cum div 512"))))
     (raw, packed)
   }
 
@@ -294,12 +295,13 @@ object CorpusQueries {
     val bal = flagged.join(broadcast(rates), Seq("source"), "left")
       .withColumn("bal", col("qual") &&
         Dedup.hex60(col("doc_id").cast("string")) % 1000000 < coalesce(col("rate_ppm"), lit(0L)))
-    val w = Window.partitionBy(pmod(col("doc_id"), lit(32)))
+    val shard32 = pmod(Dedup.hex60(col("doc_id").cast("string")), lit(32L))
+    val w = Window.partitionBy(shard32)
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     val packed = bal
       .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
       .withColumn("__binkey", when(col("bal"),
-        concat_ws(":", pmod(col("doc_id"), lit(32)), expr("__cum div 512"))))
+        concat_ws(":", shard32, expr("__cum div 512"))))
     val one = packed.agg(
       count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
       count(when(col("near"), 1)).as("d4"),
@@ -1288,6 +1290,104 @@ object CorpusQueries {
             slice.select(col("doc_id"), col("text")), s"$base/dsir")
           .select(col("doc_id"), col("dsir6"), col("rate_ppm")), Seq("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // STREAMING FLAGSHIP v3 — q190's five concurrent maintainers plus
+    // the PACKED EXPORT as a SIXTH stream-grown store family (the r16
+    // verdict's item 6: the export matured outside the flagship). The
+    // pack feed delivers in id-ordered tranches (the monotone-ingest
+    // contract q227 established); the other five families ride the same
+    // three sessions — their feeds are fully delivered up front, so
+    // sessions 2 and 3 are checkpointed no-ops for them. Between-session
+    // maintenance now includes the export compaction, and EVERY
+    // compaction self-vacuums its ledger (r16 item 5): the session ends
+    // with bounded ledger metadata without any vacuumStore call — the
+    // final assert_true row pins exactly that (≤ 2 batch dirs and a
+    // stamped watermark on the pack half). The final frame scores the
+    // corpus slice from ALL SIX stores: q190's five plus the per-doc
+    // pack placement (unit count, packed tokens, chunk-0 (shard, bin),
+    // and an order-free xor checksum over every unit's (id, shard, bin,
+    // offset)) served from the store's pack rows — hash-equal to the
+    // monolithic chunk→pack chain over the same corpus.
+    "q235_streaming_flagship_v3" -> ((s, d) => {
+      import graft.streaming.StreamingPipeline
+      import graft.dedup.Dedup
+      val base = vocabPath(d) + "_sflag3"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val all = docs(s, d)
+      def bucket = Dedup.hex60(col("doc_id").cast("string")) % 100
+      all.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .repartition(32).write.mode("overwrite").parquet(s"$base/in_all")
+      val bench = all.filter(bucket >= 80)
+      Dedup.buildDecontamStore(bench.filter(col("doc_id") % 3 === 0),
+        s"$base/dc", n = 3, k = 4, m = 1 << 20)
+      bench.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in_bench")
+      val isT = col("lang") === "en"
+      TextOps.saveDsir(all.filter(col("doc_id") % 3 === 0), isT, m = 1024,
+        s"$base/dsir")
+      all.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .repartition(8).write.mode("overwrite").parquet(s"$base/in_rest")
+      val dd = all.select(col("doc_id"), col("text")).localCheckpoint(true)
+      // bounded collect: two cut points — the monotone-ingest tranches
+      val maxId = dd.agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      def deliverPack(df: DataFrame): Unit =
+        df.coalesce(1).write.mode("append").parquet(s"$base/in_pack")
+      def session(): Unit = {
+        val running = startFlagshipMaintainers(
+            s, s"$base/in_all", s"$base/in_bench", base) ++ Seq(
+          StreamingPipeline.dsirAppendStream(
+            StreamingPipeline.readColumnsStream(s, s"$base/in_rest",
+              "doc_id LONG, text STRING, lang STRING"),
+            isT, s"$base/dsir", s"$base/ck_dsir").start(),
+          StreamingPipeline.packedExportStream(
+            StreamingPipeline.readDocStream(s, s"$base/in_pack"),
+            s"$base/pack", s"$base/ck_pack", budget = 512, nShards = 32).start())
+        running.foreach(_.awaitTermination())
+      }
+      deliverPack(dd.filter(col("doc_id") <= c1)); session()
+      deliverPack(dd.filter(col("doc_id") > c1 && col("doc_id") <= c2)); session()
+      deliverPack(dd.filter(col("doc_id") > c2)); session()
+      compactFlagshipStores(s, base)
+      TextOps.compactDsir(s, s"$base/dsir")
+      StreamingPipeline.compactPackedExport(s, s"$base/pack")
+      // the self-running-vacuum gate: bounded ledger metadata with NO
+      // explicit vacuum anywhere in this query
+      val packHalf = s"$base/pack/pack"
+      val nLedgerDirs = fs.listStatus(new org.apache.hadoop.fs.Path(packHalf))
+        .count(_.getPath.getName.startsWith("batch="))
+      val wOk = graft.store.Ledger.watermark(fs, packHalf) >= 4L
+      val slice = all.filter(bucket < 80)
+      val packRows = s.read.parquet(graft.similarity.Similarity.activeDir(
+          fs, packHalf))
+        .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+      val perDoc = packRows
+        .withColumn("orig", expr("doc_id div 1000000"))
+        .withColumn("u", Dedup.hex60(concat_ws(":",
+          col("doc_id").cast("string"), col("shard").cast("string"),
+          col("bin").cast("string"), col("bin_offset").cast("string"))))
+        .groupBy("orig").agg(count(lit(1)).as("n_units"),
+          sum("n_tokens").as("tok_packed"), expr("bit_xor(u)").as("pack_sum"))
+      val firstUnit = packRows.filter(col("doc_id") % 1000000L === 0L)
+        .select(expr("doc_id div 1000000").as("orig"),
+          col("shard").as("first_shard"), col("bin").as("first_bin"))
+      flagshipScoreFrame(s, base, slice)
+        .join(TextOps.scoreWithDsir(
+            slice.select(col("doc_id"), col("text")), s"$base/dsir")
+          .select(col("doc_id"), col("dsir6"), col("rate_ppm")), Seq("doc_id"))
+        .join(perDoc.join(firstUnit, "orig")
+          .select(col("orig").as("doc_id"), col("n_units"), col("tok_packed"),
+            col("first_shard"), col("first_bin"), col("pack_sum")), Seq("doc_id"))
+        // assert_true returns null when the predicate holds, so the
+        // filter keeps every row and the oracle needs no mirror
+        .filter(assert_true(lit(nLedgerDirs <= 2 && wOk),
+          lit(s"self-vacuum failed: $nLedgerDirs pack ledger dirs, " +
+            s"watermark-stamped=$wOk")).isNull)
+        .orderBy("doc_id")
     })
   )
 
@@ -1636,9 +1736,10 @@ object CorpusQueries {
          |  WHERE ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
          |),
          |pc AS (
-         |  SELECT doc_id, n_words AS n_tokens, doc_id % 32 AS shard,
+         |  SELECT doc_id, n_words AS n_tokens,
+         |    ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard,
          |    CAST(coalesce(sum(n_words) OVER (
-         |      PARTITION BY doc_id % 32 ORDER BY doc_id
+         |      PARTITION BY ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32 ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
          |  FROM bal
          |),
@@ -2375,7 +2476,24 @@ object CorpusQueries {
          |${DataOracles.dsirRatedBlock("ds")}
          |${flagshipSelect(
              extraCols = ",\n  r.dsir6 AS dsir6,\n  r.rate_ppm AS rate_ppm",
-             extraJoin = "\nJOIN dsrated r ON r.doc_id = d.doc_id")}""".stripMargin
+             extraJoin = "\nJOIN dsrated r ON r.doc_id = d.doc_id")}""".stripMargin,
+
+    // six concurrent maintainers, one hash: q190's monolith + the
+    // chunk→pack chain served at DOCUMENT grain (pkdoc/pkfirst) — the
+    // stream-grown export store must place every unit exactly where the
+    // monolithic pack over the full corpus does
+    "q235_streaming_flagship_v3" ->
+      s"""WITH $flagshipOracleCtes,
+         |${DataOracles.dsirRatedBlock("ds")},
+         |${DataOracles.packPlacementBlock}
+         |${flagshipSelect(
+             extraCols = ",\n  r.dsir6 AS dsir6,\n  r.rate_ppm AS rate_ppm," +
+               "\n  pd.n_units AS n_units,\n  pd.tok_packed AS tok_packed," +
+               "\n  pf.first_shard AS first_shard,\n  pf.first_bin AS first_bin," +
+               "\n  pd.pack_sum AS pack_sum",
+             extraJoin = "\nJOIN dsrated r ON r.doc_id = d.doc_id" +
+               "\nJOIN pkdoc pd ON pd.doc_id = d.doc_id" +
+               "\nJOIN pkfirst pf ON pf.doc_id = d.doc_id")}""".stripMargin
   )
 
   /** Span-removal oracle, parameterized on the span length — the same

@@ -2137,10 +2137,10 @@ object DataOracles {
          |  (n_overlap / n_shingles) >= 0.5 AS contaminated
          |FROM agg ORDER BY doc_id""".stripMargin,
     "q76_seq_packing" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    doc_id % 32 AS shard
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |    ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard
         |  FROM documents
         |),
         |c AS (
@@ -2401,11 +2401,11 @@ object DataOracles {
     // monolithic chain computes over everything delivered
     "q227_packed_export_streamed" -> chunkExportLedgerSql("documents"),
 
-    // the hash-balanced export: identical chain, shard = hex60(id) % 32
-    // instead of id % 32 — every shard populated whatever the
-    // document-length profile, per-shard ids still monotone
-    "q234_chunk_pack_balanced" -> chunkExportLedgerSql("documents",
-      shardSql = s"${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32"),
+    // the modulo opt-out: identical chain, shard = id % 32 instead of
+    // the hash-balanced default (roles flipped in r17 — the hash key is
+    // now the default everywhere; this pins the explicit opt-out)
+    "q234_chunk_pack_modshard" -> chunkExportLedgerSql("documents",
+      shardSql = "doc_id % 32"),
 
     // per-shard training-file utilization off the chunk-pack ledger:
     // integer fill_ppm so the division is exact on both engines
@@ -2546,7 +2546,7 @@ object DataOracles {
     s"""${ns}t AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |    doc_id % 32 AS shard
+       |    ${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard
        |  FROM $rel
        |),
        |${ns}c AS (
@@ -2571,28 +2571,64 @@ object DataOracles {
     * id:bin_offset fingerprint), parameterized on the source snapshot:
     * q223/q227 root it at `documents`, q224 at `bsnap`, q226 at `csnap`.
     */
-  private[queries] def chunkExportLedgerSql(source: String, withCtes: String = "",
-                                            shardSql: String = "doc_id % 32"): String =
-    s"""WITH ${withCtes}t0 AS (
+  /** The chunk → pack CTE chain (t0/ch/t/c/p), shared by the export
+    * ledger oracles and the flagship-v3 per-doc placement oracle. `p` =
+    * (doc_id [folded], n_tokens, shard, bin, bin_offset) at the
+    * 64/48-chunk, 512-budget, 32-shard config.
+    */
+  private[queries] def chunkPackCtes(source: String,
+                                     shardSql: String = "",
+                                     ns: String = ""): String = {
+    // the default mirrors packSequences' hash-balanced routing; the
+    // modulo opt-out (q234) passes its key explicitly
+    val shard =
+      if (shardSql.nonEmpty) shardSql
+      else s"${hex60Sql("CAST(doc_id AS VARCHAR)")} % 32"
+    s"""${ns}t0 AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source
       |),
-      |ch AS (
+      |${ns}ch AS (
       |  SELECT doc_id * 1000000 + (s.st // 48) AS doc_id,
       |    CAST(len(w[s.st + 1 : s.st + 64]) AS BIGINT) AS n_tokens
-      |  FROM t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
+      |  FROM ${ns}t0, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s(st)
       |),
-      |t AS (SELECT doc_id, n_tokens, $shardSql AS shard FROM ch),
-      |c AS (
+      |${ns}t AS (SELECT doc_id, n_tokens, $shard AS shard FROM ${ns}ch),
+      |${ns}c AS (
       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
       |    PARTITION BY shard ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
-      |  FROM t
+      |  FROM ${ns}t
       |),
-      |p AS (
+      |${ns}p AS (
       |  SELECT doc_id, n_tokens, shard, cum_excl // 512 AS bin,
       |    cum_excl - (cum_excl // 512) * 512 AS bin_offset
-      |  FROM c
-      |)
+      |  FROM ${ns}c
+      |)""".stripMargin
+  }
+
+  /** Flagship-v3's per-doc pack placement (the export store served at
+    * DOCUMENT grain): `pkdoc` aggregates every folded unit of a document
+    * — unit count, packed tokens, and an order-free xor checksum over
+    * (folded id, shard, bin, bin_offset) — and `pkfirst` anchors the
+    * chunk-0 unit's (shard, bin) (chunk 0 exists for every document, its
+    * folded id is exactly doc_id·1e6).
+    */
+  private[queries] def packPlacementBlock: String =
+    s"""${chunkPackCtes("documents", ns = "pk_")},
+       |pkdoc AS (
+       |  SELECT doc_id // 1000000 AS doc_id, CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok_packed,
+       |    bit_xor(${hex60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR) || ':' || CAST(bin AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR)")}) AS pack_sum
+       |  FROM pk_p GROUP BY 1
+       |),
+       |pkfirst AS (
+       |  SELECT doc_id // 1000000 AS doc_id, shard AS first_shard, bin AS first_bin
+       |  FROM pk_p WHERE doc_id % 1000000 = 0
+       |)""".stripMargin
+
+  private[queries] def chunkExportLedgerSql(source: String, withCtes: String = "",
+                                            shardSql: String = ""): String =
+    s"""WITH ${withCtes}${chunkPackCtes(source, shardSql)}
       |SELECT shard, bin, count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS first_doc,

@@ -1962,20 +1962,19 @@ object DataQueries {
         .orderBy("shard", "bin")
     }),
 
-    // The hash-balanced export chain — the rebalancing the q233 report
-    // points at, proven at the hash level: the identical chunk->pack->
-    // ledger composition with shard = hex60(folded id) % 32, so EVERY
-    // shard carries load whatever the document-length profile (the
-    // default folded-id modulo collapses to chunk_idx mod 32). The
-    // per-shard monotone-id contract survives by construction (a hash
-    // selects a subset of a monotone sequence). Oracle = q223's SQL with
-    // the hashed shard key.
-    "q234_chunk_pack_balanced" -> ((s, d) => {
+    // The MODULO OPT-OUT of the export chain (roles flipped in r17: the
+    // hash-balanced key q234 proved last round is now packSequences'
+    // DEFAULT across q223-q231 and the streamed store — the folded-id
+    // modulo collapsed to chunk_idx mod 32 and was the one 100×-scale
+    // skew wall left). The plain `id % shards` routing stays available
+    // through `shardBy` for exports whose shard placement must mirror an
+    // external id-range layout; this query pins that opt-out end-to-end.
+    // Oracle = q223's SQL with the modulo shard key.
+    "q234_chunk_pack_modshard" -> ((s, d) => {
       val chunks = chunkUnits(docs(s, d))
       Shards.packedLedger(TextOps.packSequences(chunks, budget = 512,
           shards = 32, tokenCount = Some(col("n_tokens")),
-          shardBy = Some(pmod(
-            graft.dedup.Dedup.hex60(col("doc_id").cast("string")), lit(32L)))))
+          shardBy = Some(pmod(col("doc_id"), lit(32L)))))
         .orderBy("shard", "bin")
     }),
 
@@ -1985,16 +1984,13 @@ object DataQueries {
     // fill_ppm = (1e6 * tokens) div (bins * budget), integer division on
     // integer sums — exact on both engines. Ledger-sized input (one
     // grouped aggregate over the (shard, bin) ledger); the corpus is
-    // touched only by the chunk+pack chain q223 already pays. The report
-    // also SURFACES the family's shard-balance geometry: the folded key
-    // is doc_id*1e6 + chunk_idx and 1e6 ≡ 0 (mod 32), so shard ==
-    // chunk_idx mod 32 — a corpus of short documents populates only the
-    // first max-chunks shards (3 at sf0.01), while long documents
-    // round-robin their chunks across all 32. An operator tuning a real
-    // export reads exactly this row set to decide whether the shard
-    // count fits the document-length profile (the geometry is
-    // oracle-pinned across q223-q231; rebalancing means hashing the
-    // folded key, which preserves the per-shard monotone-id contract).
+    // touched only by the chunk+pack chain q223 already pays. Since r17
+    // the chain shards on the hash-balanced default (hex60(folded id) %
+    // 32), so this report shows ALL 32 shards loaded — under the old
+    // folded-id modulo it showed the skew wall instead (1e6 ≡ 0 mod 32
+    // collapsed shard to chunk_idx mod 32: 3 populated shards at
+    // sf0.01). An operator tuning a real export reads exactly this row
+    // set to spot such geometry; q234 pins the modulo opt-out.
     "q233_pack_efficiency" -> ((s, d) => {
       val ledger = Shards.packedLedger(TextOps.packSequences(
         chunkUnits(docs(s, d)), budget = 512, shards = 32,

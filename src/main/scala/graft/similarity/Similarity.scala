@@ -784,11 +784,19 @@ object Similarity {
     * excluding the base from the debris merge (absence means base 0; a
     * full rebuild deletes the half, so no stale marker can survive).
     */
+  /** `vacuumLedger`: land the rebuilt ledger as ONE `_vacuumed_below`
+    * watermark instead of a tombstone dir per published id — the
+    * self-running vacuum ([[graft.store.Ledger.stampCompactionWatermark]]).
+    * Off by default: store families whose probes still read tombstone
+    * ids (the ANN index lifecycles q117-q232 pin caller-driven vacuums)
+    * keep the dir-per-id layout; the streaming maintainers opt in.
+    */
   private[graft] def compactBatchStore(spark: SparkSession, dir: String,
                                 partitionCols: Seq[String],
                                 transform: DataFrame => DataFrame = identity,
                                 baseAtMaxId: Boolean = false,
-                                forceRewrite: Boolean = false): Int = {
+                                forceRewrite: Boolean = false,
+                                vacuumLedger: Boolean = false): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
@@ -815,11 +823,17 @@ object Similarity {
         .write.partitionBy(partitionCols: _*)
     val baseId = if (baseAtMaxId) dataIds.max else 0L
     w.mode("overwrite").parquet(s"$staging/batch=$baseId")
-    allIds.filter(_ != baseId).foreach(id =>
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
+    if (vacuumLedger)
+      // one marker instead of N tombstone dirs; also carries any prior
+      // watermark (stamp takes the max)
+      graft.store.Ledger.stampCompactionWatermark(
+        fs, dir, staging.toString, allIds.toSeq)
+    else
+      allIds.filter(_ != baseId).foreach(id =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
     if (baseId != 0L) writeBaseMarker(fs, staging.toString, baseId)
     // a vacuumed ledger's by-rule tombstones must survive the swap
-    graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
+    if (!vacuumLedger) graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
     val prev = new org.apache.hadoop.fs.Path(s"$dir.prev")
     fs.delete(prev, true)
     require(fs.rename(main, prev), s"could not move $main aside to $prev")

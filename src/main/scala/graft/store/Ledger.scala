@@ -53,6 +53,42 @@ object Ledger {
 
   private val Marker = "_vacuumed_below="
 
+  /** Per-thread watermark memo, active only inside a
+    * [[MaintenanceLock.withLock]] body (the lock is the only context in
+    * which the watermark cannot change underneath us — vacuum and the
+    * staged-swap `copyWatermark` both run under it). Keyed by the
+    * FS-qualified ledger dir; populated on first read, updated in place
+    * by [[vacuum]]/[[copyWatermark]]. `null` when no scope is open —
+    * then every read hits the filesystem, the pre-r17 behavior.
+    *
+    * Why: `landed()` on the NOT-landed path (every first-time append)
+    * fell through to a `listStatus` of the ledger root — an O(#batch
+    * dirs) metadata read per exactly-once check, dozens of times per
+    * composed lifecycle gate (the r16 verdict's adjudicated ~15 % cost
+    * growth on that tier). Under the lock one list per ledger root per
+    * maintenance body is enough.
+    */
+  private val memo = new ThreadLocal[java.util.HashMap[String, Option[Long]]]
+
+  /** Open a watermark-memo scope for `body` (no-op if one is already
+    * open — nested [[MaintenanceLock.withLock]] re-entries share the
+    * outermost scope). Called by MaintenanceLock only.
+    */
+  private[store] def memoScope[T](body: => T): T =
+    if (memo.get() != null) body
+    else {
+      memo.set(new java.util.HashMap[String, Option[Long]])
+      try body finally memo.remove()
+    }
+
+  private def memoKey(fs: FileSystem, dir: String): String =
+    fs.makeQualified(new Path(dir)).toString
+
+  private def memoPut(fs: FileSystem, dir: String, w: Long): Unit = {
+    val m = memo.get()
+    if (m != null) m.put(memoKey(fs, dir), Some(w))
+  }
+
   private def markerIds(fs: FileSystem, dir: String): Seq[(Path, Long)] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Seq.empty
@@ -64,18 +100,41 @@ object Ledger {
       .map(q => q -> q.getName.stripPrefix(Marker).toLong)
   }
 
+  /** The ledger's vacuum watermark, or None when no vacuum has ever run.
+    * The distinction matters for [[landed]]: a never-vacuumed ledger has
+    * NO rule-landed ids — with a 0 default, any negative id (e.g. an
+    * epoch-day key before 1970-01-01 in the daily drift store) would be
+    * silently refused as already-landed on a fresh store (r16 ADVICE).
+    */
+  def watermarkOpt(fs: FileSystem, dir: String): Option[Long] = {
+    val m = memo.get()
+    if (m == null)
+      markerIds(fs, dir).map(_._2).maxOption
+    else {
+      val k = memoKey(fs, dir)
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        val w = markerIds(fs, dir).map(_._2).maxOption
+        m.put(k, w)
+        w
+      }
+    }
+  }
+
   /** The ledger's vacuum watermark: every id strictly below it is
     * published-or-retired by rule. 0 when no vacuum has ever run.
     */
   def watermark(fs: FileSystem, dir: String): Long =
-    markerIds(fs, dir).foldLeft(0L)((m, kv) => math.max(m, kv._2))
+    watermarkOpt(fs, dir).getOrElse(0L)
 
   /** The exactly-once replay check every appender/retirer shares: has
     * `id` already landed (dir exists) or been vacuumed past (below the
-    * watermark)?
+    * watermark)? On a never-vacuumed ledger only dir-existence counts —
+    * no id, negative ids included, is landed by rule.
     */
   def landed(fs: FileSystem, dir: String, id: Long): Boolean =
-    fs.exists(new Path(s"$dir/batch=$id")) || id < watermark(fs, dir)
+    fs.exists(new Path(s"$dir/batch=$id")) || watermarkOpt(fs, dir).exists(id < _)
 
   /** Collapse every EMPTY tombstone `batch=<id>` dir with 0 < id < upTo
     * into the `_vacuumed_below=<upTo>` marker (id 0 is every family's
@@ -101,6 +160,11 @@ object Ledger {
     // 1. the rule lands first — atomic, and from this instant every
     //    pre-upTo replay is a no-op regardless of what still crashes
     if (upTo > oldMax) fs.mkdirs(new Path(p, Marker + upTo))
+    // memo only when a marker is actually on disk (upTo ≤ 0 on a fresh
+    // ledger stamps nothing — memoizing Some(0) would resurrect the
+    // negative-id hazard watermarkOpt exists to close)
+    val newMax = math.max(upTo, oldMax)
+    if (newMax > oldMax || old.nonEmpty) memoPut(fs, dir, newMax)
     // 2. superseded markers are redundant under max-wins; drop them even
     //    when the top marker was stamped by an interrupted earlier run
     old.filter(_._2 < math.max(upTo, oldMax)).foreach(kv => fs.delete(kv._1, true))
@@ -109,13 +173,52 @@ object Ledger {
     tombstones.size
   }
 
+  /** The greatest id the ledger has landed, by dir or by rule: the max
+    * over the `batch=` dirs (tombstones included) and watermark−1, or −1
+    * on a virgin ledger. The watermark-aware replacement for "max over
+    * the batch dirs" checks (e.g. retire-id monotonicity) — after a
+    * vacuum the dirs alone under-count.
+    */
+  def maxLandedId(fs: FileSystem, dir: String): Long = {
+    val p = new Path(dir)
+    val dirMax =
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n.drop(6).matches("-?\\d+"))
+        .map(_.drop(6).toLong).foldLeft(-1L)(math.max)
+    math.max(dirMax, watermark(fs, dir) - 1)
+  }
+
+  /** The SELF-RUNNING vacuum (the scheduler-analogue housekeeping the
+    * reference stubs at `backend/app/scheduler/setup.py:22-59`): a staged
+    * compaction rebuild stamps ONE watermark marker covering every id of
+    * the source ledger — dirs and existing watermark alike — instead of
+    * recreating a tombstone dir per id. upTo = max(ids)+1 is exactly the
+    * vacuum CALLER CONTRACT horizon: every id ≤ the max merged id is
+    * published-or-retired, and append ids are monotone, so nothing below
+    * can legitimately arrive anew. Net effect: each compaction BOUNDS the
+    * ledger's metadata (one marker) instead of growing it (N empty dirs),
+    * with zero extra I/O — the marker replaces the N mkdirs.
+    */
+  def stampCompactionWatermark(fs: FileSystem, fromDir: String, toDir: String,
+                               ids: Seq[Long]): Unit = {
+    val w = math.max(watermark(fs, fromDir), ids.foldLeft(-1L)(math.max) + 1)
+    if (w > 0L) {
+      fs.mkdirs(new Path(new Path(toDir), Marker + w))
+      memoPut(fs, toDir, w)
+    }
+  }
+
   /** Carry `fromDir`'s watermark into a staged replacement tree before a
     * two-rename swap publishes it — compactions rebuild the ledger root,
     * and losing the marker would resurrect every vacuumed id's replay.
     */
   def copyWatermark(fs: FileSystem, fromDir: String, toDir: String): Unit = {
     val w = watermark(fs, fromDir)
-    if (w > 0L) fs.mkdirs(new Path(new Path(toDir), Marker + w))
+    if (w > 0L) {
+      fs.mkdirs(new Path(new Path(toDir), Marker + w))
+      memoPut(fs, toDir, w)
+    }
   }
 
   /** Store-level vacuum under the store's single-maintainer lock: run

@@ -61,7 +61,14 @@ object MaintenanceLock {
     * successor's lock).
     */
   def withLock[T](fs: FileSystem, storePath: String, op: String,
-                  staleAfterMs: Long = 30L * 60 * 1000)(body: => T): T = {
+                  staleAfterMs: Long = 30L * 60 * 1000)(body: => T): T =
+    // the lock body is the one context where a ledger's vacuum watermark
+    // cannot change underneath us, so Ledger memoizes it per root for the
+    // duration (outermost acquisition only — re-entries share the scope)
+    Ledger.memoScope { withLockNoMemo(fs, storePath, op, staleAfterMs)(body) }
+
+  private def withLockNoMemo[T](fs: FileSystem, storePath: String, op: String,
+                  staleAfterMs: Long)(body: => T): T = {
     // reentrancy keys on the fully-qualified path so 'file:/store' and
     // '/store' spellings of one store can never miss the held-count and
     // refuse against their own lock file

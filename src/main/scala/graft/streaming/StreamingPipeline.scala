@@ -1055,7 +1055,7 @@ object StreamingPipeline {
         "pairs" -> Seq("doc_a", "doc_b")).map { case (h, idCols) =>
         graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h",
           Seq.empty, alive(idCols), baseAtMaxId = retired.nonEmpty,
-          forceRewrite = retired.nonEmpty)
+          forceRewrite = retired.nonEmpty, vacuumLedger = true)
       }.sum
       // retirements are now applied (or there were none): blank the ledger
       // dirs to empty tombstones. A crash mid-blank leaves rows that the
@@ -1296,12 +1296,14 @@ object StreamingPipeline {
           else spark.read.parquet(s"$tailsDir/batch=${tailIds.max}")
         // the batch's pack units: sliding-window chunks folded to the
         // scalar packing key (q223's unit, q223's envelope guard applies
-        // upstream; shard = pmod(id, nShards) as in packSequences)
+        // upstream; shard = hex60(id) mod nShards, packSequences'
+        // hash-balanced default)
         val units = graft.text.TextOps
           .chunkDocs(batch, size = chunkSize, stride = chunkStride)
           .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
             col("n_tok").as("n_tokens"))
-          .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+          .withColumn("shard", pmod(graft.dedup.Dedup.hex60(
+            col("doc_id").cast("string")), lit(nShards.toLong)))
         val joined = units.join(broadcast(tails), Seq("shard"), "left")
           .localCheckpoint(true) // chunked once: the gate and the pack both read it
         // the monotone-ingest contract, enforced: a batch reaching behind
@@ -1378,18 +1380,18 @@ object StreamingPipeline {
           val packStaging = s"$storePath/.pack-compact"
           fs.delete(hp(packStaging), true)
           merged.write.mode("overwrite").parquet(s"$packStaging/batch=0")
-          ids(packDir).filter(_ != 0L).foreach(id =>
-            fs.mkdirs(hp(s"$packStaging/batch=$id")))
           val tailsStaging = s"$storePath/.tails-compact"
           fs.delete(hp(tailsStaging), true)
           latestTails.write.mode("overwrite").parquet(s"$tailsStaging/batch=0")
-          // tails tombstones mirror the pack ledger too: a tails id can
-          // trail its pack id through the torn-append window, and the
-          // union keeps the two halves' ledgers aligned after the swap
-          (ids(packDir) ++ ids(tailsDir)).distinct.filter(_ != 0L).foreach(id =>
-            fs.mkdirs(hp(s"$tailsStaging/batch=$id")))
-          graft.store.Ledger.copyWatermark(fs, packDir, packStaging)
-          graft.store.Ledger.copyWatermark(fs, tailsDir, tailsStaging)
+          // self-running vacuum: ONE watermark marker per half instead of
+          // a tombstone dir per published id. The tails watermark covers
+          // the pack ledger too — a tails id can trail its pack id
+          // through the torn-append window, and the union keeps the two
+          // halves' replay rules aligned after the swap
+          graft.store.Ledger.stampCompactionWatermark(fs, packDir, packStaging,
+            ids(packDir))
+          graft.store.Ledger.stampCompactionWatermark(fs, tailsDir, tailsStaging,
+            (ids(packDir) ++ ids(tailsDir)).distinct)
           graft.similarity.Similarity.swapDir(fs, hp(packStaging), packDir)
           // a store whose every tails snapshot was lost to crashes has no
           // tails dir to move aside — seed one so the swap's ledger
@@ -1972,7 +1974,8 @@ object StreamingPipeline {
       val n = graft.similarity.Similarity.compactBatchStore(
         spark, s"$storePath/changes", Seq.empty,
         transform = df => aliveScdChanges(df, retired, keyCols),
-        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+        baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty,
+        vacuumLedger = true)
       if (retired.nonEmpty) blankScdRetirements(fs, storePath)
       n
     }
@@ -2015,10 +2018,9 @@ object StreamingPipeline {
       healScdPending(spark, fs, storePath, keyCols, tsCol, attrCols, buckets)
       val changesRoot = new org.apache.hadoop.fs.Path(s"$storePath/changes")
       if (fs.exists(changesRoot)) {
-        val maxData = fs.listStatus(changesRoot)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map(_.getPath.getName.stripPrefix("batch=").toLong)
-          .foldLeft(-1L)(math.max)
+        // watermark-aware: after a ledger-vacuuming compaction the
+        // published ids live in the `_vacuumed_below` rule, not in dirs
+        val maxData = graft.store.Ledger.maxLandedId(fs, changesRoot.toString)
         require(retireId > maxData,
           s"retireId $retireId must exceed every published changes batch id (max $maxData)")
       }
@@ -2185,8 +2187,13 @@ object StreamingPipeline {
       .foreach { m =>
         val id = m.getPath.getName.stripPrefix("_pending-")
         val isRetire = id.startsWith("retire-")
+        // the landed check goes through the Ledger watermark rule, not a
+        // bare fs.exists: were the SCD changes ledger ever vacuumed, a
+        // marker naming a vacuumed (landed) batch must DROP, not trigger
+        // a recompute that re-applies the batch (the last landed-convention
+        // hole, r16 verdict finding 3)
         if (isRetire ||
-            !fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/changes/batch=$id"))) {
+            !graft.store.Ledger.landed(fs, s"$storePath/changes", id.toLong)) {
           val touched = readLines(fs, m.getPath).map(_.trim.toInt).sorted
           recomputeScdBuckets(spark, fs, storePath, keyCols, tsCol, attrCols,
             buckets, touched)

@@ -261,31 +261,37 @@ object TextOps {
   }
 
   /** Shard-local greedy sequence packing: documents stream in id order
-    * within a deterministic shard (`doc_id mod shards`) and land in the bin
-    * their exclusive prefix token count reaches — the "concatenate and cut
-    * every `budget` tokens" packing every LLM pretraining pipeline runs
-    * before batching. Per-shard windows keep it scale-safe: a global
-    * ordering would serialize 100 TB through one partition, while shards
-    * pack independently (each training shard is its own file anyway).
+    * within a deterministic shard and land in the bin their exclusive
+    * prefix token count reaches — the "concatenate and cut every `budget`
+    * tokens" packing every LLM pretraining pipeline runs before batching.
+    * Per-shard windows keep it scale-safe: a global ordering would
+    * serialize 100 TB through one partition, while shards pack
+    * independently (each training shard is its own file anyway).
     * Output: (doc_id, n_tokens, shard, bin, bin_offset).
     */
   def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
                     textCol: String = "text", idCol: String = "doc_id",
                     tokenCount: Option[Column] = None,
                     shardBy: Option[Column] = None): DataFrame = {
-    // shardBy overrides the default id-modulo routing — e.g. a hash of
-    // the id for LOAD BALANCE when ids carry structure (the q233 report's
-    // geometry note: folded chunk keys mod 32 collapse to chunk_idx mod
-    // 32, concentrating short-doc corpora in the low shards). Any
-    // deterministic function of the id preserves the per-shard
-    // monotone-id packing contract: a subset of a monotone id sequence
-    // is monotone.
+    // the DEFAULT routing is hex60(id) mod shards — hash-balanced, so
+    // every shard loads evenly whatever structure the ids carry. The r16
+    // default (plain id mod shards) was a measured 100×-scale skew wall:
+    // folded chunk keys (doc_id*1e6 + chunk_idx) collapse to
+    // chunk_idx mod 32 because 1e6 ≡ 0 (mod 32), so a short-document
+    // corpus populated only the first max-chunks shards (3 of 32 in
+    // q233's own report at sf0.01), serializing the per-shard packing
+    // window and concentrating export I/O. `shardBy` stays as the
+    // explicit opt-out (e.g. pmod(id, shards) when shard placement must
+    // mirror an external layout). Any deterministic function of the id
+    // preserves the per-shard monotone-id packing contract: a subset of
+    // a monotone id sequence is monotone.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("doc_id"),
         tokenCount.getOrElse(size(words(col(textCol)))).cast("long").as("n_tokens"),
-        shardBy.getOrElse(pmod(col(idCol), lit(shards))).as("shard"))
+        shardBy.getOrElse(pmod(graft.dedup.Dedup.hex60(col(idCol).cast("string")),
+          lit(shards.toLong))).as("shard"))
       .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", expr(s"cum_excl div $budget"))
       .withColumn("bin_offset", col("cum_excl") - col("bin") * budget)
@@ -597,10 +603,10 @@ object TextOps {
           val staging = new org.apache.hadoop.fs.Path(s"$path/.$h-compact")
           fs.delete(staging, true)
           merged.write.mode("overwrite").parquet(s"$staging/batch=0")
-          batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
-            .filter(_ != 0L).foreach(id =>
-              fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
-          graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
+          // self-running vacuum: one watermark marker instead of a
+          // tombstone dir per merged id (carries any prior watermark)
+          graft.store.Ledger.stampCompactionWatermark(fs, dir, staging.toString,
+            batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong).toSeq)
           graft.similarity.Similarity.swapDir(fs, staging, dir)
           compacted += 1
         }
@@ -1325,10 +1331,10 @@ object TextOps {
         val staging = new org.apache.hadoop.fs.Path(s"$path/.buckets-compact")
         fs.delete(staging, true)
         merged.write.mode("overwrite").parquet(s"$staging/batch=0")
-        batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
-          .filter(_ != 0L).foreach(id =>
-            fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/batch=$id")))
-        graft.store.Ledger.copyWatermark(fs, dir, staging.toString)
+        // self-running vacuum: one watermark marker instead of a
+        // tombstone dir per merged id (carries any prior watermark)
+        graft.store.Ledger.stampCompactionWatermark(fs, dir, staging.toString,
+          batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong).toSeq)
         graft.similarity.Similarity.swapDir(fs, staging, dir)
         1
       }

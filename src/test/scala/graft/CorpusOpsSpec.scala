@@ -98,18 +98,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(canon(TextOps.scoreWithLm(batch, path)) ==
       canon(TextOps.trigramBackoffNllAgainst(batch, docs.unionByName(extra))),
       "store probe diverged from the refit-per-batch scorer")
-    // VACUUM: the compaction tombstones + the id-3 append dir's siblings
-    // collapse into the watermark on all four tables; scoring is
-    // invariant, vacuumed replays stay refused, and the NEXT compaction
-    // must carry the watermark through its swap (the copyWatermark
-    // propagation this drill pins)
+    // VACUUM: since r17 compactLm SELF-VACUUMS — the swap lands one
+    // `_vacuumed_below` marker instead of tombstone dirs, so the merged
+    // ids are already collapsed and an explicit vacuum finds nothing.
+    // Scoring is invariant, vacuumed replays stay refused, and the NEXT
+    // compaction must carry the watermark through its swap.
     import graft.store.Ledger
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    assert(Ledger.watermark(fs, s"$path/uni") == 3L,
+      "compactLm must have stamped max-merged-id+1 itself (self-vacuum)")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/uni"))
+      .map(_.getPath.getName).count(_.startsWith("batch=")) == 2,
+      "only the base and the id-3 delta may remain — zero tombstone dirs")
     val scorePre = canon(TextOps.scoreWithLm(docs, path))
     assert(Ledger.vacuumStore(spark, path, 4L,
-      Seq("uni", "bi", "tri", "meta")) >= 8,
-      "vacuum must collapse the merged batches' tombstones on every table")
+      Seq("uni", "bi", "tri", "meta")) == 0,
+      "nothing left to collapse — compaction already vacuumed")
     assert(canon(TextOps.scoreWithLm(docs, path)) == scorePre,
       "vacuum changed LM scores")
     assert(!TextOps.appendLm(docs.filter(col("doc_id") % 3 === 1), path, appendId = 1),

@@ -1063,14 +1063,24 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("sequence packing: bins cut at the exclusive-prefix token budget") {
-    // one shard (ids 0,32,64 are all ≡ 0 mod 32), token counts 3, 4, 2
+    // shards = 1 pins the cut arithmetic independent of the (r17
+    // hash-balanced) shard routing; token counts 3, 4, 2
     val docs = Seq(
       (0L, "a b c"), (32L, "d e f g"), (64L, "h i")).toDF("doc_id", "text")
-    val out = TextOps.packSequences(docs, budget = 5, shards = 32)
+    val out = TextOps.packSequences(docs, budget = 5, shards = 1)
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))
     // prefix sums (exclusive): 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2
     assert(out.toSeq == Seq((0L, 0L, 0L), (32L, 0L, 3L), (64L, 1L, 2L)))
+    // the default routing is hex60(id) % shards — hash-balanced, matching
+    // the oracle's hex60Sql text (q76/q223 family)
+    val sharded = TextOps.packSequences(docs, budget = 5, shards = 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard")))
+    def h(s: String): Long = graft.expressions.Hex60.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(sharded.toSeq == Seq(0L, 32L, 64L).map(i =>
+      (i, java.lang.Math.floorMod(h(i.toString), 32L))))
   }
 
   test("pii redaction: counts emails and phones, leaves clean text alone") {

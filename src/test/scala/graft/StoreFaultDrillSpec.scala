@@ -315,11 +315,13 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(Dedup.retireDecontamBench(spark, p, Seq(3L), retireId = 4))
     rm(s"$p/shingles/batch=3") // the torn state: dir gone, ledger pending
     Dedup.compactDecontamStore(spark, p)
-    assert(fs.exists(hpath(s"$p/shingles/batch=3")) &&
-      !fs.listFiles(hpath(s"$p/shingles/batch=3"), true).hasNext,
-      "the apply step must heal a missing rotated dir back to a tombstone")
+    // the heal restores the missing rotated dir before the merge; the
+    // self-vacuuming swap then collapses it into the watermark rule —
+    // landed either way, and the replay below is what the heal protects
+    assert(graft.store.Ledger.landed(fs, s"$p/shingles", 3L),
+      "the apply step must keep a missing rotated id landed (dir or rule)")
     assert(!Dedup.appendDecontamBench(docsB, p, appendId = 3),
-      "the healed tombstone must keep the rotated id refused")
+      "the healed/vacuumed rotated id must stay refused")
     assert(verdicts(p) == wantV, "post-heal verdicts diverged")
 
     // a crashed retire PUBLISH (orphan .staging under retired/, no ledger
@@ -759,6 +761,46 @@ class StoreFaultDrillSpec extends SparkSpec {
       scdDimOf(mini.filter(col("user_id") === 1)),
       "healed dim = survivors only; buckets whose keys all retired vanish")
   }
+
+  test("scd2 vacuum: heal marker over a vacuumed changes batch drops; replays stay refused") {
+    import graft.streaming.StreamingPipeline
+    import graft.store.Ledger
+    val p = sys.props("java.io.tmpdir") + "/graft_fault_scdvac_p" +
+      ProcessHandle.current().pid()
+    rm(p)
+    val up = StreamingPipeline.scdUpsertBatch(
+      p, Seq("user_id"), "ts_us", Seq("plan_tier")) _
+    up(scdLog.filter(col("ts_us") % 2 === 0), 0L)
+    up(scdLog.filter(col("ts_us") % 2 === 1), 1L)
+    val full = rows(StreamingPipeline.readScdDim(spark, p))
+    // compaction folds the change log (rows preserved) and SELF-VACUUMS
+    // the ledger (r17) — batch 1 is now landed BY RULE, its dir gone
+    StreamingPipeline.compactScdChanges(spark, p)
+    assert(Ledger.watermark(fs, s"$p/changes") == 2L,
+      "compactScdChanges must stamp max-merged-id+1")
+    assert(!fs.exists(hpath(s"$p/changes/batch=1")))
+    // the crash leftover: an append marker for the vacuumed batch (the
+    // window between the ledger rename and the marker delete). The heal
+    // must read the batch as LANDED through the watermark rule and drop
+    // the marker — a bare fs.exists would misread it as not-landed and
+    // re-run the un-ledgered-data recompute (r16 verdict finding 3)
+    val touched1 = scdLog.filter(col("ts_us") % 2 === 1)
+      .select(pmod(hash(col("user_id")), lit(32)).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val out = fs.create(hpath(s"$p/dim/_pending-1"), true)
+    try out.write((touched1.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    up(scdLog.limit(0), 2L) // maintenance entry runs the heal
+    assert(!fs.exists(hpath(s"$p/dim/_pending-1")),
+      "heal must drop a marker whose batch the vacuum landed by rule")
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == full,
+      "served dim is invariant under the vacuumed-marker heal")
+    // a streaming replay of the vacuumed batch is a no-op by rule too
+    up(scdLog.filter(col("ts_us") % 2 === 1), 1L)
+    assert(rows(StreamingPipeline.readScdDim(spark, p)) == full,
+      "a vacuumed changes batch must stay a ledgered no-op")
+  }
+
   test("incremental export: torn between reuse and rewrite — manifest catches it, re-run converges") {
     // the q217 path made physical (the r14 verdict's item 6): cycle A's
     // export is on disk as one file-set per shard; the incremental job
@@ -984,6 +1026,92 @@ class StoreFaultDrillSpec extends SparkSpec {
       "re-vacuum must leave exactly one marker")
   }
 
+  test("daily drift retire killed mid-children: the report never serves a partial day") {
+    import graft.operators.Drift
+    import java.sql.Date
+    def ev(rows: (String, String)*) =
+      rows.map { case (d, m) => (Date.valueOf(d), m) }.toDF("day", "metric")
+    val all = Seq("2026-06-01" -> "a", "2026-06-01" -> "b", "2026-06-02" -> "a",
+      "2026-06-02" -> "b", "2026-06-02" -> "b", "2026-06-03" -> "a",
+      "2026-06-03" -> "b", "2026-06-04" -> "a")
+    def day(d: String) = java.time.LocalDate.parse(d).toEpochDay
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_retiring_daily").toString
+    Drift.buildDailyDriftStore(ev(all: _*), $"day", $"metric", path)
+    // what the monitor must serve once 06-01 is out — a store that never
+    // had the day (retire semantics: history restarts at the horizon)
+    val refPath = java.nio.file.Files.createTempDirectory("graft_retiring_ref").toString
+    Drift.buildDailyDriftStore(ev(all.filterNot(_._1 == "2026-06-01"): _*),
+      $"day", $"metric", refPath)
+    val expected = rows(Drift.dailyDriftFromStore(spark, refPath))
+
+    // the crash: retire(horizon=06-02) committed to 06-01 (marker
+    // landed), deleted SOME children, died. Simulate by stamping the
+    // marker and deleting one file of the day dir — the day now holds
+    // PARTIAL counts.
+    val d1 = day("2026-06-01")
+    fs.mkdirs(hpath(s"$path/days/_retiring=$d1"))
+    val children = fs.listStatus(hpath(s"$path/days/batch=$d1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(children.nonEmpty)
+    fs.delete(children.head.getPath, false)
+    // serving EXCLUDES the marked day — the old behavior summed the
+    // surviving files into a silently wrong PSI pair (r16 finding 2)
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == expected,
+      "a mid-retire day must be invisible to the report")
+    // the next maintenance entry heals: children done, marker dropped,
+    // tombstone refuses the day's replay
+    assert(!Drift.appendDailyDriftCounts(ev("2026-06-01" -> "a"), $"metric",
+      path, d1), "healed day is a ledgered no-op")
+    assert(!fs.exists(hpath(s"$path/days/_retiring=$d1")), "marker healed away")
+    assert(!fs.listFiles(hpath(s"$path/days/batch=$d1"), true).hasNext,
+      "healed day is a clean tombstone")
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == expected)
+    // and the retire re-run converges: the healed day is not recounted
+    assert(Drift.retireDailyDriftDays(spark, path, d1 + 1) == 0)
+    assert(rows(Drift.dailyDriftFromStore(spark, path)) == expected)
+  }
+
+  test("fresh-ledger landed: negative ids are not rule-landed; watermark memoized per lock body") {
+    import graft.operators.Drift
+    import graft.store.{Ledger, MaintenanceLock}
+    import java.sql.Date
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_fresh").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val days = s"$path/days"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(days))
+    // r16 ADVICE: on a never-vacuumed ledger NO id is landed by rule —
+    // a 0-default watermark made every negative id (epoch days before
+    // 1970-01-01) silently refuse on a fresh store
+    assert(!Ledger.landed(fs, days, -5L))
+    assert(Ledger.watermarkOpt(fs, days).isEmpty)
+    val preEpoch = java.time.LocalDate.parse("1969-12-25").toEpochDay // < 0
+    assert(Drift.appendDailyDriftCounts(
+      Seq((Date.valueOf("1969-12-25"), "a")).toDF("day", "metric"),
+      $"metric", path, preEpoch),
+      "a pre-1970 day must land on a fresh daily drift store")
+    assert(!Drift.appendDailyDriftCounts(
+      Seq((Date.valueOf("1969-12-25"), "a")).toDF("day", "metric"),
+      $"metric", path, preEpoch), "replay stays a no-op via the dir")
+    // but once a vacuum stamps a watermark, ids below it ARE rule-landed
+    assert(Ledger.vacuumStore(spark, path, 10L, Seq("days")) >= 0)
+    assert(Ledger.landed(fs, days, -5L) && Ledger.landed(fs, days, 9L))
+    assert(!Ledger.landed(fs, days, 10L))
+    // the memo: inside one lock body the first read is authoritative for
+    // the duration (the lock is what makes that sound — r16 verdict
+    // finding 1's O(#dirs) listStatus per landed() check)
+    MaintenanceLock.withLock(fs, path, "memo-drill") {
+      assert(Ledger.watermark(fs, days) == 10L)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$days/_vacuumed_below=20"))
+      assert(Ledger.watermark(fs, days) == 10L, "memo hit expected under the lock")
+      // a vacuum run inside the body updates the memo in place
+      Ledger.vacuum(fs, days, 30L)
+      assert(Ledger.watermark(fs, days) == 30L)
+    }
+    assert(Ledger.watermark(fs, days) == 30L, "outside the lock reads disk")
+  }
+
   test("packed-export vacuum: compaction tombstones collapse; replay, append, and serving hold") {
     import graft.streaming.StreamingPipeline
     import graft.store.Ledger
@@ -1006,12 +1134,18 @@ class StoreFaultDrillSpec extends SparkSpec {
     append(tranche(61 to 90), 3L)
     assert(StreamingPipeline.compactPackedExport(spark, p))
     val served = rows(StreamingPipeline.packedExportLedger(spark, p))
-    // compaction left batch=0 live + 3 tombstones per half; the vacuum
-    // collapses the tombstones (the metadata-growth reset)
-    assert(Ledger.vacuumStore(spark, p, 4L, Seq("pack", "tails")) == 6)
+    // since r17 the compaction SELF-VACUUMS: batch=0 live + ONE watermark
+    // marker per half, zero tombstone dirs — the metadata-growth reset
+    // without any explicit vacuum call
     def dirs(half: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/$half"))
       .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
-    assert(dirs("pack") == Seq("batch=0") && dirs("tails") == Seq("batch=0"))
+    assert(dirs("pack") == Seq("batch=0") && dirs("tails") == Seq("batch=0"),
+      "compaction must leave only the merged base — tombstones collapse into the marker")
+    assert(Ledger.watermark(fs, s"$p/pack") == 4L &&
+      Ledger.watermark(fs, s"$p/tails") == 4L,
+      "compaction must stamp max-merged-id+1 on both halves")
+    assert(Ledger.vacuumStore(spark, p, 4L, Seq("pack", "tails")) == 0,
+      "nothing left for an explicit vacuum")
     assert(rows(StreamingPipeline.packedExportLedger(spark, p)) == served)
     // a replayed pre-watermark batch is a no-op BY RULE (dir long gone)
     append(tranche(31 to 60), 2L)
@@ -1020,10 +1154,11 @@ class StoreFaultDrillSpec extends SparkSpec {
     append(tranche(91 to 110), 4L)
     assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
       rows(monolithic(tranche(1 to 110))))
-    // a SECOND compaction must carry the watermark through its swap —
-    // without copyWatermark the vacuumed replays would resurrect
+    // a SECOND compaction must carry the watermark through its swap and
+    // advance it past the newly merged id 4 (the self-running vacuum) —
+    // were the old watermark dropped, the vacuumed replays would resurrect
     assert(StreamingPipeline.compactPackedExport(spark, p))
-    assert(Ledger.watermark(fs, s"$p/pack") == 4L)
+    assert(Ledger.watermark(fs, s"$p/pack") == 5L)
     append(tranche(31 to 60), 2L)
     assert(rows(StreamingPipeline.packedExportLedger(spark, p)) ==
       rows(monolithic(tranche(1 to 110))),

@@ -311,6 +311,141 @@ class StreamingFlagshipSpec extends SparkSpec {
       "kill-window rotation must replay to the uninterrupted-run frame")
   }
 
+  // ---- SIX maintainers, flagship v3: the PACKED EXPORT rides the
+  // composed session (the r16 verdict's item 6 — the export store matured
+  // outside the flagship). The pack feed delivers id-ordered tranches
+  // (the monotone-ingest contract); the drill kills the session after
+  // tranche 1, advances LM/histogram/DSIR *and the pack family* a
+  // delivery ahead of MinHash/decontam, compacts FOUR stores in the kill
+  // window (incl. compactPackedExport, whose r17 swap self-vacuums the
+  // ledger), restarts on the same checkpoints, and replays the pack
+  // family's first committed batch id through the foreachBatch body —
+  // landed by the WATERMARK RULE now, not a tombstone dir. Both final
+  // frames (five-store scores, per-unit pack rows) must be byte-identical
+  // to an uninterrupted six-maintainer run, and the pack rows must also
+  // equal the monolithic packSequences chain over the same corpus.
+
+  private def packStream(base: String) =
+    StreamingPipeline.packedExportStream(
+      StreamingPipeline.readDocStream(spark, s"$base/in_pack"),
+      s"$base/pack", s"$base/ck_pack", budget = 50, nShards = 4).start()
+
+  private def deliverPack(dir: String, rows: Seq[(Long, String, String, Long)]): Unit =
+    allDf(rows).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def drain6(base: String): Unit =
+    (CorpusQueries.startFlagshipMaintainers(
+      spark, s"$base/in_all", s"$base/in_bench", base)
+      :+ dsirStream(base) :+ packStream(base))
+      .foreach(_.awaitTermination())
+
+  private def packRowsOf(base: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(graft.similarity.Similarity.activeDir(fs, s"$base/pack/pack"))
+      .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("composed session v3: packed export among the maintainers — kill/compact windows replay byte-identical") {
+    // ---- baseline: uninterrupted six-maintainer run (pack tranches
+    // drain in id order, the other feeds are fully delivered up front)
+    val b0 = Files.createTempDirectory("graft_flag3_base").toString
+    deliverAll(s"$b0/in_all", a1 ++ a2 ++ a3, parts = 6)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b0/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b0/in_bench", b1 ++ b2)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b0/dsir")
+    deliverRest(s"$b0/in_rest", a1.drop(5) ++ a2 ++ a3, parts = 6)
+    deliverPack(s"$b0/in_pack", a1); drain6(b0)
+    deliverPack(s"$b0/in_pack", a2); drain6(b0)
+    deliverPack(s"$b0/in_pack", a3); drain6(b0)
+    CorpusQueries.compactFlagshipStores(spark, b0)
+    TextOps.compactDsir(spark, s"$b0/dsir")
+    StreamingPipeline.compactPackedExport(spark, s"$b0/pack")
+    val baseline = frame(b0)
+    val basePack = packRowsOf(b0)
+    // the stream-grown store equals the monolithic chunk→pack chain
+    val mono = graft.text.TextOps.packSequences(
+        graft.text.TextOps.chunkDocs(
+          corpus.select(col("doc_id"), col("text")), size = 64, stride = 48)
+          .select((col("doc_id") * 1000000L + col("chunk_idx")).as("doc_id"),
+            col("n_tok").as("n_tokens")),
+        budget = 50, shards = 4, tokenCount = Some(col("n_tokens")))
+      .select("shard", "bin", "doc_id", "n_tokens", "bin_offset")
+      .collect().map(_.toString).sorted.toSeq
+    assert(basePack == mono,
+      "stream-grown pack must equal the monolithic packSequences chain")
+    // the self-running vacuum: compaction left NO tombstone dirs, just
+    // the base + the watermark rule
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(b0),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs0.listStatus(new org.apache.hadoop.fs.Path(s"$b0/pack/pack"))
+      .count(_.getPath.getName.startsWith("batch=")) == 1,
+      "pack compaction must self-vacuum its ledger to the base dir alone")
+    assert(graft.store.Ledger.watermark(fs0, s"$b0/pack/pack") >= 4L)
+
+    // ---- drill: kill after tranche 1, skew pack AHEAD, compact, restart
+    val b = Files.createTempDirectory("graft_flag3_drill").toString
+    deliverAll(s"$b/in_all", a1.take(5), parts = 10)
+    deliverAll(s"$b/in_all", a1.drop(5), parts = 10)
+    Dedup.buildDecontamStore(benchDf(benchPrefix), s"$b/dc", n = 3, k = 4, m = 1 << 20)
+    deliverBench(s"$b/in_bench", b1)
+    TextOps.saveDsir(allDf(dsirPrefix), isT, m = 1024, s"$b/dsir")
+    deliverRest(s"$b/in_rest", a1.drop(5), parts = 4)
+    deliverPack(s"$b/in_pack", a1)
+    drain6(b) // the session dies here
+    // skew: LM, histogram, DSIR, AND the pack family commit a2 while
+    // MinHash/decontam are down
+    deliverAll(s"$b/in_all", a2, parts = 3)
+    deliverRest(s"$b/in_rest", a2, parts = 3)
+    deliverPack(s"$b/in_pack", a2)
+    Seq(
+      StreamingPipeline.lmAppendStream(
+        StreamingPipeline.readDocStream(spark, s"$b/in_all"),
+        s"$b/lm", s"$b/ck_lm").start(),
+      StreamingPipeline.histogramStream(
+        StreamingPipeline.readColumnsStream(spark, s"$b/in_all",
+          "doc_id BIGINT, lang STRING, n_chars BIGINT"),
+        s"$b/hist", s"$b/ck_hist",
+        keys = Seq("lang"), valueCol = "n_chars", binWidth = 50.0, numBins = 20).start(),
+      dsirStream(b),
+      packStream(b)
+    ).foreach(_.awaitTermination())
+    // kill-window maintenance on four stores while the ledgers disagree;
+    // the pack compaction swaps the two mid-stream batches into the base
+    // and stamps the watermark (no tombstone dirs survive)
+    TextOps.compactLm(spark, s"$b/lm")
+    StreamingPipeline.compactMinhashStore(spark, s"$b/mh")
+    TextOps.compactDsir(spark, s"$b/dsir")
+    StreamingPipeline.compactPackedExport(spark, s"$b/pack")
+    // restart all six on the same checkpoints; the pack stream must seed
+    // tranche 3 from the compacted tails
+    deliverAll(s"$b/in_all", a3, parts = 4)
+    deliverRest(s"$b/in_rest", a3, parts = 4)
+    deliverBench(s"$b/in_bench", b2)
+    deliverPack(s"$b/in_pack", a3)
+    drain6(b)
+    // at-least-once redelivery — including the pack family's first
+    // committed id, which the kill-window compaction VACUUMED: the replay
+    // must be refused by the watermark rule (its dir no longer exists)
+    StreamingPipeline.lmAppendBatch(s"$b/lm")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.minhashDedupBatch(s"$b/mh")(benchDf(a1.map(r => (r._1, r._2))), 0L)
+    StreamingPipeline.histMergeBatch(s"$b/hist", Seq("lang"), "n_chars", 50.0, 20)(
+      allDf(a1).select(col("doc_id"), col("lang"), col("n_chars")), 0L)
+    StreamingPipeline.decontamAppendBatch(s"$b/dc")(benchDf(b1), 0L)
+    StreamingPipeline.dsirAppendBatch(s"$b/dsir", isT)(
+      allDf(a1.drop(5)).select(col("doc_id"), col("text"), col("lang")), 0L)
+    StreamingPipeline.packedExportAppendBatch(s"$b/pack", budget = 50, nShards = 4)(
+      allDf(a1).select(col("doc_id"), col("text")), 1L)
+    CorpusQueries.compactFlagshipStores(spark, b)
+    TextOps.compactDsir(spark, s"$b/dsir")
+    assert(packRowsOf(b) == basePack,
+      "killed+skewed+vacuum-replayed pack store must equal the uninterrupted run")
+    assert(frame(b) == baseline,
+      "the five-store score frame must be untouched by the sixth maintainer")
+  }
+
   // ---- SIX maintainers: SCD2 joins, with entity retirement in the kill
   // window — the r13-item-4 / r14-rotation treatment applied to the round's
   // new un-learn path. The SCD change feed runs beside the five corpus
