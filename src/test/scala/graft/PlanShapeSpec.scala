@@ -101,6 +101,11 @@ class PlanShapeSpec extends SparkSpec {
     // q180's bounded plane-table broadcast — the vacuum touches ledger
     // metadata only, the probe plan is q117's shape unchanged
     "q232_ann_lsh_vacuum",
+    // q190's frame verbatim (q163's 1-row LM-stats broadcast + the DSIR
+    // 1-row totals, both adjudicated above); the sixth family (the packed
+    // export) joins only through per-doc equi-joins which plan as hash
+    // joins — no new BNLJ source
+    "q235_streaming_flagship_v3",
     "q213_ivf_cell_drift") // q52's bounded centroid-assignment broadcast, run twice against one frozen set
 
   test("registry sweep: no cartesian products, no unapproved nested-loop joins") {
