@@ -438,8 +438,8 @@ object Bench {
     // on an idle host but much more robust when a co-tenant steals cycles
     // (more runnable threads absorb stolen cores instead of stalling)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.core.Graft.perfConfs.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

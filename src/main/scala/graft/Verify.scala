@@ -10,8 +10,8 @@ object Verify {
     // the driver always calls with exactly two args = full dump)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.core.Graft.perfConfs.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // keep per-series model stages parallel (see Graft.localSession)

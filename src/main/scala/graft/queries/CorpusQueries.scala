@@ -229,12 +229,15 @@ object CorpusQueries {
   private[graft] def v4AdvanceStores(s: SparkSession, prev: DataFrame, next: DataFrame,
       featPrev: DataFrame, mh: String, dsirPath: String,
       mhRetireId: Long, mhAppendId: Long,
-      dsirRetireId: Long, dsirAppendId: Long): DataFrame = {
+      dsirRetireId: Long, dsirAppendId: Long,
+      sharedDelta: Option[DataFrame] = None): DataFrame = {
     import graft.dedup.Dedup
     import graft.streaming.StreamingPipeline
-    val delta = Dedup.corpusDelta(
+    // the warehouse cycles already hold this exact (checkpointed) delta —
+    // recomputing it here was a redundant corpus-hash pass (guide §1.2)
+    val delta = sharedDelta.getOrElse(Dedup.corpusDelta(
       prev.select(col("doc_id"), col("text")),
-      next.select(col("doc_id"), col("text"))).localCheckpoint(true)
+      next.select(col("doc_id"), col("text"))).localCheckpoint(true))
     val unchangedIds = delta.filter(col("status") === "unchanged").select("doc_id")
     val addedChangedIds =
       delta.filter(col("status").isin("added", "changed")).select("doc_id")
@@ -251,19 +254,28 @@ object CorpusQueries {
     // never appended — anti-joining the append set against stayIds would
     // silently leave it out of the store and its near-dup pairs unminable.
     val survive = keptPrev.join(stayIds, Seq("doc_id"), "leftsemi")
-    StreamingPipeline.retireMinhashStore(s, mh,
-      keptPrev.join(survive, Seq("doc_id"), "left_anti"), mhRetireId)
-    StreamingPipeline.minhashDedupBatch(mh)(
-      next.select(col("doc_id"), col("text"))
-        .join(keptNext.join(survive, Seq("doc_id"), "left_anti"), "doc_id"),
-      mhAppendId)
-    StreamingPipeline.compactMinhashStore(s, mh)
-    TextOps.retireDsir(
-      prev.join(delta.filter(col("status").isin("removed", "changed"))
-        .select("doc_id"), "doc_id"), v4IsTarget, dsirPath, appendId = dsirRetireId)
-    TextOps.appendDsir(next.join(addedChangedIds, "doc_id"), v4IsTarget,
-      dsirPath, appendId = dsirAppendId)
-    TextOps.compactDsir(s, dsirPath)
+    // the MinHash and DSIR families advance DISJOINT stores from shared
+    // (checkpointed) inputs — overlap them (guide §2.6): each family stays
+    // internally sequential (retire -> append -> compact under its own
+    // store lock), so results and crash discipline are unchanged
+    graft.core.Par.sections(
+      () => {
+        StreamingPipeline.retireMinhashStore(s, mh,
+          keptPrev.join(survive, Seq("doc_id"), "left_anti"), mhRetireId)
+        StreamingPipeline.minhashDedupBatch(mh)(
+          next.select(col("doc_id"), col("text"))
+            .join(keptNext.join(survive, Seq("doc_id"), "left_anti"), "doc_id"),
+          mhAppendId)
+        StreamingPipeline.compactMinhashStore(s, mh)
+      },
+      () => {
+        TextOps.retireDsir(
+          prev.join(delta.filter(col("status").isin("removed", "changed"))
+            .select("doc_id"), "doc_id"), v4IsTarget, dsirPath, appendId = dsirRetireId)
+        TextOps.appendDsir(next.join(addedChangedIds, "doc_id"), v4IsTarget,
+          dsirPath, appendId = dsirAppendId)
+        TextOps.compactDsir(s, dsirPath)
+      })
     featNext
   }
 
@@ -391,9 +403,15 @@ object CorpusQueries {
     val featA = v4Features(a).localCheckpoint(true)
     val keptA = v4Winners(featA).select(col("doc_id"))
     val aKept = a.select(col("doc_id"), col("text")).join(keptA, "doc_id")
-    StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 0), 0)
-    StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 1), 1)
-    TextOps.saveDsir(a, v4IsTarget, m = 1024, dsirPath)
+    // disjoint stores built from shared checkpointed inputs — overlap the
+    // families (guide §2.6); the two MinHash batches stay ordered within
+    // their section (same store, monotone batch ids)
+    graft.core.Par.sections(
+      () => {
+        StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 0), 0)
+        StreamingPipeline.minhashDedupBatch(mh)(aKept.filter(col("doc_id") % 2 === 1), 1)
+      },
+      () => TextOps.saveDsir(a, v4IsTarget, m = 1024, dsirPath))
     featA
   }
 
@@ -883,40 +901,56 @@ object CorpusQueries {
       val bTxt = b.select(col("doc_id"), col("text"))
       def terms(df: DataFrame) = df.select(
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      // ---- the A-state warehouse (the previous cycle's artifacts)
-      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
-      TextOps.saveLm(aTxt, s"$base/lm")
-      (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
-        terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
-      require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
-        s"$base/vocab"))
-      // ---- the crawl moves: one shared delta, every family advances
+      // one shared delta, checkpointed up front (it only needs the two
+      // text snapshots), then every family's A-build -> advance chain runs
+      // as its own section over DISJOINT stores (guide §2.6): each family
+      // keeps its exact op order and store lock; only the between-family
+      // interleaving changes, which no result can observe
       val delta = graft.dedup.Dedup.corpusDelta(aTxt, bTxt).localCheckpoint(true)
       val oldIds = delta.filter(col("status").isin("removed", "changed"))
         .select("doc_id")
       val newIds = delta.filter(col("status").isin("added", "changed"))
         .select("doc_id")
-      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
-        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
-      TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
-      TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
-      TextOps.compactLm(s, s"$base/lm")
-      StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
-        terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
-      StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
-        terms(bTxt.join(newIds, "doc_id")), 6L)
-      require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
-        s"$base/vocab"), "the moved corpus must retrain the vocab")
-      // the drift monitor advances through the same shared delta: its
-      // live counts move to B while the frozen baseline keeps A, so the
-      // gate row carries the cycle's OWN drift report
-      graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
-        s"$base/drift")
-      graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
-        DataQueries.driftFeatures, s"$base/drift", appendId = 1)
-      graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
-        DataQueries.driftFeatures, s"$base/drift", appendId = 2)
-      graft.operators.Drift.compactDriftStore(s, s"$base/drift")
+      @volatile var featB: DataFrame = null
+      graft.core.Par.sections(
+        () => {
+          val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+          featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+            mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2,
+            sharedDelta = Some(delta))
+        },
+        () => {
+          TextOps.saveLm(aTxt, s"$base/lm")
+          TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
+          TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
+          TextOps.compactLm(s, s"$base/lm")
+        },
+        () => {
+          (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+            terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
+          StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
+            terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
+          StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+            terms(bTxt.join(newIds, "doc_id")), 6L)
+        },
+        () => {
+          require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
+            s"$base/vocab"))
+          require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
+            s"$base/vocab"), "the moved corpus must retrain the vocab")
+        },
+        () => {
+          // the drift monitor advances through the same shared delta: its
+          // live counts move to B while the frozen baseline keeps A, so the
+          // gate row carries the cycle's OWN drift report
+          graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
+            s"$base/drift")
+          graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
+            DataQueries.driftFeatures, s"$base/drift", appendId = 1)
+          graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
+            DataQueries.driftFeatures, s"$base/drift", appendId = 2)
+          graft.operators.Drift.compactDriftStore(s, s"$base/drift")
+        })
       // ---- one gate frame: B served from every advanced store
       def row(fam: String, df: DataFrame, m1: Column, m2: Column, m3: Column) =
         df.agg(m1.cast("long").as("m1"), m2.cast("long").as("m2"),
@@ -981,65 +1015,84 @@ object CorpusQueries {
       val bTxt = b.select(col("doc_id"), col("text"))
       def terms(df: DataFrame) = df.select(
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      // ---- the A-state warehouse (the previous cycle's artifacts)
-      val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
-      TextOps.saveLm(aTxt, s"$base/lm")
-      (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
-        terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
-      require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
-        s"$base/vocab"))
-      // the export family's A-state: the packed chunks + their ledger
-      val packA = TextOps.packSequences(DataQueries.chunkUnits(aTxt),
-        budget = 512, shards = 32, tokenCount = Some(col("n_tokens")))
-        .localCheckpoint(true)
-      val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
-      // the daily monitor's A-state: the day-keyed count ledger over the
-      // event history (its axis is the event table, not the crawl — the
-      // cycle maintains it in the same pass, via its own daily append)
-      val ev = Tables.cleanEvents(s, d)
-        .select(to_date(col("ts")).as("day"), col("metric")).localCheckpoint(true)
-      // bounded collect: ONE date — the "today" the daily job appends
-      val maxDay = ev.agg(max("day")).head().getDate(0)
-      graft.operators.Drift.buildDailyDriftStore(
-        ev.filter(col("day") < lit(maxDay)), col("day"), col("metric"),
-        s"$base/daily")
-      // ---- the crawl moves: one shared delta, every family advances
+      // one shared delta, checkpointed up front, then every family's
+      // A-build -> advance chain runs as its own section over DISJOINT
+      // stores (guide §2.6, same treatment as q207): per-family op order,
+      // ids, and store locks are untouched — only the between-family
+      // interleaving changes, which no result can observe
       val delta = graft.dedup.Dedup.corpusDelta(aTxt, bTxt).localCheckpoint(true)
       val oldIds = delta.filter(col("status").isin("removed", "changed"))
         .select("doc_id")
       val newIds = delta.filter(col("status").isin("added", "changed"))
         .select("doc_id")
-      val featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
-        mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2)
-      TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
-      TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
-      TextOps.compactLm(s, s"$base/lm")
-      StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
-        terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
-      StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
-        terms(bTxt.join(newIds, "doc_id")), 6L)
-      require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
-        s"$base/vocab"), "the moved corpus must retrain the vocab")
-      graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
-        s"$base/drift")
-      graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
-        DataQueries.driftFeatures, s"$base/drift", appendId = 1)
-      graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
-        DataQueries.driftFeatures, s"$base/drift", appendId = 2)
-      graft.operators.Drift.compactDriftStore(s, s"$base/drift")
-      // the export family advances through the SAME delta: both sides'
-      // chunks of the non-unchanged docs invalidate, prefix bins reuse
-      val affected = DataQueries.chunkUnits(aTxt.join(oldIds, "doc_id"))
-        .unionByName(DataQueries.chunkUnits(bTxt.join(newIds, "doc_id")))
-        .select("doc_id")
-      val ledgerB = Shards.incrementalPackedLedger(
-        DataQueries.chunkUnits(bTxt), packA, ledgerA, affected,
-        budget = 512, nShards = 32).localCheckpoint(true)
-      // the daily monitor advances through ITS OWN axis: today's counts
-      // land once, replay-safe, through the daily append path
-      graft.operators.Drift.appendDailyDriftCounts(
-        ev.filter(col("day") === lit(maxDay)), col("metric"),
-        s"$base/daily", maxDay.toLocalDate.toEpochDay)
+      @volatile var featB: DataFrame = null
+      @volatile var ledgerB: DataFrame = null
+      graft.core.Par.sections(
+        () => {
+          val featA = v4BuildStoresOnA(s, a, s"$base/mh", s"$base/dsir")
+          featB = v4AdvanceStores(s, a, b, featA, s"$base/mh", s"$base/dsir",
+            mhRetireId = 2, mhAppendId = 3, dsirRetireId = 1, dsirAppendId = 2,
+            sharedDelta = Some(delta))
+        },
+        () => {
+          TextOps.saveLm(aTxt, s"$base/lm")
+          TextOps.retireLm(aTxt.join(oldIds, "doc_id"), s"$base/lm", appendId = 1)
+          TextOps.appendLm(bTxt.join(newIds, "doc_id"), s"$base/lm", appendId = 2)
+          TextOps.compactLm(s, s"$base/lm")
+        },
+        () => {
+          (0 to 1).foreach(i => StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+            terms(aTxt.filter(col("doc_id") % 2 === i)), i.toLong))
+          StreamingPipeline.retireCmsSlice(s"$base/cms", "term")(
+            terms(aTxt.join(oldIds, "doc_id")), retireId = 5L)
+          StreamingPipeline.cmsMergeBatch(s"$base/cms", "term")(
+            terms(bTxt.join(newIds, "doc_id")), 6L)
+        },
+        () => {
+          require(VocabStore.refreshSubword(aTxt, size = 256, maxPieceLen = 6,
+            s"$base/vocab"))
+          require(VocabStore.refreshSubword(bTxt, size = 256, maxPieceLen = 6,
+            s"$base/vocab"), "the moved corpus must retrain the vocab")
+        },
+        () => {
+          graft.operators.Drift.buildDriftStore(a, DataQueries.driftFeatures,
+            s"$base/drift")
+          graft.operators.Drift.retireDriftCounts(a.join(oldIds, "doc_id"),
+            DataQueries.driftFeatures, s"$base/drift", appendId = 1)
+          graft.operators.Drift.appendDriftCounts(b.join(newIds, "doc_id"),
+            DataQueries.driftFeatures, s"$base/drift", appendId = 2)
+          graft.operators.Drift.compactDriftStore(s, s"$base/drift")
+        },
+        () => {
+          // the export family's A-state: the packed chunks + their ledger;
+          // it advances through the SAME delta — both sides' chunks of the
+          // non-unchanged docs invalidate, prefix bins reuse
+          val packA = TextOps.packSequences(DataQueries.chunkUnits(aTxt),
+            budget = 512, shards = 32, tokenCount = Some(col("n_tokens")))
+            .localCheckpoint(true)
+          val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
+          val affected = DataQueries.chunkUnits(aTxt.join(oldIds, "doc_id"))
+            .unionByName(DataQueries.chunkUnits(bTxt.join(newIds, "doc_id")))
+            .select("doc_id")
+          ledgerB = Shards.incrementalPackedLedger(
+            DataQueries.chunkUnits(bTxt), packA, ledgerA, affected,
+            budget = 512, nShards = 32).localCheckpoint(true)
+        },
+        () => {
+          // the daily monitor's A-state is the day-keyed count ledger over
+          // the event history; it advances through ITS OWN axis — today's
+          // counts land once, replay-safe, through the daily append path
+          val ev = Tables.cleanEvents(s, d)
+            .select(to_date(col("ts")).as("day"), col("metric")).localCheckpoint(true)
+          // bounded collect: ONE date — the "today" the daily job appends
+          val maxDay = ev.agg(max("day")).head().getDate(0)
+          graft.operators.Drift.buildDailyDriftStore(
+            ev.filter(col("day") < lit(maxDay)), col("day"), col("metric"),
+            s"$base/daily")
+          graft.operators.Drift.appendDailyDriftCounts(
+            ev.filter(col("day") === lit(maxDay)), col("metric"),
+            s"$base/daily", maxDay.toLocalDate.toEpochDay)
+        })
       // ---- one gate frame: B served from every advanced store
       def row(fam: String, df: DataFrame, m1: Column, m2: Column, m3: Column) =
         df.agg(m1.cast("long").as("m1"), m2.cast("long").as("m2"),
@@ -1282,8 +1335,10 @@ object CorpusQueries {
             "doc_id LONG, text STRING, lang STRING"),
           isT, s"$base/dsir", s"$base/ck_dsir").start()
       running.foreach(_.awaitTermination())
-      compactFlagshipStores(s, base)
-      TextOps.compactDsir(s, s"$base/dsir")
+      // disjoint stores, independent compactions — overlap (guide §2.6)
+      graft.core.Par.sections(
+        () => compactFlagshipStores(s, base),
+        () => { TextOps.compactDsir(s, s"$base/dsir"); () })
       val slice = all.filter(bucket < 80)
       flagshipScoreFrame(s, base, slice)
         .join(TextOps.scoreWithDsir(
@@ -1352,9 +1407,10 @@ object CorpusQueries {
       deliverPack(dd.filter(col("doc_id") <= c1)); session()
       deliverPack(dd.filter(col("doc_id") > c1 && col("doc_id") <= c2)); session()
       deliverPack(dd.filter(col("doc_id") > c2)); session()
-      compactFlagshipStores(s, base)
-      TextOps.compactDsir(s, s"$base/dsir")
-      StreamingPipeline.compactPackedExport(s, s"$base/pack")
+      graft.core.Par.sections(
+        () => compactFlagshipStores(s, base),
+        () => { TextOps.compactDsir(s, s"$base/dsir"); () },
+        () => { StreamingPipeline.compactPackedExport(s, s"$base/pack"); () })
       // the self-running-vacuum gate: bounded ledger metadata with NO
       // explicit vacuum anywhere in this query
       val packHalf = s"$base/pack/pack"
@@ -1419,12 +1475,13 @@ object CorpusQueries {
   }
 
   /** Between-sessions maintenance over the flagship's grown stores. */
-  private[graft] def compactFlagshipStores(s: SparkSession, base: String): Unit = {
-    TextOps.compactLm(s, s"$base/lm")
-    graft.streaming.StreamingPipeline.compactMinhashStore(s, s"$base/mh")
-    graft.dedup.Dedup.compactDecontamStore(s, s"$base/dc")
-    ()
-  }
+  private[graft] def compactFlagshipStores(s: SparkSession, base: String): Unit =
+    // three disjoint stores, three independent compactions — overlap them
+    // (guide §2.6); each keeps its own maintenance lock and swap discipline
+    graft.core.Par.sections(
+      () => { TextOps.compactLm(s, s"$base/lm"); () },
+      () => { graft.streaming.StreamingPipeline.compactMinhashStore(s, s"$base/mh"); () },
+      () => { graft.dedup.Dedup.compactDecontamStore(s, s"$base/dc"); () })
 
   /** The flagship's final batch read: one frame scoring every `corpus`
     * document (doc_id, text, lang, n_chars) from ALL four grown stores —

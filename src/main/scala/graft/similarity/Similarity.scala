@@ -301,10 +301,14 @@ object Similarity {
       // retirements apply physically to BOTH halves (compactIvfIndex note)
       val retired = readStoreRetirements(spark, fs, path)
       val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
-      val n = compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket"),
-          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty) +
-        compactBatchStore(spark, s"$path/vectors", Seq.empty,
-          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      // the two halves are disjoint dirs rebuilding independently under
+      // the one store lock this thread already holds — overlap them
+      // (guide §2.6); each half keeps its staging/swap discipline
+      val n = graft.core.Par.sumSections(
+        () => compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket"),
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty),
+        () => compactBatchStore(spark, s"$path/vectors", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty))
       if (retired.nonEmpty) blankRetirementLedger(fs, path)
       n
     }
@@ -321,8 +325,9 @@ object Similarity {
       requireNoPendingBuild(fs, path)
       val retired = readStoreRetirements(spark, fs, path)
       val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
-      compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket"), alive) +
-        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive)
+      graft.core.Par.sumSections(
+        () => compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket"), alive),
+        () => compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive))
     }
   }
 
@@ -1701,10 +1706,11 @@ object Similarity {
       // retirements apply physically to BOTH halves (compactIvfIndex note)
       val retired = readStoreRetirements(spark, fs, path)
       val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
-      val n = compactBatchStore(spark, s"$path/codes", Seq.empty,
-          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty) +
-        compactBatchStore(spark, s"$path/vectors", Seq.empty,
-          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty)
+      val n = graft.core.Par.sumSections(
+        () => compactBatchStore(spark, s"$path/codes", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty),
+        () => compactBatchStore(spark, s"$path/vectors", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty))
       if (retired.nonEmpty) blankRetirementLedger(fs, path)
       n
     }
@@ -1721,8 +1727,9 @@ object Similarity {
       requireNoPendingBuild(fs, path)
       val retired = readStoreRetirements(spark, fs, path)
       val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
-      compactBatchStoreMinor(spark, s"$path/codes", Seq.empty, alive) +
-        compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive)
+      graft.core.Par.sumSections(
+        () => compactBatchStoreMinor(spark, s"$path/codes", Seq.empty, alive),
+        () => compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive))
     }
   }
 

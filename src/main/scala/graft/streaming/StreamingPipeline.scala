@@ -1051,12 +1051,15 @@ object StreamingPipeline {
       val retired = minhashRetirements(spark, fs, storePath, exclude = None)
       def alive(idCols: Seq[String]): DataFrame => DataFrame =
         df => idCols.foldLeft(df)((d, c) => aliveRows(d, retired, Seq(c)))
-      val n = Seq("sets" -> Seq("doc_id"), "bands" -> Seq("doc_id"),
-        "pairs" -> Seq("doc_a", "doc_b")).map { case (h, idCols) =>
-        graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h",
-          Seq.empty, alive(idCols), baseAtMaxId = retired.nonEmpty,
-          forceRewrite = retired.nonEmpty, vacuumLedger = true)
-      }.sum
+      // three disjoint halves rebuilding independently under the one store
+      // lock this thread already holds — overlap them (guide §2.6)
+      val n = graft.core.Par.sumSections(
+        Seq("sets" -> Seq("doc_id"), "bands" -> Seq("doc_id"),
+          "pairs" -> Seq("doc_a", "doc_b")).map { case (h, idCols) => () =>
+          graft.similarity.Similarity.compactBatchStore(spark, s"$storePath/$h",
+            Seq.empty, alive(idCols), baseAtMaxId = retired.nonEmpty,
+            forceRewrite = retired.nonEmpty, vacuumLedger = true)
+        }: _*)
       // retirements are now applied (or there were none): blank the ledger
       // dirs to empty tombstones. A crash mid-blank leaves rows that the
       // max-id base makes harmless; the next compaction finishes the job.

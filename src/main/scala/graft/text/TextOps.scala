@@ -467,13 +467,31 @@ object TextOps {
     * [[saveLm]]/[[scoreWithLm]] bit-reproduce [[trigramBackoffNll]].
     */
   def trainTrigramLm(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+                     idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    trigramTablesOn(lmTrainTokens(docs, textCol, idCol))
+
+  /** The tokenized hex60-80% train split (doc_id, __w) the count tables
+    * aggregate over — the corpus-sized part of LM training. Split out so
+    * the store writers ([[saveLm]]/[[appendLm]]/[[retireLm]]) can persist
+    * it across their four table writes (guide §1.2: the tokenization
+    * otherwise re-runs once per written table).
+    */
+  private def lmTrainTokens(docs: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
     // Eval.materialized: __w feeds four consumers (two of them explode the
     // bare attribute — the InferFiltersFromGenerate shape); the barrier
     // pins the split to one evaluation per row in every branch
-    val train = docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
+    docs.select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
       .filter(graft.dedup.Dedup.hex60(col("doc_id").cast("string")) % 100 < 80)
+  }
+
+  /** [[trainTrigramLm]]'s count tables over an already-tokenized train
+    * frame — formulas unchanged; exactness (long counts, hex60 split) is
+    * what makes store-sum == monolithic-fit hold.
+    */
+  private def trigramTablesOn(train: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val uni = train.select(explode(col("__w")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
     val bi = train.select(explode(ngrams(2)).as("g"))
@@ -497,11 +515,38 @@ object TextOps {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     // build semantics: a rebuild replaces the whole store, appends and all
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val (uni, bi, tri, nTrain) = trainTrigramLm(docs, textCol, idCol)
-    tri.write.mode("overwrite").parquet(s"$path/tri/batch=0")
-    bi.write.mode("overwrite").parquet(s"$path/bi/batch=0")
-    nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=0")
-    uni.write.mode("overwrite").parquet(s"$path/uni/batch=0")
+    writeLmTables(docs, path, batchId = 0L, negate = false, textCol, idCol)
+  }
+
+  /** Shared table-landing for [[saveLm]] and [[landLmDelta]]: ONE
+    * tokenization pass persisted across the four table writes (it was the
+    * whole-corpus cost, paid once per table before — guide §1.2), the two
+    * ledger-neutral tables overlapped (guide §2.6 — independent write jobs
+    * back-fill each other's commit/scheduling gaps), and `uni` still lands
+    * LAST — its directory is the append/retire ledger's commit marker, the
+    * crash-discipline every replay relies on. Row-identical output: the
+    * count formulas are untouched and each table's write is the same job
+    * it was, just scheduled off a cached token frame.
+    */
+  private def writeLmTables(docs: DataFrame, path: String, batchId: Long,
+                            negate: Boolean, textCol: String,
+                            idCol: String): Unit = {
+    val train = lmTrainTokens(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (uni0, bi0, tri0, nTrain0) = trigramTablesOn(train)
+      def sgn(df: DataFrame, c: String) =
+        if (negate) df.withColumn(c, -col(c)) else df
+      val (uni, bi, tri, nTrain) =
+        (sgn(uni0, "c"), sgn(bi0, "c"), sgn(tri0, "c"), sgn(nTrain0, "n_train"))
+      // first write materializes the cache; the next two read it warm
+      tri.write.mode("overwrite").parquet(s"$path/tri/batch=$batchId")
+      graft.core.Par.sections(
+        () => bi.write.mode("overwrite").parquet(s"$path/bi/batch=$batchId"),
+        () => nTrain.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/meta/batch=$batchId"))
+      uni.write.mode("overwrite").parquet(s"$path/uni/batch=$batchId")
+    } finally train.unpersist(false)
   }
 
   /** Incremental half of the LM store — [[graft.similarity.Similarity
@@ -553,15 +598,7 @@ object TextOps {
         graft.similarity.Similarity.recoverDir(fs, s"$path/$h"))
       if (graft.store.Ledger.landed(fs, s"$path/uni", appendId)) false
       else {
-        val (uni0, bi0, tri0, nTrain0) = trainTrigramLm(docs, textCol, idCol)
-        def sgn(df: DataFrame, c: String) =
-          if (negate) df.withColumn(c, -col(c)) else df
-        val (uni, bi, tri, nTrain) =
-          (sgn(uni0, "c"), sgn(bi0, "c"), sgn(tri0, "c"), sgn(nTrain0, "n_train"))
-        tri.write.mode("overwrite").parquet(s"$path/tri/batch=$appendId")
-        bi.write.mode("overwrite").parquet(s"$path/bi/batch=$appendId")
-        nTrain.coalesce(1).write.mode("overwrite").parquet(s"$path/meta/batch=$appendId")
-        uni.write.mode("overwrite").parquet(s"$path/uni/batch=$appendId")
+        writeLmTables(docs, path, appendId, negate, textCol, idCol)
         true
       }
     }
@@ -581,8 +618,10 @@ object TextOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     graft.store.MaintenanceLock.withLock(fs, path, "lm-compact") {
-    var compacted = 0
-    Seq("uni", "bi", "tri", "meta").foreach { h =>
+    // the four tables are disjoint dirs merging independently — overlap
+    // them (guide §2.6); each merge is internally the same job as before
+    val compacted = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.core.Par.sections(Seq("uni", "bi", "tri", "meta").map { h => () => {
       val dir = s"$path/$h"
       graft.similarity.Similarity.recoverDir(fs, dir)
       val main = new org.apache.hadoop.fs.Path(dir)
@@ -608,11 +647,12 @@ object TextOps {
           graft.store.Ledger.stampCompactionWatermark(fs, dir, staging.toString,
             batchDirs.map(_.getPath.getName.stripPrefix("batch=").toLong).toSeq)
           graft.similarity.Similarity.swapDir(fs, staging, dir)
-          compacted += 1
+          compacted.incrementAndGet()
         }
       }
-    }
-    compacted
+      ()
+    }}: _*)
+    compacted.get()
     }
   }
 
