@@ -72,27 +72,37 @@ object Logit {
     * (z, y) frame (localCheckpoint — n rows x (d+1) doubles; at larger
     * scale persist to storage or accept per-pass recompute, the knob is
     * orthogonal to the math). Labels must be 0.0/1.0.
+    *
+    * The input is PROJECTED to (features, label) and checkpointed FIRST
+    * (r18, guide §1.2): count, the two moment passes, and the z transform
+    * previously each recomputed the caller's frame — for the q164-q170
+    * family that frame is a full text-feature pass over the corpus, so the
+    * fit paid the corpus cost four times before the first gradient step.
+    * The aggregations themselves are unchanged, so the learned weights are
+    * bit-identical.
     */
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           lr: Double = 0.5, lambda: Double = 0.001, iters: Int = 30): LogitFit = {
     val d = featureCols.size
     require(d >= 1, "need at least one feature")
-    val n = df.count().toDouble
+    val base = df.select((featureCols :+ labelCol).map(col): _*)
+      .localCheckpoint(true)
+    val n = base.count().toDouble
     require(n > 0, "need a non-empty training set")
 
-    val meanRow = df.agg(qsum(col(featureCols.head)).as("q0"),
+    val meanRow = base.agg(qsum(col(featureCols.head)).as("q0"),
       featureCols.tail.zipWithIndex.map { case (c, i) => qsum(col(c)).as(s"q${i + 1}") }: _*)
       .head()
     val mus = featureCols.indices.map(i => qget(meanRow, s"q$i") / n / Q)
     def sq(c: Column) = c * c // x*x is IEEE-pinned; pow's libm rounding is not
-    val varRow = df.agg(
+    val varRow = base.agg(
       qsum(sq(col(featureCols.head) - mus.head)).as("q0"),
       featureCols.tail.zipWithIndex.map { case (c, i) =>
         qsum(sq(col(c) - mus(i + 1))).as(s"q${i + 1}")
       }: _*).head()
     val sds = featureCols.indices.map(i => math.sqrt(qget(varRow, s"q$i") / n / Q))
 
-    val zdf = df.select(featureCols.indices.map(i =>
+    val zdf = base.select(featureCols.indices.map(i =>
         zCol(col(featureCols(i)), mus(i), sds(i)).as(s"z$i")) :+
         col(labelCol).cast("double").as("y"): _*)
       .localCheckpoint(true)

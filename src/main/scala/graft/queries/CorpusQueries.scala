@@ -112,7 +112,7 @@ object CorpusQueries {
       .agg(count(lit(1)).as("s1"),
         coalesce(sum(floor(col("yhat")).cast("long")), lit(0L)).as("s2"))
     // stage 9: full-corpus classifier -> calibration map -> hex60 gate
-    val lf = DataQueries.logitFrame(s, d)
+    val lf = DataQueries.logitFrame(s, d).localCheckpoint(true) // one text-feature pass shared by fit/predict/label join (guide §1.2)
     val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
     val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
       .join(lf.select(col("doc_id"), col("y")), "doc_id")
@@ -150,7 +150,7 @@ object CorpusQueries {
   private def pipelineKillMatrix(s: SparkSession, d: String): DataFrame = {
     import graft.dedup.Dedup
     val (raw, packed) = pipelineFlags(s, d)
-    val lf = DataQueries.logitFrame(s, d)
+    val lf = DataQueries.logitFrame(s, d).localCheckpoint(true) // one text-feature pass shared by fit/predict/label join (guide §1.2)
     val lfit = graft.operators.Logit.fit(lf, DataQueries.ridgeFeatureCols, "y")
     val lpred = graft.operators.Logit.predict(lf, lfit, "doc_id")
       .join(lf.select(col("doc_id"), col("y")), "doc_id")

@@ -475,7 +475,7 @@ object DataQueries {
     // thresholded), so a linear boundary cannot be perfect — measured
     // accuracy 0.972 at sf0.01 on a 59/41 label split; floor 0.85.
     "q165_logit_predict" -> ((s, d) => {
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
@@ -494,7 +494,7 @@ object DataQueries {
     // verbatim, so any lossy round-trip of a weight or scale fails.
     "q166_logit_store" -> ((s, d) => {
       val path = ivfIndexPath(d) + "_logit"
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       graft.operators.Logit.saveModel(s, fit, path)
       val pred = graft.operators.Logit.predictFromStore(f, path, "doc_id")
@@ -519,7 +519,7 @@ object DataQueries {
     // algebraic sigmoid squashes less than the logistic), so a pipeline
     // must sample through this calibration map, not through raw p.
     "q167_logit_calibration" -> ((s, d) => {
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
@@ -534,7 +534,7 @@ object DataQueries {
     // verbatim over q167's CTEs. Monotone but re-scaled: p_cal collapses
     // each decile onto the measured positive rate, which is the contract.
     "q169_logit_calibrated" -> ((s, d) => {
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
@@ -552,7 +552,7 @@ object DataQueries {
     // exactly replayable in both engines because the threshold is an
     // integer derived from the quantized p_cal and the hash is hex60.
     "q170_calibrated_sample" -> ((s, d) => {
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
@@ -622,7 +622,7 @@ object DataQueries {
     // Logit.aucFromGroupedCounts (they cross the LONG envelope at ~3e9
     // docs per class). Measured 0.99995 at sf0.01.
     "q168_logit_auc" -> ((s, d) => {
-      val f = logitFrame(s, d)
+      val f = logitFrame(s, d).localCheckpoint(true) // one text-feature pass; fit + predict + label join share it (guide §1.2)
       val fit = graft.operators.Logit.fit(f, ridgeFeatureCols, "y")
       val pred = graft.operators.Logit.predict(f, fit, "doc_id")
         .join(f.select(col("doc_id"), col("y")), "doc_id")
@@ -1840,10 +1840,14 @@ object DataQueries {
       val packA = TextOps.packSequences(chunkUnits(a), budget = 512, shards = 32,
         tokenCount = Some(col("n_tokens"))).localCheckpoint(true)
       val ledgerA = Shards.packedLedger(packA).localCheckpoint(true)
-      val aff1 = chunkAffected(a, b)
-      val packB = Shards.incrementalPackFrame(chunkUnits(b), packA, aff1,
+      // aff1 and B's chunk units each feed BOTH cycle-1 consumers (pack
+      // frame + ledger assembly) — materialize once instead of re-running
+      // the corpus chunk/tokenize pass and the delta per consumer (§1.2)
+      val aff1 = chunkAffected(a, b).localCheckpoint(true)
+      val cuB = chunkUnits(b).localCheckpoint(true)
+      val packB = Shards.incrementalPackFrame(cuB, packA, aff1,
         budget = 512, nShards = 32).localCheckpoint(true)
-      val ledgerB = Shards.incrementalPackedLedger(chunkUnits(b), packA,
+      val ledgerB = Shards.incrementalPackedLedger(cuB, packA,
         ledgerA, aff1, budget = 512, nShards = 32).localCheckpoint(true)
       Shards.incrementalPackedLedger(chunkUnits(c), packB, ledgerB,
           chunkAffected(b, c), budget = 512, nShards = 32)

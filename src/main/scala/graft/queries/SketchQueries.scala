@@ -46,8 +46,14 @@ object SketchQueries {
     // only bloom-positive shingles reach the exact join. assert_true
     // enforces the no-false-negative invariant that keeps n_present exact.
     "q118_bloom_decontam" -> ((s, d) => {
+      // materialized once (§1.2): the shingle pass feeds FOUR consumers
+      // (bloom build + leftsemi bench side; probed totals + survivor join
+      // corpus side) — each previously re-tokenized the whole corpus. At
+      // 100 TB persist to storage instead (the q121 store IS that path);
+      // this is the in-plan gate.
       val sh = Dedup.wordShingles(Tables(s, d, "documents"), 3)
         .withColumn("__b", Dedup.hex60(col("doc_id").cast("string")) % 100)
+        .localCheckpoint(true)
       Dedup.bloomContamination(
           sh.filter(col("__b") < 80).drop("__b"),
           sh.filter(col("__b") >= 80).drop("__b"),

@@ -203,11 +203,25 @@ object Similarity {
 
   /** Build-once half of the persisted LSH index (the [[buildIvfIndex]]
     * treatment for the multi-table random-hyperplane family): land the
-    * corpus signatures PARTITIONED BY (t, bucket) — a probe touches only
-    * its own buckets per table, so dynamic partition pruning skips the
-    * unprobed bulk — plus the prepped vector payloads (for the exact
-    * rescore) and a 1-row config table (tables, bits, dim), so the probe
-    * side cannot silently hash with a different geometry than the build.
+    * corpus signatures CLUSTERED by (t, bucket) — plain data columns,
+    * sorted within each file so parquet min/max row-group stats let a
+    * probe skip the unprobed bulk — plus the prepped vector payloads (for
+    * the exact rescore) and a 1-row config table (tables, bits, dim), so
+    * the probe side cannot silently hash with a different geometry than
+    * the build. (r18, guide §6: the original layout PARTITIONED BY
+    * (t, bucket) — tables x 2^bits = 512 directories of tiny files PER
+    * WRITE JOB, and the store takes ~6 sigs-tree writes per lifecycle
+    * gate. The per-dir create/commit/list overhead dominated the whole
+    * ANN-lifecycle tier, and the directory pruning it bought was inert
+    * for real probes: the probe JOINs on (t, bucket), so only dynamic
+    * partition pruning could fire, and any probe batch of >= 2^bits
+    * queries touches every bucket of every table — DPP eliminates
+    * nothing at bench scale (100 queries x 16 tables over 32
+    * buckets/table) nor for batch probes at 100 TB. One sorted file per
+    * write task keeps row-group min/max skipping for the narrow probes
+    * that would have pruned, and drops the 512-dir metadata wall; it
+    * also removes the pre-write repartition Exchange — the sort is
+    * local.)
     * The planes themselves need no storage: they are pure integer-hash
     * functions of (t, j, d) ([[lshPlanes]]), the same property that lets
     * the DuckDB oracles re-derive them.
@@ -230,8 +244,8 @@ object Similarity {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs"), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
         lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
-          .repartition(col("t"), col("bucket"))
-          .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$path/sigs/batch=0")
+          .sortWithinPartitions("t", "bucket")
+          .write.mode("overwrite").parquet(s"$path/sigs/batch=0")
         c.write.mode("overwrite").parquet(s"$path/vectors/batch=0")
         Seq((tables, bits, dim)).toDF("tables", "bits", "dim")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
@@ -277,8 +291,8 @@ object Similarity {
         val staging = new org.apache.hadoop.fs.Path(s"$path/sigs/.staging-$appendId")
         fs.delete(staging, true)
         lshSigs(c, lshPlanes(vectors, tables, bits, dim), idCol)
-          .repartition(col("t"), col("bucket"))
-          .write.mode("overwrite").partitionBy("t", "bucket").parquet(staging.toString)
+          .sortWithinPartitions("t", "bucket")
+          .write.mode("overwrite").parquet(staging.toString)
         require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
         true
       }
@@ -305,8 +319,9 @@ object Similarity {
       // the one store lock this thread already holds — overlap them
       // (guide §2.6); each half keeps its staging/swap discipline
       val n = graft.core.Par.sumSections(
-        () => compactBatchStore(spark, s"$path/sigs", Seq("t", "bucket"),
-          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty),
+        () => compactBatchStore(spark, s"$path/sigs", Seq.empty,
+          alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty,
+          sortCols = Seq("t", "bucket")),
         () => compactBatchStore(spark, s"$path/vectors", Seq.empty,
           alive, baseAtMaxId = retired.nonEmpty, forceRewrite = retired.nonEmpty))
       if (retired.nonEmpty) blankRetirementLedger(fs, path)
@@ -326,7 +341,8 @@ object Similarity {
       val retired = readStoreRetirements(spark, fs, path)
       val alive: DataFrame => DataFrame = aliveStoreRows(_, retired, idCol)
       graft.core.Par.sumSections(
-        () => compactBatchStoreMinor(spark, s"$path/sigs", Seq("t", "bucket"), alive),
+        () => compactBatchStoreMinor(spark, s"$path/sigs", Seq.empty, alive,
+          sortCols = Seq("t", "bucket")),
         () => compactBatchStoreMinor(spark, s"$path/vectors", Seq.empty, alive))
     }
   }
@@ -801,7 +817,8 @@ object Similarity {
                                 transform: DataFrame => DataFrame = identity,
                                 baseAtMaxId: Boolean = false,
                                 forceRewrite: Boolean = false,
-                                vacuumLedger: Boolean = false): Int = {
+                                vacuumLedger: Boolean = false,
+                                sortCols: Seq[String] = Seq.empty): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
@@ -822,8 +839,13 @@ object Similarity {
     val staging = new org.apache.hadoop.fs.Path(s"${main.getParent}/.${main.getName}-compact")
     fs.delete(staging, true)
     val rows = data.select(data.columns.filterNot(_ == "batch").map(col): _*)
+    // sortCols: cluster the rewritten base within each file (row-group
+    // min/max skipping for readers — the LSH sigs (t, bucket) treatment)
+    // without the per-value directory tree partitionBy would create
     val w =
-      if (partitionCols.isEmpty) rows.write
+      if (partitionCols.isEmpty)
+        (if (sortCols.isEmpty) rows else rows.sortWithinPartitions(sortCols.map(col): _*))
+          .write
       else rows.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
     val baseId = if (baseAtMaxId) dataIds.max else 0L
@@ -920,7 +942,8 @@ object Similarity {
     */
   private[graft] def compactBatchStoreMinor(spark: SparkSession, dir: String,
                                             partitionCols: Seq[String],
-                                            transform: DataFrame => DataFrame = identity): Int = {
+                                            transform: DataFrame => DataFrame = identity,
+                                            sortCols: Seq[String] = Seq.empty): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     recoverDir(fs, dir)
@@ -943,7 +966,9 @@ object Similarity {
       .parquet(dataIds.map(id => s"$dir/batch=$id").toIndexedSeq: _*))
     val kept = rows.select(rows.columns.filterNot(_ == "batch").map(col): _*)
     val w =
-      if (partitionCols.isEmpty) kept.write
+      if (partitionCols.isEmpty)
+        (if (sortCols.isEmpty) kept else kept.sortWithinPartitions(sortCols.map(col): _*))
+          .write
       else kept.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
     w.mode("overwrite").parquet(staged.toString)
@@ -1287,8 +1312,8 @@ object Similarity {
     val stagingSigs = new org.apache.hadoop.fs.Path(s"$path/.sigs-reindex")
     fs.delete(stagingSigs, true)
     lshSigs(c, lshPlanes(c, tables, bits, dim), idCol)
-      .repartition(col("t"), col("bucket"))
-      .write.mode("overwrite").partitionBy("t", "bucket").parquet(s"$stagingSigs/batch=$baseId")
+      .sortWithinPartitions("t", "bucket")
+      .write.mode("overwrite").parquet(s"$stagingSigs/batch=$baseId")
     allIds.filter(_ != baseId).foreach(id =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stagingSigs/batch=$id")))
     if (baseId != 0L) writeBaseMarker(fs, stagingSigs.toString, baseId)

@@ -68,16 +68,40 @@ object Ledger {
     * growth on that tier). Under the lock one list per ledger root per
     * maintenance body is enough.
     */
-  private val memo = new ThreadLocal[java.util.HashMap[String, Option[Long]]]
+  private val memo =
+    new ThreadLocal[java.util.concurrent.ConcurrentHashMap[String, Option[Long]]]
 
   /** Open a watermark-memo scope for `body` (no-op if one is already
     * open — nested [[MaintenanceLock.withLock]] re-entries share the
-    * outermost scope). Called by MaintenanceLock only.
+    * outermost scope). Called by MaintenanceLock only. The map is
+    * CONCURRENT because [[graft.core.Par.sections]] propagates the
+    * caller's scope into its worker threads (r17 verdict, What's-wrong 2):
+    * sections touch disjoint ledger roots, so entries never conflict, but
+    * the map structure itself must tolerate simultaneous first-reads.
     */
   private[store] def memoScope[T](body: => T): T =
     if (memo.get() != null) body
     else {
-      memo.set(new java.util.HashMap[String, Option[Long]])
+      memo.set(new java.util.concurrent.ConcurrentHashMap[String, Option[Long]])
+      try body finally memo.remove()
+    }
+
+  /** The calling thread's open memo scope, or null — captured by
+    * [[graft.core.Par.sections]] before fanning out.
+    */
+  private[graft] def currentMemoScope: AnyRef = memo.get()
+
+  /** Install a captured memo scope on THIS thread for the duration of
+    * `body` (no-op when `scope` is null or a scope is already open).
+    * Workers inside one [[MaintenanceLock.withLock]] body share the lock
+    * holder's scope — the lock is what makes the watermark stable, and the
+    * workers run strictly within the holder's critical section.
+    */
+  private[graft] def withMemoScope[T](scope: AnyRef)(body: => T): T =
+    if (scope == null || memo.get() != null) body
+    else {
+      memo.set(scope.asInstanceOf[
+        java.util.concurrent.ConcurrentHashMap[String, Option[Long]]])
       try body finally memo.remove()
     }
 

@@ -915,9 +915,25 @@ object StreamingPipeline {
     val dupPairs = graft.dedup.Dedup
       .minhashIncrementPairs(newBands, allBands, allSets, threshold)
     // deterministic halves land first (replays overwrite them identically);
-    // the pairs rename publishes the batch
-    newSets.write.mode("overwrite").parquet(s"$storePath/sets/batch=$batchId")
-    newBands.write.mode("overwrite").parquet(s"$storePath/bands/batch=$batchId")
+    // the pairs rename publishes the batch. Each half publishes by staged
+    // RENAME, not a direct dir write (r17 ADVICE): with committer v2 a
+    // crashed write job would leave its committed tasks' part files
+    // visible in batch=<id>, a compaction could merge that torn subset
+    // into the base, and the replay (pairs ledger never landed) would then
+    // re-land the full batch — duplicated set/band rows. The staged rename
+    // keeps a torn write invisible (dot-dirs are skipped by every reader
+    // and by compaction), restoring the kill-anywhere drill contract v1's
+    // _temporary dirs used to provide.
+    def publishHalf(half: String, df: DataFrame): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(s"$storePath/$half/.staging-$batchId")
+      fs.delete(staging, true)
+      df.write.mode("overwrite").parquet(staging.toString)
+      val dest = new org.apache.hadoop.fs.Path(s"$storePath/$half/batch=$batchId")
+      fs.delete(dest, true) // a crashed replay's complete-but-unledgered dir
+      require(fs.rename(staging, dest), s"could not land $staging at $dest")
+    }
+    publishHalf("sets", newSets)
+    publishHalf("bands", newBands)
     val staging = new org.apache.hadoop.fs.Path(s"$storePath/pairs/.staging-$batchId")
     fs.delete(staging, true)
     dupPairs.write.mode("overwrite").parquet(staging.toString)

@@ -539,13 +539,33 @@ object TextOps {
         if (negate) df.withColumn(c, -col(c)) else df
       val (uni, bi, tri, nTrain) =
         (sgn(uni0, "c"), sgn(bi0, "c"), sgn(tri0, "c"), sgn(nTrain0, "n_train"))
+      // Each table publishes by staged RENAME, not a direct dir write
+      // (r17 ADVICE): with committer v2 a crashed write job would leave
+      // its committed tasks' part files visible in batch=<id>; a compactLm
+      // before the replay would merge that torn subset into the base and
+      // the replay (uni commit marker never landed) would re-land the full
+      // delta — double-counted grams. Staged dot-dirs are invisible to
+      // readers and compaction, restoring v1's torn-write invisibility —
+      // and the uni RENAME is now an atomic commit marker rather than a
+      // multi-file write.
+      def land(half: String, df: DataFrame): Unit = {
+        val staging = new org.apache.hadoop.fs.Path(s"$path/$half/.staging-$batchId")
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(staging, true)
+        df.write.mode("overwrite").parquet(staging.toString)
+        val dest = new org.apache.hadoop.fs.Path(s"$path/$half/batch=$batchId")
+        fs.delete(dest, true) // a crashed replay's complete-but-unledgered dir
+        require(fs.rename(staging, dest), s"could not land $staging at $dest")
+      }
       // first write materializes the cache; the next two read it warm
-      tri.write.mode("overwrite").parquet(s"$path/tri/batch=$batchId")
+      land("tri", tri)
       graft.core.Par.sections(
-        () => bi.write.mode("overwrite").parquet(s"$path/bi/batch=$batchId"),
-        () => nTrain.coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/meta/batch=$batchId"))
-      uni.write.mode("overwrite").parquet(s"$path/uni/batch=$batchId")
+        () => land("bi", bi),
+        () => land("meta", nTrain.coalesce(1)))
+      // the LAST-landed table is the ledger: its rename publishes the
+      // whole append atomically
+      land("uni", uni)
     } finally train.unpersist(false)
   }
 
@@ -1054,18 +1074,29 @@ object TextOps {
     * unigrams AND bigrams, each hashed to one of `m` buckets with the
     * house hex60 — the paper's hashed-feature trick, which bounds every
     * model table at m rows regardless of corpus size. Output:
-    * (doc_id, bucket), one row per gram INSTANCE.
+    * (doc_id[, extras], bucket), one row per gram INSTANCE.
+    *
+    * One scan, one tokenization (r18, guide §1.2): the original
+    * uni.union(bi) shape read and split the corpus TWICE per call —
+    * concatenating the unigram and bigram arrays before the explode emits
+    * the same gram multiset from a single pass, and every consumer here is
+    * an aggregate over that multiset, so results are unchanged. `extras`
+    * carries caller columns (the store writers' target flag) through the
+    * explode.
     */
   private def hashedGramInstances(docs: DataFrame, m: Int, textCol: String,
-                                  idCol: String): DataFrame = {
+                                  idCol: String,
+                                  extras: Seq[Column] = Seq.empty): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val uni = docs.select(col(idCol).as("doc_id"), explode(w).as("g"))
-    val bi = docs
-      .select(col(idCol).as("doc_id"), graft.core.Eval.materialized(w).as("__w"))
-      .select(col("doc_id"), explode(ngrams(2)).as("g"))
-    uni.unionByName(bi)
-      .select(col("doc_id"),
-        pmod(graft.dedup.Dedup.hex60(col("g")), lit(m.toLong)).as("bucket"))
+    val xs = extras.indices.map(i => col(s"__x$i"))
+    docs
+      .select(col(idCol).as("doc_id") +:
+        extras.zipWithIndex.map { case (e, i) => e.as(s"__x$i") } :+
+        graft.core.Eval.materialized(w).as("__w"): _*)
+      .select(col("doc_id") +: xs :+
+        explode(concat(col("__w"), ngrams(2))).as("g"): _*)
+      .select(col("doc_id") +: xs :+
+        pmod(graft.dedup.Dedup.hex60(col("g")), lit(m.toLong)).as("bucket"): _*)
   }
 
   /** DSIR importance model (Xie et al. 2023, "Data Selection for Language
@@ -1106,6 +1137,21 @@ object TextOps {
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"), coalesce(col("cr"), lit(0L)).as("cr"))
   }
+
+  /** [[dsirPairCounts]] when the target is a PREDICATE slice of the raw
+    * corpus (the store writers' shape, `dsirPairCounts(docs.filter(isT),
+    * docs)`): ONE corpus pass with the flag carried through the explode,
+    * `ct` counting only flagged instances (r18, guide §1.2 — the two-sided
+    * form tokenized every target document twice). Identical rows: target ⊆
+    * raw means every bucket with ct > 0 also has cr > 0, and a null/false
+    * flag contributes to cr only — exactly the filter-then-count counts.
+    */
+  private def dsirPairCountsFlagged(docs: DataFrame, isTarget: Column, m: Int,
+                                    textCol: String, idCol: String): DataFrame =
+    hashedGramInstances(docs, m, textCol, idCol, extras = Seq(isTarget))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("__x0"), lit(1))).as("ct"), count(lit(1)).as("cr"))
+      .select(col("bucket"), col("ct"), col("cr"))
 
   /** The llr table from a (bucket, ct, cr) count frame. The ct/cr > 0
     * filter drops buckets fully retired by [[retireDsir]] deltas (a fresh
@@ -1289,7 +1335,7 @@ object TextOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    dsirPairCounts(docs.filter(isTarget), docs, m, textCol, idCol)
+    dsirPairCountsFlagged(docs, isTarget, m, textCol, idCol)
       .write.mode("overwrite").parquet(s"$path/buckets/batch=0")
     spark.range(1).select(lit(m).as("m"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/config")
@@ -1333,11 +1379,19 @@ object TextOps {
       if (graft.store.Ledger.landed(fs, s"$path/buckets", appendId)) false
       else {
         val m = readDsirM(spark, path)
-        val d0 = dsirPairCounts(docs.filter(isTarget), docs, m, textCol, idCol)
+        val d0 = dsirPairCountsFlagged(docs, isTarget, m, textCol, idCol)
         val d = if (negate)
           d0.select(col("bucket"), (-col("ct")).as("ct"), (-col("cr")).as("cr"))
         else d0
-        d.write.mode("overwrite").parquet(s"$path/buckets/batch=$appendId")
+        // staged rename publish (r18): this dir's EXISTENCE is the ledger,
+        // so a direct write would mark a torn batch as landed — the same
+        // class as the r17-ADVICE minhash/LM finding, and here it would
+        // silently half-land counts rather than double them
+        val staging = new org.apache.hadoop.fs.Path(s"$path/buckets/.staging-$appendId")
+        fs.delete(staging, true)
+        d.write.mode("overwrite").parquet(staging.toString)
+        val dest = new org.apache.hadoop.fs.Path(s"$path/buckets/batch=$appendId")
+        require(fs.rename(staging, dest), s"could not land $staging at $dest")
         true
       }
     }

@@ -18,8 +18,10 @@ object ProfileGate {
     graft.core.Tables.all.foreach(t =>
       try graft.core.Tables(spark, dir, t).count() catch { case _: Throwable => () })
 
-    case class Job(id: Int, t0: Long, var t1: Long = 0L, site: String = "",
-                   var tasks: Int = 0, var taskMs: Long = 0L)
+    case class Job(id: Int, t0: Long, @volatile var t1: Long = 0L, site: String = "",
+                   var tasks: Int = 0, var taskMs: Long = 0L) {
+      @volatile var done: Boolean = false
+    }
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Job]()
     val listener = new SparkListener {
@@ -30,7 +32,8 @@ object ProfileGate {
         jobs.put(e.jobId, j); order.add(j)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        val j = jobs.get(e.jobId); if (j != null) j.t1 = System.nanoTime()
+        val j = jobs.get(e.jobId)
+        if (j != null) { j.t1 = System.nanoTime(); j.done = true }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
     }
@@ -46,17 +49,22 @@ object ProfileGate {
       val w1 = System.nanoTime()
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(300) // let listener drain
-      val js = order.toArray(Array.empty[Job]).filter(_.t1 > 0).sortBy(_.t0)
+      val js = order.toArray(Array.empty[Job]).filter(_.done).sortBy(_.t0)
       val jobWall = js.map(j => (j.t1 - j.t0) / 1e9)
       val wall = (w1 - w0) / 1e9
-      // driver gap = wall minus the union of job intervals (jobs can overlap)
+      // driver gap = wall minus the union of job intervals (jobs can
+      // overlap). Seeded-boolean scan, not sign sentinels: nanoTime() has
+      // no sign guarantee (r17 ADVICE).
       val ivs = js.map(j => (j.t0, j.t1)).sortBy(_._1)
-      var covered = 0L; var curS = -1L; var curE = -1L
+      var covered = 0L; var curS = 0L; var curE = 0L; var seeded = false
       for ((s, e) <- ivs) {
-        if (s > curE) { if (curE > 0) covered += curE - curS; curS = s; curE = e }
+        if (!seeded || s > curE) {
+          if (seeded) covered += curE - curS
+          curS = s; curE = e; seeded = true
+        }
         else if (e > curE) curE = e
       }
-      if (curE > 0) covered += curE - curS
+      if (seeded) covered += curE - curS
       println(f"== $n wall ${wall}%.2f s, jobs ${js.length}, job-covered ${covered / 1e9}%.2f s, driver-gap ${wall - covered / 1e9}%.2f s")
       val bySite = js.groupBy(_.site).map { case (s, g) =>
         (s, g.length, g.map(j => (j.t1 - j.t0) / 1e9).sum)

@@ -1112,6 +1112,31 @@ class StoreFaultDrillSpec extends SparkSpec {
     assert(Ledger.watermark(fs, days) == 30L, "outside the lock reads disk")
   }
 
+  test("watermark memo propagates into Par.sections workers (r17 verdict, What's-wrong 2)") {
+    import graft.store.{Ledger, MaintenanceLock}
+    val path = java.nio.file.Files.createTempDirectory("graft_ledger_par").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val days = s"$path/days"
+    val marker = new org.apache.hadoop.fs.Path(s"$days/_vacuumed_below=10")
+    fs.mkdirs(marker)
+    MaintenanceLock.withLock(fs, path, "memo-par-drill") {
+      assert(Ledger.watermark(fs, days) == 10L) // memoized on the lock thread
+      // delete the marker behind the memo's back: a section worker that
+      // fell back to a fresh listStatus (the pre-r18 leak — Par pool
+      // threads had no memo scope) would now read 0; a worker SHARING the
+      // caller's scope keeps the lock body's authoritative first read
+      fs.delete(marker, true)
+      graft.core.Par.sections(
+        () => assert(Ledger.watermark(fs, days) == 10L,
+          "worker 1 lost the caller's memo scope"),
+        () => assert(Ledger.landed(fs, days, 5L),
+          "worker 2's landed() probe re-listed the FS instead of the memo"))
+    }
+    // outside the lock there is no scope: disk truth again (marker gone)
+    assert(Ledger.watermark(fs, days) == 0L)
+  }
+
   test("packed-export vacuum: compaction tombstones collapse; replay, append, and serving hold") {
     import graft.streaming.StreamingPipeline
     import graft.store.Ledger
