@@ -91,30 +91,17 @@ object Pca {
     val muLit = array(mu.map(lit): _*)
     // centered array: the lambda reads the scan column + a literal — both
     // O(1) per element, no computed-child recompute risk (LambdaRecomputeSpec
-    // pattern notes; contrast TextOps.removeDuplicatedSpans' r8 pathology).
-    // Eval.materialized: cv is referenced INSIDE the nested-transform
-    // lambda below — without the barrier CollapseProject inlines the
-    // centering transform into that reference and it re-evaluates per
-    // outer element (the q128 O(dim²)-per-row pathology).
-    val cb = b.select(graft.core.Eval.materialized(transform(col("v"),
-      (x, i) => x - element_at(muLit, (i + 1).cast("int")))).as("cv"))
-    // Gram terms in ONE Generate (r18, guide §2.3/§1.2): the original
-    // nested posexplode carried the full 64-double cv array through dim
-    // intermediate rows per vector (dim² narrow rows AND dim wide ones);
-    // flattening the per-row outer product first emits the same dim²
-    // floor(xi*xj*Q) terms as one narrow (idx, t) stream. Term values and
-    // the DECIMAL(38,0) sums are unchanged — idx = i*dim + j replaces the
-    // (i, j) group key bijectively.
-    val gRows = cb
-      .select(posexplode(flatten(transform(col("cv"), xi =>
-        transform(col("cv"), xj => floor(xi * xj * lit(Q)))))).as(Seq("idx", "t")))
-      .groupBy(col("idx"))
-      .agg(sum(col("t").cast("decimal(38,0)")).as("gq"))
+    // pattern notes; contrast TextOps.removeDuplicatedSpans' r8 pathology)
+    val cb = b.select(transform(col("v"),
+      (x, i) => x - element_at(muLit, (i + 1).cast("int"))).as("cv"))
+    val gRows = cb.select(col("cv"), posexplode(col("cv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("cv")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(floor(col("xi") * col("xj") * Q).cast("decimal(38,0)")).as("gq"))
       .collect()
     val g = Array.ofDim[Double](dim, dim)
     gRows.foreach { r =>
-      val idx = r.getAs[Int]("idx")
-      g(idx / dim)(idx % dim) =
+      g(r.getAs[Int]("i"))(r.getAs[Int]("j")) =
         r.getAs[java.math.BigDecimal]("gq").doubleValue / nD / Q
     }
     (n, mu, g)
