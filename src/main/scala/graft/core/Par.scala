@@ -44,6 +44,27 @@ object Par {
   private val cap: Int =
     math.max(1, sys.env.getOrElse("SPARK_GRAFT_PAR_CAP", "3").toInt)
 
+  /** A no-shuffle, size-derived view of a MATERIALIZED frame for repeated
+    * small aggregation passes (guide §2 "make partitioning scale-adaptive"):
+    * target partitions = ceil(rows x rowBytes / 32 MB), clamped to [1,
+    * current]. The iterative fits (Logit's 30 gradient passes, Ridge's
+    * three moment passes) re-aggregate a checkpointed frame many times;
+    * with the fixed cores-sized shuffle partitioning a 160 KB frame
+    * schedules 32 near-empty tasks per pass, and the scheduling overhead —
+    * not the arithmetic — is the pass. coalesce() merges partitions
+    * without moving or reordering bytes within a task's read, and every
+    * caller aggregates order-insensitively (exact integer/decimal partial
+    * sums), so results are bit-identical; a 100 TB frame keeps its
+    * parallelism because `want` exceeds `current` long before that.
+    */
+  def sizeCoalesced(df: org.apache.spark.sql.DataFrame, rows: Long,
+                    rowBytes: Long, targetBytes: Long = 32L << 20)
+      : org.apache.spark.sql.DataFrame = {
+    val cur = df.rdd.getNumPartitions
+    val want = math.max(1L, (rows * rowBytes + targetBytes - 1) / targetBytes)
+    if (want >= cur) df else df.coalesce(want.toInt)
+  }
+
   private val tf = new java.util.concurrent.ThreadFactory {
     private val n = new java.util.concurrent.atomic.AtomicInteger(0)
     def newThread(r: Runnable): Thread = {

@@ -85,10 +85,13 @@ object Logit {
           lr: Double = 0.5, lambda: Double = 0.001, iters: Int = 30): LogitFit = {
     val d = featureCols.size
     require(d >= 1, "need at least one feature")
-    val base = df.select((featureCols :+ labelCol).map(col): _*)
+    val ckpt = df.select((featureCols :+ labelCol).map(col): _*)
       .localCheckpoint(true)
-    val n = base.count().toDouble
+    val n = ckpt.count().toDouble
     require(n > 0, "need a non-empty training set")
+    // size-derived partition view for the repeated passes (guide §2; see
+    // [[graft.core.Par.sizeCoalesced]] — exact sums, so bit-identical)
+    val base = graft.core.Par.sizeCoalesced(ckpt, n.toLong, 8L * (d + 1))
 
     val meanRow = base.agg(qsum(col(featureCols.head)).as("q0"),
       featureCols.tail.zipWithIndex.map { case (c, i) => qsum(col(c)).as(s"q${i + 1}") }: _*)

@@ -55,23 +55,38 @@ object Ridge {
   private def zCol(c: org.apache.spark.sql.Column, mu: Double, sd: Double) =
     if (sd == 0.0) lit(0.0) else (c - lit(mu)) / lit(sd)
 
-  /** Fit: three aggregation passes + a driver gradient loop. */
+  /** Fit: three aggregation passes + a driver gradient loop.
+    *
+    * The input is PROJECTED to (features, label) and checkpointed FIRST
+    * (r18, guide §1.2 — the [[Logit.fit]] treatment): count, the mean/var
+    * passes, and the moment pass previously each recomputed the caller's
+    * frame, which for the pipeline queries is a full text-feature pass
+    * over the corpus — so one fit paid the corpus four times. The three
+    * aggregation passes then run over a size-coalesced view of the
+    * checkpoint (partition count derived from n x row width, so tiny
+    * frames stop scheduling one task per original partition while a
+    * 100 TB frame keeps its parallelism). Quantized partials are exact
+    * integers summed in DECIMAL(38,0) — commutative and associative — so
+    * neither the checkpoint nor the coalesce can move a learned weight.
+    */
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           lambda: Double = 0.001, lr: Double = 0.9, iters: Int = 30): RidgeFit = {
     val d = featureCols.size
     require(d >= 1, "need at least one feature")
-    val n = df.count().toDouble
-    require(n > 0, "need a non-empty training set")
     val cols = featureCols :+ labelCol
+    val ckpt = df.select(cols.map(col): _*).localCheckpoint(true)
+    val n = ckpt.count().toDouble
+    require(n > 0, "need a non-empty training set")
+    val base = graft.core.Par.sizeCoalesced(ckpt, n.toLong, 8L * (d + 1))
 
-    val meanRow = df.agg(qsum(col(cols.head)).as("q0"),
+    val meanRow = base.agg(qsum(col(cols.head)).as("q0"),
       cols.tail.zipWithIndex.map { case (c, i) => qsum(col(c)).as(s"q${i + 1}") }: _*).head()
     val mus = cols.indices.map(i => qget(meanRow, s"q$i") / n / Q)
 
     // squared via explicit multiply, not pow(): x*x is pinned by IEEE 754,
     // pow's libm rounding is not
     def sq(c: org.apache.spark.sql.Column) = c * c
-    val varRow = df.agg(
+    val varRow = base.agg(
       qsum(sq(col(cols.head) - mus.head)).as("q0"),
       cols.tail.zipWithIndex.map { case (c, i) =>
         qsum(sq(col(c) - mus(i + 1))).as(s"q${i + 1}")
@@ -84,7 +99,7 @@ object Ridge {
       (for (i <- 0 until d; j <- i until d)
         yield qsum(zs(i) * zs(j)).as(s"a_${i}_$j")) ++
       (0 until d).map(i => qsum(zs(i) * zy).as(s"b_$i"))
-    val mRow = df.agg(momentAggs.head, momentAggs.tail: _*).head()
+    val mRow = base.agg(momentAggs.head, momentAggs.tail: _*).head()
     val a = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
       val v = qget(mRow, s"a_${i}_$j") / n / Q

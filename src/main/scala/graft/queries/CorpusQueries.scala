@@ -86,7 +86,14 @@ object CorpusQueries {
     */
   private def pipelineV3Parts(s: SparkSession, d: String):
       (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (raw, packed) = pipelineFlags(s, d)
+    val (raw, packed0) = pipelineFlags(s, d)
+    // `packed` feeds TWO plans (the stage aggregation and the checkpointed
+    // survivor frame) — without this checkpoint each ran the whole upstream
+    // chain including the near-dup mine (guide §1.2; the rows are narrow
+    // doc-level flags, nothing like the array-heavy frames the mine's own
+    // no-checkpoint note adjudicates)
+    val packed = packed0.select(col("doc_id"), col("n_words"), col("near"),
+      col("qual"), col("bal"), col("__binkey")).localCheckpoint(true)
     val one = packed.agg(
       count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
       count(when(col("near"), 1)).as("d4"),
@@ -104,9 +111,12 @@ object CorpusQueries {
       .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
       .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
         sum(col("n_null")).as("p3"))
+    // a filter over the packed checkpoint — no second materialization needed
     val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
-      .localCheckpoint(true)
+    // fj is a corpus text-feature pass; checkpoint it ONCE so the ridge fit
+    // (which re-projects its own checkpoint) and predict share one pass
     val fj = DataQueries.ridgeFrame(s, d).join(surv.select(col("doc_id")), "doc_id")
+      .localCheckpoint(true)
     val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
     val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
       .agg(count(lit(1)).as("s1"),
@@ -244,8 +254,12 @@ object CorpusQueries {
     val featNext = featPrev.join(unchangedIds, "doc_id")
       .unionByName(v4Features(next.join(addedChangedIds, "doc_id")))
       .localCheckpoint(true) // the new store: the delta paid one text pass
-    val keptPrev = v4Winners(featPrev).select(col("doc_id"))
-    val keptNext = v4Winners(featNext).select(col("doc_id"))
+    // each winner set feeds the retire-side AND the append-side anti-join
+    // chains (and `survive` references both) — without these checkpoints
+    // the exact-dup winner window re-ran three times per side (guide §1.2;
+    // the frames are bare doc_id lists)
+    val keptPrev = v4Winners(featPrev).select(col("doc_id")).localCheckpoint(true)
+    val keptNext = v4Winners(featNext).select(col("doc_id")).localCheckpoint(true)
     val stayIds = keptNext.join(unchangedIds, "doc_id")
     // A store row SURVIVES only if its doc is in the store (a prev-cycle
     // winner) AND still a winner with unchanged text. stayIds alone is not
@@ -254,6 +268,7 @@ object CorpusQueries {
     // never appended — anti-joining the append set against stayIds would
     // silently leave it out of the store and its near-dup pairs unminable.
     val survive = keptPrev.join(stayIds, Seq("doc_id"), "leftsemi")
+      .localCheckpoint(true) // read by both families' anti-joins
     // the MinHash and DSIR families advance DISJOINT stores from shared
     // (checkpointed) inputs — overlap them (guide §2.6): each family stays
     // internally sequential (retire -> append -> compact under its own
@@ -310,10 +325,15 @@ object CorpusQueries {
     val shard32 = pmod(Dedup.hex60(col("doc_id").cast("string")), lit(32L))
     val w = Window.partitionBy(shard32)
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    // same two-consumer shape as pipelineV3Parts: checkpoint the narrow
+    // doc-level flags once instead of re-running the winner window + store
+    // join chain per consumer (guide §1.2)
     val packed = bal
       .withColumn("__cum", coalesce(sum(when(col("bal"), col("n_words"))).over(w), lit(0L)))
       .withColumn("__binkey", when(col("bal"),
         concat_ws(":", shard32, expr("__cum div 512"))))
+      .select(col("doc_id"), col("n_words"), col("near"), col("qual"),
+        col("bal"), col("__binkey")).localCheckpoint(true)
     val one = packed.agg(
       count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
       count(when(col("near"), 1)).as("d4"),
@@ -332,7 +352,6 @@ object CorpusQueries {
       .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
         sum(col("n_null")).as("p3"))
     val surv = packed.filter(col("bal")).select(col("doc_id"), col("n_words"))
-      .localCheckpoint(true)
     val fj = feat.select(col("doc_id"),
         col("n_words").cast("double").as("n_words"),
         col("avg_word_len"), col("stopword_ratio"),
@@ -401,7 +420,9 @@ object CorpusQueries {
       mh: String, dsirPath: String): DataFrame = {
     import graft.streaming.StreamingPipeline
     val featA = v4Features(a).localCheckpoint(true)
-    val keptA = v4Winners(featA).select(col("doc_id"))
+    // both store batches filter aKept — checkpoint the winner ids once
+    // instead of re-running the winner window per batch (guide §1.2)
+    val keptA = v4Winners(featA).select(col("doc_id")).localCheckpoint(true)
     val aKept = a.select(col("doc_id"), col("text")).join(keptA, "doc_id")
     // disjoint stores built from shared checkpointed inputs — overlap the
     // families (guide §2.6); the two MinHash batches stay ordered within
@@ -682,7 +703,11 @@ object CorpusQueries {
     // and shifts the prediction mass — so one hash gates the whole
     // composition including both new operators.
     "q160_pipeline_v2" -> ((s, d) => {
-      val (raw, packed) = pipelineFlags(s, d)
+      val (raw, packed0) = pipelineFlags(s, d)
+      // two consumers (stage agg + survivor frame): checkpoint the narrow
+      // flags once — the pipelineV3Parts treatment (guide §1.2)
+      val packed = packed0.select(col("doc_id"), col("n_words"), col("near"),
+        col("qual"), col("bal"), col("__binkey")).localCheckpoint(true)
       val one = packed.agg(
         count(lit(1)).as("d3"), coalesce(sum(col("n_words")), lit(0L)).as("t3"),
         count(when(col("near"), 1)).as("d4"),
@@ -700,14 +725,12 @@ object CorpusQueries {
         .profile(docs(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
         .agg(max(col("n_rows")).as("p1"), sum(col("n_distinct")).as("p2"),
           sum(col("n_null")).as("p3"))
-      // materialized once (the q146 localCheckpoint precedent): the ridge
-      // fit makes FOUR aggregation passes over its training frame and
-      // predict a fifth — without the checkpoint each pass re-runs the
-      // whole pipeline including the near-dup mine (measured 20.1 s vs
-      // q115's 5.1 s at sf0.1; the checkpoint is a few hundred doc_id rows)
+      // survivors are a filter over the packed checkpoint; fj is a corpus
+      // text-feature pass shared by the ridge fit and predict, so IT is
+      // what gets materialized once (the q146 precedent, guide §1.2)
       val surv = packed.filter(col("bal")).select(col("doc_id"))
-        .localCheckpoint(true)
       val fj = DataQueries.ridgeFrame(s, d).join(surv, "doc_id")
+        .localCheckpoint(true)
       val fit = graft.operators.Ridge.fit(fj, DataQueries.ridgeFeatureCols, "y")
       val score = graft.operators.Ridge.predict(fj, fit, "doc_id")
         .agg(count(lit(1)).as("s1"),

@@ -841,11 +841,17 @@ object Similarity {
     val rows = data.select(data.columns.filterNot(_ == "batch").map(col): _*)
     // sortCols: cluster the rewritten base within each file (row-group
     // min/max skipping for readers — the LSH sigs (t, bucket) treatment)
-    // without the per-value directory tree partitionBy would create
+    // without the per-value directory tree partitionBy would create.
+    // rebalance first (guide §6): the merged base otherwise inherits one
+    // tiny file per source-read task (31/base measured on the minhash
+    // halves at sf0.1); AQE sizes rebalanced files by advisoryPartitionSize
+    // so a 100 TB base still fans out. Rows unchanged, only file layout.
     val w =
-      if (partitionCols.isEmpty)
-        (if (sortCols.isEmpty) rows else rows.sortWithinPartitions(sortCols.map(col): _*))
+      if (partitionCols.isEmpty) {
+        val reb = rows.hint("rebalance")
+        (if (sortCols.isEmpty) reb else reb.sortWithinPartitions(sortCols.map(col): _*))
           .write
+      }
       else rows.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
     val baseId = if (baseAtMaxId) dataIds.max else 0L
@@ -965,10 +971,14 @@ object Similarity {
     val rows = transform(spark.read.option("basePath", dir)
       .parquet(dataIds.map(id => s"$dir/batch=$id").toIndexedSeq: _*))
     val kept = rows.select(rows.columns.filterNot(_ == "batch").map(col): _*)
+    // same §6 rebalance as the full rewrite: debris merges otherwise spray
+    // one tiny file per source-read task
     val w =
-      if (partitionCols.isEmpty)
-        (if (sortCols.isEmpty) kept else kept.sortWithinPartitions(sortCols.map(col): _*))
+      if (partitionCols.isEmpty) {
+        val reb = kept.hint("rebalance")
+        (if (sortCols.isEmpty) reb else reb.sortWithinPartitions(sortCols.map(col): _*))
           .write
+      }
       else kept.repartition(partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
     w.mode("overwrite").parquet(staged.toString)

@@ -924,10 +924,15 @@ object StreamingPipeline {
     // keeps a torn write invisible (dot-dirs are skipped by every reader
     // and by compaction), restoring the kill-anywhere drill contract v1's
     // _temporary dirs used to provide.
+    // rebalance before the write (guide §6): the halves otherwise land one
+    // tiny part file per upstream task (31/dir measured at sf0.1) — paid
+    // again by every later append's stored() read and every compaction
+    // listing. AQE sizes the rebalanced files by advisoryPartitionSize, so
+    // a 100 TB batch still fans out; rows are unchanged, only file layout.
     def publishHalf(half: String, df: DataFrame): Unit = {
       val staging = new org.apache.hadoop.fs.Path(s"$storePath/$half/.staging-$batchId")
       fs.delete(staging, true)
-      df.write.mode("overwrite").parquet(staging.toString)
+      df.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
       val dest = new org.apache.hadoop.fs.Path(s"$storePath/$half/batch=$batchId")
       fs.delete(dest, true) // a crashed replay's complete-but-unledgered dir
       require(fs.rename(staging, dest), s"could not land $staging at $dest")
@@ -936,7 +941,7 @@ object StreamingPipeline {
     publishHalf("bands", newBands)
     val staging = new org.apache.hadoop.fs.Path(s"$storePath/pairs/.staging-$batchId")
     fs.delete(staging, true)
-    dupPairs.write.mode("overwrite").parquet(staging.toString)
+    dupPairs.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
     require(fs.rename(staging, ledger), s"could not land $staging at $ledger")
     }
   }

@@ -553,7 +553,10 @@ object TextOps {
         val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
           df.sparkSession.sparkContext.hadoopConfiguration)
         fs.delete(staging, true)
-        df.write.mode("overwrite").parquet(staging.toString)
+        // rebalance before the write (guide §6): tri otherwise lands one
+        // tiny file per task (16/dir measured); AQE sizes rebalanced files
+        // by advisoryPartitionSize so a 100 TB gram table still fans out
+        df.hint("rebalance").write.mode("overwrite").parquet(staging.toString)
         val dest = new org.apache.hadoop.fs.Path(s"$path/$half/batch=$batchId")
         fs.delete(dest, true) // a crashed replay's complete-but-unledgered dir
         require(fs.rename(staging, dest), s"could not land $staging at $dest")
