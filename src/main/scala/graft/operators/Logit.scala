@@ -105,10 +105,12 @@ object Logit {
       }: _*).head()
     val sds = featureCols.indices.map(i => math.sqrt(qget(varRow, s"q$i") / n / Q))
 
+    // no second checkpoint: base IS materialized, and the z transform is a
+    // cheap deterministic map that fuses into each gradient pass's codegen
+    // — materializing it again only paid one more write of the frame
     val zdf = base.select(featureCols.indices.map(i =>
         zCol(col(featureCols(i)), mus(i), sds(i)).as(s"z$i")) :+
         col(labelCol).cast("double").as("y"): _*)
-      .localCheckpoint(true)
     val zs = featureCols.indices.map(i => col(s"z$i"))
 
     var w = Array.fill(d)(0.0)
